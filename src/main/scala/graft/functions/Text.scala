@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the chunking / dedup / text-analysis
+  * operators. Pure `functions._` compositions — everything here stays inside
+  * whole-stage codegen (no UDFs), so these run at scan speed and parallelize
+  * with the partitioning of the input.
+  *
+  * Chunking semantics mirror the reference's `splitChunks`
+  * (reference: src/indexer.ts:201-215): fixed `size`-char windows advanced by
+  * `stride = max(1, size - overlap)`; the final chunk may be shorter; a chunk
+  * starts at every offset `i*stride < length(text)`.
+  */
+object Text {
+
+  /** Number of chunks for a text of length `len`: ceil(len / stride), 0 for
+    * empty text. Expressed as floor((len-1)/stride)+1 to stay in integer math.
+    */
+  def chunkCount(text: Column, size: Int, overlap: Int): Column = {
+    val stride = math.max(1, size - overlap)
+    when(length(text) <= 0, lit(0))
+      .otherwise(floor((length(text) - 1) / stride) + 1)
+      .cast("int")
+  }
+
+  /** Array of chunk substrings (1-based substring, clamped at end-of-string,
+    * same as the reference's `text.slice(i, i+size)`).
+    */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    val stride = math.max(1, size - overlap)
+    // sequence(0, -1) would count backwards, so guard empty text explicitly
+    when(length(text) <= 0, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), chunkCount(text, size, overlap) - 1),
+        i => substring(text, (i * stride + 1).cast("int"), lit(size))))
+  }
+
+  /** Whitespace tokenization; drops empty tokens (leading/trailing spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** BPE-ish subtoken extraction: alpha runs and digit runs (portable regex —
+    * identical semantics under Java regex and DuckDB's RE2).
+    */
+  def subtokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+"), lit(0))
+
+  /** Word k-grams ("shingles") over the whitespace tokens, joined by a space.
+    * Returns an array of n-k+1 strings (empty array when fewer than k tokens).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** Deterministic polynomial token hash in [0, 1e9+7): folds
+    * `h = (h*31 + len(t)*131 + ascii(t)) mod p` over the token stream.
+    * Stays within Long range (p*31 + small << 2^63), and is expressible
+    * verbatim in DuckDB SQL — the oracle-parity hash for fingerprints and
+    * minhash shingle codes.
+    */
+  val FpMod = 1000000007L
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      toks,
+      lit(0L),
+      (h, t) => (h * 31L + length(t).cast("long") * 131L + ascii(t)) % FpMod)
+
+  /** Per-shingle polynomial code (same recurrence over the characters of one
+    * string — used as the numeric shingle id for minhash).
+    */
+  def stringCode(s: Column): Column =
+    aggregate(
+      split(s, ""),
+      lit(0L),
+      (h, ch) => (h * 31L + ascii(ch)) % FpMod)
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the star schema — the bench headliners (SURVEY
+  * §2 E). These exercise the engine's aggregate/join/window paths the way a
+  * 100 TB training-data pipeline would (fact-table scans with partial
+  * aggregation, broadcast dimensions, bounded windows).
+  */
+object Analytics {
+
+  /** E1: TPC-H Q1-style pricing summary. Single scan, hash aggregate with
+    * map-side partials; group key cardinality ~6 so the shuffle is trivial at
+    * any scale. Money sums rounded to 2dp for oracle parity.
+    */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** E2: revenue top-10 — customer⋈orders⋈lineitem. `customer` is broadcast
+    * (dimension ≪ fact); orders⋈lineitem shuffles on the order key, which is
+    * also the aggregate key, so AQE reuses the exchange. Top-10 runs as
+    * TakeOrderedAndProject (per-partition partial top-k, single k-row merge),
+    * never a global sort.
+    */
+  def q3Revenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** E3: top-3 parts per brand by retail price — bounded window (rank within
+    * small per-brand groups). Window partition key = brand, so the shuffle is
+    * by brand; ties broken by p_partkey for determinism.
+    */
+  def windowTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn").cast("long").as("rn"), col("p_partkey"),
+        round(col("p_retailprice"), 2).as("p_retailprice"))
+      .orderBy("p_brand", "rn")
+  }
+
+  /** E4 (batch twin of the streaming job): 5-minute tumbling window per
+    * event_type. Uses the same window semantics as Structured Streaming's
+    * `window()`; at scale the (window, type) key is low-cardinality so
+    * partial aggregation collapses almost everything map-side.
+    */
+  def eventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** E5: gaps-and-islands sessionization — a new session starts when a user
+    * is idle > 30 minutes. Two bounded windows over the same (user, ts)
+    * partitioning (single shuffle, reused by both window specs).
+    */
+  def eventsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

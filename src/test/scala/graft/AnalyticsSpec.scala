@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpecBase {
+
+  test("q1_pricing groups are complete and counts add up") {
+    val q1 = Analytics.q1Pricing(spark, sf)
+    val total = q1.agg(sum("count_order")).head().getLong(0)
+    assert(total == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q3_revenue returns descending revenue top-10") {
+    val rows = Analytics.q3Revenue(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("window_topn keeps at most 3 per brand, rank 1 is the max price") {
+    val df = Analytics.windowTopN(spark, sf).cache()
+    assert(df.groupBy("p_brand").count().agg(max("count")).head().getLong(0) <= 3)
+    val r1 = df.filter(col("rn") === 1).select("p_brand", "p_retailprice")
+    val mx = Tables.part(spark, sf).groupBy("p_brand")
+      .agg(round(max("p_retailprice"), 2).as("mx"))
+    assert(r1.join(mx, "p_brand").filter(col("p_retailprice") =!= col("mx")).count() == 0)
+    df.unpersist()
+  }
+
+  test("events_window counts add up to the event count") {
+    val n = Analytics.eventsWindow(spark, sf).agg(sum("n_events")).head().getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("sessionize: session bounds ordered, counts add up") {
+    val s = Analytics.eventsSessionize(spark, sf).cache()
+    assert(s.filter(col("session_start") > col("session_end")).count() == 0)
+    val n = s.agg(sum("n_events")).head().getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+    s.unpersist()
+  }
+}
