@@ -20,6 +20,15 @@ object SparkEntry {
     "chunk_docs" -> ((s, dir) => Chunker.chunkDocs(s, dir)),
     "index_build" -> ((s, dir) => Chunker.indexBuild(s, dir)),
     "index_status" -> ((s, dir) => Chunker.indexStatus(s, dir)),
+    "embed_chunks" -> ((s, dir) => RagSearch.embedChunks(s, dir)),
+    "rag_topk" -> ((s, dir) => RagSearch.ragTopK(s, dir)),
+    // B. dedup
+    "dedup_exact" -> ((s, dir) => Dedup.dedupExact(s, dir)),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.dedupNgramJaccard(s, dir)),
+    "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(s, dir)),
+    // C. similarity search
+    "ann_topk_batch" -> ((s, dir) => RagSearch.annTopKBatch(s, dir)),
+    "ann_lsh" -> ((s, dir) => RagSearch.annLsh(s, dir)),
     // E. analytics
     "q1_pricing" -> ((s, dir) => Analytics.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Analytics.q3Revenue(s, dir)),
@@ -28,7 +37,94 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
   )
 
+  /** DuckDB cosine over list columns, double precision, reference epsilon. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))) /
+       | (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)))) *
+       |  sqrt(list_sum(list_transform(range(1, len($b)+1), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))) + 1e-10))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "rag_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS score
+         |       FROM embeddings e, q)
+         |SELECT sc.vec_id, sc.score, d.source, substring(d.text, 1, 80) AS snippet,
+         |       d.n_chars AS file_size
+         |FROM sc JOIN documents d ON d.doc_id = sc.vec_id
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_topk_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT q.query_id, e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS score
+         |       FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", vec_id, score
+         |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(0, 6), j -> CASE WHEN
+         |        list_sum(list_transform(range(0, 64), dd ->
+         |          CAST((j*2654435761 + dd*40503) % 9973 - 4986 AS DOUBLE) * CAST(embedding[CAST(dd+1 AS INT)] AS DOUBLE))) >= 0
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket FROM b WHERE vec_id < 10),
+         |sc AS (SELECT q.query_id, b.vec_id, b.bucket, round(${cosSql("b.embedding", "q.qv")}, 4) AS score
+         |       FROM b JOIN q ON b.bucket = q.qbucket WHERE b.vec_id != q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", vec_id, bucket, score
+         |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "embed_chunks" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, i AS chunk_idx, substring(text, CAST(i*80+1 AS INT), 100) AS chunk_text
+        |  FROM (SELECT doc_id, text, unnest(range(0, CAST(floor((length(text)-1)/80.0) AS BIGINT)+1)) AS i
+        |        FROM documents WHERE length(text) > 0) t),
+        |tok AS (
+        |  SELECT doc_id, chunk_idx,
+        |    list_transform(list_filter(string_split(chunk_text, ' '), t -> len(t) > 0),
+        |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h*31 + c) % 1000000007)) AS codes
+        |  FROM chunks),
+        |vec AS (
+        |  SELECT doc_id, chunk_idx,
+        |    list_transform(range(0, 64), k ->
+        |      CAST(coalesce(list_sum(list_transform(codes, c ->
+        |        CASE WHEN c % 64 = k THEN (CASE WHEN (c // 64) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS DOUBLE)) AS v
+        |  FROM tok),
+        |nrm AS (SELECT doc_id, chunk_idx, v,
+        |               sqrt(list_sum(list_transform(v, x -> x*x))) + 1e-10 AS nn FROM vec)
+        |SELECT doc_id, chunk_idx, k AS dim_idx, round(v[CAST(k+1 AS INT)]/nn, 4) + 0.0 AS value
+        |FROM (SELECT doc_id, chunk_idx, v, nn, unnest(range(0, 64)) AS k FROM nrm) z
+        |ORDER BY doc_id, chunk_idx, dim_idx""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, CAST(n_chars // 50 AS BIGINT) AS len_bucket,
+        |         list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
+        |           i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |        FROM documents) t0),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |         CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS tot
+        |  FROM s a JOIN s b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT a_id, b_id, lang, round(inter/(tot-inter), 4) AS jaccard
+        |FROM p WHERE round(inter/(tot-inter), 4) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |         round(${cosSql("a.embedding", "b.embedding")}, 4) AS score
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT keep_id, dup_id, score FROM p WHERE score >= 0.30
+         |ORDER BY keep_id, dup_id""".stripMargin,
     "chunk_docs" ->
       """SELECT doc_id, i AS chunk_idx,
         |       substring(text, CAST(i*80+1 AS INT), 100) AS chunk_text

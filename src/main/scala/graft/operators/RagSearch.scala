@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Vec
+import graft.plans.VecExprs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic search — the Spark re-expression of the reference's `rag_query`
+  * (reference: src/index.ts:260-284): score every chunk vector against the
+  * query embedding by cosine, sort desc, take k, join back the snippet
+  * metadata.
+  *
+  * Scale design: the query side is always tiny (1..q vectors) and broadcast;
+  * the corpus scan is embarrassingly parallel; top-k is per-partition partial
+  * top-k merged once (`orderBy.limit` plans as TakeOrderedAndProject — no
+  * global sort). C2 (`annLsh`) adds the 100 TB path: bucket by deterministic
+  * hyperplane signs so each probe touches one bucket, and the bucket id is
+  * the shuffle/cluster key.
+  */
+object RagSearch {
+
+  /** A3: top-10 chunks for a single query vector (vec_id 0 plays the role of
+    * the embedded query string), with snippet metadata joined from
+    * `documents` — mirrors the reference result shape
+    * (path→source, score, snippet, fileSize→n_chars).
+    */
+  def ragTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val d = Tables.documents(spark, sfDir)
+    val scored = e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    scored.join(d, scored("vec_id") === d("doc_id"))
+      .select(col("vec_id"), col("score"), col("source"),
+        substring(col("text"), 1, 80).as("snippet"), col("n_chars").as("file_size"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** C1: brute-force batch ANN — top-5 neighbors for each of the first 10
+    * vectors. Rank over rounded scores so ordering is reproducible in the
+    * oracle; self-matches excluded.
+    */
+  def annTopKBatch(spark: SparkSession, sfDir: String,
+                   nQueries: Int = 10, k: Int = 5): DataFrame = {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** C2: LSH-bucketed ANN — 6 deterministic hyperplanes → 64 buckets;
+    * candidates = same bucket as the query; exact cosine rerank within the
+    * bucket. The bucket id is the join key, so at scale this is a
+    * co-partitioned join over bounded candidate sets instead of a full scan
+    * per query (the n² → n·(n/buckets) reduction the reference's README
+    * defers to "ANN acceleration").
+    */
+  def annLsh(spark: SparkSession, sfDir: String,
+             nQueries: Int = 10, k: Int = 5, planes: Int = 6, dim: Int = 64): DataFrame = {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", Vec.lshBucket(col("embedding"), planes, dim))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket").as("qbucket"))
+    val scored = e.join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("bucket"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("bucket"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** A2: chunk → embed pipeline, exploded to scalar rows
+    * `(doc_id, chunk_idx, dim_idx, value)` so the oracle compare stays on
+    * scalar columns. Embeddings via the codegen'd deterministic HashEmbed.
+    */
+  def embedChunks(spark: SparkSession, sfDir: String,
+                  size: Int = 100, overlap: Int = 20, dim: Int = 64): DataFrame = {
+    VecExprs.register(spark)
+    Chunker.chunkDocs(spark, sfDir, size, overlap)
+      .select(col("doc_id"), col("chunk_idx"),
+        posexplode(VecExprs.hashEmbed(col("chunk_text"), dim)).as(Seq("dim_idx", "value")))
+      .select(col("doc_id"), col("chunk_idx"), col("dim_idx").cast("long").as("dim_idx"),
+        (round(col("value"), 4) + lit(0.0)).as("value"))
+      .orderBy("doc_id", "chunk_idx", "dim_idx")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the vector hot paths.
+  *
+  * Spark's higher-order functions (`zip_with`/`aggregate`) are interpreted
+  * per element and break whole-stage codegen; the brute-force cosine scan
+  * (SURVEY §2 A3/C1/B5) is exactly the kind of tight per-row loop that wants
+  * generated code. `CosineSim` emits a single fused loop; `HashEmbed` is the
+  * deterministic feature-hashing embedder standing in for the reference's
+  * transformer model (reference: src/embeddings.ts:62-67 — mean-pooled,
+  * L2-normalized; ours is hash-bucketed, L2-normalized, same output shape).
+  */
+object VecExprs {
+
+  /** Cosine similarity over two float/double array columns, computed in
+    * double, reference formula `dot / (||a||·||b|| + 1e-10)` over the common
+    * prefix length (reference: src/embeddings.ts:77-92).
+    */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    private def getter(e: Expression, arr: String, i: String): String =
+      e.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+        case other => throw new IllegalArgumentException(s"CosineSim: unsupported element type $other")
+      }
+
+    private def get(e: Expression, arr: ArrayData, i: Int): Double =
+      e.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case other => throw new IllegalArgumentException(s"CosineSim: unsupported element type $other")
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = get(left, x, i); val yi = get(right, y, i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-10)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = ${getter(left, x, i)};
+           |  double $yi = ${getter(right, y, i)};
+           |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb) + 1e-10);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Deterministic feature-hash embedder: whitespace tokens → polynomial
+    * char hash `h = (h*31 + codepoint) mod 1e9+7` → bucket `h mod dim` with
+    * sign from `(h div dim) mod 2` → L2-normalized dense vector. The exact
+    * recurrence is reproducible in ANSI SQL, making the embedding pipeline
+    * oracle-checkable end to end (unlike the reference's opaque model).
+    */
+  case class HashEmbed(child: Expression, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val v = new Array[Double](dim)
+      var start = 0
+      val len = s.length
+      var i = 0
+      while (i <= len) {
+        if (i == len || s.charAt(i) == ' ') {
+          if (i > start) { // non-empty token [start, i)
+            var h = 0L
+            var j = start
+            while (j < i) { h = (h * 31L + s.charAt(j).toLong) % 1000000007L; j += 1 }
+            val bucket = (h % dim).toInt
+            val sign = if ((h / dim) % 2 == 0) 1.0 else -1.0
+            v(bucket) += sign
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      var ss = 0.0
+      var k = 0
+      while (k < dim) { ss += v(k) * v(k); k += 1 }
+      val norm = math.sqrt(ss) + 1e-10
+      val out = new Array[Double](dim)
+      k = 0
+      while (k < dim) { out(k) = v(k) / norm; k += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Register SQL-callable wrappers once per session; idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hash_embed",
+      exprs => HashEmbed(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
+
+  /** Column API. Callers must have invoked `register(spark)` for the session. */
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def hashEmbed(text: Column, dim: Int): Column =
+    call_function("graft_hash_embed", text, org.apache.spark.sql.functions.lit(dim))
+}

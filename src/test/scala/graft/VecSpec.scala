@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.Vec
+import graft.operators.{Dedup, RagSearch}
+import graft.plans.VecExprs
+import org.apache.spark.sql.functions._
+
+class VecSpec extends SparkSpecBase {
+
+  test("codegen CosineSim agrees with built-in higher-order-function cosine") {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        VecExprs.cosineSim(col("embedding"), col("qv")).as("fast"),
+        Vec.cosine(col("embedding"), col("qv")).as("ref"))
+      .withColumn("diff", abs(col("fast") - col("ref")))
+    assert(both.agg(max("diff")).head().getDouble(0) < 1e-12)
+  }
+
+  test("cosine of a vector with itself is ~1") {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val self = e.select(VecExprs.cosineSim(col("embedding"), col("embedding")).as("c"))
+    val mn = self.agg(min("c")).head().getDouble(0)
+    assert(mn > 0.9999 && mn <= 1.0)
+  }
+
+  test("HashEmbed is L2-normalized, deterministic, zero for empty text") {
+    VecExprs.register(spark)
+    import spark.implicits._
+    val df = Seq("hello world hash embed", "hello world hash embed", "", "   ")
+      .toDF("t")
+      .select(col("t"), VecExprs.hashEmbed(col("t"), 64).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .collect()
+    assert(math.abs(df(0).getAs[Double]("norm") - 1.0) < 1e-9)
+    assert(df(0).getSeq[Double](1) == df(1).getSeq[Double](1)) // deterministic
+    assert(df(2).getAs[Double]("norm") == 0.0) // empty text -> zero vector
+    assert(df(3).getAs[Double]("norm") == 0.0) // whitespace-only -> zero vector
+  }
+
+  test("rag_topk returns k descending rows and the query vector itself first") {
+    val top = RagSearch.ragTopK(spark, sf).collect()
+    assert(top.length == 10)
+    // vec_id 0 scored against itself is cosine 1.0 -> rank 1
+    assert(top.head.getAs[Long]("vec_id") == 0L && top.head.getAs[Double]("score") >= 0.9999)
+    val scores = top.map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("ann_lsh results are a subset of brute-force candidates with matching scores") {
+    val brute = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 500)
+      .select("query_id", "vec_id", "score")
+    val lsh = RagSearch.annLsh(spark, sf).select("query_id", "vec_id", "score")
+    // every LSH pair must exist in the brute-force scoring with the same score
+    assert(lsh.except(brute).count() == 0)
+  }
+
+  test("dedup_embedding pairs are symmetric-free and above threshold") {
+    val d = Dedup.dedupEmbedding(spark, sf).cache()
+    assert(d.filter(col("keep_id") >= col("dup_id")).count() == 0)
+    assert(d.filter(col("score") < 0.30).count() == 0)
+    d.unpersist()
+  }
+}
