@@ -29,6 +29,17 @@ object SparkEntry {
     // C. similarity search
     "ann_topk_batch" -> ((s, dir) => RagSearch.annTopKBatch(s, dir)),
     "ann_lsh" -> ((s, dir) => RagSearch.annLsh(s, dir)),
+    // A. reference-surface (catalog / slice / incremental / multimodal)
+    "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),
+    "corpus_catalog" -> ((s, dir) => Catalog.corpusCatalog(s, dir)),
+    "incremental_diff" -> ((s, dir) => Catalog.incrementalDiff(s, dir)),
+    "pdf_decode" -> ((s, dir) => Multimodal.pdfDecode(s, dir)),
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.multimodalMeta(s, dir)),
+    // D. text analysis
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
+    "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     // E. analytics
     "q1_pricing" -> ((s, dir) => Analytics.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Analytics.q3Revenue(s, dir)),
@@ -115,8 +126,8 @@ object SparkEntry {
         |         CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS tot
         |  FROM s a JOIN s b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
-        |SELECT a_id, b_id, lang, round(inter/(tot-inter), 4) AS jaccard
-        |FROM p WHERE round(inter/(tot-inter), 4) >= 0.5
+        |SELECT a_id, b_id, lang, round(inter/(tot-inter)+1e-9, 4) AS jaccard
+        |FROM p WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH p AS (
@@ -125,6 +136,94 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |SELECT keep_id, dup_id, score FROM p WHERE score >= 0.30
          |ORDER BY keep_id, dup_id""".stripMargin,
+    "doc_slice" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |           FROM documents)
+        |SELECT doc_id, coalesce(array_to_string(toks[11:30], ' '), '') AS slice_text,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "corpus_catalog" ->
+      """WITH dirs AS (
+        |  SELECT source AS path, 'dir' AS entry_type, CAST(NULL AS BIGINT) AS size_bytes,
+        |         count(*) AS n_entries
+        |  FROM documents GROUP BY source),
+        |files AS (
+        |  SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS path, 'file' AS entry_type,
+        |         n_chars AS size_bytes, CAST(NULL AS BIGINT) AS n_entries
+        |  FROM documents)
+        |SELECT * FROM (SELECT * FROM dirs UNION ALL SELECT * FROM files) u
+        |ORDER BY entry_type, path LIMIT 500""".stripMargin,
+    "incremental_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, n_chars + CASE WHEN doc_id % 13 = 0 THEN 3 ELSE 0 END AS old_size
+        |  FROM documents WHERE doc_id < 450),
+        |cur AS (SELECT doc_id, n_chars AS new_size FROM documents WHERE doc_id >= 20)
+        |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN c.doc_id IS NULL THEN 'removed'
+        |            WHEN o.old_size != c.new_size THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       o.old_size, c.new_size
+        |FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "pdf_decode" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS byte_size,
+        |       md5(text) AS content_hash,
+        |       length(text) > 0 AS decoded_ok,
+        |       CAST(1 + n_chars // 1000 AS BIGINT) AS page_count_stub
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |       CAST(length(text) AS BIGINT) AS byte_len,
+        |       sha256(text) AS sha256,
+        |       lower(hex(CAST(substring(text, 1, 8) AS BLOB))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','los','es'], t))) AS BIGINT) AS es_hits,
+        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS de_hits
+        |  FROM t)
+        |SELECT doc_id, en_hits, es_hits, de_hits,
+        |       CASE WHEN en_hits > es_hits AND en_hits > de_hits THEN 'en'
+        |            WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
+        |            WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+        |            ELSE 'und' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_tokens,
+        |        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |        CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS n_stop,
+        |        CAST(length(text) AS BIGINT) AS n_chars_m,
+        |        CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS tok_chars
+        |      FROM t),
+        |q AS (SELECT *, CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_tok_len FROM m)
+        |SELECT doc_id, n_tokens, n_punct, n_stop, round(mean_tok_len+1e-9, 4) AS mean_tok_len,
+        |       round(1e-9 + 0.3*least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
+        |           + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/greatest(n_chars_m, 1))
+        |           + 0.2*(CAST(n_stop AS DOUBLE)/greatest(n_tokens, 1))
+        |           + 0.2*least(mean_tok_len/8.0, 1.0), 4) AS score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_subtokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(toks, t -> CAST(len(t)*131 + ascii(t) AS BIGINT))),
+        |         (h, c) -> (h*31 + c) % 1000000007) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin,
     "chunk_docs" ->
       """SELECT doc_id, i AS chunk_idx,
         |       substring(text, CAST(i*80+1 AS INT), 100) AS chunk_text
@@ -149,17 +248,17 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity),2) AS sum_qty,
-        |       round(sum(l_extendedprice),2) AS sum_base_price,
-        |       round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |       round(avg(l_quantity),4) AS avg_qty,
-        |       round(avg(l_discount),4) AS avg_disc,
+        |       round(sum(l_quantity)+1e-9, 2) AS sum_qty,
+        |       round(sum(l_extendedprice)+1e-9, 2) AS sum_base_price,
+        |       round(sum(l_extendedprice*(1-l_discount))+1e-9, 2) AS sum_disc_price,
+        |       round(avg(l_quantity)+1e-9, 4) AS avg_qty,
+        |       round(avg(l_discount)+1e-9, 4) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_revenue" ->
       """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-        |       round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+        |       round(sum(l.l_extendedprice*(1-l.l_discount))+1e-9, 2) AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -168,14 +267,14 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
     "q_window_topn" ->
-      """SELECT p_brand, rn, p_partkey, round(p_retailprice,2) AS p_retailprice FROM (
+      """SELECT p_brand, rn, p_partkey, round(p_retailprice+1e-9, 2) AS p_retailprice FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
         |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         |  FROM part) t
         |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
     "events_window" ->
       """SELECT make_timestamp(CAST(floor(epoch_us(ts)/300000000)*300000000 AS BIGINT)) AS window_start,
-        |       event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |       event_type, count(*) AS n_events, round(sum(value)+1e-9, 2) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (
@@ -187,7 +286,7 @@ object SparkEntry {
         |t AS (
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
-        |       min(ts) AS session_start, max(ts) AS session_end, round(sum(value),2) AS sum_value
+        |       min(ts) AS session_start, max(ts) AS session_end, round(sum(value)+1e-9, 2) AS sum_value
         |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
   )
 }

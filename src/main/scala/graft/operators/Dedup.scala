@@ -46,7 +46,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
       .withColumn("uni", (size(col("a_sh")) + size(col("b_sh"))).cast("double") - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .withColumn("jaccard", round(col("inter") / col("uni") + lit(1e-9), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("lang"), col("jaccard"))
       .orderBy("a_id", "b_id")

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (SURVEY §2 A9/E6). The pattern for 100 TB
+  * media pipelines: content rides as an opaque `binary` column with typed
+  * metadata alongside; decode / feature-extraction runs partition-local.
+  * The decode itself is STUBBED deterministically (no media libs in this
+  * container) — the Spark-side plumbing (schema, batching, partitioning) is
+  * real and tested.
+  */
+object Multimodal {
+
+  /** A9: pdf-extraction-cache analog (reference: src/pdf-extractor.ts —
+    * decode once, key by (path, size), serve text from cache). Binary
+    * payload → size, content hash (the cache key), stub page count.
+    */
+  def pdfDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("content"),
+        col("n_chars"))
+      .select(col("doc_id"),
+        octet_length(col("content")).cast("long").as("byte_size"),
+        md5(col("content")).as("content_hash"),
+        (octet_length(col("content")) > 0).as("decoded_ok"),
+        (lit(1L) + col("n_chars") / lit(1000)).cast("long").as("page_count_stub"))
+      .orderBy("doc_id")
+  }
+
+  /** E6: opaque-binary metadata extraction — mime sniff stub, byte length,
+    * strong hash, first-8-bytes hex (magic-number field).
+    */
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .select(col("doc_id"),
+        lit("text/plain").as("mime"),
+        octet_length(col("content")).cast("long").as("byte_len"),
+        sha2(col("content"), 256).as("sha256"),
+        lower(hex(substring(col("content"), 1, 8))).as("head_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** The real decode plumbing: partition-local batch "decode" over the binary
+    * column via mapPartitions on a typed Dataset — the shape a Pandas-UDF /
+    * native decoder would plug into. Deterministic fake features (byte
+    * histogram moments) stand in for the media decoder. Not a driver query
+    * (spec-tested): the point is the batching + schema contract.
+    */
+  def decodeFeatures(spark: SparkSession, sfDir: String, featDim: Int = 8): DataFrame = {
+    val in = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("feat", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      // partition-local "decoder": one setup per partition (where a real
+      // decoder would load its model/codec), then batch over rows
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val feat = new Array[Double](featDim)
+        var i = 0
+        while (i < bytes.length) { feat(i % featDim) += (bytes(i) & 0xff) / 255.0; i += 1 }
+        Row(id, feat.toSeq)
+      }
+    }
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (SURVEY §2 D) — the per-document scoring passes a
+  * training-data pipeline runs at ingest. All are narrow per-row transforms
+  * (no shuffle beyond the final presentation sort): at 100 TB they run at
+  * scan speed, and the parquet scan prunes to (doc_id, text[, n_chars]).
+  */
+object TextAnalysis {
+
+  /** Marker dictionaries for the language-ID heuristic. Tiny on purpose —
+    * they broadcast as literals inside the plan, no join needed.
+    */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "los", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
+
+  /** D1: n-gram/dictionary language ID. Scores each document against the
+    * marker sets; argmax with ties → "und".
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val en = hits(toks, Markers("en")); val es = hits(toks, Markers("es"))
+    val de = hits(toks, Markers("de"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") > col("es_hits") && col("en_hits") > col("de_hits"), "en")
+          .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits"), "es")
+          .when(col("de_hits") > col("en_hits") && col("de_hits") > col("es_hits"), "de")
+          .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** D2: document quality score — length, punctuation ratio, stopword ratio,
+    * mean token length, combined into a bounded [0,1] score.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+          .cast("long").as("n_punct"),
+        hits(toks, Markers("en")).as("n_stop"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+          .as("tok_chars"))
+      .withColumn("mean_tok_len",
+        when(col("n_tokens") > 0,
+          col("tok_chars").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("score", round(lit(1e-9) +
+        lit(0.3) * least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / greatest(col("n_chars_m"), lit(1L)).cast("double")) +
+          lit(0.2) * (col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double")) +
+          lit(0.2) * least(col("mean_tok_len") / 8.0, lit(1.0)), 4))
+      .select(col("doc_id"), col("n_tokens"), col("n_punct"), col("n_stop"),
+        round(col("mean_tok_len") + lit(1e-9), 4).as("mean_tok_len"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** D3: token counting — whitespace tokens plus BPE-ish regex subtokens
+    * (alpha runs / digit runs; the regex is portable to RE2 for the oracle).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(Text.subtokens(col("text"))).cast("long").as("n_subtokens"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy("doc_id")
+  }
+
+  /** D4: rolling polynomial fingerprint over the token stream — the
+    * order-sensitive content hash for shard-level change detection.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** A4: read_file line-range analog (reference: src/index.ts:307-312) — the
+    * synthetic docs are single-line, so the 1-based inclusive range is over
+    * tokens instead of lines: tokens [11, 30].
+    */
+  def docSlice(spark: SparkSession, sfDir: String,
+               startTok: Int = 11, endTok: Int = 30): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_join(slice(toks, startTok, endTok - startTok + 1), " ").as("slice_text"),
+        size(toks).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+}
