@@ -25,6 +25,8 @@ object SparkEntry {
     // B. dedup
     "dedup_exact" -> ((s, dir) => Dedup.dedupExact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.dedupNgramJaccard(s, dir)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.dedupMinhashLsh(s, dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(s, dir)),
     // C. similarity search
     "ann_topk_batch" -> ((s, dir) => RagSearch.annTopKBatch(s, dir)),
@@ -128,6 +130,54 @@ object SparkEntry {
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |SELECT a_id, b_id, lang, round(inter/(tot-inter)+1e-9, 4) AS jaccard
         |FROM p WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
+        |      i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |        FROM documents) t0),
+        |s2 AS (SELECT doc_id, sh,
+        |    list_transform(sh, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(x, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h*31 + c) % 1000000007)) AS codes
+        |  FROM s WHERE len(sh) > 0),
+        |sig AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), i ->
+        |      list_min(list_transform(codes, x -> (x*(40503*i + 11) + 19349663*i) % 1000000007))) AS sig
+        |  FROM s2),
+        |bands AS (SELECT doc_id, b AS band_idx,
+        |    CAST(sig[CAST(2*b+1 AS INT)] AS VARCHAR) || ':' || CAST(sig[CAST(2*b+2 AS INT)] AS VARCHAR) AS band_key
+        |  FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS b FROM sig) z),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |j AS (SELECT c.a_id, c.b_id,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
+        |  FROM cand c JOIN s2 sa ON sa.doc_id = c.a_id JOIN s2 sb ON sb.doc_id = c.b_id)
+        |SELECT a_id, b_id, round(inter/(tot-inter)+1e-9, 4) AS jaccard
+        |FROM j WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, list_transform(toks, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(x, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |        (h, cc) -> (h*31 + cc) % 1000000007)) AS codes
+        |      FROM t WHERE len(toks) > 0),
+        |sh AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 24), b -> CASE WHEN
+        |        list_sum(list_transform(codes, x -> ((x // (CAST(1 AS BIGINT) << b)) % 2) * 2 - 1)) > 0
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM c),
+        |blocks AS (SELECT doc_id, simhash, t AS block_idx,
+        |    (simhash // (CAST(1 AS BIGINT) << CAST(t*6 AS INT))) % 64 AS block_val
+        |  FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS t FROM sh) z),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, a.simhash AS a_sim, b.doc_id AS b_id, b.simhash AS b_sim
+        |  FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 8
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH p AS (

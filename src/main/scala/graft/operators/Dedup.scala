@@ -52,6 +52,88 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** B3: MinHash + LSH near-dup detection. 16 universal hashes
+    * `h_i(x) = (a_i·x + b_i) mod 1e9+7` over polynomial shingle codes; 8
+    * bands × 2 rows — a candidate pair must agree on both minhashes of some
+    * band. Candidates verified with exact distinct-shingle Jaccard. The band
+    * `(band_idx, band_key)` is the shuffle key: at 100 TB the all-pairs
+    * comparison never exists, only per-band buckets (skew handled by AQE —
+    * a hot band key means a real dup cluster).
+    */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String,
+                      k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
+                      threshold: Double = 0.4): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), k)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("codes", transform(col("sh"), s => Text.stringCode(s)))
+    // 16 minhashes as one array column
+    val sig = d.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)), i =>
+        array_min(transform(col("codes"),
+          x => (x * (lit(40503L) * i.cast("long") + 11L) + lit(19349663L) * i.cast("long")) % Text.FpMod))))
+    // explode to (doc_id, band_idx, band_key)
+    val bands = sig.select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+          array_join(transform(sequence(lit(0), lit(rowsPerBand - 1)),
+            r => element_at(col("sig"), (b * rowsPerBand + r + 1).cast("int")).cast("string")), ":")))
+          .as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("band_idx"), col("band_key"))
+    val b = bands.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
+      .withColumn("uni", (size(col("a_sh")) + size(col("b_sh"))).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni") + lit(1e-9), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** B4: SimHash near-dup detection. 24-bit simhash from polynomial token
+    * hashes (bit b set iff Σ_tokens(±1 by bit b of the token hash) > 0);
+    * candidates share one of 4 six-bit blocks (pigeonhole: full recall for
+    * hamming ≤ 3, probabilistic above); verified by exact hamming ≤ 8.
+    * Block id is the join key — same bounded-bucket scale shape as B3.
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String,
+                   bits: Int = 24, nBlocks: Int = 4, maxHamming: Int = 8): DataFrame = {
+    val blockBits = bits / nBlocks
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("codes", transform(col("toks"), t => Text.stringCode(t)))
+      .filter(size(col("codes")) > 0)
+    val sim = (0 until bits).map { bI =>
+      val cnt = aggregate(col("codes"), lit(0L),
+        (acc, c) => acc + (floor(c / lit(1L << bI)) % 2L) * 2L - 1L)
+      when(cnt > 0, lit(1L << bI)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withSim = d.select(col("doc_id"), sim.as("simhash"))
+    val blocks = withSim.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        t => (col("simhash") / shiftLit(t, blockBits)).cast("long") % (1L << blockBits)))
+        .as(Seq("block_idx", "block_val")))
+    val a = blocks.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"),
+      col("block_idx"), col("block_val"))
+    val b = blocks.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"),
+      col("block_idx"), col("block_val"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+      .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 2^(t*blockBits) as a Column for a lambda-bound t. */
+  private def shiftLit(t: org.apache.spark.sql.Column, blockBits: Int) =
+    pow(lit(2.0), t.cast("double") * blockBits).cast("long")
+
   /** B5: embedding-cosine near-dup pairs (exact baseline; C2's LSH buckets
     * are the scale path for the same predicate). Threshold tuned to the
     * synthetic corpus (cosines ∈ [-0.45, 0.45]); survivor = lower vec_id.

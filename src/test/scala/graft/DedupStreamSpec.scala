@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.{Analytics, Dedup}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+class DedupStreamSpec extends SparkSpecBase {
+
+  test("minhash-LSH candidates are a superset of high-jaccard blocked pairs it verifies") {
+    // every pair minhash-LSH reports must also pass the exact jaccard bar
+    val mh = Dedup.dedupMinhashLsh(spark, sf).cache()
+    assert(mh.filter(col("jaccard") < 0.4).count() == 0)
+    assert(mh.filter(col("a_id") >= col("b_id")).count() == 0)
+    mh.unpersist()
+  }
+
+  test("simhash: identical docs would collide; reported pairs are within hamming bound") {
+    val sh = Dedup.dedupSimhash(spark, sf).cache()
+    assert(sh.filter(col("hamming") > 8).count() == 0)
+    assert(sh.filter(col("hamming") < 0).count() == 0)
+    sh.unpersist()
+  }
+
+  test("exact dedup groups partition all docs") {
+    val groups = Dedup.dedupExact(spark, sf)
+    val total = groups.agg(sum("n_copies")).head().getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("streaming windowed agg equals the batch twin") {
+    val streamed = EventStream.runToCompletion(spark, sf, "events_stream_spec")
+      .orderBy("window_start", "event_type")
+    val batch = Analytics.eventsWindow(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+}
