@@ -118,7 +118,7 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id, lang, CAST(n_chars // 50 AS BIGINT) AS len_bucket,
         |         list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
-        |           i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS sh
+        |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h*31 + c) % 1000000007))) AS sh
         |  FROM (SELECT doc_id, lang, n_chars,
         |          list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
         |        FROM documents) t0),
@@ -135,17 +135,13 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
-        |      i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS sh
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h*31 + c) % 1000000007))) AS sh
         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
         |        FROM documents) t0),
-        |s2 AS (SELECT doc_id, sh,
-        |    list_transform(sh, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(x, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |      (h, c) -> (h*31 + c) % 1000000007)) AS codes
-        |  FROM s WHERE len(sh) > 0),
+        |s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
         |sig AS (SELECT doc_id, sh,
         |    list_transform(range(0, 16), i ->
-        |      list_min(list_transform(codes, x -> (x*(40503*i + 11) + 19349663*i) % 1000000007))) AS sig
+        |      list_min(list_transform(sh, x -> (x*(40503*i + 11) + 19349663*i) % 1000000007))) AS sig
         |  FROM s2),
         |bands AS (SELECT doc_id, b AS band_idx,
         |    CAST(sig[CAST(2*b+1 AS INT)] AS VARCHAR) || ':' || CAST(sig[CAST(2*b+2 AS INT)] AS VARCHAR) AS band_key
@@ -162,22 +158,29 @@ object SparkEntry {
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |           FROM documents),
-        |c AS (SELECT doc_id, list_transform(toks, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(x, ''), ch -> CAST(ascii(ch) AS BIGINT))),
-        |        (h, cc) -> (h*31 + cc) % 1000000007)) AS codes
+        |c AS (SELECT doc_id,
+        |        list_transform(toks, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(x, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |          (h, cc) -> (h*31 + cc) % 1000000007)) AS c1,
+        |        list_transform(toks, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(x, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |          (h, cc) -> (h*37 + cc) % 1000000007)) AS c2
         |      FROM t WHERE len(toks) > 0),
         |sh AS (SELECT doc_id,
         |    CAST(list_sum(list_transform(range(0, 24), b -> CASE WHEN
-        |        list_sum(list_transform(codes, x -> ((x // (CAST(1 AS BIGINT) << b)) % 2) * 2 - 1)) > 0
-        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+        |        list_sum(list_transform(c1, x -> ((x // (CAST(1 AS BIGINT) << b)) % 2) * 2 - 1)) > 0
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+        |    + list_sum(list_transform(range(0, 24), b -> CASE WHEN
+        |        list_sum(list_transform(c2, x -> ((x // (CAST(1 AS BIGINT) << b)) % 2) * 2 - 1)) > 0
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) * 16777216 AS BIGINT) AS simhash
         |  FROM c),
         |blocks AS (SELECT doc_id, simhash, t AS block_idx,
-        |    (simhash // (CAST(1 AS BIGINT) << CAST(t*6 AS INT))) % 64 AS block_val
+        |    (simhash // (CAST(1 AS BIGINT) << CAST(t*12 AS INT))) % 4096 AS block_val
         |  FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS t FROM sh) z),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, a.simhash AS a_sim, b.doc_id AS b_id, b.simhash AS b_sim
         |  FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 8
+        |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH p AS (

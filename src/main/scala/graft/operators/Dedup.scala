@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{Text, Vec}
-import graft.plans.VecExprs
+import graft.plans.{TextExprs, VecExprs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,15 +30,18 @@ object Dedup {
       .orderBy("text_hash")
   }
 
-  /** B2: n-gram Jaccard near-dup pairs. 3-token shingles, distinct-set
-    * Jaccard; candidate pairs blocked by (lang, length bucket of 50 chars) so
-    * the join key bounds comparisons — the all-pairs cross join never exists.
+  /** B2: n-gram Jaccard near-dup pairs. 3-token shingles (as polynomial
+    * codes — set semantics survive hashing, and the long-array intersect is
+    * ~10× the speed of string-set intersect), distinct-set Jaccard; candidate
+    * pairs blocked by (lang, length bucket of 50 chars) so the join key
+    * bounds comparisons — the all-pairs cross join never exists.
     */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    TextExprs.register(spark)
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), (col("n_chars") / 50).cast("long").as("len_bucket"),
-        array_distinct(Text.shingles(col("text"), k)).as("sh"))
+        array_distinct(TextExprs.shingleCodes(col("text"), k)).as("sh"))
       .filter(size(col("sh")) > 0)
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("len_bucket"), col("sh").as("a_sh"))
     val b = d.select(col("doc_id").as("b_id"), col("lang"), col("len_bucket"), col("sh").as("b_sh"))
@@ -63,16 +66,14 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, sfDir: String,
                       k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
                       threshold: Double = 0.4): DataFrame = {
+    TextExprs.register(spark)
     val nBands = numHashes / rowsPerBand
     val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), k)).as("sh"))
+      .select(col("doc_id"), array_distinct(TextExprs.shingleCodes(col("text"), k)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("codes", transform(col("sh"), s => Text.stringCode(s)))
-    // 16 minhashes as one array column
-    val sig = d.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("codes"),
-          x => (x * (lit(40503L) * i.cast("long") + 11L) + lit(19349663L) * i.cast("long")) % Text.FpMod))))
+    // 16 minhashes as one array column (min is duplicate-invariant, so the
+    // signature over distinct codes equals the signature over raw shingles)
+    val sig = d.withColumn("sig", TextExprs.minHashSig(col("sh"), numHashes))
     // explode to (doc_id, band_idx, band_key)
     val bands = sig.select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
@@ -94,25 +95,28 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** B4: SimHash near-dup detection. 24-bit simhash from polynomial token
-    * hashes (bit b set iff Σ_tokens(±1 by bit b of the token hash) > 0);
-    * candidates share one of 4 six-bit blocks (pigeonhole: full recall for
-    * hamming ≤ 3, probabilistic above); verified by exact hamming ≤ 8.
-    * Block id is the join key — same bounded-bucket scale shape as B3.
+  /** B4: SimHash near-dup detection. 48-bit simhash from two polynomial
+    * token-hash families (bit b set iff Σ_tokens(±1 by bit b of the token
+    * hash) > 0); candidates share one of 4 twelve-bit blocks (pigeonhole:
+    * full recall for hamming ≤ 3); verified by exact hamming ≤ 3. Block id
+    * is the join key — same bounded-bucket scale shape as B3.
     */
   def dedupSimhash(spark: SparkSession, sfDir: String,
-                   bits: Int = 24, nBlocks: Int = 4, maxHamming: Int = 8): DataFrame = {
+                   nBlocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    TextExprs.register(spark)
+    // 48-bit simhash: low 24 bits from the mult-31 hash family, high 24 from
+    // mult-37 (token codes only carry ~30 usable bits each; two independent
+    // families widen the hash without overflowing int64 arithmetic)
+    val bits = 48
     val blockBits = bits / nBlocks
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .withColumn("codes", transform(col("toks"), t => Text.stringCode(t)))
-      .filter(size(col("codes")) > 0)
-    val sim = (0 until bits).map { bI =>
-      val cnt = aggregate(col("codes"), lit(0L),
-        (acc, c) => acc + (floor(c / lit(1L << bI)) % 2L) * 2L - 1L)
-      when(cnt > 0, lit(1L << bI)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withSim = d.select(col("doc_id"), sim.as("simhash"))
+    val withSim = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextExprs.tokenCodes(col("text"), 31).as("c1"),
+        TextExprs.tokenCodes(col("text"), 37).as("c2"))
+      .filter(size(col("c1")) > 0)
+      .select(col("doc_id"),
+        (TextExprs.simHash(col("c1"), 24) +
+          TextExprs.simHash(col("c2"), 24) * lit(1L << 24)).as("simhash"))
     val blocks = withSim.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
         t => (col("simhash") / shiftLit(t, blockBits)).cast("long") % (1L << blockBits)))

@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-loop expressions for the hashing-heavy dedup paths.
+  *
+  * The same polynomial recurrences as `graft.functions.Text` (and the DuckDB
+  * oracle SQL), but evaluated in a single tight loop per row instead of
+  * per-element interpreted Catalyst lambdas — the minhash/simhash pipelines
+  * spend their time here, and the interpreted HOF versions were 10-30× the
+  * cost at sf0.1. Semantics are locked to the SQL spec:
+  * `h = (h*31 + codepoint) mod 1e9+7` folded over chars; shingles are the
+  * space-joined k-gram strings.
+  */
+object TextExprs {
+  val P = 1000000007L
+
+  private def tokenSpans(s: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) out += ((start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Polynomial codes of whitespace tokens → array<long>. The multiplier
+    * parameterizes the hash family (31 and 37 give independent codes for the
+    * wide simhash).
+    */
+  case class TokenCodes(child: Expression, mult: Long) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val spans = tokenSpans(s)
+      val out = new Array[Long](spans.length)
+      var t = 0
+      for ((a, b) <- spans) {
+        var h = 0L
+        var j = a
+        while (j < b) { h = (h * mult + s.charAt(j).toLong) % P; j += 1 }
+        out(t) = h; t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Polynomial codes of space-joined k-gram shingles → array<long>
+    * (order-preserving, not distinct — callers dedup).
+    */
+  case class ShingleCodes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val spans = tokenSpans(s)
+      val n = spans.length - k + 1
+      if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = 0L
+        var g = 0
+        while (g < k) {
+          if (g > 0) h = (h * 31L + ' '.toLong) % P
+          val (a, b) = spans(i + g)
+          var j = a
+          while (j < b) { h = (h * 31L + s.charAt(j).toLong) % P; j += 1 }
+          g += 1
+        }
+        out(i) = h; i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature over an array<long> of codes:
+    * sig_i = min_x (x·(40503·i+11) + 19349663·i) mod p, i ∈ [0, n).
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData].toLongArray()
+      val out = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        val a = 40503L * i + 11L
+        val b = 19349663L * i
+        var m = Long.MaxValue
+        var j = 0
+        while (j < xs.length) {
+          val v = (xs(j) * a + b) % P
+          if (v < m) m = v
+          j += 1
+        }
+        out(i) = m; i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** SimHash over an array<long> of token codes: bit b set iff
+    * Σ_x(((x >> b) & 1)·2 − 1) > 0, b ∈ [0, bits).
+    */
+  case class SimHash(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData].toLongArray()
+      var sim = 0L
+      var b = 0
+      while (b < bits) {
+        var cnt = 0L
+        var j = 0
+        while (j < xs.length) {
+          cnt += ((xs(j) >> b) & 1L) * 2L - 1L
+          j += 1
+        }
+        if (cnt > 0) sim |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sim)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_token_codes",
+      exprs => TokenCodes(exprs(0), exprs(1).eval().asInstanceOf[Int].toLong), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_codes",
+      exprs => ShingleCodes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHash(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
+
+  def tokenCodes(text: Column, mult: Int = 31): Column =
+    call_function("graft_token_codes", text, lit(mult))
+  def shingleCodes(text: Column, k: Int): Column =
+    call_function("graft_shingle_codes", text, lit(k))
+  def minHashSig(codes: Column, n: Int): Column =
+    call_function("graft_minhash_sig", codes, lit(n))
+  def simHash(codes: Column, bits: Int): Column =
+    call_function("graft_simhash", codes, lit(bits))
+}

@@ -16,7 +16,7 @@ class DedupStreamSpec extends SparkSpecBase {
 
   test("simhash: identical docs would collide; reported pairs are within hamming bound") {
     val sh = Dedup.dedupSimhash(spark, sf).cache()
-    assert(sh.filter(col("hamming") > 8).count() == 0)
+    assert(sh.filter(col("hamming") > 3).count() == 0)
     assert(sh.filter(col("hamming") < 0).count() == 0)
     sh.unpersist()
   }
