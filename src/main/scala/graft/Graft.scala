@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.Chunker
+import graft.plans.VecExprs
+import graft.plans.VecExprs.HashEmbedAlg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing facade — what a user of mcp-rag-server switches to.
+  *
+  * Mirrors the reference's tool surface (reference: src/index.ts:157-419)
+  * as batch-friendly calls over a corpus DataFrame:
+  *
+  *   - `buildIndex()`   ≙ cold build (discover → chunk → embed)
+  *   - `ragQuery(text)` ≙ rag_query  (embed query, cosine top-k, snippets)
+  *   - `readFile(id)`   ≙ read_file  (token-range slice)
+  *   - `listFiles()`    ≙ list_files (catalog with dirs-first ordering)
+  *   - `status()`       ≙ /health indexing counters
+  *
+  * plus `IndexStore` for the persistence/warm-start path. The query string is
+  * embedded driver-side with the same HashEmbedAlg the executors use, then
+  * shipped as a literal — the corpus side never collects.
+  */
+class Graft(spark: SparkSession, sfDir: String,
+            chunkSize: Int = 100, chunkOverlap: Int = 20, dim: Int = 64) {
+  VecExprs.register(spark)
+
+  val modelName = s"graft-hash-embed-v1-d$dim"
+
+  /** Chunked + embedded index (the reference's in-memory `Doc[]`, columnar). */
+  def buildIndex(): DataFrame =
+    Chunker.chunkDocs(spark, sfDir, chunkSize, chunkOverlap)
+      .withColumn("emb", VecExprs.hashEmbed(col("chunk_text"), dim))
+
+  /** Semantic search for a free-text query: embed driver-side, broadcast the
+    * literal vector, cosine against every chunk, top-k with snippet metadata.
+    */
+  def ragQuery(query: String, topK: Int = 5): DataFrame = {
+    val qv = HashEmbedAlg.embed(query, dim)
+    val qvCol = array(qv.map(lit): _*)
+    buildIndex()
+      .select(col("doc_id"), col("chunk_idx"),
+        VecExprs.cosineSim(col("emb"), qvCol).as("score"),
+        substring(col("chunk_text"), 1, 120).as("snippet"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(topK)
+  }
+
+  /** Token-range read of one document (1-based inclusive, like the
+    * reference's line ranges). Driver-side scalar — it's a point lookup.
+    */
+  def readFile(docId: Long, startTok: Int = 1, endTok: Int = Int.MaxValue): String = {
+    import graft.functions.Text
+    val toks = Text.tokens(col("text"))
+    val n = if (endTok == Int.MaxValue) Int.MaxValue - startTok else endTok - startTok + 1
+    val rows = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === docId)
+      .select(array_join(slice(toks, startTok, n), " "))
+      .collect()
+    require(rows.nonEmpty, s"doc $docId not found")
+    rows.head.getString(0)
+  }
+
+  /** Catalog listing (dirs = sources), reference ordering contract. */
+  def listFiles(limit: Int = 500): DataFrame =
+    operators.Catalog.corpusCatalog(spark, sfDir, limit)
+
+  /** Indexing counters (filesDiscovered / chunksTotal / chars per lang). */
+  def status(): DataFrame =
+    Chunker.indexStatus(spark, sfDir, chunkSize, chunkOverlap)
+}
+
+/** Persistence — the reference's versioned JSON index store re-expressed as
+  * partitioned parquet + a metadata file (reference: src/persistence.ts:
+  * load returns null unless chunkSize/chunkOverlap/modelName all match,
+  * which triggers a cold rebuild; save always writes current metadata).
+  */
+object IndexStore {
+  private val MetaFile = "_graft_meta.json"
+  val Version = 1
+
+  case class Meta(version: Int, chunkSize: Int, chunkOverlap: Int, modelName: String)
+
+  private def metaJson(m: Meta): String =
+    s"""{"version":${m.version},"chunkSize":${m.chunkSize},"chunkOverlap":${m.chunkOverlap},"modelName":"${m.modelName}"}"""
+
+  /** Write the index partitioned by doc_id bucket (64 buckets — the warm
+    * path's join key), plus the compatibility metadata.
+    */
+  def save(index: DataFrame, path: String, meta: Meta): Unit = {
+    index
+      .withColumn("bucket", pmod(col("doc_id"), lit(64)))
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+    val metaPath = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = metaPath.getFileSystem(index.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(metaJson(meta).getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Load iff the stored metadata matches the requested parameters — the
+    * reference's compatibility gate. None → caller cold-rebuilds.
+    */
+  def load(spark: SparkSession, path: String, expected: Meta): Option[DataFrame] = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) return None
+    val in = fs.open(metaPath)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    if (stored != metaJson(expected)) None
+    else Some(spark.read.parquet(path).drop("bucket"))
+  }
+}

@@ -73,7 +73,7 @@ object RagSearch {
              nQueries: Int = 10, k: Int = 5, planes: Int = 6, dim: Int = 64): DataFrame = {
     VecExprs.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("bucket", Vec.lshBucket(col("embedding"), planes, dim))
+      .withColumn("bucket", VecExprs.lshBucket(col("embedding"), planes))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket").as("qbucket"))
     val scored = e.join(broadcast(q), col("bucket") === col("qbucket"))

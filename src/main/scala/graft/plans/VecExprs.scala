@@ -79,18 +79,11 @@ object VecExprs {
       copy(left = l, right = r)
   }
 
-  /** Deterministic feature-hash embedder: whitespace tokens → polynomial
-    * char hash `h = (h*31 + codepoint) mod 1e9+7` → bucket `h mod dim` with
-    * sign from `(h div dim) mod 2` → L2-normalized dense vector. The exact
-    * recurrence is reproducible in ANSI SQL, making the embedding pipeline
-    * oracle-checkable end to end (unlike the reference's opaque model).
+  /** The embedder algorithm, callable from plain Scala (driver-side query
+    * embedding in the `Graft` facade) and from the Catalyst expression below.
     */
-  case class HashEmbed(child: Expression, dim: Int)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
+  object HashEmbedAlg {
+    def embed(s: String, dim: Int): Array[Double] = {
       val v = new Array[Double](dim)
       var start = 0
       val len = s.length
@@ -116,23 +109,71 @@ object VecExprs {
       val out = new Array[Double](dim)
       k = 0
       while (k < dim) { out(k) = v(k) / norm; k += 1 }
-      new GenericArrayData(out)
+      out
     }
+  }
+
+  /** Deterministic feature-hash embedder: whitespace tokens → polynomial
+    * char hash `h = (h*31 + codepoint) mod 1e9+7` → bucket `h mod dim` with
+    * sign from `(h div dim) mod 2` → L2-normalized dense vector. The exact
+    * recurrence is reproducible in ANSI SQL, making the embedding pipeline
+    * oracle-checkable end to end (unlike the reference's opaque model).
+    */
+  case class HashEmbed(child: Expression, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(HashEmbedAlg.embed(input.asInstanceOf[UTF8String].toString, dim))
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Register SQL-callable wrappers once per session; idempotent. */
+  /** Deterministic random-hyperplane LSH bucket — same integer hyperplane
+    * family as `Vec.lshBucket` / the DuckDB oracle, in one JVM loop:
+    * plane j weight at dim d = ((j·2654435761 + d·40503) mod 9973) − 4986.
+    */
+  case class LshBucket(child: Expression, planes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val n = arr.numElements()
+      var bucket = 0L
+      var j = 0
+      while (j < planes) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          val w = ((j.toLong * 2654435761L + d.toLong * 40503L) % 9973L - 4986L).toDouble
+          val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+          dot += w * x
+          d += 1
+        }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      java.lang.Long.valueOf(bucket)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hash_embed",
       exprs => HashEmbed(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      exprs => LshBucket(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 
   /** Column API. Callers must have invoked `register(spark)` for the session. */
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def hashEmbed(text: Column, dim: Int): Column =
     call_function("graft_hash_embed", text, org.apache.spark.sql.functions.lit(dim))
+  def lshBucket(emb: Column, planes: Int): Column =
+    call_function("graft_lsh_bucket", emb, org.apache.spark.sql.functions.lit(planes))
 }

@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.{Graft, IndexStore}
+import org.apache.spark.sql.SparkSession
+
+/** Usage demo — the reference user's session, batch-style:
+  * build an index over a corpus, run a semantic query, read a file range,
+  * list the catalog, persist and warm-start.
+  *
+  * runMain graft.tools.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val g = new Graft(spark, sfDir)
+
+    println("== status ==")
+    g.status().show(10, truncate = false)
+
+    println("== rag_query('fast hash join on a big table') top-5 ==")
+    g.ragQuery("fast hash join on a big table", topK = 5).show(5, truncate = 60)
+
+    println("== read_file(doc 7, tokens 1-12) ==")
+    println(g.readFile(7, 1, 12))
+
+    println("== list_files (first 8) ==")
+    g.listFiles(limit = 8).show(truncate = false)
+
+    println("== persistence round-trip ==")
+    val dir = java.nio.file.Files.createTempDirectory("graft_demo_store").toString
+    val meta = IndexStore.Meta(IndexStore.Version, 100, 20, g.modelName)
+    IndexStore.save(g.buildIndex(), dir, meta)
+    println(s"warm load (matching meta): rows=" +
+      IndexStore.load(spark, dir, meta).map(_.count()).getOrElse(-1L))
+    println(s"warm load (chunkSize changed -> expect cold rebuild signal None): " +
+      IndexStore.load(spark, dir, meta.copy(chunkSize = 800)).isDefined)
+
+    spark.stop()
+  }
+}

@@ -58,6 +58,15 @@ class VecSpec extends SparkSpecBase {
     assert(lsh.except(brute).count() == 0)
   }
 
+  test("LshBucket expression agrees with the higher-order-function reference") {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val both = e.select(
+      VecExprs.lshBucket(col("embedding"), 6).as("fast"),
+      Vec.lshBucket(col("embedding"), 6, 64).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("dedup_embedding pairs are symmetric-free and above threshold") {
     val d = Dedup.dedupEmbedding(spark, sf).cache()
     assert(d.filter(col("keep_id") >= col("dup_id")).count() == 0)
