@@ -27,10 +27,61 @@ class Graft(spark: SparkSession, sfDir: String,
 
   val modelName = s"graft-hash-embed-v1-d$dim"
 
-  /** Chunked + embedded index (the reference's in-memory `Doc[]`, columnar). */
+  /** Chunked + embedded index (the reference's in-memory `Doc[]`, columnar:
+    * doc_id, chunk_idx, chunk_text, file_size, token_count, lang, emb).
+    */
   def buildIndex(): DataFrame =
-    Chunker.chunkDocs(spark, sfDir, chunkSize, chunkOverlap)
-      .withColumn("emb", VecExprs.hashEmbed(col("chunk_text"), dim))
+    embedFrom(Chunker.indexBuild(spark, sfDir, chunkSize, chunkOverlap))
+
+  private def embedFrom(chunks: DataFrame): DataFrame =
+    chunks.withColumn("emb", VecExprs.hashEmbed(col("chunk_text"), dim))
+
+  def meta: IndexStore.Meta =
+    IndexStore.Meta(IndexStore.Version, chunkSize, chunkOverlap, modelName)
+
+  /** Warm-start incremental reindex (reference: src/indexer.ts:413-511).
+    * Loads the stored index (metadata-gated); diffs stored file sizes
+    * against the current scan; re-chunks + re-embeds only new/changed docs,
+    * drops removed ones; saves the merged index back. Returns a single-row
+    * stats frame (the reference's log line, as data). Cold path: no
+    * compatible store → full build + save, everything counts as added.
+    *
+    * Scale shape: one full-outer join on doc_id (both sides partitioned on
+    * it — the store is bucketed by doc_id), then chunk+embed over only the
+    * changed subset.
+    */
+  def incrementalUpdate(storePath: String): DataFrame = {
+    import spark.implicits._
+    IndexStore.load(spark, storePath, meta) match {
+      case None =>
+        val idx = buildIndex()
+        IndexStore.save(idx, storePath, meta)
+        val (docs, chunks) = (idx.select("doc_id").distinct().count(), idx.count())
+        Seq((docs, 0L, 0L, 0L, chunks))
+          .toDF("n_added", "n_changed", "n_removed", "n_unchanged", "total_chunks")
+      case Some(old) =>
+        val cur = Tables.documents(spark, sfDir)
+        val oldFiles = old.select(col("doc_id"), col("file_size")).distinct()
+        val curFiles = cur.select(col("doc_id"), col("n_chars"))
+        val joined = oldFiles.join(curFiles, Seq("doc_id"), "full_outer").cache()
+        val removedIds = joined.filter(col("n_chars").isNull).select("doc_id")
+        val changedIds = joined.filter(col("n_chars").isNotNull && col("file_size").isNotNull &&
+          col("file_size") =!= col("n_chars")).select("doc_id")
+        val addedIds = joined.filter(col("file_size").isNull).select("doc_id")
+        val dirtyIds = changedIds.unionAll(addedIds)
+        val kept = old.join(broadcast(removedIds.unionAll(changedIds)), Seq("doc_id"), "left_anti")
+        val reindexed = embedFrom(Chunker.indexBuildFrom(
+          cur.join(broadcast(dirtyIds), Seq("doc_id"), "left_semi"), chunkSize, chunkOverlap))
+        val merged = kept.unionByName(reindexed)
+        IndexStore.save(merged, storePath, meta)
+        val stats = Seq((addedIds.count(), changedIds.count(), removedIds.count(),
+          joined.filter(col("file_size") === col("n_chars")).count(),
+          IndexStore.load(spark, storePath, meta).map(_.count()).getOrElse(-1L)))
+          .toDF("n_added", "n_changed", "n_removed", "n_unchanged", "total_chunks")
+        joined.unpersist()
+        stats
+    }
+  }
 
   /** Semantic search for a free-text query: embed driver-side, broadcast the
     * literal vector, cosine against every chunk, top-k with snippet metadata.
@@ -85,19 +136,27 @@ object IndexStore {
     s"""{"version":${m.version},"chunkSize":${m.chunkSize},"chunkOverlap":${m.chunkOverlap},"modelName":"${m.modelName}"}"""
 
   /** Write the index partitioned by doc_id bucket (64 buckets — the warm
-    * path's join key), plus the compatibility metadata.
+    * path's join key), plus the compatibility metadata. Writes go to a
+    * staging directory first and swap in atomically-per-rename: the
+    * incremental path reads the old store lazily while writing the new one,
+    * so overwriting in place would delete its own input mid-scan.
     */
   def save(index: DataFrame, path: String, meta: Meta): Unit = {
+    val conf = index.sparkSession.sparkContext.hadoopConfiguration
+    val finalPath = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val fs = finalPath.getFileSystem(conf)
+    if (fs.exists(staging)) fs.delete(staging, true)
     index
       .withColumn("bucket", pmod(col("doc_id"), lit(64)))
       .write.mode("overwrite")
       .partitionBy("bucket")
-      .parquet(path)
-    val metaPath = new org.apache.hadoop.fs.Path(path, MetaFile)
-    val fs = metaPath.getFileSystem(index.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaPath, true)
+      .parquet(staging.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, MetaFile), true)
     out.write(metaJson(meta).getBytes("UTF-8"))
     out.close()
+    if (fs.exists(finalPath)) fs.delete(finalPath, true)
+    fs.rename(staging, finalPath)
   }
 
   /** Load iff the stored metadata matches the requested parameters — the

@@ -48,6 +48,8 @@ object SparkEntry {
     "q_window_topn" -> ((s, dir) => Analytics.windowTopN(s, dir)),
     "events_window" -> ((s, dir) => Analytics.eventsWindow(s, dir)),
     "events_sessionize" -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
+    "q_asof_join" -> ((s, dir) => Analytics.asofJoin(s, dir)),
+    "q_order_stats" -> ((s, dir) => Analytics.orderStats(s, dir)),
   )
 
   /** DuckDB cosine over list columns, double precision, reference epsilon. */
@@ -57,6 +59,27 @@ object SparkEntry {
        |  sqrt(list_sum(list_transform(range(1, len($b)+1), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))) + 1e-10))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |       last_click_id, last_click_ts,
+        |       epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+        |FROM e WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "q_order_stats" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS median_price,
+        |       round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 4) AS p90_price,
+        |       count(DISTINCT l_suppkey) AS n_suppliers,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rag_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |sc AS (SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS score

@@ -75,6 +75,47 @@ object Analytics {
       .orderBy("window_start", "event_type")
   }
 
+  /** E7: as-of join — for each `purchase` event, the most recent strictly
+    * prior `click` by the same user. Composed from built-ins (the preferred
+    * route per SURVEY §3): union the tagged streams, one window pass per
+    * user ordered by (ts, event_id) carrying the last click forward — a
+    * single shuffle on user_id, no custom SparkPlan needed. At scale this is
+    * the standard sort-merge as-of shape: both sides co-partitioned by the
+    * entity key, time-sorted within partitions.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("last_click_id"), col("last_click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** E8: exact order-statistics summary — median/p90 (linear interpolation,
+    * matching DuckDB's quantile_cont) and exact distinct suppliers per
+    * return flag. At 100 TB the exact percentile would switch to
+    * approx_percentile (t-digest) — kept exact here for oracle parity, with
+    * the approximate twin in scaladoc.
+    */
+  def orderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)") + lit(1e-9), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)") + lit(1e-9), 4).as("p90_price"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   /** E5: gaps-and-islands sessionization — a new session starts when a user
     * is idle > 30 minutes. Two bounded windows over the same (user, ts)
     * partitioning (single shuffle, reused by both window specs).

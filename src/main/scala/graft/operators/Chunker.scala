@@ -30,14 +30,20 @@ object Chunker {
     * token_count since the synthetic docs are single-line).
     */
   def indexBuild(spark: SparkSession, sfDir: String,
-                 size: Int = 100, overlap: Int = 20): DataFrame = {
-    Tables.documents(spark, sfDir)
+                 size: Int = 100, overlap: Int = 20): DataFrame =
+    indexBuildFrom(Tables.documents(spark, sfDir), size, overlap)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Same pipeline over an arbitrary docs frame — the incremental path
+    * re-chunks only the changed/new subset.
+    */
+  def indexBuildFrom(docs: DataFrame, size: Int = 100, overlap: Int = 20): DataFrame = {
+    docs
       .select(col("doc_id"), col("lang"), col("n_chars"),
         size_of_tokens(col("text")).as("token_count"),
         posexplode(Text.chunks(col("text"), size, overlap)).as(Seq("chunk_idx", "chunk_text")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text"),
         col("n_chars").as("file_size"), col("token_count"), col("lang"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   private def size_of_tokens(text: org.apache.spark.sql.Column) =

@@ -43,6 +43,11 @@ object Demo {
     println(s"warm load (chunkSize changed -> expect cold rebuild signal None): " +
       IndexStore.load(spark, dir, meta.copy(chunkSize = 800)).isDefined)
 
+    println("== incremental reindex (cold store -> full build, warm -> no-op) ==")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_demo_incr").toString
+    g.incrementalUpdate(dir2).show()
+    g.incrementalUpdate(dir2).show()
+
     spark.stop()
   }
 }

@@ -27,6 +27,17 @@ class DedupStreamSpec extends SparkSpecBase {
     assert(total == Tables.documents(spark, sf).count())
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) equals the batch twin") {
+    val streamed = graft.streaming.SessionStream.runToCompletion(spark, sf, "sess_spec")
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        round(col("sum_value") + lit(1e-9), 2).as("sum_value"))
+    val batch = Analytics.eventsSessionize(spark, sf)
+      .select("user_id", "session_id", "n_events", "sum_value")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming windowed agg equals the batch twin") {
     val streamed = EventStream.runToCompletion(spark, sf, "events_stream_spec")
       .orderBy("window_start", "event_type")

@@ -35,6 +35,38 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(first5.split(" ").length == 5)
   }
 
+  test("incrementalUpdate: cold build, then no-op, then detects add/change/remove") {
+    val dir = Files.createTempDirectory("graft_incr").toString
+    // cold path: everything added
+    val cold = g.incrementalUpdate(dir).head()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(cold.getAs[Long]("n_added") == nDocs && cold.getAs[Long]("n_removed") == 0)
+    // warm no-op: nothing changed
+    val noop = g.incrementalUpdate(dir).head()
+    assert(noop.getAs[Long]("n_added") == 0 && noop.getAs[Long]("n_changed") == 0 &&
+      noop.getAs[Long]("n_removed") == 0 && noop.getAs[Long]("n_unchanged") == nDocs)
+    // perturb the store: drop docs < 20 (→ added), corrupt sizes of %13 docs
+    // (→ changed), inject ghost docs +10000 (→ removed)
+    val idx = IndexStore.load(spark, dir, g.meta).get
+    val perturbed = idx.filter(col("doc_id") >= 20)
+      .withColumn("file_size",
+        when(col("doc_id") % 13 === 0, col("file_size") + 3).otherwise(col("file_size")))
+      .unionByName(idx.limit(5).withColumn("doc_id", col("doc_id") + 10000))
+    IndexStore.save(perturbed, dir, g.meta)
+    val stats = g.incrementalUpdate(dir).head()
+    val expChanged = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 20 && col("doc_id") % 13 === 0).count()
+    assert(stats.getAs[Long]("n_added") == 20)
+    assert(stats.getAs[Long]("n_changed") == expChanged)
+    assert(stats.getAs[Long]("n_removed") > 0)
+    // after the update the store equals a fresh full build
+    val healed = IndexStore.load(spark, dir, g.meta).get
+      .select("doc_id", "chunk_idx", "chunk_text", "file_size")
+    val fresh = g.buildIndex().select("doc_id", "chunk_idx", "chunk_text", "file_size")
+    assert(healed.exceptAll(fresh).count() == 0)
+    assert(fresh.exceptAll(healed).count() == 0)
+  }
+
   test("IndexStore round-trips and rejects mismatched metadata") {
     val dir = Files.createTempDirectory("graft_store").toString
     val meta = IndexStore.Meta(IndexStore.Version, 100, 20, g.modelName)
