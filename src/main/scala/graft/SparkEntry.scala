@@ -50,6 +50,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
     "q_asof_join" -> ((s, dir) => Analytics.asofJoin(s, dir)),
     "q_order_stats" -> ((s, dir) => Analytics.orderStats(s, dir)),
+    "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(s, dir)),
   )
 
   /** DuckDB cosine over list columns, double precision, reference epsilon. */
@@ -73,6 +74,10 @@ object SparkEntry {
         |       last_click_id, last_click_ts,
         |       epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
         |FROM e WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |       event_type, count(*) AS n, round(sum(value)+1e-9, 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY k_mod, event_type""".stripMargin,
     "q_order_stats" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS median_price,

@@ -116,6 +116,20 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** E9: semi-structured extraction — parse the JSON `props` column
+    * (`get_json_object`, codegen'd Jackson path) and aggregate by the
+    * extracted key modulo 10. At scale this is the schema-on-read pattern:
+    * the JSON stays a string until the projection that needs it.
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")) + lit(1e-9), 2).as("sum_value"))
+      .orderBy("k_mod", "event_type")
+  }
+
   /** E5: gaps-and-islands sessionization — a new session starts when a user
     * is idle > 30 minutes. Two bounded windows over the same (user, ts)
     * partitioning (single shuffle, reused by both window specs).

@@ -48,6 +48,14 @@ object Demo {
     g.incrementalUpdate(dir2).show()
     g.incrementalUpdate(dir2).show()
 
+    println("== real-directory corpus (this repo's markdown) ==")
+    val corpus = graft.sources.TextCorpus.read(spark, "/root/repo",
+      allowedExt = Seq("md"), excludedFolders = Seq("target", ".git", "node_modules"))
+    corpus.show(5, truncate = 40)
+    println("chunked rows from the md corpus: " +
+      graft.operators.Chunker.indexBuildFrom(
+        graft.sources.TextCorpus.asDocuments(corpus), 800, 120).count())
+
     spark.stop()
   }
 }
