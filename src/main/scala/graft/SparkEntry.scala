@@ -51,6 +51,10 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Analytics.asofJoin(s, dir)),
     "q_order_stats" -> ((s, dir) => Analytics.orderStats(s, dir)),
     "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(s, dir)),
+    // E10 has no SQL oracle on purpose (sketches differ across engines):
+    // the driver records the weaker rows-only check; AnalyticsSpec bounds
+    // the sketch error against the exact E8 values.
+    "q_approx_stats" -> ((s, dir) => Analytics.approxStats(s, dir)),
   )
 
   /** DuckDB cosine over list columns, double precision, reference epsilon. */

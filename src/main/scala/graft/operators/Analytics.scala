@@ -116,6 +116,26 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** E10: sketch-based statistics — HyperLogLog++ distinct counts and
+    * t-digest percentiles. These are the operators that actually run at
+    * 100 TB where E8's exact forms don't fit; bounded-memory, mergeable
+    * partial state. No SQL oracle (sketch implementations differ across
+    * engines) — the driver's rows-check plus E8 spec-level agreement bounds
+    * cover it (see AnalyticsSpec).
+    */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_suppkey")).as("approx_suppliers"),
+        round(element_at(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)), 1), 4).as("approx_median"),
+        round(element_at(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)), 2), 4).as("approx_p90"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   /** E9: semi-structured extraction — parse the JSON `props` column
     * (`get_json_object`, codegen'd Jackson path) and aggregate by the
     * extracted key modulo 10. At scale this is the schema-on-read pattern:

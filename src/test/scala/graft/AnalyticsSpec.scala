@@ -28,6 +28,17 @@ class AnalyticsSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("approx sketches land near the exact order statistics") {
+    val exact = Analytics.orderStats(spark, sf).select("l_returnflag", "median_price", "n_suppliers")
+    val approx = Analytics.approxStats(spark, sf).select("l_returnflag", "approx_median", "approx_suppliers")
+    val joined = exact.join(approx, "l_returnflag")
+    val badMedian = joined.filter(
+      abs(col("approx_median") - col("median_price")) / col("median_price") > 0.05).count()
+    val badDistinct = joined.filter(
+      abs(col("approx_suppliers") - col("n_suppliers")).cast("double") / col("n_suppliers") > 0.1).count()
+    assert(badMedian == 0 && badDistinct == 0)
+  }
+
   test("events_window counts add up to the event count") {
     val n = Analytics.eventsWindow(spark, sf).agg(sum("n_events")).head().getLong(0)
     assert(n == Tables.events(spark, sf).count())
