@@ -33,6 +33,17 @@ class Graft(spark: SparkSession, sfDir: String,
   def buildIndex(): DataFrame =
     embedFrom(Chunker.indexBuild(spark, sfDir, chunkSize, chunkOverlap))
 
+  /** The serving index — built once per facade instance and cached, the way
+    * the reference keeps `Doc[]` in memory across rag_query calls
+    * (reference: src/index.ts:428 builds once at startup). First query pays
+    * the build; subsequent queries scan executor memory.
+    */
+  lazy val servingIndex: DataFrame = {
+    val idx = buildIndex().cache()
+    idx.count() // materialize eagerly, like the reference's blocking startup
+    idx
+  }
+
   private def embedFrom(chunks: DataFrame): DataFrame =
     chunks.withColumn("emb", VecExprs.hashEmbed(col("chunk_text"), dim))
 
@@ -86,10 +97,16 @@ class Graft(spark: SparkSession, sfDir: String,
   /** Semantic search for a free-text query: embed driver-side, broadcast the
     * literal vector, cosine against every chunk, top-k with snippet metadata.
     */
-  def ragQuery(query: String, topK: Int = 5): DataFrame = {
+  def ragQuery(query: String, topK: Int = 5): DataFrame =
+    ragQueryOver(servingIndex, query, topK)
+
+  /** Same search over an explicitly supplied index frame — e.g. one loaded
+    * from `IndexStore` (warm serving without rebuilding).
+    */
+  def ragQueryOver(index: DataFrame, query: String, topK: Int = 5): DataFrame = {
     val qv = HashEmbedAlg.embed(query, dim)
     val qvCol = array(qv.map(lit): _*)
-    buildIndex()
+    index
       .select(col("doc_id"), col("chunk_idx"),
         VecExprs.cosineSim(col("emb"), qvCol).as("score"),
         substring(col("chunk_text"), 1, 120).as("snippet"))

@@ -41,15 +41,14 @@ object Dedup {
     TextExprs.register(spark)
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), (col("n_chars") / 50).cast("long").as("len_bucket"),
-        array_distinct(TextExprs.shingleCodes(col("text"), k)).as("sh"))
+        sort_array(array_distinct(TextExprs.shingleCodes(col("text"), k))).as("sh"))
       .filter(size(col("sh")) > 0)
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("len_bucket"), col("sh").as("a_sh"))
     val b = d.select(col("doc_id").as("b_id"), col("lang"), col("len_bucket"), col("sh").as("b_sh"))
     a.join(b, Seq("lang", "len_bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
-      .withColumn("uni", (size(col("a_sh")) + size(col("b_sh"))).cast("double") - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("uni") + lit(1e-9), 4))
+      .withColumn("jaccard",
+        round(TextExprs.jaccardSorted(col("a_sh"), col("b_sh")) + lit(1e-9), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("lang"), col("jaccard"))
       .orderBy("a_id", "b_id")
@@ -69,7 +68,8 @@ object Dedup {
     TextExprs.register(spark)
     val nBands = numHashes / rowsPerBand
     val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(TextExprs.shingleCodes(col("text"), k)).as("sh"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(TextExprs.shingleCodes(col("text"), k))).as("sh"))
       .filter(size(col("sh")) > 0)
     // 16 minhashes as one array column (min is duplicate-invariant, so the
     // signature over distinct codes equals the signature over raw shingles)
@@ -87,9 +87,8 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "a_sh", "b_sh").distinct()
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
-      .withColumn("uni", (size(col("a_sh")) + size(col("b_sh"))).cast("double") - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("uni") + lit(1e-9), 4))
+      .withColumn("jaccard",
+        round(TextExprs.jaccardSorted(col("a_sh"), col("b_sh")) + lit(1e-9), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")

@@ -140,6 +140,31 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Exact Jaccard over two SORTED distinct long arrays — two-pointer
+    * intersection, |∩| / (|a|+|b|−|∩|). Callers sort once per row
+    * (`sort_array`), so each candidate pair costs O(|a|+|b|) with no
+    * allocation — replaces interpreted `array_intersect` in the dedup
+    * verification joins.
+    */
+  case class JaccardSorted(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData].toLongArray()
+      val ys = b.asInstanceOf[ArrayData].toLongArray()
+      var i = 0; var j = 0; var inter = 0
+      while (i < xs.length && j < ys.length) {
+        if (xs(i) == ys(j)) { inter += 1; i += 1; j += 1 }
+        else if (xs(i) < ys(j)) i += 1
+        else j += 1
+      }
+      val uni = xs.length + ys.length - inter
+      if (uni == 0) 0.0 else inter.toDouble / uni
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_token_codes",
@@ -150,6 +175,8 @@ object TextExprs {
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHash(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard_sorted",
+      exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
   }
 
   def tokenCodes(text: Column, mult: Int = 31): Column =
@@ -160,4 +187,6 @@ object TextExprs {
     call_function("graft_minhash_sig", codes, lit(n))
   def simHash(codes: Column, bits: Int): Column =
     call_function("graft_simhash", codes, lit(bits))
+  def jaccardSorted(a: Column, b: Column): Column =
+    call_function("graft_jaccard_sorted", a, b)
 }

@@ -26,7 +26,13 @@ object Demo {
     g.status().show(10, truncate = false)
 
     println("== rag_query('fast hash join on a big table') top-5 ==")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, cold) = timed(g.ragQuery("fast hash join on a big table", topK = 5).collect())
     g.ragQuery("fast hash join on a big table", topK = 5).show(5, truncate = 60)
+    val (_, warm) = timed(g.ragQuery("slow window sort on a small stream", topK = 5).collect())
+    println(f"first query (index build + search): $cold%.2fs; next query over cached index: $warm%.2fs")
 
     println("== read_file(doc 7, tokens 1-12) ==")
     println(g.readFile(7, 1, 12))

@@ -21,6 +21,17 @@ class DedupStreamSpec extends SparkSpecBase {
     sh.unpersist()
   }
 
+  test("JVM-loop shingle codes agree with the HOF shingles+stringCode path") {
+    graft.plans.TextExprs.register(spark)
+    val d = Tables.documents(spark, sf).limit(50)
+    val both = d.select(
+      sort_array(array_distinct(graft.plans.TextExprs.shingleCodes(col("text"), 3))).as("fast"),
+      sort_array(array_distinct(transform(
+        graft.functions.Text.shingles(col("text"), 3),
+        s => graft.functions.Text.stringCode(s)))).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("exact dedup groups partition all docs") {
     val groups = Dedup.dedupExact(spark, sf)
     val total = groups.agg(sum("n_copies")).head().getLong(0)

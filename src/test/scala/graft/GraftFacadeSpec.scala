@@ -67,6 +67,16 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(fresh.exceptAll(healed).count() == 0)
   }
 
+  test("ragQueryOver a store-loaded index matches querying the live index") {
+    val dir = Files.createTempDirectory("graft_serve").toString
+    IndexStore.save(g.buildIndex(), dir, g.meta)
+    val loaded = IndexStore.load(spark, dir, g.meta).get
+    val q = "window merge spark batch table"
+    val live = g.ragQuery(q, topK = 5).select("doc_id", "chunk_idx", "score")
+    val warm = g.ragQueryOver(loaded, q, topK = 5).select("doc_id", "chunk_idx", "score")
+    assert(live.exceptAll(warm).count() == 0 && warm.exceptAll(live).count() == 0)
+  }
+
   test("IndexStore round-trips and rejects mismatched metadata") {
     val dir = Files.createTempDirectory("graft_store").toString
     val meta = IndexStore.Meta(IndexStore.Version, 100, 20, g.modelName)
