@@ -31,6 +31,9 @@ object SparkEntry {
     // C. similarity search
     "ann_topk_batch" -> ((s, dir) => RagSearch.annTopKBatch(s, dir)),
     "ann_lsh" -> ((s, dir) => RagSearch.annLsh(s, dir)),
+    // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
+    // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
+    "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),
     // A. reference-surface (catalog / slice / incremental / multimodal)
     "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),
     "corpus_catalog" -> ((s, dir) => Catalog.corpusCatalog(s, dir)),

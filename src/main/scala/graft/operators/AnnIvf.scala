@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.VecExprs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path (SURVEY §2 C, alongside the LSH variant).
+  *
+  * Train: k-means over the embedding column (deterministic: init = the first
+  * k vectors, fixed iteration count). Only the k×dim centroid matrix ever
+  * crosses to the driver — per iteration it's a k-row aggregate, which is
+  * the textbook bounded-driver-state exception to the no-collect rule.
+  *
+  * Serve: a query probes its `nprobe` nearest centroids and exact-reranks
+  * only the vectors assigned to those cells. At 100 TB the assignment is the
+  * partition key: each cell is a contiguous parquet range, so a probe reads
+  * `nprobe/k` of the corpus instead of all of it.
+  *
+  * No DuckDB oracle (k-means is not sanely SQL-replicable) — the driver
+  * records the rows-only check; the spec bounds recall against brute force.
+  */
+object AnnIvf {
+
+  /** Nearest centroid id for an embedding, by maximum cosine. */
+  private def nearestCentroid(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VecExprs.cosineSim(emb, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    greatest(scored: _*).getField("i")
+  }
+
+  /** Lloyd's iterations over the embeddings table; returns the centroid
+    * matrix. Deterministic: seeded from the first k vectors by vec_id.
+    */
+  def train(spark: SparkSession, sfDir: String, k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .cache()
+    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = e.withColumn("cid", nearestCentroid(col("emb"), centroids))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("d", "v")))
+        .groupBy("cid", "d").agg(avg("v").as("m"))
+        .collect()
+      val byCell = updated.groupBy(_.getAs[Int]("cid"))
+      centroids = centroids.indices.map { i =>
+        byCell.get(i) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("m")).toArray
+          case None => centroids(i) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    e.unpersist()
+    centroids
+  }
+
+  /** C3: IVF probe search for the first `nQueries` vectors: rank the
+    * candidates in each query's `nprobe` nearest cells by exact cosine.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10, topK: Int = 5,
+             k: Int = 16, nprobe: Int = 2): DataFrame = {
+    VecExprs.register(spark)
+    val centroids = train(spark, sfDir, k)
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("cid", nearestCentroid(col("embedding"), centroids))
+    // probe list per query: nprobe nearest centroids
+    val probeScores = (0 until centroids.length).map { i =>
+      struct(VecExprs.cosineSim(col("qv"), array(centroids(i).map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("probes", slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe))
+      .select(col("query_id"), col("qv"), explode(col("probes.i")).as("probe_cid"))
+    val scored = e.join(broadcast(q), col("cid") === col("probe_cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cid"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cid"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.operators.Chunker
+import graft.plans.VecExprs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming index build — the reference's "incremental watch mode"
+  * extension idea (reference: src/index.ts:425-427) as a Structured
+  * Streaming job: new corpus files are discovered by the file source,
+  * chunked and embedded exactly like the batch pipeline (same Chunker and
+  * HashEmbed plan fragments), and appended to a parquet index.
+  *
+  * Stateless narrow transforms only — no watermark or state store needed;
+  * throughput is scan-bound, and the parquet sink provides exactly-once
+  * per-file semantics via the checkpoint. At scale the source would be the
+  * ingest bus and the sink the bucketed index table.
+  */
+object IndexStream {
+
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def chunkEmbedStream(spark: SparkSession, sfDir: String,
+                       size: Int = 100, overlap: Int = 20, dim: Int = 64): DataFrame = {
+    VecExprs.register(spark)
+    val docs = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    Chunker.indexBuildFrom(docs, size, overlap)
+      .withColumn("emb", VecExprs.hashEmbed(col("chunk_text"), dim))
+  }
+
+  /** Run the finite input through the streaming pipeline into a parquet
+    * index directory; returns the resulting index frame.
+    */
+  def runToParquet(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val q = chunkEmbedStream(spark, sfDir)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", outDir + "_checkpoint")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outDir)
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.{AnnIvf, RagSearch}
+import org.apache.spark.sql.functions._
+
+class AnnIvfSpec extends SparkSpecBase {
+
+  test("k-means training is deterministic and returns k centroids of dim 64") {
+    val c1 = AnnIvf.train(spark, sf, k = 8, iters = 3)
+    val c2 = AnnIvf.train(spark, sf, k = 8, iters = 3)
+    assert(c1.length == 8 && c1.forall(_.length == 64))
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("IVF results are a subset of brute-force scores with meaningful recall") {
+    val brute = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnIvf.annIvf(spark, sf, nQueries = 10, topK = 5)
+    // scores must agree with brute-force scoring for the same pairs
+    val bruteAll = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 2000)
+      .select("query_id", "vec_id", "score")
+    assert(ivf.select("query_id", "vec_id", "score").except(bruteAll).count() == 0)
+    // recall@5 with nprobe=2 of 16 cells: demand at least 40% on average
+    val hits = ivf.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+}

@@ -49,6 +49,20 @@ class DedupStreamSpec extends SparkSpecBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming index build produces the same chunks+embeddings as batch") {
+    val out = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString + "/idx"
+    val streamed = graft.streaming.IndexStream.runToParquet(spark, sf, out)
+    val batch = new Graft(spark, sf).buildIndex()
+    val sCore = streamed.select("doc_id", "chunk_idx", "chunk_text")
+    val bCore = batch.select("doc_id", "chunk_idx", "chunk_text")
+    assert(sCore.exceptAll(bCore).count() == 0 && bCore.exceptAll(sCore).count() == 0)
+    // embeddings identical too (deterministic embedder)
+    val je = streamed.select(col("doc_id"), col("chunk_idx"), col("emb").as("s_emb"))
+      .join(batch.select(col("doc_id"), col("chunk_idx"), col("emb").as("b_emb")),
+        Seq("doc_id", "chunk_idx"))
+    assert(je.filter(col("s_emb") =!= col("b_emb")).count() == 0)
+  }
+
   test("streaming windowed agg equals the batch twin") {
     val streamed = EventStream.runToCompletion(spark, sf, "events_stream_spec")
       .orderBy("window_start", "event_type")
