@@ -7,7 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
-  * scale path (SURVEY §2 C, alongside the LSH variant).
+  * scale path (SURVEY §2 C, alongside the LSH variant). This is the "ANN
+  * acceleration (HNSW / IVF)" the reference defers to future work
+  * (reference: README.md:32, src/index.ts:265 "could evolve to an ANN
+  * structure").
   *
   * Train: k-means over the embedding column (deterministic: init = the first
   * k vectors, fixed iteration count). Only the k×dim centroid matrix ever

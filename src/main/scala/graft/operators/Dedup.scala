@@ -7,10 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite (SURVEY §2 B) — the operators a 100 TB training-data
-  * pipeline runs before anything else. The common scale rule: never form n²
-  * pairs — every variant below derives an explicit blocking key (hash value,
-  * length×lang block, minhash band, simhash block, LSH bucket) that becomes
-  * the shuffle key, so candidate sets stay bounded and AQE can handle skew.
+  * pipeline runs before anything else (beyond the reference's own surface,
+  * per the build mandate; the chunk/shingle inputs reuse the reference's
+  * text model, reference: src/indexer.ts:201-215). The common scale rule:
+  * never form n² pairs — every variant below derives an explicit blocking
+  * key (hash value, length×lang block, minhash band, simhash block, LSH
+  * bucket) that becomes the shuffle key, so candidate sets stay bounded and
+  * AQE can handle skew.
   */
 object Dedup {
 
