@@ -40,6 +40,9 @@ object SparkEntry {
     "incremental_diff" -> ((s, dir) => Catalog.incrementalDiff(s, dir)),
     "pdf_decode" -> ((s, dir) => Multimodal.pdfDecode(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.multimodalMeta(s, dir)),
+    // A. hybrid retrieval (the reference's planned BM25+embedding extension)
+    "rag_bm25" -> ((s, dir) => Bm25.ragBm25(s, dir)),
+    "rag_hybrid" -> ((s, dir) => Bm25.ragHybrid(s, dir)),
     // D. text analysis
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -66,7 +69,64 @@ object SparkEntry {
        | (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)))) *
        |  sqrt(list_sum(list_transform(range(1, len($b)+1), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))) + 1e-10))""".stripMargin
 
+  /** Shared BM25 scoring CTEs (terms of Bm25.DefaultQuery, k1=1.2, b=0.75,
+    * arithmetic written to mirror the Spark expressions op-for-op).
+    */
+  private val bm25Ctes: String =
+    """docs0 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |          FROM documents),
+      |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM docs0),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d2),
+      |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d2) u
+      |       WHERE term IN ('hash','join','table','scan','data')
+      |       GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |bm AS (SELECT tf.doc_id,
+      |         sum( ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+      |              * tf.tf * (1.2 + 1.0)
+      |              / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/s.avgdl)) ) AS bm25
+      |       FROM tf JOIN dfreq d ON tf.term = d.term, stats s
+      |       GROUP BY tf.doc_id)""".stripMargin
+
+  /** The default query's hash-embedding as a DuckDB list literal (the same
+    * vector the Spark side ships as a Column literal).
+    */
+  private lazy val hybridQueryVecSql: String =
+    graft.plans.VecExprs.HashEmbedAlg.embed(operators.Bm25.DefaultQuery, 64)
+      .map(_.toString).mkString("[", ", ", "]")
+
   def oracleSql: Map[String, String] = Map(
+    "rag_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT bm.doc_id, round(bm25+1e-9, 4) AS bm25, substring(doc.text, 1, 80) AS snippet
+         |FROM bm JOIN documents doc ON doc.doc_id = bm.doc_id
+         |ORDER BY bm25 DESC, bm.doc_id LIMIT 10""".stripMargin,
+    "rag_hybrid" ->
+      s"""WITH $bm25Ctes,
+         |codes AS (SELECT doc_id,
+         |    list_transform(toks, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, c) -> (h*31 + c) % 1000000007)) AS cs
+         |  FROM d2),
+         |vec AS (SELECT doc_id,
+         |    list_transform(range(0, 64), k ->
+         |      CAST(coalesce(list_sum(list_transform(cs, c ->
+         |        CASE WHEN c % 64 = k THEN (CASE WHEN (c // 64) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS DOUBLE)) AS v
+         |  FROM codes),
+         |nv AS (SELECT doc_id,
+         |    list_transform(v, x -> x / (sqrt(list_sum(list_transform(v, y -> y*y))) + 1e-10)) AS vn
+         |  FROM vec),
+         |cosr AS (SELECT doc_id,
+         |    round(${cosSql("vn", s"$hybridQueryVecSql")} + 1e-9, 4) AS cos
+         |  FROM nv),
+         |cr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rank FROM cosr),
+         |br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY round(bm25+1e-9, 4) DESC, doc_id) AS BIGINT) AS bm25_rank FROM bm)
+         |SELECT c.doc_id,
+         |       round(coalesce(1.0/(b.bm25_rank + 60), 0.0) + 1.0/(c.cos_rank + 60) + 1e-12, 6) AS rrf,
+         |       b.bm25_rank, c.cos_rank
+         |FROM cr c LEFT JOIN br b ON b.doc_id = c.doc_id
+         |ORDER BY rrf DESC, c.doc_id LIMIT 10""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, event_type,

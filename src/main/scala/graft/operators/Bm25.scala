@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import graft.plans.VecExprs
+import graft.plans.VecExprs.HashEmbedAlg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical scoring and hybrid lexical+dense retrieval — the
+  * "hybrid BM25 + embedding search" the reference plans but defers
+  * (reference: README.md:32).
+  *
+  * BM25 (k1=1.2, b=0.75) over whitespace terms; every statistic (df, N,
+  * avgdl) is computed in-plan — the per-term document frequencies are a
+  * tiny broadcast frame, and the corpus-level scalars ride a 1-row cross
+  * join, so nothing collects to the driver. Hybrid fusion is reciprocal
+  * rank fusion (RRF, c=60) of the BM25 ranking and the hash-embedding
+  * cosine ranking — rank-based, so the two score scales never need
+  * calibration, and integer-rank math is reproducible in the oracle.
+  *
+  * Scale: the term explode is the only row-multiplying step and is filtered
+  * to query terms at the scan edge; everything downstream is per-doc. At
+  * 100 TB an inverted index (term-bucketed) would replace the explode; the
+  * scoring algebra is unchanged.
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+  val RrfC = 60
+  val DefaultQuery = "hash join table scan data"
+
+  /** BM25 scores for the documents matching ≥1 query term. */
+  def bm25Scores(spark: SparkSession, sfDir: String,
+                 query: String = DefaultQuery): DataFrame = {
+    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("bm25"))
+  }
+
+  /** A10: BM25 top-10 with snippets. */
+  def ragBm25(spark: SparkSession, sfDir: String,
+              query: String = DefaultQuery, topK: Int = 10): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    bm25Scores(spark, sfDir, query)
+      .join(d, "doc_id")
+      .select(col("doc_id"), round(col("bm25") + lit(1e-9), 4).as("bm25"),
+        substring(col("text"), 1, 80).as("snippet"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** A11: hybrid retrieval — RRF of the BM25 ranking and the hash-embedding
+    * cosine ranking for the same query string.
+    */
+  def ragHybrid(spark: SparkSession, sfDir: String,
+                query: String = DefaultQuery, topK: Int = 10, dim: Int = 64): DataFrame = {
+    VecExprs.register(spark)
+    val qv = HashEmbedAlg.embed(query, dim)
+    val qvCol = array(qv.map(lit): _*)
+    // rank over ROUNDED scores: the BM25 per-doc sum is order-nondeterministic
+    // at the last bit, so raw-double ordering could disagree with the oracle;
+    // 4dp-rounded scores are stable in both engines (same trick as the ANN
+    // queries), with doc_id as the total-order tiebreak
+    val cosRanked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        round(VecExprs.cosineSim(VecExprs.hashEmbed(col("text"), dim), qvCol) + lit(1e-9), 4)
+          .as("cos"))
+      .withColumn("cos_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+    val bmRanked = bm25Scores(spark, sfDir, query)
+      .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+    cosRanked.join(bmRanked, Seq("doc_id"), "left_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("bm25_rank") + RrfC), lit(0.0)) +
+          lit(1.0) / (col("cos_rank") + RrfC) + lit(1e-12), 6))
+      .select(col("doc_id"), col("rrf"), col("bm25_rank"), col("cos_rank"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+}
