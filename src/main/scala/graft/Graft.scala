@@ -114,6 +114,13 @@ class Graft(spark: SparkSession, sfDir: String,
       .limit(topK)
   }
 
+  /** Hybrid lexical+dense search (BM25 ⊕ embedding cosine via reciprocal
+    * rank fusion) — the reference's planned hybrid mode
+    * (reference: README.md:32).
+    */
+  def ragQueryHybrid(query: String, topK: Int = 10): DataFrame =
+    operators.Bm25.ragHybrid(spark, sfDir, query, topK, dim)
+
   /** Token-range read of one document (1-based inclusive, like the
     * reference's line ranges). Driver-side scalar — it's a point lookup.
     */

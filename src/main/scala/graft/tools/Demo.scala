@@ -34,6 +34,9 @@ object Demo {
     val (_, warm) = timed(g.ragQuery("slow window sort on a small stream", topK = 5).collect())
     println(f"first query (index build + search): $cold%.2fs; next query over cached index: $warm%.2fs")
 
+    println("== hybrid (BM25 + embedding RRF) for the same query ==")
+    g.ragQueryHybrid("fast hash join on a big table", topK = 5).show()
+
     println("== read_file(doc 7, tokens 1-12) ==")
     println(g.readFile(7, 1, 12))
 
