@@ -34,6 +34,7 @@ object SparkEntry {
     // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
     // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
     "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),
+    "embed_quantize" -> ((s, dir) => RagSearch.embedQuantize(s, dir)),
     // A. reference-surface (catalog / slice / incremental / multimodal)
     "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),
     "corpus_catalog" -> ((s, dir) => Catalog.corpusCatalog(s, dir)),
@@ -127,6 +128,16 @@ object SparkEntry {
          |       b.bm25_rank, c.cos_rank
          |FROM cr c LEFT JOIN br b ON b.doc_id = c.doc_id
          |ORDER BY rrf DESC, c.doc_id LIMIT 10""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS maxabs FROM e)
+        |SELECT vec_id, k AS dim_idx,
+        |       CAST(CASE WHEN maxabs > 0 THEN round(emb[CAST(k+1 AS INT)]*127.0/maxabs + 1e-9)
+        |                 ELSE 0.0 END AS BIGINT) AS qval,
+        |       round(maxabs+1e-9, 6) AS scale
+        |FROM (SELECT vec_id, emb, maxabs, unnest(range(0, len(emb))) AS k FROM m) z
+        |ORDER BY vec_id, dim_idx""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, event_type,

@@ -87,6 +87,24 @@ object RagSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** C4: int8 vector quantization — per-vector symmetric scale
+    * `q = round(127·x/maxabs)` — the 4× memory/IO reduction that makes a
+    * 100 TB embedding corpus servable; dequantization error is bounded by
+    * scale/254 per component. Exploded to scalar rows for oracle parity.
+    */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("maxabs", array_max(transform(col("emb"), x => abs(x))))
+    e.select(col("vec_id"), round(col("maxabs") + lit(1e-9), 6).as("scale"),
+        posexplode(transform(col("emb"),
+          x => when(col("maxabs") > 0, round(x * 127.0 / col("maxabs") + lit(1e-9)))
+            .otherwise(lit(0.0)).cast("long"))).as(Seq("dim_idx", "qval")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+        col("qval"), col("scale"))
+      .orderBy("vec_id", "dim_idx")
+  }
+
   /** A2: chunk → embed pipeline, exploded to scalar rows
     * `(doc_id, chunk_idx, dim_idx, value)` so the oracle compare stays on
     * scalar columns. Embeddings via the codegen'd deterministic HashEmbed.

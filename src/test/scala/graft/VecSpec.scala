@@ -67,6 +67,25 @@ class VecSpec extends SparkSpecBase {
     assert(both.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("int8 quantization round-trips within the scale/254 error bound") {
+    val q = RagSearch.embedQuantize(spark, sf)
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim_idx", "x")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("x"))
+    val joined = q.join(orig, Seq("vec_id", "dim_idx"))
+      .withColumn("dequant", col("qval") * col("scale") / 127.0)
+      .withColumn("err", abs(col("dequant") - col("x")))
+    // symmetric quantization error bound: half a quantization step (+rounding slack)
+    val bad = joined.filter(col("err") > col("scale") / 254.0 + 1e-6).count()
+    assert(bad == 0)
+    assert(q.filter(abs(col("qval")) > 127).count() == 0)
+  }
+
+  test("driver entry() smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("dedup_embedding pairs are symmetric-free and above threshold") {
     val d = Dedup.dedupEmbedding(spark, sf).cache()
     assert(d.filter(col("keep_id") >= col("dup_id")).count() == 0)
