@@ -84,13 +84,17 @@ class Graft(spark: SparkSession, sfDir: String,
         val reindexed = embedFrom(Chunker.indexBuildFrom(
           cur.join(broadcast(dirtyIds), Seq("doc_id"), "left_semi"), chunkSize, chunkOverlap))
         val merged = kept.unionByName(reindexed)
+        // take every count BEFORE save(): the diff/kept lineage is rooted in
+        // the old store files, which save() replaces — recomputing a dropped
+        // cache partition afterwards would read deleted parquet
+        val nAdded = addedIds.count(); val nChanged = changedIds.count()
+        val nRemoved = removedIds.count()
+        val nUnchanged = joined.filter(col("file_size") === col("n_chars")).count()
         IndexStore.save(merged, storePath, meta)
-        val stats = Seq((addedIds.count(), changedIds.count(), removedIds.count(),
-          joined.filter(col("file_size") === col("n_chars")).count(),
-          IndexStore.load(spark, storePath, meta).map(_.count()).getOrElse(-1L)))
-          .toDF("n_added", "n_changed", "n_removed", "n_unchanged", "total_chunks")
+        val total = IndexStore.load(spark, storePath, meta).map(_.count()).getOrElse(-1L)
         joined.unpersist()
-        stats
+        Seq((nAdded, nChanged, nRemoved, nUnchanged, total))
+          .toDF("n_added", "n_changed", "n_removed", "n_unchanged", "total_chunks")
     }
   }
 
@@ -179,8 +183,11 @@ object IndexStore {
     val out = fs.create(new org.apache.hadoop.fs.Path(staging, MetaFile), true)
     out.write(metaJson(meta).getBytes("UTF-8"))
     out.close()
-    if (fs.exists(finalPath)) fs.delete(finalPath, true)
-    fs.rename(staging, finalPath)
+    if (fs.exists(finalPath) && !fs.delete(finalPath, true))
+      throw new java.io.IOException(s"IndexStore.save: could not delete old store at $finalPath")
+    if (!fs.rename(staging, finalPath))
+      throw new java.io.IOException(
+        s"IndexStore.save: rename $staging -> $finalPath failed (index left in staging)")
   }
 
   /** Load iff the stored metadata matches the requested parameters — the

@@ -11,8 +11,7 @@ object Catalog {
 
   /** A5: list_files analog (reference: src/index.ts:316-413). `source` plays
     * the directory; docs are files sized by n_chars. Mirrors the reference's
-    * contract: dirs-first deterministic ordering, entry limit, extension
-    * (here: lang) whitelist suppressing directory entries when active.
+    * ordering contract: dirs-first deterministic sort with an entry limit.
     * One small aggregate + a union — at scale this is a metadata query.
     */
   def corpusCatalog(spark: SparkSession, sfDir: String, limit: Int = 500): DataFrame = {

@@ -83,13 +83,17 @@ object Dedup {
           array_join(transform(sequence(lit(0), lit(rowsPerBand - 1)),
             r => element_at(col("sig"), (b * rowsPerBand + r + 1).cast("int")).cast("string")), ":")))
           .as(Seq("band_idx", "band_key")))
-    val a = bands.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-      col("band_idx"), col("band_key"))
-    val b = bands.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-      col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key"))
+    // dedup candidates on bare ids, then re-join the shingle sets: a pair
+    // colliding in several bands would otherwise shuffle its full code
+    // arrays once per band through the distinct
+    val a = bands.select(col("doc_id").as("a_id"), col("band_idx"), col("band_key"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band_idx"), col("band_key"))
+    val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(d.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
         round(TextExprs.jaccardSorted(col("a_sh"), col("b_sh")) + lit(1e-9), 4))
       .filter(col("jaccard") >= threshold)

@@ -24,7 +24,12 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
     require(salt > 0)
-    val b = big.withColumn("__salt", pmod(hash(big.columns.map(col): _*), lit(salt)))
+    // the row hash alone would put IDENTICAL rows of a hot key into one
+    // sub-key (the duplicate-heavy case salting exists for); mixing in the
+    // per-row id spreads exact duplicates too. Salt only affects placement,
+    // never results, so the nondeterministic id is safe here.
+    val b = big.withColumn("__salt",
+      pmod(hash((big.columns.map(col) :+ monotonically_increasing_id()): _*), lit(salt)))
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ "__salt").drop("__salt")
   }

@@ -30,13 +30,16 @@ object TextCorpus {
     }
     val rootNorm = if (root.endsWith("/")) root else root + "/"
     val raw = perExt.reduce(_ unionAll _)
-      // input_file_name yields a URI (file:///...); normalize the scheme's
-      // slash count before stripping the root prefix
+      // input_file_name yields a percent-encoded URI (file:///a%20b/...);
+      // decode, normalize the scheme's slash count, then strip the root
       .withColumn("path", regexp_replace(
-        regexp_replace(col("abs_path"), "^file:/+", "/"),
+        regexp_replace(url_decode(col("abs_path")), "^file:/+", "/"),
         "^" + java.util.regex.Pattern.quote(rootNorm), ""))
+    // exclusion by exact path segment (like the reference's folder patterns),
+    // not substring — "redist/x" must survive excludedFolders = ["dist"]
+    val segs = split(col("path"), "/")
     val excluded = excludedFolders.foldLeft(raw) { (df, folder) =>
-      df.filter(!col("path").contains(s"$folder/"))
+      df.filter(!array_contains(segs, folder))
     }
     excluded
       .filter(length(col("content")) > 0)
@@ -48,11 +51,13 @@ object TextCorpus {
 
   /** Adapt a file corpus to the `documents` schema so every graft operator
     * (chunking, dedup, embedding, search) runs on real directories unchanged.
+    * doc_id is a 64-bit hash of the path — deterministic and fully
+    * distributed (a global row_number window would funnel every file's
+    * content through one task); collision odds are ~n²/2⁶⁵.
     */
   def asDocuments(corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     corpus.select(
-      row_number().over(Window.orderBy(col("path"))).cast("long").minus(1).as("doc_id"),
+      abs(xxhash64(col("path"))).as("doc_id"),
       col("content").as("text"),
       lit("und").as("lang"),
       regexp_extract(col("path"), "^([^/]*)", 1).as("source"),

@@ -19,9 +19,13 @@ class SourceSkewSpec extends SparkSpecBase {
     put("c.py", "not allowed extension")
     put("node_modules/d.txt", "excluded folder")
     put("empty.txt", "")
-    val corpus = TextCorpus.read(spark, root.toString).cache()
+    put("redist/keep.txt", "folder name merely CONTAINS an excluded name")
+    put("my dir/space.txt", "directory with a space (URI percent-encoding)")
+    val corpus = TextCorpus.read(spark, root.toString,
+      excludedFolders = Seq("node_modules", "dist")).cache()
     val paths = corpus.select("path").collect().map(_.getString(0)).sorted
-    assert(paths.sameElements(Array("a.txt", "docs/b.md")))
+    assert(paths.sameElements(Array("a.txt", "docs/b.md", "my dir/space.txt", "redist/keep.txt")),
+      paths.mkString(","))
     val a = corpus.filter(col("path") === "a.txt").head()
     assert(a.getAs[Long]("size") == 26 && a.getAs[Long]("line_count") == 2)
     corpus.unpersist()
