@@ -120,10 +120,12 @@ class Graft(spark: SparkSession, sfDir: String,
 
   /** Hybrid lexical+dense search (BM25 ⊕ embedding cosine via reciprocal
     * rank fusion) — the reference's planned hybrid mode
-    * (reference: README.md:32).
+    * (reference: README.md:32). Serves from the cached chunk index, so
+    * results are chunk-granular like `ragQuery` and no corpus re-scan
+    * happens per call.
     */
   def ragQueryHybrid(query: String, topK: Int = 10): DataFrame =
-    operators.Bm25.ragHybrid(spark, sfDir, query, topK, dim)
+    operators.Bm25.ragHybridOver(servingIndex, query, topK, dim)
 
   /** Token-range read of one document (1-based inclusive, like the
     * reference's line ranges). Driver-side scalar — it's a point lookup.

@@ -31,6 +31,35 @@ object Bm25 {
   val RrfC = 60
   val DefaultQuery = "hash join table scan data"
 
+  /** BM25 scores over any (keyCols..., textCol) frame — used doc-level for
+    * the oracle query and chunk-level by the facade's serving path.
+    */
+  def bm25ScoresOver(units: DataFrame, keyCols: Seq[String], textCol: String,
+                     query: String): DataFrame = {
+    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val key = keyCols.map(col)
+    val docs = units
+      .select(key :+ Text.tokens(col(textCol)).as("toks"): _*)
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(key ++ Seq(col("dl"), explode(col("toks")).as("term")): _*)
+      .filter(col("term").isin(terms.map(lit): _*))
+      .groupBy(key ++ Seq(col("dl"), col("term")): _*)
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(key: _*)
+      .agg(sum(col("w")).as("bm25"))
+  }
+
   /** BM25 scores for the documents matching ≥1 query term. */
   def bm25Scores(spark: SparkSession, sfDir: String,
                  query: String = DefaultQuery): DataFrame = {
@@ -66,6 +95,42 @@ object Bm25 {
       .select(col("doc_id"), round(col("bm25") + lit(1e-9), 4).as("bm25"),
         substring(col("text"), 1, 80).as("snippet"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Hybrid retrieval over a prebuilt chunk index `(doc_id, chunk_idx,
+    * chunk_text, emb)` — the facade's serving path: BM25 and cosine both
+    * read the cached index, no corpus re-scan, chunk-granular results that
+    * line up with `ragQuery`.
+    */
+  def ragHybridOver(index: DataFrame, query: String,
+                    topK: Int = 10, dim: Int = 64, candDepth: Int = 200): DataFrame = {
+    val qv = HashEmbedAlg.embed(query, dim)
+    val qvCol = array(qv.map(lit): _*)
+    val keys = Seq("doc_id", "chunk_idx")
+    // candidate-pool fusion: each signal contributes its distributed top-N
+    // (orderBy.limit = TakeOrderedAndProject, per-partition partial top-k);
+    // a global row_number over the whole corpus would single-partition the
+    // index. Ranks below candDepth contribute 0 — standard RRF-over-pools.
+    val cosTop = index
+      .select(col("doc_id"), col("chunk_idx"),
+        round(VecExprs.cosineSim(col("emb"), qvCol) + lit(1e-9), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(candDepth)
+      .withColumn("cos_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
+    val bmTop = bm25ScoresOver(index, keys, "chunk_text", query)
+      .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
+      .orderBy(col("bm25").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(candDepth)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
+    cosTop.join(bmTop, keys, "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("bm25_rank") + RrfC), lit(0.0)) +
+          coalesce(lit(1.0) / (col("cos_rank") + RrfC), lit(0.0)) + lit(1e-12), 6))
+      .select(col("doc_id"), col("chunk_idx"), col("rrf"), col("bm25_rank"), col("cos_rank"))
+      .orderBy(col("rrf").desc, col("doc_id").asc, col("chunk_idx").asc)
       .limit(topK)
   }
 
