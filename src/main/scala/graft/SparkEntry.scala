@@ -344,12 +344,14 @@ object SparkEntry {
         |h AS (SELECT doc_id,
         |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS en_hits,
         |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','los','es'], t))) AS BIGINT) AS es_hits,
-        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS de_hits
+        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS de_hits,
+        |  CAST(len(list_filter(toks, t -> list_contains(['le','les','des','et','est'], t))) AS BIGINT) AS fr_hits
         |  FROM t)
-        |SELECT doc_id, en_hits, es_hits, de_hits,
-        |       CASE WHEN en_hits > es_hits AND en_hits > de_hits THEN 'en'
-        |            WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
-        |            WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+        |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+        |       CASE WHEN en_hits > es_hits AND en_hits > de_hits AND en_hits > fr_hits THEN 'en'
+        |            WHEN es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es'
+        |            WHEN de_hits > en_hits AND de_hits > es_hits AND de_hits > fr_hits THEN 'de'
+        |            WHEN fr_hits > en_hits AND fr_hits > es_hits AND fr_hits > de_hits THEN 'fr'
         |            ELSE 'und' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
     "quality_score" ->

@@ -18,7 +18,10 @@ object TextAnalysis {
   val Markers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "es" -> Seq("el", "la", "de", "los", "es"),
-    "de" -> Seq("der", "die", "das", "und", "ist"))
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    // zh has no whitespace-token markers in an ASCII corpus; a real deploy
+    // would add a CJK-codepoint-ratio feature for it
+    "fr" -> Seq("le", "les", "des", "et", "est"))
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
@@ -29,13 +32,19 @@ object TextAnalysis {
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val en = hits(toks, Markers("en")); val es = hits(toks, Markers("es"))
-    val de = hits(toks, Markers("de"))
+    val de = hits(toks, Markers("de")); val fr = hits(toks, Markers("fr"))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"))
+      .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"),
+        de.as("de_hits"), fr.as("fr_hits"))
       .withColumn("pred_lang",
-        when(col("en_hits") > col("es_hits") && col("en_hits") > col("de_hits"), "en")
-          .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits"), "es")
-          .when(col("de_hits") > col("en_hits") && col("de_hits") > col("es_hits"), "de")
+        when(col("en_hits") > col("es_hits") && col("en_hits") > col("de_hits") &&
+          col("en_hits") > col("fr_hits"), "en")
+          .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits") &&
+            col("es_hits") > col("fr_hits"), "es")
+          .when(col("de_hits") > col("en_hits") && col("de_hits") > col("es_hits") &&
+            col("de_hits") > col("fr_hits"), "de")
+          .when(col("fr_hits") > col("en_hits") && col("fr_hits") > col("es_hits") &&
+            col("fr_hits") > col("de_hits"), "fr")
           .otherwise("und"))
       .orderBy("doc_id")
   }

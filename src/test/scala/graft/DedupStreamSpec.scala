@@ -49,6 +49,18 @@ class DedupStreamSpec extends SparkSpecBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming dedup emits one row per content hash") {
+    val out = graft.streaming.DedupStream.runToCompletion(spark, sf, "dedup_stream_spec").cache()
+    assert(out.count() > 0)
+    assert(out.groupBy("content_hash").count().filter(col("count") > 1).count() == 0)
+    // no more rows than distinct payloads in the batch view
+    val batchDistinct = Tables.events(spark, sf)
+      .select(md5(concat_ws("|", col("user_id"), col("event_type"), col("value"), col("props"))))
+      .distinct().count()
+    assert(out.count() <= batchDistinct)
+    out.unpersist()
+  }
+
   test("streaming index build produces the same chunks+embeddings as batch") {
     val out = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString + "/idx"
     val streamed = graft.streaming.IndexStream.runToParquet(spark, sf, out)

@@ -8,7 +8,7 @@ class TextCatalogSpec extends SparkSpecBase {
   test("lang_id covers all docs with a valid prediction") {
     val df = TextAnalysis.langId(spark, sf).cache()
     assert(df.count() == Tables.documents(spark, sf).count())
-    assert(df.filter(!col("pred_lang").isin("en", "es", "de", "und")).count() == 0)
+    assert(df.filter(!col("pred_lang").isin("en", "es", "de", "fr", "und")).count() == 0)
     df.unpersist()
   }
 
