@@ -38,7 +38,7 @@ object AnnIvf {
   /** Lloyd's iterations over the embeddings table; returns the centroid
     * matrix. Deterministic: seeded from the first k vectors by vec_id.
     */
-  def train(spark: SparkSession, sfDir: String, k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
+  def train(spark: SparkSession, sfDir: String, k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
     VecExprs.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
