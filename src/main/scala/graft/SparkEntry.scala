@@ -28,6 +28,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.dedupMinhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(s, dir)),
+    // B6 is iterative (connected components) — not SQL-replicable, so
+    // rows-only; DedupStreamSpec verifies the component invariants.
+    "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
     // C. similarity search
     "ann_topk_batch" -> ((s, dir) => RagSearch.annTopKBatch(s, dir)),
     "ann_lsh" -> ((s, dir) => RagSearch.annLsh(s, dir)),

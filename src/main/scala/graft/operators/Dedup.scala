@@ -140,6 +140,48 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** B6: near-dup cluster resolution — connected components over the
+    * verified near-dup pair graph (here: B3's minhash pairs), survivor =
+    * the minimum doc_id of each component. Iterative min-label propagation
+    * to fixpoint; each round is one co-partitioned join + aggregate, and
+    * lineage is cut per round (localCheckpoint) so plans stay flat. At
+    * 100 TB the same loop runs with the large-star/small-star optimization;
+    * components here are tiny so plain propagation converges in
+    * O(diameter) ≈ 2-3 rounds. Rows-only (iterative — not SQL-replicable);
+    * invariants spec-verified.
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String,
+                      maxIters: Int = 20): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, sfDir).select(col("a_id"), col("b_id")).cache()
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    // undirected edge list, both directions
+    val edges = pairs.unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // candidate label per node: min of own label and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    pairs.unpersist(); edges.unpersist()
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** 2^(t*blockBits) as a Column for a lambda-bound t. */
   private def shiftLit(t: org.apache.spark.sql.Column, blockBits: Int) =
     pow(lit(2.0), t.cast("double") * blockBits).cast("long")

@@ -49,6 +49,28 @@ class DedupStreamSpec extends SparkSpecBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("near-dup clusters: pairs share a label, labels are component minima") {
+    val labels = Dedup.nearDupClusters(spark, sf).cache()
+    val lab = labels.select(col("doc_id"), col("cluster_id"))
+    // every verified near-dup pair ends up in the same cluster
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).select("a_id", "b_id")
+    val split = pairs
+      .join(lab.toDF("a_id", "ca"), "a_id")
+      .join(lab.toDF("b_id", "cb"), "b_id")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split == 0)
+    // a label never exceeds its member and is itself a cluster root
+    assert(labels.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    val roots = lab.toDF("root_id", "root_label")
+    val badRoot = lab.join(roots, col("cluster_id") === col("root_id"))
+      .filter(col("root_label") =!= col("cluster_id")).count()
+    assert(badRoot == 0)
+    // survivors = distinct clusters
+    assert(labels.filter(col("is_survivor")).count() ==
+      lab.select("cluster_id").distinct().count())
+    labels.unpersist()
+  }
+
   test("streaming dedup emits one row per content hash") {
     val out = graft.streaming.DedupStream.runToCompletion(spark, sf, "dedup_stream_spec").cache()
     assert(out.count() > 0)
