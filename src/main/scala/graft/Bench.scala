@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — driver contract: one JSON line with per-query seconds.
   *
-  * Methodology: a warmup pass first touches every input table and runs one
-  * tiny query so session init / codegen / JIT / FS cache don't land on
-  * whichever query happens to run first; then each query is timed once,
-  * in sorted name order for stable attribution.
+  * Methodology: a warmup pass first touches every input table, then each
+  * query runs once untimed (codegen compile + JIT + FS cache) and once
+  * timed, in sorted name order — so the reported number is steady-state
+  * per-query latency, not whichever query happened to pay session warmup.
+  * Set SPARK_GRAFT_BENCH_COLD=1 to skip the per-query warmup run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,9 +27,10 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q1_pricing")(spark, sfDir).count() catch { case _: Throwable => () }
-
+    val coldOnly = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (!coldOnly)
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -185,11 +185,21 @@ object IndexStore {
     val out = fs.create(new org.apache.hadoop.fs.Path(staging, MetaFile), true)
     out.write(metaJson(meta).getBytes("UTF-8"))
     out.close()
-    if (fs.exists(finalPath) && !fs.delete(finalPath, true))
-      throw new java.io.IOException(s"IndexStore.save: could not delete old store at $finalPath")
-    if (!fs.rename(staging, finalPath))
+    // Swap via backup-rename so a crash at any point leaves a loadable
+    // store: old → .backup, staging → live, then drop the backup. (Deleting
+    // the live store before the rename would strand the new data in
+    // .staging, which load() never looks at.)
+    val backup = new org.apache.hadoop.fs.Path(path + ".backup")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    val hadOld = fs.exists(finalPath)
+    if (hadOld && !fs.rename(finalPath, backup))
+      throw new java.io.IOException(s"IndexStore.save: could not move old store aside at $finalPath")
+    if (!fs.rename(staging, finalPath)) {
+      if (hadOld) fs.rename(backup, finalPath) // restore the old store
       throw new java.io.IOException(
-        s"IndexStore.save: rename $staging -> $finalPath failed (index left in staging)")
+        s"IndexStore.save: rename $staging -> $finalPath failed (old store restored)")
+    }
+    if (hadOld) fs.delete(backup, true)
   }
 
   /** Load iff the stored metadata matches the requested parameters — the

@@ -112,19 +112,22 @@ object Bm25 {
     // (orderBy.limit = TakeOrderedAndProject, per-partition partial top-k);
     // a global row_number over the whole corpus would single-partition the
     // index. Ranks below candDepth contribute 0 — standard RRF-over-pools.
+    // pools are ≤ candDepth rows by construction — ranking them on a
+    // constant partition key is intended, not the corpus-wide window cliff
+    val wPool = Window.partitionBy(lit(0))
     val cosTop = index
       .select(col("doc_id"), col("chunk_idx"),
         round(VecExprs.cosineSim(col("emb"), qvCol) + lit(1e-9), 4).as("cos"))
       .orderBy(col("cos").desc, col("doc_id").asc, col("chunk_idx").asc)
       .limit(candDepth)
       .withColumn("cos_rank", row_number().over(
-        Window.orderBy(col("cos").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
+        wPool.orderBy(col("cos").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
     val bmTop = bm25ScoresOver(index, keys, "chunk_text", query)
       .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
       .orderBy(col("bm25").desc, col("doc_id").asc, col("chunk_idx").asc)
       .limit(candDepth)
       .withColumn("bm25_rank", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
+        wPool.orderBy(col("bm25").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
     cosTop.join(bmTop, keys, "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (col("bm25_rank") + RrfC), lit(0.0)) +
@@ -146,16 +149,18 @@ object Bm25 {
     // at the last bit, so raw-double ordering could disagree with the oracle;
     // 4dp-rounded scores are stable in both engines (same trick as the ANN
     // queries), with doc_id as the total-order tiebreak
-    val cosRanked = Tables.documents(spark, sfDir)
+    // full-corpus ranking WITHOUT an unpartitioned window: Ranks.globalRankDesc
+    // decomposes the global row_number into a distinct-score prefix sum plus a
+    // per-score tiebreak window (row-for-row equal to the oracle's single
+    // row_number — see Ranks scaladoc)
+    val cosScored = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         round(VecExprs.cosineSim(VecExprs.hashEmbed(col("text"), dim), qvCol) + lit(1e-9), 4)
           .as("cos"))
-      .withColumn("cos_rank", row_number().over(
-        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
-    val bmRanked = bm25Scores(spark, sfDir, query)
+    val cosRanked = Ranks.globalRankDesc(cosScored, "cos", Seq("doc_id"), "cos_rank")
+    val bmScored = bm25Scores(spark, sfDir, query)
       .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
-      .withColumn("bm25_rank", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+    val bmRanked = Ranks.globalRankDesc(bmScored, "bm25", Seq("doc_id"), "bm25_rank")
     cosRanked.join(bmRanked, Seq("doc_id"), "left_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (col("bm25_rank") + RrfC), lit(0.0)) +

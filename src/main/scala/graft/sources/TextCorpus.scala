@@ -30,10 +30,14 @@ object TextCorpus {
     }
     val rootNorm = if (root.endsWith("/")) root else root + "/"
     val raw = perExt.reduce(_ unionAll _)
-      // input_file_name yields a percent-encoded URI (file:///a%20b/...);
-      // decode, normalize the scheme's slash count, then strip the root
+      // input_file_name yields a percent-encoded URI (file:///a%20b/...).
+      // url_decode has form-encoding semantics ('+' → space), but in a URI
+      // path a literal '+' is unencoded — protect it as %2B first so a file
+      // named "a+b.md" keeps its name (and its path-derived doc_id).
       .withColumn("path", regexp_replace(
-        regexp_replace(url_decode(col("abs_path")), "^file:/+", "/"),
+        regexp_replace(
+          url_decode(regexp_replace(col("abs_path"), "\\+", "%2B")),
+          "^file:/+", "/"),
         "^" + java.util.regex.Pattern.quote(rootNorm), ""))
     // exclusion by exact path segment (like the reference's folder patterns),
     // not substring — "redist/x" must survive excludedFolders = ["dist"]

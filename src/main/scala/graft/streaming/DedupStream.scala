@@ -18,9 +18,11 @@ object DedupStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // duplicate key: the payload identity (same user+type+value+props)
+      // duplicate key: the payload identity (same user+type+value+props).
+      // Hash a struct, not a delimiter-joined string: concat_ws skips NULL
+      // fields, so (1,NULL,'x') and (1,'x',NULL) would collide.
       .withColumn("content_hash",
-        md5(concat_ws("|", col("user_id"), col("event_type"), col("value"), col("props"))))
+        md5(to_json(struct(col("user_id"), col("event_type"), col("value"), col("props")))))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
   }

@@ -77,8 +77,17 @@ object SessionStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      // The fold assumes per-key in-order arrival ACROSS batches; that holds
+      // trivially when all input arrived in one micro-batch (the sort inside
+      // foldGroup then covers total order). Assert it so the spec's
+      // batch-equality guarantee stays honest if the source ever splits.
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"SessionStream.runToCompletion saw $dataBatches data micro-batches; " +
+          "cross-batch ordering is not guaranteed — results may diverge from the batch twin")
+    } finally q.stop()
     // collapse re-emissions: keep the final (largest n_events) row per key
     spark.table(queryName)
       .groupBy(col("user_id"), col("session_id"))

@@ -28,7 +28,7 @@ oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{OUT}/{name}"
-    files = glob.glob(f"{spark_dir}/*.parquet")
+    files = sorted(glob.glob(f"{spark_dir}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     try:
