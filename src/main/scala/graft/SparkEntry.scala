@@ -65,6 +65,13 @@ object SparkEntry {
     // the driver records the weaker rows-only check; AnalyticsSpec bounds
     // the sketch error against the exact E8 values.
     "q_approx_stats" -> ((s, dir) => Analytics.approxStats(s, dir)),
+    "q_range_join" -> ((s, dir) => Analytics.rangeJoin(s, dir)),
+    // F. training-data pipeline (curation passes)
+    "text_normalize" -> ((s, dir) => Pipeline.textNormalize(s, dir)),
+    "pii_redact" -> ((s, dir) => Pipeline.piiRedact(s, dir)),
+    "quality_repetition" -> ((s, dir) => Pipeline.qualityRepetition(s, dir)),
+    "sample_stratified" -> ((s, dir) => Pipeline.sampleStratified(s, dir)),
+    "contamination_check" -> ((s, dir) => Pipeline.contaminationCheck(s, dir)),
   )
 
   /** DuckDB cosine over list columns, double precision, reference epsilon. */
@@ -440,6 +447,104 @@ object SparkEntry {
       """SELECT make_timestamp(CAST(floor(epoch_us(ts)/300000000)*300000000 AS BIGINT)) AS window_start,
         |       event_type, count(*) AS n_events, round(sum(value)+1e-9, 2) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id,
+        |       CAST(count(e.event_id) AS BIGINT) AS n_nearby,
+        |       CASE WHEN count(e.event_id) = 0 THEN 0.0
+        |            ELSE round(sum(e.value)+1e-9, 2) END AS sum_nearby_value
+        |FROM p LEFT JOIN events e
+        |  ON abs(epoch_us(e.ts) - epoch_us(p.p_ts)) <= 300000000
+        | AND e.event_id != p.purchase_id
+        |GROUP BY p.purchase_id ORDER BY purchase_id""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |              ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, n_chars_raw, norm_text,
+        |       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+        |       length(norm_text) != n_chars_raw AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@mail.example.com tel +1-555-'
+        |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |           || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |           || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS full_text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(full_text, '\+[0-9][0-9\-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |    CAST(len(regexp_extract_all(full_text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |    regexp_replace(regexp_replace(regexp_replace(full_text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |  FROM f)
+        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |       substring(redacted, CAST(greatest(length(redacted) - 59, 1) AS INT)) AS redacted_tail
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "quality_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |tc AS (SELECT doc_id, unnest(list_transform(toks, x ->
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(x, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |           (h, c) -> (h*31 + c) % 1000000007))) AS code
+        |       FROM t),
+        |tcc AS (SELECT doc_id, code, count(*) AS c FROM tc GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(max(c) AS BIGINT) AS top_token_n FROM tcc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks)-1, 0)), i ->
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '), ''),
+        |             ch -> CAST(ascii(ch) AS BIGINT))),
+        |           (h, c) -> (h*31 + c) % 1000000007))) AS code
+        |       FROM t),
+        |bgc AS (SELECT doc_id, code, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |              CAST(max(c) AS BIGINT) AS top_bigram_n FROM bgc GROUP BY doc_id),
+        |j AS (SELECT d.doc_id,
+        |        coalesce(ts.n_tokens, 0) AS n_tokens, coalesce(ts.top_token_n, 0) AS top_token_n,
+        |        coalesce(bs.n_bigrams, 0) AS n_bigrams, coalesce(bs.top_bigram_n, 0) AS top_bigram_n
+        |      FROM documents d LEFT JOIN ts ON ts.doc_id = d.doc_id
+        |                       LEFT JOIN bs ON bs.doc_id = d.doc_id),
+        |q AS (SELECT *,
+        |        round(CAST(top_token_n AS DOUBLE)/greatest(n_tokens, 1) + 1e-9, 4) AS top_token_frac,
+        |        round(CAST(top_bigram_n AS DOUBLE)/greatest(n_bigrams, 1) + 1e-9, 4) AS top_bigram_frac
+        |      FROM j)
+        |SELECT doc_id, n_tokens, top_token_n, n_bigrams, top_bigram_n,
+        |       top_token_frac, top_bigram_frac,
+        |       (top_token_frac > 0.30 OR top_bigram_frac > 0.20) AS repetitive
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, n_chars, (doc_id * 2654435761) % 1000 AS strat_key,
+        |       round(1000.0 / (CASE WHEN lang = 'en' THEN 500 ELSE 250 END) + 1e-9, 4) AS weight
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 < (CASE WHEN lang = 'en' THEN 500 ELSE 250 END)
+        |ORDER BY doc_id""".stripMargin,
+    "contamination_check" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(len(toks)-4, 0)),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(toks[CAST(i+1 AS INT):CAST(i+5 AS INT)], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h*31 + c) % 1000000007))) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |        FROM documents) t0),
+        |bench AS (SELECT DISTINCT unnest(sh) AS code FROM s WHERE doc_id % 17 = 3),
+        |tr AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, unnest(sh) AS code
+        |       FROM s WHERE doc_id % 17 != 3)
+        |SELECT tr.doc_id, tr.n_shingles, CAST(count(*) AS BIGINT) AS n_contaminated,
+        |       round(CAST(count(*) AS DOUBLE)/tr.n_shingles + 1e-9, 4) AS contamination_frac
+        |FROM tr JOIN bench ON bench.code = tr.code
+        |GROUP BY tr.doc_id, tr.n_shingles ORDER BY tr.doc_id""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value,

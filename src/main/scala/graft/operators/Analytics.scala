@@ -150,6 +150,46 @@ object Analytics {
       .orderBy("k_mod", "event_type")
   }
 
+  /** E11: interval (range) join — for each purchase, how many other events
+    * fell within ±5 minutes. A naive range join is a broadcast-nested-loop
+    * (O(n·m) compares); instead both sides are bucketed by
+    * floor(ts / width) and the probe side expands to its 3 adjacent buckets,
+    * so the range predicate becomes an equi-join on the bucket id plus a
+    * residual filter — the shuffle key is explicit and candidates are
+    * bounded by bucket occupancy. This is the standard scale shape for
+    * time-window joins (same trick Flink interval joins / Spark streaming
+    * stream-stream joins use internally).
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String,
+                widthUs: Long = 300000000L): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    // integer `div`, not `/`: long / long is DOUBLE division in Spark, and a
+    // 1-ulp misfloor at a bucket boundary could shift a candidate two buckets
+    // from its probe — `div` keeps the bucket id exact
+    val bucketOf = expr(s"us div $widthUs")
+    val others = e.select(col("event_id").as("other_id"), col("us").as("other_us"),
+      col("value").as("other_value"), bucketOf.as("bucket"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("us").as("p_us"),
+        explode(array((-1 to 1).map(d => bucketOf + d): _*)).as("bucket"))
+    val near = purchases.join(others, Seq("bucket"))
+      .filter(abs(col("other_us") - col("p_us")) <= widthUs &&
+        col("other_id") =!= col("purchase_id"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_nearby"),
+        round(sum(col("other_value")) + lit(1e-9), 2).as("sum_nearby_value"))
+    // keep zero-neighbor purchases: left join back onto the purchase set
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"))
+      .join(near, Seq("purchase_id"), "left_outer")
+      .select(col("purchase_id"),
+        coalesce(col("n_nearby"), lit(0L)).as("n_nearby"),
+        coalesce(col("sum_nearby_value"), lit(0.0)).as("sum_nearby_value"))
+      .orderBy("purchase_id")
+  }
+
   /** E5: gaps-and-islands sessionization — a new session starts when a user
     * is idle > 30 minutes. Two bounded windows over the same (user, ts)
     * partitioning (single shuffle, reused by both window specs).

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import graft.plans.TextExprs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's own surface
+  * (SURVEY §2 F) — the curation passes that run between raw crawl and
+  * training shards at 100 TB: normalization, PII scrubbing, repetition
+  * filtering (Gopher-style), deterministic stratified sampling, and
+  * benchmark-contamination checks. All oracle-checked.
+  */
+object Pipeline {
+
+  /** F1: text normalization — the canonical first pass of any curation
+    * pipeline: lowercase, strip non-alphanumerics, collapse whitespace.
+    * Pure per-row transform (no shuffle) — runs at scan speed at any scale.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        norm.as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .withColumn("changed", col("n_chars_norm") =!= col("n_chars_raw"))
+      .orderBy("doc_id")
+  }
+
+  /** F2: PII redaction — regex scrubbing of emails / phone numbers / IPv4
+    * addresses, with per-category counts for audit. The synthetic corpus
+    * carries no PII, so the operator runs over a deterministic PII-bearing
+    * construction (text + a contact line derived from doc_id) — the oracle
+    * builds the identical input, so the redaction itself is what's checked.
+    * Regexes are chosen to mean the same thing under Java regex (Spark) and
+    * RE2 (DuckDB). Per-row transform, no shuffle.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9\\-]{6,}[0-9]"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com tel +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), full.as("full_text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("full_text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("full_text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("full_text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("full_text"),
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>").as("redacted"))
+      // right-60 via an explicit start offset — negative-start substring
+      // edge semantics differ between engines on short strings
+      .withColumn("redacted_tail",
+        expr("substr(redacted, greatest(length(redacted) - 59, 1))"))
+      .drop("redacted")
+      .orderBy("doc_id")
+  }
+
+  /** F3: repetition-based quality signals (Gopher-rule style): the fraction
+    * of the document covered by its most frequent token and most frequent
+    * word bigram. High values mean boilerplate/degenerate text. One explode
+    * + aggregate keyed by doc_id — partial aggregation collapses the
+    * per-code counts map-side, so the shuffle carries (doc, code) partials,
+    * never raw token streams.
+    */
+  def qualityRepetition(spark: SparkSession, sfDir: String,
+                        topTokThresh: Double = 0.30,
+                        topBigramThresh: Double = 0.20): DataFrame = {
+    TextExprs.register(spark)
+    val d = Tables.documents(spark, sfDir)
+    def topFrac(codes: Column, outN: String, outTop: String): DataFrame =
+      d.select(col("doc_id"), explode(codes).as("code"))
+        .groupBy(col("doc_id"), col("code")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(outN), max(col("c")).as(outTop))
+    val tokStats = topFrac(TextExprs.tokenCodes(col("text"), 31), "n_tokens", "top_token_n")
+    val biStats = topFrac(TextExprs.shingleCodes(col("text"), 2), "n_bigrams", "top_bigram_n")
+    d.select(col("doc_id"))
+      .join(tokStats, Seq("doc_id"), "left_outer")
+      .join(biStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("top_token_n"), lit(0L)).as("top_token_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .withColumn("top_token_frac", round(
+        col("top_token_n").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double")
+          + lit(1e-9), 4))
+      .withColumn("top_bigram_frac", round(
+        col("top_bigram_n").cast("double") / greatest(col("n_bigrams"), lit(1L)).cast("double")
+          + lit(1e-9), 4))
+      .withColumn("repetitive",
+        col("top_token_frac") > topTokThresh || col("top_bigram_frac") > topBigramThresh)
+      .orderBy("doc_id")
+  }
+
+  /** F4: deterministic stratified sampling — per-language Bernoulli rates via
+    * a multiplicative hash of doc_id (Knuth 2654435761), so the sample is
+    * reproducible, join-free, and shuffle-free: a pure filter that any
+    * executor evaluates locally. `weight` = 1/rate is the inverse-probability
+    * reweight downstream estimators need.
+    */
+  val SampleRates: Map[String, Int] = // per-mille keep thresholds
+    Map("en" -> 500).withDefaultValue(250)
+
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val mix = (col("doc_id") * 2654435761L) % 1000
+    val thresh = when(col("lang") === "en", lit(SampleRates("en")))
+      .otherwise(lit(SampleRates.default("")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), mix.as("strat_key"))
+      .filter(col("strat_key") < thresh)
+      .withColumn("weight", round(lit(1000.0) / thresh.cast("double") + lit(1e-9), 4))
+      .orderBy("doc_id")
+  }
+
+  /** F5: benchmark-contamination check — for every training document, the
+    * fraction of its distinct word 5-grams that also appear in a held-out
+    * benchmark set (here: doc_id ≡ 3 mod 17 plays the benchmark). The
+    * benchmark shingle set is tiny relative to the corpus and is broadcast;
+    * the training side streams through it at scan speed — the decontamination
+    * shape that works when the corpus is 100 TB but the benchmarks are MBs.
+    */
+  def contaminationCheck(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    TextExprs.register(spark)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(TextExprs.shingleCodes(col("text"), k)).as("sh"))
+    val benchCodes = d.filter(col("doc_id") % 17 === 3)
+      .select(explode(col("sh")).as("code")).distinct()
+    val train = d.filter(col("doc_id") % 17 =!= 3)
+    train.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("code"))
+      .join(broadcast(benchCodes), "code")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated")) // codes are distinct per doc
+      .withColumn("contamination_frac", round(
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double") + lit(1e-9), 4))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"), col("contamination_frac"))
+      .orderBy("doc_id")
+  }
+}

@@ -46,6 +46,7 @@ object Ranks {
     val wPeers = Window.partitionBy(col(score)).orderBy(tie.map(col(_).asc): _*)
     df.join(broadcast(ahead), score)
       .withColumn(rankName, (col("__ahead") + row_number().over(wPeers)).cast("long"))
-      .drop("__ahead")
+      // restore the input's column order (join fronts the key column)
+      .select((df.columns :+ rankName).map(col): _*)
   }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Analytics, Pipeline, Ranks}
+import org.apache.spark.sql.functions._
+
+/** Semantic tests for the round-2 curation operators (SURVEY §2 F) and the
+  * distributed global-rank decomposition.
+  */
+class PipelineSpec extends SparkSpecBase {
+
+  test("text_normalize: normalized text is clean and idempotent") {
+    val n = Pipeline.textNormalize(spark, sf).cache()
+    assert(n.count() == Tables.documents(spark, sf).count())
+    // no disallowed chars, no double spaces, no edge spaces
+    assert(n.filter(col("norm_text").rlike("[^a-z0-9 ]")).count() == 0)
+    assert(n.filter(col("norm_text").contains("  ")).count() == 0)
+    assert(n.filter(col("norm_text") =!= trim(col("norm_text"))).count() == 0)
+    n.unpersist()
+  }
+
+  test("pii_redact: every synthetic contact is found and scrubbed") {
+    val r = Pipeline.piiRedact(spark, sf).cache()
+    // the construction plants exactly one of each PII kind per doc
+    assert(r.filter(col("n_emails") < 1 || col("n_phones") < 1 || col("n_ips") < 1).count() == 0)
+    // nothing PII-shaped survives in the redacted tail (which holds the
+    // contact line); placeholders do appear
+    assert(r.filter(col("redacted_tail").rlike(Pipeline.EmailRe)).count() == 0)
+    assert(r.filter(col("redacted_tail").contains("<EMAIL>")).count() > 0)
+    assert(r.filter(col("redacted_tail").contains("<PHONE>")).count() > 0)
+    assert(r.filter(col("redacted_tail").contains("<IP>")).count() > 0)
+    r.unpersist()
+  }
+
+  test("quality_repetition: fractions bounded, counts consistent") {
+    val q = Pipeline.qualityRepetition(spark, sf).cache()
+    assert(q.filter(col("top_token_frac") > 1.0 || col("top_bigram_frac") > 1.0).count() == 0)
+    assert(q.filter(col("top_token_n") > col("n_tokens")).count() == 0)
+    // bigrams = tokens - 1 for every doc with ≥2 tokens
+    assert(q.filter(col("n_tokens") >= 2 && col("n_bigrams") =!= col("n_tokens") - 1).count() == 0)
+    q.unpersist()
+  }
+
+  test("sample_stratified: deterministic, rates near targets, weights right") {
+    val d = Tables.documents(spark, sf)
+    val s = Pipeline.sampleStratified(spark, sf).cache()
+    // deterministic: same result twice
+    assert(s.exceptAll(Pipeline.sampleStratified(spark, sf)).count() == 0)
+    // en keeps ~50%, others ~25% (loose bounds — small strata at sf0.001)
+    val rates = s.groupBy("lang").count()
+      .join(d.groupBy("lang").count().withColumnRenamed("count", "total"), "lang")
+      .withColumn("rate", col("count").cast("double") / col("total"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("rate")).toMap
+    assert(math.abs(rates("en") - 0.5) < 0.15)
+    rates.filterNot(_._1 == "en").foreach { case (_, r) => assert(math.abs(r - 0.25) < 0.2) }
+    // weight = 1/rate per stratum
+    assert(s.filter(col("lang") === "en" && col("weight") =!= 2.0).count() == 0)
+    assert(s.filter(col("lang") =!= "en" && col("weight") =!= 4.0).count() == 0)
+    s.unpersist()
+  }
+
+  test("contamination_check: benchmark docs excluded, fracs bounded") {
+    val c = Pipeline.contaminationCheck(spark, sf).cache()
+    assert(c.filter(col("doc_id") % 17 === 3).count() == 0)
+    assert(c.filter(col("contamination_frac") > 1.0 || col("n_contaminated") > col("n_shingles")).count() == 0)
+    c.unpersist()
+  }
+
+  test("range_join: bucketed interval join equals the naive range predicate") {
+    val got = Analytics.rangeJoin(spark, sf)
+    val e = Tables.events(spark, sf).select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val naive = p.join(e,
+        abs(unix_micros(col("ts")) - unix_micros(col("p_ts"))) <= 300000000L &&
+          col("event_id") =!= col("purchase_id"), "left_outer")
+      .groupBy("purchase_id")
+      .agg(count(col("event_id")).as("n_nearby"),
+        coalesce(round(sum(col("value")) + lit(1e-9), 2), lit(0.0)).as("sum_nearby_value"))
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
+  }
+
+  test("globalRankDesc equals the single-window row_number rank") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, sf)
+      .select(col("doc_id"), round((col("doc_id") % 7).cast("double") / 7, 4).as("s"))
+    val viaRanks = Ranks.globalRankDesc(scored, "s", Seq("doc_id"), "r")
+    val viaWindow = scored.withColumn("r",
+      row_number().over(Window.orderBy(col("s").desc, col("doc_id").asc)).cast("long"))
+    assert(viaRanks.exceptAll(viaWindow).count() == 0 &&
+      viaWindow.exceptAll(viaRanks).count() == 0)
+  }
+}
