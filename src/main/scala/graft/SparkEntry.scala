@@ -50,6 +50,7 @@ object SparkEntry {
     // D. text analysis
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "tfidf_terms" -> ((s, dir) => TextAnalysis.tfidfTerms(s, dir)),
     "token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     // E. analytics
@@ -522,6 +523,19 @@ object SparkEntry {
         |       top_token_frac, top_bigram_frac,
         |       (top_token_frac > 0.30 OR top_bigram_frac > 0.20) AS repetitive
         |FROM q ORDER BY doc_id""".stripMargin,
+    "tfidf_terms" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS term
+        |           FROM documents),
+        |tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |sc AS (SELECT lang, term, tf.tf, df.df,
+        |         round(tf.tf * ln(n.n_docs / df.df) + 1e-9, 4) AS score
+        |       FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn FROM sc)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, term, tf, df, score
+        |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, n_chars, (doc_id * 2654435761) % 1000 AS strat_key,
         |       round(1000.0 / (CASE WHEN lang = 'en' THEN 500 ELSE 250 END) + 1e-9, 4) AS weight

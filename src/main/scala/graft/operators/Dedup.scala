@@ -157,26 +157,35 @@ object Dedup {
     // undirected edge list, both directions
     val edges = pairs.unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    // Iterate only over nodes that have at least one edge — isolated docs
+    // are their own (already-converged) singleton component and rejoin at
+    // the end. Near-dup graphs are sparse, so this shrinks every iteration's
+    // frames from |V| to |V_with_edges|.
+    val edgeNodes = edges.select(col("src").as("doc_id")).distinct()
+    var labels = edgeNodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // candidate label per node: min of own label and neighbors' labels
+      // candidate label per node: min of own label and neighbors' labels.
+      // Carry the previous label through so convergence is a filter on the
+      // checkpointed frame, not a second join per iteration.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("doc_id"), col("label"))
       i += 1
     }
     pairs.unpersist(); edges.unpersist()
-    labels
+    val isolated = docs.join(edgeNodes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    labels.unionAll(isolated)
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_survivor"))
       .orderBy("doc_id")

@@ -98,6 +98,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** D5: corpus-characterizing terms — per-language top-k tokens by tf·idf
+    * (idf over documents). tf and df are hash aggregates with map-side
+    * partials; the corpus size rides a broadcast 1-row frame; ranking is a
+    * window PARTITIONED by lang, so every step distributes at 100 TB (the
+    * per-lang rank shuffle is keyed by language — salt hot languages if one
+    * dominates).
+    */
+  def tfidfTerms(spark: SparkSession, sfDir: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+    val toks = d.select(col("doc_id"), col("lang"),
+      explode(Text.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")) + lit(1e-9), 4))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("lang"), col("rn"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("lang", "rn")
+  }
+
   /** A4: read_file line-range analog (reference: src/index.ts:307-312) — the
     * synthetic docs are single-line, so the 1-based inclusive range is over
     * tokens instead of lines: tokens [11, 30].

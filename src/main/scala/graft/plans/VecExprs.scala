@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -113,18 +112,43 @@ object VecExprs {
     }
   }
 
+  /** Static evaluators for generated code (Scala object = static forwarders). */
+  def hashEmbedEval(input: UTF8String, dim: Int): ArrayData =
+    new GenericArrayData(HashEmbedAlg.embed(input.toString, dim))
+
+  def lshBucketEval(arr: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val n = arr.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val w = ((j.toLong * 2654435761L + d.toLong * 40503L) % 9973L - 4986L).toDouble
+        val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        dot += w * x
+        d += 1
+      }
+      if (dot >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** Deterministic feature-hash embedder: whitespace tokens → polynomial
     * char hash `h = (h*31 + codepoint) mod 1e9+7` → bucket `h mod dim` with
     * sign from `(h div dim) mod 2` → L2-normalized dense vector. The exact
     * recurrence is reproducible in ANSI SQL, making the embedding pipeline
     * oracle-checkable end to end (unlike the reference's opaque model).
     */
-  case class HashEmbed(child: Expression, dim: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
     override def nullSafeEval(input: Any): Any =
-      new GenericArrayData(HashEmbedAlg.embed(input.asInstanceOf[UTF8String].toString, dim))
+      hashEmbedEval(input.asInstanceOf[UTF8String], dim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.VecExprs.hashEmbedEval($c, $dim)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -134,29 +158,14 @@ object VecExprs {
     * family as `Vec.lshBucket` / the DuckDB oracle, in one JVM loop:
     * plane j weight at dim d = ((j·2654435761 + d·40503) mod 9973) − 4986.
     */
-  case class LshBucket(child: Expression, planes: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class LshBucket(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-      val n = arr.numElements()
-      var bucket = 0L
-      var j = 0
-      while (j < planes) {
-        var dot = 0.0
-        var d = 0
-        while (d < n) {
-          val w = ((j.toLong * 2654435761L + d.toLong * 40503L) % 9973L - 4986L).toDouble
-          val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
-          dot += w * x
-          d += 1
-        }
-        if (dot >= 0) bucket |= (1L << j)
-        j += 1
-      }
-      java.lang.Long.valueOf(bucket)
-    }
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(lshBucketEval(input.asInstanceOf[ArrayData], planes, isFloat))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.VecExprs.lshBucketEval($c, $planes, $isFloat)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

@@ -79,6 +79,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
   }
 
+  test("tfidf_terms: 5 ranked terms per language, df consistent with corpus") {
+    import graft.operators.TextAnalysis
+    val t = TextAnalysis.tfidfTerms(spark, sf).cache()
+    val perLang = t.groupBy("lang").count().collect()
+    assert(perLang.nonEmpty && perLang.forall(_.getLong(1) <= 5))
+    // df can never exceed the corpus size; tf never exceeds lang token count
+    val n = Tables.documents(spark, sf).count()
+    assert(t.filter(col("df") > n || col("df") < 1).count() == 0)
+    assert(t.filter(col("score") < 0).count() == 0)
+    t.unpersist()
+  }
+
   test("globalRankDesc equals the single-window row_number rank") {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, sf)
