@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming curation ingest — the continuous twin of the §2 F batch passes
+  * (the "watch mode" shape for a training-data pipeline: new corpus files
+  * land, each document is normalized / scrubbed / scored on arrival).
+  *
+  * Every transform here is stateless (pure projection), so the stream needs
+  * no watermark or state store: Structured Streaming runs the same narrow
+  * plan per micro-batch that the batch twin runs per partition — the spec
+  * asserts literal equality of the two results.
+  */
+object CurationStream {
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The shared per-document curation projection (normalize + PII counts on
+    * the raw text + token stats) — applied identically to the stream and to
+    * the batch twin so equality is by construction testable.
+    */
+  def curate(docs: DataFrame): DataFrame = {
+    import graft.operators.Pipeline.{EmailRe, Ipv4Re, PhoneRe}
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(
+      col("doc_id"), col("lang"),
+      norm.as("norm_text"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+  }
+
+  def curated(spark: SparkSession, sfDir: String): DataFrame =
+    curate(spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir))
+
+  def runToCompletion(spark: SparkSession, sfDir: String,
+                      queryName: String = "curation_stream"): DataFrame = {
+    val q = curated(spark, sfDir)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -91,6 +91,14 @@ class PipelineSpec extends SparkSpecBase {
     t.unpersist()
   }
 
+  test("streaming curation ingest equals the batch curation projection") {
+    import graft.streaming.CurationStream
+    val streamed = CurationStream.runToCompletion(spark, sf)
+    val batch = CurationStream.curate(Tables.documents(spark, sf))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("globalRankDesc equals the single-window row_number rank") {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, sf)
