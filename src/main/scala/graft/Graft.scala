@@ -146,6 +146,25 @@ class Graft(spark: SparkSession, sfDir: String,
   def listFiles(limit: Int = 500): DataFrame =
     operators.Catalog.corpusCatalog(spark, sfDir, limit)
 
+  /** Per-document curation report (normalized text, PII counts, token
+    * stats) — the §2 F passes as one stateless projection, same code the
+    * streaming ingest twin runs on arrival.
+    */
+  def curate(): DataFrame =
+    streaming.CurationStream.curate(Tables.documents(spark, sfDir))
+
+  /** Verified near-duplicate pairs over the corpus (MinHash-LSH blocked,
+    * exact-Jaccard checked).
+    */
+  def findNearDuplicates(threshold: Double = 0.4): DataFrame =
+    operators.Dedup.dedupMinhashLsh(spark, sfDir, threshold = threshold)
+
+  /** Near-duplicate clusters with survivors (connected components over the
+    * verified pair graph; survivor = component minimum).
+    */
+  def dedupClusters(): DataFrame =
+    operators.Dedup.nearDupClusters(spark, sfDir)
+
   /** Indexing counters (filesDiscovered / chunksTotal / chars per lang). */
   def status(): DataFrame =
     Chunker.indexStatus(spark, sfDir, chunkSize, chunkOverlap)

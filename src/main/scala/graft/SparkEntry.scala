@@ -28,6 +28,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.dedupMinhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(s, dir)),
+    "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(s, dir)),
     // B6 is iterative (connected components) — not SQL-replicable, so
     // rows-only; DedupStreamSpec verifies the component invariants.
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
@@ -37,6 +38,8 @@ object SparkEntry {
     // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
     // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
     "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),
+    // C5 likewise rows-only (per-subspace k-means); AnnIvfSpec bounds recall.
+    "ann_pq" -> ((s, dir) => AnnPq.annPq(s, dir)),
     "embed_quantize" -> ((s, dir) => RagSearch.embedQuantize(s, dir)),
     // A. reference-surface (catalog / slice / incremental / multimodal)
     "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),
@@ -299,6 +302,20 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(0, 6), j -> CASE WHEN
+         |        list_sum(list_transform(range(0, 64), dd ->
+         |          CAST((j*2654435761 + dd*40503) % 9973 - 4986 AS DOUBLE) * CAST(embedding[CAST(dd+1 AS INT)] AS DOUBLE))) >= 0
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS keep_id, c.vec_id AS dup_id, a.bucket,
+         |         round(${cosSql("a.embedding", "c.embedding")}, 4) AS score
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT keep_id, dup_id, bucket, score FROM p WHERE score >= 0.30
+         |ORDER BY keep_id, dup_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,

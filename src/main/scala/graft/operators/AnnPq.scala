@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.VecExprs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) approximate nearest neighbor — the third
+  * classic ANN scale path next to C2's LSH and C3's IVF (the "ANN
+  * acceleration" the reference defers, reference: README.md:32). PQ is the
+  * memory-side story: a 64-dim float vector (256 B) compresses to m=8
+  * one-byte codes, so a 100 TB embedding corpus's codes fit in a fraction
+  * of cluster RAM while search runs over the codes.
+  *
+  * Train: per-subspace k-means (m subspaces × ks centroids, deterministic
+  * init from the first ks vectors, fixed iterations) — like C3, only the
+  * m·ks·(dim/m) codebook matrix ever crosses to the driver.
+  *
+  * Serve (ADC — asymmetric distance computation): each query precomputes a
+  * per-subspace table of dot products against the ks centroids (an m×ks
+  * array literal inside the plan); the approximate score of a vector is the
+  * sum of m table lookups by its codes — no float vector is touched until
+  * the exact rerank of the small candidate pool.
+  *
+  * No DuckDB oracle (k-means); driver records rows-only; the spec bounds
+  * recall against the brute-force C1 baseline.
+  */
+object AnnPq {
+
+  /** argmin-L2 centroid id: argmax(<x,c> − ||c||²/2) over literal centroids. */
+  private def l2Assign(sub: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val halfNorm = c.map(x => x * x).sum / 2.0
+      struct((VecExprs.dotProd(sub, array(c.map(lit): _*)) - halfNorm).as("s"),
+        lit(i).as("i"))
+    }
+    greatest(scored: _*).getField("i")
+  }
+
+  /** Per-subspace Lloyd's iterations; returns the ks×dims codebook. */
+  def trainSub(sub: DataFrame, ks: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = sub.filter(col("vec_id") < ks)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iters) {
+      val updated = sub.withColumn("cid", l2Assign(col("s"), cents))
+        .select(col("cid"), posexplode(col("s")).as(Seq("d", "v")))
+        .groupBy("cid", "d").agg(avg("v").as("m"))
+        .collect()
+      val byCell = updated.groupBy(_.getAs[Int]("cid"))
+      cents = cents.indices.map { i =>
+        byCell.get(i)
+          .map(_.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("m")).toArray)
+          .getOrElse(cents(i))
+      }.toArray
+    }
+    cents
+  }
+
+  /** C5: PQ-ADC search for the first `nQueries` vectors: approximate by
+    * code-table lookups, exact-rerank the top `rerank` candidates.
+    */
+  def annPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, topK: Int = 5,
+            m: Int = 8, ks: Int = 16, iters: Int = 3, rerank: Int = 50): DataFrame = {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .cache()
+    val dim = 64
+    val sd = dim / m
+    val books: Array[Array[Array[Double]]] =
+      (0 until m).map { j =>
+        val sub = e.select(col("vec_id"), slice(col("emb"), j * sd + 1, sd).as("s")).cache()
+        val b = trainSub(sub, ks, iters)
+        sub.unpersist()
+        b
+      }.toArray
+
+    // encode every vector as m small codes (the compressed representation)
+    val codeCols = (0 until m).map(j =>
+      l2Assign(slice(col("emb"), j * sd + 1, sd), books(j)).as(s"c$j"))
+    val enc = e.select(col("vec_id") +: col("emb") +: codeCols: _*)
+
+    // per-query ADC tables: dot(query subvector, centroid) for every
+    // (subspace, centroid) — an m×ks in-plan array computed once per query row
+    val tableCols = (0 until m).map { j =>
+      array(books(j).map(c =>
+        VecExprs.dotProd(slice(col("qv"), j * sd + 1, sd), array(c.map(lit): _*))): _*)
+        .as(s"t$j")
+    }
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +: col("emb").as("qv") +: tableCols: _*)
+
+    // approximate score = Σ_j t_j[c_j]; broadcast the nQueries-row side
+    val pqScore = (0 until m).map(j =>
+      element_at(col(s"t$j"), col(s"c$j").cast("int") + 1)).reduce(_ + _)
+    val approx = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("pq_score", pqScore)
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("pq_score").desc, col("vec_id").asc)
+    val cands = approx.withColumn("arank", row_number().over(wA)).filter(col("arank") <= rerank)
+
+    // exact rerank of the candidate pool only
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    cands
+      .withColumn("score", round(VecExprs.cosineSim(col("emb"), col("qv")), 4))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"),
+        round(col("pq_score"), 4).as("pq_score"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -211,4 +211,28 @@ object Dedup {
       .select(col("keep_id"), col("dup_id"), col("score"))
       .orderBy("keep_id", "dup_id")
   }
+
+  /** B5b: the 100 TB path for embedding dedup — candidates must share a
+    * random-hyperplane LSH bucket (the same deterministic 6-plane family as
+    * C2), so the bucket id is the explicit shuffle/join key and the n²
+    * cross join never exists. Precision 1 (every emitted pair passes the
+    * exact cosine test); recall < 1 by design — near-identical vectors
+    * land in the same bucket with probability (1 − θ/π)^planes. Fully
+    * oracle-checked, buckets included.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, sfDir: String,
+                        threshold: Double = 0.30, planes: Int = 6): DataFrame = {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        VecExprs.lshBucket(col("embedding"), planes).as("bucket"))
+    val a = e.select(col("vec_id").as("keep_id"), col("embedding").as("a_emb"), col("bucket"))
+    val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("b_emb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("keep_id") < col("dup_id"))
+      .withColumn("score", round(VecExprs.cosineSim(col("a_emb"), col("b_emb")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("keep_id"), col("dup_id"), col("bucket"), col("score"))
+      .orderBy("keep_id", "dup_id")
+  }
 }

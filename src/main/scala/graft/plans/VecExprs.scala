@@ -78,6 +78,56 @@ object VecExprs {
       copy(left = l, right = r)
   }
 
+  /** Plain inner product over two float/double array columns (no
+    * normalization) — the primitive PQ assignment and ADC scoring need;
+    * same fused-loop codegen as CosineSim.
+    */
+  case class DotProd(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    private def getter(e: Expression, arr: String, i: String): String =
+      e.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+        case other => throw new IllegalArgumentException(s"DotProd: unsupported element type $other")
+      }
+
+    private def get(e: Expression, arr: ArrayData, i: Int): Double =
+      e.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case other => throw new IllegalArgumentException(s"DotProd: unsupported element type $other")
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += get(left, x, i) * get(right, y, i); i += 1 }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += ${getter(left, x, i)} * ${getter(right, y, i)};
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** The embedder algorithm, callable from plain Scala (driver-side query
     * embedding in the `Graft` facade) and from the Catalyst expression below.
     */
@@ -177,6 +227,8 @@ object VecExprs {
       exprs => HashEmbed(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",
       exprs => LshBucket(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProd(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API. Callers must have invoked `register(spark)` for the session. */
@@ -185,4 +237,5 @@ object VecExprs {
     call_function("graft_hash_embed", text, org.apache.spark.sql.functions.lit(dim))
   def lshBucket(emb: Column, planes: Int): Column =
     call_function("graft_lsh_bucket", emb, org.apache.spark.sql.functions.lit(planes))
+  def dotProd(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }

@@ -27,4 +27,21 @@ class AnnIvfSpec extends SparkSpecBase {
     val recall = (brute intersect hits).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall=$recall")
   }
+
+  test("PQ-ADC results rerank to exact scores with meaningful recall") {
+    import graft.operators.AnnPq
+    val brute = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = AnnPq.annPq(spark, sf, nQueries = 10, topK = 5)
+    // the emitted (exact-reranked) scores must agree with brute-force scoring
+    val bruteAll = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 2000)
+      .select("query_id", "vec_id", "score")
+    assert(pq.select("query_id", "vec_id", "score").except(bruteAll).count() == 0)
+    // recall@5 after a 50-candidate ADC pool: demand at least 60% on average
+    val hits = pq.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
 }

@@ -99,6 +99,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("dedup_embedding_lsh: precision 1 vs the exact all-pairs dedup") {
+    import graft.operators.Dedup
+    val lsh = Dedup.dedupEmbeddingLsh(spark, sf).select("keep_id", "dup_id", "score")
+    val exact = Dedup.dedupEmbedding(spark, sf)
+    // every LSH-blocked pair is a true near-dup pair (recall may be < 1)
+    assert(lsh.exceptAll(exact).count() == 0)
+    assert(lsh.count() <= exact.count())
+  }
+
+  test("facade curation/dedup entry points run and agree with operators") {
+    val g = new Graft(spark, sf)
+    assert(g.curate().count() == Tables.documents(spark, sf).count())
+    assert(g.findNearDuplicates().count() ==
+      graft.operators.Dedup.dedupMinhashLsh(spark, sf).count())
+  }
+
   test("globalRankDesc equals the single-window row_number rank") {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, sf)
