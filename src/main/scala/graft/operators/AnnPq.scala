@@ -38,23 +38,45 @@ object AnnPq {
     greatest(scored: _*).getField("i")
   }
 
-  /** Per-subspace Lloyd's iterations; returns the ks×dims codebook. */
-  def trainSub(sub: DataFrame, ks: Int, iters: Int): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = sub.filter(col("vec_id") < ks)
-      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+  /** Lloyd's iterations for ALL m subspaces in one pass per iteration: the
+    * (vec_id, subspace, subvector) frame is built once and each iteration is
+    * a single assign+aggregate job whose per-row CASE dispatches to that
+    * subspace's codebook — m× fewer Spark jobs than training subspaces
+    * one at a time, which dominates wall-clock for small-dim codebooks.
+    * Returns books(j) = ks×(dim/m) codebook of subspace j; only the
+    * m·ks·(dim/m) matrix crosses to the driver per iteration.
+    */
+  def trainAll(e: DataFrame, m: Int, sd: Int, ks: Int,
+               iters: Int): Array[Array[Array[Double]]] = {
+    val subs = e.select(col("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("emb"), j * sd + 1, sd)): _*)).as(Seq("j", "s")))
+      .cache()
+    // deterministic init: subvectors of the first ks vectors
+    val seed = e.filter(col("vec_id") < ks).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    var books: Array[Array[Array[Double]]] =
+      (0 until m).map(j => seed.map(v => v.slice(j * sd, j * sd + sd))).toArray
     for (_ <- 0 until iters) {
-      val updated = sub.withColumn("cid", l2Assign(col("s"), cents))
-        .select(col("cid"), posexplode(col("s")).as(Seq("d", "v")))
-        .groupBy("cid", "d").agg(avg("v").as("m"))
+      val assign = (1 until m).foldLeft(
+        when(col("j") === 0, l2Assign(col("s"), books(0)))) { (acc, j) =>
+        acc.when(col("j") === j, l2Assign(col("s"), books(j)))
+      }
+      val updated = subs.withColumn("cid", assign)
+        .select(col("j"), col("cid"), posexplode(col("s")).as(Seq("d", "v")))
+        .groupBy("j", "cid", "d").agg(avg("v").as("mean"))
         .collect()
-      val byCell = updated.groupBy(_.getAs[Int]("cid"))
-      cents = cents.indices.map { i =>
-        byCell.get(i)
-          .map(_.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("m")).toArray)
-          .getOrElse(cents(i))
+      val byCell = updated.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("cid")))
+      books = books.indices.map { j =>
+        books(j).indices.map { i =>
+          byCell.get((j, i))
+            .map(_.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("mean")).toArray)
+            .getOrElse(books(j)(i))
+        }.toArray
       }.toArray
     }
-    cents
+    subs.unpersist()
+    books
   }
 
   /** C5: PQ-ADC search for the first `nQueries` vectors: approximate by
@@ -68,13 +90,7 @@ object AnnPq {
       .cache()
     val dim = 64
     val sd = dim / m
-    val books: Array[Array[Array[Double]]] =
-      (0 until m).map { j =>
-        val sub = e.select(col("vec_id"), slice(col("emb"), j * sd + 1, sd).as("s")).cache()
-        val b = trainSub(sub, ks, iters)
-        sub.unpersist()
-        b
-      }.toArray
+    val books = trainAll(e, m, sd, ks, iters)
 
     // encode every vector as m small codes (the compressed representation)
     val codeCols = (0 until m).map(j =>
