@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join — the streaming twin of the E7/E11 time-
+  * window joins: purchases join clicks by the same user where the click
+  * happened in the 30 minutes before the purchase.
+  *
+  * Both sides carry watermarks and the join condition bounds event time on
+  * both streams, so Structured Streaming can expire join state: a click
+  * older than (watermark − 30 min) can never match a future purchase and
+  * is dropped from the state store — the bounded-state shape that lets this
+  * run forever at cluster scale.
+  */
+object JoinStream {
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The join, applied to any (streaming or batch) events frame pair —
+    * shared with the batch twin so the spec compares identical plans.
+    */
+  def joinClicksToPurchases(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  def joined(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val withWm = joinClicksToPurchasesStreaming(ev)
+    withWm
+  }
+
+  /** Streaming variant: watermark both sides before the join (required for
+    * state cleanup on stream-stream joins).
+    */
+  private def joinClicksToPurchasesStreaming(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  def runToCompletion(spark: SparkSession, sfDir: String,
+                      queryName: String = "join_stream"): DataFrame = {
+    val q = joined(spark, sfDir)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -115,6 +115,14 @@ class PipelineSpec extends SparkSpecBase {
       graft.operators.Dedup.dedupMinhashLsh(spark, sf).count())
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import graft.streaming.JoinStream
+    val streamed = JoinStream.runToCompletion(spark, sf)
+    val batch = JoinStream.joinClicksToPurchases(Tables.events(spark, sf))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("globalRankDesc equals the single-window row_number rank") {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, sf)
