@@ -45,6 +45,7 @@ object SparkEntry {
     "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),
     "corpus_catalog" -> ((s, dir) => Catalog.corpusCatalog(s, dir)),
     "incremental_diff" -> ((s, dir) => Catalog.incrementalDiff(s, dir)),
+    "incremental_diff_hash" -> ((s, dir) => Catalog.incrementalDiffHash(s, dir)),
     "pdf_decode" -> ((s, dir) => Multimodal.pdfDecode(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.multimodalMeta(s, dir)),
     // A. hybrid retrieval (the reference's planned BM25+embedding extension)
@@ -70,6 +71,7 @@ object SparkEntry {
     // the sketch error against the exact E8 values.
     "q_approx_stats" -> ((s, dir) => Analytics.approxStats(s, dir)),
     "q_range_join" -> ((s, dir) => Analytics.rangeJoin(s, dir)),
+    "q_skew_agg" -> ((s, dir) => Analytics.skewAgg(s, dir)),
     // F. training-data pipeline (curation passes)
     "text_normalize" -> ((s, dir) => Pipeline.textNormalize(s, dir)),
     "pii_redact" -> ((s, dir) => Pipeline.piiRedact(s, dir)),
@@ -475,6 +477,25 @@ object SparkEntry {
         |  ON abs(epoch_us(e.ts) - epoch_us(p.p_ts)) <= 300000000
         | AND e.event_id != p.purchase_id
         |GROUP BY p.purchase_id ORDER BY purchase_id""".stripMargin,
+    "incremental_diff_hash" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 13 = 0
+        |                  THEN substring(text, 1, CAST(length(text) - 1 AS INT)) || '?'
+        |                  ELSE text END) AS old_hash
+        |  FROM documents WHERE doc_id < 450),
+        |cur AS (SELECT doc_id, md5(text) AS new_hash FROM documents WHERE doc_id >= 20)
+        |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN c.doc_id IS NULL THEN 'removed'
+        |            WHEN o.old_hash != c.new_hash THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       o.old_hash, c.new_hash
+        |FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT event_type, round(sum(value)+1e-9, 2) AS sum_value, count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,

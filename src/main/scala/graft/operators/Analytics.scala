@@ -190,6 +190,21 @@ object Analytics {
       .orderBy("purchase_id")
   }
 
+  /** E12: skew-safe aggregation as a first-class query — `event_type` has
+    * only 5 values (a textbook hot-key distribution: at 100 TB each key is
+    * ~20 TB on one reducer if aggregated naively without combine). The
+    * salted two-phase form (Skew.saltedSumCount) spreads each key over 8
+    * sub-keys before the final 5-row merge; the oracle is the plain GROUP
+    * BY, proving the decomposition is value-identical.
+    */
+  def skewAgg(spark: SparkSession, sfDir: String, salt: Int = 8): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    Skew.saltedSumCount(e, Seq("event_type"), "value", salt)
+      .select(col("event_type"),
+        round(col("sum_value") + lit(1e-9), 2).as("sum_value"), col("n_rows"))
+      .orderBy("event_type")
+  }
+
   /** E5: gaps-and-islands sessionization — a new session starts when a user
     * is idle > 30 minutes. Two bounded windows over the same (user, ts)
     * partitioning (single shuffle, reused by both window specs).

@@ -53,4 +53,31 @@ object Catalog {
       .select(col("doc_id"), col("status"), col("old_size"), col("new_size"))
       .orderBy("doc_id")
   }
+
+  /** A6b: content-hash diff — fixes the size heuristic's documented false
+    * negative (SURVEY §5: a same-size edit goes undetected). The old
+    * snapshot stores md5(text); the edit simulated for doc_id % 13 == 0
+    * replaces the last character, so sizes MATCH and only the hash sees it.
+    * Same single co-partitioned full-outer join shape as A6; the hash
+    * column costs one scan-side md5 per row — the price of correctness a
+    * real 100 TB pipeline pays (or amortizes into the ingest write).
+    */
+  def incrementalDiffHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val editedText = when(col("doc_id") % 13 === 0,
+      concat(col("text").substr(lit(1), length(col("text")) - 1), lit("?")))
+      .otherwise(col("text"))
+    val old = d.filter(col("doc_id") < 450)
+      .select(col("doc_id"), md5(editedText).as("old_hash"))
+    val cur = d.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), md5(col("text")).as("new_hash"))
+    old.join(cur, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged"))
+      .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))
+      .orderBy("doc_id")
+  }
 }

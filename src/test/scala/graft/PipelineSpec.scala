@@ -123,6 +123,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("incremental_diff_hash catches the same-size edits the size diff misses") {
+    import graft.operators.Catalog
+    val bySize = Catalog.incrementalDiff(spark, sf)
+    val byHash = Catalog.incrementalDiffHash(spark, sf)
+    // the simulated edit keeps length constant, so the size diff calls those
+    // docs unchanged while the hash diff flags them changed
+    val sizeChanged = bySize.filter(col("status") === "changed").count()
+    val hashChanged = byHash.filter(col("status") === "changed").count()
+    assert(sizeChanged == 0 || hashChanged >= sizeChanged)
+    assert(byHash.filter(col("status") === "changed" && col("doc_id") % 13 =!= 0).count() == 0)
+    assert(hashChanged > 0)
+    // added/removed classification is identical between the two
+    assert(bySize.filter(col("status").isin("added", "removed")).select("doc_id", "status")
+      .exceptAll(byHash.filter(col("status").isin("added", "removed"))
+        .select("doc_id", "status")).count() == 0)
+  }
+
+  test("q_skew_agg: salted two-phase aggregation equals the plain group-by") {
+    import graft.operators.Analytics
+    val salted = Analytics.skewAgg(spark, sf)
+    val plain = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(round(sum(col("value")) + lit(1e-9), 2).as("sum_value"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
   test("globalRankDesc equals the single-window row_number rank") {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, sf)
