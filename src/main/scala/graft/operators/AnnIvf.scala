@@ -64,6 +64,25 @@ object AnnIvf {
     centroids
   }
 
+  /** Materialize the IVF index as parquet PARTITIONED BY the cell id — the
+    * physical layout that makes probing cheap at 100 TB: each cell is its
+    * own directory, so a probe of `nprobe` cells is a partition-pruned scan
+    * reading nprobe/k of the corpus (AnnIvfSpec asserts the PartitionFilters
+    * in the plan). Returns the centroids for query-side probe selection.
+    */
+  def writePartitionedIndex(spark: SparkSession, sfDir: String, path: String,
+                            k: Int = 16): Array[Array[Double]] = {
+    val centroids = train(spark, sfDir, k)
+    Tables.embeddings(spark, sfDir)
+      .withColumn("cid", nearestCentroid(col("embedding"), centroids))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    centroids
+  }
+
+  /** Partition-pruned read of the cells a probe list selects. */
+  def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
+    spark.read.parquet(path).filter(col("cid").isin(cids: _*))
+
   /** C3: IVF probe search for the first `nQueries` vectors: rank the
     * candidates in each query's `nprobe` nearest cells by exact cosine.
     */

@@ -57,6 +57,13 @@ object Demo {
     g.incrementalUpdate(dir2).show()
     g.incrementalUpdate(dir2).show()
 
+    println("== curation report (normalize / PII / token stats) ==")
+    g.curate().show(5, truncate = 30)
+
+    println("== near-duplicate pairs + clusters ==")
+    g.findNearDuplicates().show(5)
+    g.dedupClusters().filter(!org.apache.spark.sql.functions.col("is_survivor")).show(5)
+
     println("== real-directory corpus (this repo's markdown) ==")
     val corpus = graft.sources.TextCorpus.read(spark, "/root/repo",
       allowedExt = Seq("md"), excludedFolders = Seq("target", ".git", "node_modules"))

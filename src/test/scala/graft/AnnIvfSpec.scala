@@ -28,6 +28,20 @@ class AnnIvfSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("partitioned IVF store: probes are partition-pruned scans") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    AnnIvf.writePartitionedIndex(spark, sf, path, k = 8)
+    val probed = AnnIvf.probeCells(spark, path, Seq(0, 3))
+    // the filter must reach the scan as a partition filter (pruned read),
+    // not a post-scan predicate
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"))
+    // the probed rows are exactly the two cells' contents
+    val all = spark.read.parquet(path)
+    assert(probed.count() == all.filter(col("cid").isin(0, 3)).count())
+    assert(probed.select("cid").distinct().count() <= 2)
+  }
+
   test("PQ-ADC results rerank to exact scores with meaningful recall") {
     import graft.operators.AnnPq
     val brute = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 5)
