@@ -27,13 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object AnnIvf {
 
-  /** Nearest centroid id for an embedding, by maximum cosine. */
-  private def nearestCentroid(emb: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(VecExprs.cosineSim(emb, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
-    }
-    greatest(scored: _*).getField("i")
-  }
+  /** Nearest centroid id for an embedding, by maximum cosine. The codebook
+    * rides as a plan reference object (VecExprs.CentroidAssign), not a tree
+    * of array literals — centroids change every Lloyd iteration, and a
+    * literal tree forces a full Janino recompile per iteration.
+    */
+  private def nearestCentroid(emb: Column, centroids: Array[Array[Double]]): Column =
+    VecExprs.centroidAssign(emb.cast("array<double>"), centroids, useCosine = true)
 
   /** Lloyd's iterations over the embeddings table; returns the centroid
     * matrix. Deterministic: seeded from the first k vectors by vec_id.

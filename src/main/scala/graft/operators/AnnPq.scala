@@ -28,15 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object AnnPq {
 
-  /** argmin-L2 centroid id: argmax(<x,c> − ||c||²/2) over literal centroids. */
-  private def l2Assign(sub: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val halfNorm = c.map(x => x * x).sum / 2.0
-      struct((VecExprs.dotProd(sub, array(c.map(lit): _*)) - halfNorm).as("s"),
-        lit(i).as("i"))
-    }
-    greatest(scored: _*).getField("i")
-  }
+  /** argmin-L2 centroid id: argmax(<x,c> − ||c||²/2). Codebook rides as a
+    * plan reference object — see AnnIvf.nearestCentroid for why literals
+    * would force a Janino recompile per training iteration.
+    */
+  private def l2Assign(sub: Column, cents: Array[Array[Double]]): Column =
+    VecExprs.centroidAssign(sub, cents, useCosine = false)
 
   /** Lloyd's iterations for ALL m subspaces in one pass per iteration: the
     * (vec_id, subspace, subvector) frame is built once and each iteration is
@@ -58,10 +55,7 @@ object AnnPq {
     var books: Array[Array[Array[Double]]] =
       (0 until m).map(j => seed.map(v => v.slice(j * sd, j * sd + sd))).toArray
     for (_ <- 0 until iters) {
-      val assign = (1 until m).foldLeft(
-        when(col("j") === 0, l2Assign(col("s"), books(0)))) { (acc, j) =>
-        acc.when(col("j") === j, l2Assign(col("s"), books(j)))
-      }
+      val assign = VecExprs.pqAssign(col("s"), col("j"), books)
       val updated = subs.withColumn("cid", assign)
         .select(col("j"), col("cid"), posexplode(col("s")).as(Seq("d", "v")))
         .groupBy("j", "cid", "d").agg(avg("v").as("mean"))

@@ -128,6 +128,84 @@ object VecExprs {
       copy(left = l, right = r)
   }
 
+  /** Nearest-centroid argmax over an embedded codebook. The codebook rides
+    * as a reference object in the compiled plan (ctx.addReferenceObj), NOT
+    * as a tree of array literals — a 16×64 codebook as literals is >1000
+    * nodes that Janino recompiles every k-means iteration (the books change
+    * each round); as a reference it is one static call whose code never
+    * changes.
+    */
+  def centroidAssignEval(arr: ArrayData, cents: Array[Array[Double]],
+                         useCosine: Boolean): Int = {
+    val n = arr.numElements()
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(n, cent.length)
+      var dot = 0.0; var na = 0.0; var nc = 0.0
+      var i = 0
+      while (i < m) {
+        val x = arr.getDouble(i)
+        dot += x * cent(i); na += x * x; nc += cent(i) * cent(i)
+        i += 1
+      }
+      // cosine for IVF (matches the probe metric); ⟨x,c⟩ − ‖c‖²/2 ≡ argmin-L2 for PQ
+      val score = if (useCosine) dot / (math.sqrt(na) * math.sqrt(nc) + 1e-10)
+                  else dot - nc / 2.0
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Same, dispatching to a per-subspace codebook by the row's subspace id. */
+  def pqAssignEval(arr: ArrayData, j: Int, books: Array[Array[Array[Double]]]): Int =
+    centroidAssignEval(arr, books(j), false)
+
+  /** argmax-cosine (or argmin-L2) centroid id over a double-array column. */
+  case class CentroidAssign(child: Expression, cents: Array[Array[Double]],
+                            useCosine: Boolean) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      centroidAssignEval(input.asInstanceOf[ArrayData], cents, useCosine)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.VecExprs.centroidAssignEval($c, $ref, $useCosine)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Per-subspace argmin-L2 centroid id: (subvector, subspace id) → code. */
+  case class PqAssign(left: Expression, right: Expression,
+                      books: Array[Array[Array[Double]]]) extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any, j: Any): Any =
+      pqAssignEval(v.asInstanceOf[ArrayData], j.asInstanceOf[Int], books)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+      defineCodeGen(ctx, ev,
+        (v, j) => s"graft.plans.VecExprs.pqAssignEval($v, $j, $ref)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Column builders for the codebook expressions (no registry needed —
+    * codebooks aren't SQL-literal-able anyway).
+    */
+  def centroidAssign(vec: Column, cents: Array[Array[Double]], useCosine: Boolean): Column =
+    toColumn(CentroidAssign(toExpr(vec), cents, useCosine))
+  def pqAssign(sub: Column, j: Column, books: Array[Array[Array[Double]]]): Column =
+    toColumn(PqAssign(toExpr(sub), toExpr(j), books))
+
+  private def toExpr(c: Column): Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
+  private def toColumn(e: Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
   /** The embedder algorithm, callable from plain Scala (driver-side query
     * embedding in the `Graft` facade) and from the Catalyst expression below.
     */
