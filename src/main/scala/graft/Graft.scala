@@ -204,30 +204,44 @@ object IndexStore {
     val out = fs.create(new org.apache.hadoop.fs.Path(staging, MetaFile), true)
     out.write(metaJson(meta).getBytes("UTF-8"))
     out.close()
-    // Swap via backup-rename so a crash at any point leaves a loadable
-    // store: old → .backup, staging → live, then drop the backup. (Deleting
-    // the live store before the rename would strand the new data in
-    // .staging, which load() never looks at.)
+    // Swap via backup-rename so the data always survives a crash: old →
+    // .backup, staging → live, then drop the backup. A crash between the
+    // two renames leaves the old store in .backup — load() self-heals from
+    // there. (Deleting the live store before the rename would instead
+    // strand everything in .staging, which nothing reads.)
     val backup = new org.apache.hadoop.fs.Path(path + ".backup")
     if (fs.exists(backup)) fs.delete(backup, true)
     val hadOld = fs.exists(finalPath)
     if (hadOld && !fs.rename(finalPath, backup))
       throw new java.io.IOException(s"IndexStore.save: could not move old store aside at $finalPath")
     if (!fs.rename(staging, finalPath)) {
-      if (hadOld) fs.rename(backup, finalPath) // restore the old store
+      val restored = hadOld && fs.rename(backup, finalPath)
       throw new java.io.IOException(
-        s"IndexStore.save: rename $staging -> $finalPath failed (old store restored)")
+        s"IndexStore.save: rename $staging -> $finalPath failed (" +
+          (if (restored) "old store restored from backup"
+           else if (hadOld) s"RESTORE ALSO FAILED — old store is at $backup"
+           else "no previous store existed") + ")")
     }
     if (hadOld) fs.delete(backup, true)
   }
 
   /** Load iff the stored metadata matches the requested parameters — the
-    * reference's compatibility gate. None → caller cold-rebuilds.
+    * reference's compatibility gate. None → caller cold-rebuilds. If the
+    * live path is missing but a `.backup` exists (a crash hit save()
+    * between its two renames), the backup is renamed back in first — the
+    * self-heal that makes the backup-swap protocol actually crash-safe.
     */
   def load(spark: SparkSession, path: String, expected: Meta): Option[DataFrame] = {
+    val finalPath = new org.apache.hadoop.fs.Path(path)
     val metaPath = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaPath)) return None
+    if (!fs.exists(metaPath)) {
+      val backup = new org.apache.hadoop.fs.Path(path + ".backup")
+      val healed = !fs.exists(finalPath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(backup, MetaFile)) &&
+        fs.rename(backup, finalPath)
+      if (!healed) return None
+    }
     val in = fs.open(metaPath)
     val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     if (stored != metaJson(expected)) None

@@ -314,14 +314,14 @@ object SparkEntry {
          |  FROM embeddings),
          |p AS (
          |  SELECT a.vec_id AS keep_id, c.vec_id AS dup_id, a.bucket,
-         |         round(${cosSql("a.embedding", "c.embedding")}, 4) AS score
+         |         round(${cosSql("a.embedding", "c.embedding")} + 1e-9, 4) AS score
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
          |SELECT keep_id, dup_id, bucket, score FROM p WHERE score >= 0.30
          |ORDER BY keep_id, dup_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-         |         round(${cosSql("a.embedding", "b.embedding")}, 4) AS score
+         |         round(${cosSql("a.embedding", "b.embedding")} + 1e-9, 4) AS score
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |SELECT keep_id, dup_id, score FROM p WHERE score >= 0.30
          |ORDER BY keep_id, dup_id""".stripMargin,
@@ -498,13 +498,13 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_normalize" ->
       """WITH n AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars_raw,
         |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
         |              ' +', ' ', 'g')) AS norm_text
         |  FROM documents)
         |SELECT doc_id, n_chars_raw, norm_text,
         |       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
-        |       length(norm_text) != n_chars_raw AS changed
+        |       norm_text != text AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       """WITH f AS (

@@ -85,6 +85,10 @@ object AnnPq {
     val dim = 64
     val sd = dim / m
     val books = trainAll(e, m, sd, ks, iters)
+    // training's collect-driven loop was the only cache consumer; the
+    // encode/query plans below re-read the (pruned, small) parquet instead
+    // of pinning executor storage for the rest of the session
+    e.unpersist()
 
     // encode every vector as m small codes (the compressed representation)
     val codeCols = (0 until m).map(j =>

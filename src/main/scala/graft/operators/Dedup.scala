@@ -161,7 +161,10 @@ object Dedup {
     // are their own (already-converged) singleton component and rejoin at
     // the end. Near-dup graphs are sparse, so this shrinks every iteration's
     // frames from |V| to |V_with_edges|.
-    val edgeNodes = edges.select(col("src").as("doc_id")).distinct()
+    // checkpointed: edgeNodes is referenced AFTER pairs/edges are
+    // unpersisted (the isolated-docs anti-join) — without cutting lineage
+    // here, every action on the result would re-run the whole LSH dedup
+    val edgeNodes = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
     var labels = edgeNodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
     var i = 0
@@ -206,7 +209,7 @@ object Dedup {
     val a = e.select(col("vec_id").as("keep_id"), col("embedding").as("a_emb"))
     val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("b_emb"))
     a.join(b, col("keep_id") < col("dup_id"))
-      .withColumn("score", round(VecExprs.cosineSim(col("a_emb"), col("b_emb")), 4))
+      .withColumn("score", round(VecExprs.cosineSim(col("a_emb"), col("b_emb")) + lit(1e-9), 4))
       .filter(col("score") >= threshold)
       .select(col("keep_id"), col("dup_id"), col("score"))
       .orderBy("keep_id", "dup_id")
@@ -230,7 +233,7 @@ object Dedup {
     val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("b_emb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("keep_id") < col("dup_id"))
-      .withColumn("score", round(VecExprs.cosineSim(col("a_emb"), col("b_emb")), 4))
+      .withColumn("score", round(VecExprs.cosineSim(col("a_emb"), col("b_emb")) + lit(1e-9), 4))
       .filter(col("score") >= threshold)
       .select(col("keep_id"), col("dup_id"), col("bucket"), col("score"))
       .orderBy("keep_id", "dup_id")

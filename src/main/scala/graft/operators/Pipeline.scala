@@ -14,19 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** The canonical normalization expression — lowercase, strip
+    * non-alphanumerics, collapse whitespace. Shared by the batch query and
+    * the streaming curation ingest so their spec-checked equality can't
+    * drift.
+    */
+  def normExpr(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** F1: text normalization — the canonical first pass of any curation
-    * pipeline: lowercase, strip non-alphanumerics, collapse whitespace.
-    * Pure per-row transform (no shuffle) — runs at scan speed at any scale.
+    * pipeline. Pure per-row transform (no shuffle) — runs at scan speed at
+    * any scale. `changed` compares content, not just length: a
+    * case-only edit ("Hello" → "hello") keeps the length but is a change.
     */
   def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_raw"),
-        norm.as("norm_text"))
+        normExpr(col("text")).as("norm_text"),
+        col("text"))
       .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
-      .withColumn("changed", col("n_chars_norm") =!= col("n_chars_raw"))
+      .withColumn("changed", col("norm_text") =!= col("text"))
+      .drop("text")
       .orderBy("doc_id")
   }
 

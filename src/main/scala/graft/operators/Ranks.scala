@@ -31,22 +31,25 @@ object Ranks {
   /** Add `rankName` = global rank of each row under (score DESC, tie ASC),
     * computed without an unpartitioned window over `df`.
     * `score` must be discretized (rounded) — the distinct-score frame is
-    * assumed broadcast-small.
+    * assumed broadcast-small. NULL scores rank last (Spark's default for
+    * DESC ordering), matching the single-window formulation — the join is
+    * null-safe so no row is dropped.
     */
   def globalRankDesc(df: DataFrame, score: String, tie: Seq[String],
                      rankName: String): DataFrame = {
-    val counts = df.groupBy(col(score)).agg(count(lit(1)).as("__peer_n"))
+    val counts = df.groupBy(col(score).as("__score")).agg(count(lit(1)).as("__peer_n"))
     // constant partition key: this frame is provably small (distinct rounded
-    // scores), single-partition is intended — not the corpus-wide cliff
-    val wScore = Window.partitionBy(lit(0)).orderBy(col(score).desc)
+    // scores), single-partition is intended — not the corpus-wide cliff.
+    // DESC default = NullsLast, same as the row_number formulation.
+    val wScore = Window.partitionBy(lit(0)).orderBy(col("__score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val ahead = counts
       .withColumn("__ahead", coalesce(sum(col("__peer_n")).over(wScore), lit(0L)))
-      .select(col(score), col("__ahead"))
+      .select(col("__score"), col("__ahead"))
     val wPeers = Window.partitionBy(col(score)).orderBy(tie.map(col(_).asc): _*)
-    df.join(broadcast(ahead), score)
+    df.join(broadcast(ahead), col(score) <=> col("__score"))
       .withColumn(rankName, (col("__ahead") + row_number().over(wPeers)).cast("long"))
-      // restore the input's column order (join fronts the key column)
+      // restore the input's column order (join fronts the key columns)
       .select((df.columns :+ rankName).map(col): _*)
   }
 }

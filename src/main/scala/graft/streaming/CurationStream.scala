@@ -28,12 +28,10 @@ object CurationStream {
     * the batch twin so equality is by construction testable.
     */
   def curate(docs: DataFrame): DataFrame = {
-    import graft.operators.Pipeline.{EmailRe, Ipv4Re, PhoneRe}
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    import graft.operators.Pipeline.{normExpr, EmailRe, Ipv4Re, PhoneRe}
     docs.select(
       col("doc_id"), col("lang"),
-      norm.as("norm_text"),
+      normExpr(col("text")).as("norm_text"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),

@@ -24,48 +24,40 @@ object JoinStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** The join, applied to any (streaming or batch) events frame pair —
-    * shared with the batch twin so the spec compares identical plans.
+  /** One join body for both modes: the streaming variant watermarks each
+    * side before the shared predicate/projection, so the interval and
+    * output can never drift between the stream and its batch twin.
     */
-  def joinClicksToPurchases(ev: DataFrame): DataFrame = {
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
+  private def joinBody(purchases: DataFrame, clicks: DataFrame): DataFrame =
     purchases.join(clicks,
       col("c_user") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
         col("click_ts") <= col("purchase_ts"))
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
-  }
 
+  private def clicksOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+
+  private def purchasesOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+
+  /** Batch twin — the spec's oracle for the streaming result. */
+  def joinClicksToPurchases(ev: DataFrame): DataFrame =
+    joinBody(purchasesOf(ev), clicksOf(ev))
+
+  /** Streaming variant: watermark both sides (required for state cleanup on
+    * stream-stream joins).
+    */
   def joined(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = events(spark, sfDir)
-    val withWm = joinClicksToPurchasesStreaming(ev)
-    withWm
-  }
-
-  /** Streaming variant: watermark both sides before the join (required for
-    * state cleanup on stream-stream joins).
-    */
-  private def joinClicksToPurchasesStreaming(ev: DataFrame): DataFrame = {
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    purchases.join(clicks,
-      col("c_user") === col("user_id") &&
-        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("click_ts") <= col("purchase_ts"))
-      .select(col("purchase_id"), col("user_id"), col("click_id"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    joinBody(
+      purchasesOf(ev).withWatermark("purchase_ts", "1 hour"),
+      clicksOf(ev).withWatermark("click_ts", "1 hour"))
   }
 
   def runToCompletion(spark: SparkSession, sfDir: String,

@@ -151,14 +151,35 @@ class PipelineSpec extends SparkSpecBase {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
-  test("globalRankDesc equals the single-window row_number rank") {
+  test("globalRankDesc equals the single-window row_number rank (incl. NULL scores)") {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, sf)
-      .select(col("doc_id"), round((col("doc_id") % 7).cast("double") / 7, 4).as("s"))
+      .select(col("doc_id"),
+        // every 11th doc gets a NULL score — must rank last, not vanish
+        when(col("doc_id") % 11 === 0, lit(null).cast("double"))
+          .otherwise(round((col("doc_id") % 7).cast("double") / 7, 4)).as("s"))
     val viaRanks = Ranks.globalRankDesc(scored, "s", Seq("doc_id"), "r")
     val viaWindow = scored.withColumn("r",
       row_number().over(Window.orderBy(col("s").desc, col("doc_id").asc)).cast("long"))
+    assert(viaRanks.count() == scored.count())
     assert(viaRanks.exceptAll(viaWindow).count() == 0 &&
       viaWindow.exceptAll(viaRanks).count() == 0)
+  }
+
+  test("IndexStore.load self-heals a crash between save's two renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString + "/store"
+    val g = new Graft(spark, sf)
+    val meta = g.meta
+    IndexStore.save(g.buildIndex(), dir, meta)
+    val n = IndexStore.load(spark, dir, meta).map(_.count()).getOrElse(-1L)
+    assert(n > 0)
+    // simulate the crash window: live store moved aside, staging never landed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".backup")))
+    val healed = IndexStore.load(spark, dir, meta)
+    assert(healed.isDefined && healed.get.count() == n)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".backup")))
   }
 }
