@@ -113,8 +113,9 @@ object Bm25 {
     // a global row_number over the whole corpus would single-partition the
     // index. Ranks below candDepth contribute 0 — standard RRF-over-pools.
     // pools are ≤ candDepth rows by construction — ranking them on a
-    // constant partition key is intended, not the corpus-wide window cliff
-    val wPool = Window.partitionBy(lit(0))
+    // constant (non-foldable, see Ranks.onePartitionKey) partition key is
+    // intended, not the corpus-wide window cliff
+    val wPool = Window.partitionBy(Ranks.onePartitionKey(col("doc_id")))
     val cosTop = index
       .select(col("doc_id"), col("chunk_idx"),
         round(VecExprs.cosineSim(col("emb"), qvCol) + lit(1e-9), 4).as("cos"))

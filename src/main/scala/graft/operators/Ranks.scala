@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** A constant-valued but NON-FOLDABLE partition key. `partitionBy(lit(0))`
+    * gets constant-folded out of the window spec, silently reverting to the
+    * unpartitioned (warning-emitting) form; `coalesce(anchor*0, 0)`
+    * references a column so no rule folds it (x*0 is not 0 under null/NaN),
+    * yet evaluates to 0 for every row. Use only on provably-small frames.
+    */
+  def onePartitionKey(anchor: Column): Column = coalesce(anchor * lit(0), lit(0))
+
   /** Add `rankName` = global rank of each row under (score DESC, tie ASC),
     * computed without an unpartitioned window over `df`.
     * `score` must be discretized (rounded) — the distinct-score frame is
@@ -41,7 +49,7 @@ object Ranks {
     // constant partition key: this frame is provably small (distinct rounded
     // scores), single-partition is intended — not the corpus-wide cliff.
     // DESC default = NullsLast, same as the row_number formulation.
-    val wScore = Window.partitionBy(lit(0)).orderBy(col("__score").desc)
+    val wScore = Window.partitionBy(onePartitionKey(col("__score"))).orderBy(col("__score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val ahead = counts
       .withColumn("__ahead", coalesce(sum(col("__peer_n")).over(wScore), lit(0L)))
