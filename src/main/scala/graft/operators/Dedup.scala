@@ -151,9 +151,43 @@ object Dedup {
     * invariants spec-verified.
     */
   def nearDupClusters(spark: SparkSession, sfDir: String,
-                      maxIters: Int = 20): DataFrame = {
+                      maxIters: Int = 20,
+                      maxDriverPairs: Long = 1000000L): DataFrame = {
     val pairs = dedupMinhashLsh(spark, sfDir).select(col("a_id"), col("b_id")).cache()
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    // Fast path: the verified pair set is the OUTPUT of dedup — orders of
+    // magnitude smaller than the corpus (it lists only near-duplicates).
+    // When it fits bounded driver state, a union-find resolves components
+    // in microseconds and ships back as one broadcast join — the same
+    // bounded-k exception as the ANN codebooks. The distributed
+    // min-label-propagation loop below stays as the arbitrarily-large
+    // fallback (exercised in specs via maxDriverPairs = 0).
+    if (pairs.count() <= maxDriverPairs) {
+      val edgeArr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for ((a, b) <- edgeArr) {
+        val (ra, rb) = (find(a), find(b))
+        // union by min id keeps the root the component minimum directly
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labelRows = edgeArr.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(id => (id, find(id)))
+      pairs.unpersist()
+      import spark.implicits._
+      val labeled = labelRows.toSeq.toDF("doc_id", "label")
+      return docs.join(broadcast(labeled), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }
     // undirected edge list, both directions
     val edges = pairs.unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()

@@ -68,6 +68,11 @@ class DedupStreamSpec extends SparkSpecBase {
     // survivors = distinct clusters
     assert(labels.filter(col("is_survivor")).count() ==
       lab.select("cluster_id").distinct().count())
+    // the distributed label-propagation fallback (forced via
+    // maxDriverPairs = 0) produces the identical clustering
+    val distributed = Dedup.nearDupClusters(spark, sf, maxDriverPairs = 0L)
+    assert(labels.exceptAll(distributed).count() == 0 &&
+      distributed.exceptAll(labels).count() == 0)
     labels.unpersist()
   }
 
