@@ -52,6 +52,103 @@ object SessionStream {
     (closed ++ open.map(s => SessionRow(userId, s.ordinal, s.n, s.sum))).iterator
   }
 
+  // ---- Out-of-order-tolerant variant (watermark-buffered) ----
+
+  /** Per-user state for the buffered fold: sessions already emitted as
+    * final (`nClosed`), and the events not yet safely closeable. The
+    * watermark bounds the buffer: once `session end + gap < watermark`, no
+    * admissible future event (ts ≥ watermark) can extend that session, so
+    * its events are evicted and only the counter survives — bounded state
+    * under arbitrary within-watermark disorder.
+    */
+  case class UserBuf(nClosed: Long, buf: Seq[(Long, Long, Double)])
+
+  /** Ev plus the watermarked event-time column — the `ts` attribute must
+    * survive into the stateful operator's input or Spark loses the
+    * watermark (getCurrentWatermarkMs then throws).
+    */
+  case class EvW(user_id: Long, event_id: Long, tsUs: Long, value: Double,
+                 ts: java.sql.Timestamp)
+
+  /** Buffered fold: merge new events into the per-user buffer (any order),
+    * emit the CURRENT sessionization of the buffer each batch (update
+    * semantics — later batches refine open sessions), and evict events of
+    * sessions the watermark has sealed.
+    */
+  def foldGroupBuffered(userId: Long, rows: Iterator[EvW],
+                        state: GroupState[UserBuf]): Iterator[SessionRow] = {
+    val prev = state.getOption.getOrElse(UserBuf(0L, Vector.empty))
+    val merged = (prev.buf ++ rows.map(e => (e.tsUs, e.event_id, e.value)))
+      .sortBy(t => (t._1, t._2))
+    // sessionize the full buffer, numbering after the already-closed count
+    val rowsOut = scala.collection.mutable.ArrayBuffer[SessionRow]()
+    val ends = scala.collection.mutable.ArrayBuffer[Long]()
+    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+    var ord = prev.nClosed
+    var n = 0L; var sum = 0.0; var lastUs = Long.MinValue; var segStart = 0
+    var i = 0
+    while (i < merged.size) {
+      val (ts, _, v) = merged(i)
+      if (n > 0 && ts - lastUs > GapUs) {
+        ord += 1; rowsOut += SessionRow(userId, ord, n, sum); ends += lastUs; starts += segStart
+        n = 0; sum = 0.0; segStart = i
+      }
+      n += 1; sum += v; lastUs = ts
+      i += 1
+    }
+    if (n > 0) { ord += 1; rowsOut += SessionRow(userId, ord, n, sum); ends += lastUs; starts += segStart }
+    // evict events of sessions the watermark has sealed (end + gap < wm):
+    // nothing admissible can extend them, so only the counter is kept
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    var sealedUpTo = 0 // index into merged: first event NOT sealed
+    var sealedCount = 0L
+    var s = 0
+    while (s < ends.size && ends(s) + GapUs < wmUs) {
+      sealedUpTo = if (s + 1 < starts.size) starts(s + 1) else merged.size
+      sealedCount += 1; s += 1
+    }
+    state.update(UserBuf(prev.nClosed + sealedCount, merged.drop(sealedUpTo)))
+    rowsOut.iterator
+  }
+
+  /** Buffered sessionization over a directory of event parquet files —
+    * tolerant of cross-batch disorder (the multi-file case the plain fold
+    * documents as out of scope).
+    */
+  def sessionizedBuffered(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Int = 1): Dataset[SessionRow] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsUs"), col("value"), col("ts"))
+      .as[EvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroupBuffered)
+  }
+
+  def runBufferedToCompletion(spark: SparkSession, dir: String,
+                              queryName: String = "session_stream_buf"): DataFrame = {
+    val q = sessionizedBuffered(spark, dir)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))
+      .select(col("user_id"), col("session_id"),
+        col("fin.n_events").as("n_events"), col("fin.sum_value").as("sum_value"))
+  }
+
   def sessionized(spark: SparkSession, sfDir: String): Dataset[SessionRow] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -49,6 +49,44 @@ class DedupStreamSpec extends SparkSpecBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("buffered sessionization survives cross-batch disorder (bounded lateness)") {
+    import org.apache.spark.sql.functions._
+    // Build a 3-file input where some events arrive one batch LATE (within
+    // the 1-hour watermark): tertile time ranges t1/t2, with events in the
+    // 30 minutes before each boundary whose event_id % 5 == 0 deferred to
+    // the next file. The plain fold's cross-batch in-order assumption is
+    // violated; the buffered fold must still equal the batch twin.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts stays long nanos
+    val Array(t1, t2) = raw.stat.approxQuantile("ts", Array(1.0 / 3, 2.0 / 3), 0.0)
+      .map(_.toLong)
+    val lateWinNs = 1800L * 1000000000L // 30 min in nanos
+    def straggler(bound: Long) =
+      col("ts") >= bound - lateWinNs && col("ts") < bound && col("event_id") % 5 === 0
+    val f1 = raw.filter(col("ts") < t1 && !straggler(t1))
+    val f2 = raw.filter((col("ts") >= t1 && col("ts") < t2 && !straggler(t2)) || straggler(t1))
+    val f3 = raw.filter(col("ts") >= t2 || straggler(t2))
+    assert(f1.count() + f2.count() + f3.count() == raw.count())
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_ooo").toString
+    for ((f, i) <- Seq(f1, f2, f3).zipWithIndex) {
+      f.coalesce(1).write.mode("overwrite").parquet(s"/tmp/graft_sess_stage_$i")
+      val part = new java.io.File(s"/tmp/graft_sess_stage_$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, f"part$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1)) // deterministic source order
+    }
+    val streamed = graft.streaming.SessionStream
+      .runBufferedToCompletion(spark, dir, "sess_buf_spec")
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        round(col("sum_value") + lit(1e-9), 2).as("sum_value"))
+    val batch = Analytics.eventsSessionize(spark, sf)
+      .select("user_id", "session_id", "n_events", "sum_value")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("near-dup clusters: pairs share a label, labels are component minima") {
     val labels = Dedup.nearDupClusters(spark, sf).cache()
     val lab = labels.select(col("doc_id"), col("cluster_id"))
