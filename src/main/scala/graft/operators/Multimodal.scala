@@ -45,6 +45,43 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling plumbing — the video-pipeline shape: split an opaque
+    * binary payload into fixed-size "frames", keep every `stride`-th one,
+    * emit (doc_id, frame_idx, frame_offset, frame_hash). The frame decode
+    * itself is the stubbed step (a real pipeline parses container
+    * structure); the row-explosion schema, per-partition batching, and
+    * offset bookkeeping are the real part — identical for real codecs.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val nFrames = ceil(octet_length(col("content")).cast("double") / frameBytes).cast("int")
+    docs
+      .select(col("doc_id"), col("content"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("content"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx").cast("long") * frameBytes).as("frame_offset"),
+        md5(col("content").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+          .as("frame_hash"))
+  }
+
+  /** Resize plumbing — downsample the byte-histogram "image" to a fixed
+    * target dimension (deterministic stand-in for pixel resampling; the
+    * interpolation kernel is the stubbed part). Pure per-row transform.
+    */
+  def resizeFeatures(feats: DataFrame, targetDim: Int = 4): DataFrame = {
+    feats.select(col("doc_id"),
+      transform(sequence(lit(0), lit(targetDim - 1)), i =>
+        round(aggregate(
+          filter(transform(sequence(lit(0), size(col("feat")) - 1),
+            j => struct(j.as("j"), element_at(col("feat"), j + 1).as("v"))),
+            s => s.getField("j") % targetDim === i),
+          lit(0.0), (acc, s) => acc + s.getField("v")) + lit(1e-9), 4))
+        .as("feat_resized"))
+  }
+
   /** The real decode plumbing: partition-local batch "decode" over the binary
     * column via mapPartitions on a typed Dataset — the shape a Pandas-UDF /
     * native decoder would plug into. Deterministic fake features (byte

@@ -151,6 +151,38 @@ class PipelineSpec extends SparkSpecBase {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("binary corpus source + frame sampling + resize plumbing") {
+    import graft.operators.Multimodal
+    import graft.sources.BinaryCorpus
+    // stage a small binary corpus: two "media" files with known bytes
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    val a = Array.tabulate[Byte](200)(i => (i % 251).toByte)
+    val b = Array.tabulate[Byte](63)(i => (i * 7 % 256).toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "clip.mp4"), a)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "img.png"), b)
+    val corpus = BinaryCorpus.read(spark, dir).cache()
+    assert(corpus.count() == 2)
+    val mimes = corpus.select("mime").collect().map(_.getString(0)).toSet
+    assert(mimes == Set("video/mp4", "image/png"))
+    assert(corpus.filter(col("byte_size") === 200).count() == 1)
+    // frame sampling: 200 bytes / 64-byte frames = 4 frames, stride 4 keeps idx 0;
+    // 63 bytes = 1 frame, idx 0 kept
+    val frames = Multimodal.frameSample(corpus, frameBytes = 64, stride = 4)
+    assert(frames.count() == 2)
+    assert(frames.filter(col("frame_idx") =!= 0 || col("frame_offset") =!= 0).count() == 0)
+    // a finer stride keeps ceil(4/1)=4 frames for the big file
+    assert(Multimodal.frameSample(corpus, 64, 1).count() == 5)
+    // resize: 8-dim features fold to 4 dims, mass preserved
+    val feats = Multimodal.decodeFeatures(spark, sf).limit(10).cache()
+    val resized = Multimodal.resizeFeatures(feats)
+    val mass = feats.select(col("doc_id"),
+        round(aggregate(col("feat"), lit(0.0), _ + _) + lit(1e-9), 4).as("m"))
+    val massR = resized.select(col("doc_id"),
+        round(aggregate(col("feat_resized"), lit(0.0), _ + _) + lit(1e-9), 4).as("mr"))
+    assert(mass.join(massR, "doc_id").filter(abs(col("m") - col("mr")) > 0.01).count() == 0)
+    feats.unpersist(); corpus.unpersist()
+  }
+
   test("globalRankDesc equals the single-window row_number rank (incl. NULL scores)") {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, sf)
