@@ -132,6 +132,30 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Training-shard export — the pipeline's sink: write curated documents
+    * as size-bounded parquet shards, hash-distributed by doc_id so shard
+    * sizes stay uniform regardless of input skew, each shard internally
+    * sorted by doc_id for reproducible reads. `maxRecordsPerFile` bounds
+    * shard size without a global sort or a driver-side count; at 100 TB
+    * this is exactly the layout a loader wants (uniform shards, stable
+    * order, no stragglers). Returns the shard file inventory.
+    */
+  def writeShards(docs: DataFrame, path: String,
+                  numShards: Int = 8, maxRecordsPerFile: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .repartition(numShards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.parquet")
+      .load(path)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("shard"),
+        col("length").as("byte_size"))
+      .orderBy("shard")
+  }
+
   /** F5: benchmark-contamination check — for every training document, the
     * fraction of its distinct word 5-grams that also appear in a held-out
     * benchmark set (here: doc_id ≡ 3 mod 17 plays the benchmark). The

@@ -151,6 +151,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("writeShards: uniform hash shards, bounded records, lossless round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/out"
+    val docs = Tables.documents(spark, sf)
+    val inventory = Pipeline.writeShards(docs, dir, numShards = 4).cache()
+    assert(inventory.count() == 4)
+    // round-trip is lossless
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // maxRecordsPerFile splits shards
+    val dir2 = dir + "2"
+    val inv2 = Pipeline.writeShards(docs, dir2, numShards = 2, maxRecordsPerFile = 50)
+    assert(inv2.count() >= docs.count() / 50)
+    inventory.unpersist()
+  }
+
   test("binary corpus source + frame sampling + resize plumbing") {
     import graft.operators.Multimodal
     import graft.sources.BinaryCorpus
