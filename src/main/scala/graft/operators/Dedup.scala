@@ -162,7 +162,9 @@ object Dedup {
     // bounded-k exception as the ANN codebooks. The distributed
     // min-label-propagation loop below stays as the arbitrarily-large
     // fallback (exercised in specs via maxDriverPairs = 0).
-    if (pairs.count() <= maxDriverPairs) {
+    // maxDriverPairs < 0 force-disables the fast path (spec coverage of the
+    // distributed loop stays honest even when the pair set is empty)
+    if (maxDriverPairs >= 0 && pairs.count() <= maxDriverPairs) {
       val edgeArr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {

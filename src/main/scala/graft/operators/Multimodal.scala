@@ -72,13 +72,13 @@ object Multimodal {
     * interpolation kernel is the stubbed part). Pure per-row transform.
     */
   def resizeFeatures(feats: DataFrame, targetDim: Int = 4): DataFrame = {
+    // one strided pass per output element (j = i, i+k, i+2k, …): each input
+    // element is visited exactly once across outputs, no struct staging
     feats.select(col("doc_id"),
       transform(sequence(lit(0), lit(targetDim - 1)), i =>
         round(aggregate(
-          filter(transform(sequence(lit(0), size(col("feat")) - 1),
-            j => struct(j.as("j"), element_at(col("feat"), j + 1).as("v"))),
-            s => s.getField("j") % targetDim === i),
-          lit(0.0), (acc, s) => acc + s.getField("v")) + lit(1e-9), 4))
+          sequence(i, size(col("feat")) - 1, lit(targetDim)),
+          lit(0.0), (acc, j) => acc + element_at(col("feat"), j + 1)) + lit(1e-9), 4))
         .as("feat_resized"))
   }
 

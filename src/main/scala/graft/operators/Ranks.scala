@@ -34,7 +34,10 @@ object Ranks {
     * references a column so no rule folds it (x*0 is not 0 under null/NaN),
     * yet evaluates to 0 for every row. Use only on provably-small frames.
     */
-  def onePartitionKey(anchor: Column): Column = coalesce(anchor * lit(0), lit(0))
+  def onePartitionKey(anchor: Column): Column =
+    // cast + nanvl: NaN*0 and Inf*0 are NaN, which coalesce would keep —
+    // the key must be 0 for EVERY row or ranks silently split partitions
+    coalesce(nanvl(anchor.cast("double") * lit(0.0), lit(0.0)), lit(0.0))
 
   /** Add `rankName` = global rank of each row under (score DESC, tie ASC),
     * computed without an unpartitioned window over `df`.

@@ -61,7 +61,7 @@ object SessionStream {
     * its events are evicted and only the counter survives — bounded state
     * under arbitrary within-watermark disorder.
     */
-  case class UserBuf(nClosed: Long, buf: Seq[(Long, Long, Double)])
+  case class UserBuf(nClosed: Long, buf: Seq[(Long, Long, Double)], epoch: Long)
 
   /** Ev plus the watermarked event-time column — the `ts` attribute must
     * survive into the stateful operator's input or Spark loses the
@@ -70,45 +70,67 @@ object SessionStream {
   case class EvW(user_id: Long, event_id: Long, tsUs: Long, value: Double,
                  ts: java.sql.Timestamp)
 
-  /** Buffered fold: merge new events into the per-user buffer (any order),
-    * emit the CURRENT sessionization of the buffer each batch (update
-    * semantics — later batches refine open sessions), and evict events of
-    * sessions the watermark has sealed.
+  /** Output of the buffered fold. `sealed` rows are immutable (emitted
+    * exactly once, when the watermark seals the session); unsealed rows are
+    * the user's CURRENT view and are superseded by any later `epoch` — a
+    * late bridge event can merge two previously-open sessions, so earlier
+    * unsealed emissions must not survive the collapse (they'd be phantoms).
+    */
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        sum_value: Double, is_sealed: Boolean, epoch: Long)
+
+  /** Buffered fold: merge new events into the per-user buffer (any order
+    * within the watermark), emit sealed sessions once plus the refreshed
+    * open view, and evict sealed events so only a counter survives.
+    *
+    * Runs under EventTimeTimeout, which (a) makes Spark drop sub-watermark
+    * input rows before they reach this fold — the premise the seal
+    * invariant needs (FlatMapGroupsWithStateExec filters late rows only
+    * under EventTimeTimeout) — and (b) fires a timeout once the watermark
+    * passes the last buffered event + gap, sealing an idle user's trailing
+    * sessions so retired keys hold only the O(1) counter, not events.
     */
   def foldGroupBuffered(userId: Long, rows: Iterator[EvW],
-                        state: GroupState[UserBuf]): Iterator[SessionRow] = {
-    val prev = state.getOption.getOrElse(UserBuf(0L, Vector.empty))
-    val merged = (prev.buf ++ rows.map(e => (e.tsUs, e.event_id, e.value)))
-      .sortBy(t => (t._1, t._2))
-    // sessionize the full buffer, numbering after the already-closed count
-    val rowsOut = scala.collection.mutable.ArrayBuffer[SessionRow]()
-    val ends = scala.collection.mutable.ArrayBuffer[Long]()
-    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+                        state: GroupState[UserBuf]): Iterator[SessionOut] = {
+    val prev = state.getOption.getOrElse(UserBuf(0L, Vector.empty, 0L))
+    val epoch = prev.epoch + 1
+    val merged =
+      (prev.buf ++ (if (state.hasTimedOut) Iterator.empty else rows)
+        .map(e => (e.tsUs, e.event_id, e.value)))
+        .sortBy(t => (t._1, t._2))
+    // sessionize the full buffer, numbering after the already-sealed count
+    case class Seg(row: SessionOut, endUs: Long, startIdx: Int)
+    val segs = scala.collection.mutable.ArrayBuffer[Seg]()
     var ord = prev.nClosed
     var n = 0L; var sum = 0.0; var lastUs = Long.MinValue; var segStart = 0
     var i = 0
+    def close(): Unit = if (n > 0) {
+      ord += 1
+      segs += Seg(SessionOut(userId, ord, n, sum, is_sealed = false, epoch), lastUs, segStart)
+    }
     while (i < merged.size) {
       val (ts, _, v) = merged(i)
-      if (n > 0 && ts - lastUs > GapUs) {
-        ord += 1; rowsOut += SessionRow(userId, ord, n, sum); ends += lastUs; starts += segStart
-        n = 0; sum = 0.0; segStart = i
-      }
+      if (n > 0 && ts - lastUs > GapUs) { close(); n = 0; sum = 0.0; segStart = i }
       n += 1; sum += v; lastUs = ts
       i += 1
     }
-    if (n > 0) { ord += 1; rowsOut += SessionRow(userId, ord, n, sum); ends += lastUs; starts += segStart }
-    // evict events of sessions the watermark has sealed (end + gap < wm):
-    // nothing admissible can extend them, so only the counter is kept
+    close()
+    // seal the prefix of sessions the watermark has passed (end + gap < wm):
+    // Spark drops later input below the watermark, so nothing can extend them
     val wmUs = state.getCurrentWatermarkMs() * 1000L
-    var sealedUpTo = 0 // index into merged: first event NOT sealed
-    var sealedCount = 0L
-    var s = 0
-    while (s < ends.size && ends(s) + GapUs < wmUs) {
-      sealedUpTo = if (s + 1 < starts.size) starts(s + 1) else merged.size
-      sealedCount += 1; s += 1
+    val sealedN = segs.indexWhere(s => s.endUs + GapUs >= wmUs) match {
+      case -1 => segs.size
+      case k => k
     }
-    state.update(UserBuf(prev.nClosed + sealedCount, merged.drop(sealedUpTo)))
-    rowsOut.iterator
+    val keepFrom = if (sealedN < segs.size) segs(sealedN).startIdx else merged.size
+    state.update(UserBuf(prev.nClosed + sealedN, merged.drop(keepFrom), epoch))
+    if (merged.size > keepFrom) {
+      // open sessions remain: wake up when the watermark could seal them
+      state.setTimeoutTimestamp(merged.last._1 / 1000L + GapUs / 1000L + 1L)
+    }
+    segs.zipWithIndex.map { case (s, idx) =>
+      if (idx < sealedN) s.row.copy(is_sealed = true) else s.row
+    }.iterator
   }
 
   /** Buffered sessionization over a directory of event parquet files —
@@ -116,7 +138,7 @@ object SessionStream {
     * documents as out of scope).
     */
   def sessionizedBuffered(spark: SparkSession, dir: String,
-                          maxFilesPerTrigger: Int = 1): Dataset[SessionRow] = {
+                          maxFilesPerTrigger: Int = 1): Dataset[SessionOut] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
@@ -129,7 +151,23 @@ object SessionStream {
         expr("unix_micros(ts)").as("tsUs"), col("value"), col("ts"))
       .as[EvW]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroupBuffered)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(foldGroupBuffered)
+  }
+
+  /** Collapse the memory-sink emission log to the final sessions: sealed
+    * rows are immutable singletons; of the unsealed rows, only each user's
+    * latest-epoch view is current (earlier epochs may contain sessions that
+    * later merged — phantoms).
+    */
+  def collapseBuffered(emissions: DataFrame): DataFrame = {
+    val latest = emissions.groupBy(col("user_id").as("u"))
+      .agg(max(col("epoch")).as("max_epoch"))
+    val sealedRows = emissions.filter(col("is_sealed"))
+    val openRows = emissions.filter(!col("is_sealed"))
+      .join(latest, col("user_id") === col("u") && col("epoch") === col("max_epoch"))
+    sealedRows.unionByName(openRows.select(sealedRows.columns.map(col): _*))
+      .select(col("user_id"), col("session_id"), col("n_events"), col("sum_value"))
   }
 
   def runBufferedToCompletion(spark: SparkSession, dir: String,
@@ -142,11 +180,7 @@ object SessionStream {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(queryName)
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))
-      .select(col("user_id"), col("session_id"),
-        col("fin.n_events").as("n_events"), col("fin.sum_value").as("sum_value"))
+    collapseBuffered(spark.table(queryName))
   }
 
   def sessionized(spark: SparkSession, sfDir: String): Dataset[SessionRow] = {

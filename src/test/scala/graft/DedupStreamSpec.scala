@@ -69,15 +69,17 @@ class DedupStreamSpec extends SparkSpecBase {
     assert(f1.count() + f2.count() + f3.count() == raw.count())
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_ooo").toString
     for ((f, i) <- Seq(f1, f2, f3).zipWithIndex) {
-      f.coalesce(1).write.mode("overwrite").parquet(s"/tmp/graft_sess_stage_$i")
-      val part = new java.io.File(s"/tmp/graft_sess_stage_$i").listFiles()
+      val stage = s"$dir/stage_$i" // unique per run — concurrent-safe
+      f.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(dir, f"part$i%02d.parquet")
+      val dst = new java.io.File(s"$dir/in", f"part$i%02d.parquet")
+      dst.getParentFile.mkdirs()
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(1000000L * (i + 1)) // deterministic source order
     }
     val streamed = graft.streaming.SessionStream
-      .runBufferedToCompletion(spark, dir, "sess_buf_spec")
+      .runBufferedToCompletion(spark, s"$dir/in", "sess_buf_spec")
       .select(col("user_id"), col("session_id"), col("n_events"),
         round(col("sum_value") + lit(1e-9), 2).as("sum_value"))
     val batch = Analytics.eventsSessionize(spark, sf)
@@ -108,7 +110,8 @@ class DedupStreamSpec extends SparkSpecBase {
       lab.select("cluster_id").distinct().count())
     // the distributed label-propagation fallback (forced via
     // maxDriverPairs = 0) produces the identical clustering
-    val distributed = Dedup.nearDupClusters(spark, sf, maxDriverPairs = 0L)
+    assert(pairs.count() > 0) // a vacuous comparison would prove nothing
+    val distributed = Dedup.nearDupClusters(spark, sf, maxDriverPairs = -1L)
     assert(labels.exceptAll(distributed).count() == 0 &&
       distributed.exceptAll(labels).count() == 0)
     labels.unpersist()
