@@ -72,6 +72,8 @@ object SparkEntry {
     "q_approx_stats" -> ((s, dir) => Analytics.approxStats(s, dir)),
     "q_range_join" -> ((s, dir) => Analytics.rangeJoin(s, dir)),
     "q_skew_agg" -> ((s, dir) => Analytics.skewAgg(s, dir)),
+    "q_rollup" -> ((s, dir) => Analytics.rollupPricing(s, dir)),
+    "q_pivot" -> ((s, dir) => Analytics.pivotEvents(s, dir)),
     // F. training-data pipeline (curation passes)
     "text_normalize" -> ((s, dir) => Pipeline.textNormalize(s, dir)),
     "pii_redact" -> ((s, dir) => Pipeline.piiRedact(s, dir)),
@@ -496,6 +498,21 @@ object SparkEntry {
     "q_skew_agg" ->
       """SELECT event_type, round(sum(value)+1e-9, 2) AS sum_value, count(*) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n_rows,
+        |       round(sum(l_quantity)+1e-9, 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars_raw,

@@ -205,6 +205,38 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** E13: rollup — the multi-level aggregate (detail, per-flag subtotal,
+    * grand total) in ONE pass: Spark expands grouping sets inside the
+    * aggregate, so the fact table is scanned once with map-side partials,
+    * not once per level. Subtotal rows label their collapsed key 'ALL'.
+    */
+  def rollupPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")) + lit(1e-9), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** E14: pivot — event counts per user bucket with event types as columns
+    * (the wide-format export BI layers ask for). The pivot values are
+    * declared, so Spark plans a single aggregate with one conditional
+    * branch per value — no second pass to discover the domain.
+    */
+  def pivotEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, sfDir)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_bucket") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_bucket")
+  }
+
   /** E5: gaps-and-islands sessionization — a new session starts when a user
     * is idle > 30 minutes. Two bounded windows over the same (user, ts)
     * partitioning (single shuffle, reused by both window specs).

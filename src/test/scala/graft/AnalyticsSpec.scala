@@ -39,6 +39,22 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(badMedian == 0 && badDistinct == 0)
   }
 
+  test("rollup levels are self-consistent; pivot cells cover every event") {
+    val r = Analytics.rollupPricing(spark, sf).cache()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(r.filter(col("l_returnflag") === "ALL" && col("l_linestatus") === "ALL")
+      .head().getAs[Long]("n_rows") == total)
+    // per-flag subtotals sum to the grand total
+    assert(r.filter(col("l_returnflag") =!= "ALL" && col("l_linestatus") === "ALL")
+      .agg(sum("n_rows")).head().getLong(0) == total)
+    r.unpersist()
+    val p = Analytics.pivotEvents(spark, sf)
+    val cells = p.select(
+      (col("click") + col("error") + col("purchase") + col("signup") + col("view")).as("s"))
+      .agg(sum("s")).head().getLong(0)
+    assert(cells == Tables.events(spark, sf).count())
+  }
+
   test("events_window counts add up to the event count") {
     val n = Analytics.eventsWindow(spark, sf).agg(sum("n_events")).head().getLong(0)
     assert(n == Tables.events(spark, sf).count())
