@@ -151,6 +151,29 @@ class PipelineSpec extends SparkSpecBase {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("GraftExtensions installs every function on a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      val cos = s2.sql(
+        "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-6)
+      val sh = s2.sql("SELECT graft_shingle_codes('a b c d', 3) AS s").head()
+        .getSeq[Long](0)
+      assert(sh.length == 2)
+      val jac = s2.sql(
+        "SELECT graft_jaccard_sorted(array(1L,2L,3L), array(2L,3L,4L)) AS j").head().getDouble(0)
+      assert(math.abs(jac - 0.5) < 1e-9)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("writeShards: uniform hash shards, bounded records, lossless round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/out"
     val docs = Tables.documents(spark, sf)
