@@ -44,9 +44,11 @@ object Bm25 {
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
+    // filter INSIDE the array before exploding: the explode then emits only
+    // query-term hits (a handful per doc) instead of the full token stream
     val tf = docs
-      .select(key ++ Seq(col("dl"), explode(col("toks")).as("term")): _*)
-      .filter(col("term").isin(terms.map(lit): _*))
+      .select(key ++ Seq(col("dl"),
+        explode(filter(col("toks"), t => t.isin(terms.map(lit): _*))).as("term")): _*)
       .groupBy(key ++ Seq(col("dl"), col("term")): _*)
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy(col("term"))
@@ -71,8 +73,8 @@ object Bm25 {
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms.map(lit): _*))
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isin(terms.map(lit): _*))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy(col("term"))
