@@ -25,21 +25,26 @@ object IndexStream {
     StructField("n_chars", LongType)))
 
   def chunkEmbedStream(spark: SparkSession, sfDir: String,
-                       size: Int = 100, overlap: Int = 20, dim: Int = 64): DataFrame = {
+                       size: Int = 100, overlap: Int = 20, dim: Int = 64,
+                       glob: String = "documents.parquet"): DataFrame = {
     VecExprs.register(spark)
     val docs = spark.readStream
       .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(sfDir)
     Chunker.indexBuildFrom(docs, size, overlap)
       .withColumn("emb", VecExprs.hashEmbed(col("chunk_text"), dim))
   }
 
   /** Run the finite input through the streaming pipeline into a parquet
-    * index directory; returns the resulting index frame.
+    * index directory; returns the resulting index frame. Restartable: the
+    * checkpoint remembers processed files, so re-running against the same
+    * outDir is exactly-once (no reprocessing) and picks up only files that
+    * arrived since — the spec exercises both.
     */
-  def runToParquet(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
-    val q = chunkEmbedStream(spark, sfDir)
+  def runToParquet(spark: SparkSession, sfDir: String, outDir: String,
+                   glob: String = "documents.parquet"): DataFrame = {
+    val q = chunkEmbedStream(spark, sfDir, glob = glob)
       .writeStream
       .outputMode("append")
       .format("parquet")

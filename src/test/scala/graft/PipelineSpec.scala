@@ -151,6 +151,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("checkpointed streaming index: restart is exactly-once, pickup incremental") {
+    import graft.streaming.IndexStream
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val docs = Tables.documents(spark, sf)
+    docs.coalesce(1).write.parquet(s"$base/stage1")
+    new java.io.File(in).mkdirs()
+    def moveIn(stage: String, name: String): Unit = {
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(in, name).toPath)
+    }
+    moveIn(s"$base/stage1", "doc1.parquet")
+    val n1 = IndexStream.runToParquet(spark, in, out, glob = "*.parquet").count()
+    assert(n1 > 0)
+    // restart on the same checkpoint with no new input: nothing reprocessed
+    assert(IndexStream.runToParquet(spark, in, out, glob = "*.parquet").count() == n1)
+    // a new file arrives: only it is processed (counts double — disjoint ids)
+    docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      .coalesce(1).write.parquet(s"$base/stage2")
+    moveIn(s"$base/stage2", "doc2.parquet")
+    val after = IndexStream.runToParquet(spark, in, out, glob = "*.parquet")
+    assert(after.count() == 2 * n1)
+    assert(after.select("doc_id", "chunk_idx").distinct().count() == 2 * n1)
+  }
+
   test("GraftExtensions installs every function on a fresh session") {
     import org.apache.spark.sql.SparkSession
     val prevDefault = SparkSession.getDefaultSession
