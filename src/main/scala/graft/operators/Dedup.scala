@@ -161,7 +161,7 @@ object Dedup {
     // in microseconds and ships back as one broadcast join — the same
     // bounded-k exception as the ANN codebooks. The distributed
     // min-label-propagation loop below stays as the arbitrarily-large
-    // fallback (exercised in specs via maxDriverPairs = 0).
+    // fallback (force-selected in specs via maxDriverPairs = -1).
     // maxDriverPairs < 0 force-disables the fast path (spec coverage of the
     // distributed loop stays honest even when the pair set is empty)
     if (maxDriverPairs >= 0 && pairs.count() <= maxDriverPairs) {

@@ -73,12 +73,16 @@ object Multimodal {
     */
   def resizeFeatures(feats: DataFrame, targetDim: Int = 4): DataFrame = {
     // one strided pass per output element (j = i, i+k, i+2k, …): each input
-    // element is visited exactly once across outputs, no struct staging
+    // element is visited exactly once across outputs, no struct staging.
+    // Guard short inputs: sequence(start, stop, step) rejects start > stop
+    // with a positive step, so output slots beyond the array are plain 0.
     feats.select(col("doc_id"),
       transform(sequence(lit(0), lit(targetDim - 1)), i =>
-        round(aggregate(
-          sequence(i, size(col("feat")) - 1, lit(targetDim)),
-          lit(0.0), (acc, j) => acc + element_at(col("feat"), j + 1)) + lit(1e-9), 4))
+        when(i <= size(col("feat")) - 1,
+          round(aggregate(
+            sequence(i, size(col("feat")) - 1, lit(targetDim)),
+            lit(0.0), (acc, j) => acc + element_at(col("feat"), j + 1)) + lit(1e-9), 4))
+          .otherwise(lit(0.0)))
         .as("feat_resized"))
   }
 

@@ -200,19 +200,8 @@ object TextExprs {
       copy(left = l, right = r)
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_token_codes",
-      exprs => TokenCodes(exprs(0), exprs(1).eval().asInstanceOf[Int].toLong), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_codes",
-      exprs => ShingleCodes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHash(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("graft_jaccard_sorted",
-      exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
-  }
+  /** Delegates to the canonical table (all graft functions, idempotent). */
+  def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 
   def tokenCodes(text: Column, mult: Int = 31): Column =
     call_function("graft_token_codes", text, lit(mult))

@@ -297,17 +297,8 @@ object VecExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_hash_embed",
-      exprs => HashEmbed(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("graft_lsh_bucket",
-      exprs => LshBucket(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProd(exprs(0), exprs(1)), "built-in")
-  }
+  /** Delegates to the canonical table (all graft functions, idempotent). */
+  def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 
   /** Column API. Callers must have invoked `register(spark)` for the session. */
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)

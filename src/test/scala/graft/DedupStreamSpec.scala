@@ -109,7 +109,7 @@ class DedupStreamSpec extends SparkSpecBase {
     assert(labels.filter(col("is_survivor")).count() ==
       lab.select("cluster_id").distinct().count())
     // the distributed label-propagation fallback (forced via
-    // maxDriverPairs = 0) produces the identical clustering
+    // maxDriverPairs = -1) produces the identical clustering
     assert(pairs.count() > 0) // a vacuous comparison would prove nothing
     val distributed = Dedup.nearDupClusters(spark, sf, maxDriverPairs = -1L)
     assert(labels.exceptAll(distributed).count() == 0 &&

@@ -238,6 +238,12 @@ class PipelineSpec extends SparkSpecBase {
     assert(frames.filter(col("frame_idx") =!= 0 || col("frame_offset") =!= 0).count() == 0)
     // a finer stride keeps ceil(4/1)=4 frames for the big file
     assert(Multimodal.frameSample(corpus, 64, 1).count() == 5)
+    // short feature arrays (size < targetDim) must not crash: tail slots are 0
+    val shortFeats = spark.range(1).select(col("id").as("doc_id"),
+      array(lit(1.5), lit(2.5)).as("feat"))
+    val shortOut = Multimodal.resizeFeatures(shortFeats, targetDim = 4)
+      .head().getSeq[Double](1)
+    assert(shortOut == Seq(1.5, 2.5, 0.0, 0.0))
     // resize: 8-dim features fold to 4 dims, mass preserved
     val feats = Multimodal.decodeFeatures(spark, sf).limit(10).cache()
     val resized = Multimodal.resizeFeatures(feats)
