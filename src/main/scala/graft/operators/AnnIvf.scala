@@ -47,17 +47,14 @@ object AnnIvf {
       .orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
     for (_ <- 0 until iters) {
-      val assigned = e.withColumn("cid", nearestCentroid(col("emb"), centroids))
-      val updated = assigned
-        .select(col("cid"), posexplode(col("emb")).as(Seq("d", "v")))
-        .groupBy("cid", "d").agg(avg("v").as("m"))
+      // centroid update via the VecMean aggregate: (dim doubles + count)
+      // per cell crosses the shuffle — no posexplode row multiplication
+      val updated = e.withColumn("cid", nearestCentroid(col("emb"), centroids))
+        .groupBy("cid").agg(graft.plans.VecAgg.vecMean(col("emb")).as("m"))
         .collect()
-      val byCell = updated.groupBy(_.getAs[Int]("cid"))
+      val byCell = updated.map(r => r.getAs[Int]("cid") -> r.getSeq[Double](1)).toMap
       centroids = centroids.indices.map { i =>
-        byCell.get(i) match {
-          case Some(rows) => rows.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("m")).toArray
-          case None => centroids(i) // empty cell keeps its centroid
-        }
+        byCell.get(i).map(_.toArray).getOrElse(centroids(i)) // empty cell keeps its centroid
       }.toArray
     }
     e.unpersist()

@@ -56,16 +56,15 @@ object AnnPq {
       (0 until m).map(j => seed.map(v => v.slice(j * sd, j * sd + sd))).toArray
     for (_ <- 0 until iters) {
       val assign = VecExprs.pqAssign(col("s"), col("j"), books)
+      // centroid update via the VecMean aggregate — see AnnIvf.train
       val updated = subs.withColumn("cid", assign)
-        .select(col("j"), col("cid"), posexplode(col("s")).as(Seq("d", "v")))
-        .groupBy("j", "cid", "d").agg(avg("v").as("mean"))
+        .groupBy("j", "cid").agg(graft.plans.VecAgg.vecMean(col("s")).as("mean"))
         .collect()
-      val byCell = updated.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("cid")))
+      val byCell = updated.map(r =>
+        (r.getAs[Int]("j"), r.getAs[Int]("cid")) -> r.getSeq[Double](2)).toMap
       books = books.indices.map { j =>
         books(j).indices.map { i =>
-          byCell.get((j, i))
-            .map(_.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("mean")).toArray)
-            .getOrElse(books(j)(i))
+          byCell.get((j, i)).map(_.toArray).getOrElse(books(j)(i))
         }.toArray
       }.toArray
     }

@@ -39,11 +39,14 @@ object GraftFunctions {
     "graft_simhash" -> (es => TextExprs.SimHash(es(0), intArg("graft_simhash")(es(1)))),
     "graft_jaccard_sorted" -> (es => TextExprs.JaccardSorted(es(0), es(1))))
 
-  /** Register every function on a session (idempotent). */
+  /** Register every function on a session (idempotent), including the
+    * UDAF-path aggregates (graft_vec_mean).
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    VecAgg.register(spark)
   }
 }

@@ -92,4 +92,23 @@ class VecSpec extends SparkSpecBase {
     assert(d.filter(col("score") < 0.30).count() == 0)
     d.unpersist()
   }
+
+  test("VecMean aggregate equals per-dimension avg, works from SQL") {
+    import graft.plans.VecAgg
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        (col("vec_id") % 3).as("g"))
+    val viaAgg = e.groupBy("g").agg(VecAgg.vecMean(col("emb")).as("m"))
+    val viaExplode = e.select(col("g"), posexplode(col("emb")).as(Seq("d", "v")))
+      .groupBy("g", "d").agg(avg("v").as("m"))
+    val flat = viaAgg.select(col("g"), posexplode(col("m")).as(Seq("d", "mv")))
+    val bad = flat.join(viaExplode, Seq("g", "d"))
+      .filter(abs(col("mv") - col("m")) > 1e-9).count()
+    assert(bad == 0)
+    // SQL path
+    graft.plans.GraftFunctions.registerAll(spark)
+    e.createOrReplaceTempView("vm_in")
+    val n = spark.sql("SELECT g, graft_vec_mean(emb) AS m FROM vm_in GROUP BY g").count()
+    assert(n == 3)
+  }
 }
