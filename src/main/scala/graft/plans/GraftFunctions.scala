@@ -37,16 +37,14 @@ object GraftFunctions {
     "graft_shingle_codes" -> (es => TextExprs.ShingleCodes(es(0), intArg("graft_shingle_codes")(es(1)))),
     "graft_minhash_sig" -> (es => TextExprs.MinHashSig(es(0), intArg("graft_minhash_sig")(es(1)))),
     "graft_simhash" -> (es => TextExprs.SimHash(es(0), intArg("graft_simhash")(es(1)))),
-    "graft_jaccard_sorted" -> (es => TextExprs.JaccardSorted(es(0), es(1))))
+    "graft_jaccard_sorted" -> (es => TextExprs.JaccardSorted(es(0), es(1))),
+    "graft_vec_mean" -> (es => VecAgg.builder(es)))
 
-  /** Register every function on a session (idempotent), including the
-    * UDAF-path aggregates (graft_vec_mean).
-    */
+  /** Register every function on a session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    VecAgg.register(spark)
   }
 }

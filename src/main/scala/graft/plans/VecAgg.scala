@@ -51,7 +51,14 @@ object VecAgg {
   /** Column API: mean vector of an array<double> column. */
   def vecMean(c: Column): Column = vecMeanUdaf(c)
 
-  /** SQL name, installed alongside the scalar functions. */
-  def register(spark: SparkSession): Unit =
-    spark.udf.register("graft_vec_mean", vecMeanUdaf)
+  /** Expression builder for the registry/extensions table: a ScalaAggregator
+    * over the typed Aggregator — the analyzer wraps AggregateFunction
+    * results in an AggregateExpression, so this rides the same injection
+    * point as the scalar functions.
+    */
+  def builder(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    new org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+      es, VecMean, ExpressionEncoder[Seq[Double]](), ExpressionEncoder[MeanBuf](),
+      true, true, 0, 0, Some("graft_vec_mean"))
 }

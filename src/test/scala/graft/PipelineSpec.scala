@@ -195,6 +195,10 @@ class PipelineSpec extends SparkSpecBase {
       val jac = s2.sql(
         "SELECT graft_jaccard_sorted(array(1L,2L,3L), array(2L,3L,4L)) AS j").head().getDouble(0)
       assert(math.abs(jac - 0.5) < 1e-9)
+      val vm = s2.sql(
+        "SELECT graft_vec_mean(v) AS m FROM VALUES (array(1.0D, 4.0D)), (array(3.0D, 0.0D)) t(v)")
+        .head().getSeq[Double](0)
+      assert(vm == Seq(2.0, 2.0))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
