@@ -165,6 +165,16 @@ class Graft(spark: SparkSession, sfDir: String,
   def dedupClusters(): DataFrame =
     operators.Dedup.nearDupClusters(spark, sfDir)
 
+  /** Export the corpus (near-dup survivors only) as uniform training
+    * shards — the pipeline's last mile: dedup picks survivors, curation
+    * metadata rides along, writeShards lays out the bytes.
+    */
+  def exportShards(path: String, numShards: Int = 8): DataFrame = {
+    val survivors = dedupClusters().filter(col("is_survivor")).select("doc_id")
+    operators.Pipeline.writeShards(
+      Tables.documents(spark, sfDir).join(survivors, "doc_id"), path, numShards)
+  }
+
   /** Indexing counters (filesDiscovered / chunksTotal / chars per lang). */
   def status(): DataFrame =
     Chunker.indexStatus(spark, sfDir, chunkSize, chunkOverlap)

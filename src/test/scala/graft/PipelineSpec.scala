@@ -113,6 +113,12 @@ class PipelineSpec extends SparkSpecBase {
     assert(g.curate().count() == Tables.documents(spark, sf).count())
     assert(g.findNearDuplicates().count() ==
       graft.operators.Dedup.dedupMinhashLsh(spark, sf).count())
+    // export writes only near-dup survivors, as uniform shards
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString + "/shards"
+    val inv = g.exportShards(out, numShards = 2)
+    assert(inv.count() == 2)
+    val survivors = g.dedupClusters().filter(col("is_survivor")).count()
+    assert(spark.read.parquet(out).count() == survivors)
   }
 
   test("stream-stream interval join equals the batch join") {
