@@ -166,8 +166,9 @@ class Graft(spark: SparkSession, sfDir: String,
     operators.Dedup.nearDupClusters(spark, sfDir)
 
   /** Export the corpus (near-dup survivors only) as uniform training
-    * shards — the pipeline's last mile: dedup picks survivors, curation
-    * metadata rides along, writeShards lays out the bytes.
+    * shards — the pipeline's last mile: dedup picks the survivor set,
+    * writeShards lays out the bytes. (Join `curate()` in first if the
+    * shards should carry curation metadata columns.)
     */
   def exportShards(path: String, numShards: Int = 8): DataFrame = {
     val survivors = dedupClusters().filter(col("is_survivor")).select("doc_id")

@@ -52,7 +52,9 @@ object AnnIvf {
       val updated = e.withColumn("cid", nearestCentroid(col("emb"), centroids))
         .groupBy("cid").agg(graft.plans.VecAgg.vecMean(col("emb")).as("m"))
         .collect()
-      val byCell = updated.map(r => r.getAs[Int]("cid") -> r.getSeq[Double](1)).toMap
+      // a null embedding yields a null cid/mean group — never a centroid
+      val byCell = updated.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => r.getAs[Int]("cid") -> r.getSeq[Double](1)).toMap
       centroids = centroids.indices.map { i =>
         byCell.get(i).map(_.toArray).getOrElse(centroids(i)) // empty cell keeps its centroid
       }.toArray

@@ -60,8 +60,9 @@ object AnnPq {
       val updated = subs.withColumn("cid", assign)
         .groupBy("j", "cid").agg(graft.plans.VecAgg.vecMean(col("s")).as("mean"))
         .collect()
-      val byCell = updated.map(r =>
-        (r.getAs[Int]("j"), r.getAs[Int]("cid")) -> r.getSeq[Double](2)).toMap
+      // a null subvector yields a null cid/mean group — never a codeword
+      val byCell = updated.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+        .map(r => (r.getAs[Int]("j"), r.getAs[Int]("cid")) -> r.getSeq[Double](2)).toMap
       books = books.indices.map { j =>
         books(j).indices.map { i =>
           byCell.get((j, i)).map(_.toArray).getOrElse(books(j)(i))

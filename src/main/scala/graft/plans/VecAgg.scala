@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
@@ -15,38 +15,47 @@ import org.apache.spark.sql.functions.udaf
   */
 object VecAgg {
 
-  case class MeanBuf(var sum: Array[Double], var n: Long)
+  /** Per-dimension sums AND counts: ragged inputs contribute to exactly the
+    * dimensions they have, so the result is partition-independent and equal
+    * to a per-dimension avg (the posexplode formulation's semantics).
+    */
+  case class MeanBuf(var sum: Array[Double], var cnt: Array[Long])
 
   object VecMean extends Aggregator[Seq[Double], MeanBuf, Seq[Double]] {
-    override def zero: MeanBuf = MeanBuf(Array.emptyDoubleArray, 0L)
+    override def zero: MeanBuf = MeanBuf(Array.emptyDoubleArray, Array.emptyLongArray)
+
+    private def grow(b: MeanBuf, len: Int): Unit = if (b.sum.length < len) {
+      b.sum = java.util.Arrays.copyOf(b.sum, len)
+      b.cnt = java.util.Arrays.copyOf(b.cnt, len)
+    }
 
     override def reduce(b: MeanBuf, a: Seq[Double]): MeanBuf = {
-      if (a == null) return b
-      if (b.sum.length == 0) b.sum = new Array[Double](a.length)
+      if (a == null) return b // NULL rows contribute nothing, like avg()
+      grow(b, a.length)
       var i = 0
-      val m = math.min(b.sum.length, a.length)
-      while (i < m) { b.sum(i) += a(i); i += 1 }
-      b.n += 1
+      while (i < a.length) { b.sum(i) += a(i); b.cnt(i) += 1; i += 1 }
       b
     }
 
     override def merge(x: MeanBuf, y: MeanBuf): MeanBuf = {
-      if (y.sum.length == 0) return x
-      if (x.sum.length == 0) return y
+      grow(x, y.sum.length)
       var i = 0
-      while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
-      x.n += y.n
+      while (i < y.sum.length) { x.sum(i) += y.sum(i); x.cnt(i) += y.cnt(i); i += 1 }
       x
     }
 
     override def finish(b: MeanBuf): Seq[Double] =
-      if (b.n == 0) Seq.empty else b.sum.map(_ / b.n).toSeq
+      // all-NULL (or empty) group → NULL, matching built-in aggregates
+      if (b.cnt.length == 0) null
+      else b.sum.indices.map(i => if (b.cnt(i) == 0) 0.0 else b.sum(i) / b.cnt(i))
 
-    override def bufferEncoder: Encoder[MeanBuf] = Encoders.product[MeanBuf]
+    private[plans] val inEnc: ExpressionEncoder[Seq[Double]] = ExpressionEncoder()
+    private[plans] val bufEnc: ExpressionEncoder[MeanBuf] = ExpressionEncoder()
+    override def bufferEncoder: Encoder[MeanBuf] = bufEnc
     override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
   }
 
-  private lazy val vecMeanUdaf = udaf(VecMean, ExpressionEncoder[Seq[Double]]())
+  private lazy val vecMeanUdaf = udaf(VecMean, VecMean.inEnc)
 
   /** Column API: mean vector of an array<double> column. */
   def vecMean(c: Column): Column = vecMeanUdaf(c)
@@ -54,11 +63,14 @@ object VecAgg {
   /** Expression builder for the registry/extensions table: a ScalaAggregator
     * over the typed Aggregator — the analyzer wraps AggregateFunction
     * results in an AggregateExpression, so this rides the same injection
-    * point as the scalar functions.
+    * point as the scalar functions. Reuses the aggregator's own encoders so
+    * the builder cannot drift from the Column path.
     */
   def builder(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : org.apache.spark.sql.catalyst.expressions.Expression =
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(es.length == 1, s"graft_vec_mean expects exactly one argument, got ${es.length}")
     new org.apache.spark.sql.execution.aggregate.ScalaAggregator(
-      es, VecMean, ExpressionEncoder[Seq[Double]](), ExpressionEncoder[MeanBuf](),
+      es, VecMean, VecMean.inEnc, VecMean.bufEnc,
       true, true, 0, 0, Some("graft_vec_mean"))
+  }
 }

@@ -110,5 +110,15 @@ class VecSpec extends SparkSpecBase {
     e.createOrReplaceTempView("vm_in")
     val n = spark.sql("SELECT g, graft_vec_mean(emb) AS m FROM vm_in GROUP BY g").count()
     assert(n == 3)
+    // ragged + null + empty semantics match per-dimension avg (posexplode):
+    // each dimension averages over the rows that HAVE it; all-null → NULL
+    val ragged = spark.sql(
+      """SELECT graft_vec_mean(v) AS m FROM VALUES
+        |  (array(1.0D, 3.0D)), (array(5.0D)), (CAST(NULL AS ARRAY<DOUBLE>)) t(v)""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(ragged == Seq(3.0, 3.0))
+    assert(spark.sql(
+      "SELECT graft_vec_mean(v) AS m FROM VALUES (CAST(NULL AS ARRAY<DOUBLE>)) t(v)")
+      .head().isNullAt(0))
   }
 }
