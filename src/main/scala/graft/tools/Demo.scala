@@ -64,6 +64,10 @@ object Demo {
     g.findNearDuplicates().show(5)
     g.dedupClusters().filter(!org.apache.spark.sql.functions.col("is_survivor")).show(5)
 
+    println("== shard export (dedup survivors -> uniform parquet shards) ==")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_demo_shards").toString
+    g.exportShards(s"$shardDir/out", numShards = 4).show(truncate = false)
+
     println("== real-directory corpus (this repo's markdown) ==")
     val corpus = graft.sources.TextCorpus.read(spark, "/root/repo",
       allowedExt = Seq("md"), excludedFolders = Seq("target", ".git", "node_modules"))
