@@ -234,20 +234,35 @@ object Dedup {
   private def shiftLit(t: org.apache.spark.sql.Column, blockBits: Int) =
     pow(lit(2.0), t.cast("double") * blockBits).cast("long")
 
-  /** B5: embedding-cosine near-dup pairs (exact baseline; C2's LSH buckets
-    * are the scale path for the same predicate). Threshold tuned to the
-    * synthetic corpus (cosines ∈ [-0.45, 0.45]); survivor = lower vec_id.
+  /** B5: embedding-cosine near-dup pairs (exact baseline; B5b's LSH buckets
+    * are the approximate scale path for the same predicate). Exact all-pairs
+    * is inherently O(n²) WORK, but it need not be a nested-loop PLAN: each
+    * vector gets a block id, and every unordered block pair (bi ≤ bj)
+    * becomes an equi-join key — the left side carries its row under keys
+    * (b, j≥b), the right under (i≤b, b), so each vector pair meets exactly
+    * once (upper triangle: half the cosine evaluations of the naive
+    * id<id cross join) and the work shuffles/partitions by block-pair like
+    * any other join instead of funneling through BroadcastNestedLoop.
+    * Survivor = lower vec_id. Threshold tuned to the synthetic corpus.
     */
   def dedupEmbedding(spark: SparkSession, sfDir: String,
-                     threshold: Double = 0.30): DataFrame = {
+                     threshold: Double = 0.30, blocks: Int = 8): DataFrame = {
     VecExprs.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val a = e.select(col("vec_id").as("keep_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("b_emb"))
-    a.join(b, col("keep_id") < col("dup_id"))
-      .withColumn("score", round(VecExprs.cosineSim(col("a_emb"), col("b_emb")) + lit(1e-9), 4))
+      .select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      explode(expr(s"transform(sequence(blk, ${blocks - 1}), j -> struct(blk AS bi, j AS bj))"))
+        .as("pk"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      explode(expr(s"transform(sequence(0, blk), i -> struct(i AS bi, blk AS bj))"))
+        .as("pk"))
+    a.join(b, Seq("pk"))
+      .filter(col("pk.bi") =!= col("pk.bj") || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("keep_id"),
+        greatest(col("a_id"), col("b_id")).as("dup_id"),
+        round(VecExprs.cosineSim(col("a_emb"), col("b_emb")) + lit(1e-9), 4).as("score"))
       .filter(col("score") >= threshold)
-      .select(col("keep_id"), col("dup_id"), col("score"))
       .orderBy("keep_id", "dup_id")
   }
 
