@@ -239,20 +239,28 @@ object Dedup {
     * is inherently O(n²) WORK, but it need not be a nested-loop PLAN: each
     * vector gets a block id, and every unordered block pair (bi ≤ bj)
     * becomes an equi-join key — the left side carries its row under keys
-    * (b, j≥b), the right under (i≤b, b), so each vector pair meets exactly
-    * once (upper triangle: half the cosine evaluations of the naive
-    * id<id cross join) and the work shuffles/partitions by block-pair like
-    * any other join instead of funneling through BroadcastNestedLoop.
+    * (b, j≥b), the right under (i≤b, b). A cross-block pair meets exactly
+    * once; same-block pairs meet both ways and self-pair, which the
+    * diagonal filter (bi ≠ bj || a<b) cleans. The cosine count is the same
+    * n(n−1)/2 as the naive id<id cross join — the win is the PLAN: the
+    * work shuffles/partitions by block pair like any other equi-join
+    * instead of funneling every candidate through BroadcastNestedLoop.
+    * `blocks` defaults to ~√(2·shuffle.partitions) so the B(B+1)/2 join
+    * keys cover the session's parallelism at any scale.
     * Survivor = lower vec_id. Threshold tuned to the synthetic corpus.
     */
   def dedupEmbedding(spark: SparkSession, sfDir: String,
-                     threshold: Double = 0.30, blocks: Int = 8): DataFrame = {
+                     threshold: Double = 0.30, blocks: Int = 0): DataFrame = {
     VecExprs.register(spark)
+    val nBlocks =
+      if (blocks > 0) blocks
+      else math.ceil(math.sqrt(2.0 * spark.conf.get("spark.sql.shuffle.partitions").toInt))
+        .toInt.max(2)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
-        pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
+        pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk"))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      explode(expr(s"transform(sequence(blk, ${blocks - 1}), j -> struct(blk AS bi, j AS bj))"))
+      explode(expr(s"transform(sequence(blk, ${nBlocks - 1}), j -> struct(blk AS bi, j AS bj))"))
         .as("pk"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
       explode(expr(s"transform(sequence(0, blk), i -> struct(i AS bi, blk AS bj))"))
