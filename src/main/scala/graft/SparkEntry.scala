@@ -139,7 +139,8 @@ object SparkEntry {
          |cosr AS (SELECT doc_id,
          |    round(${cosSql("vn", s"$hybridQueryVecSql")} + 1e-9, 4) AS cos
          |  FROM nv),
-         |cr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rank FROM cosr),
+         |cr AS (SELECT doc_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rank
+         |       FROM cosr WHERE cos > 0 OR doc_id IN (SELECT doc_id FROM bm)),
          |br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY round(bm25+1e-9, 4) DESC, doc_id) AS BIGINT) AS bm25_rank FROM bm)
          |SELECT c.doc_id,
          |       round(coalesce(1.0/(b.bm25_rank + 60), 0.0) + 1.0/(c.cos_rank + 60) + 1e-12, 6) AS rrf,
@@ -246,12 +247,22 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang, n_chars,
         |          list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
         |        FROM documents) t0),
+        |s2 AS (SELECT * FROM s WHERE len(sh) > 0),
+        |sig AS (SELECT doc_id, lang, len_bucket,
+        |    list_transform(range(0, 16), i ->
+        |      list_min(list_transform(sh, x -> (x*(40503*i + 11) + 19349663*i) % 1000000007))) AS sig
+        |  FROM s2),
+        |bands AS (SELECT doc_id, lang, len_bucket, b AS band_idx,
+        |    CAST(sig[CAST(2*b+1 AS INT)] AS VARCHAR) || ':' || CAST(sig[CAST(2*b+2 AS INT)] AS VARCHAR) AS band_key
+        |  FROM (SELECT doc_id, lang, len_bucket, sig, unnest(range(0, 8)) AS b FROM sig) z),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.lang
+        |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |    AND a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
         |p AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
-        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |         CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS tot
-        |  FROM s a JOIN s b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |  SELECT c.a_id, c.b_id, c.lang,
+        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+        |         CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
+        |  FROM cand c JOIN s2 sa ON sa.doc_id = c.a_id JOIN s2 sb ON sb.doc_id = c.b_id)
         |SELECT a_id, b_id, lang, round(inter/(tot-inter)+1e-9, 4) AS jaccard
         |FROM p WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,

@@ -62,31 +62,14 @@ object Bm25 {
       .agg(sum(col("w")).as("bm25"))
   }
 
-  /** BM25 scores for the documents matching ≥1 query term. */
+  /** BM25 scores for the documents matching ≥1 query term — the doc-level
+    * instance of [[bm25ScoresOver]] (one scoring body, no drift risk; the
+    * `df` aggregates are equivalent because the tf frame is already unique
+    * per (doc, term)).
+    */
   def bm25Scores(spark: SparkSession, sfDir: String,
-                 query: String = DefaultQuery): DataFrame = {
-    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("toks"), t => t.isin(terms.map(lit): _*))).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("w")).as("bm25"))
-  }
+                 query: String = DefaultQuery): DataFrame =
+    bm25ScoresOver(Tables.documents(spark, sfDir), Seq("doc_id"), "text", query)
 
   /** A10: BM25 top-10 with snippets. */
   def ragBm25(spark: SparkSession, sfDir: String,
@@ -156,15 +139,23 @@ object Bm25 {
     // decomposes the global row_number into a distinct-score prefix sum plus a
     // per-score tiebreak window (row-for-row equal to the oracle's single
     // row_number — see Ranks scaladoc)
+    val bmScored = bm25Scores(spark, sfDir, query)
+      .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
+    val bmRanked = Ranks.globalRankDesc(bmScored, "bm25", Seq("doc_id"), "bm25_rank")
+      .select(col("doc_id"), col("bm25_rank"))
+    // Prefilter before the cosine rank: docs with no lexical hit AND
+    // non-positive cosine carry no retrieval signal — on a real corpus the
+    // rounded score 0.0 is a corpus-fraction peer group, and globalRankDesc's
+    // per-score tiebreak window would funnel it through one task. Ranks are
+    // DEFINED over the signal-bearing subset (the oracle applies the same
+    // filter); the lexical side still ranks over all its matches.
     val cosScored = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         round(VecExprs.cosineSim(VecExprs.hashEmbed(col("text"), dim), qvCol) + lit(1e-9), 4)
           .as("cos"))
-    val cosRanked = Ranks.globalRankDesc(cosScored, "cos", Seq("doc_id"), "cos_rank")
-    val bmScored = bm25Scores(spark, sfDir, query)
-      .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
-    val bmRanked = Ranks.globalRankDesc(bmScored, "bm25", Seq("doc_id"), "bm25_rank")
-    cosRanked.join(bmRanked, Seq("doc_id"), "left_outer")
+    val base = cosScored.join(bmRanked, Seq("doc_id"), "left_outer")
+      .filter(col("cos") > 0 || col("bm25_rank").isNotNull)
+    Ranks.globalRankDesc(base, "cos", Seq("doc_id"), "cos_rank")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (col("bm25_rank") + RrfC), lit(0.0)) +
           lit(1.0) / (col("cos_rank") + RrfC) + lit(1e-12), 6))

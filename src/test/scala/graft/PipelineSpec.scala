@@ -99,6 +99,35 @@ class PipelineSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("ngram-jaccard banded blocking: a hot (lang,len) block stays sub-quadratic") {
+    import spark.implicits._
+    import graft.plans.TextExprs
+    import graft.operators.Dedup
+    TextExprs.register(spark)
+    // 400 mutually-distinct docs that ALL land in one (lang, len_bucket)
+    // block (same lang, same n_chars) — the skew shape the old blocking key
+    // turned into n(n−1)/2 = 79,800 candidate pairs — plus one genuine
+    // 5-doc near-dup cluster (10 true pairs).
+    val n = 400
+    val distinctDocs = (0 until n).map { i =>
+      ((i + 1).toLong, (0 until 30).map(j => s"w${i * 131 + j * 7 + 1}").mkString(" "), "en", 1234L)
+    }
+    val dupCluster = (0 until 5).map { i =>
+      ((1000 + i).toLong, (0 until 30).map(j => s"dup$j").mkString(" ") + s" tail$i", "en", 1234L)
+    }
+    val df = (distinctDocs ++ dupCluster).toDF("doc_id", "text", "lang", "n_chars")
+    val d = df.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 50).cast("long").as("len_bucket"),
+      sort_array(array_distinct(TextExprs.shingleCodes(col("text"), 3))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val m = Dedup.ngramCandidates(d).count()
+    // the minhash-band component of the join key bounds the block: candidate
+    // count tracks the real dup-cluster size (10 pairs + negligible random
+    // band collisions), not the block's n²/2
+    assert(m < n, s"candidate pairs $m should be far below the ${n.toLong * (n + 4) / 2} all-pairs count")
+    assert(m >= 10, s"all 10 true near-dup pairs must survive banding, got $m")
+  }
+
   test("dedup_embedding_lsh: precision 1 vs the exact all-pairs dedup") {
     import graft.operators.Dedup
     val lsh = Dedup.dedupEmbeddingLsh(spark, sf).select("keep_id", "dup_id", "score")
