@@ -142,9 +142,15 @@ class Graft(spark: SparkSession, sfDir: String,
     rows.head.getString(0)
   }
 
-  /** Catalog listing (dirs = sources), reference ordering contract. */
-  def listFiles(limit: Int = 500): DataFrame =
-    operators.Catalog.corpusCatalog(spark, sfDir, limit)
+  /** Catalog listing (dirs = sources), reference ordering contract with the
+    * full option surface (reference: src/index.ts:316-413): `recursive`,
+    * `maxDepth`, `includeExtensions` (suppresses dir entries), `limit`.
+    */
+  def listFiles(limit: Int = 500, recursive: Boolean = true,
+                maxDepth: Int = Int.MaxValue,
+                includeExtensions: Seq[String] = Nil): DataFrame =
+    operators.Catalog.corpusCatalog(spark, sfDir, limit, recursive, maxDepth,
+      includeExtensions)
 
   /** Per-document curation report (normalized text, PII counts, token
     * stats) — the §2 F passes as one stateless projection, same code the
@@ -179,6 +185,32 @@ class Graft(spark: SparkSession, sfDir: String,
   /** Indexing counters (filesDiscovered / chunksTotal / chars per lang). */
   def status(): DataFrame =
     Chunker.indexStatus(spark, sfDir, chunkSize, chunkOverlap)
+}
+
+object Graft {
+
+  /** Point graft at a REAL directory tree — the reference's actual
+    * end-to-end story (point at a repo, index it, query it; reference:
+    * src/indexer.ts:350-387 discovery + src/index.ts:428 startup build).
+    *
+    * Discovery runs through `TextCorpus` (extension whitelist, folder
+    * exclusion by exact path segment), the corpus lands as a columnar
+    * `documents` table under `workDir` (ingest-once — the 100 TB shape:
+    * every downstream operator then scans partitioned parquet, and raw
+    * files are read exactly once), and the returned facade serves every
+    * graft operator over it unchanged.
+    */
+  def forDirectory(spark: SparkSession, root: String, workDir: String,
+                   allowedExt: Seq[String] = Seq("txt", "md"),
+                   excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
+                   chunkSize: Int = 100, chunkOverlap: Int = 20,
+                   dim: Int = 64): Graft = {
+    val docs = sources.TextCorpus.asDocuments(
+      sources.TextCorpus.read(spark, root, allowedExt, excludedFolders))
+    docs.write.mode("overwrite").parquet(
+      new org.apache.hadoop.fs.Path(workDir, "documents.parquet").toString)
+    new Graft(spark, workDir, chunkSize, chunkOverlap, dim)
+  }
 }
 
 /** Persistence — the reference's versioned JSON index store re-expressed as

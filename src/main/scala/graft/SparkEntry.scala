@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. reference-surface
     "chunk_docs" -> ((s, dir) => Chunker.chunkDocs(s, dir)),
+    "chunk_docs_semantic" -> ((s, dir) => Chunker.chunkDocsSemantic(s, dir)),
     "index_build" -> ((s, dir) => Chunker.indexBuild(s, dir)),
     "index_status" -> ((s, dir) => Chunker.indexStatus(s, dir)),
     "embed_chunks" -> ((s, dir) => RagSearch.embedChunks(s, dir)),
@@ -44,6 +45,8 @@ object SparkEntry {
     // A. reference-surface (catalog / slice / incremental / multimodal)
     "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),
     "corpus_catalog" -> ((s, dir) => Catalog.corpusCatalog(s, dir)),
+    "corpus_catalog_opts" -> ((s, dir) => Catalog.corpusCatalog(s, dir, limit = 200,
+      recursive = true, maxDepth = 1, includeExtensions = Seq(".EN", "de"))),
     "incremental_diff" -> ((s, dir) => Catalog.incrementalDiff(s, dir)),
     "incremental_diff_hash" -> ((s, dir) => Catalog.incrementalDiffHash(s, dir)),
     "pdf_decode" -> ((s, dir) => Multimodal.pdfDecode(s, dir)),
@@ -350,11 +353,18 @@ object SparkEntry {
         |         count(*) AS n_entries
         |  FROM documents GROUP BY source),
         |files AS (
-        |  SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS path, 'file' AS entry_type,
+        |  SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) || '.' || lang AS path,
+        |         'file' AS entry_type,
         |         n_chars AS size_bytes, CAST(NULL AS BIGINT) AS n_entries
         |  FROM documents)
         |SELECT * FROM (SELECT * FROM dirs UNION ALL SELECT * FROM files) u
         |ORDER BY entry_type, path LIMIT 500""".stripMargin,
+    "corpus_catalog_opts" ->
+      """SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) || '.' || lang AS path,
+        |       'file' AS entry_type,
+        |       n_chars AS size_bytes, CAST(NULL AS BIGINT) AS n_entries
+        |FROM documents WHERE lower(lang) IN ('en', 'de')
+        |ORDER BY entry_type, path LIMIT 200""".stripMargin,
     "incremental_diff" ->
       """WITH old AS (
         |  SELECT doc_id, n_chars + CASE WHEN doc_id % 13 = 0 THEN 3 ELSE 0 END AS old_size
@@ -382,16 +392,23 @@ object SparkEntry {
         |       lower(hex(CAST(substring(text, 1, 8) AS BLOB))) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      """WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
         |           FROM documents),
         |h AS (SELECT doc_id,
         |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS en_hits,
         |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','los','es'], t))) AS BIGINT) AS es_hits,
         |  CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS de_hits,
-        |  CAST(len(list_filter(toks, t -> list_contains(['le','les','des','et','est'], t))) AS BIGINT) AS fr_hits
+        |  CAST(len(list_filter(toks, t -> list_contains(['le','les','des','et','est'], t))) AS BIGINT) AS fr_hits,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS han_hits,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{3040}-\x{30ff}]', '', 'g')) AS BIGINT) AS kana_hits,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{ac00}-\x{d7af}]', '', 'g')) AS BIGINT) AS hangul_hits,
+        |  CAST(length(text) AS BIGINT) AS len
         |  FROM t)
-        |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
-        |       CASE WHEN en_hits > es_hits AND en_hits > de_hits AND en_hits > fr_hits THEN 'en'
+        |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits, han_hits, kana_hits, hangul_hits,
+        |       CASE WHEN hangul_hits > han_hits + kana_hits AND hangul_hits * 20 >= len THEN 'ko'
+        |            WHEN kana_hits > 0 AND (kana_hits + han_hits) * 20 >= len THEN 'ja'
+        |            WHEN han_hits > 0 AND han_hits * 20 >= len THEN 'zh'
+        |            WHEN en_hits > es_hits AND en_hits > de_hits AND en_hits > fr_hits THEN 'en'
         |            WHEN es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es'
         |            WHEN de_hits > en_hits AND de_hits > es_hits AND de_hits > fr_hits THEN 'de'
         |            WHEN fr_hits > en_hits AND fr_hits > es_hits AND fr_hits > de_hits THEN 'fr'
@@ -434,6 +451,22 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        unnest(range(0, CAST(floor((length(text)-1)/80.0) AS BIGINT)+1)) AS i
         |      FROM documents WHERE length(text) > 0) t
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "chunk_docs_semantic" ->
+      """WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |            FROM documents),
+        |u AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i+1 AS INT)] AS unit
+        |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t0) z),
+        |c AS (SELECT doc_id, pos, unit,
+        |        CAST(coalesce(sum(len(unit) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |      FROM u),
+        |k AS (SELECT doc_id, CAST(floor(cum_before / 200.0) AS BIGINT) AS chunk_idx, pos, unit FROM c)
+        |SELECT doc_id, chunk_idx,
+        |       string_agg(unit, ' ' ORDER BY pos) AS chunk_text,
+        |       count(*) AS n_units,
+        |       CAST(length(string_agg(unit, ' ' ORDER BY pos)) AS BIGINT) AS chunk_chars
+        |FROM k GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "index_build" ->
       """SELECT doc_id, i AS chunk_idx,

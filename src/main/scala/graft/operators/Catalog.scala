@@ -10,21 +10,41 @@ import org.apache.spark.sql.functions._
 object Catalog {
 
   /** A5: list_files analog (reference: src/index.ts:316-413). `source` plays
-    * the directory; docs are files sized by n_chars. Mirrors the reference's
-    * ordering contract: dirs-first deterministic sort with an entry limit.
+    * the directory; docs are files named `doc_<id>.<lang>` (the lang is the
+    * extension analog) sized by n_chars. Mirrors the reference's full
+    * option contract:
+    *   - dirs-first deterministic sort with an entry limit (applied AFTER
+    *     the sort — the reference caps in filesystem walk order, which is
+    *     nondeterministic; deterministic-first is the declared difference);
+    *   - `recursive`/`maxDepth`: sources sit at walk depth 0, their files
+    *     at depth 1 — files are visible only when recursion is on and
+    *     maxDepth ≥ 1 (reference src/index.ts:380-385);
+    *   - `includeExtensions`: whitelist (lowercased, leading dot stripped,
+    *     reference src/index.ts:353-355); when active, directory entries
+    *     are suppressed from results (reference src/index.ts:376-378).
     * One small aggregate + a union — at scale this is a metadata query.
     */
-  def corpusCatalog(spark: SparkSession, sfDir: String, limit: Int = 500): DataFrame = {
+  def corpusCatalog(spark: SparkSession, sfDir: String, limit: Int = 500,
+                    recursive: Boolean = true, maxDepth: Int = Int.MaxValue,
+                    includeExtensions: Seq[String] = Nil): DataFrame = {
     val d = Tables.documents(spark, sfDir)
+    val exts = includeExtensions.map(_.toLowerCase.stripPrefix("."))
     val dirs = d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_entries"))
       .select(col("source").as("path"), lit("dir").as("entry_type"),
         lit(null).cast("long").as("size_bytes"), col("n_entries"))
     val files = d.select(
-      concat(col("source"), lit("/doc_"), col("doc_id")).as("path"),
+      concat(col("source"), lit("/doc_"), col("doc_id"), lit("."), col("lang")).as("path"),
       lit("file").as("entry_type"), col("n_chars").as("size_bytes"),
-      lit(null).cast("long").as("n_entries"))
-    dirs.unionAll(files)
+      lit(null).cast("long").as("n_entries"),
+      lower(col("lang")).as("ext"))
+    val filesVisible = recursive && maxDepth >= 1
+    val extFiltered =
+      (if (exts.isEmpty) files else files.filter(col("ext").isin(exts: _*))).drop("ext")
+    val parts =
+      (if (exts.isEmpty) Seq(dirs) else Seq.empty) ++
+        (if (filesVisible) Seq(extFiltered) else Seq.empty)
+    parts.reduceOption(_ unionAll _).getOrElse(dirs.limit(0))
       .orderBy(col("entry_type"), col("path"))
       .limit(limit)
   }

@@ -25,6 +25,47 @@ object Chunker {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** A1b: boundary-aware chunking — the reference's planned "semantic
+    * chunking" extension (reference: README.md:32; its current splitChunks
+    * cuts mid-word at fixed character offsets, reference: src/indexer.ts:
+    * 201-215). Text splits into atomic units on a delimiter (words here —
+    * the synthetic corpus has no sentence punctuation; pass a sentence
+    * delimiter like ". " for prose and every invariant below holds at the
+    * sentence level), and no chunk ever splits a unit.
+    *
+    * Assignment rule: unit u belongs to chunk `floor(cum_chars_before_u /
+    * target)` — a greedy left-to-right pack where a chunk closes once its
+    * units have consumed its `target`-char budget (the unit crossing the
+    * boundary overflows into its chunk, so a chunk's length is < target +
+    * its last unit's length). Window-cumsum over (doc, position): fully
+    * distributed — partitioned by doc_id, no global pass, SQL-replicable
+    * (= oracle-checkable, unlike an iterative repacking loop).
+    */
+  def chunkDocsSemantic(spark: SparkSession, sfDir: String,
+                        target: Int = 200, delim: String = " "): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val units = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(delim))))
+      .toDF("doc_id", "pos", "unit")
+      .filter(length(col("unit")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = units
+      .withColumn("cum_before",
+        coalesce(sum(length(col("unit")) + lit(delim.length)).over(w), lit(0L)))
+      .withColumn("chunk_idx",
+        floor(col("cum_before") / lit(target.toDouble)).cast("long"))
+    assigned
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+          s => s.getField("unit")), delim).as("chunk_text"),
+        count(lit(1)).as("n_units"))
+      .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** A7: the cold-build index rows — chunks plus the per-file metadata the
     * reference carries on every `Doc` (fileSize, lineCount analog =
     * token_count since the synthetic docs are single-line).

@@ -19,26 +19,46 @@ object TextAnalysis {
     "en" -> Seq("the", "a", "of", "and", "is"),
     "es" -> Seq("el", "la", "de", "los", "es"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
-    // zh has no whitespace-token markers in an ASCII corpus; a real deploy
-    // would add a CJK-codepoint-ratio feature for it
     "fr" -> Seq("le", "les", "des", "et", "est"))
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
 
-  /** D1: n-gram/dictionary language ID. Scores each document against the
-    * marker sets; argmax with ties → "und".
+  /** D1: n-gram/dictionary language ID plus codepoint-class features for
+    * CJK (which has no whitespace-token markers): counts of Han ideographs,
+    * kana, and hangul per doc. Script rules fire first — ≥5% hangul → ko,
+    * any kana with ≥5% kana+han → ja, ≥5% han without kana → zh — then the
+    * marker argmax (ties → "und"). Character classes are counted with one
+    * codegen'd regexp_replace each (RE2-portable ranges, so the DuckDB
+    * oracle replicates them exactly).
     */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langIdOver(Tables.documents(spark, sfDir))
+
+  /** D1 over any `(doc_id, text)` frame — spec entry point for non-ASCII
+    * rows the synthetic corpus lacks.
+    */
+  def langIdOver(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
     val en = hits(toks, Markers("en")); val es = hits(toks, Markers("es"))
     val de = hits(toks, Markers("de")); val fr = hits(toks, Markers("fr"))
-    Tables.documents(spark, sfDir)
+    def cpHits(cls: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    docs
       .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"),
-        de.as("de_hits"), fr.as("fr_hits"))
+        de.as("de_hits"), fr.as("fr_hits"),
+        cpHits("[\\u4e00-\\u9fff]").as("han_hits"),
+        cpHits("[\\u3040-\\u30ff]").as("kana_hits"),
+        cpHits("[\\uac00-\\ud7af]").as("hangul_hits"),
+        length(col("text")).cast("long").as("__len"))
       .withColumn("pred_lang",
-        when(col("en_hits") > col("es_hits") && col("en_hits") > col("de_hits") &&
-          col("en_hits") > col("fr_hits"), "en")
+        when(col("hangul_hits") > col("han_hits") + col("kana_hits") &&
+          col("hangul_hits") * 20 >= col("__len"), "ko")
+          .when(col("kana_hits") > 0 &&
+            (col("kana_hits") + col("han_hits")) * 20 >= col("__len"), "ja")
+          .when(col("han_hits") > 0 && col("han_hits") * 20 >= col("__len"), "zh")
+          .when(col("en_hits") > col("es_hits") && col("en_hits") > col("de_hits") &&
+            col("en_hits") > col("fr_hits"), "en")
           .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits") &&
             col("es_hits") > col("fr_hits"), "es")
           .when(col("de_hits") > col("en_hits") && col("de_hits") > col("es_hits") &&
@@ -46,6 +66,7 @@ object TextAnalysis {
           .when(col("fr_hits") > col("en_hits") && col("fr_hits") > col("es_hits") &&
             col("fr_hits") > col("de_hits"), "fr")
           .otherwise("und"))
+      .drop("__len")
       .orderBy("doc_id")
   }
 

@@ -53,6 +53,79 @@ object TextCorpus {
       .orderBy("path")
   }
 
+  /** Real-directory `list_files` (reference: src/index.ts:316-413): walk a
+    * root, return `(path, entry_type, size_bytes, n_entries)` with the
+    * reference's contract — dirs-first alphabetical ordering, entry limit,
+    * `recursive`/`maxDepth` traversal bounds, `includeExtensions` whitelist
+    * (which suppresses directory entries, reference src/index.ts:376-378).
+    *
+    * Spark-first: the listing is a `binaryFile`-format scan pruned to
+    * `(path, length)` — file metadata only, no content bytes are read —
+    * so it distributes with the file listing instead of walking driver-side.
+    * Directory entries are derived as the distinct proper prefixes of file
+    * paths; a directory with no files anywhere beneath it is therefore
+    * invisible (metadata-derived listing — the declared difference from the
+    * reference's readdir walk). An entry with `s` path separators is
+    * visible iff `s == 0`, or recursion is on and `s <= maxDepth` — the
+    * reference's depth rule (src/index.ts:380-385).
+    */
+  def listFiles(spark: SparkSession, root: String,
+                recursive: Boolean = false, maxDepth: Int = Int.MaxValue,
+                includeExtensions: Seq[String] = Nil,
+                limit: Int = 500): DataFrame = {
+    val rootNorm = if (root.endsWith("/")) root else root + "/"
+    val exts = includeExtensions.map(_.toLowerCase.stripPrefix("."))
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        regexp_replace(
+          regexp_replace(
+            url_decode(regexp_replace(col("path"), "\\+", "%2B")),
+            "^file:/+", "/"),
+          "^" + java.util.regex.Pattern.quote(rootNorm), "").as("path"),
+        col("length").as("size_bytes"))
+    val segs = split(col("path"), "/")
+    val depth = (size(segs) - 1).as("depth") // separators in the rel path
+    val fileEntries = files
+      .select(col("path"), lit("file").as("entry_type"), col("size_bytes"),
+        lit(null).cast("long").as("n_entries"), depth,
+        lower(regexp_extract(col("path"), "\\.([^./]+)$", 1)).as("ext"))
+    val extFiltered =
+      if (exts.isEmpty) fileEntries else fileEntries.filter(col("ext").isin(exts: _*))
+    // every proper prefix of a (pre-extension-filter) file path is a dir the
+    // reference's walk would have listed; n_entries counts direct children
+    // guard: sequence(1, 0) counts DOWN in Spark, so a depth-0 file would
+    // fabricate "" and itself as dirs — only files under a subdir have
+    // prefix dirs at all
+    val dirEntries = files
+      .filter(size(segs) > 1)
+      .select(explode(transform(sequence(lit(1), size(segs) - 1),
+        i => array_join(slice(segs, lit(1), i), "/"))).as("path"))
+      .distinct()
+      .select(col("path"), lit("dir").as("entry_type"),
+        lit(null).cast("long").as("size_bytes"),
+        (size(split(col("path"), "/")) - 1).as("depth"))
+    // n_entries = direct children (subdirs + files) of each dir
+    val children = files.select(col("path")).unionAll(dirEntries.select(col("path")))
+      .filter(col("path").contains("/"))
+      .select(regexp_replace(col("path"), "/[^/]*$", "").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_entries"))
+    val dirsWithCounts = dirEntries
+      .join(children, Seq("path"), "left_outer")
+      .select(col("path"), col("entry_type"), col("size_bytes"),
+        coalesce(col("n_entries"), lit(0L)).as("n_entries"), col("depth"))
+    val visible = (df: DataFrame) =>
+      df.filter(if (recursive) col("depth") <= maxDepth else col("depth") === 0)
+    val parts =
+      (if (exts.isEmpty) Seq(visible(dirsWithCounts)) else Seq.empty) ++
+        Seq(visible(extFiltered.drop("ext")))
+    parts.reduce(_ unionAll _)
+      .drop("depth")
+      .orderBy(col("entry_type"), col("path"))
+      .limit(limit)
+  }
+
   /** Adapt a file corpus to the `documents` schema so every graft operator
     * (chunking, dedup, embedding, search) runs on real directories unchanged.
     * doc_id is a 64-bit hash of the path — deterministic and fully

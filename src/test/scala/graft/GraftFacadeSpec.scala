@@ -77,6 +77,37 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(live.exceptAll(warm).count() == 0 && warm.exceptAll(live).count() == 0)
   }
 
+  test("forDirectory: a real nested tree drives the full facade end-to-end") {
+    val root = Files.createTempDirectory("graft_tree")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    put("readme.md", "alpha beta gamma delta epsilon zeta eta theta")
+    put("src/main.txt", "the quick table scan join merges sorted runs of rows")
+    put("src/deep/notes.md", "windowed aggregation with watermarks bounds state")
+    put("node_modules/skip.txt", "must not be indexed")
+    put("redist/keep.txt", "redist must survive a dist exclusion by exact segment")
+    put("img/logo.png", "binary-ish, wrong extension")
+    val work = Files.createTempDirectory("graft_work").toString
+    val g2 = Graft.forDirectory(spark, root.toString, work,
+      excludedFolders = Seq("node_modules", "dist"))
+    // discovery: extension whitelist + segment-exact exclusion
+    val docs = Tables.documents(spark, work)
+    assert(docs.count() == 4)
+    assert(docs.filter(col("text").contains("must not be indexed")).count() == 0)
+    assert(docs.filter(col("text").contains("redist must survive")).count() == 1)
+    // query: the matching file's chunk wins
+    val expectId = docs.filter(col("text").contains("quick table scan"))
+      .head().getAs[Long]("doc_id")
+    val hit = g2.ragQuery("the quick table scan join", topK = 1).head()
+    assert(hit.getAs[Long]("doc_id") == expectId)
+    // status + catalog both serve from the landed table
+    assert(g2.status().agg(sum("files_discovered")).head().getLong(0) == 4L)
+    assert(g2.listFiles(limit = 100).filter(col("entry_type") === "file").count() == 4)
+  }
+
   test("IndexStore round-trips and rejects mismatched metadata") {
     val dir = Files.createTempDirectory("graft_store").toString
     val meta = IndexStore.Meta(IndexStore.Version, 100, 20, g.modelName)

@@ -45,6 +45,87 @@ class TextCatalogSpec extends SparkSpecBase {
     if (firstFile >= 0) assert(!types.drop(firstFile).contains("dir"))
   }
 
+  test("corpus_catalog options: ext whitelist suppresses dirs; recursion gates files") {
+    // whitelist: only files, only matching langs, case/dot-insensitive spec
+    val wl = Catalog.corpusCatalog(spark, sf, limit = 10000,
+      includeExtensions = Seq(".EN", "de")).cache()
+    assert(wl.filter(col("entry_type") === "dir").count() == 0)
+    assert(wl.filter(!col("path").rlike("\\.(en|de)$")).count() == 0)
+    assert(wl.count() ==
+      Tables.documents(spark, sf).filter(lower(col("lang")).isin("en", "de")).count())
+    wl.unpersist()
+    // recursion off (or maxDepth 0): only the depth-0 source dirs remain
+    for (noFiles <- Seq(
+      Catalog.corpusCatalog(spark, sf, limit = 10000, recursive = false),
+      Catalog.corpusCatalog(spark, sf, limit = 10000, maxDepth = 0))) {
+      assert(noFiles.filter(col("entry_type") === "file").count() == 0)
+      assert(noFiles.filter(col("entry_type") === "dir").count() > 0)
+    }
+    // whitelist + no recursion: nothing is visible at all
+    assert(Catalog.corpusCatalog(spark, sf, limit = 10000, recursive = false,
+      includeExtensions = Seq("en")).count() == 0)
+  }
+
+  test("TextCorpus.listFiles: reference list_files contract on a real nested tree") {
+    import graft.sources.TextCorpus
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_ls")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    put("a.txt", "aa"); put("b.md", "bbb")
+    put("docs/c.txt", "cccc"); put("docs/deep/d.md", "ddddd")
+    put("src/e.scala", "eeeeee")
+    // full recursion: 3 derived dirs first, then 5 files, both alphabetical
+    val all = TextCorpus.listFiles(spark, root.toString, recursive = true).collect()
+    assert(all.map(r => (r.getString(1), r.getString(0))).toSeq == Seq(
+      ("dir", "docs"), ("dir", "docs/deep"), ("dir", "src"),
+      ("file", "a.txt"), ("file", "b.md"), ("file", "docs/c.txt"),
+      ("file", "docs/deep/d.md"), ("file", "src/e.scala")))
+    // byte sizes come from file metadata
+    assert(all.filter(_.getString(1) == "file").map(_.getLong(2)).toSeq == Seq(2L, 3L, 4L, 5L, 6L))
+    // dir n_entries counts direct children only
+    val entries = all.filter(_.getString(1) == "dir")
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(entries == Map("docs" -> 2L, "docs/deep" -> 1L, "src" -> 1L))
+    // non-recursive: depth-0 entries only (reference default)
+    val top = TextCorpus.listFiles(spark, root.toString).collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("docs", "src", "a.txt", "b.md"))
+    // maxDepth 1: depth-1 files/dirs appear, depth-2 files do not
+    val d1 = TextCorpus.listFiles(spark, root.toString, recursive = true, maxDepth = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(d1.contains("docs/c.txt") && d1.contains("docs/deep") &&
+      !d1.contains("docs/deep/d.md"))
+    // extension whitelist: dirs suppressed, only matching files (any depth)
+    val md = TextCorpus.listFiles(spark, root.toString, recursive = true,
+      includeExtensions = Seq(".MD")).collect()
+    assert(md.map(_.getString(0)).toSeq == Seq("b.md", "docs/deep/d.md"))
+    // entry limit after the deterministic sort
+    assert(TextCorpus.listFiles(spark, root.toString, recursive = true, limit = 3)
+      .collect().map(_.getString(0)).toSeq == Seq("docs", "docs/deep", "src"))
+  }
+
+  test("langId codepoint features classify CJK text the markers cannot see") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog is a test of the system"),
+      (2L, "今天天气很好我们去公园"), // zh: han only
+      (3L, "今日はいい天気ですね"), // ja: han + kana
+      (4L, "오늘 날씨가 좋습니다"), // ko: hangul
+      (5L, "mostly ascii with one 中 char in a long english sentence the of and is"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langIdOver(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "zh")
+    assert(got(3L) == "ja")
+    assert(got(4L) == "ko")
+    assert(got(5L) == "en", "a stray CJK char below the 5% ratio must not flip the language")
+  }
+
   test("incremental_diff classifies every doc id exactly once with expected statuses") {
     val df = Catalog.incrementalDiff(spark, sf).cache()
     assert(df.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
