@@ -46,11 +46,14 @@ object AnnIvf {
     var centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
-      // centroid update via the VecMean aggregate: (dim doubles + count)
-      // per cell crosses the shuffle — no posexplode row multiplication
+      // centroid update via the fixed-dim VecMean aggregate: (dim doubles +
+      // dim counts) of PRIMITIVE buffer slots per cell — HashAggregateExec
+      // inside whole-stage codegen, no posexplode row multiplication and no
+      // per-group object ser/des (see plans.VecMeanFixed)
       val updated = e.withColumn("cid", nearestCentroid(col("emb"), centroids))
-        .groupBy("cid").agg(graft.plans.VecAgg.vecMean(col("emb")).as("m"))
+        .groupBy("cid").agg(graft.plans.VecAgg.vecMeanFixed(col("emb"), dim).as("m"))
         .collect()
       // a null embedding yields a null cid/mean group — never a centroid
       val byCell = updated.filter(r => !r.isNullAt(0) && !r.isNullAt(1))

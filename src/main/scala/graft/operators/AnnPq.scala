@@ -56,9 +56,10 @@ object AnnPq {
       (0 until m).map(j => seed.map(v => v.slice(j * sd, j * sd + sd))).toArray
     for (_ <- 0 until iters) {
       val assign = VecExprs.pqAssign(col("s"), col("j"), books)
-      // centroid update via the VecMean aggregate — see AnnIvf.train
+      // centroid update via the fixed-dim VecMean aggregate (primitive
+      // buffer → HashAggregate + codegen) — see AnnIvf.train
       val updated = subs.withColumn("cid", assign)
-        .groupBy("j", "cid").agg(graft.plans.VecAgg.vecMean(col("s")).as("mean"))
+        .groupBy("j", "cid").agg(graft.plans.VecAgg.vecMeanFixed(col("s"), sd).as("mean"))
         .collect()
       // a null subvector yields a null cid/mean group — never a codeword
       val byCell = updated.filter(r => !r.isNullAt(1) && !r.isNullAt(2))

@@ -38,17 +38,23 @@ object Bm25 {
                      query: String): DataFrame = {
     val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
     val key = keyCols.map(col)
-    val docs = units
-      .select(key :+ Text.tokens(col(textCol)).as("toks"): _*)
-      .withColumn("dl", size(col("toks")).cast("double"))
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    // ONE tokenize pass: the corpus statistics (N, avgdl), the tf frame, and
+    // the df frame all derive from this narrow (keys, dl, hits) projection —
+    // naively each re-derivation re-tokenizes the full text column, which is
+    // the dominant cost of the whole scorer. The checkpoint is tiny: per
+    // doc, a length plus the handful of query-term hits.
     // filter INSIDE the array before exploding: the explode then emits only
     // query-term hits (a handful per doc) instead of the full token stream
-    val tf = docs
-      .select(key ++ Seq(col("dl"),
-        explode(filter(col("toks"), t => t.isin(terms.map(lit): _*))).as("term")): _*)
+    val prepped = units
+      .select(key :+ Text.tokens(col(textCol)).as("toks"): _*)
+      .select(key ++ Seq(size(col("toks")).cast("double").as("dl"),
+        filter(col("toks"), t => t.isin(terms.map(lit): _*)).as("hits")): _*)
+      .localCheckpoint()
+    val stats = prepped.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = prepped
+      .select(key ++ Seq(col("dl"), explode(col("hits")).as("term")): _*)
       .groupBy(key ++ Seq(col("dl"), col("term")): _*)
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy(col("term"))
@@ -141,21 +147,28 @@ object Bm25 {
     // row_number — see Ranks scaladoc)
     val bmScored = bm25Scores(spark, sfDir, query)
       .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
-    val bmRanked = Ranks.globalRankDesc(bmScored, "bm25", Seq("doc_id"), "bm25_rank")
+    val bmRanked = Ranks.globalRankDesc(bmScored, "bm25", Seq("doc_id"), "bm25_rank",
+        materialize = true)
       .select(col("doc_id"), col("bm25_rank"))
     // Prefilter before the cosine rank: docs with no lexical hit AND
     // non-positive cosine carry no retrieval signal — on a real corpus the
     // rounded score 0.0 is a corpus-fraction peer group, and globalRankDesc's
     // per-score tiebreak window would funnel it through one task. Ranks are
     // DEFINED over the signal-bearing subset (the oracle applies the same
-    // filter); the lexical side still ranks over all its matches.
-    val cosScored = Tables.documents(spark, sfDir)
+    // filter). "Has a lexical hit" is tested scan-side with `exists` over
+    // the token array — the exact set bm25Scores emits rows for, but as a
+    // codegen'd filter instead of a join against the bm25 subtree (which
+    // globalRankDesc would evaluate twice).
+    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         round(VecExprs.cosineSim(VecExprs.hashEmbed(col("text"), dim), qvCol) + lit(1e-9), 4)
-          .as("cos"))
-    val base = cosScored.join(bmRanked, Seq("doc_id"), "left_outer")
-      .filter(col("cos") > 0 || col("bm25_rank").isNotNull)
-    Ranks.globalRankDesc(base, "cos", Seq("doc_id"), "cos_rank")
+          .as("cos"),
+        exists(Text.tokens(col("text")), t => t.isin(terms.map(lit): _*)).as("__hit"))
+      .filter(col("cos") > 0 || col("__hit"))
+      .select(col("doc_id"), col("cos"))
+    Ranks.globalRankDesc(base, "cos", Seq("doc_id"), "cos_rank", materialize = true)
+      .join(bmRanked, Seq("doc_id"), "left_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (col("bm25_rank") + RrfC), lit(0.0)) +
           lit(1.0) / (col("cos_rank") + RrfC) + lit(1e-12), 6))

@@ -46,8 +46,21 @@ object Ranks {
     * DESC ordering), matching the single-window formulation — the join is
     * null-safe so no row is dropped.
     */
+  /** `materialize`: localCheckpoint `df` before ranking. The decomposition
+    * reads `df` twice (per-score counts + the peer join) — if `df` is an
+    * expensive scoring scan (tokenize/embed over full documents), that scan
+    * runs twice unless the narrow `(tie..., score)` projection is
+    * materialized first. The checkpoint is rows × ~16 bytes — at any corpus
+    * size, far cheaper than a second scoring pass.
+    */
   def globalRankDesc(df: DataFrame, score: String, tie: Seq[String],
-                     rankName: String): DataFrame = {
+                     rankName: String, materialize: Boolean = false): DataFrame = {
+    val in = if (materialize) df.localCheckpoint() else df
+    globalRankDescOver(in, score, tie, rankName)
+  }
+
+  private def globalRankDescOver(df: DataFrame, score: String, tie: Seq[String],
+                                 rankName: String): DataFrame = {
     val counts = df.groupBy(col(score).as("__score")).agg(count(lit(1)).as("__peer_n"))
     // constant partition key: this frame is provably small (distinct rounded
     // scores), single-partition is intended — not the corpus-wide cliff.

@@ -41,6 +41,46 @@ class SourceSkewSpec extends SparkSpecBase {
     assert(idx.select("doc_id").distinct().count() == 2)
   }
 
+  test("AQE splits a hot band-bucket join at runtime (skew=true receipt)") {
+    // The dedup designs (B2/B3/B5b) lean on "AQE handles a hot bucket" —
+    // this is the receipt: a band join with one giant bucket, executed with
+    // test-scale skew thresholds, must show OptimizeSkewedJoin splitting the
+    // hot partition (the `skew=true` marker on the sort-merge join).
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      // one dup-cluster-like hot bucket (3k rows) vs 97 cold buckets; the
+      // pad column gives rows realistic width so byte thresholds trip
+      val bands = spark.range(0, 6000)
+        .select(col("id").as("doc_id"),
+          when(col("id") < 3000, lit("hot"))
+            .otherwise(concat(lit("b"), col("id") % 97)).as("band_key"),
+          sha2(concat(lit("pad"), col("id").cast("string")), 256).as("pad"))
+      val a = bands.select(col("doc_id").as("a_id"), col("band_key"), col("pad").as("a_pad"))
+      val b = bands.select(col("doc_id").as("b_id"), col("band_key"), col("pad").as("b_pad"))
+      val joined = a.join(b, Seq("band_key")).filter(col("a_id") < col("b_id"))
+      // drive THIS DataFrame's adaptive plan to its final form (count()
+      // would plan a separate aggregate query and leave this one unexecuted)
+      val qe = joined.queryExecution
+      val n = qe.executedPlan.execute().count()
+      assert(n > 3000L * 2999 / 2, s"hot bucket must dominate the join, got $n rows")
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the join skew=true; plan:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals the plain join") {
     val e = Tables.events(spark, sf).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, sf).groupBy("user_id")

@@ -121,4 +121,34 @@ class VecSpec extends SparkSpecBase {
       "SELECT graft_vec_mean(v) AS m FROM VALUES (CAST(NULL AS ARRAY<DOUBLE>)) t(v)")
       .head().isNullAt(0))
   }
+
+  test("VecMeanFixed (codegen path) produces identical centroids to VecMean") {
+    import graft.plans.VecAgg
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        (col("vec_id") % 7).as("g"))
+    val obj = e.groupBy("g").agg(VecAgg.vecMean(col("emb")).as("m"))
+    val decl = e.groupBy("g").agg(VecAgg.vecMeanFixed(col("emb"), 64).as("m"))
+    // bit-identical per dimension (both sum doubles in row order within
+    // partitions and merge partials — allow only the 1e-12 merge-order slack)
+    val joined = obj.withColumnRenamed("m", "mo").join(decl, "g")
+      .select(col("g"), posexplode(arrays_zip(col("mo"), col("m"))).as(Seq("d", "z")))
+      .filter(abs(col("z.mo") - col("z.m")) > 1e-12)
+    assert(joined.count() == 0)
+    // null/ragged semantics: per-dimension contribution, all-null group NULL,
+    // missing dimension 0.0 — same contract as VecMean (truncated at dim)
+    val ragged = Seq(
+      (1, Some(Seq(1.0, 3.0))), (1, Some(Seq(5.0))), (1, None),
+      (2, None): (Int, Option[Seq[Double]]))
+      .toDF("g", "v")
+    val out = ragged.groupBy("g").agg(VecAgg.vecMeanFixed(col("v"), 3).as("m"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(out(1).get == Seq(3.0, 3.0, 0.0))
+    assert(out(2).isEmpty)
+    // the plan is a HashAggregate (primitive buffer), not ObjectHashAggregate
+    val plan = decl.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
+      s"expected HashAggregateExec, got:\n$plan")
+  }
 }
