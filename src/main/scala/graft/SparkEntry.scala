@@ -41,6 +41,9 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),
     // C5 likewise rows-only (per-subspace k-means); AnnIvfSpec bounds recall.
     "ann_pq" -> ((s, dir) => AnnPq.annPq(s, dir)),
+    // rows-only like ann_ivf/ann_pq: k-means + iterative beam search are not
+    // SQL-replicable; recall spec-bounded vs C1 in AnnIvfSpec
+    "ann_graph" -> ((s, dir) => AnnGraph.annGraph(s, dir)),
     "embed_quantize" -> ((s, dir) => RagSearch.embedQuantize(s, dir)),
     // A. reference-surface (catalog / slice / incremental / multimodal)
     "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),

@@ -42,6 +42,28 @@ class AnnIvfSpec extends SparkSpecBase {
     assert(probed.select("cid").distinct().count() <= 2)
   }
 
+  test("graph ANN: beam descent over per-cell kNN graphs, recall >= IVF's bound") {
+    import graft.operators.AnnGraph
+    val brute = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = AnnGraph.annGraph(spark, sf, nQueries = 10, topK = 5)
+    // exact scores: every emitted (query, vec, score) matches brute scoring
+    val bruteAll = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 2000)
+      .select("query_id", "vec_id", "score")
+    assert(g.select("query_id", "vec_id", "score").except(bruteAll).count() == 0)
+    // the search never scores a vector outside the probed cells' graphs —
+    // edge endpoints and entries are in-cell, so candidates are cell-bounded
+    val hits = g.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall (must be >= the IVF bound)")
+    // per-cell kNN graph: out-degree bounded, no self-loops, edges in-cell
+    val edges = AnnGraph.buildGraph(spark, sf, AnnIvf.train(spark, sf, k = 16), degree = 8)
+    assert(edges.filter(col("src") === col("dst")).count() == 0)
+    assert(edges.groupBy("src").count().filter(col("count") > 8).count() == 0)
+  }
+
   test("PQ-ADC results rerank to exact scores with meaningful recall") {
     import graft.operators.AnnPq
     val brute = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 5)
