@@ -91,6 +91,9 @@ class Graft(spark: SparkSession, sfDir: String,
         val nRemoved = removedIds.count()
         val nUnchanged = joined.filter(col("file_size") === col("n_chars")).count()
         IndexStore.save(merged, storePath, meta)
+        // count the STORE, not the merge DAG: counting `merged` would re-run
+        // the whole diff+chunk+embed pipeline, while count() over the saved
+        // parquet is satisfied from row-group footers (no data pages read)
         val total = IndexStore.load(spark, storePath, meta).map(_.count()).getOrElse(-1L)
         joined.unpersist()
         Seq((nAdded, nChanged, nRemoved, nUnchanged, total))

@@ -464,13 +464,16 @@ object SparkEntry {
         |        CAST(coalesce(sum(len(unit) + 1) OVER (PARTITION BY doc_id ORDER BY pos
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |      FROM u),
-        |k AS (SELECT doc_id, CAST(floor(cum_before / 200.0) AS BIGINT) AS chunk_idx, pos, unit FROM c)
-        |SELECT doc_id, chunk_idx,
-        |       string_agg(unit, ' ' ORDER BY pos) AS chunk_text,
-        |       count(*) AS n_units,
-        |       CAST(length(string_agg(unit, ' ' ORDER BY pos)) AS BIGINT) AS chunk_chars
-        |FROM k GROUP BY doc_id, chunk_idx
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
+        |k AS (SELECT doc_id, CAST(floor(cum_before / 200.0) AS BIGINT) AS raw_idx, pos, unit FROM c),
+        |g AS (SELECT doc_id, raw_idx,
+        |        string_agg(unit, ' ' ORDER BY pos) AS chunk_text,
+        |        count(*) AS n_units,
+        |        CAST(length(string_agg(unit, ' ' ORDER BY pos)) AS BIGINT) AS chunk_chars
+        |      FROM k GROUP BY doc_id, raw_idx)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1 AS BIGINT) AS chunk_idx,
+        |       chunk_text, n_units, chunk_chars
+        |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
     "index_build" ->
       """SELECT doc_id, i AS chunk_idx,
         |       substring(text, CAST(i*80+1 AS INT), 100) AS chunk_text,

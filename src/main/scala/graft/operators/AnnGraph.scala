@@ -32,23 +32,34 @@ import org.apache.spark.sql.functions._
   */
 object AnnGraph {
 
-  /** Per-cell k-NN edges: for every vector, its `degree` nearest in-cell
-    * neighbors by cosine. Returns (src, dst, sim, cid).
-    */
-  def buildGraph(spark: SparkSession, sfDir: String,
-                 centroids: Array[Array[Double]], degree: Int = 8): DataFrame = {
+  /** Cell assignment shared by the graph build and the search. */
+  private def assign(spark: SparkSession, sfDir: String,
+                     centroids: Array[Array[Double]]): DataFrame = {
     VecExprs.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
           useCosine = true).as("cid"))
-    val a = e.select(col("vec_id").as("src"), col("embedding").as("a_emb"), col("cid"))
-    val b = e.select(col("vec_id").as("dst"), col("embedding").as("b_emb"), col("cid"))
+  }
+
+  /** Per-cell k-NN edges: for every vector, its `degree` nearest in-cell
+    * neighbors by cosine. Returns (cid, src, dst, sim). Scores are rounded
+    * the same way as C1's (plain 4dp — every ANN operator must emit the
+    * identical score for the same pair, and the recall spec compares via
+    * exact except()).
+    */
+  def buildGraph(spark: SparkSession, sfDir: String,
+                 centroids: Array[Array[Double]], degree: Int = 8): DataFrame =
+    buildGraphOver(assign(spark, sfDir, centroids), degree)
+
+  private def buildGraphOver(assigned: DataFrame, degree: Int): DataFrame = {
+    val a = assigned.select(col("vec_id").as("src"), col("embedding").as("a_emb"), col("cid"))
+    val b = assigned.select(col("vec_id").as("dst"), col("embedding").as("b_emb"), col("cid"))
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
     a.join(b, Seq("cid"))
       .filter(col("src") =!= col("dst"))
       .select(col("cid"), col("src"), col("dst"),
-        round(VecExprs.cosineSim(col("a_emb"), col("b_emb")) + lit(1e-9), 4).as("sim"))
+        round(VecExprs.cosineSim(col("a_emb"), col("b_emb")), 4).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= degree)
       .drop("rn")
@@ -58,30 +69,21 @@ object AnnGraph {
   def annGraph(spark: SparkSession, sfDir: String, nQueries: Int = 10, topK: Int = 5,
                k: Int = 16, nprobe: Int = 2, degree: Int = 8, beam: Int = 32,
                hops: Int = 2, entriesPerCell: Int = 3): DataFrame = {
-    VecExprs.register(spark)
     val centroids = AnnIvf.train(spark, sfDir, k)
-    val edges = buildGraph(spark, sfDir, centroids, degree)
+    // one assignment pass serves the graph build, the entry points, and
+    // every hop's scoring join (the beam loop materializes eagerly, so an
+    // un-checkpointed plan would re-scan and re-assign per round)
+    val e = assign(spark, sfDir, centroids).localCheckpoint()
+    val edges = buildGraphOver(e, degree)
       .select(col("src"), col("dst")).localCheckpoint()
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
-          useCosine = true).as("cid"))
-    // probe list per query: nprobe nearest centroids (same rule as C3)
-    val probeScores = centroids.indices.map { i =>
-      struct(VecExprs.cosineSim(col("qv"), array(centroids(i).map(lit): _*)).as("s"),
-        lit(i).as("i"))
-    }
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .withColumn("probes", slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe))
-      .select(col("query_id"), col("qv"), explode(col("probes.i")).as("probe_cid"))
-      .localCheckpoint()
+    // probe list per query: nprobe nearest centroids (C3's rule, shared)
+    val q = AnnIvf.probeList(e, centroids, nQueries, nprobe).localCheckpoint()
     // deterministic entry points: the lowest vec_ids of each probed cell
     val wCell = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
     val entries = e.withColumn("rn", row_number().over(wCell))
       .filter(col("rn") <= entriesPerCell)
       .select(col("cid"), col("vec_id"))
-    val scoreOf = round(VecExprs.cosineSim(col("embedding"), col("qv")) + lit(1e-9), 4)
+    val scoreOf = round(VecExprs.cosineSim(col("embedding"), col("qv")), 4)
     def scored(cands: DataFrame): DataFrame = cands
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .join(q.select(col("query_id"), col("qv")).distinct(), "query_id")

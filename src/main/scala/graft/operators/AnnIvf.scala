@@ -46,7 +46,10 @@ object AnnIvf {
     var centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
-    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    // degenerate/empty corpus: no seeds → no centroids (and VecMeanFixed
+    // requires a positive dim, so don't enter the loop)
+    if (centroids.isEmpty) { e.unpersist(); return centroids }
+    val dim = centroids.head.length
     for (_ <- 0 until iters) {
       // centroid update via the fixed-dim VecMean aggregate: (dim doubles +
       // dim counts) of PRIMITIVE buffer slots per cell — HashAggregateExec
@@ -88,21 +91,29 @@ object AnnIvf {
   /** C3: IVF probe search for the first `nQueries` vectors: rank the
     * candidates in each query's `nprobe` nearest cells by exact cosine.
     */
+  /** Per-query probe list — the first `nQueries` vectors, each exploded to
+    * its `nprobe` nearest centroids as `probe_cid`. Shared by C3 and C6 so
+    * the probe rule cannot drift between them.
+    */
+  private[operators] def probeList(e: DataFrame, centroids: Array[Array[Double]],
+                                   nQueries: Int, nprobe: Int): DataFrame = {
+    val probeScores = centroids.indices.map { i =>
+      struct(VecExprs.cosineSim(col("qv"), array(centroids(i).map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("probes", slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe))
+      .select(col("query_id"), col("qv"), explode(col("probes.i")).as("probe_cid"))
+  }
+
   def annIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10, topK: Int = 5,
              k: Int = 16, nprobe: Int = 2): DataFrame = {
     VecExprs.register(spark)
     val centroids = train(spark, sfDir, k)
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("cid", nearestCentroid(col("embedding"), centroids))
-    // probe list per query: nprobe nearest centroids
-    val probeScores = (0 until centroids.length).map { i =>
-      struct(VecExprs.cosineSim(col("qv"), array(centroids(i).map(lit): _*)).as("s"),
-        lit(i).as("i"))
-    }
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .withColumn("probes", slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe))
-      .select(col("query_id"), col("qv"), explode(col("probes.i")).as("probe_cid"))
+    val q = probeList(e, centroids, nQueries, nprobe)
     val scored = e.join(broadcast(q), col("cid") === col("probe_cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cid"),

@@ -63,6 +63,12 @@ object Chunker {
           s => s.getField("unit")), delim).as("chunk_text"),
         count(lit(1)).as("n_units"))
       .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+      // renumber densely: a unit longer than ~2×target makes the raw
+      // floor(cum/target) bucket skip values, and chunk indices must stay
+      // contiguous per doc (one row per bucket, so row_number = dense rank)
+      .withColumn("chunk_idx",
+        (row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))) - 1)
+          .cast("long"))
       .orderBy("doc_id", "chunk_idx")
   }
 

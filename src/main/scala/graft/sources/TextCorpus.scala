@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object TextCorpus {
 
+  /** Root-relative path from a percent-encoded file URI (what
+    * `input_file_name()` and binaryFile's `path` column yield —
+    * file:///a%20b/...). url_decode has form-encoding semantics ('+' →
+    * space), but in a URI path a literal '+' is unencoded — protect it as
+    * %2B first so a file named "a+b.md" keeps its name (and its
+    * path-derived doc_id). One helper for read() and listFiles() so the
+    * two can never disagree about the same file's relative path.
+    */
+  private def relPath(uri: org.apache.spark.sql.Column, rootNorm: String)
+      : org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        url_decode(regexp_replace(uri, "\\+", "%2B")),
+        "^file:/+", "/"),
+      "^" + java.util.regex.Pattern.quote(rootNorm), "")
+
   def read(spark: SparkSession, root: String,
            allowedExt: Seq[String] = Seq("txt", "md"),
            excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git")): DataFrame = {
@@ -30,15 +46,7 @@ object TextCorpus {
     }
     val rootNorm = if (root.endsWith("/")) root else root + "/"
     val raw = perExt.reduce(_ unionAll _)
-      // input_file_name yields a percent-encoded URI (file:///a%20b/...).
-      // url_decode has form-encoding semantics ('+' → space), but in a URI
-      // path a literal '+' is unencoded — protect it as %2B first so a file
-      // named "a+b.md" keeps its name (and its path-derived doc_id).
-      .withColumn("path", regexp_replace(
-        regexp_replace(
-          url_decode(regexp_replace(col("abs_path"), "\\+", "%2B")),
-          "^file:/+", "/"),
-        "^" + java.util.regex.Pattern.quote(rootNorm), ""))
+      .withColumn("path", relPath(col("abs_path"), rootNorm))
     // exclusion by exact path segment (like the reference's folder patterns),
     // not substring — "redist/x" must survive excludedFolders = ["dist"]
     val segs = split(col("path"), "/")
@@ -64,10 +72,15 @@ object TextCorpus {
     * so it distributes with the file listing instead of walking driver-side.
     * Directory entries are derived as the distinct proper prefixes of file
     * paths; a directory with no files anywhere beneath it is therefore
-    * invisible (metadata-derived listing — the declared difference from the
-    * reference's readdir walk). An entry with `s` path separators is
-    * visible iff `s == 0`, or recursion is on and `s <= maxDepth` — the
-    * reference's depth rule (src/index.ts:380-385).
+    * invisible (metadata-derived listing — a declared difference from the
+    * reference's readdir walk). Second declared difference: Spark's file
+    * index skips names starting with '_' or '.' (its own metadata-file
+    * convention), so hidden/underscore entries the reference would list do
+    * not appear — acceptable for a corpus listing, where those are
+    * build/VCS artifacts; use a driver-side walk if they ever matter.
+    * An entry with `s` path separators is visible iff `s == 0`, or
+    * recursion is on and `s <= maxDepth` — the reference's depth rule
+    * (src/index.ts:380-385).
     */
   def listFiles(spark: SparkSession, root: String,
                 recursive: Boolean = false, maxDepth: Int = Int.MaxValue,
@@ -78,12 +91,7 @@ object TextCorpus {
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(root)
-      .select(
-        regexp_replace(
-          regexp_replace(
-            url_decode(regexp_replace(col("path"), "\\+", "%2B")),
-            "^file:/+", "/"),
-          "^" + java.util.regex.Pattern.quote(rootNorm), "").as("path"),
+      .select(relPath(col("path"), rootNorm).as("path"),
         col("length").as("size_bytes"))
     val segs = split(col("path"), "/")
     val depth = (size(segs) - 1).as("depth") // separators in the rel path

@@ -64,7 +64,10 @@ class ChunkerSpec extends SparkSpecBase {
     val prose = Seq(
       (1L, "One red fox. Two lazy dogs sleep in the warm sun. Short. " * 3 +
         "A final sentence closes the document."),
-      (2L, "Single sentence only.")).toDF("doc_id", "text")
+      (2L, "Single sentence only."),
+      // a sentence far beyond 2×target: the raw cum/target bucket skips
+      // values there — indices must still come out contiguous per doc
+      (3L, "tiny. " + ("x" * 150) + ". closing words here. done.")).toDF("doc_id", "text")
     prose.createOrReplaceTempView("semantic_prose_docs")
     val sentences = prose.select(col("doc_id"),
       explode(filter(split(col("text"), java.util.regex.Pattern.quote(". ")), s => length(s) > 0)).as("s"))
@@ -85,6 +88,10 @@ class ChunkerSpec extends SparkSpecBase {
     val foreign = chunkSents.join(sentences, Seq("doc_id", "s"), "left_anti")
     assert(foreign.count() == 0,
       s"chunk fragments not matching any source sentence: ${foreign.collect().mkString}")
+    // contiguity survives oversized units (doc 3's 150-char sentence)
+    val idx = chunks.groupBy("doc_id").agg(min("chunk_idx").as("mn"),
+      max("chunk_idx").as("mx"), count(lit(1)).as("n"))
+    assert(idx.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() == 0)
     chunks.unpersist()
   }
 

@@ -78,6 +78,10 @@ class TextCatalogSpec extends SparkSpecBase {
     put("a.txt", "aa"); put("b.md", "bbb")
     put("docs/c.txt", "cccc"); put("docs/deep/d.md", "ddddd")
     put("src/e.scala", "eeeeee")
+    // DECLARED difference from the reference: Spark's file index skips
+    // '_'/'.'-prefixed names (its metadata-file convention) — these two
+    // must NOT appear anywhere below
+    put("_underscore.txt", "skipped"); put(".hidden.md", "skipped")
     // full recursion: 3 derived dirs first, then 5 files, both alphabetical
     val all = TextCorpus.listFiles(spark, root.toString, recursive = true).collect()
     assert(all.map(r => (r.getString(1), r.getString(0))).toSeq == Seq(
