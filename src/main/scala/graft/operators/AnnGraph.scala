@@ -76,8 +76,11 @@ object AnnGraph {
     val e = assign(spark, sfDir, centroids).localCheckpoint()
     val edges = buildGraphOver(e, degree)
       .select(col("src"), col("dst")).localCheckpoint()
-    // probe list per query: nprobe nearest centroids (C3's rule, shared)
-    val q = AnnIvf.probeList(e, centroids, nQueries, nprobe).localCheckpoint()
+    // probe list per query: nprobe nearest centroids (C3's rule, shared).
+    // No checkpoint: q derives from the already-checkpointed `e` via a
+    // bounded nQueries-row filter — recomputing it per hop is cheaper than
+    // another eager materialization job.
+    val q = AnnIvf.probeList(e, centroids, nQueries, nprobe)
     // deterministic entry points: the lowest vec_ids of each probed cell
     val wCell = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
     val entries = e.withColumn("rn", row_number().over(wCell))

@@ -76,6 +76,27 @@ object Demo {
       graft.operators.Chunker.indexBuildFrom(
         graft.sources.TextCorpus.asDocuments(corpus), 800, 120).count())
 
+    println("== point-at-a-repo facade: index /root/repo's markdown, query it ==")
+    val work = java.nio.file.Files.createTempDirectory("graft_demo_dir").toString
+    val gDir = Graft.forDirectory(spark, "/root/repo", work, allowedExt = Seq("md"),
+      excludedFolders = Seq("target", ".git", "node_modules"),
+      chunkSize = 800, chunkOverlap = 120)
+    gDir.ragQuery("operator inventory coverage checklist", topK = 3).show(3, truncate = 60)
+
+    println("== list_files over the real tree (recursive, md only) ==")
+    graft.sources.TextCorpus.listFiles(spark, "/root/repo",
+      recursive = true, maxDepth = 2, includeExtensions = Seq("md"), limit = 8)
+      .show(truncate = false)
+
+    println("== catalog with the reference's option surface (ext whitelist) ==")
+    g.listFiles(limit = 5, includeExtensions = Seq("en")).show(truncate = false)
+
+    println("== boundary-aware chunking (word-atomic; pass '. ' for prose) ==")
+    graft.operators.Chunker.chunkDocsSemantic(spark, sfDir, target = 200).show(3, truncate = 50)
+
+    println("== graph ANN (per-cell kNN graph + beam descent) ==")
+    graft.operators.AnnGraph.annGraph(spark, sfDir, nQueries = 3, topK = 3).show()
+
     spark.stop()
   }
 }
