@@ -85,6 +85,7 @@ object SparkEntry {
     "pii_redact" -> ((s, dir) => Pipeline.piiRedact(s, dir)),
     "quality_repetition" -> ((s, dir) => Pipeline.qualityRepetition(s, dir)),
     "sample_stratified" -> ((s, dir) => Pipeline.sampleStratified(s, dir)),
+    "sample_mixture" -> ((s, dir) => Pipeline.sampleMixture(s, dir)),
     "contamination_check" -> ((s, dir) => Pipeline.contaminationCheck(s, dir)),
   )
 
@@ -647,6 +648,20 @@ object SparkEntry {
         |FROM documents
         |WHERE (doc_id * 2654435761) % 1000 < (CASE WHEN lang = 'en' THEN 500 ELSE 250 END)
         |ORDER BY doc_id""".stripMargin,
+    "sample_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+        |             sum(pow(CAST(n_s AS DOUBLE), 0.5)) AS z FROM c),
+        |r AS (SELECT source,
+        |        least(1.0, 0.5 * CAST(n_total AS DOUBLE)
+        |          * (pow(CAST(n_s AS DOUBLE), 0.5) / z) / CAST(n_s AS DOUBLE)) AS rate
+        |      FROM c, t)
+        |SELECT d.doc_id, d.source,
+        |       round(rate + 1e-9, 6) AS rate,
+        |       round(1.0 / rate + 1e-9, 4) AS weight
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE) < rate * 1e6
+        |ORDER BY d.doc_id""".stripMargin,
     "contamination_check" ->
       """WITH s AS (
         |  SELECT doc_id,

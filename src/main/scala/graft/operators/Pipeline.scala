@@ -132,6 +132,40 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** F6: temperature-based source mixing — how a training run rebalances a
+    * multi-source corpus (web/books/code/...) without materializing copies:
+    * mixture weight w_s ∝ n_s^(1/T) (T>1 upsamples small sources relative
+    * to proportional sampling, T=1 is proportional, T→∞ is uniform), then
+    * per-source Bernoulli rate r_s = min(1, targetFrac·N·w_s/n_s) keeps the
+    * expected sample at targetFrac of the corpus under the tempered mix.
+    * Selection reuses F4's deterministic multiplicative hash (reproducible,
+    * join-free on the corpus side) at 1e-6 granularity; `weight` = 1/r_s is
+    * the inverse-probability reweight.
+    *
+    * 100 TB shape: the per-source rate table is a tiny broadcast; the
+    * corpus side is one scan + filter — no shuffle touches the data.
+    */
+  def sampleMixture(spark: SparkSession, sfDir: String,
+                    temperature: Double = 2.0, targetFrac: Double = 0.5): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(col("n_s")).as("n_total"),
+      sum(pow(col("n_s").cast("double"), 1.0 / temperature)).as("z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("w", pow(col("n_s").cast("double"), 1.0 / temperature) / col("z"))
+      .withColumn("rate", least(lit(1.0),
+        lit(targetFrac) * col("n_total").cast("double") * col("w") / col("n_s").cast("double")))
+      .select(col("source"), col("rate"))
+    val mix = (col("doc_id") * 2654435761L) % 1000000L
+    d.select(col("doc_id"), col("source"), mix.as("mix_key"))
+      .join(broadcast(rates), "source")
+      .filter(col("mix_key").cast("double") < col("rate") * 1e6)
+      .select(col("doc_id"), col("source"),
+        round(col("rate") + lit(1e-9), 6).as("rate"),
+        round(lit(1.0) / col("rate") + lit(1e-9), 4).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** Training-shard export — the pipeline's sink: write curated documents
     * as size-bounded parquet shards, hash-distributed by doc_id so shard
     * sizes stay uniform regardless of input skew, each shard internally

@@ -58,6 +58,29 @@ class PipelineSpec extends SparkSpecBase {
     s.unpersist()
   }
 
+  test("sample_mixture: tempered rates, deterministic, weights inverse, broadcast plan") {
+    val s = Pipeline.sampleMixture(spark, sf).cache()
+    // deterministic: identical result on a second run
+    assert(s.exceptAll(Pipeline.sampleMixture(spark, sf)).count() == 0)
+    // per-source achieved rate tracks the declared rate (loose: small strata)
+    val achieved = s.groupBy("source").agg(count(lit(1)).as("kept"), first("rate").as("rate"))
+      .join(Tables.documents(spark, sf).groupBy("source").count(), "source")
+      .withColumn("obs", col("kept").cast("double") / col("count"))
+    assert(achieved.filter(abs(col("obs") - col("rate")) > 0.15).count() == 0)
+    // weight is the inverse rate
+    assert(s.filter(abs(col("weight") * col("rate") - 1.0) > 1e-3).count() == 0)
+    // temperature > 1 upsamples small sources: the smallest source's rate
+    // must be >= the largest source's rate
+    val bySize = Tables.documents(spark, sf).groupBy("source").count()
+      .join(s.select("source", "rate").distinct(), "source")
+      .orderBy(col("count")).collect()
+    if (bySize.length >= 2)
+      assert(bySize.head.getAs[Double]("rate") >= bySize.last.getAs[Double]("rate") - 1e-9)
+    // 100 TB shape: the rate table broadcasts; the corpus side never shuffles
+    assert(s.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    s.unpersist()
+  }
+
   test("contamination_check: benchmark docs excluded, fracs bounded") {
     val c = Pipeline.contaminationCheck(spark, sf).cache()
     assert(c.filter(col("doc_id") % 17 === 3).count() == 0)
