@@ -436,11 +436,19 @@ object SparkEntry {
         |           + 0.2*least(mean_tok_len/8.0, 1.0), 4) AS score
         |FROM q ORDER BY doc_id""".stripMargin,
     "token_count" ->
-      """SELECT doc_id,
-        |       CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens,
+      """WITH t AS (SELECT doc_id, text,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g')) AS cjk,
+        |    regexp_replace(text,
+        |      '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', ' ', 'g') AS blanked
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_subtokens,
-        |       CAST(length(text) AS BIGINT) AS n_chars_m
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |       CAST(cjk AS BIGINT) AS n_cjk_chars,
+        |       CAST(length(text) AS BIGINT) AS n_chars_m,
+        |       CAST(len(list_filter(string_split(blanked, ' '), x -> len(x) > 0)) + cjk AS BIGINT) AS n_tokens_est
+        |FROM t ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
         |           FROM documents)

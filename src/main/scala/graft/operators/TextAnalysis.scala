@@ -99,14 +99,27 @@ object TextAnalysis {
   }
 
   /** D3: token counting — whitespace tokens plus BPE-ish regex subtokens
-    * (alpha runs / digit runs; the regex is portable to RE2 for the oracle).
+    * (alpha runs / digit runs; the regex is portable to RE2 for the oracle),
+    * plus the CJK correction: scripts written without spaces contribute
+    * ~zero whitespace tokens, so `n_tokens_est` counts non-CJK whitespace
+    * tokens (over the text with CJK codepoints blanked, so a mixed token
+    * splits correctly) plus one token per CJK codepoint — the standard
+    * char-per-token heuristic for han/kana/hangul. ASCII corpora:
+    * n_cjk_chars = 0 and the estimate equals the whitespace count.
     */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val cjk = "[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]"
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_ws_tokens"),
         size(Text.subtokens(col("text"))).cast("long").as("n_subtokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), cjk, "")))
+          .cast("long").as("n_cjk_chars"),
+        size(Text.tokens(regexp_replace(col("text"), cjk, " ")))
+          .cast("long").as("__noncjk"),
         length(col("text")).cast("long").as("n_chars_m"))
+      .withColumn("n_tokens_est", col("__noncjk") + col("n_cjk_chars"))
+      .drop("__noncjk")
       .orderBy("doc_id")
   }
 

@@ -24,6 +24,25 @@ class TextCatalogSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("token_count: CJK chars count as tokens in the estimate, ASCII unchanged") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_tok").toString
+    Seq((1L, "hello 世界の window", "en", "s", 0L),
+      (2L, "plain ascii text", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val r = TextAnalysis.tokenCount(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // "hello 世界の window": 3 CJK chars + 2 non-CJK tokens → estimate 5
+    // (the naive whitespace count sees only 3 tokens)
+    assert(r(1L).getAs[Long]("n_cjk_chars") == 3)
+    assert(r(1L).getAs[Long]("n_tokens_est") == 5)
+    // pure ASCII: estimate degenerates to the whitespace count
+    assert(r(2L).getAs[Long]("n_cjk_chars") == 0)
+    assert(r(2L).getAs[Long]("n_tokens_est") == r(2L).getAs[Long]("n_ws_tokens"))
+  }
+
   test("fingerprint is deterministic and within the modulus") {
     val a = TextAnalysis.fingerprint(spark, sf).collect()
     val b = TextAnalysis.fingerprint(spark, sf).collect()
