@@ -25,6 +25,7 @@ object SparkEntry {
     "rag_topk" -> ((s, dir) => RagSearch.ragTopK(s, dir)),
     // B. dedup
     "dedup_exact" -> ((s, dir) => Dedup.dedupExact(s, dir)),
+    "dedup_chunks_exact" -> ((s, dir) => Dedup.dedupChunksExact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.dedupNgramJaccard(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.dedupMinhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(s, dir)),
@@ -246,6 +247,22 @@ object SparkEntry {
         |       min(doc_id) AS keep_id, count(*) AS n_copies,
         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "dedup_chunks_exact" ->
+      """WITH ch AS (
+        |  SELECT doc_id, i AS chunk_idx, substring(text, CAST(i*80+1 AS INT), 100) AS chunk_text
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, CAST(floor((length(text)-1)/80.0) AS BIGINT)+1)) AS i
+        |        FROM documents WHERE length(text) > 0) t),
+        |h AS (SELECT md5(chunk_text) AS chunk_hash, doc_id, chunk_idx FROM ch),
+        |g AS (SELECT chunk_hash, count(*) AS n_copies,
+        |             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |             min(doc_id) AS keep_doc_id
+        |      FROM h GROUP BY 1 HAVING count(*) > 1)
+        |SELECT g.chunk_hash, g.n_copies, g.n_docs, g.keep_doc_id,
+        |       min(h.chunk_idx) AS keep_chunk_idx
+        |FROM g JOIN h ON h.chunk_hash = g.chunk_hash AND h.doc_id = g.keep_doc_id
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY g.chunk_hash""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id, lang, CAST(n_chars // 50 AS BIGINT) AS len_bucket,

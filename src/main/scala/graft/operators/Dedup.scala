@@ -94,6 +94,29 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("lang")).distinct()
   }
 
+  /** B1b: chunk-granular exact dedup — the boilerplate-passage pass. Doc
+    * dedup (B1) misses text repeated ACROSS distinct documents (headers,
+    * license blocks, navigation chrome); this runs the same hash-groupBy at
+    * chunk granularity over the A1 chunking and reports every chunk text
+    * that appears more than once, with its spread (copies, distinct docs)
+    * and canonical occurrence (min doc, then min chunk_idx). Same 100 TB
+    * shape as B1: one map-side-combined hash aggregate over the chunk
+    * stream, no joins.
+    */
+  def dedupChunksExact(spark: SparkSession, sfDir: String,
+                       size: Int = 100, overlap: Int = 20): DataFrame = {
+    Chunker.chunkDocs(spark, sfDir, size, overlap)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keep"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
+        col("keep.doc_id").as("keep_doc_id"), col("keep.chunk_idx").as("keep_chunk_idx"))
+      .orderBy("chunk_hash")
+  }
+
   /** B3: MinHash + LSH near-dup detection. 16 universal hashes
     * `h_i(x) = (a_i·x + b_i) mod 1e9+7` over polynomial shingle codes; 8
     * bands × 2 rows — a candidate pair must agree on both minhashes of some

@@ -151,6 +151,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(m >= 10, s"all 10 true near-dup pairs must survive banding, got $m")
   }
 
+  test("dedup_chunks_exact: reports cross-document repeated chunks with canonical keeper") {
+    import graft.operators.Dedup
+    val r = Dedup.dedupChunksExact(spark, sf).cache()
+    assert(r.filter(col("n_copies") < 2).count() == 0)
+    assert(r.filter(col("n_docs") > col("n_copies")).count() == 0)
+    // exact duplicate DOCUMENTS exist in the corpus (B1 groups with
+    // n_copies > 1) — their chunks must surface here across documents
+    val dupDocGroups = Dedup.dedupExact(spark, sf).filter(col("n_copies") > 1).count()
+    if (dupDocGroups > 0) assert(r.filter(col("n_docs") > 1).count() > 0)
+    // the keeper is a real occurrence of the hash
+    val chunks = graft.operators.Chunker.chunkDocs(spark, sf)
+      .select(col("doc_id").as("keep_doc_id"), col("chunk_idx").as("keep_chunk_idx"),
+        md5(col("chunk_text")).as("chunk_hash"))
+    assert(r.join(chunks, Seq("chunk_hash", "keep_doc_id", "keep_chunk_idx"), "left_anti")
+      .count() == 0)
+    r.unpersist()
+  }
+
   test("dedup_embedding_lsh: precision 1 vs the exact all-pairs dedup") {
     import graft.operators.Dedup
     val lsh = Dedup.dedupEmbeddingLsh(spark, sf).select("keep_id", "dup_id", "score")
