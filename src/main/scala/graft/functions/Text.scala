@@ -41,6 +41,23 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
+  /** CJK codepoint ranges — ONE definition shared by language ID (which
+    * scores the scripts separately) and token counting (which uses the
+    * union), so the two can never disagree about what counts as CJK.
+    * RE2-portable (the DuckDB oracles carry the \x{....} spelling of the
+    * same ranges).
+    */
+  val HanRange = "\\u4e00-\\u9fff"
+  val KanaRange = "\\u3040-\\u30ff"
+  val HangulRange = "\\uac00-\\ud7af"
+  val CjkClass = s"[$HanRange$KanaRange$HangulRange]"
+
+  /** Count of codepoints matching a character class, via one codegen'd
+    * regexp_replace (length minus length-with-class-removed).
+    */
+  def codepointCount(text: Column, cls: String): Column =
+    (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+
   /** BPE-ish subtoken extraction: alpha runs and digit runs (portable regex —
     * identical semantics under Java regex and DuckDB's RE2).
     */

@@ -122,7 +122,11 @@ object Pipeline {
     Map("en" -> 500).withDefaultValue(250)
 
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
-    val mix = (col("doc_id") * 2654435761L) % 1000
+    // pmod, not %: doc_id * 2654435761 wraps Long for ids above ~3.5e9 (the
+    // wrap itself is fine — multiplicative hashing lives on wrap — but a
+    // plain % keeps the sign, and a negative key passes every threshold,
+    // silently degrading the sampler to keep-everything at large-id scale)
+    val mix = pmod(col("doc_id") * 2654435761L, lit(1000L))
     val thresh = when(col("lang") === "en", lit(SampleRates("en")))
       .otherwise(lit(SampleRates.default("")))
     Tables.documents(spark, sfDir)
@@ -156,7 +160,8 @@ object Pipeline {
       .withColumn("rate", least(lit(1.0),
         lit(targetFrac) * col("n_total").cast("double") * col("w") / col("n_s").cast("double")))
       .select(col("source"), col("rate"))
-    val mix = (col("doc_id") * 2654435761L) % 1000000L
+    // pmod for the same large-id wrap reason as sampleStratified
+    val mix = pmod(col("doc_id") * 2654435761L, lit(1000000L))
     d.select(col("doc_id"), col("source"), mix.as("mix_key"))
       .join(broadcast(rates), "source")
       .filter(col("mix_key").cast("double") < col("rate") * 1e6)

@@ -42,14 +42,13 @@ object TextAnalysis {
     val toks = Text.tokens(col("text"))
     val en = hits(toks, Markers("en")); val es = hits(toks, Markers("es"))
     val de = hits(toks, Markers("de")); val fr = hits(toks, Markers("fr"))
-    def cpHits(cls: String): Column =
-      (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    def cpHits(cls: String): Column = Text.codepointCount(col("text"), cls)
     docs
       .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"),
         de.as("de_hits"), fr.as("fr_hits"),
-        cpHits("[\\u4e00-\\u9fff]").as("han_hits"),
-        cpHits("[\\u3040-\\u30ff]").as("kana_hits"),
-        cpHits("[\\uac00-\\ud7af]").as("hangul_hits"),
+        cpHits(s"[${Text.HanRange}]").as("han_hits"),
+        cpHits(s"[${Text.KanaRange}]").as("kana_hits"),
+        cpHits(s"[${Text.HangulRange}]").as("hangul_hits"),
         length(col("text")).cast("long").as("__len"))
       .withColumn("pred_lang",
         when(col("hangul_hits") > col("han_hits") + col("kana_hits") &&
@@ -108,13 +107,12 @@ object TextAnalysis {
     * n_cjk_chars = 0 and the estimate equals the whitespace count.
     */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val cjk = "[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]"
+    val cjk = Text.CjkClass
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_ws_tokens"),
         size(Text.subtokens(col("text"))).cast("long").as("n_subtokens"),
-        (length(col("text")) - length(regexp_replace(col("text"), cjk, "")))
-          .cast("long").as("n_cjk_chars"),
+        Text.codepointCount(col("text"), cjk).as("n_cjk_chars"),
         size(Text.tokens(regexp_replace(col("text"), cjk, " ")))
           .cast("long").as("__noncjk"),
         length(col("text")).cast("long").as("n_chars_m"))

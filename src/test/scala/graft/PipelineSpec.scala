@@ -156,10 +156,12 @@ class PipelineSpec extends SparkSpecBase {
     val r = Dedup.dedupChunksExact(spark, sf).cache()
     assert(r.filter(col("n_copies") < 2).count() == 0)
     assert(r.filter(col("n_docs") > col("n_copies")).count() == 0)
-    // exact duplicate DOCUMENTS exist in the corpus (B1 groups with
-    // n_copies > 1) — their chunks must surface here across documents
-    val dupDocGroups = Dedup.dedupExact(spark, sf).filter(col("n_copies") > 1).count()
-    if (dupDocGroups > 0) assert(r.filter(col("n_docs") > 1).count() > 0)
+    // RAW-text duplicate documents (B1 normalizes with lower/trim, which
+    // need not imply identical chunks — hash the raw text here) must
+    // surface their chunks across documents
+    val rawDupGroups = Tables.documents(spark, sf)
+      .groupBy(md5(col("text"))).count().filter(col("count") > 1).count()
+    if (rawDupGroups > 0) assert(r.filter(col("n_docs") > 1).count() > 0)
     // the keeper is a real occurrence of the hash
     val chunks = graft.operators.Chunker.chunkDocs(spark, sf)
       .select(col("doc_id").as("keep_doc_id"), col("chunk_idx").as("keep_chunk_idx"),
