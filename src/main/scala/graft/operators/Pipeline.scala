@@ -152,23 +152,39 @@ object Pipeline {
   def sampleMixture(spark: SparkSession, sfDir: String,
                     temperature: Double = 2.0, targetFrac: Double = 0.5): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    applyMixture(d, mixtureRates(d, temperature, targetFrac)).orderBy("doc_id")
+  }
+
+  /** F6's census stage: per-source tempered rates from a corpus snapshot.
+    * Tiny output (one row per source) — meant to be broadcast.
+    */
+  def mixtureRates(docs: DataFrame, temperature: Double = 2.0,
+                   targetFrac: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
     val tot = counts.agg(sum(col("n_s")).as("n_total"),
       sum(pow(col("n_s").cast("double"), 1.0 / temperature)).as("z"))
-    val rates = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .withColumn("w", pow(col("n_s").cast("double"), 1.0 / temperature) / col("z"))
       .withColumn("rate", least(lit(1.0),
         lit(targetFrac) * col("n_total").cast("double") * col("w") / col("n_s").cast("double")))
       .select(col("source"), col("rate"))
+  }
+
+  /** F6's application stage: deterministic-hash selection against a rate
+    * table — shared by the batch query and the streaming ingest twin, so
+    * the streamed sample equals the batch sample row-for-row. `docs` may be
+    * a batch frame or a stream (the join is stream-static, the filter is
+    * stateless).
+    */
+  def applyMixture(docs: DataFrame, rates: DataFrame): DataFrame = {
     // pmod for the same large-id wrap reason as sampleStratified
     val mix = pmod(col("doc_id") * 2654435761L, lit(1000000L))
-    d.select(col("doc_id"), col("source"), mix.as("mix_key"))
+    docs.select(col("doc_id"), col("source"), mix.as("mix_key"))
       .join(broadcast(rates), "source")
       .filter(col("mix_key").cast("double") < col("rate") * 1e6)
       .select(col("doc_id"), col("source"),
         round(col("rate") + lit(1e-9), 6).as("rate"),
         round(lit(1.0) / col("rate") + lit(1e-9), 4).as("weight"))
-      .orderBy("doc_id")
   }
 
   /** Training-shard export — the pipeline's sink: write curated documents

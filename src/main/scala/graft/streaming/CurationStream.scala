@@ -56,4 +56,32 @@ object CurationStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** Streaming tempered-mixture sampling — F6's ingest twin. The per-source
+    * rate table comes from a BATCH census snapshot (rates move with corpus
+    * demography, not per-arrival) and broadcast-joins into the arrival
+    * stream (stream-static join, stateless filter); selection is the same
+    * deterministic doc_id hash, so the streamed sample equals the batch
+    * sample row-for-row (spec-asserted).
+    */
+  def sampledMixture(spark: SparkSession, sfDir: String, rates: DataFrame): DataFrame =
+    graft.operators.Pipeline.applyMixture(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir),
+      rates)
+
+  def runMixtureToCompletion(spark: SparkSession, sfDir: String, rates: DataFrame,
+                             queryName: String = "mixture_stream"): DataFrame = {
+    val q = sampledMixture(spark, sfDir, rates)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
 }

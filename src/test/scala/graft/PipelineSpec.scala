@@ -81,6 +81,15 @@ class PipelineSpec extends SparkSpecBase {
     s.unpersist()
   }
 
+  test("streaming mixture ingest equals the batch sample row-for-row") {
+    import graft.streaming.CurationStream
+    val batch = Pipeline.sampleMixture(spark, sf)
+    val rates = Pipeline.mixtureRates(Tables.documents(spark, sf))
+    val streamed = CurationStream.runMixtureToCompletion(spark, sf, rates)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("contamination_check: benchmark docs excluded, fracs bounded") {
     val c = Pipeline.contaminationCheck(spark, sf).cache()
     assert(c.filter(col("doc_id") % 17 === 3).count() == 0)
