@@ -103,6 +103,9 @@ class Graft(spark: SparkSession, sfDir: String,
 
   /** Semantic search for a free-text query: embed driver-side, broadcast the
     * literal vector, cosine against every chunk, top-k with snippet metadata.
+    * `topK` is clamped to [1, MaxTopK] like the reference's rag_query
+    * (reference: src/index.ts:62, :269 — max(1, min(RAG_QUERY_MAX_RESULTS,
+    * top_k))).
     */
   def ragQuery(query: String, topK: Int = 5): DataFrame =
     ragQueryOver(servingIndex, query, topK)
@@ -118,7 +121,7 @@ class Graft(spark: SparkSession, sfDir: String,
         VecExprs.cosineSim(col("emb"), qvCol).as("score"),
         substring(col("chunk_text"), 1, 120).as("snippet"))
       .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
-      .limit(topK)
+      .limit(Graft.clampTopK(topK))
   }
 
   /** Hybrid lexical+dense search (BM25 ⊕ embedding cosine via reciprocal
@@ -128,7 +131,7 @@ class Graft(spark: SparkSession, sfDir: String,
     * happens per call.
     */
   def ragQueryHybrid(query: String, topK: Int = 10): DataFrame =
-    operators.Bm25.ragHybridOver(servingIndex, query, topK, dim)
+    operators.Bm25.ragHybridOver(servingIndex, query, Graft.clampTopK(topK), dim)
 
   /** Token-range read of one document (1-based inclusive, like the
     * reference's line ranges). Driver-side scalar — it's a point lookup.
@@ -191,6 +194,14 @@ class Graft(spark: SparkSession, sfDir: String,
 }
 
 object Graft {
+
+  /** The reference's RAG_QUERY_MAX_RESULTS (reference: src/index.ts:62). */
+  val MaxTopK = 50
+
+  /** Clamp a requested top_k to [1, MaxTopK] — the reference's rag_query
+    * guard (reference: src/index.ts:269).
+    */
+  def clampTopK(topK: Int): Int = math.max(1, math.min(MaxTopK, topK))
 
   /** Point graft at a REAL directory tree — the reference's actual
     * end-to-end story (point at a repo, index it, query it; reference:

@@ -87,7 +87,11 @@ object AnnGraph {
       .filter(col("rn") <= entriesPerCell)
       .select(col("cid"), col("vec_id"))
     val scoreOf = round(VecExprs.cosineSim(col("embedding"), col("qv")), 4)
+    // queries are corpus vectors: drop the query itself HERE, not only in the
+    // final ranking — a self-candidate scores cosine 1.0, tops the beam every
+    // hop, and permanently wastes one beam/entry slot per query
     def scored(cands: DataFrame): DataFrame = cands
+      .filter(col("vec_id") =!= col("query_id"))
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .join(q.select(col("query_id"), col("qv")).distinct(), "query_id")
       .select(col("query_id"), col("vec_id"), scoreOf.as("score"))
@@ -109,8 +113,8 @@ object AnnGraph {
         .drop("rn")
         .localCheckpoint()
     }
+    // no self-filter needed: scored() already excluded the query vector
     frontier
-      .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(wBeam).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))

@@ -45,11 +45,16 @@ object Bm25 {
     // doc, a length plus the handful of query-term hits.
     // filter INSIDE the array before exploding: the explode then emits only
     // query-term hits (a handful per doc) instead of the full token stream
+    // LAZY checkpoint: eager would run a Spark job at DataFrame-construction
+    // time and pin blocks even when the caller never executes the plan; lazy
+    // materializes on the first action, is still computed once within it,
+    // and the pinned blocks are released by the ContextCleaner once the
+    // returned frame is unreferenced
     val prepped = units
       .select(key :+ Text.tokens(col(textCol)).as("toks"): _*)
       .select(key ++ Seq(size(col("toks")).cast("double").as("dl"),
         filter(col("toks"), t => t.isin(terms.map(lit): _*)).as("hits")): _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val stats = prepped.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))

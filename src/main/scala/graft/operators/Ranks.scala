@@ -51,11 +51,14 @@ object Ranks {
     * expensive scoring scan (tokenize/embed over full documents), that scan
     * runs twice unless the narrow `(tie..., score)` projection is
     * materialized first. The checkpoint is rows × ~16 bytes — at any corpus
-    * size, far cheaper than a second scoring pass.
+    * size, far cheaper than a second scoring pass. LAZY (eager=false): no
+    * job runs at construction time, the projection materializes once inside
+    * the first consuming action, and the pinned blocks are released by the
+    * ContextCleaner when the frame is unreferenced.
     */
   def globalRankDesc(df: DataFrame, score: String, tie: Seq[String],
                      rankName: String, materialize: Boolean = false): DataFrame = {
-    val in = if (materialize) df.localCheckpoint() else df
+    val in = if (materialize) df.localCheckpoint(false) else df
     globalRankDescOver(in, score, tie, rankName)
   }
 

@@ -11,21 +11,23 @@ import org.apache.spark.sql.functions._
   * Spark-first: `spark.read.option("wholetext", true).text` with a
   * recursive lookup does the distributed read; the glob/exclusion logic is
   * plan-side filters on `input_file_name`, so discovery scales with the
-  * file listing, not the driver. Extension whitelist is pushed into
-  * `pathGlobFilter` (one read per extension, unioned) so excluded files are
-  * never opened.
+  * file listing, not the driver. Extension whitelist is pushed into a single
+  * brace-glob `pathGlobFilter` (`*.{txt,md}`) so excluded files are never
+  * opened and the tree is listed exactly once.
   */
 object TextCorpus {
 
-  /** Root-relative path from a percent-encoded file URI (what
-    * `input_file_name()` and binaryFile's `path` column yield —
-    * file:///a%20b/...). url_decode has form-encoding semantics ('+' →
-    * space), but in a URI path a literal '+' is unencoded — protect it as
-    * %2B first so a file named "a+b.md" keeps its name (and its
-    * path-derived doc_id). One helper for read() and listFiles() so the
-    * two can never disagree about the same file's relative path.
+  /** Root-relative path from a PERCENT-ENCODED file URI — what
+    * `input_file_name()` yields (file:///a%20b/...). url_decode has
+    * form-encoding semantics ('+' → space), but in a URI path a literal '+'
+    * is unencoded — protect it as %2B first so a file named "a+b.md" keeps
+    * its name (and its path-derived doc_id). ONLY for `input_file_name()`
+    * sources: binaryFile's `path` column is Hadoop's unescaped
+    * FileStatus.getPath.toString, which [[relPathRaw]] handles — decoding
+    * it would throw on a literal '%' in a filename and silently rename
+    * names that happen to look like valid escapes.
     */
-  private def relPath(uri: org.apache.spark.sql.Column, rootNorm: String)
+  private def relPathEncoded(uri: org.apache.spark.sql.Column, rootNorm: String)
       : org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(
@@ -33,20 +35,31 @@ object TextCorpus {
         "^file:/+", "/"),
       "^" + java.util.regex.Pattern.quote(rootNorm), "")
 
+  /** Root-relative path from an UNESCAPED path string (binaryFile's `path`
+    * column): strip the scheme and the root prefix, decode nothing.
+    */
+  private def relPathRaw(p: org.apache.spark.sql.Column, rootNorm: String)
+      : org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(p, "^file:/+", "/"),
+      "^" + java.util.regex.Pattern.quote(rootNorm), "")
+
   def read(spark: SparkSession, root: String,
            allowedExt: Seq[String] = Seq("txt", "md"),
            excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git")): DataFrame = {
-    val perExt = allowedExt.map { ext =>
-      spark.read
-        .option("wholetext", "true")
-        .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", s"*.$ext")
-        .text(root)
-        .select(input_file_name().as("abs_path"), col("value").as("content"))
-    }
+    require(allowedExt.nonEmpty, "allowedExt must not be empty")
+    // ONE listing for all extensions via Hadoop brace alternation — a
+    // per-extension read unioned N ways repeats the (driver-side, at 100 TB
+    // object-store-RPC) file listing N times for the same tree
+    val raw0 = spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", s"*.{${allowedExt.mkString(",")}}")
+      .text(root)
+      .select(input_file_name().as("abs_path"), col("value").as("content"))
     val rootNorm = if (root.endsWith("/")) root else root + "/"
-    val raw = perExt.reduce(_ unionAll _)
-      .withColumn("path", relPath(col("abs_path"), rootNorm))
+    val raw = raw0
+      .withColumn("path", relPathEncoded(col("abs_path"), rootNorm))
     // exclusion by exact path segment (like the reference's folder patterns),
     // not substring — "redist/x" must survive excludedFolders = ["dist"]
     val segs = split(col("path"), "/")
@@ -91,7 +104,7 @@ object TextCorpus {
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(root)
-      .select(relPath(col("path"), rootNorm).as("path"),
+      .select(relPathRaw(col("path"), rootNorm).as("path"),
         col("length").as("size_bytes"))
     val segs = split(col("path"), "/")
     val depth = (size(segs) - 1).as("depth") // separators in the rel path

@@ -28,6 +28,16 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("ragQuery clamps top_k to [1, MaxTopK] like the reference") {
+    assert(Graft.clampTopK(0) == 1 && Graft.clampTopK(-5) == 1)
+    assert(Graft.clampTopK(999) == Graft.MaxTopK)
+    assert(Graft.clampTopK(7) == 7)
+    // topK = 0 still returns one row; an absurd topK caps at MaxTopK
+    assert(g.ragQuery("table scan", topK = 0).count() == 1)
+    assert(g.ragQuery("table scan", topK = 10000).count() == Graft.MaxTopK)
+    assert(g.ragQueryHybrid("table scan", topK = -3).count() == 1)
+  }
+
   test("readFile honors 1-based inclusive token ranges") {
     val whole = g.readFile(3)
     val first5 = g.readFile(3, 1, 5)

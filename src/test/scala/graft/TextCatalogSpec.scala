@@ -130,6 +130,32 @@ class TextCatalogSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSeq == Seq("docs", "docs/deep", "src"))
   }
 
+  test("TextCorpus.read lists once and agrees with listFiles on %/+/space filenames") {
+    import graft.sources.TextCorpus
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_pct")
+    def put(name: String, content: String): Unit =
+      Files.write(root.resolve(name), content.getBytes("UTF-8"))
+    put("100%.txt", "pct")   // literal % — url_decode on a RAW path would throw here
+    put("a%20b.txt", "esc")  // a valid-escape lookalike — must not become "a b.txt"
+    put("a+b.txt", "plus")   // literal + — form-decoding would turn it into a space
+    put("a b.txt", "space")  // real space — input_file_name() percent-encodes this one
+    put("plain.md", "md")
+    // ONE brace-glob listing for both extensions: exactly one scan in the plan
+    val corpus = TextCorpus.read(spark, root.toString)
+    val scans = corpus.queryExecution.sparkPlan.toString.split("FileScan").length - 1
+    assert(scans == 1, s"expected one FileScan, got $scans")
+    val byPath = corpus.collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[String]("content")).toMap
+    assert(byPath == Map("100%.txt" -> "pct", "a%20b.txt" -> "esc",
+      "a+b.txt" -> "plus", "a b.txt" -> "space", "plain.md" -> "md"))
+    // the metadata listing must name the same files verbatim (no decode on
+    // binaryFile's unescaped paths — a '%' name aborts, an escape renames)
+    val listed = TextCorpus.listFiles(spark, root.toString, recursive = true).collect()
+      .filter(_.getString(1) == "file").map(_.getString(0)).toSet
+    assert(listed == byPath.keySet)
+  }
+
   test("langId codepoint features classify CJK text the markers cannot see") {
     import spark.implicits._
     import graft.operators.TextAnalysis
