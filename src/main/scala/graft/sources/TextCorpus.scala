@@ -74,11 +74,39 @@ object TextCorpus {
       .orderBy("path")
   }
 
+  /** Normalize the reference's `dir` argument (reference: src/index.ts:
+    * 331-341): a solitary "." or "./" means the root; a leading "./" is
+    * dropped; leading slashes are trimmed; dot-prefixed REAL names (".git")
+    * are kept verbatim so hidden folders stay listable.
+    */
+  def normalizeDir(dir: String): String =
+    if (dir == "." || dir == "./") ""
+    else if (dir.startsWith("./")) dir.substring(2)
+    else dir.replaceFirst("^[/\\\\]+", "")
+
+  /** The reference's traversal guard (reference: src/indexer.ts:329-338
+    * `ensureWithinRoot`): resolve `rel` against `root` and reject any result
+    * that escapes it (`../`, absolute tricks). Component-wise prefix check —
+    * "/a/bad" does not pass for root "/a/b". Returns the resolved absolute
+    * path; throws IllegalArgumentException on escape, like the reference's
+    * InvalidRequest error.
+    */
+  def ensureWithinRoot(root: String, rel: String): String = {
+    val rootAbs = java.nio.file.Paths.get(root).toAbsolutePath.normalize()
+    val abs = rootAbs.resolve(rel).normalize()
+    require(abs.startsWith(rootAbs), s"Path outside ROOT: $rel")
+    abs.toString
+  }
+
   /** Real-directory `list_files` (reference: src/index.ts:316-413): walk a
-    * root, return `(path, entry_type, size_bytes, n_entries)` with the
-    * reference's contract — dirs-first alphabetical ordering, entry limit,
-    * `recursive`/`maxDepth` traversal bounds, `includeExtensions` whitelist
-    * (which suppresses directory entries, reference src/index.ts:376-378).
+    * directory under a root, return `(path, entry_type, size_bytes,
+    * n_entries)` with the reference's contract — dirs-first alphabetical
+    * ordering, entry limit (clamped to [1, 5000], reference src/index.ts:66,
+    * :326), `dir` relative to root (guarded by [[ensureWithinRoot]]; paths
+    * in the output stay ROOT-relative and depth counts from `dir`, like the
+    * reference's walk), `recursive`/`maxDepth` traversal bounds,
+    * `includeExtensions` whitelist (which suppresses directory entries,
+    * reference src/index.ts:376-378).
     *
     * Spark-first: the listing is a `binaryFile`-format scan pruned to
     * `(path, length)` — file metadata only, no content bytes are read —
@@ -95,16 +123,28 @@ object TextCorpus {
     * recursion is on and `s <= maxDepth` — the reference's depth rule
     * (src/index.ts:380-385).
     */
-  def listFiles(spark: SparkSession, root: String,
+  def listFiles(spark: SparkSession, root: String, dir: String = ".",
                 recursive: Boolean = false, maxDepth: Int = Int.MaxValue,
                 includeExtensions: Seq[String] = Nil,
                 limit: Int = 500): DataFrame = {
-    val rootNorm = if (root.endsWith("/")) root else root + "/"
+    val nd = normalizeDir(dir)
+    val baseAbs = ensureWithinRoot(root, nd)
+    // existence + is-a-directory validation, like the reference's stat
+    // (src/index.ts:343-350) — a driver-side metadata call, no data read
+    val basePath = new org.apache.hadoop.fs.Path(baseAbs)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(basePath), s"Directory does not exist: $dir")
+    require(fs.getFileStatus(basePath).isDirectory, s"Path is not a directory: $dir")
+    val cap = math.min(5000, math.max(1, limit))
+    val baseNorm = if (baseAbs.endsWith("/")) baseAbs else baseAbs + "/"
     val exts = includeExtensions.map(_.toLowerCase.stripPrefix("."))
+    // root-relative prefix re-attached to every output path (the reference
+    // lists relative to ROOT even when walking a subdir, src/index.ts:373)
+    val prefix = if (nd.isEmpty) "" else nd + "/"
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
-      .load(root)
-      .select(relPathRaw(col("path"), rootNorm).as("path"),
+      .load(baseAbs)
+      .select(relPathRaw(col("path"), baseNorm).as("path"),
         col("length").as("size_bytes"))
     val segs = split(col("path"), "/")
     val depth = (size(segs) - 1).as("depth") // separators in the rel path
@@ -143,8 +183,9 @@ object TextCorpus {
         Seq(visible(extFiltered.drop("ext")))
     parts.reduce(_ unionAll _)
       .drop("depth")
+      .withColumn("path", concat(lit(prefix), col("path")))
       .orderBy(col("entry_type"), col("path"))
-      .limit(limit)
+      .limit(cap)
   }
 
   /** Adapt a file corpus to the `documents` schema so every graft operator
