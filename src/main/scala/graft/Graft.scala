@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * shipped as a literal — the corpus side never collects.
   */
 class Graft(spark: SparkSession, sfDir: String,
-            chunkSize: Int = 100, chunkOverlap: Int = 20, dim: Int = 64) {
+            chunkSize: Int = 100, chunkOverlap: Int = 20, dim: Int = 64,
+            private val dirSource: Option[Graft.DirSource] = None) {
   VecExprs.register(spark)
 
   val modelName = s"graft-hash-embed-v1-d$dim"
@@ -99,6 +100,31 @@ class Graft(spark: SparkSession, sfDir: String,
         Seq((nAdded, nChanged, nRemoved, nUnchanged, total))
           .toDF("n_added", "n_changed", "n_removed", "n_unchanged", "total_chunks")
     }
+  }
+
+  /** The reference's actual operational loop over LIVE files (reference:
+    * src/indexer.ts:413-511 — re-scan the watched tree, diff against the
+    * stored snapshot, re-embed only what changed): re-discovers the
+    * directory this facade was created from (`Graft.forDirectory`), swaps
+    * the re-landed documents table in crash-safely (backup-rename, same
+    * protocol as the chunk store), then runs [[incrementalUpdate]] so only
+    * added/changed files are re-chunked + re-embedded and removed files
+    * drop out of the store. Returns the incremental stats frame.
+    *
+    * Scale shape: the re-scan reads raw files once (the ingest-once rule);
+    * the diff is the same single co-partitioned full-outer join on doc_id;
+    * chunk+embed touches only the dirty subset. Serving note: a facade's
+    * cached [[servingIndex]] predates the reindex by design (the reference
+    * also serves its in-memory Doc[] until restart) — warm-serve the fresh
+    * index via `ragQueryOver(IndexStore.load(...))` or a new facade.
+    */
+  def reindexDirectory(storePath: String): DataFrame = {
+    val src = dirSource.getOrElse(throw new IllegalStateException(
+      "reindexDirectory requires a facade built by Graft.forDirectory"))
+    val docs = sources.TextCorpus.asDocuments(
+      sources.TextCorpus.read(spark, src.root, src.allowedExt, src.excludedFolders))
+    Graft.landDocuments(docs, sfDir)
+    incrementalUpdate(storePath)
   }
 
   /** Semantic search for a free-text query: embed driver-side, broadcast the
@@ -203,6 +229,26 @@ object Graft {
     */
   def clampTopK(topK: Int): Int = math.max(1, math.min(MaxTopK, topK))
 
+  /** Where a `forDirectory` facade's corpus came from — kept so
+    * [[Graft.reindexDirectory]] can re-run the identical discovery.
+    */
+  case class DirSource(root: String, allowedExt: Seq[String], excludedFolders: Seq[String])
+
+  /** Land a documents frame as the facade's corpus table via staged write +
+    * backup-rename swap: a crash mid-write can never lose the live table,
+    * and readers of the old table are not pulled out from under a running
+    * scan by an in-place overwrite's delete-then-write.
+    */
+  private[graft] def landDocuments(docs: DataFrame, workDir: String): Unit = {
+    val spark = docs.sparkSession
+    val target = new org.apache.hadoop.fs.Path(workDir, "documents.parquet")
+    val staging = new org.apache.hadoop.fs.Path(workDir, "documents.parquet.staging")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    docs.write.mode("overwrite").parquet(staging.toString)
+    IndexStore.swapDir(fs, staging, target)
+  }
+
   /** Point graft at a REAL directory tree — the reference's actual
     * end-to-end story (point at a repo, index it, query it; reference:
     * src/indexer.ts:350-387 discovery + src/index.ts:428 startup build).
@@ -221,9 +267,9 @@ object Graft {
                    dim: Int = 64): Graft = {
     val docs = sources.TextCorpus.asDocuments(
       sources.TextCorpus.read(spark, root, allowedExt, excludedFolders))
-    docs.write.mode("overwrite").parquet(
-      new org.apache.hadoop.fs.Path(workDir, "documents.parquet").toString)
-    new Graft(spark, workDir, chunkSize, chunkOverlap, dim)
+    landDocuments(docs, workDir)
+    new Graft(spark, workDir, chunkSize, chunkOverlap, dim,
+      Some(DirSource(root, allowedExt, excludedFolders)))
   }
 }
 
@@ -261,23 +307,32 @@ object IndexStore {
     val out = fs.create(new org.apache.hadoop.fs.Path(staging, MetaFile), true)
     out.write(metaJson(meta).getBytes("UTF-8"))
     out.close()
-    // Swap via backup-rename so the data always survives a crash: old →
-    // .backup, staging → live, then drop the backup. A crash between the
-    // two renames leaves the old store in .backup — load() self-heals from
-    // there. (Deleting the live store before the rename would instead
-    // strand everything in .staging, which nothing reads.)
-    val backup = new org.apache.hadoop.fs.Path(path + ".backup")
+    swapDir(fs, staging, finalPath)
+  }
+
+  /** Swap `staging` into place via backup-rename so the data always survives
+    * a crash: old → .backup, staging → live, then drop the backup. A crash
+    * between the two renames leaves the old data in .backup — load()
+    * self-heals the chunk store from there. (Deleting the live directory
+    * before the rename would instead strand everything in .staging, which
+    * nothing reads.) Shared by the chunk-store save and the landed
+    * documents-table swap.
+    */
+  private[graft] def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+                             staging: org.apache.hadoop.fs.Path,
+                             finalPath: org.apache.hadoop.fs.Path): Unit = {
+    val backup = new org.apache.hadoop.fs.Path(finalPath.toString + ".backup")
     if (fs.exists(backup)) fs.delete(backup, true)
     val hadOld = fs.exists(finalPath)
     if (hadOld && !fs.rename(finalPath, backup))
-      throw new java.io.IOException(s"IndexStore.save: could not move old store aside at $finalPath")
+      throw new java.io.IOException(s"swapDir: could not move old data aside at $finalPath")
     if (!fs.rename(staging, finalPath)) {
       val restored = hadOld && fs.rename(backup, finalPath)
       throw new java.io.IOException(
-        s"IndexStore.save: rename $staging -> $finalPath failed (" +
-          (if (restored) "old store restored from backup"
-           else if (hadOld) s"RESTORE ALSO FAILED — old store is at $backup"
-           else "no previous store existed") + ")")
+        s"swapDir: rename $staging -> $finalPath failed (" +
+          (if (restored) "old data restored from backup"
+           else if (hadOld) s"RESTORE ALSO FAILED — old data is at $backup"
+           else "no previous data existed") + ")")
     }
     if (hadOld) fs.delete(backup, true)
   }

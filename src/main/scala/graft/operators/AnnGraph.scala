@@ -89,16 +89,25 @@ object AnnGraph {
     val scoreOf = round(VecExprs.cosineSim(col("embedding"), col("qv")), 4)
     // queries are corpus vectors: drop the query itself HERE, not only in the
     // final ranking — a self-candidate scores cosine 1.0, tops the beam every
-    // hop, and permanently wastes one beam/entry slot per query
+    // hop, and permanently wastes one beam/entry slot per query. But the
+    // query node's own out-edges are its exact in-cell kNN — the strongest
+    // candidate source — so they are unioned into the FIRST expansion below
+    // (self stays expandable without ever occupying a beam slot, the
+    // HNSW-search invariant).
     def scored(cands: DataFrame): DataFrame = cands
       .filter(col("vec_id") =!= col("query_id"))
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .join(q.select(col("query_id"), col("qv")).distinct(), "query_id")
       .select(col("query_id"), col("vec_id"), scoreOf.as("score"))
     val wBeam = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    val selfEdges = q.select(col("query_id")).distinct()
+      .join(edges, col("query_id") === col("src"))
+      .select(col("query_id"), col("dst").as("vec_id"))
     var frontier = scored(
       q.join(entries, col("probe_cid") === col("cid"))
-        .select(col("query_id"), col("vec_id")).distinct())
+        .select(col("query_id"), col("vec_id"))
+        .unionAll(selfEdges)
+        .distinct())
       .localCheckpoint()
     for (_ <- 0 until hops) {
       val expanded = frontier.select(col("query_id"), col("vec_id"))

@@ -52,9 +52,15 @@ object Ranks {
     * runs twice unless the narrow `(tie..., score)` projection is
     * materialized first. The checkpoint is rows × ~16 bytes — at any corpus
     * size, far cheaper than a second scoring pass. LAZY (eager=false): no
-    * job runs at construction time, the projection materializes once inside
-    * the first consuming action, and the pinned blocks are released by the
-    * ContextCleaner when the frame is unreferenced.
+    * job runs at construction time, the projection materializes inside the
+    * first consuming action, and the pinned blocks are released by the
+    * ContextCleaner when the frame is unreferenced. Caveat: lazy weakens the
+    * guarantee — the two sibling stages that read the un-materialized RDD
+    * (the per-score counts and the peer-tiebreak window) can be scheduled
+    * concurrently within that first job and each transiently recompute the
+    * projection before its blocks land in the block manager. Accepted
+    * trade-off (no construction-time job vs a possible one-time double
+    * scan); revert call sites to eager if a BENCH delta ever shows it.
     */
   def globalRankDesc(df: DataFrame, score: String, tie: Seq[String],
                      rankName: String, materialize: Boolean = false): DataFrame = {

@@ -48,6 +48,11 @@ object TextCorpus {
            allowedExt: Seq[String] = Seq("txt", "md"),
            excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git")): DataFrame = {
     require(allowedExt.nonEmpty, "allowedExt must not be empty")
+    // extensions are interpolated into the brace glob below — a ',' '{' '*'
+    // or whitespace inside one would silently corrupt the filter for EVERY
+    // extension in the list, so reject anything non-alphanumeric up front
+    require(allowedExt.forall(_.matches("[A-Za-z0-9_]+")),
+      s"allowedExt must be alphanumeric ([A-Za-z0-9_]+), got: ${allowedExt.mkString(", ")}")
     // ONE listing for all extensions via Hadoop brace alternation — a
     // per-extension read unioned N ways repeats the (driver-side, at 100 TB
     // object-store-RPC) file listing N times for the same tree
@@ -84,15 +89,23 @@ object TextCorpus {
     else if (dir.startsWith("./")) dir.substring(2)
     else dir.replaceFirst("^[/\\\\]+", "")
 
+  /** Strip a `file:` scheme so java.nio path math accepts the roots that
+    * `read()`'s Hadoop listing accepts — the two entry points must agree on
+    * what a valid root is. Non-file schemes (hdfs:, s3a:) have no local Path
+    * form and are rejected by the exists() check downstream as before.
+    */
+  private def localAbs(p: String): java.nio.file.Path =
+    java.nio.file.Paths.get(p.replaceFirst("^file:/+", "/")).toAbsolutePath.normalize()
+
   /** The reference's traversal guard (reference: src/indexer.ts:329-338
     * `ensureWithinRoot`): resolve `rel` against `root` and reject any result
     * that escapes it (`../`, absolute tricks). Component-wise prefix check —
     * "/a/bad" does not pass for root "/a/b". Returns the resolved absolute
     * path; throws IllegalArgumentException on escape, like the reference's
-    * InvalidRequest error.
+    * InvalidRequest error. Accepts `file:`-scheme roots like `read()` does.
     */
   def ensureWithinRoot(root: String, rel: String): String = {
-    val rootAbs = java.nio.file.Paths.get(root).toAbsolutePath.normalize()
+    val rootAbs = localAbs(root)
     val abs = rootAbs.resolve(rel).normalize()
     require(abs.startsWith(rootAbs), s"Path outside ROOT: $rel")
     abs.toString
@@ -139,8 +152,13 @@ object TextCorpus {
     val baseNorm = if (baseAbs.endsWith("/")) baseAbs else baseAbs + "/"
     val exts = includeExtensions.map(_.toLowerCase.stripPrefix("."))
     // root-relative prefix re-attached to every output path (the reference
-    // lists relative to ROOT even when walking a subdir, src/index.ts:373)
-    val prefix = if (nd.isEmpty) "" else nd + "/"
+    // lists relative to ROOT even when walking a subdir, src/index.ts:373).
+    // Derived from the RESOLVED path, not the raw dir string: "docs/" must
+    // not emit "docs//x" and "a/../a" must emit "a/x" — the reference's
+    // path.relative(ROOT, ...) normalization, and what joins against
+    // TextCorpus.read paths require.
+    val relNorm = localAbs(root).relativize(java.nio.file.Paths.get(baseAbs)).toString
+    val prefix = if (relNorm.isEmpty) "" else relNorm + "/"
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(baseAbs)

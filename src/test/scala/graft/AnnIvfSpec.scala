@@ -57,7 +57,10 @@ class AnnIvfSpec extends SparkSpecBase {
     val hits = g.select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect hits).size.toDouble / brute.size
-    assert(recall >= 0.4, s"recall=$recall (must be >= the IVF bound)")
+    // measured 0.86 at sf0.001 with the query's own out-edges seeded into
+    // the first expansion; 0.6 leaves noise margin while still catching a
+    // seeding/expansion regression the old 0.4 (IVF) bound would mask
+    assert(recall >= 0.6, s"recall=$recall")
     // per-cell kNN graph: out-degree bounded, no self-loops, edges in-cell
     val edges = AnnGraph.buildGraph(spark, sf, AnnIvf.train(spark, sf, k = 16), degree = 8)
     assert(edges.filter(col("src") === col("dst")).count() == 0)

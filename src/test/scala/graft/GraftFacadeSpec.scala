@@ -118,6 +118,51 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(g2.listFiles(limit = 100).filter(col("entry_type") === "file").count() == 4)
   }
 
+  test("reindexDirectory: live tree mutations are picked up incrementally and equal a cold rebuild") {
+    val root = Files.createTempDirectory("graft_live")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    put("readme.md", "alpha beta gamma delta epsilon zeta")
+    put("src/a.txt", "the quick table scan join merges sorted runs")
+    put("src/b.txt", "windowed aggregation with watermarks bounds state")
+    val work = Files.createTempDirectory("graft_livework").toString
+    val store = Files.createTempDirectory("graft_livestore").toString + "/store"
+    val g2 = Graft.forDirectory(spark, root.toString, work)
+    // cold pass: everything is added
+    val cold = g2.reindexDirectory(store).head()
+    assert(cold.getAs[Long]("n_added") == 3 && cold.getAs[Long]("n_removed") == 0)
+    // no-op pass: the tree did not change
+    val noop = g2.reindexDirectory(store).head()
+    assert(noop.getAs[Long]("n_added") == 0 && noop.getAs[Long]("n_changed") == 0 &&
+      noop.getAs[Long]("n_removed") == 0 && noop.getAs[Long]("n_unchanged") == 3)
+    // mutate the LIVE tree: add one file, edit one (size change — the
+    // reference's change heuristic), remove one
+    put("src/new.txt", "a brand new document about broadcast joins")
+    put("src/a.txt", "the quick table scan join merges sorted runs of rows and pages")
+    Files.delete(root.resolve("readme.md"))
+    val stats = g2.reindexDirectory(store).head()
+    assert(stats.getAs[Long]("n_added") == 1, s"added=${stats.getAs[Long]("n_added")}")
+    assert(stats.getAs[Long]("n_changed") == 1)
+    assert(stats.getAs[Long]("n_removed") == 1)
+    assert(stats.getAs[Long]("n_unchanged") == 1)
+    // the incrementally-maintained store equals a cold rebuild of the tree
+    val work2 = Files.createTempDirectory("graft_livework2").toString
+    val fresh = Graft.forDirectory(spark, root.toString, work2).buildIndex()
+      .select("doc_id", "chunk_idx", "chunk_text", "file_size")
+    val healed = IndexStore.load(spark, store, g2.meta).get
+      .select("doc_id", "chunk_idx", "chunk_text", "file_size")
+    assert(healed.exceptAll(fresh).count() == 0 && fresh.exceptAll(healed).count() == 0)
+    // and serving over the loaded store finds the newly added file
+    val hit = g2.ragQueryOver(IndexStore.load(spark, store, g2.meta).get,
+      "brand new document about broadcast joins", topK = 1).head()
+    val newId = Tables.documents(spark, work)
+      .filter(col("text").contains("brand new")).head().getAs[Long]("doc_id")
+    assert(hit.getAs[Long]("doc_id") == newId)
+  }
+
   test("IndexStore round-trips and rejects mismatched metadata") {
     val dir = Files.createTempDirectory("graft_store").toString
     val meta = IndexStore.Meta(IndexStore.Version, 100, 20, g.modelName)

@@ -130,6 +130,47 @@ class TextCatalogSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSeq == Seq("docs", "docs/deep", "src"))
   }
 
+  test("TextCorpus.listFiles dir param: normalized ROOT-relative paths, scheme roots, traversal guard") {
+    import graft.sources.TextCorpus
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_dir")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    put("a.txt", "aa"); put("docs/c.txt", "cccc"); put("docs/deep/d.md", "ddddd")
+    // every spelling of the same subdir yields the same NORMALIZED
+    // root-relative paths — "docs/" must not emit "docs//...", and
+    // "docs/../docs" must not leak the ".." into output paths
+    val want = Seq("docs/deep", "docs/c.txt", "docs/deep/d.md")
+    for (d <- Seq("docs", "docs/", "./docs", "docs/../docs", "/docs")) {
+      val got = TextCorpus.listFiles(spark, root.toString, dir = d, recursive = true)
+        .collect().map(_.getString(0)).toSeq
+      assert(got == want, s"dir=$d")
+    }
+    // a file:-scheme root must behave like the bare path (read() accepts both)
+    val viaScheme = TextCorpus.listFiles(spark, "file://" + root.toString,
+      dir = "docs", recursive = true).collect().map(_.getString(0)).toSeq
+    assert(viaScheme == want)
+    // "." and "./" mean the root itself
+    assert(TextCorpus.listFiles(spark, root.toString, dir = "./").collect()
+      .map(_.getString(0)).toSeq == Seq("docs", "a.txt"))
+    // the reference's ensureWithinRoot contract: escapes throw
+    for (bad <- Seq("..", "../", "docs/../..", "../outside"))
+      intercept[IllegalArgumentException] {
+        TextCorpus.listFiles(spark, root.toString, dir = bad)
+      }
+  }
+
+  test("TextCorpus.read rejects glob-corrupting extensions") {
+    import graft.sources.TextCorpus
+    for (bad <- Seq(Seq("txt,md"), Seq("t*t"), Seq("a b"), Seq("md", "{x")))
+      intercept[IllegalArgumentException] {
+        TextCorpus.read(spark, "/tmp", allowedExt = bad)
+      }
+  }
+
   test("TextCorpus.read lists once and agrees with listFiles on %/+/space filenames") {
     import graft.sources.TextCorpus
     import java.nio.file.Files
