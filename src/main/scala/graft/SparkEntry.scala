@@ -45,6 +45,16 @@ object SparkEntry {
     // rows-only like ann_ivf/ann_pq: k-means + iterative beam search are not
     // SQL-replicable; recall spec-bounded vs C1 in AnnIvfSpec
     "ann_graph" -> ((s, dir) => AnnGraph.annGraph(s, dir)),
+    // the SERVING path of C6: beam search over the writeGraphIndex-persisted
+    // per-cell graphs, partition-pruned to the probed cells. Build-once per
+    // corpus (paid by the untimed warmup run) so timed runs measure search
+    // alone; in-query ann_graph above carries the build cost for comparison.
+    // Rows-only; spec asserts row-identity with ann_graph + the recall bound.
+    "ann_graph_served" -> ((s, dir) => {
+      val path = AnnGraph.defaultIndexPath(dir)
+      AnnGraph.ensureGraphIndex(s, dir, path)
+      AnnGraph.annGraphServed(s, path)
+    }),
     "embed_quantize" -> ((s, dir) => RagSearch.embedQuantize(s, dir)),
     // A. reference-surface (catalog / slice / incremental / multimodal)
     "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),
