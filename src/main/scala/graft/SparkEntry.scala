@@ -446,14 +446,20 @@ object SparkEntry {
         |            ELSE 'und' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
     "quality_score" ->
-      """WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      """WITH t AS (SELECT doc_id, text,
+        |             list_filter(string_split(regexp_replace(text,
+        |               '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', ' ', 'g'), ' '),
+        |               t -> len(t) > 0) AS toks,
+        |             length(text) - length(regexp_replace(text,
+        |               '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g')) AS cjk
         |           FROM documents),
         |m AS (SELECT doc_id,
-        |        CAST(len(toks) AS BIGINT) AS n_tokens,
-        |        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |        CAST(len(toks) + cjk AS BIGINT) AS n_tokens,
+        |        CAST(length(text) - length(regexp_replace(text,
+        |          '[^A-Za-z0-9 \x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g')) AS BIGINT) AS n_punct,
         |        CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS n_stop,
         |        CAST(length(text) AS BIGINT) AS n_chars_m,
-        |        CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS tok_chars
+        |        CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) + cjk AS BIGINT) AS tok_chars
         |      FROM t),
         |q AS (SELECT *, CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_tok_len FROM m)
         |SELECT doc_id, n_tokens, n_punct, n_stop, round(mean_tok_len+1e-9, 4) AS mean_tok_len,
@@ -471,7 +477,10 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
-        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_subtokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))
+        |         + coalesce(list_sum(list_transform(regexp_extract_all(text,
+        |             '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]+'),
+        |             r -> greatest(len(r) - 1, 0))), 0) AS BIGINT) AS n_subtokens,
         |       CAST(cjk AS BIGINT) AS n_cjk_chars,
         |       CAST(length(text) AS BIGINT) AS n_chars_m,
         |       CAST(len(list_filter(string_split(blanked, ' '), x -> len(x) > 0)) + cjk AS BIGINT) AS n_tokens_est
@@ -632,9 +641,17 @@ object SparkEntry {
         |       substring(redacted, CAST(greatest(length(redacted) - 59, 1) AS INT)) AS redacted_tail
         |FROM r ORDER BY doc_id""".stripMargin,
     "quality_repetition" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(regexp_replace(text,
+        |               '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', ' ', 'g'), ' '),
+        |               x -> len(x) > 0) AS toks,
+        |             flatten(list_transform(regexp_extract_all(text,
+        |               '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]+'), r ->
+        |               CASE WHEN len(r) >= 2
+        |                 THEN list_transform(range(1, len(r)), i -> substr(r, CAST(i AS INT), 2))
+        |                 ELSE [] END)) AS bgs
         |           FROM documents),
-        |tc AS (SELECT doc_id, unnest(list_transform(toks, x ->
+        |tc AS (SELECT doc_id, unnest(list_transform(list_concat(toks, bgs), x ->
         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
         |           list_transform(string_split(x, ''), ch -> CAST(ascii(ch) AS BIGINT))),
         |           (h, c) -> (h*31 + c) % 1000000007))) AS code

@@ -58,11 +58,29 @@ object Text {
   def codepointCount(text: Column, cls: String): Column =
     (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
 
+  /** Overlapping codepoint BIGRAMS within each CJK run — the subtoken unit
+    * for scripts written without spaces (a character unigram is too coarse
+    * for repetition/quality signals; a bigram is the standard CJK indexing
+    * unit). "今天天气" → [今天, 天天, 天气]. Pure Column algebra (regexp run
+    * extraction + per-run substr windows), so it stays codegen'd; the
+    * DuckDB oracles reproduce it with list_transform(range(...), substr).
+    */
+  def cjkBigrams(text: Column): Column = {
+    val runs = regexp_extract_all(text, lit(s"$CjkClass+"), lit(0))
+    flatten(transform(runs, r =>
+      when(length(r) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(r) - 1),
+          i => r.substr(i.cast("int"), lit(2))))))
+  }
+
   /** BPE-ish subtoken extraction: alpha runs and digit runs (portable regex —
-    * identical semantics under Java regex and DuckDB's RE2).
+    * identical semantics under Java regex and DuckDB's RE2), plus CJK
+    * codepoint bigrams so spaceless scripts yield real subtoken streams
+    * instead of zero matches.
     */
   def subtokens(text: Column): Column =
-    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+"), lit(0))
+    concat(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+"), lit(0)),
+      cjkBigrams(text))
 
   /** Word k-grams ("shingles") over the whitespace tokens, joined by a space.
     * Returns an array of n-k+1 strings (empty array when fewer than k tokens).

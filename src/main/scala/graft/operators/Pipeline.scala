@@ -80,19 +80,31 @@ object Pipeline {
     * + aggregate keyed by doc_id — partial aggregation collapses the
     * per-code counts map-side, so the shuffle carries (doc, code) partials,
     * never raw token streams.
+    *
+    * CJK-aware (ASCII corpora bit-identical): whitespace tokenization sees a
+    * spaceless script as ONE token per sentence, so the token stream is the
+    * CJK-blanked text's tokens PLUS the CJK codepoint bigrams
+    * ([[graft.functions.Text.cjkBigrams]]) — a repeated CJK phrase now
+    * raises top_token_frac exactly like a repeated word does. The word-
+    * bigram stream shingles the blanked tokens.
     */
   def qualityRepetition(spark: SparkSession, sfDir: String,
                         topTokThresh: Double = 0.30,
                         topBigramThresh: Double = 0.20): DataFrame = {
     TextExprs.register(spark)
     val d = Tables.documents(spark, sfDir)
+    val blanked = regexp_replace(col("text"), graft.functions.Text.CjkClass, " ")
     def topFrac(codes: Column, outN: String, outTop: String): DataFrame =
       d.select(col("doc_id"), explode(codes).as("code"))
         .groupBy(col("doc_id"), col("code")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as(outN), max(col("c")).as(outTop))
-    val tokStats = topFrac(TextExprs.tokenCodes(col("text"), 31), "n_tokens", "top_token_n")
-    val biStats = topFrac(TextExprs.shingleCodes(col("text"), 2), "n_bigrams", "top_bigram_n")
+    val tokStats = topFrac(
+      concat(TextExprs.tokenCodes(blanked, 31),
+        transform(graft.functions.Text.cjkBigrams(col("text")),
+          b => graft.functions.Text.stringCode(b))),
+      "n_tokens", "top_token_n")
+    val biStats = topFrac(TextExprs.shingleCodes(blanked, 2), "n_bigrams", "top_bigram_n")
     d.select(col("doc_id"))
       .join(tokStats, Seq("doc_id"), "left_outer")
       .join(biStats, Seq("doc_id"), "left_outer")

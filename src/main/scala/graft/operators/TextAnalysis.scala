@@ -70,19 +70,26 @@ object TextAnalysis {
   }
 
   /** D2: document quality score — length, punctuation ratio, stopword ratio,
-    * mean token length, combined into a bounded [0,1] score.
+    * mean token length, combined into a bounded [0,1] score. CJK-aware like
+    * D3's estimate (ASCII corpora are bit-identical): tokens = whitespace
+    * tokens of the CJK-blanked text plus one per CJK codepoint (so a
+    * spaceless sentence is not one giant token skewing mean_tok_len), and
+    * the punctuation class does NOT count CJK letters as punctuation.
     */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
+    val cjk = Text.CjkClass
+    val toks = Text.tokens(regexp_replace(col("text"), cjk, " "))
+    val nCjk = Text.codepointCount(col("text"), cjk)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+        (size(toks).cast("long") + nCjk).as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          s"[^A-Za-z0-9 ${Text.HanRange}${Text.KanaRange}${Text.HangulRange}]", "")))
           .cast("long").as("n_punct"),
         hits(toks, Markers("en")).as("n_stop"),
         length(col("text")).cast("long").as("n_chars_m"),
-        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-          .as("tok_chars"))
+        (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+          + nCjk).as("tok_chars"))
       .withColumn("mean_tok_len",
         when(col("n_tokens") > 0,
           col("tok_chars").cast("double") / col("n_tokens"))

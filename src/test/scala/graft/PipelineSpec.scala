@@ -40,6 +40,35 @@ class PipelineSpec extends SparkSpecBase {
     q.unpersist()
   }
 
+  test("quality_repetition: CJK bigram stream catches spaceless repetition") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_repcjk").toString
+    Seq(
+      (1L, "今日今日今日今日", "ja", "s", 0L), // 8-char run → 7 bigrams: 今日×4, 日今×3
+      (2L, "今天天气很好我们去公园", "zh", "s", 0L), // 11 chars → 10 distinct bigrams
+      (3L, "spark spark spark 今日今日", "und", "s", 0L)) // mixed: 3 words + 3 bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val r = Pipeline.qualityRepetition(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // whitespace tokenization alone would see doc 1 as ONE token (frac 1.0
+    // but n=1 → meaningless); the bigram stream exposes the repetition
+    assert(r(1L).getAs[Long]("n_tokens") == 7)
+    assert(r(1L).getAs[Long]("top_token_n") == 4)
+    assert(r(1L).getAs[Boolean]("repetitive"))
+    assert(r(2L).getAs[Long]("n_tokens") == 10)
+    assert(r(2L).getAs[Long]("top_token_n") == 1)
+    assert(!r(2L).getAs[Boolean]("repetitive"))
+    // mixed doc: words and CJK bigrams share one stream (3 spark + 今日×2 + 日今)
+    assert(r(3L).getAs[Long]("n_tokens") == 6)
+    assert(r(3L).getAs[Long]("top_token_n") == 3)
+    assert(r(3L).getAs[Boolean]("repetitive"))
+    // the word-bigram stream shingles the blanked tokens only
+    assert(r(3L).getAs[Long]("n_bigrams") == 2)
+    assert(r(3L).getAs[Long]("top_bigram_n") == 2)
+  }
+
   test("sample_stratified: deterministic, rates near targets, weights right") {
     val d = Tables.documents(spark, sf)
     val s = Pipeline.sampleStratified(spark, sf).cache()

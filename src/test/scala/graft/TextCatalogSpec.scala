@@ -38,9 +38,32 @@ class TextCatalogSpec extends SparkSpecBase {
     // (the naive whitespace count sees only 3 tokens)
     assert(r(1L).getAs[Long]("n_cjk_chars") == 3)
     assert(r(1L).getAs[Long]("n_tokens_est") == 5)
+    // subtokens: alpha runs (hello, window) + CJK bigrams (世界, 界の)
+    assert(r(1L).getAs[Long]("n_subtokens") == 4)
     // pure ASCII: estimate degenerates to the whitespace count
     assert(r(2L).getAs[Long]("n_cjk_chars") == 0)
     assert(r(2L).getAs[Long]("n_tokens_est") == r(2L).getAs[Long]("n_ws_tokens"))
+  }
+
+  test("quality_score: CJK chars count as 1-char tokens, not punctuation") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_qcjk").toString
+    Seq((1L, "今天天气很好", "zh", "s", 0L),
+      (2L, "the quick fox", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val r = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // 6 CJK chars → 6 one-char tokens; no punctuation; mean token length 1
+    assert(r(1L).getAs[Long]("n_tokens") == 6)
+    assert(r(1L).getAs[Long]("n_punct") == 0)
+    assert(r(1L).getAs[Double]("mean_tok_len") == 1.0)
+    // score = 0.3·(6/50) + 0.3·(1 − 0/6) + 0.2·0 + 0.2·(1/8) = 0.361
+    assert(r(1L).getAs[Double]("score") == 0.361)
+    // ASCII row unaffected by the CJK-aware tokenization
+    assert(r(2L).getAs[Long]("n_tokens") == 3)
+    assert(r(2L).getAs[Long]("n_stop") == 1)
   }
 
   test("fingerprint is deterministic and within the modulus") {
