@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.IndexStore
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared persistence plumbing for the served ANN indexes (C3 IVF, C5 PQ,
+  * C6 graph) — the same contract the chunk store's `IndexStore` enforces
+  * (reference: src/persistence.ts — load refuses unless the stored metadata
+  * matches, which triggers a cold rebuild):
+  *
+  *   - every persisted index carries a MANIFEST (version, build parameters,
+  *     and a cheap fingerprint of the corpus it was built from), so a corpus
+  *     mutated or regenerated under the same path can never be silently
+  *     served from a stale index;
+  *   - every index write goes through the staged-swap protocol
+  *     ([[IndexStore.swapDir]]): write to `<path>.staging`, then
+  *     backup-rename into place — a crash mid-build can never destroy the
+  *     live index, and a crash between the two renames is self-healed on the
+  *     next read (backup renamed back).
+  *
+  * The fingerprint is computed from the embeddings table's FILES (count,
+  * total bytes, max modification time) — no Spark job, O(listing) — which
+  * catches regeneration and in-place mutation without scanning data. At
+  * cluster scale the same role is played by a table snapshot/transaction id.
+  */
+private[graft] object AnnStore {
+  val ManifestFile = "_graft_ann_meta.json"
+  val Version = 1
+
+  def fileSystem(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Cheap data fingerprint of `<sfDir>/embeddings.parquet`: file count,
+    * total bytes, max mtime. Listing-only — never a Spark job.
+    */
+  def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new Path(sfDir, "embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val it = fs.listFiles(p, true)
+    var n = 0L; var bytes = 0L; var mtime = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      n += 1; bytes += f.getLen; mtime = math.max(mtime, f.getModificationTime)
+    }
+    s"$n:$bytes:$mtime"
+  }
+
+  /** Canonical manifest rendering — equality is string-exact, so parameter
+    * order is fixed by the caller's Seq (callers pass a stable literal).
+    */
+  def manifest(kind: String, params: Seq[(String, Any)], fingerprint: String): String = {
+    val ps = params.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    s"""{"version":$Version,"kind":"$kind",$ps,"fingerprint":"$fingerprint"}"""
+  }
+
+  /** Pull an integer build parameter back out of a stored manifest (for the
+    * incremental-refresh path, which must honor the index's own parameters
+    * rather than the caller's defaults).
+    */
+  def manifestInt(manifest: String, key: String): Option[Int] =
+    s""""$key":(-?\\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toInt)
+
+  def writeManifestFile(fs: FileSystem, dir: Path, manifest: String): Unit = {
+    val out = fs.create(new Path(dir, ManifestFile), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the live manifest; if the live dir is missing but a `.backup` holds
+    * one (a crash hit the swap between its two renames), rename the backup
+    * back first — the same self-heal [[IndexStore.load]] performs for the
+    * chunk store. None → caller must cold-rebuild.
+    */
+  def readManifest(spark: SparkSession, path: String): Option[String] = {
+    val live = new Path(path)
+    val metaPath = new Path(live, ManifestFile)
+    val fs = fileSystem(spark, path)
+    if (!fs.exists(metaPath)) {
+      val backup = new Path(path + ".backup")
+      val healed = !fs.exists(live) &&
+        fs.exists(new Path(backup, ManifestFile)) &&
+        fs.rename(backup, live)
+      if (!healed) return None
+    }
+    val in = fs.open(metaPath)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** Build the index contents under a staging root (callback writes its
+    * subdirectories there), stamp the manifest, swap into place. The live
+    * index keeps serving until the rename; a crash mid-callback leaves only
+    * a dead `.staging` that the next write clears.
+    */
+  def writeStaged(spark: SparkSession, path: String, manifestStr: String)
+                 (write: String => Unit): Unit = {
+    val fs = fileSystem(spark, path)
+    val staging = new Path(path + ".staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(staging.toString)
+    writeManifestFile(fs, staging, manifestStr)
+    IndexStore.swapDir(fs, staging, new Path(path))
+  }
+
+  /** Build-once gate with freshness: rebuild iff no live manifest matches
+    * `manifestStr` exactly (covering version, build params, AND the corpus
+    * fingerprint — the reference's metadata-match-or-cold-rebuild contract).
+    */
+  def ensureIndex(spark: SparkSession, path: String, manifestStr: String)
+                 (build: => Unit): Unit =
+    if (!readManifest(spark, path).contains(manifestStr)) build
+}
