@@ -152,29 +152,51 @@ object AnnGraph {
     */
   def writeGraphIndex(spark: SparkSession, sfDir: String, path: String,
                       k: Int = 16, degree: Int = 8): Unit = {
-    import spark.implicits._
     val centroids = AnnIvf.train(spark, sfDir, k)
     val assigned = assign(spark, sfDir, centroids).localCheckpoint()
-    val edges = buildGraphOver(assigned, degree).localCheckpoint()
-    edges.write.mode("overwrite").partitionBy("cid").parquet(path + "/edges")
-    // adjacency embedded in the vector row (rank order: sim desc, dst asc —
-    // same as the edge build) so serving reads ONE pruned table
-    val adj = edges
-      .groupBy(col("src"))
-      .agg(collect_list(struct((-col("sim")).as("ns"), col("dst"))).as("raw"))
-      .select(col("src"), transform(array_sort(col("raw")), s => s.getField("dst")).as("nbrs"))
-    assigned.join(adj, assigned("vec_id") === adj("src"), "left_outer")
-      .select(col("vec_id"), col("embedding"),
-        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path + "/vectors")
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cid", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(path + "/centroids")
+    // freshness manifest + staged swap (AnnStore): the live index keeps
+    // serving until the atomic rename, and a manifest mismatch (params OR
+    // corpus fingerprint) forces the cold rebuild — the reference's
+    // metadata-match-or-cold-rebuild contract (reference: src/persistence.ts)
+    AnnStore.writeStaged(spark, path, graphManifest(spark, sfDir, k, degree)) { staging =>
+      writeGraphContents(spark, staging, assigned, centroids, degree)
+    }
   }
 
+  /** The index tables themselves, written under `dir` (a staging root). */
+  private[operators] def writeGraphContents(spark: SparkSession, dir: String,
+                                            assigned: DataFrame,
+                                            centroids: Array[Array[Double]],
+                                            degree: Int): Unit = {
+    val edges = buildGraphOver(assigned, degree).localCheckpoint()
+    edges.write.partitionBy("cid").parquet(dir + "/edges")
+    // adjacency embedded in the vector row (rank order: sim desc, dst asc —
+    // same as the edge build) so serving reads ONE pruned table
+    assigned.join(adjacencyOf(edges), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"), col("cid"))
+      .write.partitionBy("cid").parquet(dir + "/vectors")
+    AnnStore.writeCentroids(spark, dir, centroids)
+  }
+
+  /** (src → vec_id, nbrs) adjacency lists from a (cid, src, dst, sim) edge
+    * frame, neighbor order sim desc / dst asc (the edge build's rank order).
+    */
+  private def adjacencyOf(edges: DataFrame): DataFrame =
+    edges
+      .groupBy(col("src"))
+      .agg(collect_list(struct((-col("sim")).as("ns"), col("dst"))).as("raw"))
+      .select(col("src").as("vec_id"),
+        transform(array_sort(col("raw")), s => s.getField("dst")).as("nbrs"))
+
+  /** The graph index's freshness manifest: build params + corpus fingerprint. */
+  private def graphManifest(spark: SparkSession, sfDir: String,
+                            k: Int, degree: Int): String =
+    AnnStore.manifest("graph", Seq("k" -> k, "degree" -> degree),
+      AnnStore.corpusFingerprint(spark, sfDir))
+
   private def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
-    spark.read.parquet(path + "/centroids").orderBy("cid").collect()
-      .map(_.getSeq[Double](1).toArray)
+    AnnStore.readCentroids(spark, path)
 
   /** Exact replica of CosineSim's evaluation loop (VecExprs.scala:46-58) for
     * the in-task descent — float elements widened per element, same
@@ -320,9 +342,14 @@ object AnnGraph {
       java.security.MessageDigest.getInstance("MD5")
         .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  def ensureGraphIndex(spark: SparkSession, sfDir: String, path: String): Unit = {
-    val probe = new org.apache.hadoop.fs.Path(path + "/centroids/_SUCCESS")
-    val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(probe)) writeGraphIndex(spark, sfDir, path)
-  }
+  /** Freshness-gated build-once: rebuild iff the live manifest does not
+    * match version + build params + the corpus's per-file fingerprint — so
+    * a mutated or regenerated corpus can never be silently served from a
+    * stale graph (the stale-serve hazard a bare `_SUCCESS` probe has).
+    */
+  def ensureGraphIndex(spark: SparkSession, sfDir: String, path: String,
+                       k: Int = 16, degree: Int = 8): Unit =
+    AnnStore.ensureIndex(spark, path, graphManifest(spark, sfDir, k, degree)) {
+      writeGraphIndex(spark, sfDir, path, k, degree)
+    }
 }

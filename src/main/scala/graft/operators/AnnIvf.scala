@@ -73,20 +73,40 @@ object AnnIvf {
     * physical layout that makes probing cheap at 100 TB: each cell is its
     * own directory, so a probe of `nprobe` cells is a partition-pruned scan
     * reading nprobe/k of the corpus (AnnIvfSpec asserts the PartitionFilters
-    * in the plan). Returns the centroids for query-side probe selection.
+    * in the plan). Layout: `<path>/vectors` (partitioned by cid) +
+    * `<path>/centroids` (the k-row probe-selection matrix) + the AnnStore
+    * manifest. Writes are staged-swapped and manifest-stamped like every
+    * other persisted store (reference: src/persistence.ts's
+    * metadata-match-or-cold-rebuild). Returns the centroids for query-side
+    * probe selection.
     */
   def writePartitionedIndex(spark: SparkSession, sfDir: String, path: String,
                             k: Int = 16): Array[Array[Double]] = {
     val centroids = train(spark, sfDir, k)
-    Tables.embeddings(spark, sfDir)
-      .withColumn("cid", nearestCentroid(col("embedding"), centroids))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    AnnStore.writeStaged(spark, path, ivfManifest(spark, sfDir, k)) { staging =>
+      Tables.embeddings(spark, sfDir)
+        .withColumn("cid", nearestCentroid(col("embedding"), centroids))
+        .write.partitionBy("cid").parquet(staging + "/vectors")
+      AnnStore.writeCentroids(spark, staging, centroids)
+    }
     centroids
   }
 
+  private def ivfManifest(spark: SparkSession, sfDir: String, k: Int): String =
+    AnnStore.manifest("ivf", Seq("k" -> k), AnnStore.corpusFingerprint(spark, sfDir))
+
+  /** Freshness-gated build-once for the persisted IVF layout — rebuild iff
+    * the manifest (params + corpus fingerprint) does not match.
+    */
+  def ensureIvfIndex(spark: SparkSession, sfDir: String, path: String,
+                     k: Int = 16): Unit =
+    AnnStore.ensureIndex(spark, path, ivfManifest(spark, sfDir, k)) {
+      writePartitionedIndex(spark, sfDir, path, k): Unit
+    }
+
   /** Partition-pruned read of the cells a probe list selects. */
   def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
-    spark.read.parquet(path).filter(col("cid").isin(cids: _*))
+    spark.read.parquet(path + "/vectors").filter(col("cid").isin(cids: _*))
 
   /** C3: IVF probe search for the first `nQueries` vectors: rank the
     * candidates in each query's `nprobe` nearest cells by exact cosine.

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.IndexStore
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared persistence plumbing for the served ANN indexes (C3 IVF, C5 PQ,
   * C6 graph) — the same contract the chunk store's `IndexStore` enforces
@@ -19,10 +19,12 @@ import org.apache.spark.sql.SparkSession
   *     live index, and a crash between the two renames is self-healed on the
   *     next read (backup renamed back).
   *
-  * The fingerprint is computed from the embeddings table's FILES (count,
-  * total bytes, max modification time) — no Spark job, O(listing) — which
-  * catches regeneration and in-place mutation without scanning data. At
-  * cluster scale the same role is played by a table snapshot/transaction id.
+  * The fingerprint digests the source table's per-file (path, length, mtime)
+  * tuples — no Spark job, O(listing) — which catches regeneration and
+  * in-place mutation without scanning data, and cannot collide on aggregates
+  * the way a (count, total bytes, max mtime) summary could (same file count
+  * and byte total, non-increasing timestamps). At cluster scale the same
+  * role is played by a table snapshot/transaction id.
   */
 private[graft] object AnnStore {
   val ManifestFile = "_graft_ann_meta.json"
@@ -31,28 +33,42 @@ private[graft] object AnnStore {
   def fileSystem(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Cheap data fingerprint of `<sfDir>/embeddings.parquet`: file count,
-    * total bytes, max mtime. Listing-only — never a Spark job.
+  /** Cheap data fingerprint of an arbitrary parquet directory: MD5 over the
+    * sorted per-file (path, length, mtime) tuples. Listing-only — never a
+    * Spark job.
     */
-  def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
-    val p = new Path(sfDir, "embeddings.parquet")
+  def pathFingerprint(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return "absent"
     val it = fs.listFiles(p, true)
-    var n = 0L; var bytes = 0L; var mtime = 0L
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val f = it.next()
-      n += 1; bytes += f.getLen; mtime = math.max(mtime, f.getModificationTime)
+      entries += s"${f.getPath.toString}|${f.getLen}|${f.getModificationTime}"
     }
-    s"$n:$bytes:$mtime"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Fingerprint of the ANN operators' source table, `<sfDir>/embeddings.parquet`. */
+  def corpusFingerprint(spark: SparkSession, sfDir: String): String =
+    pathFingerprint(spark, new Path(sfDir, "embeddings.parquet").toString)
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** Canonical manifest rendering — equality is string-exact, so parameter
     * order is fixed by the caller's Seq (callers pass a stable literal).
+    * String values render as escaped JSON strings, numbers raw.
     */
   def manifest(kind: String, params: Seq[(String, Any)], fingerprint: String): String = {
-    val ps = params.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    s"""{"version":$Version,"kind":"$kind",$ps,"fingerprint":"$fingerprint"}"""
+    val ps = params.map {
+      case (k, v: String) => s"${jsonStr(k)}:${jsonStr(v)}"
+      case (k, v) => s"${jsonStr(k)}:$v"
+    }.mkString(",")
+    s"""{"version":$Version,"kind":${jsonStr(kind)},$ps,"fingerprint":${jsonStr(fingerprint)}}"""
   }
 
   /** Pull an integer build parameter back out of a stored manifest (for the
@@ -70,7 +86,9 @@ private[graft] object AnnStore {
   /** Read the live manifest; if the live dir is missing but a `.backup` holds
     * one (a crash hit the swap between its two renames), rename the backup
     * back first — the same self-heal [[IndexStore.load]] performs for the
-    * chunk store. None → caller must cold-rebuild.
+    * chunk store. None → caller must cold-rebuild. Any read failure
+    * (including the manifest vanishing between the exists probe and the
+    * open, under a concurrent swap) maps to None — never an exception.
     */
   def readManifest(spark: SparkSession, path: String): Option[String] = {
     val live = new Path(path)
@@ -83,10 +101,11 @@ private[graft] object AnnStore {
         fs.rename(backup, live)
       if (!healed) return None
     }
-    val in = fs.open(metaPath)
-    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-    catch { case _: Exception => None }
-    finally in.close()
+    try {
+      val in = fs.open(metaPath)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: Exception => None }
   }
 
   /** Build the index contents under a staging root (callback writes its
@@ -111,4 +130,19 @@ private[graft] object AnnStore {
   def ensureIndex(spark: SparkSession, path: String, manifestStr: String)
                  (build: => Unit): Unit =
     if (!readManifest(spark, path).contains(manifestStr)) build
+
+  /** The k-row centroid matrix as a tiny one-file frame — the shared layout
+    * for every coarse-quantized index's query-side probe selection.
+    */
+  def writeCentroids(spark: SparkSession, dir: String,
+                     centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid").coalesce(1)
+      .write.parquet(dir + "/centroids")
+  }
+
+  def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path + "/centroids").orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
 }

@@ -37,7 +37,7 @@ class AnnIvfSpec extends SparkSpecBase {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cid"))
     // the probed rows are exactly the two cells' contents
-    val all = spark.read.parquet(path)
+    val all = spark.read.parquet(path + "/vectors")
     assert(probed.count() == all.filter(col("cid").isin(0, 3)).count())
     assert(probed.select("cid").distinct().count() <= 2)
   }
