@@ -337,10 +337,7 @@ object AnnGraph {
     * runs measure SEARCH, with build cost visible separately in the
     * in-query `ann_graph` entry.
     */
-  def defaultIndexPath(sfDir: String): String =
-    "/tmp/graft_graph_index_v1_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("graph", sfDir)
 
   /** Freshness-gated build-once: rebuild iff the live manifest does not
     * match version + build params + the corpus's per-file fingerprint — so

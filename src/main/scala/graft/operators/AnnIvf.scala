@@ -108,6 +108,36 @@ object AnnIvf {
   def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
     spark.read.parquet(path + "/vectors").filter(col("cid").isin(cids: _*))
 
+  def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("ivf", sfDir)
+
+  /** Serving-path C3: probe search over a [[writePartitionedIndex]]-persisted
+    * layout, row-identical to the in-query [[annIvf]] (spec-asserted) with
+    * the k-means training amortized into the index build. The probed cell
+    * ids collect driver-side (bounded: nQueries × nprobe) so the vector
+    * read is a PARTITION-PRUNED scan of nprobe/k of the corpus — the whole
+    * point of the layout at 100 TB — followed by one broadcast join of the
+    * tiny query frame against only the probed cells.
+    */
+  def annIvfServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
+                   topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    VecExprs.register(spark)
+    val centroids = AnnStore.readCentroids(spark, indexPath)
+    val vectors = spark.read.parquet(indexPath + "/vectors")
+    val q = probeList(vectors, centroids, nQueries, nprobe)
+    // bounded collect: the probe lists only (cell ids, not vectors)
+    val cids = q.select("probe_cid").distinct().collect().map(_.getInt(0)).toSeq
+    val scored = probeCells(spark, indexPath, cids)
+      .join(broadcast(q), col("cid") === col("probe_cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cid"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cid"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** C3: IVF probe search for the first `nQueries` vectors: rank the
     * candidates in each query's `nprobe` nearest cells by exact cosine.
     */

@@ -74,6 +74,99 @@ object AnnPq {
     books
   }
 
+  /** Persist the PQ index: the per-vector codes (the compressed
+    * representation a 100 TB corpus keeps hot), the m×ks codebooks, and the
+    * raw vectors for the exact rerank of the small candidate pool — staged
+    * and manifest-stamped like every persisted store. Codes and vectors are
+    * separate tables on purpose: the ADC scan touches ONLY the codes (m
+    * bytes/vector); the float vectors are joined in for the rerank pool
+    * alone (nQueries × rerank rows).
+    */
+  def writePqIndex(spark: SparkSession, sfDir: String, path: String,
+                   m: Int = 8, ks: Int = 16, iters: Int = 3): Unit = {
+    import spark.implicits._
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .cache()
+    val dim = 64
+    val sd = dim / m
+    val books = trainAll(e, m, sd, ks, iters)
+    val manifest = AnnStore.manifest("pq",
+      Seq("m" -> m, "ks" -> ks, "iters" -> iters),
+      AnnStore.corpusFingerprint(spark, sfDir))
+    AnnStore.writeStaged(spark, path, manifest) { staging =>
+      val codeCols = (0 until m).map(j =>
+        l2Assign(slice(col("emb"), j * sd + 1, sd), books(j)).as(s"c$j"))
+      e.select(col("vec_id") +: codeCols: _*).write.parquet(staging + "/codes")
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+        .write.parquet(staging + "/vectors")
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+      }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
+        .write.parquet(staging + "/books")
+    }
+    e.unpersist()
+  }
+
+  def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("pq", sfDir)
+
+  /** Freshness-gated build-once for the persisted PQ layout. */
+  def ensurePqIndex(spark: SparkSession, sfDir: String, path: String,
+                    m: Int = 8, ks: Int = 16, iters: Int = 3): Unit =
+    AnnStore.ensureIndex(spark, path,
+      AnnStore.manifest("pq", Seq("m" -> m, "ks" -> ks, "iters" -> iters),
+        AnnStore.corpusFingerprint(spark, sfDir))) {
+      writePqIndex(spark, sfDir, path, m, ks, iters)
+    }
+
+  private def readBooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path + "/books").orderBy("j", "cid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+
+  /** Serving-path C5: ADC over the persisted codes, row-identical to the
+    * in-query [[annPq]] (spec-asserted) with per-subspace training amortized
+    * into the index build. The approximate pass scans ONLY the code table
+    * (m small ints per vector — the compressed form that fits cluster RAM
+    * at 100 TB); the float vectors are joined in for the bounded rerank
+    * pool alone, with the pool side broadcast.
+    */
+  def annPqServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
+                  topK: Int = 5, rerank: Int = 50): DataFrame = {
+    VecExprs.register(spark)
+    val books = readBooks(spark, indexPath)
+    val m = books.length
+    val sd = books.head.head.length
+    val codes = spark.read.parquet(indexPath + "/codes")
+    val vectors = spark.read.parquet(indexPath + "/vectors")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val tableCols = (0 until m).map { j =>
+      array(books(j).map(c =>
+        VecExprs.dotProd(slice(col("qv"), j * sd + 1, sd), array(c.map(lit): _*))): _*)
+        .as(s"t$j")
+    }
+    val q = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +: col("emb").as("qv") +: tableCols: _*)
+    val pqScore = (0 until m).map(j =>
+      element_at(col(s"t$j"), col(s"c$j").cast("int") + 1)).reduce(_ + _)
+    val approx = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("pq_score", pqScore)
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("pq_score").desc, col("vec_id").asc)
+    val cands = approx.withColumn("arank", row_number().over(wA)).filter(col("arank") <= rerank)
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    vectors.join(broadcast(cands.drop("qv")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+      .withColumn("score", round(VecExprs.cosineSim(col("emb"), col("qv")), 4))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"),
+        round(col("pq_score"), 4).as("pq_score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** C5: PQ-ADC search for the first `nQueries` vectors: approximate by
     * code-table lookups, exact-rerank the top `rerank` candidates.
     */

@@ -145,4 +145,12 @@ private[graft] object AnnStore {
   def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
     spark.read.parquet(path + "/centroids").orderBy("cid").collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Dir-keyed default location for a persisted index — the bench/driver
+    * entries serve from here; freshness rides the manifest, not the path.
+    */
+  def defaultPath(prefix: String, sfDir: String): String =
+    s"/tmp/graft_${prefix}_index_v1_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

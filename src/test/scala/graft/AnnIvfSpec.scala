@@ -42,6 +42,23 @@ class AnnIvfSpec extends SparkSpecBase {
     assert(probed.select("cid").distinct().count() <= 2)
   }
 
+  test("IVF serving: persisted index reproduces the in-query search row for row") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfserve").toString + "/idx"
+    AnnIvf.ensureIvfIndex(spark, sf, path)
+    val served = AnnIvf.annIvfServed(spark, path).collect().map(_.toSeq).toSeq
+    val inline = AnnIvf.annIvf(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served == inline, "served IVF must equal the in-query IVF row for row")
+  }
+
+  test("PQ serving: persisted codes reproduce the in-query ADC search row for row") {
+    import graft.operators.AnnPq
+    val path = java.nio.file.Files.createTempDirectory("graft_pqserve").toString + "/idx"
+    AnnPq.ensurePqIndex(spark, sf, path)
+    val served = AnnPq.annPqServed(spark, path).collect().map(_.toSeq).toSeq
+    val inline = AnnPq.annPq(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served == inline, "served PQ must equal the in-query PQ row for row")
+  }
+
   test("graph ANN: beam descent over per-cell kNN graphs, recall >= IVF's bound") {
     import graft.operators.AnnGraph
     val brute = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 5)
