@@ -28,24 +28,33 @@ object Bench {
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
     val coldOnly = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
-    // best-of-N timed runs (after the untimed warmup): a single sample is
-    // hostage to co-tenant noise on shared hosts; the minimum is the
-    // engine's actual cost
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // N timed runs (after the untimed warmup): a single sample is hostage
+    // to co-tenant noise on shared hosts. The headline number stays the
+    // minimum (the engine's actual cost); the median and the relative
+    // spread (max-min)/median ride alongside so a delta between rounds can
+    // be attributed to code vs environmental drift — a large spread means
+    // the host was noisy and the min is the only trustworthy sample.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (!coldOnly)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val best = (1 to reps).map { _ =>
+      val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+      }.sorted
+      val median = samples(samples.length / 2)
+      val spread = if (median > 0) (samples.last - samples.head) / median else 0.0
+      (name, samples.head, median, spread)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Double, Double, Double)) => (String, Double)): String =
+      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = obj(r => r._1 -> r._2)
+    val med = obj(r => r._1 -> r._3)
+    val spr = obj(r => r._1 -> BigDecimal(r._4).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_median":$med,"queries_spread":$spr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
