@@ -89,6 +89,20 @@ object SparkEntry {
     // D. text analysis
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    // D1/D2 over the inline multilingual fixture: the sf corpora are
+    // ASCII-only, so these entries are what actually hash-compares the CJK
+    // arms of the oracles (script-ratio language rules, CJK token/stopword
+    // counting) instead of leaving them spec-only. Same operator code, same
+    // SQL bodies — only the documents source differs (VALUES CTE rendered
+    // from the same Scala constant the DataFrame is built from).
+    "lang_id_cjk" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.langIdOver(cjkFixture.toDF("doc_id", "text"))
+    }),
+    "quality_score_cjk" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityScoreOver(cjkFixture.toDF("doc_id", "text"))
+    }),
     "tfidf_terms" -> ((s, dir) => TextAnalysis.tfidfTerms(s, dir)),
     "token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
@@ -117,6 +131,97 @@ object SparkEntry {
     "sample_mixture" -> ((s, dir) => Pipeline.sampleMixture(s, dir)),
     "contamination_check" -> ((s, dir) => Pipeline.contaminationCheck(s, dir)),
   )
+
+  /** Multilingual fixture rows (BMP-only — Spark `length` counts UTF-16
+    * units, DuckDB codepoints; they agree only below U+10000) driven
+    * through the SAME operator code and oracle SQL as the corpus queries,
+    * so the CJK arms are hash-compared, not just spec-tested. Rows cover:
+    * zh/ja/ko script rules (with and without spaces), all four Latin marker
+    * languages, a mixed-script doc, punctuation-only, and empty text.
+    */
+  private[graft] val cjkFixture: Seq[(Long, String)] = Seq(
+    1L -> "这是一个关于数据处理的中文文档 的确很好",
+    2L -> "これはデータ処理に関する日本語の文書です",
+    3L -> "이것은 데이터 처리에 관한 한국어 문서입니다",
+    4L -> "the quick brown fox is one of the best and la vista",
+    5L -> "el la de los es bueno para datos",
+    6L -> "der die das und ist gut für daten",
+    7L -> "le les des et est bon pour les données",
+    8L -> "混合 mixed text with the 日本語のかな inside",
+    9L -> "1234 5678 !!! ???",
+    10L -> "")
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** VALUES-based `documents` CTE over [[cjkFixture]] — rendered from the
+    * same constant the Spark-side DataFrame is built from, so the two
+    * engines cannot drift on the fixture contents.
+    */
+  private def cjkDocsCte: String =
+    "documents AS (SELECT CAST(id AS BIGINT) AS doc_id, txt AS text FROM (VALUES " +
+      cjkFixture.map { case (i, t) => s"($i, ${sqlQuote(t)})" }.mkString(", ") +
+      ") v(id, txt))"
+
+  /** The D2 stopword marker list, rendered from the operator's own constant. */
+  private val stopListSql: String =
+    TextAnalysis.StopTokens.map(sqlQuote).mkString("[", ",", "]")
+
+  /** D1 oracle body (everything after WITH) — shared verbatim by `lang_id`
+    * (real documents table) and `lang_id_cjk` (fixture CTE prepended), so
+    * the two entries can never disagree on the logic.
+    */
+  private val langIdBody: String =
+    """t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS en_hits,
+      |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','los','es'], t))) AS BIGINT) AS es_hits,
+      |  CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS de_hits,
+      |  CAST(len(list_filter(toks, t -> list_contains(['le','les','des','et','est'], t))) AS BIGINT) AS fr_hits,
+      |  CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS han_hits,
+      |  CAST(length(text) - length(regexp_replace(text, '[\x{3040}-\x{30ff}]', '', 'g')) AS BIGINT) AS kana_hits,
+      |  CAST(length(text) - length(regexp_replace(text, '[\x{ac00}-\x{d7af}]', '', 'g')) AS BIGINT) AS hangul_hits,
+      |  CAST(length(text) AS BIGINT) AS len
+      |  FROM t)
+      |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits, han_hits, kana_hits, hangul_hits,
+      |       CASE WHEN hangul_hits > han_hits + kana_hits AND hangul_hits * 20 >= len THEN 'ko'
+      |            WHEN kana_hits > 0 AND (kana_hits + han_hits) * 20 >= len THEN 'ja'
+      |            WHEN han_hits > 0 AND han_hits * 20 >= len THEN 'zh'
+      |            WHEN en_hits > es_hits AND en_hits > de_hits AND en_hits > fr_hits THEN 'en'
+      |            WHEN es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es'
+      |            WHEN de_hits > en_hits AND de_hits > es_hits AND de_hits > fr_hits THEN 'de'
+      |            WHEN fr_hits > en_hits AND fr_hits > es_hits AND fr_hits > de_hits THEN 'fr'
+      |            ELSE 'und' END AS pred_lang
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** D2 oracle body — shared by `quality_score` and `quality_score_cjk`.
+    * n_stop = union-of-language token markers + CJK function-character
+    * codepoints, both rendered from TextAnalysis's own constants.
+    */
+  private val qualityScoreBody: String =
+    s"""t AS (SELECT doc_id, text,
+       |             list_filter(string_split(regexp_replace(text,
+       |               '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]', ' ', 'g'), ' '),
+       |               t -> len(t) > 0) AS toks,
+       |             length(text) - length(regexp_replace(text,
+       |               '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]', '', 'g')) AS cjk
+       |           FROM documents),
+       |m AS (SELECT doc_id,
+       |        CAST(len(toks) + cjk AS BIGINT) AS n_tokens,
+       |        CAST(length(text) - length(regexp_replace(text,
+       |          '[^A-Za-z0-9 \\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]', '', 'g')) AS BIGINT) AS n_punct,
+       |        CAST(len(list_filter(toks, t -> list_contains($stopListSql, t)))
+       |          + (length(text) - length(regexp_replace(text, '[${TextAnalysis.CjkStopChars}]', '', 'g'))) AS BIGINT) AS n_stop,
+       |        CAST(length(text) AS BIGINT) AS n_chars_m,
+       |        CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) + cjk AS BIGINT) AS tok_chars
+       |      FROM t),
+       |q AS (SELECT *, CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_tok_len FROM m)
+       |SELECT doc_id, n_tokens, n_punct, n_stop, round(mean_tok_len+1e-9, 4) AS mean_tok_len,
+       |       round(1e-9 + 0.3*least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
+       |           + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/greatest(n_chars_m, 1))
+       |           + 0.2*(CAST(n_stop AS DOUBLE)/greatest(n_tokens, 1))
+       |           + 0.2*least(mean_tok_len/8.0, 1.0), 4) AS score
+       |FROM q ORDER BY doc_id""".stripMargin
 
   /** DuckDB cosine over list columns, double precision, reference epsilon. */
   private def cosSql(a: String, b: String): String =
@@ -440,52 +545,10 @@ object SparkEntry {
         |       sha256(text) AS sha256,
         |       lower(hex(CAST(substring(text, 1, 8) AS BLOB))) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "lang_id" ->
-      """WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-        |           FROM documents),
-        |h AS (SELECT doc_id,
-        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS en_hits,
-        |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','los','es'], t))) AS BIGINT) AS es_hits,
-        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS de_hits,
-        |  CAST(len(list_filter(toks, t -> list_contains(['le','les','des','et','est'], t))) AS BIGINT) AS fr_hits,
-        |  CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS han_hits,
-        |  CAST(length(text) - length(regexp_replace(text, '[\x{3040}-\x{30ff}]', '', 'g')) AS BIGINT) AS kana_hits,
-        |  CAST(length(text) - length(regexp_replace(text, '[\x{ac00}-\x{d7af}]', '', 'g')) AS BIGINT) AS hangul_hits,
-        |  CAST(length(text) AS BIGINT) AS len
-        |  FROM t)
-        |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits, han_hits, kana_hits, hangul_hits,
-        |       CASE WHEN hangul_hits > han_hits + kana_hits AND hangul_hits * 20 >= len THEN 'ko'
-        |            WHEN kana_hits > 0 AND (kana_hits + han_hits) * 20 >= len THEN 'ja'
-        |            WHEN han_hits > 0 AND han_hits * 20 >= len THEN 'zh'
-        |            WHEN en_hits > es_hits AND en_hits > de_hits AND en_hits > fr_hits THEN 'en'
-        |            WHEN es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es'
-        |            WHEN de_hits > en_hits AND de_hits > es_hits AND de_hits > fr_hits THEN 'de'
-        |            WHEN fr_hits > en_hits AND fr_hits > es_hits AND fr_hits > de_hits THEN 'fr'
-        |            ELSE 'und' END AS pred_lang
-        |FROM h ORDER BY doc_id""".stripMargin,
-    "quality_score" ->
-      """WITH t AS (SELECT doc_id, text,
-        |             list_filter(string_split(regexp_replace(text,
-        |               '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', ' ', 'g'), ' '),
-        |               t -> len(t) > 0) AS toks,
-        |             length(text) - length(regexp_replace(text,
-        |               '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g')) AS cjk
-        |           FROM documents),
-        |m AS (SELECT doc_id,
-        |        CAST(len(toks) + cjk AS BIGINT) AS n_tokens,
-        |        CAST(length(text) - length(regexp_replace(text,
-        |          '[^A-Za-z0-9 \x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g')) AS BIGINT) AS n_punct,
-        |        CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS n_stop,
-        |        CAST(length(text) AS BIGINT) AS n_chars_m,
-        |        CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) + cjk AS BIGINT) AS tok_chars
-        |      FROM t),
-        |q AS (SELECT *, CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_tok_len FROM m)
-        |SELECT doc_id, n_tokens, n_punct, n_stop, round(mean_tok_len+1e-9, 4) AS mean_tok_len,
-        |       round(1e-9 + 0.3*least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
-        |           + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/greatest(n_chars_m, 1))
-        |           + 0.2*(CAST(n_stop AS DOUBLE)/greatest(n_tokens, 1))
-        |           + 0.2*least(mean_tok_len/8.0, 1.0), 4) AS score
-        |FROM q ORDER BY doc_id""".stripMargin,
+    "lang_id" -> s"WITH $langIdBody",
+    "lang_id_cjk" -> s"WITH $cjkDocsCte, $langIdBody",
+    "quality_score" -> s"WITH $qualityScoreBody",
+    "quality_score_cjk" -> s"WITH $cjkDocsCte, $qualityScoreBody",
     "token_count" ->
       """WITH t AS (SELECT doc_id, text,
         |    length(text) - length(regexp_replace(text,

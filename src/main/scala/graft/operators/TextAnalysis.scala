@@ -24,6 +24,18 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
 
+  /** D2's stopword signal, per language. Latin-script languages contribute
+    * whitespace-token markers (the union of the [[Markers]] lists, sorted
+    * for a deterministic plan/oracle rendering); CJK — written without
+    * spaces, so token markers can never fire — contributes single-codepoint
+    * function characters (zh 的了是在和, ja のにはをが, ko 이가는을의)
+    * counted per codepoint over the raw text. Without the CJK arm every
+    * non-Latin doc scores n_stop=0 and its quality score is structurally
+    * depressed (reference README.md:32 plans per-language heuristics).
+    */
+  val StopTokens: Seq[String] = Markers.values.flatten.toSeq.distinct.sorted
+  val CjkStopChars: String = "的了是在和のにはをが이가는을의"
+
   /** D1: n-gram/dictionary language ID plus codepoint-class features for
     * CJK (which has no whitespace-token markers): counts of Han ideographs,
     * kana, and hangul per doc. Script rules fire first — ≥5% hangul → ko,
@@ -76,17 +88,24 @@ object TextAnalysis {
     * spaceless sentence is not one giant token skewing mean_tok_len), and
     * the punctuation class does NOT count CJK letters as punctuation.
     */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoreOver(Tables.documents(spark, sfDir))
+
+  /** D2 over any `(doc_id, text)` frame — spec/fixture entry point for the
+    * CJK rows the synthetic corpus lacks.
+    */
+  def qualityScoreOver(docs: DataFrame): DataFrame = {
     val cjk = Text.CjkClass
     val toks = Text.tokens(regexp_replace(col("text"), cjk, " "))
     val nCjk = Text.codepointCount(col("text"), cjk)
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"),
         (size(toks).cast("long") + nCjk).as("n_tokens"),
         (length(col("text")) - length(regexp_replace(col("text"),
           s"[^A-Za-z0-9 ${Text.HanRange}${Text.KanaRange}${Text.HangulRange}]", "")))
           .cast("long").as("n_punct"),
-        hits(toks, Markers("en")).as("n_stop"),
+        (hits(toks, StopTokens) +
+          Text.codepointCount(col("text"), s"[$CjkStopChars]")).as("n_stop"),
         length(col("text")).cast("long").as("n_chars_m"),
         (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
           + nCjk).as("tok_chars"))

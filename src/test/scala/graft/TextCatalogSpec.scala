@@ -239,6 +239,27 @@ class TextCatalogSpec extends SparkSpecBase {
     assert(got(5L) == "en", "a stray CJK char below the 5% ratio must not flip the language")
   }
 
+  test("qualityScore counts stopwords in every supported language, not just English") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick fox is one of the best"), // en markers
+      (2L, "el la de los es bueno"), //            es markers
+      (3L, "这是关于数据的文档"), //                 zh: 是 + 的 function chars
+      (4L, "これはデータの文書です"), //             ja: は + の
+      (5L, "이것이 데이터의 문서입니다"), //          ko: 이 + 의
+      (6L, "zzz qqq xxx")) //                      no markers anywhere
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScoreOver(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_stop")).toMap
+    assert(got(1L) >= 3, s"en n_stop=${got(1L)}")
+    assert(got(2L) >= 4, s"es n_stop=${got(2L)}")
+    assert(got(3L) >= 2, s"zh n_stop=${got(3L)} — CJK docs must not score n_stop=0")
+    assert(got(4L) >= 2, s"ja n_stop=${got(4L)}")
+    assert(got(5L) >= 2, s"ko n_stop=${got(5L)}")
+    assert(got(6L) == 0)
+  }
+
   test("incremental_diff classifies every doc id exactly once with expected statuses") {
     val df = Catalog.incrementalDiff(spark, sf).cache()
     assert(df.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
