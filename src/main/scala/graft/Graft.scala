@@ -145,7 +145,13 @@ class Graft(spark: SparkSession, sfDir: String,
     index
       .select(col("doc_id"), col("chunk_idx"),
         VecExprs.cosineSim(col("emb"), qvCol).as("score"),
-        substring(col("chunk_text"), 1, 120).as("snippet"))
+        substring(col("chunk_text"), 1, 120).as("snippet"),
+        // the reference's per-result totalLines (src/index.ts:272) — how
+        // big the whole source doc is, so a caller can range-read it. Docs
+        // are single-line, so the analog is the doc's total token count
+        // (readFile's range unit); token_count already rides every index
+        // row, so this is a column surface, not a join or window.
+        col("token_count").as("total_tokens"))
       .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
       .limit(Graft.clampTopK(topK))
   }
@@ -235,9 +241,14 @@ object Graft {
   case class DirSource(root: String, allowedExt: Seq[String], excludedFolders: Seq[String])
 
   /** Land a documents frame as the facade's corpus table via staged write +
-    * backup-rename swap: a crash mid-write can never lose the live table,
-    * and readers of the old table are not pulled out from under a running
-    * scan by an in-place overwrite's delete-then-write.
+    * backup-rename swap. The guarantee is CRASH safety: a crash mid-write
+    * can never lose the live table (the old data survives as `.backup`
+    * until the swap completes, and `IndexStore.load`-style self-heal
+    * applies). It is NOT concurrent-reader isolation — a scan that is
+    * mid-flight when the swap renames directories out from under it can
+    * still fail and must retry; single-writer, retrying-reader is the
+    * operating model (at cluster scale a table format's snapshot isolation
+    * plays this role).
     */
   private[graft] def landDocuments(docs: DataFrame, workDir: String): Unit = {
     val spark = docs.sparkSession

@@ -28,6 +28,13 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("ragQuery carries the doc's total token count (the reference's totalLines analog)") {
+    val hit = g.ragQuery(g.readFile(7, 1, 12), topK = 1).head()
+    assert(hit.getAs[Long]("doc_id") == 7L)
+    val wholeDoc = g.readFile(7)
+    assert(hit.getAs[Long]("total_tokens") == wholeDoc.split(" ").count(_.nonEmpty).toLong)
+  }
+
   test("ragQuery clamps top_k to [1, MaxTopK] like the reference") {
     assert(Graft.clampTopK(0) == 1 && Graft.clampTopK(-5) == 1)
     assert(Graft.clampTopK(999) == Graft.MaxTopK)
