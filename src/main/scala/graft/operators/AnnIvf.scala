@@ -40,11 +40,19 @@ object AnnIvf {
     */
   def train(spark: SparkSession, sfDir: String, k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
     VecExprs.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .cache()
-    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
+    trainOver(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k, iters)
+  }
+
+  /** The same deterministic k-means over any `(vec_id, emb: array<double>)`
+    * frame — the derived-index path trains over chunk embeddings whose ids
+    * are hashes, so the seed rule is "first k by vec_id order" (a
+    * TakeOrdered, not a full sort; identical to `vec_id < k` on the dense
+    * corpus ids).
+    */
+  def trainOver(e0: DataFrame, k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val e = e0.cache()
+    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
     // degenerate/empty corpus: no seeds → no centroids (and VecMeanFixed
     // requires a positive dim, so don't enter the loop)
