@@ -43,7 +43,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      val median = samples(samples.length / 2)
+      val median =
+        if (samples.length % 2 == 1) samples(samples.length / 2)
+        else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
       val spread = if (median > 0) (samples.last - samples.head) / median else 0.0
       (name, samples.head, median, spread)
     }
@@ -54,7 +56,11 @@ object Bench {
     val med = obj(r => r._1 -> r._3)
     val spr = obj(r => r._1 -> BigDecimal(r._4).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_median":$med,"queries_spread":$spr,"sf":"$sfDir"}""")
+    // Diagnostics line first (medians + relative spread), then the compact
+    // driver contract line LAST — the driver tail-captures the final line and
+    // its window is finite, so the contract line must stay small (~2 KB).
+    println(s"""{"metric":"detail","reps":$reps,"queries_median":$med,"queries_spread":$spr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
