@@ -146,12 +146,14 @@ class Graft(spark: SparkSession, sfDir: String,
       .select(col("doc_id"), col("chunk_idx"),
         VecExprs.cosineSim(col("emb"), qvCol).as("score"),
         substring(col("chunk_text"), 1, 120).as("snippet"),
-        // the reference's per-result totalLines (src/index.ts:272) — how
-        // big the whole source doc is, so a caller can range-read it. Docs
-        // are single-line, so the analog is the doc's total token count
-        // (readFile's range unit); token_count already rides every index
-        // row, so this is a column surface, not a join or window.
-        col("token_count").as("total_tokens"))
+        // the reference's per-result totalLines + fileSize (src/index.ts:
+        // 272-273) — how big the whole source doc is, so a caller can
+        // range-read it. Docs are single-line, so the totalLines analog is
+        // the doc's total token count (readFile's range unit); both columns
+        // already ride every index row, so this is a column surface, not a
+        // join or window.
+        col("token_count").as("total_tokens"),
+        col("file_size"))
       .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
       .limit(Graft.clampTopK(topK))
   }

@@ -151,14 +151,23 @@ object AnnGraph {
     * serving path then pays only the beam search.
     */
   def writeGraphIndex(spark: SparkSession, sfDir: String, path: String,
-                      k: Int = 16, degree: Int = 8): Unit = {
+                      k: Int = 16, degree: Int = 8): Unit =
+    writeGraphIndexWith(spark, sfDir, path, k, degree,
+      graphManifest(spark, sfDir, k, degree))
+
+  /** Staged write with the caller-computed manifest — the gate computes the
+    * corpus fingerprint once and threads it here, so the stamp always
+    * describes the corpus the gate checked (see AnnIvf's twin).
+    */
+  private def writeGraphIndexWith(spark: SparkSession, sfDir: String, path: String,
+                                  k: Int, degree: Int, manifestStr: String): Unit = {
     val centroids = AnnIvf.train(spark, sfDir, k)
     val assigned = assign(spark, sfDir, centroids).localCheckpoint()
     // freshness manifest + staged swap (AnnStore): the live index keeps
     // serving until the atomic rename, and a manifest mismatch (params OR
     // corpus fingerprint) forces the cold rebuild — the reference's
     // metadata-match-or-cold-rebuild contract (reference: src/persistence.ts)
-    AnnStore.writeStaged(spark, path, graphManifest(spark, sfDir, k, degree)) { staging =>
+    AnnStore.writeStaged(spark, path, manifestStr) { staging =>
       writeGraphContents(spark, staging, assigned, centroids, degree)
     }
   }
@@ -251,26 +260,59 @@ object AnnGraph {
   def annGraphServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
                      topK: Int = 5, nprobe: Int = 2, beam: Int = 32,
                      hops: Int = 2, entriesPerCell: Int = 3): DataFrame = {
-    import spark.implicits._
-    val centroids = readCentroids(spark, indexPath)
     val vectors = spark.read.parquet(indexPath + "/vectors")
     // bounded collect: the query rows (corpus vectors by contract)
     val qRows = vectors.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"), col("cid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    servedCore(spark, indexPath,
+      qRows.map { case (qid, qv, _) => qid -> qv }.toMap,
+      // a query explores its probed cells PLUS its own cell (reachable
+      // through its out-edges even when unprobed — the join path scores
+      // those too); self-exclusion is on because queries ARE corpus rows
+      ownCells = qRows.map { case (qid, _, own) => qid -> own }.toMap,
+      topK, nprobe, beam, hops, entriesPerCell, excludeSelf = true)
+  }
+
+  /** The production serving shape: beam descent for an arbitrary bounded
+    * query frame `queries` = (query_id: long, qv: array&lt;float&gt;) of EXTERNAL
+    * vectors (reference: src/index.ts:265 — queries arrive from outside the
+    * index). No own-cell union and no self-exclusion: an external query has
+    * no corpus row, and an id collision with a corpus vector must not
+    * suppress a result or graft a foreign adjacency list onto the query.
+    */
+  def annGraphServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
+                         topK: Int = 5, nprobe: Int = 2, beam: Int = 32,
+                         hops: Int = 2, entriesPerCell: Int = 3): DataFrame = {
+    // bounded collect: the caller-supplied query batch
+    val qvs = queries.select(col("query_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    servedCore(spark, indexPath, qvs, ownCells = Map.empty,
+      topK, nprobe, beam, hops, entriesPerCell, excludeSelf = false)
+  }
+
+  /** Shared serving core: probe selection (driver-side, replicating
+    * AnnIvf.probeList's tie order), one partition-pruned read of the
+    * subscribed cells, one shuffle routing cell rows to queries, in-task
+    * descent. `ownCells` adds each corpus query's own cell to its explored
+    * set (empty for external queries).
+    */
+  private def servedCore(spark: SparkSession, indexPath: String,
+                         qvs: Map[Long, Array[Float]], ownCells: Map[Long, Int],
+                         topK: Int, nprobe: Int, beam: Int, hops: Int,
+                         entriesPerCell: Int, excludeSelf: Boolean): DataFrame = {
+    import spark.implicits._
+    val centroids = readCentroids(spark, indexPath)
+    val vectors = spark.read.parquet(indexPath + "/vectors")
     // probe selection replicates AnnIvf.probeList's tie order exactly:
     // array_sort asc by (s, i) then reverse → desc by s, ties desc by i
-    val probes: Map[Long, Seq[Int]] = qRows.map { case (qid, qv, _) =>
+    val probeSet: Map[Long, Set[Int]] = qvs.map { case (qid, qv) =>
       qid -> centroids.indices.map(i => (cosineFD(qv, centroids(i)), i))
-        .sorted.reverse.take(nprobe).map(_._2)
-    }.toMap
-    val qvs = qRows.map { case (qid, qv, _) => qid -> qv }.toMap
-    val probeSet: Map[Long, Set[Int]] = probes.map { case (q, p) => q -> p.toSet }
-    // a query explores its probed cells PLUS its own cell (reachable through
-    // its out-edges even when unprobed — the join path scores those too)
-    val cellsOf: Map[Long, Set[Int]] = qRows.map { case (qid, _, own) =>
-      qid -> (probeSet(qid) + own)
-    }.toMap
+        .sorted.reverse.take(nprobe).map(_._2).toSet
+    }
+    val cellsOf: Map[Long, Set[Int]] = probeSet.map { case (qid, ps) =>
+      qid -> (ps ++ ownCells.get(qid))
+    }
     val subs: Map[Int, Seq[Long]] = cellsOf.toSeq
       .flatMap { case (q, cs) => cs.map(_ -> q) }
       .groupBy(_._1).map { case (cid, qs) => cid -> qs.map(_._2).sorted }
@@ -279,6 +321,7 @@ object AnnGraph {
     val bcSubs = spark.sparkContext.broadcast(subs)
     val cids = subs.keys.toSeq
     val k2 = topK; val b2 = beam; val h2 = hops; val epc = entriesPerCell
+    val selfEx = excludeSelf
     vectors.filter(col("cid").isin(cids: _*))
       .select(col("vec_id"), col("embedding"), col("nbrs"), col("cid"))
       .as[(Long, Array[Float], Array[Long], Int)]
@@ -287,7 +330,7 @@ object AnnGraph {
       .groupByKey(_._1)
       .flatMapGroups { (qid, rows) =>
         descentLocal(qid, bcQv.value(qid), bcProbes.value(qid), rows,
-          k2, b2, h2, epc)
+          k2, b2, h2, epc, selfEx)
       }
       .toDF("query_id", "rank", "vec_id", "score")
       .orderBy("query_id", "rank")
@@ -301,7 +344,8 @@ object AnnGraph {
     */
   private def descentLocal(qid: Long, qv: Array[Float], probed: Set[Int],
                            rows: Iterator[(Long, Long, Array[Float], Array[Long], Int)],
-                           topK: Int, beam: Int, hops: Int, entriesPerCell: Int)
+                           topK: Int, beam: Int, hops: Int, entriesPerCell: Int,
+                           excludeSelf: Boolean)
       : Iterator[(Long, Long, Long, Double)] = {
     val emb = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
     val nbrs = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
@@ -313,17 +357,21 @@ object AnnGraph {
     val entrySeeds = probed.toSeq.flatMap(c =>
       byCell.getOrElse(c, scala.collection.mutable.ArrayBuffer.empty[Long])
         .sorted.take(entriesPerCell))
-    val selfSeeds = nbrs.getOrElse(qid, Array.empty[Long]).toSeq
+    // self-edge seeds and self-exclusion only apply when the query IS a
+    // corpus row — for an external query an id match is a coincidence
+    val selfSeeds =
+      if (excludeSelf) nbrs.getOrElse(qid, Array.empty[Long]).toSeq else Seq.empty[Long]
+    def notSelf(v: Long): Boolean = !excludeSelf || v != qid
     def score(vid: Long): Double = round4(cosineLocal(emb(vid), qv))
     var frontier: Vector[(Long, Double)] =
-      (entrySeeds ++ selfSeeds).distinct.filter(v => v != qid && emb.contains(v))
+      (entrySeeds ++ selfSeeds).distinct.filter(v => notSelf(v) && emb.contains(v))
         .map(v => (v, score(v))).toVector
     def topN(xs: Vector[(Long, Double)], n: Int) =
       xs.sortBy { case (v, s) => (-s, v) }.take(n)
     for (_ <- 0 until hops) {
       val inF = frontier.map(_._1).toSet
       val expanded = frontier.flatMap { case (v, _) => nbrs.getOrElse(v, Array.empty[Long]) }
-        .distinct.filter(v => !inF.contains(v) && v != qid && emb.contains(v))
+        .distinct.filter(v => !inF.contains(v) && notSelf(v) && emb.contains(v))
       frontier = topN(frontier ++ expanded.map(v => (v, score(v))), beam)
     }
     topN(frontier, topK).zipWithIndex.iterator.map { case ((v, s), i) =>
@@ -345,8 +393,10 @@ object AnnGraph {
     * stale graph (the stale-serve hazard a bare `_SUCCESS` probe has).
     */
   def ensureGraphIndex(spark: SparkSession, sfDir: String, path: String,
-                       k: Int = 16, degree: Int = 8): Unit =
-    AnnStore.ensureIndex(spark, path, graphManifest(spark, sfDir, k, degree)) {
-      writeGraphIndex(spark, sfDir, path, k, degree)
+                       k: Int = 16, degree: Int = 8): Unit = {
+    val m = graphManifest(spark, sfDir, k, degree)
+    AnnStore.ensureIndex(spark, path, m) {
+      writeGraphIndexWith(spark, sfDir, path, k, degree, m)
     }
+  }
 }

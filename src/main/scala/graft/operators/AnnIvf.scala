@@ -89,9 +89,20 @@ object AnnIvf {
     * probe selection.
     */
   def writePartitionedIndex(spark: SparkSession, sfDir: String, path: String,
-                            k: Int = 16): Array[Array[Double]] = {
+                            k: Int = 16): Array[Array[Double]] =
+    writePartitionedIndexWith(spark, sfDir, path, k, ivfManifest(spark, sfDir, k))
+
+  /** The staged write with the manifest string supplied by the caller — the
+    * gate computes the corpus fingerprint ONCE and threads it through here,
+    * so the stamped manifest always describes the corpus state the gate
+    * checked (single-writer assumption; a corpus mutated between gate and
+    * stamp changes its fingerprint, so the NEXT ensure sees a mismatch).
+    */
+  private def writePartitionedIndexWith(spark: SparkSession, sfDir: String,
+                                        path: String, k: Int,
+                                        manifestStr: String): Array[Array[Double]] = {
     val centroids = train(spark, sfDir, k)
-    AnnStore.writeStaged(spark, path, ivfManifest(spark, sfDir, k)) { staging =>
+    AnnStore.writeStaged(spark, path, manifestStr) { staging =>
       Tables.embeddings(spark, sfDir)
         .withColumn("cid", nearestCentroid(col("embedding"), centroids))
         .write.partitionBy("cid").parquet(staging + "/vectors")
@@ -104,13 +115,16 @@ object AnnIvf {
     AnnStore.manifest("ivf", Seq("k" -> k), AnnStore.corpusFingerprint(spark, sfDir))
 
   /** Freshness-gated build-once for the persisted IVF layout — rebuild iff
-    * the manifest (params + corpus fingerprint) does not match.
+    * the manifest (params + corpus fingerprint) does not match. The
+    * fingerprint is computed once here and reused for the stamp.
     */
   def ensureIvfIndex(spark: SparkSession, sfDir: String, path: String,
-                     k: Int = 16): Unit =
-    AnnStore.ensureIndex(spark, path, ivfManifest(spark, sfDir, k)) {
-      writePartitionedIndex(spark, sfDir, path, k): Unit
+                     k: Int = 16): Unit = {
+    val m = ivfManifest(spark, sfDir, k)
+    AnnStore.ensureIndex(spark, path, m) {
+      writePartitionedIndexWith(spark, sfDir, path, k, m): Unit
     }
+  }
 
   /** Partition-pruned read of the cells a probe list selects. */
   def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
@@ -128,15 +142,33 @@ object AnnIvf {
     */
   def annIvfServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
                    topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    val vectors = spark.read.parquet(indexPath + "/vectors")
+    annIvfServedOver(spark, indexPath,
+      vectors.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      topK, nprobe, excludeSelf = true)
+  }
+
+  /** The production serving shape: probe search for an arbitrary bounded
+    * query frame `queries` = (query_id: long, qv: numeric array) — external
+    * query vectors, not corpus rows (reference: src/index.ts:265 — queries
+    * arrive from outside the index). `excludeSelf` drops candidates whose
+    * vec_id equals the query_id — only meaningful when queries ARE corpus
+    * vectors (the driver-entry benchmark contract); external callers leave
+    * it false, since an id collision between a query and an unrelated
+    * corpus vector must not suppress a result.
+    */
+  def annIvfServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
+                       topK: Int = 5, nprobe: Int = 2,
+                       excludeSelf: Boolean = false): DataFrame = {
     VecExprs.register(spark)
     val centroids = AnnStore.readCentroids(spark, indexPath)
-    val vectors = spark.read.parquet(indexPath + "/vectors")
-    val q = probeList(vectors, centroids, nQueries, nprobe)
+    val q = probeListOver(queries.select(col("query_id"), col("qv")), centroids, nprobe)
     // bounded collect: the probe lists only (cell ids, not vectors)
     val cids = q.select("probe_cid").distinct().collect().map(_.getInt(0)).toSeq
-    val scored = probeCells(spark, indexPath, cids)
+    val cands = probeCells(spark, indexPath, cids)
       .join(broadcast(q), col("cid") === col("probe_cid"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val scored = (if (excludeSelf) cands.filter(col("vec_id") =!= col("query_id")) else cands)
       .select(col("query_id"), col("vec_id"), col("cid"),
         round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
@@ -154,14 +186,21 @@ object AnnIvf {
     * the probe rule cannot drift between them.
     */
   private[operators] def probeList(e: DataFrame, centroids: Array[Array[Double]],
-                                   nQueries: Int, nprobe: Int): DataFrame = {
+                                   nQueries: Int, nprobe: Int): DataFrame =
+    probeListOver(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")), centroids, nprobe)
+
+  /** The probe rule over an arbitrary (query_id, qv) frame — the external-
+    * query twin of [[probeList]], same tie order (score desc, ties by higher
+    * centroid id — array_sort asc then reverse).
+    */
+  private[operators] def probeListOver(q: DataFrame, centroids: Array[Array[Double]],
+                                       nprobe: Int): DataFrame = {
     val probeScores = centroids.indices.map { i =>
       struct(VecExprs.cosineSim(col("qv"), array(centroids(i).map(lit): _*)).as("s"),
         lit(i).as("i"))
     }
-    e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .withColumn("probes", slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe))
+    q.withColumn("probes", slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe))
       .select(col("query_id"), col("qv"), explode(col("probes.i")).as("probe_cid"))
   }
 

@@ -83,18 +83,24 @@ object AnnPq {
     * alone (nQueries × rerank rows).
     */
   def writePqIndex(spark: SparkSession, sfDir: String, path: String,
-                   m: Int = 8, ks: Int = 16, iters: Int = 3): Unit = {
+                   m: Int = 8, ks: Int = 16, iters: Int = 3): Unit =
+    writePqIndexWith(spark, sfDir, path, m, ks, iters,
+      pqManifest(spark, sfDir, m, ks, iters))
+
+  /** Staged write with the caller-computed manifest — the gate computes the
+    * corpus fingerprint once and threads it here, so the stamp always
+    * describes the corpus the gate checked (see AnnIvf's twin).
+    */
+  private def writePqIndexWith(spark: SparkSession, sfDir: String, path: String,
+                               m: Int, ks: Int, iters: Int,
+                               manifest: String): Unit = {
     import spark.implicits._
     VecExprs.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .cache()
-    val dim = 64
-    val sd = dim / m
+    val sd = Dim / m
     val books = trainAll(e, m, sd, ks, iters)
-    val manifest = AnnStore.manifest("pq",
-      Seq("m" -> m, "ks" -> ks, "iters" -> iters),
-      AnnStore.corpusFingerprint(spark, sfDir))
     AnnStore.writeStaged(spark, path, manifest) { staging =>
       val codeCols = (0 until m).map(j =>
         l2Assign(slice(col("emb"), j * sd + 1, sd), books(j)).as(s"c$j"))
@@ -111,14 +117,28 @@ object AnnPq {
 
   def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("pq", sfDir)
 
-  /** Freshness-gated build-once for the persisted PQ layout. */
+  /** The embeddings tables' vector dimensionality (TESTDATA.md) — recorded in
+    * the manifest so a serve against a differently-dimensioned build fails
+    * loudly instead of mis-slicing query subvectors.
+    */
+  private val Dim = 64
+
+  private def pqManifest(spark: SparkSession, sfDir: String,
+                         m: Int, ks: Int, iters: Int): String =
+    AnnStore.manifest("pq",
+      Seq("m" -> m, "ks" -> ks, "iters" -> iters, "dim" -> Dim),
+      AnnStore.corpusFingerprint(spark, sfDir))
+
+  /** Freshness-gated build-once for the persisted PQ layout. The fingerprint
+    * is computed once here and reused for the stamp.
+    */
   def ensurePqIndex(spark: SparkSession, sfDir: String, path: String,
-                    m: Int = 8, ks: Int = 16, iters: Int = 3): Unit =
-    AnnStore.ensureIndex(spark, path,
-      AnnStore.manifest("pq", Seq("m" -> m, "ks" -> ks, "iters" -> iters),
-        AnnStore.corpusFingerprint(spark, sfDir))) {
-      writePqIndex(spark, sfDir, path, m, ks, iters)
+                    m: Int = 8, ks: Int = 16, iters: Int = 3): Unit = {
+    val manifest = pqManifest(spark, sfDir, m, ks, iters)
+    AnnStore.ensureIndex(spark, path, manifest) {
+      writePqIndexWith(spark, sfDir, path, m, ks, iters, manifest)
     }
+  }
 
   private def readBooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
     spark.read.parquet(path + "/books").orderBy("j", "cid").collect()
@@ -135,10 +155,32 @@ object AnnPq {
     */
   def annPqServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
                   topK: Int = 5, rerank: Int = 50): DataFrame = {
+    val vectors = spark.read.parquet(indexPath + "/vectors")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    annPqServedOver(spark, indexPath,
+      vectors.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qv")),
+      topK, rerank, excludeSelf = true)
+  }
+
+  /** The production serving shape: ADC + exact rerank for an arbitrary
+    * bounded query frame `queries` = (query_id: long, qv: array&lt;double&gt;).
+    * `excludeSelf` is only for corpus-vector queries (the driver-entry
+    * contract); external callers leave it false. The stored manifest's `dim`
+    * is validated against the codebooks so a serve against a
+    * differently-dimensioned build fails loudly instead of mis-slicing.
+    */
+  def annPqServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
+                      topK: Int = 5, rerank: Int = 50,
+                      excludeSelf: Boolean = false): DataFrame = {
     VecExprs.register(spark)
     val books = readBooks(spark, indexPath)
     val m = books.length
     val sd = books.head.head.length
+    for (manifest <- AnnStore.readManifest(spark, indexPath);
+         dim <- AnnStore.manifestInt(manifest, "dim"))
+      require(m * sd == dim,
+        s"PQ index at $indexPath: books are $m x sub-dim $sd but manifest dim=$dim")
     val codes = spark.read.parquet(indexPath + "/codes")
     val vectors = spark.read.parquet(indexPath + "/vectors")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -147,12 +189,11 @@ object AnnPq {
         VecExprs.dotProd(slice(col("qv"), j * sd + 1, sd), array(c.map(lit): _*))): _*)
         .as(s"t$j")
     }
-    val q = vectors.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id") +: col("emb").as("qv") +: tableCols: _*)
+    val q = queries.select(col("query_id") +: col("qv") +: tableCols: _*)
     val pqScore = (0 until m).map(j =>
       element_at(col(s"t$j"), col(s"c$j").cast("int") + 1)).reduce(_ + _)
-    val approx = codes.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
+    val joined = codes.crossJoin(broadcast(q))
+    val approx = (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined)
       .withColumn("pq_score", pqScore)
     val wA = Window.partitionBy(col("query_id")).orderBy(col("pq_score").desc, col("vec_id").asc)
     val cands = approx.withColumn("arank", row_number().over(wA)).filter(col("arank") <= rerank)

@@ -106,6 +106,76 @@ class AnnIvfSpec extends SparkSpecBase {
     }
   }
 
+  test("served ANN accepts external query vectors (no self-exclusion, exact scores)") {
+    import graft.operators.{AnnGraph, AnnPq}
+    import graft.plans.VecExprs
+    VecExprs.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_extq").toString
+    AnnIvf.ensureIvfIndex(spark, sf, tmp + "/ivf")
+    AnnPq.ensurePqIndex(spark, sf, tmp + "/pq")
+    AnnGraph.ensureGraphIndex(spark, sf, tmp + "/graph")
+    // "external" queries: corpus vectors 100..104 under foreign ids 7000+ —
+    // the ids collide with nothing, and because self-exclusion is OFF, the
+    // source vector itself (cosine 1.0) is a legal result
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id").between(100, 104))
+      .select((col("vec_id") + 6900).as("query_id"), col("embedding").as("qv"))
+    // exact reference scores for every (query, vector) pair, same rounding
+    val exact = e.crossJoin(queries.select(col("query_id"), col("qv")))
+      .select(col("query_id"), col("vec_id"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+      .cache()
+    val bruteTop = exact
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val servedIvf = AnnIvf.annIvfServedOver(spark, tmp + "/ivf", queries, topK = 5)
+    assert(servedIvf.count() == 25)
+    assert(servedIvf.select("query_id", "vec_id", "score").except(exact).count() == 0)
+    // the query's own source vector appears (score 1.0) — no self-exclusion
+    assert(servedIvf.filter(col("vec_id") === col("query_id") - 6900 &&
+      col("score") === 1.0).count() == 5)
+
+    val queriesD = queries.select(col("query_id"), col("qv").cast("array<double>").as("qv"))
+    val servedPq = AnnPq.annPqServedOver(spark, tmp + "/pq", queriesD, topK = 5)
+    assert(servedPq.count() == 25)
+    assert(servedPq.select("query_id", "vec_id", "score").except(exact).count() == 0)
+    val pqHits = servedPq.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((bruteTop intersect pqHits).size.toDouble / bruteTop.size >= 0.6)
+
+    // external queries lose the self-edge seeding corpus queries get, and
+    // their recall ceiling is cell coverage — so the production knobs for
+    // cold queries are wider probes plus a slightly deeper descent
+    val servedG = AnnGraph.annGraphServedOver(spark, tmp + "/graph", queries, topK = 5,
+      nprobe = 4, hops = 3, entriesPerCell = 6)
+    assert(servedG.count() == 25)
+    assert(servedG.select("query_id", "vec_id", "score").except(exact).count() == 0)
+    val gHits = servedG.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((bruteTop intersect gHits).size.toDouble / bruteTop.size >= 0.4)
+    exact.unpersist()
+  }
+
+  test("PQ serving refuses an index whose manifest dim disagrees with the codebooks") {
+    import graft.operators.{AnnPq, AnnStore}
+    val path = java.nio.file.Files.createTempDirectory("graft_pqdim").toString + "/idx"
+    AnnPq.ensurePqIndex(spark, sf, path)
+    val manifest = AnnStore.readManifest(spark, path).get
+    assert(AnnStore.manifestInt(manifest, "dim").contains(64))
+    AnnStore.writeManifestFile(AnnStore.fileSystem(spark, path),
+      new org.apache.hadoop.fs.Path(path), manifest.replace("\"dim\":64", "\"dim\":32"))
+    val q = Tables.embeddings(spark, sf).limit(1)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+    intercept[IllegalArgumentException] {
+      AnnPq.annPqServedOver(spark, path, q).collect()
+    }
+  }
+
   test("PQ-ADC results rerank to exact scores with meaningful recall") {
     import graft.operators.AnnPq
     val brute = RagSearch.annTopKBatch(spark, sf, nQueries = 10, k = 5)

@@ -33,6 +33,10 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(hit.getAs[Long]("doc_id") == 7L)
     val wholeDoc = g.readFile(7)
     assert(hit.getAs[Long]("total_tokens") == wholeDoc.split(" ").count(_.nonEmpty).toLong)
+    // and the reference's per-result fileSize (src/index.ts:273)
+    val expectSize = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 7).head().getAs[Long]("n_chars")
+    assert(hit.getAs[Long]("file_size") == expectSize)
   }
 
   test("ragQuery clamps top_k to [1, MaxTopK] like the reference") {
