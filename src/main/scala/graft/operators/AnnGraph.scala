@@ -36,11 +36,14 @@ object AnnGraph {
   private def assign(spark: SparkSession, sfDir: String,
                      centroids: Array[Array[Double]]): DataFrame = {
     VecExprs.register(spark)
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
-          useCosine = true).as("cid"))
+    assignOver(Tables.embeddings(spark, sfDir), centroids)
   }
+
+  /** The same assignment over an arbitrary (vec_id, embedding) frame. */
+  private def assignOver(e: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
+        useCosine = true).as("cid"))
 
   /** Per-cell k-NN edges: for every vector, its `degree` nearest in-cell
     * neighbors by cosine. Returns (cid, src, dst, sim). Scores are rounded
@@ -161,8 +164,32 @@ object AnnGraph {
     */
   private def writeGraphIndexWith(spark: SparkSession, sfDir: String, path: String,
                                   k: Int, degree: Int, manifestStr: String): Unit = {
-    val centroids = AnnIvf.train(spark, sfDir, k)
-    val assigned = assign(spark, sfDir, centroids).localCheckpoint()
+    VecExprs.register(spark)
+    writeGraphIndexOver(spark, Tables.embeddings(spark, sfDir), path, k, degree,
+      manifestStr)
+  }
+
+  /** Build+persist the graph layout over an arbitrary (vec_id, embedding)
+    * corpus frame.
+    */
+  private[graft] def writeGraphIndexOver(spark: SparkSession, e: DataFrame,
+                                         path: String, k: Int, degree: Int,
+                                         manifestStr: String): Unit = {
+    val centroids = AnnIvf.trainOver(
+      e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
+    writeGraphIndexOverWithCentroids(spark, e, path, centroids, degree, manifestStr)
+  }
+
+  /** The same staged write with a caller-pinned codebook (no training) — the
+    * full-rewrite primitive the incremental-refresh invariant is stated
+    * against.
+    */
+  private[graft] def writeGraphIndexOverWithCentroids(spark: SparkSession, e: DataFrame,
+                                                      path: String,
+                                                      centroids: Array[Array[Double]],
+                                                      degree: Int,
+                                                      manifestStr: String): Unit = {
+    val assigned = assignOver(e, centroids).localCheckpoint()
     // freshness manifest + staged swap (AnnStore): the live index keeps
     // serving until the atomic rename, and a manifest mismatch (params OR
     // corpus fingerprint) forces the cold rebuild — the reference's
@@ -179,14 +206,58 @@ object AnnGraph {
                                             degree: Int): Unit = {
     val edges = buildGraphOver(assigned, degree).localCheckpoint()
     edges.write.partitionBy("cid").parquet(dir + "/edges")
-    // adjacency embedded in the vector row (rank order: sim desc, dst asc —
-    // same as the edge build) so serving reads ONE pruned table
-    assigned.join(adjacencyOf(edges), Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("embedding"),
-        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"), col("cid"))
+    vectorsWithNbrs(assigned, edges)
       .write.partitionBy("cid").parquet(dir + "/vectors")
     AnnStore.writeCentroids(spark, dir, centroids)
   }
+
+  /** Adjacency embedded in the vector row (rank order: sim desc, dst asc —
+    * same as the edge build) so serving reads ONE pruned table.
+    */
+  private def vectorsWithNbrs(assigned: DataFrame, edges: DataFrame): DataFrame =
+    assigned.join(adjacencyOf(edges), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"), col("cid"))
+
+  /** Incremental maintenance of a persisted graph index: keep the STORED
+    * centroids, diff the new corpus against the stored vectors on vec_id,
+    * rebuild the in-cell kNN graph for ONLY the affected cells, and
+    * delete+append exactly those cid partitions of BOTH tables. The per-cell
+    * graph depends on nothing outside its cell, so untouched cells'
+    * vectors+edges files are preserved byte-for-byte (spec-asserted). Full
+    * retrain on missing store / param change / drift past `driftBound`;
+    * manifest stamped last (crash ⇒ stale manifest ⇒ next ensure rebuilds).
+    */
+  private[graft] def refreshGraphIndexOver(spark: SparkSession, path: String,
+                                           newE: DataFrame, newManifest: String,
+                                           driftBound: Double = 0.3): DataFrame = {
+    VecExprs.register(spark)
+    val k = AnnStore.manifestInt(newManifest, "k").getOrElse(16)
+    val degree = AnnStore.manifestInt(newManifest, "degree").getOrElse(8)
+    AnnStore.refreshIndex(spark, path, newManifest,
+      assignNew = cents => assignOver(newE, cents),
+      rewrite = (affected, neu) => {
+        val newCells = neu.filter(col("cid").isin(affected: _*)).localCheckpoint()
+        val edges = buildGraphOver(newCells, degree).localCheckpoint()
+        val fs = AnnStore.fileSystem(spark, path)
+        affected.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/edges/cid=$c"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true)
+        }
+        edges.write.mode("append").partitionBy("cid").parquet(path + "/edges")
+        vectorsWithNbrs(newCells, edges)
+          .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+      },
+      fullBuild = () => writeGraphIndexOver(spark, newE, path, k, degree, newManifest),
+      driftBound = driftBound)
+  }
+
+  /** The refresh twin of [[ensureGraphIndex]] for the embeddings-table store. */
+  def refreshGraphIndex(spark: SparkSession, sfDir: String, path: String,
+                        k: Int = 16, degree: Int = 8,
+                        driftBound: Double = 0.3): DataFrame =
+    refreshGraphIndexOver(spark, path, Tables.embeddings(spark, sfDir),
+      graphManifest(spark, sfDir, k, degree), driftBound)
 
   /** (src → vec_id, nbrs) adjacency lists from a (cid, src, dst, sim) edge
     * frame, neighbor order sim desc / dst asc (the edge build's rank order).

@@ -101,14 +101,66 @@ object AnnIvf {
   private def writePartitionedIndexWith(spark: SparkSession, sfDir: String,
                                         path: String, k: Int,
                                         manifestStr: String): Array[Array[Double]] = {
-    val centroids = train(spark, sfDir, k)
+    VecExprs.register(spark)
+    writeIndexOver(spark, Tables.embeddings(spark, sfDir), path, k, manifestStr)
+  }
+
+  /** Build+persist the IVF layout over an arbitrary `(vec_id, embedding,
+    * payload...)` corpus frame — every column rides into the partitioned
+    * vectors table, so a derived index (e.g. the facade's chunk index) can
+    * serve result metadata straight from the pruned probe read.
+    */
+  private[graft] def writeIndexOver(spark: SparkSession, e: DataFrame, path: String,
+                                    k: Int, manifestStr: String): Array[Array[Double]] = {
+    val centroids = trainOver(
+      e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
+    writeIndexOverWithCentroids(spark, e, path, centroids, manifestStr)
+  }
+
+  /** The same staged write with a caller-pinned codebook (no training) —
+    * what a full rewrite during incremental maintenance uses, and the
+    * primitive the refresh invariant is stated against: an incrementally
+    * refreshed index must equal this, given the stored centroids.
+    */
+  private[graft] def writeIndexOverWithCentroids(spark: SparkSession, e: DataFrame,
+                                                 path: String,
+                                                 centroids: Array[Array[Double]],
+                                                 manifestStr: String): Array[Array[Double]] = {
     AnnStore.writeStaged(spark, path, manifestStr) { staging =>
-      Tables.embeddings(spark, sfDir)
-        .withColumn("cid", nearestCentroid(col("embedding"), centroids))
+      e.withColumn("cid", nearestCentroid(col("embedding"), centroids))
         .write.partitionBy("cid").parquet(staging + "/vectors")
       AnnStore.writeCentroids(spark, staging, centroids)
     }
     centroids
+  }
+
+  /** Incremental maintenance of a persisted IVF index (reference:
+    * src/indexer.ts:413-511 — re-embed only the changed set, keep the index
+    * live): keep the STORED centroids, reassign only the diff against the
+    * stored vectors table, and delete+append exactly the affected cid
+    * partitions. Falls back to a full retrain+rewrite when there is no
+    * usable store, the build parameters changed, or the diff exceeds
+    * `driftBound` (stale centroids degrade recall under bulk change). The
+    * new manifest (whose fingerprint the caller computed from the corpus
+    * ONCE) is stamped last — a crash mid-refresh leaves a stale manifest and
+    * costs a rebuild, never a wrong answer.
+    */
+  private[graft] def refreshIndexOver(spark: SparkSession, path: String,
+                                      newE: DataFrame, newManifest: String,
+                                      driftBound: Double = 0.3): DataFrame = {
+    VecExprs.register(spark)
+    val k = AnnStore.manifestInt(newManifest, "k").getOrElse(16)
+    AnnStore.refreshIndex(spark, path, newManifest,
+      assignNew = cents => newE.withColumn("cid", nearestCentroid(col("embedding"), cents)),
+      rewrite = (affected, neu) => {
+        val fs = AnnStore.fileSystem(spark, path)
+        affected.foreach(c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true))
+        neu.filter(col("cid").isin(affected: _*))
+          .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+      },
+      fullBuild = () => { writeIndexOver(spark, newE, path, k, newManifest); () },
+      driftBound = driftBound)
   }
 
   private def ivfManifest(spark: SparkSession, sfDir: String, k: Int): String =
@@ -125,6 +177,15 @@ object AnnIvf {
       writePartitionedIndexWith(spark, sfDir, path, k, m): Unit
     }
   }
+
+  /** The refresh twin of [[ensureIvfIndex]]: bring the persisted index up to
+    * date with the embeddings table INCREMENTALLY (affected cells only)
+    * where ensure would cold-rebuild. Returns the refresh stats frame.
+    */
+  def refreshIvfIndex(spark: SparkSession, sfDir: String, path: String,
+                      k: Int = 16, driftBound: Double = 0.3): DataFrame =
+    refreshIndexOver(spark, path, Tables.embeddings(spark, sfDir),
+      ivfManifest(spark, sfDir, k), driftBound)
 
   /** Partition-pruned read of the cells a probe list selects. */
   def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =

@@ -131,6 +131,102 @@ private[graft] object AnnStore {
                  (build: => Unit): Unit =
     if (!readManifest(spark, path).contains(manifestStr)) build
 
+  /** A manifest with its fingerprint value blanked — equality of `paramsOf`
+    * means "same version, kind, and build parameters" regardless of which
+    * corpus state the index was built from.
+    */
+  def paramsOf(manifest: String): String =
+    manifest.replaceAll(""""fingerprint":"[^"]*"""", """"fingerprint":""")
+
+  /** Incremental index maintenance — the shared diff/dispatch skeleton for
+    * the coarse-quantized stores (IVF vectors, graph vectors+edges). The
+    * reference's watch loop re-embeds only the changed set and keeps its
+    * index live (reference: src/indexer.ts:413-511); the cluster analog is:
+    * keep the STORED centroids, diff the new corpus against the stored
+    * vectors table on vec_id, and hand the operator only the affected cell
+    * ids to rewrite — a trickle of changed files touches a handful of cid
+    * partitions instead of retraining and rewriting the whole index.
+    *
+    *   - `assignNew(centroids)` → the new corpus with a `cid` column,
+    *     assigned against the STORED codebook (plus whatever payload columns
+    *     the operator persists — every non-cid column participates in change
+    *     detection, so a metadata-only edit still refreshes its cell);
+    *   - `rewrite(affectedCids, newAssigned)` → surgical delete+append of
+    *     exactly those cid partitions;
+    *   - `fullBuild()` → the cold path (no usable store, parameter change,
+    *     or drift past `driftBound` — stale centroids degrade recall, so
+    *     bulk change forces a retrain).
+    *
+    * The new manifest is stamped LAST, after the rewrite: a crash anywhere
+    * mid-refresh leaves the old manifest in place, whose fingerprint no
+    * longer matches the mutated corpus — the next ensure/refresh sees the
+    * mismatch and cold-rebuilds. Crash safety costs a rebuild, never a
+    * wrong answer (single-writer, like every store here).
+    *
+    * Returns a 1-row stats frame: mode ∈ {fresh, restamp, incremental,
+    * full_cold, full_params, full_drift}, n_added/n_changed/n_removed
+    * (−1 when the diff was skipped), n_cells_rewritten.
+    */
+  private[graft] def refreshIndex(spark: SparkSession, path: String,
+                                  newManifest: String,
+                                  assignNew: Array[Array[Double]] => DataFrame,
+                                  rewrite: (Seq[Int], DataFrame) => Unit,
+                                  fullBuild: () => Unit,
+                                  driftBound: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def stats(mode: String, a: Long, c: Long, r: Long, cells: Long) =
+      Seq((mode, a, c, r, cells))
+        .toDF("mode", "n_added", "n_changed", "n_removed", "n_cells_rewritten")
+    readManifest(spark, path) match {
+      case None =>
+        fullBuild(); stats("full_cold", -1, -1, -1, -1)
+      case Some(m) if m == newManifest =>
+        stats("fresh", 0, 0, 0, 0)
+      case Some(m) if paramsOf(m) != paramsOf(newManifest) =>
+        fullBuild(); stats("full_params", -1, -1, -1, -1)
+      case Some(_) =>
+        val centroids = readCentroids(spark, path)
+        val neu = assignNew(centroids)
+        // every persisted column except the derived cell id participates in
+        // change detection (embedding AND payload metadata)
+        val payload = neu.columns.filterNot(_ == "cid").map(col)
+        val oldSide = spark.read.parquet(path + "/vectors")
+          .select(col("vec_id"), struct(payload.toSeq: _*).as("old_payload"),
+            col("cid").cast("int").as("old_cid"))
+        val newSide = neu
+          .select(col("vec_id"), struct(payload.toSeq: _*).as("new_payload"),
+            col("cid").cast("int").as("new_cid"))
+        val j = oldSide.join(newSide, Seq("vec_id"), "full_outer").cache()
+        try {
+          val added = j.filter(col("old_cid").isNull)
+          val removed = j.filter(col("new_cid").isNull)
+          val changed = j.filter(col("old_cid").isNotNull && col("new_cid").isNotNull &&
+            !(col("old_payload") <=> col("new_payload")))
+          val nA = added.count(); val nC = changed.count(); val nR = removed.count()
+          val nOld = j.filter(col("old_cid").isNotNull).count()
+          if (nA + nC + nR == 0) {
+            // data identical; only the corpus files moved (e.g. a rewrite of
+            // the same rows) — stamp the new fingerprint, touch no data
+            writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
+            stats("restamp", 0, 0, 0, 0)
+          } else if (nA + nC + nR > driftBound * math.max(nOld, 1L)) {
+            fullBuild(); stats("full_drift", nA, nC, nR, -1)
+          } else {
+            // bounded collect: distinct cell ids, ≤ k rows
+            val affected = added.select(col("new_cid").as("c"))
+              .unionAll(changed.select(col("new_cid").as("c")))
+              .unionAll(changed.select(col("old_cid").as("c")))
+              .unionAll(removed.select(col("old_cid").as("c")))
+              .distinct().collect().map(_.getInt(0)).toSeq.sorted
+            rewrite(affected, neu)
+            writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
+            stats("incremental", nA, nC, nR, affected.length.toLong)
+          }
+        } finally { j.unpersist(); () }
+    }
+  }
+
   /** The k-row centroid matrix as a tiny one-file frame — the shared layout
     * for every coarse-quantized index's query-side probe selection.
     */

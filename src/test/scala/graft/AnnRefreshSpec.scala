@@ -1,0 +1,172 @@
+package graft
+
+import graft.operators.{AnnGraph, AnnIvf, AnnStore}
+import graft.plans.VecExprs
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental maintenance of the persisted ANN stores (the reference's
+  * watch-loop contract, cluster-shaped: re-embed/reassign only the changed
+  * set, keep the index live — reference: src/indexer.ts:413-511).
+  *
+  * Core invariant: an incrementally refreshed index must equal a FULL
+  * rewrite of the new corpus with the SAME (stored) centroids — table
+  * contents and served results — while leaving unaffected cid partitions
+  * byte-for-byte untouched.
+  *
+  * Fixture note: the "changed" mutation scales an embedding by 2, which
+  * changes every payload byte but NOT its cosine cell assignment — so all
+  * three mutation kinds (add a copy of a cell vector, scale one, remove
+  * one) stay confined to one known cell and the untouched-cells assertion
+  * is deterministic.
+  */
+class AnnRefreshSpec extends SparkSpecBase {
+
+  private def fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def copyCorpus(): String = {
+    val dir = Files.createTempDirectory("graft_refresh_sf").toString
+    spark.read.parquet(sf + "/embeddings.parquet")
+      .write.parquet(dir + "/embeddings.parquet")
+    dir
+  }
+
+  private def swapIn(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = dir + "/embeddings.parquet.next"
+    df.write.parquet(tmp)
+    val target = new Path(dir, "embeddings.parquet")
+    fs.delete(target, true)
+    assert(fs.rename(new Path(tmp), target))
+  }
+
+  /** Three ids from one cell of the stored codebook: (removeId, changeId,
+    * copyId) — remove the first, double the second, re-add the third under
+    * a fresh vec_id. All assignments stay in `cell`.
+    */
+  private def pickCellIds(dir: String, centroids: Array[Array[Double]]): (Int, Seq[Long]) = {
+    VecExprs.register(spark)
+    val assigned = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
+          useCosine = true).as("cid"))
+    val cell = assigned.filter(col("vec_id") === 250).head().getInt(1)
+    val ids = assigned.filter(col("cid") === cell).orderBy("vec_id")
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 3, s"cell $cell needs >= 3 members")
+    (cell, ids)
+  }
+
+  /** Apply the one-cell mutation: remove ids(0), scale ids(1) by 2 (same
+    * cosine cell, different bytes), duplicate ids(2) as vec_id+1000000.
+    */
+  private def mutateOneCell(dir: String, ids: Seq[Long]): Unit = {
+    val e = spark.read.parquet(dir + "/embeddings.parquet")
+    val mutated = e.filter(col("vec_id") =!= ids(0))
+      .withColumn("embedding",
+        when(col("vec_id") === ids(1),
+          transform(col("embedding"), x => (x * lit(2.0)).cast("float")))
+          .otherwise(col("embedding")))
+      .unionByName(e.filter(col("vec_id") === ids(2))
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    swapIn(dir, mutated)
+  }
+
+  private def cellFingerprints(idxPath: String, sub: String): Map[Int, String] = {
+    val cids = spark.read.parquet(idxPath + sub).select("cid").distinct()
+      .collect().map(_.getInt(0))
+    cids.map(c => c -> AnnStore.pathFingerprint(spark, s"$idxPath$sub/cid=$c")).toMap
+  }
+
+  test("IVF refresh: one-cell mutation rewrites one cell, equals a pinned-codebook full rewrite") {
+    val dir = copyCorpus()
+    val root = Files.createTempDirectory("graft_refr_ivf").toString
+    val idx = root + "/idx"
+    AnnIvf.ensureIvfIndex(spark, dir, idx)
+    val centroids = AnnStore.readCentroids(spark, idx)
+    val (cell, ids) = pickCellIds(dir, centroids)
+    val before = cellFingerprints(idx, "/vectors")
+    mutateOneCell(dir, ids)
+    val stats = AnnIvf.refreshIvfIndex(spark, dir, idx).head()
+    assert(stats.getAs[String]("mode") == "incremental")
+    assert(stats.getAs[Long]("n_added") == 1 && stats.getAs[Long]("n_changed") == 1 &&
+      stats.getAs[Long]("n_removed") == 1)
+    assert(stats.getAs[Long]("n_cells_rewritten") == 1)
+    // invariant: refreshed index == full rewrite with the stored centroids
+    val expected = root + "/expected"
+    AnnIvf.writeIndexOverWithCentroids(spark, Tables.embeddings(spark, dir),
+      expected, centroids, AnnStore.readManifest(spark, idx).get)
+    val a = spark.read.parquet(idx + "/vectors")
+    val b = spark.read.parquet(expected + "/vectors")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // served results identical to the pinned-codebook rewrite
+    val sa = AnnIvf.annIvfServed(spark, idx).collect().map(_.toSeq).toSeq
+    val sb = AnnIvf.annIvfServed(spark, expected).collect().map(_.toSeq).toSeq
+    assert(sa == sb)
+    // every cell except the mutated one is byte-for-byte untouched
+    val after = cellFingerprints(idx, "/vectors")
+    for ((c, fp) <- before if c != cell) assert(after(c) == fp, s"cell $c was rewritten")
+    assert(after(cell) != before(cell))
+    // and the gate agrees the index is now current (no rebuild on ensure)
+    val stamp = fs.getFileStatus(new Path(idx, AnnStore.ManifestFile)).getModificationTime
+    AnnIvf.ensureIvfIndex(spark, dir, idx)
+    assert(fs.getFileStatus(new Path(idx, AnnStore.ManifestFile)).getModificationTime == stamp)
+  }
+
+  test("graph refresh: affected cells' vectors+edges rebuilt, untouched cells preserved, serving matches") {
+    val dir = copyCorpus()
+    val root = Files.createTempDirectory("graft_refr_g").toString
+    val idx = root + "/idx"
+    AnnGraph.ensureGraphIndex(spark, dir, idx)
+    val centroids = AnnStore.readCentroids(spark, idx)
+    val (cell, ids) = pickCellIds(dir, centroids)
+    val beforeV = cellFingerprints(idx, "/vectors")
+    val beforeE = cellFingerprints(idx, "/edges")
+    mutateOneCell(dir, ids)
+    val stats = AnnGraph.refreshGraphIndex(spark, dir, idx).head()
+    assert(stats.getAs[String]("mode") == "incremental")
+    assert(stats.getAs[Long]("n_cells_rewritten") == 1)
+    // invariant: both tables equal a pinned-codebook full rewrite
+    val expected = root + "/expected"
+    AnnGraph.writeGraphIndexOverWithCentroids(spark, Tables.embeddings(spark, dir),
+      expected, centroids, degree = 8,
+      manifestStr = AnnStore.readManifest(spark, idx).get)
+    for (sub <- Seq("/vectors", "/edges")) {
+      val a = spark.read.parquet(idx + sub)
+      val b = spark.read.parquet(expected + sub)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, sub)
+    }
+    val sa = AnnGraph.annGraphServed(spark, idx).collect().map(_.toSeq).toSeq
+    val sb = AnnGraph.annGraphServed(spark, expected).collect().map(_.toSeq).toSeq
+    assert(sa == sb)
+    val afterV = cellFingerprints(idx, "/vectors")
+    val afterE = cellFingerprints(idx, "/edges")
+    for ((c, fp) <- beforeV if c != cell) assert(afterV(c) == fp, s"vectors cell $c rewritten")
+    for ((c, fp) <- beforeE if c != cell) assert(afterE(c) == fp, s"edges cell $c rewritten")
+  }
+
+  test("refresh dispatch: fresh / restamp / full_drift / full_params modes") {
+    val dir = copyCorpus()
+    val idx = Files.createTempDirectory("graft_refr_modes").toString + "/idx"
+    AnnIvf.ensureIvfIndex(spark, dir, idx)
+    // unchanged corpus, matching manifest → fresh (nothing touched)
+    assert(AnnIvf.refreshIvfIndex(spark, dir, idx).head().getAs[String]("mode") == "fresh")
+    // same rows, regenerated files → fingerprint moves but data is identical:
+    // restamp the manifest without rewriting any cell
+    val before = cellFingerprints(idx, "/vectors")
+    swapIn(dir, spark.read.parquet(dir + "/embeddings.parquet"))
+    val restamp = AnnIvf.refreshIvfIndex(spark, dir, idx).head()
+    assert(restamp.getAs[String]("mode") == "restamp")
+    assert(cellFingerprints(idx, "/vectors") == before, "restamp must not rewrite cells")
+    assert(AnnIvf.refreshIvfIndex(spark, dir, idx).head().getAs[String]("mode") == "fresh")
+    // bulk mutation past the drift bound → full retrain
+    swapIn(dir, spark.read.parquet(dir + "/embeddings.parquet").filter(col("vec_id") < 200))
+    val drift = AnnIvf.refreshIvfIndex(spark, dir, idx).head()
+    assert(drift.getAs[String]("mode") == "full_drift")
+    assert(spark.read.parquet(idx + "/vectors").count() == 200)
+    // changed build params → full rebuild regardless of data
+    assert(AnnIvf.refreshIvfIndex(spark, dir, idx, k = 4).head()
+      .getAs[String]("mode") == "full_params")
+    assert(AnnStore.manifestInt(AnnStore.readManifest(spark, idx).get, "k").contains(4))
+  }
+}
