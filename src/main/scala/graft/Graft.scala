@@ -124,7 +124,97 @@ class Graft(spark: SparkSession, sfDir: String,
     val docs = sources.TextCorpus.asDocuments(
       sources.TextCorpus.read(spark, src.root, src.allowedExt, src.excludedFolders))
     Graft.landDocuments(docs, sfDir)
-    incrementalUpdate(storePath)
+    val stats = incrementalUpdate(storePath)
+    // derived-index maintenance (reference: src/indexer.ts:413-511 — the
+    // watch loop keeps its index live): if a chunk-ANN index was ever built
+    // for this corpus, refresh it INCREMENTALLY from the just-updated chunk
+    // store — stored centroids, affected cells only — honoring the index's
+    // own k (its manifest), not a caller default. No index → no work; the
+    // first ragQueryAnn builds one cold through its ensure gate.
+    val (annMode, annCells) =
+      operators.AnnStore.readManifest(spark, chunkAnnPath) match {
+        case None => ("absent", -1L)
+        case Some(stored) =>
+          val k = operators.AnnStore.manifestInt(stored, "k").getOrElse(16)
+          val newE = chunkVectors(IndexStore.load(spark, storePath, meta).getOrElse(
+            throw new IllegalStateException("chunk store unreadable after incrementalUpdate")))
+          val r = operators.AnnIvf.refreshIndexOver(
+            spark, chunkAnnPath, newE, chunkAnnManifest(k)).head()
+          (r.getAs[String]("mode"), r.getAs[Long]("n_cells_rewritten"))
+      }
+    stats.withColumn("ann_mode", lit(annMode))
+      .withColumn("ann_cells_rewritten", lit(annCells))
+  }
+
+  /** Dir-keyed location of the facade's chunk-embedding ANN index. */
+  def chunkAnnPath: String = operators.AnnStore.defaultPath("chunkann", sfDir)
+
+  /** The chunk store as an ANN corpus frame: a stable 64-bit vec_id
+    * (xxhash64 of (doc_id, chunk_idx) — doc_id is itself a 63-bit path
+    * hash, so a shifted composite would overflow; hashing keeps the id
+    * stable across rescans, which the incremental diff keys on) plus the
+    * result metadata every probe read should carry, so serving never
+    * re-chunks the corpus.
+    */
+  private def chunkVectors(index: DataFrame): DataFrame =
+    index.select(xxhash64(col("doc_id"), col("chunk_idx")).as("vec_id"),
+      col("emb").as("embedding"), col("doc_id"), col("chunk_idx"),
+      col("chunk_text"), col("token_count"), col("file_size"))
+
+  /** Chunk-ANN freshness manifest: chunking+embedding+index params plus the
+    * per-file fingerprint of the landed documents table (the corpus every
+    * chunk derives from).
+    */
+  private def chunkAnnManifest(k: Int): String =
+    operators.AnnStore.manifest("chunk_ivf",
+      Seq("k" -> k, "chunkSize" -> chunkSize, "chunkOverlap" -> chunkOverlap,
+        "model" -> modelName),
+      operators.AnnStore.pathFingerprint(spark,
+        new org.apache.hadoop.fs.Path(sfDir, "documents.parquet").toString))
+
+  /** Build-once gate for the chunk-ANN index (manifest freshness: params +
+    * documents-table fingerprint). Returns the index path.
+    */
+  def ensureChunkAnnIndex(k: Int = 16): String = {
+    val manifest = chunkAnnManifest(k)
+    operators.AnnStore.ensureIndex(spark, chunkAnnPath, manifest) {
+      operators.AnnIvf.writeIndexOver(spark, chunkVectors(buildIndex()),
+        chunkAnnPath, k, manifest): Unit
+    }
+    chunkAnnPath
+  }
+
+  /** ANN-served semantic search — the sublinear evolution of [[ragQuery]]
+    * the reference names (reference: src/index.ts:265 "could evolve to an
+    * ANN structure"): the query probes its `nprobe` nearest cells of a
+    * persisted IVF index over CHUNK embeddings, so a call reads ~nprobe/k
+    * of the corpus instead of scanning every chunk. Same result shape as
+    * [[ragQuery]]; recall is the IVF trade (spec-bounded), exactness is
+    * not — callers that need the brute-force answer keep using ragQuery.
+    * The index rides the AnnStore gate (built on first use, refreshed
+    * incrementally by [[reindexDirectory]], rebuilt on param/corpus drift).
+    */
+  def ragQueryAnn(query: String, topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val path = ensureChunkAnnIndex()
+    val qv = HashEmbedAlg.embed(query, dim)
+    val queries = Seq(0L).toDF("query_id")
+      .select(col("query_id"), array(qv.map(lit): _*).as("qv"))
+    // one bounded execution of the probe search (≤ topK rows collect)
+    val hits = operators.AnnIvf.annIvfServedOver(spark, path, queries,
+      Graft.clampTopK(topK), nprobe)
+      .select(col("vec_id"), col("cid"), col("score")).collect()
+    val cids = hits.map(_.getAs[Int]("cid")).distinct.toSeq
+    val hitScores = hits.map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      .toDF("vec_id", "score")
+    // metadata comes from the SAME pruned cells the probe read — no
+    // corpus re-chunk, no full index scan
+    operators.AnnIvf.probeCells(spark, path, cids)
+      .join(broadcast(hitScores), "vec_id")
+      .select(col("doc_id"), col("chunk_idx"), col("score"),
+        substring(col("chunk_text"), 1, 120).as("snippet"),
+        col("token_count").as("total_tokens"), col("file_size"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
   }
 
   /** Semantic search for a free-text query: embed driver-side, broadcast the

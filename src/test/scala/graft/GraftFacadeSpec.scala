@@ -174,6 +174,73 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(hit.getAs[Long]("doc_id") == newId)
   }
 
+  test("ragQueryAnn: chunk-ANN index builds once through the gate, reindex refreshes it incrementally, serving stays fresh") {
+    val root = Files.createTempDirectory("graft_ann_live")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    // 12 docs so a 3-doc mutation stays under the 30% drift bound
+    val topics = Seq(
+      "a.txt" -> "the quick table scan join merges sorted runs of rows",
+      "b.txt" -> "windowed aggregation with watermarks bounds streaming state",
+      "c.txt" -> "columnar parquet encoding with dictionary compression pages",
+      "d.txt" -> "broadcast hash joins avoid shuffling the large fact table",
+      "e.txt" -> "salting hot keys spreads skewed aggregation work evenly",
+      "f.txt" -> "predicate pushdown prunes row groups before any decode",
+      "g.txt" -> "adaptive query execution replans shuffles at runtime",
+      "h.txt" -> "tungsten codegen fuses operators into tight java loops",
+      "i.txt" -> "catalyst rewrites logical plans with rule based passes",
+      "j.txt" -> "bucketed tables co locate join keys across both sides",
+      "k.txt" -> "zebra stripes migrate south during the winter season",
+      "l.txt" -> "checkpointing truncates long lineage chains for recovery")
+    topics.foreach { case (n, t) => put(n, t) }
+    val work = Files.createTempDirectory("graft_ann_work").toString
+    val store = Files.createTempDirectory("graft_ann_store").toString + "/store"
+    val g2 = Graft.forDirectory(spark, root.toString, work)
+    // cold reindex: no ANN index exists yet → nothing to refresh
+    val cold = g2.reindexDirectory(store).head()
+    assert(cold.getAs[String]("ann_mode") == "absent")
+    // first ANN query builds the index through the ensure gate and hits
+    val docs = Tables.documents(spark, work).cache()
+    val expectId = docs.filter(col("text").contains("quick table scan"))
+      .head().getAs[Long]("doc_id")
+    val removedId = docs.filter(col("text").contains("zebra stripes"))
+      .head().getAs[Long]("doc_id")
+    val hit = g2.ragQueryAnn("the quick table scan join merges", topK = 1).head()
+    assert(hit.getAs[Long]("doc_id") == expectId)
+    // same result shape as the brute-force ragQuery, minus chunk identity order
+    assert(g2.ragQueryAnn("state", topK = 2).columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "score", "snippet", "total_tokens", "file_size"))
+    docs.unpersist()
+    // live mutations: add one, grow one (size-change heuristic), remove one
+    put("new.txt", "a brand new document about broadcast join hints")
+    put("b.txt", "windowed aggregation with watermarks bounds streaming state and memory")
+    Files.delete(root.resolve("k.txt"))
+    val stats = g2.reindexDirectory(store).head()
+    assert(stats.getAs[Long]("n_added") == 1 && stats.getAs[Long]("n_removed") == 1)
+    assert(stats.getAs[String]("ann_mode") == "incremental",
+      s"ann_mode=${stats.getAs[String]("ann_mode")}")
+    assert(stats.getAs[Long]("ann_cells_rewritten") >= 1)
+    // the refreshed manifest satisfies the gate — ragQueryAnn must NOT rebuild
+    val manifestPath = new org.apache.hadoop.fs.Path(g2.chunkAnnPath,
+      graft.operators.AnnStore.ManifestFile)
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = fs.getFileStatus(manifestPath).getModificationTime
+    // the refreshed index serves the new doc and forgets the removed one
+    val newId = Tables.documents(spark, work)
+      .filter(col("text").contains("brand new")).head().getAs[Long]("doc_id")
+    val hit2 = g2.ragQueryAnn("a brand new document about broadcast join hints",
+      topK = 1).head()
+    assert(hit2.getAs[Long]("doc_id") == newId)
+    val gone = g2.ragQueryAnn("zebra stripes migrate south during the winter season",
+      topK = 10).filter(col("doc_id") === removedId).count()
+    assert(gone == 0, "removed doc must not be served from the refreshed index")
+    assert(fs.getFileStatus(manifestPath).getModificationTime == stamp,
+      "post-refresh queries must serve without rebuilding the index")
+  }
+
   test("IndexStore round-trips and rejects mismatched metadata") {
     val dir = Files.createTempDirectory("graft_store").toString
     val meta = IndexStore.Meta(IndexStore.Version, 100, 20, g.modelName)
