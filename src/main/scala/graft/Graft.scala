@@ -193,10 +193,22 @@ class Graft(spark: SparkSession, sfDir: String,
     * not — callers that need the brute-force answer keep using ragQuery.
     * The index rides the AnnStore gate (built on first use, refreshed
     * incrementally by [[reindexDirectory]], rebuilt on param/corpus drift).
+    *
+    * Freshness contract: after a reindex this serves the CHUNK STORE's
+    * state, whose change detection is the reference's size heuristic
+    * (src/indexer.ts — a same-size content edit is invisible to the watch
+    * loop on both engines); `ragQuery` serves the facade's cached
+    * [[servingIndex]], which predates any reindex by design. The two are
+    * therefore fresh on different clocks — documented, not accidental.
     */
   def ragQueryAnn(query: String, topK: Int = 5, nprobe: Int = 2): DataFrame = {
     import spark.implicits._
-    val path = ensureChunkAnnIndex()
+    // honor an existing index's own k (like reindexDirectory's refresh) —
+    // a caller who built at k=32 must not get a silent k=16 rebuild here
+    val k = operators.AnnStore.readManifest(spark, chunkAnnPath)
+      .filter(m => operators.AnnStore.paramsOf(m).contains("\"kind\":\"chunk_ivf\""))
+      .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(16)
+    val path = ensureChunkAnnIndex(k)
     val qv = HashEmbedAlg.embed(query, dim)
     val queries = Seq(0L).toDF("query_id")
       .select(col("query_id"), array(qv.map(lit): _*).as("qv"))

@@ -236,8 +236,8 @@ object AnnGraph {
     val degree = AnnStore.manifestInt(newManifest, "degree").getOrElse(8)
     AnnStore.refreshIndex(spark, path, newManifest,
       assignNew = cents => assignOver(newE, cents),
-      rewrite = (affected, neu) => {
-        val newCells = neu.filter(col("cid").isin(affected: _*)).localCheckpoint()
+      rewrite = (affected, rows) => {
+        val newCells = rows.localCheckpoint()
         val edges = buildGraphOver(newCells, degree).localCheckpoint()
         val fs = AnnStore.fileSystem(spark, path)
         affected.foreach { c =>
@@ -355,10 +355,14 @@ object AnnGraph {
   def annGraphServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
                          topK: Int = 5, nprobe: Int = 2, beam: Int = 32,
                          hops: Int = 2, entriesPerCell: Int = 3): DataFrame = {
-    // bounded collect: the caller-supplied query batch
-    val qvs = queries.select(col("query_id"), col("qv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
-    servedCore(spark, indexPath, qvs, ownCells = Map.empty,
+    // bounded collect: the caller-supplied query batch. qv is cast to the
+    // index's float precision so any numeric array type is accepted (the
+    // IVF/PQ Over twins take double arrays).
+    val qRows = queries.select(col("query_id"), col("qv").cast("array<float>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      "annGraphServedOver: duplicate query_id in the query batch")
+    servedCore(spark, indexPath, qRows.toMap, ownCells = Map.empty,
       topK, nprobe, beam, hops, entriesPerCell, excludeSelf = false)
   }
 

@@ -152,12 +152,11 @@ object AnnIvf {
     val k = AnnStore.manifestInt(newManifest, "k").getOrElse(16)
     AnnStore.refreshIndex(spark, path, newManifest,
       assignNew = cents => newE.withColumn("cid", nearestCentroid(col("embedding"), cents)),
-      rewrite = (affected, neu) => {
+      rewrite = (affected, rows) => {
         val fs = AnnStore.fileSystem(spark, path)
         affected.foreach(c =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true))
-        neu.filter(col("cid").isin(affected: _*))
-          .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+        rows.write.mode("append").partitionBy("cid").parquet(path + "/vectors")
       },
       fullBuild = () => { writeIndexOver(spark, newE, path, k, newManifest); () },
       driftBound = driftBound)

@@ -99,7 +99,13 @@ object AnnPq {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .cache()
-    val sd = Dim / m
+    // the manifest's dim claim must describe the DATA, not a constant —
+    // otherwise the serving-side m*sd==dim check can never catch a
+    // differently-dimensioned corpus
+    val dim = e.select(size(col("emb"))).head().getInt(0)
+    require(dim == Dim && dim % m == 0,
+      s"PQ build: corpus dim $dim must equal manifest dim $Dim and divide by m=$m")
+    val sd = dim / m
     val books = trainAll(e, m, sd, ks, iters)
     AnnStore.writeStaged(spark, path, manifest) { staging =>
       val codeCols = (0 until m).map(j =>

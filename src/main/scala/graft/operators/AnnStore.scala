@@ -151,8 +151,10 @@ private[graft] object AnnStore {
     *     assigned against the STORED codebook (plus whatever payload columns
     *     the operator persists — every non-cid column participates in change
     *     detection, so a metadata-only edit still refreshes its cell);
-    *   - `rewrite(affectedCids, newAssigned)` → surgical delete+append of
-    *     exactly those cid partitions;
+    *   - `rewrite(affectedCids, rows)` → surgical delete+append of exactly
+    *     those cid partitions; `rows` is the affected cells' full new
+    *     contents (payload columns + cid), served from the cached diff join
+    *     rather than a second corpus scan;
     *   - `fullBuild()` → the cold path (no usable store, parameter change,
     *     or drift past `driftBound` — stale centroids degrade recall, so
     *     bulk change forces a retrain).
@@ -189,7 +191,9 @@ private[graft] object AnnStore {
         val centroids = readCentroids(spark, path)
         val neu = assignNew(centroids)
         // every persisted column except the derived cell id participates in
-        // change detection (embedding AND payload metadata)
+        // change detection (embedding AND payload metadata). Row presence is
+        // judged by the payload struct, NOT the cid — a null embedding gets
+        // a null cid yet is still a real row on either side.
         val payload = neu.columns.filterNot(_ == "cid").map(col)
         val oldSide = spark.read.parquet(path + "/vectors")
           .select(col("vec_id"), struct(payload.toSeq: _*).as("old_payload"),
@@ -199,17 +203,24 @@ private[graft] object AnnStore {
             col("cid").cast("int").as("new_cid"))
         val j = oldSide.join(newSide, Seq("vec_id"), "full_outer").cache()
         try {
-          val added = j.filter(col("old_cid").isNull)
-          val removed = j.filter(col("new_cid").isNull)
-          val changed = j.filter(col("old_cid").isNotNull && col("new_cid").isNotNull &&
+          val added = j.filter(col("old_payload").isNull)
+          val removed = j.filter(col("new_payload").isNull)
+          val changed = j.filter(col("old_payload").isNotNull && col("new_payload").isNotNull &&
             !(col("old_payload") <=> col("new_payload")))
           val nA = added.count(); val nC = changed.count(); val nR = removed.count()
-          val nOld = j.filter(col("old_cid").isNotNull).count()
+          val nOld = j.filter(col("old_payload").isNotNull).count()
+          // a dirty row without a cell (null embedding → null cid) has no
+          // partition to rewrite surgically — degenerate, cold-rebuild
+          val nNullCell = added.filter(col("new_cid").isNull).count() +
+            removed.filter(col("old_cid").isNull).count() +
+            changed.filter(col("old_cid").isNull || col("new_cid").isNull).count()
           if (nA + nC + nR == 0) {
             // data identical; only the corpus files moved (e.g. a rewrite of
             // the same rows) — stamp the new fingerprint, touch no data
             writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
             stats("restamp", 0, 0, 0, 0)
+          } else if (nNullCell > 0) {
+            fullBuild(); stats("full_nullcell", nA, nC, nR, -1)
           } else if (nA + nC + nR > driftBound * math.max(nOld, 1L)) {
             fullBuild(); stats("full_drift", nA, nC, nR, -1)
           } else {
@@ -219,7 +230,13 @@ private[graft] object AnnStore {
               .unionAll(changed.select(col("old_cid").as("c")))
               .unionAll(removed.select(col("old_cid").as("c")))
               .distinct().collect().map(_.getInt(0)).toSeq.sorted
-            rewrite(affected, neu)
+            // rewrite rows come out of the CACHED diff join, not a second
+            // scan+assignment pass over the corpus
+            val payloadNames = neu.columns.filterNot(_ == "cid")
+            val rows = j.filter(col("new_cid").isin(affected: _*))
+              .select(payloadNames.map(n => col(s"new_payload.$n").as(n)) :+
+                col("new_cid").as("cid"): _*)
+            rewrite(affected, rows)
             writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
             stats("incremental", nA, nC, nR, affected.length.toLong)
           }
