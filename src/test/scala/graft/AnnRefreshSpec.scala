@@ -145,6 +145,26 @@ class AnnRefreshSpec extends SparkSpecBase {
     for ((c, fp) <- beforeE if c != cell) assert(afterE(c) == fp, s"edges cell $c rewritten")
   }
 
+  test("crash mid-refresh (pre-stamp) costs a rebuild, never a stale serve") {
+    val dir = copyCorpus()
+    val idx = Files.createTempDirectory("graft_refr_crash").toString + "/idx"
+    AnnIvf.ensureIvfIndex(spark, dir, idx)
+    val centroids = AnnStore.readCentroids(spark, idx)
+    val (cell, ids) = pickCellIds(dir, centroids)
+    mutateOneCell(dir, ids)
+    // simulate a refresh that died between the partition delete and the
+    // manifest stamp: the affected cell is gone, the manifest still carries
+    // the OLD corpus fingerprint
+    fs.delete(new Path(s"$idx/vectors/cid=$cell"), true)
+    // the gate sees the fingerprint mismatch and cold-rebuilds — the
+    // half-deleted index is never served as-is
+    AnnIvf.ensureIvfIndex(spark, dir, idx)
+    val n = spark.read.parquet(idx + "/vectors").count()
+    assert(n == Tables.embeddings(spark, dir).count())
+    assert(AnnStore.readManifest(spark, idx).exists(_.contains(
+      AnnStore.corpusFingerprint(spark, dir))))
+  }
+
   test("refresh dispatch: fresh / restamp / full_drift / full_params modes") {
     val dir = copyCorpus()
     val idx = Files.createTempDirectory("graft_refr_modes").toString + "/idx"

@@ -239,6 +239,22 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(gone == 0, "removed doc must not be served from the refreshed index")
     assert(fs.getFileStatus(manifestPath).getModificationTime == stamp,
       "post-refresh queries must serve without rebuilding the index")
+    // recall vs the brute-force facade path: over a handful of queries, the
+    // ANN top-3 (wider probes on this tiny corpus) must recover most of
+    // ragQueryOver's exact top-3 on the same fresh index state
+    val freshIdx = IndexStore.load(spark, store, g2.meta).get
+    val queries = Seq("broadcast hash joins shuffle", "predicate pushdown prunes",
+      "catalyst rewrites logical plans", "bucketed tables join keys",
+      "checkpointing lineage recovery")
+    val recalls = queries.map { q =>
+      val brute = g2.ragQueryOver(freshIdx, q, topK = 3)
+        .select("doc_id", "chunk_idx").collect().map(_.toSeq).toSet
+      val ann = g2.ragQueryAnn(q, topK = 3, nprobe = 4)
+        .select("doc_id", "chunk_idx").collect().map(_.toSeq).toSet
+      (brute intersect ann).size.toDouble / brute.size
+    }
+    val meanRecall = recalls.sum / recalls.length
+    assert(meanRecall >= 0.6, s"facade ANN recall=$meanRecall vs brute ragQuery")
   }
 
   test("IndexStore round-trips and rejects mismatched metadata") {
