@@ -60,6 +60,16 @@ object SparkEntry {
       AnnPq.ensurePqIndex(s, dir, path)
       AnnPq.annPqServed(s, path)
     }),
+    // C5c IVFADC (r8): coarse cells prune the ADC code scan to nprobe/k of
+    // the corpus and the codebooks encode per-cell residuals — the
+    // composite production layout (flat PQ above scans every code). Served
+    // from the manifest-gated store like the other *_served entries.
+    // Rows-only (k-means); recall + pruning spec-bounded in AnnIvfSpec.
+    "ann_ivfpq" -> ((s, dir) => {
+      val path = AnnIvfPq.defaultIndexPath(dir)
+      AnnIvfPq.ensureIvfPqIndex(s, dir, path)
+      AnnIvfPq.annIvfPqServed(s, path)
+    }),
     // rows-only like ann_ivf/ann_pq: k-means + iterative beam search are not
     // SQL-replicable; recall spec-bounded vs C1 in AnnIvfSpec
     "ann_graph" -> ((s, dir) => AnnGraph.annGraph(s, dir)),
