@@ -107,6 +107,47 @@ object AnnIvfPq {
     }
   }
 
+  /** Incremental maintenance, riding the shared AnnStore.refreshIndex
+    * dispatch like the IVF and graph stores: stored centroids AND stored
+    * codebooks stay pinned, the diff runs against the /vectors table, and
+    * only the affected cells' vectors and codes are recomputed (codes from
+    * the pinned books over fresh residuals) and rewritten. Full retrain on
+    * missing store / param change / drift past the bound.
+    */
+  def refreshIvfPqIndex(spark: SparkSession, sfDir: String, path: String,
+                        k: Int = 16, m: Int = 8, ks: Int = 16, iters: Int = 3,
+                        driftBound: Double = 0.3): DataFrame = {
+    VecExprs.register(spark)
+    val manifest = ivfPqManifest(spark, sfDir, k, m, ks, iters)
+    AnnStore.refreshIndex(spark, path, manifest,
+      assignNew = cents => Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"),
+          VecExprs.centroidAssign(col("embedding").cast("array<double>"), cents,
+            useCosine = true).as("cid")),
+      rewrite = (affected, rows) => {
+        val centroids = AnnStore.readCentroids(spark, path)
+        val books = AnnPq.readBooks(spark, path)
+        val sd = books.head.head.length
+        val cells = rows.localCheckpoint() // feeds both table writes
+        val withRes = cells.join(broadcast(centroidFrame(spark, centroids)), "cid")
+          .withColumn("res",
+            zip_with(col("embedding").cast("array<double>"), col("centroid"), (a, b) => a - b))
+        val codeCols = books.indices.map(j =>
+          VecExprs.centroidAssign(slice(col("res"), j * sd + 1, sd), books(j),
+            useCosine = false).as(s"c$j"))
+        val fs = AnnStore.fileSystem(spark, path)
+        affected.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cid=$c"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true)
+        }
+        withRes.select(col("vec_id") +: codeCols :+ col("cid"): _*)
+          .write.mode("append").partitionBy("cid").parquet(path + "/codes")
+        cells.write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+      },
+      fullBuild = () => writeIvfPqIndexWith(spark, sfDir, path, k, m, ks, iters, manifest),
+      driftBound = driftBound)
+  }
+
   /** Serving: probe → per-(query, cell) residual ADC tables → pruned code
     * scan → exact cosine rerank of the bounded pool, also from pruned cells.
     */

@@ -146,7 +146,7 @@ object AnnPq {
     }
   }
 
-  private[operators] def readBooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+  private[graft] def readBooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
     spark.read.parquet(path + "/books").orderBy("j", "cid").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)

@@ -145,6 +145,55 @@ class AnnRefreshSpec extends SparkSpecBase {
     for ((c, fp) <- beforeE if c != cell) assert(afterE(c) == fp, s"edges cell $c rewritten")
   }
 
+  test("IVFADC refresh: affected cells' codes recomputed from the pinned books, untouched cells preserved") {
+    import graft.operators.AnnIvfPq
+    val dir = copyCorpus()
+    val root = Files.createTempDirectory("graft_refr_ivfpq").toString
+    val idx = root + "/idx"
+    AnnIvfPq.ensureIvfPqIndex(spark, dir, idx)
+    val centroids = AnnStore.readCentroids(spark, idx)
+    val books = graft.operators.AnnPq.readBooks(spark, idx)
+    val (cell, ids) = pickCellIds(dir, centroids)
+    val beforeV = cellFingerprints(idx, "/vectors")
+    val beforeC = cellFingerprints(idx, "/codes")
+    mutateOneCell(dir, ids)
+    val stats = AnnIvfPq.refreshIvfPqIndex(spark, dir, idx).head()
+    assert(stats.getAs[String]("mode") == "incremental")
+    assert(stats.getAs[Long]("n_cells_rewritten") == 1)
+    // vectors table == new corpus assigned with the PINNED centroids
+    val expectedV = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
+          useCosine = true).as("cid"))
+    val a = spark.read.parquet(idx + "/vectors")
+    assert(a.exceptAll(expectedV).count() == 0 && expectedV.exceptAll(a).count() == 0)
+    // codes table == pinned-book encoding of the new corpus's residuals
+    import spark.implicits._
+    val sd = books.head.head.length
+    val centDf = broadcast(centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid"))
+    val codeCols = books.indices.map(j =>
+      VecExprs.centroidAssign(slice(col("res"), j * sd + 1, sd), books(j),
+        useCosine = false).as(s"c$j"))
+    val expectedC = expectedV.join(centDf, "cid")
+      .withColumn("res",
+        zip_with(col("embedding").cast("array<double>"), col("centroid"), (x, y) => x - y))
+      .select(col("vec_id") +: codeCols :+ col("cid"): _*)
+    val c = spark.read.parquet(idx + "/codes")
+    assert(c.exceptAll(expectedC).count() == 0 && expectedC.exceptAll(c).count() == 0)
+    // unaffected cells byte-for-byte untouched in BOTH tables
+    val afterV = cellFingerprints(idx, "/vectors")
+    val afterC = cellFingerprints(idx, "/codes")
+    for ((cc, fp) <- beforeV if cc != cell) assert(afterV(cc) == fp, s"vectors cell $cc rewritten")
+    for ((cc, fp) <- beforeC if cc != cell) assert(afterC(cc) == fp, s"codes cell $cc rewritten")
+    // serving from the refreshed index still reranks to exact scores
+    val r = AnnIvfPq.annIvfPqServed(spark, idx)
+    val bruteAll = graft.operators.RagSearch.annTopKBatch(spark, dir, nQueries = 10, k = 2000)
+      .select("query_id", "vec_id", "score")
+    assert(r.select("query_id", "vec_id", "score").except(bruteAll).count() == 0)
+  }
+
   test("crash mid-refresh (pre-stamp) costs a rebuild, never a stale serve") {
     val dir = copyCorpus()
     val idx = Files.createTempDirectory("graft_refr_crash").toString + "/idx"
