@@ -176,9 +176,12 @@ object AnnIvfPq {
          dim <- AnnStore.manifestInt(manifest, "dim"))
       require(m * sd == dim,
         s"IVFADC index at $indexPath: books are $m x sub-dim $sd but manifest dim=$dim")
-    // probe rule shared with C3/C6 — per (query, probed cell) rows
+    // probe rule shared with C3/C6 — per (query, probed cell) rows.
+    // Checkpointed: the frame is bounded (nQueries × nprobe) and is executed
+    // twice (cid collect + broadcast build), and its lineage carries the
+    // k-literal probe-scoring expressions — one evaluation, not two.
     val q = AnnIvf.probeListOver(queries.select(col("query_id"), col("qv")),
-      centroids, nprobe)
+      centroids, nprobe).localCheckpoint()
     val qr = q.join(broadcast(centroidFrame(spark, centroids)),
         col("probe_cid") === col("cid"))
       .withColumn("qres",
