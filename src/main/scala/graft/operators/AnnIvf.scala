@@ -223,7 +223,10 @@ object AnnIvf {
                        excludeSelf: Boolean = false): DataFrame = {
     VecExprs.register(spark)
     val centroids = AnnStore.readCentroids(spark, indexPath)
+    // checkpointed: bounded (nQueries × nprobe) and executed twice (cid
+    // collect + broadcast build) with k-literal scoring in its lineage
     val q = probeListOver(queries.select(col("query_id"), col("qv")), centroids, nprobe)
+      .localCheckpoint()
     // bounded collect: the probe lists only (cell ids, not vectors)
     val cids = q.select("probe_cid").distinct().collect().map(_.getInt(0)).toSeq
     val cands = probeCells(spark, indexPath, cids)

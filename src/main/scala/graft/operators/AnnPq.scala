@@ -195,7 +195,10 @@ object AnnPq {
         VecExprs.dotProd(slice(col("qv"), j * sd + 1, sd), array(c.map(lit): _*))): _*)
         .as(s"t$j")
     }
+    // checkpointed: bounded (nQueries rows) and used twice (ADC broadcast +
+    // rerank join) with the m×ks table expressions in its lineage
     val q = queries.select(col("query_id") +: col("qv") +: tableCols: _*)
+      .localCheckpoint()
     val pqScore = (0 until m).map(j =>
       element_at(col(s"t$j"), col(s"c$j").cast("int") + 1)).reduce(_ + _)
     val joined = codes.crossJoin(broadcast(q))
