@@ -68,7 +68,13 @@ object AnnIvfPq {
                                   manifest: String): Unit = {
     import spark.implicits._
     VecExprs.register(spark)
-    val sd = Dim / m
+    // the manifest's dim claim must describe the DATA (see AnnPq's twin) —
+    // and m must divide it, or the residual slices silently truncate
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).head().getInt(0)
+    require(dim == Dim && dim % m == 0,
+      s"IVFADC build: corpus dim $dim must equal manifest dim $Dim and divide by m=$m")
+    val sd = dim / m
     val centroids = AnnIvf.train(spark, sfDir, k)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
@@ -77,7 +83,7 @@ object AnnIvfPq {
     val withRes = e.join(broadcast(centroidFrame(spark, centroids)), "cid")
       .withColumn("res",
         zip_with(col("embedding").cast("array<double>"), col("centroid"), (a, b) => a - b))
-      .localCheckpoint() // feeds training (driver loop) AND the code write
+      .localCheckpoint() // feeds training (driver loop) AND both table writes
     val books = AnnPq.trainAll(
       withRes.select(col("vec_id"), col("res").as("emb")), m, sd, ks, iters)
     AnnStore.writeStaged(spark, path, manifest) { staging =>
@@ -86,7 +92,10 @@ object AnnIvfPq {
           useCosine = false).as(s"c$j"))
       withRes.select(col("vec_id") +: codeCols :+ col("cid"): _*)
         .write.partitionBy("cid").parquet(staging + "/codes")
-      e.select(col("vec_id"), col("embedding"), col("cid"))
+      // vectors come from the SAME checkpointed frame as the codes — no
+      // second corpus scan+assignment, and the two tables cannot diverge
+      // on row membership (a null-cid row drops from both)
+      withRes.select(col("vec_id"), col("embedding"), col("cid"))
         .write.partitionBy("cid").parquet(staging + "/vectors")
       books.zipWithIndex.flatMap { case (book, j) =>
         book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
@@ -186,8 +195,13 @@ object AnnIvfPq {
         col("probe_cid") === col("cid"))
       .withColumn("qres",
         zip_with(col("qv").cast("array<double>"), col("centroid"), (a, b) => a - b))
-    // ADC tables per probed cell: ‖b‖² − 2⟨qres_j, b⟩ (query-constant term
-    // dropped — it shifts every candidate of a query equally)
+    // ADC tables per probed cell: ‖b‖² − 2⟨qres_j, b⟩, plus the per-(query,
+    // cell) residual norm ‖qres‖² carried as its own column — it is NOT a
+    // query constant (qres differs per probed cell; it equals the coarse
+    // distance ‖q−c‖²), and dropping it would bias the pool ranking across
+    // cells whenever nprobe > 1: a far cell's candidates would all score an
+    // artificially low pq_dist. With it, pq_dist ≈ ‖q − (c + r̂)‖², the full
+    // IVFADC estimate, comparable across cells.
     val tableCols = (0 until m).map { j =>
       array(books(j).map { c =>
         lit(c.map(x => x * x).sum) -
@@ -195,12 +209,13 @@ object AnnIvfPq {
             array(c.map(lit): _*))
       }: _*).as(s"t$j")
     }
-    val qt = qr.select(col("query_id") +: col("probe_cid") +: tableCols: _*)
+    val qnorm = aggregate(col("qres"), lit(0.0), (acc, x) => acc + x * x).as("qn")
+    val qt = qr.select(col("query_id") +: col("probe_cid") +: qnorm +: tableCols: _*)
     // bounded collect: probed cell ids only → the code scan is pruned
     val cids = q.select("probe_cid").distinct().collect().map(_.getInt(0)).toSeq
     val codes = spark.read.parquet(indexPath + "/codes")
       .filter(col("cid").isin(cids: _*))
-    val dist = (0 until m).map(j =>
+    val dist = col("qn") + (0 until m).map(j =>
       element_at(col(s"t$j"), col(s"c$j").cast("int") + 1)).reduce(_ + _)
     val joined = codes.join(broadcast(qt), col("cid") === col("probe_cid"))
     val approx = (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined)
@@ -215,7 +230,9 @@ object AnnIvfPq {
       .select(col("vec_id"), col("embedding"))
     val wE = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
     vectors.join(broadcast(cands), "vec_id")
-      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      // qv pairs reused from the CHECKPOINTED probe frame — the caller's
+      // queries lineage is never executed a second time
+      .join(broadcast(q.select(col("query_id"), col("qv")).distinct()), "query_id")
       .withColumn("score", round(VecExprs.cosineSim(col("embedding"), col("qv")), 4))
       .withColumn("rank", row_number().over(wE).cast("long"))
       .filter(col("rank") <= topK)
