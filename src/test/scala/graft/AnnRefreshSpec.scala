@@ -194,6 +194,41 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(r.select("query_id", "vec_id", "score").except(bruteAll).count() == 0)
   }
 
+  test("IVF refresh under multi-cell churn still equals the pinned-codebook rewrite") {
+    val dir = copyCorpus()
+    val root = Files.createTempDirectory("graft_refr_multi").toString
+    val idx = root + "/idx"
+    AnnIvf.ensureIvfIndex(spark, dir, idx)
+    val centroids = AnnStore.readCentroids(spark, idx)
+    // churn spread across arbitrary cells: remove 12 scattered ids, scale 15
+    // others (payload change, same cell), add 8 copies under fresh ids —
+    // 35 dirty of 500 stays under the 30% drift bound
+    val e = spark.read.parquet(dir + "/embeddings.parquet")
+    val removeIds = (0 until 12).map(i => (i * 41 + 7).toLong)
+    val changeIds = (0 until 15).map(i => (i * 29 + 3).toLong).filterNot(removeIds.contains)
+    val copyIds = (0 until 8).map(i => (i * 57 + 11).toLong).filterNot(removeIds.contains)
+    val mutated = e.filter(!col("vec_id").isin(removeIds: _*))
+      .withColumn("embedding",
+        when(col("vec_id").isin(changeIds: _*),
+          transform(col("embedding"), x => (x * lit(3.0)).cast("float")))
+          .otherwise(col("embedding")))
+      .unionByName(e.filter(col("vec_id").isin(copyIds: _*))
+        .withColumn("vec_id", col("vec_id") + 2000000L))
+    swapIn(dir, mutated)
+    val stats = AnnIvf.refreshIvfIndex(spark, dir, idx).head()
+    assert(stats.getAs[String]("mode") == "incremental")
+    assert(stats.getAs[Long]("n_removed") == removeIds.size &&
+      stats.getAs[Long]("n_changed") == changeIds.size &&
+      stats.getAs[Long]("n_added") == copyIds.size)
+    assert(stats.getAs[Long]("n_cells_rewritten") > 1, "churn must span cells")
+    val expected = root + "/expected"
+    AnnIvf.writeIndexOverWithCentroids(spark, Tables.embeddings(spark, dir),
+      expected, centroids, AnnStore.readManifest(spark, idx).get)
+    val a = spark.read.parquet(idx + "/vectors")
+    val b = spark.read.parquet(expected + "/vectors")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("crash mid-refresh (pre-stamp) costs a rebuild, never a stale serve") {
     val dir = copyCorpus()
     val idx = Files.createTempDirectory("graft_refr_crash").toString + "/idx"
