@@ -227,6 +227,29 @@ class AnnRefreshSpec extends SparkSpecBase {
     val a = spark.read.parquet(idx + "/vectors")
     val b = spark.read.parquet(expected + "/vectors")
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // the graph store under the SAME multi-cell churn: the rewrite rebuilds
+    // several cells' edges in one buildGraphOver pass — both tables must
+    // still equal the pinned-codebook rewrite
+    val gidx = root + "/gidx"
+    AnnGraph.ensureGraphIndex(spark, dir, gidx)
+    val gCentroids = AnnStore.readCentroids(spark, gidx)
+    swapIn(dir, spark.read.parquet(dir + "/embeddings.parquet")
+      .withColumn("embedding",
+        when(col("vec_id").isin(changeIds: _*),
+          transform(col("embedding"), x => (x * lit(0.5)).cast("float")))
+          .otherwise(col("embedding"))))
+    val gStats = AnnGraph.refreshGraphIndex(spark, dir, gidx).head()
+    assert(gStats.getAs[String]("mode") == "incremental")
+    assert(gStats.getAs[Long]("n_cells_rewritten") > 1, "graph churn must span cells")
+    val gExpected = root + "/gexpected"
+    AnnGraph.writeGraphIndexOverWithCentroids(spark, Tables.embeddings(spark, dir),
+      gExpected, gCentroids, degree = 8,
+      manifestStr = AnnStore.readManifest(spark, gidx).get)
+    for (sub <- Seq("/vectors", "/edges")) {
+      val x = spark.read.parquet(gidx + sub)
+      val y = spark.read.parquet(gExpected + sub)
+      assert(x.exceptAll(y).count() == 0 && y.exceptAll(x).count() == 0, sub)
+    }
   }
 
   test("crash mid-refresh (pre-stamp) costs a rebuild, never a stale serve") {
