@@ -188,16 +188,19 @@ object AnnGraph {
                                                       path: String,
                                                       centroids: Array[Array[Double]],
                                                       degree: Int,
-                                                      manifestStr: String): Unit = {
-    val assigned = assignOver(e, centroids).localCheckpoint()
-    // freshness manifest + staged swap (AnnStore): the live index keeps
-    // serving until the atomic rename, and a manifest mismatch (params OR
-    // corpus fingerprint) forces the cold rebuild — the reference's
-    // metadata-match-or-cold-rebuild contract (reference: src/persistence.ts)
-    AnnStore.writeStaged(spark, path, manifestStr) { staging =>
-      writeGraphContents(spark, staging, assigned, centroids, degree)
+                                                      manifestStr: String): Unit =
+    // releasingPinned: the build's localCheckpoint blocks (assignment +
+    // edges) are corpus-sized and dead once the staged write lands
+    AnnStore.releasingPinned(spark) {
+      val assigned = assignOver(e, centroids).localCheckpoint()
+      // freshness manifest + staged swap (AnnStore): the live index keeps
+      // serving until the atomic rename, and a manifest mismatch (params OR
+      // corpus fingerprint) forces the cold rebuild — the reference's
+      // metadata-match-or-cold-rebuild contract (reference: src/persistence.ts)
+      AnnStore.writeStaged(spark, path, manifestStr) { staging =>
+        writeGraphContents(spark, staging, assigned, centroids, degree)
+      }
     }
-  }
 
   /** The index tables themselves, written under `dir` (a staging root). */
   private[operators] def writeGraphContents(spark: SparkSession, dir: String,
@@ -235,17 +238,19 @@ object AnnGraph {
     val k = AnnStore.manifestInt(newManifest, "k").getOrElse(16)
     val degree = AnnStore.manifestInt(newManifest, "degree").getOrElse(8)
     AnnStore.refreshIndex(spark, path, newManifest,
-      assignNew = cents => assignOver(newE, cents),
+      assignNew = () => assignOver(newE, AnnStore.readCentroids(spark, path)),
       rewrite = (affected, rows) => {
-        val newCells = rows.localCheckpoint()
-        val edges = buildGraphOver(newCells, degree).localCheckpoint()
+        // rows arrive materialized (dispatch localCheckpoint); edges are
+        // checkpointed because they're executed twice (edge write + the
+        // adjacency embed) — releasingPinned frees both after the rewrite
+        val edges = buildGraphOver(rows, degree).localCheckpoint()
         val fs = AnnStore.fileSystem(spark, path)
         affected.foreach { c =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/edges/cid=$c"), true)
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true)
         }
         edges.write.mode("append").partitionBy("cid").parquet(path + "/edges")
-        vectorsWithNbrs(newCells, edges)
+        vectorsWithNbrs(rows, edges)
           .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
       },
       fullBuild = () => writeGraphIndexOver(spark, newE, path, k, degree, newManifest),

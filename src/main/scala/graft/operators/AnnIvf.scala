@@ -151,8 +151,12 @@ object AnnIvf {
     VecExprs.register(spark)
     val k = AnnStore.manifestInt(newManifest, "k").getOrElse(16)
     AnnStore.refreshIndex(spark, path, newManifest,
-      assignNew = cents => newE.withColumn("cid", nearestCentroid(col("embedding"), cents)),
+      // assignment pinned to the STORED codebook, read from the index itself
+      assignNew = () => newE.withColumn("cid",
+        nearestCentroid(col("embedding"), AnnStore.readCentroids(spark, path))),
       rewrite = (affected, rows) => {
+        // rows arrive materialized (the dispatch localCheckpoints them), so
+        // deleting the partitions they were diffed from cannot sever lineage
         val fs = AnnStore.fileSystem(spark, path)
         affected.foreach(c =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true))

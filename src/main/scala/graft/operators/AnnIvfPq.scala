@@ -65,13 +65,16 @@ object AnnIvfPq {
 
   private def writeIvfPqIndexWith(spark: SparkSession, sfDir: String, path: String,
                                   k: Int, m: Int, ks: Int, iters: Int,
-                                  manifest: String): Unit = {
+                                  manifest: String): Unit = AnnStore.releasingPinned(spark) {
     import spark.implicits._
     VecExprs.register(spark)
     // the manifest's dim claim must describe the DATA (see AnnPq's twin) —
     // and m must divide it, or the residual slices silently truncate
-    val dim = Tables.embeddings(spark, sfDir)
-      .select(size(col("embedding"))).head().getInt(0)
+    val dimRow = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      s"IVFADC build: embeddings corpus at $sfDir is empty — nothing to index")
+    val dim = dimRow.head.getInt(0)
     require(dim == Dim && dim % m == 0,
       s"IVFADC build: corpus dim $dim must equal manifest dim $Dim and divide by m=$m")
     val sd = dim / m
@@ -129,16 +132,17 @@ object AnnIvfPq {
     VecExprs.register(spark)
     val manifest = ivfPqManifest(spark, sfDir, k, m, ks, iters)
     AnnStore.refreshIndex(spark, path, manifest,
-      assignNew = cents => Tables.embeddings(spark, sfDir)
+      assignNew = () => Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"),
-          VecExprs.centroidAssign(col("embedding").cast("array<double>"), cents,
-            useCosine = true).as("cid")),
+          VecExprs.centroidAssign(col("embedding").cast("array<double>"),
+            AnnStore.readCentroids(spark, path), useCosine = true).as("cid")),
       rewrite = (affected, rows) => {
         val centroids = AnnStore.readCentroids(spark, path)
         val books = AnnPq.readBooks(spark, path)
         val sd = books.head.head.length
-        val cells = rows.localCheckpoint() // feeds both table writes
-        val withRes = cells.join(broadcast(centroidFrame(spark, centroids)), "cid")
+        // rows arrive materialized (dispatch localCheckpoint) — both table
+        // writes read its blocks, never the deleted source partitions
+        val withRes = rows.join(broadcast(centroidFrame(spark, centroids)), "cid")
           .withColumn("res",
             zip_with(col("embedding").cast("array<double>"), col("centroid"), (a, b) => a - b))
         val codeCols = books.indices.map(j =>
@@ -151,7 +155,7 @@ object AnnIvfPq {
         }
         withRes.select(col("vec_id") +: codeCols :+ col("cid"): _*)
           .write.mode("append").partitionBy("cid").parquet(path + "/codes")
-        cells.write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+        rows.write.mode("append").partitionBy("cid").parquet(path + "/vectors")
       },
       fullBuild = () => writeIvfPqIndexWith(spark, sfDir, path, k, m, ks, iters, manifest),
       driftBound = driftBound)

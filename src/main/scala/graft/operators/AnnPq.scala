@@ -74,13 +74,27 @@ object AnnPq {
     books
   }
 
+  /** The flat store's rewrite unit: `cid = pmod(vec_id, Buckets)` — a pure
+    * hash bucket, NOT a quantizer cell. A flat code table has no natural
+    * partition; bucketing by vec_id gives the incremental-refresh dispatch
+    * (AnnStore.refreshIndex) a bounded delete+append target, so a corpus
+    * trickle rewrites ~|dirty|/Buckets of the store instead of retraining
+    * and rewriting all of it. Sized so a bucket stays a sane parquet
+    * partition; at 100 TB the bucket count grows with the corpus the same
+    * way IVF's k does.
+    */
+  private val Buckets = 16
+
+  private def bucketCol: Column = pmod(col("vec_id"), lit(Buckets)).cast("int")
+
   /** Persist the PQ index: the per-vector codes (the compressed
     * representation a 100 TB corpus keeps hot), the m×ks codebooks, and the
     * raw vectors for the exact rerank of the small candidate pool — staged
     * and manifest-stamped like every persisted store. Codes and vectors are
     * separate tables on purpose: the ADC scan touches ONLY the codes (m
     * bytes/vector); the float vectors are joined in for the rerank pool
-    * alone (nQueries × rerank rows).
+    * alone (nQueries × rerank rows). Both tables are partitioned by the
+    * [[Buckets]] hash bucket — the refresh path's rewrite unit.
     */
   def writePqIndex(spark: SparkSession, sfDir: String, path: String,
                    m: Int = 8, ks: Int = 16, iters: Int = 3): Unit =
@@ -93,7 +107,7 @@ object AnnPq {
     */
   private def writePqIndexWith(spark: SparkSession, sfDir: String, path: String,
                                m: Int, ks: Int, iters: Int,
-                               manifest: String): Unit = {
+                               manifest: String): Unit = AnnStore.releasingPinned(spark) {
     import spark.implicits._
     VecExprs.register(spark)
     val e = Tables.embeddings(spark, sfDir)
@@ -102,7 +116,10 @@ object AnnPq {
     // the manifest's dim claim must describe the DATA, not a constant —
     // otherwise the serving-side m*sd==dim check can never catch a
     // differently-dimensioned corpus
-    val dim = e.select(size(col("emb"))).head().getInt(0)
+    val dimRow = e.select(size(col("emb"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      s"PQ build: embeddings corpus at $sfDir is empty — nothing to index")
+    val dim = dimRow.head.getInt(0)
     require(dim == Dim && dim % m == 0,
       s"PQ build: corpus dim $dim must equal manifest dim $Dim and divide by m=$m")
     val sd = dim / m
@@ -110,15 +127,59 @@ object AnnPq {
     AnnStore.writeStaged(spark, path, manifest) { staging =>
       val codeCols = (0 until m).map(j =>
         l2Assign(slice(col("emb"), j * sd + 1, sd), books(j)).as(s"c$j"))
-      e.select(col("vec_id") +: codeCols: _*).write.parquet(staging + "/codes")
+      e.select(col("vec_id") +: codeCols :+ bucketCol.as("cid"): _*)
+        .write.partitionBy("cid").parquet(staging + "/codes")
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-        .write.parquet(staging + "/vectors")
+        .withColumn("cid", bucketCol)
+        .write.partitionBy("cid").parquet(staging + "/vectors")
       books.zipWithIndex.flatMap { case (book, j) =>
         book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
       }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
         .write.parquet(staging + "/books")
     }
     e.unpersist()
+  }
+
+  /** Incremental maintenance of the flat PQ store, riding the shared
+    * AnnStore.refreshIndex dispatch like the IVF/graph/IVFADC stores
+    * (reference: src/indexer.ts:413-511 — keep the index live): the stored
+    * CODEBOOKS stay pinned, the diff runs against the bucketed /vectors
+    * table, and only the affected buckets' codes and vectors are recomputed
+    * (codes from the pinned books) and rewritten. The bucket id is a pure
+    * function of vec_id, so a row can never migrate buckets and change
+    * detection needs only the embedding payload. Full retrain on missing
+    * store / param change / drift past the bound (stale codebooks degrade
+    * ADC quality the same way stale centroids degrade IVF recall).
+    */
+  def refreshPqIndex(spark: SparkSession, sfDir: String, path: String,
+                     m: Int = 8, ks: Int = 16, iters: Int = 3,
+                     driftBound: Double = 0.3): DataFrame = {
+    VecExprs.register(spark)
+    val manifest = pqManifest(spark, sfDir, m, ks, iters)
+    AnnStore.refreshIndex(spark, path, manifest,
+      assignNew = () => Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("cid", bucketCol),
+      rewrite = (affected, rows) => {
+        val books = readBooks(spark, path)
+        val sd = books.head.head.length
+        val codeCols = books.indices.map(j =>
+          l2Assign(slice(col("emb"), j * sd + 1, sd), books(j)).as(s"c$j"))
+        // rows arrive materialized (dispatch localCheckpoint) — safe to
+        // delete the very partitions they were diffed from
+        val enc = rows.withColumn("emb", col("embedding").cast("array<double>"))
+        val fs = AnnStore.fileSystem(spark, path)
+        affected.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cid=$c"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true)
+        }
+        enc.select(col("vec_id") +: codeCols :+ col("cid"): _*)
+          .write.mode("append").partitionBy("cid").parquet(path + "/codes")
+        rows.select(col("vec_id"), col("embedding"), col("cid"))
+          .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+      },
+      fullBuild = () => writePqIndexWith(spark, sfDir, path, m, ks, iters, manifest),
+      driftBound = driftBound)
   }
 
   def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("pq", sfDir)
@@ -132,7 +193,8 @@ object AnnPq {
   private def pqManifest(spark: SparkSession, sfDir: String,
                          m: Int, ks: Int, iters: Int): String =
     AnnStore.manifest("pq",
-      Seq("m" -> m, "ks" -> ks, "iters" -> iters, "dim" -> Dim),
+      Seq("m" -> m, "ks" -> ks, "iters" -> iters, "dim" -> Dim,
+        "buckets" -> Buckets),
       AnnStore.corpusFingerprint(spark, sfDir))
 
   /** Freshness-gated build-once for the persisted PQ layout. The fingerprint

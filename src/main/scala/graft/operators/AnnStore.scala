@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.IndexStore
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Shared persistence plumbing for the served ANN indexes (C3 IVF, C5 PQ,
   * C6 graph) — the same contract the chunk store's `IndexStore` enforces
@@ -138,26 +138,58 @@ private[graft] object AnnStore {
   def paramsOf(manifest: String): String =
     manifest.replaceAll(""""fingerprint":"[^"]*"""", """"fingerprint":""")
 
+  /** Run `body`; afterwards unpersist every RDD it newly pinned (the
+    * `localCheckpoint` blocks build/rewrite paths use to flatten lineage,
+    * plus any stray cache). Build and refresh fully materialize their
+    * outputs to parquet before returning, so nothing they pinned is needed
+    * afterwards — without this, a long-lived session that builds and
+    * refreshes several indexes accumulates corpus-sized blocks in executor
+    * storage for its whole lifetime. NOT for serving paths: a served
+    * result's lineage may root in a checkpointed frame until the caller
+    * consumes it, and releasing those blocks early would lose the data
+    * (localCheckpoint truncates the lineage that could recompute it).
+    */
+  private[graft] def releasingPinned[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+
   /** Incremental index maintenance — the shared diff/dispatch skeleton for
-    * the coarse-quantized stores (IVF vectors, graph vectors+edges). The
-    * reference's watch loop re-embeds only the changed set and keeps its
-    * index live (reference: src/indexer.ts:413-511); the cluster analog is:
-    * keep the STORED centroids, diff the new corpus against the stored
-    * vectors table on vec_id, and hand the operator only the affected cell
-    * ids to rewrite — a trickle of changed files touches a handful of cid
-    * partitions instead of retraining and rewriting the whole index.
+    * the persisted stores (IVF vectors, graph vectors+edges, IVFADC
+    * codes+vectors, flat-PQ buckets). The reference's watch loop re-embeds
+    * only the changed set and keeps its index live (reference:
+    * src/indexer.ts:413-511); the cluster analog is: keep the STORED
+    * codebook, diff the new corpus against the stored vectors table on
+    * vec_id, and hand the operator only the affected cell ids to rewrite —
+    * a trickle of changed files touches a handful of cid partitions instead
+    * of retraining and rewriting the whole index.
     *
-    *   - `assignNew(centroids)` → the new corpus with a `cid` column,
-    *     assigned against the STORED codebook (plus whatever payload columns
-    *     the operator persists — every non-cid column participates in change
-    *     detection, so a metadata-only edit still refreshes its cell);
+    *   - `assignNew()` → the new corpus with a `cid` column — the rewrite
+    *     unit, assigned against the operator's own STORED codebook
+    *     (centroids for the coarse-quantized stores, a pure hash bucket for
+    *     the flat-PQ store) plus whatever payload columns the operator
+    *     persists — every non-cid column participates in change detection,
+    *     so a metadata-only edit still refreshes its cell;
     *   - `rewrite(affectedCids, rows)` → surgical delete+append of exactly
     *     those cid partitions; `rows` is the affected cells' full new
-    *     contents (payload columns + cid), served from the cached diff join
-    *     rather than a second corpus scan;
+    *     contents (payload columns + cid), already MATERIALIZED
+    *     (localCheckpoint) — its lineage roots in the very parquet files
+    *     the rewrite deletes, so an unmaterialized frame could recompute
+    *     from deleted files mid-write;
     *   - `fullBuild()` → the cold path (no usable store, parameter change,
-    *     or drift past `driftBound` — stale centroids degrade recall, so
+    *     or drift past `driftBound` — stale codebooks degrade recall, so
     *     bulk change forces a retrain).
+    *
+    * Cost shape at 100 TB: the corpus-sized diff join is executed exactly
+    * TWICE and never cached — one aggregation job computes every dispatch
+    * stat AND the affected cell-id sets (bounded collect_set, ≤ cell
+    * count), then only the incremental branch re-executes it pruned to the
+    * affected cells for the rewrite rows. (A cached full-width diff counted
+    * once per stat — the previous shape — spills corpus-sized blocks and
+    * re-reads them per action.)
     *
     * The new manifest is stamped LAST, after the rewrite: a crash anywhere
     * mid-refresh leaves the old manifest in place, whose fingerprint no
@@ -166,15 +198,16 @@ private[graft] object AnnStore {
     * wrong answer (single-writer, like every store here).
     *
     * Returns a 1-row stats frame: mode ∈ {fresh, restamp, incremental,
-    * full_cold, full_params, full_drift}, n_added/n_changed/n_removed
-    * (−1 when the diff was skipped), n_cells_rewritten.
+    * full_cold, full_params, full_drift, full_nullcell},
+    * n_added/n_changed/n_removed (−1 when the diff was skipped),
+    * n_cells_rewritten.
     */
   private[graft] def refreshIndex(spark: SparkSession, path: String,
                                   newManifest: String,
-                                  assignNew: Array[Array[Double]] => DataFrame,
+                                  assignNew: () => DataFrame,
                                   rewrite: (Seq[Int], DataFrame) => Unit,
                                   fullBuild: () => Unit,
-                                  driftBound: Double = 0.3): DataFrame = {
+                                  driftBound: Double = 0.3): DataFrame = releasingPinned(spark) {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     def stats(mode: String, a: Long, c: Long, r: Long, cells: Long) =
@@ -188,8 +221,7 @@ private[graft] object AnnStore {
       case Some(m) if paramsOf(m) != paramsOf(newManifest) =>
         fullBuild(); stats("full_params", -1, -1, -1, -1)
       case Some(_) =>
-        val centroids = readCentroids(spark, path)
-        val neu = assignNew(centroids)
+        val neu = assignNew()
         // every persisted column except the derived cell id participates in
         // change detection (embedding AND payload metadata). Row presence is
         // judged by the payload struct, NOT the cid — a null embedding gets
@@ -201,46 +233,55 @@ private[graft] object AnnStore {
         val newSide = neu
           .select(col("vec_id"), struct(payload.toSeq: _*).as("new_payload"),
             col("cid").cast("int").as("new_cid"))
-        val j = oldSide.join(newSide, Seq("vec_id"), "full_outer").cache()
-        try {
-          val added = j.filter(col("old_payload").isNull)
-          val removed = j.filter(col("new_payload").isNull)
-          val changed = j.filter(col("old_payload").isNotNull && col("new_payload").isNotNull &&
-            !(col("old_payload") <=> col("new_payload")))
-          val nA = added.count(); val nC = changed.count(); val nR = removed.count()
-          val nOld = j.filter(col("old_payload").isNotNull).count()
+        val j = oldSide.join(newSide, Seq("vec_id"), "full_outer")
+        val isAdded = col("old_payload").isNull
+        val isRemoved = col("new_payload").isNull
+        val isChanged = col("old_payload").isNotNull && col("new_payload").isNotNull &&
+          !(col("old_payload") <=> col("new_payload"))
+        def cnt(c: Column) = coalesce(sum(when(c, 1L)), lit(0L))
+        // ONE aggregation job over the (uncached) diff join computes every
+        // dispatch stat AND the affected cell-id sets; the collect_sets are
+        // bounded by the number of cells (≤ k), never by the corpus.
+        val s = j.agg(
+          cnt(isAdded).as("n_added"),
+          cnt(isChanged).as("n_changed"),
+          cnt(isRemoved).as("n_removed"),
+          cnt(col("old_payload").isNotNull).as("n_old"),
           // a dirty row without a cell (null embedding → null cid) has no
           // partition to rewrite surgically — degenerate, cold-rebuild
-          val nNullCell = added.filter(col("new_cid").isNull).count() +
-            removed.filter(col("old_cid").isNull).count() +
-            changed.filter(col("old_cid").isNull || col("new_cid").isNull).count()
-          if (nA + nC + nR == 0) {
-            // data identical; only the corpus files moved (e.g. a rewrite of
-            // the same rows) — stamp the new fingerprint, touch no data
-            writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
-            stats("restamp", 0, 0, 0, 0)
-          } else if (nNullCell > 0) {
-            fullBuild(); stats("full_nullcell", nA, nC, nR, -1)
-          } else if (nA + nC + nR > driftBound * math.max(nOld, 1L)) {
-            fullBuild(); stats("full_drift", nA, nC, nR, -1)
-          } else {
-            // bounded collect: distinct cell ids, ≤ k rows
-            val affected = added.select(col("new_cid").as("c"))
-              .unionAll(changed.select(col("new_cid").as("c")))
-              .unionAll(changed.select(col("old_cid").as("c")))
-              .unionAll(removed.select(col("old_cid").as("c")))
-              .distinct().collect().map(_.getInt(0)).toSeq.sorted
-            // rewrite rows come out of the CACHED diff join, not a second
-            // scan+assignment pass over the corpus
-            val payloadNames = neu.columns.filterNot(_ == "cid")
-            val rows = j.filter(col("new_cid").isin(affected: _*))
-              .select(payloadNames.map(n => col(s"new_payload.$n").as(n)) :+
-                col("new_cid").as("cid"): _*)
-            rewrite(affected, rows)
-            writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
-            stats("incremental", nA, nC, nR, affected.length.toLong)
-          }
-        } finally { j.unpersist(); () }
+          cnt((isAdded && col("new_cid").isNull) ||
+            (isRemoved && col("old_cid").isNull) ||
+            (isChanged && (col("old_cid").isNull || col("new_cid").isNull))).as("n_nullcell"),
+          collect_set(when(isAdded || isChanged, col("new_cid"))).as("new_cells"),
+          collect_set(when(isRemoved || isChanged, col("old_cid"))).as("old_cells")
+        ).head()
+        val nA = s.getLong(0); val nC = s.getLong(1); val nR = s.getLong(2)
+        val nOld = s.getLong(3); val nNullCell = s.getLong(4)
+        if (nA + nC + nR == 0) {
+          // data identical; only the corpus files moved (e.g. a rewrite of
+          // the same rows) — stamp the new fingerprint, touch no data
+          writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
+          stats("restamp", 0, 0, 0, 0)
+        } else if (nNullCell > 0) {
+          fullBuild(); stats("full_nullcell", nA, nC, nR, -1)
+        } else if (nA + nC + nR > driftBound * math.max(nOld, 1L)) {
+          fullBuild(); stats("full_drift", nA, nC, nR, -1)
+        } else {
+          val affected = (s.getSeq[Int](5) ++ s.getSeq[Int](6)).distinct.sorted
+          val payloadNames = neu.columns.filterNot(_ == "cid")
+          // the diff join's SECOND (and last) execution, pruned to the
+          // affected cells, materialized eagerly BEFORE any rewrite delete:
+          // the lineage roots in the stored parquet files the rewrite is
+          // about to delete (the hazard Graft.incrementalUpdate documents);
+          // releasingPinned frees the blocks once the rewrite lands.
+          val rows = j.filter(col("new_cid").isin(affected: _*))
+            .select(payloadNames.map(n => col(s"new_payload.$n").as(n)) :+
+              col("new_cid").as("cid"): _*)
+            .localCheckpoint()
+          rewrite(affected, rows)
+          writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
+          stats("incremental", nA, nC, nR, affected.length.toLong)
+        }
     }
   }
 

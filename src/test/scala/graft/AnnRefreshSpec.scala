@@ -252,6 +252,107 @@ class AnnRefreshSpec extends SparkSpecBase {
     }
   }
 
+  test("flat PQ refresh: hash buckets give the codes table a rewrite unit") {
+    import graft.operators.AnnPq
+    VecExprs.register(spark)
+    val dir = copyCorpus()
+    val idx = Files.createTempDirectory("graft_refr_pq").toString + "/idx"
+    AnnPq.ensurePqIndex(spark, dir, idx)
+    val beforeC = cellFingerprints(idx, "/codes")
+    val beforeV = cellFingerprints(idx, "/vectors")
+    // bucket = pmod(vec_id, 16): remove 7 (bucket 7), scale 23 (bucket 7),
+    // copy 40 → vec_id 1000040 (bucket 8) — exactly two affected buckets
+    mutateOneCell(dir, Seq(7L, 23L, 40L))
+    val stats = AnnPq.refreshPqIndex(spark, dir, idx).head()
+    assert(stats.getAs[String]("mode") == "incremental")
+    assert(stats.getAs[Long]("n_added") == 1 && stats.getAs[Long]("n_changed") == 1 &&
+      stats.getAs[Long]("n_removed") == 1)
+    assert(stats.getAs[Long]("n_cells_rewritten") == 2)
+    // vectors table == the new corpus under the bucket rule
+    val expectedV = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(16)).cast("int").as("cid"))
+    val v = spark.read.parquet(idx + "/vectors")
+    assert(v.exceptAll(expectedV).count() == 0 && expectedV.exceptAll(v).count() == 0)
+    // codes table == PINNED-books encoding of the new corpus (no retrain)
+    val books = AnnPq.readBooks(spark, idx)
+    val sd = books.head.head.length
+    val codeCols = books.indices.map(j =>
+      VecExprs.centroidAssign(slice(col("emb"), j * sd + 1, sd), books(j),
+        useCosine = false).as(s"c$j"))
+    val expectedC = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id") +: codeCols :+
+        pmod(col("vec_id"), lit(16)).cast("int").as("cid"): _*)
+    val c = spark.read.parquet(idx + "/codes")
+    assert(c.exceptAll(expectedC).count() == 0 && expectedC.exceptAll(c).count() == 0)
+    // only buckets 7 and 8 were rewritten; the other 14 are byte-identical
+    val afterC = cellFingerprints(idx, "/codes")
+    val afterV = cellFingerprints(idx, "/vectors")
+    for ((b, fp) <- beforeC if b != 7 && b != 8) assert(afterC(b) == fp, s"codes bucket $b rewritten")
+    for ((b, fp) <- beforeV if b != 7 && b != 8) assert(afterV(b) == fp, s"vectors bucket $b rewritten")
+    assert(afterC(7) != beforeC(7) && afterC(8) != beforeC(8))
+    // serving from the refreshed store still exact-reranks to true scores
+    val r = AnnPq.annPqServed(spark, idx)
+    val bruteAll = graft.operators.RagSearch.annTopKBatch(spark, dir, nQueries = 10, k = 2000)
+      .select("query_id", "vec_id", "score")
+    assert(r.select("query_id", "vec_id", "score").except(bruteAll).count() == 0)
+    // and the gate agrees the refreshed store is current
+    val stamp = fs.getFileStatus(new Path(idx, AnnStore.ManifestFile)).getModificationTime
+    AnnPq.ensurePqIndex(spark, dir, idx)
+    assert(fs.getFileStatus(new Path(idx, AnnStore.ManifestFile)).getModificationTime == stamp)
+  }
+
+  test("build + refresh release every pinned block (no executor-storage leak)") {
+    import graft.operators.{AnnIvfPq, AnnPq}
+    val dir = copyCorpus()
+    val root = Files.createTempDirectory("graft_refr_pin").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    AnnIvfPq.ensureIvfPqIndex(spark, dir, root + "/ivfpq")
+    AnnGraph.ensureGraphIndex(spark, dir, root + "/graph")
+    AnnPq.ensurePqIndex(spark, dir, root + "/pq")
+    val centroids = AnnStore.readCentroids(spark, root + "/ivfpq")
+    val (_, ids) = pickCellIds(dir, centroids)
+    mutateOneCell(dir, ids)
+    assert(AnnIvfPq.refreshIvfPqIndex(spark, dir, root + "/ivfpq")
+      .head().getAs[String]("mode") == "incremental")
+    assert(AnnGraph.refreshGraphIndex(spark, dir, root + "/graph")
+      .head().getAs[String]("mode") == "incremental")
+    assert(AnnPq.refreshPqIndex(spark, dir, root + "/pq")
+      .head().getAs[String]("mode") == "incremental")
+    // every localCheckpoint block the builds and refreshes pinned is gone —
+    // a long-lived session can maintain many indexes without accumulating
+    // corpus-sized blocks in executor storage
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "index maintenance must not pin blocks past its own run")
+  }
+
+  test("refresh stats are ONE aggregation job, not a count per stat (receipt)") {
+    val dir = copyCorpus()
+    val idx = Files.createTempDirectory("graft_refr_jobs").toString + "/idx"
+    AnnIvf.ensureIvfIndex(spark, dir, idx)
+    // regenerate the same rows: fingerprint moves, data identical — the
+    // refresh runs the full diff/stats path but rewrites nothing (restamp),
+    // isolating exactly the stats cost
+    swapIn(dir, spark.read.parquet(dir + "/embeddings.parquet"))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(AnnIvf.refreshIvfIndex(spark, dir, idx).head()
+        .getAs[String]("mode") == "restamp")
+      Thread.sleep(1500) // listener bus is async; let it drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // budget: stored-centroid read + the single stats aggregation (AQE may
+    // stage the join as a handful of jobs). The pre-fix shape — seven
+    // count() actions over a cached corpus-sized diff — measured 20+ jobs
+    // on this same path; 10 is a loose ceiling that still proves one pass.
+    assert(jobs <= 10, s"stats path ran $jobs jobs — expected a single aggregation pass")
+  }
+
   test("crash mid-refresh (pre-stamp) costs a rebuild, never a stale serve") {
     val dir = copyCorpus()
     val idx = Files.createTempDirectory("graft_refr_crash").toString + "/idx"
