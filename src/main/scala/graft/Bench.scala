@@ -35,19 +35,31 @@ object Bench {
     // be attributed to code vs environmental drift — a large spread means
     // the host was noisy and the min is the only trustworthy sample.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // noise guard: when all reps of one query land in a noisy host window
+    // even min-of-N lies (a 4× environmental outlier once shipped as the
+    // round's number). If the relative spread exceeds NoisySpread, take one
+    // extra sample; a query still past the threshold after that is carried
+    // in a "noisy" list ON THE CONTRACT LINE so no consumer can mistake its
+    // number for a code regression.
+    val NoisySpread = 0.5
+    def spreadOf(samples: Seq[Double], median: Double): Double =
+      if (median > 0) (samples.last - samples.head) / median else 0.0
+    def medianOf(samples: Seq[Double]): Double =
+      if (samples.length % 2 == 1) samples(samples.length / 2)
+      else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (!coldOnly)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val samples = (1 to reps).map { _ =>
+      def sample(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val median =
-        if (samples.length % 2 == 1) samples(samples.length / 2)
-        else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
-      val spread = if (median > 0) (samples.last - samples.head) / median else 0.0
-      (name, samples.head, median, spread)
+      }
+      var samples = (1 to reps).map(_ => sample()).sorted
+      if (reps > 1 && spreadOf(samples, medianOf(samples)) > NoisySpread)
+        samples = (samples :+ sample()).sorted
+      val median = medianOf(samples)
+      (name, samples.head, median, spreadOf(samples, median))
     }
     def obj(f: ((String, Double, Double, Double)) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
@@ -55,12 +67,15 @@ object Bench {
     val qs = obj(r => r._1 -> r._2)
     val med = obj(r => r._1 -> r._3)
     val spr = obj(r => r._1 -> BigDecimal(r._4).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val noisy = results.filter(_._4 > NoisySpread).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Diagnostics line first (medians + relative spread), then the compact
     // driver contract line LAST — the driver tail-captures the final line and
-    // its window is finite, so the contract line must stay small (~2 KB).
+    // its window is finite, so the contract line must stay small (~2.5 KB;
+    // "noisy" is normally [] and bounded by the flagged names only).
     println(s"""{"metric":"detail","reps":$reps,"queries_median":$med,"queries_spread":$spr,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"noisy":$noisy,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,7 +132,12 @@ class Graft(spark: SparkSession, sfDir: String,
     // own k (its manifest), not a caller default. No index → no work; the
     // first ragQueryAnn builds one cold through its ensure gate.
     val (annMode, annCells) =
-      operators.AnnStore.readManifest(spark, chunkAnnPath) match {
+      operators.AnnStore.readManifest(spark, chunkAnnPath)
+        // same kind guard as ragQueryAnn: a foreign manifest at this path
+        // must not feed a meaningless k into the refresh — treat it as
+        // absent (the next ragQueryAnn's ensure gate rebuilds through
+        // full_params anyway, but never with a borrowed parameter)
+        .filter(m => operators.AnnStore.paramsOf(m).contains("\"kind\":\"chunk_ivf\"")) match {
         case None => ("absent", -1L)
         case Some(stored) =>
           val k = operators.AnnStore.manifestInt(stored, "k").getOrElse(16)
@@ -201,32 +206,51 @@ class Graft(spark: SparkSession, sfDir: String,
     * [[servingIndex]], which predates any reindex by design. The two are
     * therefore fresh on different clocks — documented, not accidental.
     */
-  def ragQueryAnn(query: String, topK: Int = 5, nprobe: Int = 2): DataFrame = {
+  def ragQueryAnn(query: String, topK: Int = 5, nprobe: Int = 2): DataFrame =
+    ragQueryAnnBatch(Seq(query), topK, nprobe).drop("query_id")
+
+  /** The batched twin of [[ragQueryAnn]]: ONE probe job serves the whole
+    * query batch instead of one per call — the per-serve fixed costs
+    * (centroid read, probe selection, pruned scan setup) amortize across
+    * the batch, and the pruned cell read is the UNION of every query's
+    * probes, read once. Results carry `query_id` = the query's position in
+    * `queries`; within a query the rows are [[ragQueryAnn]]'s exact rows
+    * (spec-asserted). The reference serves one query per MCP call
+    * (reference: src/index.ts:265); batching is the cluster-side surface a
+    * training pipeline actually calls.
+    */
+  def ragQueryAnnBatch(queries: Seq[String], topK: Int = 5,
+                       nprobe: Int = 2): DataFrame = {
     import spark.implicits._
+    require(queries.nonEmpty, "ragQueryAnnBatch: empty query batch")
     // honor an existing index's own k (like reindexDirectory's refresh) —
     // a caller who built at k=32 must not get a silent k=16 rebuild here
     val k = operators.AnnStore.readManifest(spark, chunkAnnPath)
       .filter(m => operators.AnnStore.paramsOf(m).contains("\"kind\":\"chunk_ivf\""))
       .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(16)
     val path = ensureChunkAnnIndex(k)
-    val qv = HashEmbedAlg.embed(query, dim)
-    val queries = Seq(0L).toDF("query_id")
-      .select(col("query_id"), array(qv.map(lit): _*).as("qv"))
-    // one bounded execution of the probe search (≤ topK rows collect)
-    val hits = operators.AnnIvf.annIvfServedOver(spark, path, queries,
+    // embed driver-side with the executors' exact algorithm, ship as a
+    // bounded literal frame (nQueries rows) — the corpus side never collects
+    val qFrame = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, HashEmbedAlg.embed(q, dim).toSeq) }
+      .toDF("query_id", "qv")
+    // one bounded execution of the probe search (≤ nQueries×topK rows)
+    val hits = operators.AnnIvf.annIvfServedOver(spark, path, qFrame,
       Graft.clampTopK(topK), nprobe)
-      .select(col("vec_id"), col("cid"), col("score")).collect()
+      .select(col("query_id"), col("vec_id"), col("cid"), col("score")).collect()
     val cids = hits.map(_.getAs[Int]("cid")).distinct.toSeq
-    val hitScores = hits.map(r => (r.getLong(0), r.getDouble(2))).toSeq
-      .toDF("vec_id", "score")
+    val hitScores = hits.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+      .toDF("query_id", "vec_id", "score")
     // metadata comes from the SAME pruned cells the probe read — no
-    // corpus re-chunk, no full index scan
+    // corpus re-chunk, no full index scan; the ≤ nQueries×topK hit frame
+    // broadcasts against the pruned cells
     operators.AnnIvf.probeCells(spark, path, cids)
       .join(broadcast(hitScores), "vec_id")
-      .select(col("doc_id"), col("chunk_idx"), col("score"),
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"), col("score"),
         substring(col("chunk_text"), 1, 120).as("snippet"),
         col("token_count").as("total_tokens"), col("file_size"))
-      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .orderBy(col("query_id").asc, col("score").desc,
+        col("doc_id").asc, col("chunk_idx").asc)
   }
 
   /** Semantic search for a free-text query: embed driver-side, broadcast the

@@ -257,6 +257,20 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(meanRecall >= 0.6, s"facade ANN recall=$meanRecall vs brute ragQuery")
   }
 
+  test("ragQueryAnnBatch: per-query rows identical to single-query ragQueryAnn") {
+    val queries = Seq(g.readFile(7, 1, 12), g.readFile(11, 1, 12),
+      "columnar parquet dictionary compression")
+    val batch = g.ragQueryAnnBatch(queries, topK = 3, nprobe = 2).collect()
+    assert(batch.map(_.getAs[Long]("query_id")).distinct.sorted
+      .sameElements(Array(0L, 1L, 2L)), "every query in the batch must produce rows")
+    for ((q, i) <- queries.zipWithIndex) {
+      val single = g.ragQueryAnn(q, topK = 3, nprobe = 2).collect().map(_.toSeq).toSeq
+      val slice = batch.filter(_.getAs[Long]("query_id") == i.toLong)
+        .map(_.toSeq.drop(1)).toSeq // drop query_id; remaining shape matches
+      assert(slice == single, s"batch rows for query $i differ from per-query serving")
+    }
+  }
+
   test("IndexStore round-trips and rejects mismatched metadata") {
     val dir = Files.createTempDirectory("graft_store").toString
     val meta = IndexStore.Meta(IndexStore.Version, 100, 20, g.modelName)
