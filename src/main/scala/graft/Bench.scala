@@ -56,12 +56,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       var samples = (1 to reps).map(_ => sample()).sorted
-      if (reps > 1 && spreadOf(samples, medianOf(samples)) > NoisySpread)
-        samples = (samples :+ sample()).sorted
+      val retried = reps > 1 && spreadOf(samples, medianOf(samples)) > NoisySpread
+      if (retried) samples = (samples :+ sample()).sorted
       val median = medianOf(samples)
-      (name, samples.head, median, spreadOf(samples, median))
+      (name, samples.head, median, spreadOf(samples, median), retried)
     }
-    def obj(f: ((String, Double, Double, Double)) => (String, Double)): String =
+    def obj(f: ((String, Double, Double, Double, Boolean)) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val qs = obj(r => r._1 -> r._2)
@@ -69,12 +69,16 @@ object Bench {
     val spr = obj(r => r._1 -> BigDecimal(r._4).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val noisy = results.filter(_._4 > NoisySpread).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
+    // retried queries' stats come from reps+1 samples — named on the detail
+    // line so a cross-round median comparison knows the sample count moved
+    val retriedNames = results.filter(_._5).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Diagnostics line first (medians + relative spread), then the compact
     // driver contract line LAST — the driver tail-captures the final line and
     // its window is finite, so the contract line must stay small (~2.5 KB;
     // "noisy" is normally [] and bounded by the flagged names only).
-    println(s"""{"metric":"detail","reps":$reps,"queries_median":$med,"queries_spread":$spr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","reps":$reps,"retried":$retriedNames,"queries_median":$med,"queries_spread":$spr,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"noisy":$noisy,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -132,12 +132,7 @@ class Graft(spark: SparkSession, sfDir: String,
     // own k (its manifest), not a caller default. No index → no work; the
     // first ragQueryAnn builds one cold through its ensure gate.
     val (annMode, annCells) =
-      operators.AnnStore.readManifest(spark, chunkAnnPath)
-        // same kind guard as ragQueryAnn: a foreign manifest at this path
-        // must not feed a meaningless k into the refresh — treat it as
-        // absent (the next ragQueryAnn's ensure gate rebuilds through
-        // full_params anyway, but never with a borrowed parameter)
-        .filter(m => operators.AnnStore.paramsOf(m).contains("\"kind\":\"chunk_ivf\"")) match {
+      storedChunkAnnManifest match {
         case None => ("absent", -1L)
         case Some(stored) =>
           val k = operators.AnnStore.manifestInt(stored, "k").getOrElse(16)
@@ -153,6 +148,16 @@ class Graft(spark: SparkSession, sfDir: String,
 
   /** Dir-keyed location of the facade's chunk-embedding ANN index. */
   def chunkAnnPath: String = operators.AnnStore.defaultPath("chunkann", sfDir)
+
+  /** The stored manifest at [[chunkAnnPath]], iff it really describes a
+    * chunk-ANN index — the single gatekeeper for trusting stored build
+    * params (a foreign manifest at the path reads as absent, so its k can
+    * never be borrowed).
+    */
+  private def storedChunkAnnManifest: Option[String] =
+    operators.AnnStore.readManifest(spark, chunkAnnPath)
+      .filter(m => operators.AnnStore.paramsOf(m)
+        .contains("\"kind\":\"" + Graft.ChunkIndexKind + "\""))
 
   /** The chunk store as an ANN corpus frame: a stable 64-bit vec_id
     * (xxhash64 of (doc_id, chunk_idx) — doc_id is itself a 63-bit path
@@ -171,7 +176,7 @@ class Graft(spark: SparkSession, sfDir: String,
     * chunk derives from).
     */
   private def chunkAnnManifest(k: Int): String =
-    operators.AnnStore.manifest("chunk_ivf",
+    operators.AnnStore.manifest(Graft.ChunkIndexKind,
       Seq("k" -> k, "chunkSize" -> chunkSize, "chunkOverlap" -> chunkOverlap,
         "model" -> modelName),
       operators.AnnStore.pathFingerprint(spark,
@@ -220,13 +225,17 @@ class Graft(spark: SparkSession, sfDir: String,
     * training pipeline actually calls.
     */
   def ragQueryAnnBatch(queries: Seq[String], topK: Int = 5,
-                       nprobe: Int = 2): DataFrame = {
+                       nprobe: Int = 2): DataFrame = operators.AnnStore.releasingPinned(spark) {
+    // the scope releases the probe search's tracked checkpoint once the
+    // bounded hits collect below has consumed it — without it every batch
+    // call leaks one pinned block for the session's lifetime. The returned
+    // frame roots in the parquet probe read + a local hit list, never in
+    // the released checkpoint.
     import spark.implicits._
     require(queries.nonEmpty, "ragQueryAnnBatch: empty query batch")
     // honor an existing index's own k (like reindexDirectory's refresh) —
     // a caller who built at k=32 must not get a silent k=16 rebuild here
-    val k = operators.AnnStore.readManifest(spark, chunkAnnPath)
-      .filter(m => operators.AnnStore.paramsOf(m).contains("\"kind\":\"chunk_ivf\""))
+    val k = storedChunkAnnManifest
       .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(16)
     val path = ensureChunkAnnIndex(k)
     // embed driver-side with the executors' exact algorithm, ship as a
@@ -357,6 +366,11 @@ object Graft {
 
   /** The reference's RAG_QUERY_MAX_RESULTS (reference: src/index.ts:62). */
   val MaxTopK = 50
+
+  /** Manifest `kind` of the facade's chunk-ANN index — the one place the
+    * literal lives (manifest stamp AND the stored-manifest guard).
+    */
+  private[graft] val ChunkIndexKind = "chunk_ivf"
 
   /** Clamp a requested top_k to [1, MaxTopK] — the reference's rag_query
     * guard (reference: src/index.ts:269).

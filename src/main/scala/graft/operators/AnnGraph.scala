@@ -192,7 +192,7 @@ object AnnGraph {
     // releasingPinned: the build's localCheckpoint blocks (assignment +
     // edges) are corpus-sized and dead once the staged write lands
     AnnStore.releasingPinned(spark) {
-      val assigned = assignOver(e, centroids).localCheckpoint()
+      val assigned = AnnStore.trackedCheckpoint(assignOver(e, centroids))
       // freshness manifest + staged swap (AnnStore): the live index keeps
       // serving until the atomic rename, and a manifest mismatch (params OR
       // corpus fingerprint) forces the cold rebuild — the reference's
@@ -207,7 +207,7 @@ object AnnGraph {
                                             assigned: DataFrame,
                                             centroids: Array[Array[Double]],
                                             degree: Int): Unit = {
-    val edges = buildGraphOver(assigned, degree).localCheckpoint()
+    val edges = AnnStore.trackedCheckpoint(buildGraphOver(assigned, degree))
     edges.write.partitionBy("cid").parquet(dir + "/edges")
     vectorsWithNbrs(assigned, edges)
       .write.partitionBy("cid").parquet(dir + "/vectors")
@@ -243,7 +243,7 @@ object AnnGraph {
         // rows arrive materialized (dispatch localCheckpoint); edges are
         // checkpointed because they're executed twice (edge write + the
         // adjacency embed) — releasingPinned frees both after the rewrite
-        val edges = buildGraphOver(rows, degree).localCheckpoint()
+        val edges = AnnStore.trackedCheckpoint(buildGraphOver(rows, degree))
         val fs = AnnStore.fileSystem(spark, path)
         affected.foreach { c =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/edges/cid=$c"), true)

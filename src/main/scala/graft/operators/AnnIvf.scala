@@ -228,9 +228,13 @@ object AnnIvf {
     VecExprs.register(spark)
     val centroids = AnnStore.readCentroids(spark, indexPath)
     // checkpointed: bounded (nQueries × nprobe) and executed twice (cid
-    // collect + broadcast build) with k-literal scoring in its lineage
-    val q = probeListOver(queries.select(col("query_id"), col("qv")), centroids, nprobe)
-      .localCheckpoint()
+    // collect + broadcast build) with k-literal scoring in its lineage.
+    // Tracked: a caller that fully consumes the result inside a
+    // releasingPinned scope (the facade's batch serve) releases this block
+    // instead of leaking one pin per call; standalone calls are unscoped
+    // and keep the bounded pin for the result's lifetime, as before.
+    val q = AnnStore.trackedCheckpoint(
+      probeListOver(queries.select(col("query_id"), col("qv")), centroids, nprobe))
     // bounded collect: the probe lists only (cell ids, not vectors)
     val cids = q.select("probe_cid").distinct().collect().map(_.getInt(0)).toSeq
     val cands = probeCells(spark, indexPath, cids)

@@ -83,10 +83,10 @@ object AnnIvfPq {
       .select(col("vec_id"), col("embedding"),
         VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
           useCosine = true).as("cid"))
-    val withRes = e.join(broadcast(centroidFrame(spark, centroids)), "cid")
+    val withRes0 = e.join(broadcast(centroidFrame(spark, centroids)), "cid")
       .withColumn("res",
         zip_with(col("embedding").cast("array<double>"), col("centroid"), (a, b) => a - b))
-      .localCheckpoint() // feeds training (driver loop) AND both table writes
+    val withRes = AnnStore.trackedCheckpoint(withRes0) // feeds training AND both table writes
     val books = AnnPq.trainAll(
       withRes.select(col("vec_id"), col("res").as("emb")), m, sd, ks, iters)
     AnnStore.writeStaged(spark, path, manifest) { staging =>

@@ -138,22 +138,52 @@ private[graft] object AnnStore {
   def paramsOf(manifest: String): String =
     manifest.replaceAll(""""fingerprint":"[^"]*"""", """"fingerprint":""")
 
-  /** Run `body`; afterwards unpersist every RDD it newly pinned (the
-    * `localCheckpoint` blocks build/rewrite paths use to flatten lineage,
-    * plus any stray cache). Build and refresh fully materialize their
-    * outputs to parquet before returning, so nothing they pinned is needed
-    * afterwards — without this, a long-lived session that builds and
-    * refreshes several indexes accumulates corpus-sized blocks in executor
-    * storage for its whole lifetime. NOT for serving paths: a served
-    * result's lineage may root in a checkpointed frame until the caller
-    * consumes it, and releasing those blocks early would lose the data
-    * (localCheckpoint truncates the lineage that could recompute it).
+  /** The release scope for [[trackedCheckpoint]] pins, per thread — a
+    * context-wide getPersistentRDDs diff would also sweep up pins a
+    * CONCURRENT reader created inside the window (a serving call's
+    * checkpointed probe frame, a facade cache), and unpersisting a foreign
+    * localCheckpoint is data loss, not a recompute (the lineage is
+    * truncated). Thread-locality matches the single-writer operating model:
+    * maintenance owns its thread; readers on other threads are invisible
+    * to it.
+    */
+  private val pinScope =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]
+
+  /** `df.localCheckpoint()` that registers the pinned RDD with the current
+    * thread's [[releasingPinned]] scope (no-op outside one). Eager — the
+    * frame is fully materialized when this returns.
+    */
+  private[graft] def trackedCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    val scope = pinScope.get()
+    if (scope != null)
+      cp.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(scope += _)
+    cp
+  }
+
+  /** Run `body`; afterwards unpersist every [[trackedCheckpoint]] block it
+    * pinned. Build and refresh fully materialize their outputs to parquet
+    * before returning, so nothing they pinned is needed afterwards —
+    * without this, a long-lived session that builds and refreshes several
+    * indexes accumulates corpus-sized blocks in executor storage for its
+    * whole lifetime. Contract: only wrap code that fully CONSUMES every
+    * result derived from its tracked checkpoints before the scope closes —
+    * a lazy frame rooted in a tracked checkpoint and returned to the
+    * caller would lose its data (localCheckpoint truncates the lineage
+    * that could recompute it). Untracked pins — a concurrent serving
+    * call's checkpoint, a facade cache — are never touched.
     */
   private[graft] def releasingPinned[T](spark: SparkSession)(body: => T): T = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val outer = pinScope.get()
+    val scope = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    pinScope.set(scope)
     try body
-    finally spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    finally {
+      pinScope.set(outer)
+      scope.foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -274,10 +304,10 @@ private[graft] object AnnStore {
           // the lineage roots in the stored parquet files the rewrite is
           // about to delete (the hazard Graft.incrementalUpdate documents);
           // releasingPinned frees the blocks once the rewrite lands.
-          val rows = j.filter(col("new_cid").isin(affected: _*))
-            .select(payloadNames.map(n => col(s"new_payload.$n").as(n)) :+
-              col("new_cid").as("cid"): _*)
-            .localCheckpoint()
+          val rows = trackedCheckpoint(
+            j.filter(col("new_cid").isin(affected: _*))
+              .select(payloadNames.map(n => col(s"new_payload.$n").as(n)) :+
+                col("new_cid").as("cid"): _*))
           rewrite(affected, rows)
           writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
           stats("incremental", nA, nC, nR, affected.length.toLong)
