@@ -85,12 +85,20 @@ class Graft(spark: SparkSession, sfDir: String,
         val reindexed = embedFrom(Chunker.indexBuildFrom(
           cur.join(broadcast(dirtyIds), Seq("doc_id"), "left_semi"), chunkSize, chunkOverlap))
         val merged = kept.unionByName(reindexed)
-        // take every count BEFORE save(): the diff/kept lineage is rooted in
-        // the old store files, which save() replaces — recomputing a dropped
-        // cache partition afterwards would read deleted parquet
-        val nAdded = addedIds.count(); val nChanged = changedIds.count()
-        val nRemoved = removedIds.count()
-        val nUnchanged = joined.filter(col("file_size") === col("n_chars")).count()
+        // ONE aggregation for all four stats (the AnnStore.refreshIndex
+        // pattern — a count() per stat re-executes the diff per action),
+        // taken BEFORE save(): the diff/kept lineage is rooted in the old
+        // store files, which save() replaces — recomputing a dropped cache
+        // partition afterwards would read deleted parquet
+        def cnt(c: org.apache.spark.sql.Column) = coalesce(sum(when(c, 1L)), lit(0L))
+        val s = joined.agg(
+          cnt(col("file_size").isNull).as("n_added"),
+          cnt(col("n_chars").isNotNull && col("file_size").isNotNull &&
+            col("file_size") =!= col("n_chars")).as("n_changed"),
+          cnt(col("n_chars").isNull).as("n_removed"),
+          cnt(col("file_size") === col("n_chars")).as("n_unchanged")).head()
+        val nAdded = s.getLong(0); val nChanged = s.getLong(1)
+        val nRemoved = s.getLong(2); val nUnchanged = s.getLong(3)
         IndexStore.save(merged, storePath, meta)
         // count the STORE, not the merge DAG: counting `merged` would re-run
         // the whole diff+chunk+embed pipeline, while count() over the saved
@@ -131,33 +139,56 @@ class Graft(spark: SparkSession, sfDir: String,
     // store — stored centroids, affected cells only — honoring the index's
     // own k (its manifest), not a caller default. No index → no work; the
     // first ragQueryAnn builds one cold through its ensure gate.
+    lazy val newE = chunkVectors(IndexStore.load(spark, storePath, meta).getOrElse(
+      throw new IllegalStateException("chunk store unreadable after incrementalUpdate")))
     val (annMode, annCells) =
       storedChunkAnnManifest match {
         case None => ("absent", -1L)
         case Some(stored) =>
           val k = operators.AnnStore.manifestInt(stored, "k").getOrElse(16)
-          val newE = chunkVectors(IndexStore.load(spark, storePath, meta).getOrElse(
-            throw new IllegalStateException("chunk store unreadable after incrementalUpdate")))
           val r = operators.AnnIvf.refreshIndexOver(
             spark, chunkAnnPath, newE, chunkAnnManifest(k)).head()
           (r.getAs[String]("mode"), r.getAs[Long]("n_cells_rewritten"))
       }
+    // the chunk-GRAPH index (if one was ever built) rides the same
+    // keep-it-live contract — stored k/degree honored from its manifest
+    val (gMode, gCells) =
+      storedChunkGraphManifest match {
+        case None => ("absent", -1L)
+        case Some(stored) =>
+          val k = operators.AnnStore.manifestInt(stored, "k").getOrElse(16)
+          val degree = operators.AnnStore.manifestInt(stored, "degree").getOrElse(8)
+          val r = operators.AnnGraph.refreshGraphIndexOver(
+            spark, chunkGraphPath, newE, chunkGraphManifest(k, degree)).head()
+          (r.getAs[String]("mode"), r.getAs[Long]("n_cells_rewritten"))
+      }
     stats.withColumn("ann_mode", lit(annMode))
       .withColumn("ann_cells_rewritten", lit(annCells))
+      .withColumn("ann_graph_mode", lit(gMode))
+      .withColumn("ann_graph_cells_rewritten", lit(gCells))
   }
 
   /** Dir-keyed location of the facade's chunk-embedding ANN index. */
   def chunkAnnPath: String = operators.AnnStore.defaultPath("chunkann", sfDir)
 
-  /** The stored manifest at [[chunkAnnPath]], iff it really describes a
-    * chunk-ANN index — the single gatekeeper for trusting stored build
-    * params (a foreign manifest at the path reads as absent, so its k can
+  /** Dir-keyed location of the facade's chunk-embedding GRAPH index. */
+  def chunkGraphPath: String = operators.AnnStore.defaultPath("chunkgraph", sfDir)
+
+  /** The stored manifest at `path`, iff it really describes an index of
+    * `kind` — the single gatekeeper for trusting stored build params (a
+    * foreign manifest at the path reads as absent, so its k/degree can
     * never be borrowed).
     */
-  private def storedChunkAnnManifest: Option[String] =
-    operators.AnnStore.readManifest(spark, chunkAnnPath)
+  private def storedManifest(path: String, kind: String): Option[String] =
+    operators.AnnStore.readManifest(spark, path)
       .filter(m => operators.AnnStore.paramsOf(m)
-        .contains("\"kind\":\"" + Graft.ChunkIndexKind + "\""))
+        .contains("\"kind\":\"" + kind + "\""))
+
+  private def storedChunkAnnManifest: Option[String] =
+    storedManifest(chunkAnnPath, Graft.ChunkIndexKind)
+
+  private def storedChunkGraphManifest: Option[String] =
+    storedManifest(chunkGraphPath, Graft.ChunkGraphKind)
 
   /** The chunk store as an ANN corpus frame: a stable 64-bit vec_id
     * (xxhash64 of (doc_id, chunk_idx) — doc_id is itself a 63-bit path
@@ -192,6 +223,26 @@ class Graft(spark: SparkSession, sfDir: String,
         chunkAnnPath, k, manifest): Unit
     }
     chunkAnnPath
+  }
+
+  /** Chunk-GRAPH freshness manifest — same contract as [[chunkAnnManifest]]
+    * with the graph build's degree riding alongside k.
+    */
+  private def chunkGraphManifest(k: Int, degree: Int): String =
+    operators.AnnStore.manifest(Graft.ChunkGraphKind,
+      Seq("k" -> k, "degree" -> degree, "chunkSize" -> chunkSize,
+        "chunkOverlap" -> chunkOverlap, "model" -> modelName),
+      operators.AnnStore.pathFingerprint(spark,
+        new org.apache.hadoop.fs.Path(sfDir, "documents.parquet").toString))
+
+  /** Build-once gate for the chunk-GRAPH index. Returns the index path. */
+  def ensureChunkGraphIndex(k: Int = 16, degree: Int = 8): String = {
+    val manifest = chunkGraphManifest(k, degree)
+    operators.AnnStore.ensureIndex(spark, chunkGraphPath, manifest) {
+      operators.AnnGraph.writeGraphIndexOver(spark, chunkVectors(buildIndex()),
+        chunkGraphPath, k, degree, manifest)
+    }
+    chunkGraphPath
   }
 
   /** ANN-served semantic search — the sublinear evolution of [[ragQuery]]
@@ -247,13 +298,54 @@ class Graft(spark: SparkSession, sfDir: String,
     val hits = operators.AnnIvf.annIvfServedOver(spark, path, qFrame,
       Graft.clampTopK(topK), nprobe)
       .select(col("query_id"), col("vec_id"), col("cid"), col("score")).collect()
+    chunkHitResults(path, hits)
+  }
+
+  /** The graph-served twin of [[ragQueryAnn]]: beam descent over a
+    * persisted chunk-GRAPH index (AnnGraph's layout — per-cell kNN graphs,
+    * metadata riding the partitioned vectors table). Same result shape;
+    * the recall trade is the graph search's, not IVF's. Kept live by
+    * [[reindexDirectory]] like the IVF chunk index.
+    */
+  def ragQueryAnnGraph(query: String, topK: Int = 5, nprobe: Int = 2): DataFrame =
+    ragQueryAnnGraphBatch(Seq(query), topK, nprobe).drop("query_id")
+
+  /** Batched chunk-graph serving — one pruned cell read + one in-task
+    * descent per query for the whole batch (see [[ragQueryAnnBatch]] for
+    * the batching rationale).
+    */
+  def ragQueryAnnGraphBatch(queries: Seq[String], topK: Int = 5,
+                            nprobe: Int = 2): DataFrame = {
+    require(queries.nonEmpty, "ragQueryAnnGraphBatch: empty query batch")
+    // honor the stored index's own build params, like the IVF path
+    val (k, degree) = storedChunkGraphManifest match {
+      case Some(m) => (operators.AnnStore.manifestInt(m, "k").getOrElse(16),
+        operators.AnnStore.manifestInt(m, "degree").getOrElse(8))
+      case None => (16, 8)
+    }
+    val path = ensureChunkGraphIndex(k, degree)
+    val qRows = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, HashEmbedAlg.embed(q, dim).map(_.toFloat)) }
+      .toArray
+    // bounded: ≤ nQueries×topK hit rows, each carrying its cell id
+    val hits = operators.AnnGraph.annGraphServedOverCells(spark, path, qRows,
+      Graft.clampTopK(topK), nprobe, beam = 32, hops = 2, entriesPerCell = 3)
+      .select(col("query_id"), col("vec_id"), col("cid"), col("score")).collect()
+    chunkHitResults(path, hits)
+  }
+
+  /** Shared tail of the chunk-ANN serving paths: join the bounded hit list
+    * back to its chunks' metadata, read from the SAME pruned cells the
+    * search touched — no corpus re-chunk, no full index scan; the
+    * ≤ nQueries×topK hit frame broadcasts against the pruned cells.
+    */
+  private def chunkHitResults(indexPath: String,
+                              hits: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
     val cids = hits.map(_.getAs[Int]("cid")).distinct.toSeq
-    val hitScores = hits.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
-      .toDF("query_id", "vec_id", "score")
-    // metadata comes from the SAME pruned cells the probe read — no
-    // corpus re-chunk, no full index scan; the ≤ nQueries×topK hit frame
-    // broadcasts against the pruned cells
-    operators.AnnIvf.probeCells(spark, path, cids)
+    val hitScores = hits.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+      r.getAs[Double]("score"))).toSeq.toDF("query_id", "vec_id", "score")
+    operators.AnnIvf.probeCells(spark, indexPath, cids)
       .join(broadcast(hitScores), "vec_id")
       .select(col("query_id"), col("doc_id"), col("chunk_idx"), col("score"),
         substring(col("chunk_text"), 1, 120).as("snippet"),
@@ -367,10 +459,11 @@ object Graft {
   /** The reference's RAG_QUERY_MAX_RESULTS (reference: src/index.ts:62). */
   val MaxTopK = 50
 
-  /** Manifest `kind` of the facade's chunk-ANN index — the one place the
+  /** Manifest `kind` of the facade's chunk-ANN indexes — the one place each
     * literal lives (manifest stamp AND the stored-manifest guard).
     */
   private[graft] val ChunkIndexKind = "chunk_ivf"
+  private[graft] val ChunkGraphKind = "chunk_graph"
 
   /** Clamp a requested top_k to [1, MaxTopK] — the reference's rag_query
     * guard (reference: src/index.ts:269).

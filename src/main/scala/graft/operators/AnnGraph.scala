@@ -39,11 +39,15 @@ object AnnGraph {
     assignOver(Tables.embeddings(spark, sfDir), centroids)
   }
 
-  /** The same assignment over an arbitrary (vec_id, embedding) frame. */
+  /** The same assignment over an arbitrary (vec_id, embedding, payload...)
+    * frame — EVERY column rides into the persisted vectors table (like the
+    * IVF store), so a derived index (e.g. the facade's chunk-graph index)
+    * can serve result metadata straight from the pruned cell read.
+    */
   private def assignOver(e: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    e.select(col("vec_id"), col("embedding"),
+    e.withColumn("cid",
       VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
-        useCosine = true).as("cid"))
+        useCosine = true))
 
   /** Per-cell k-NN edges: for every vector, its `degree` nearest in-cell
     * neighbors by cosine. Returns (cid, src, dst, sim). Scores are rounded
@@ -215,12 +219,15 @@ object AnnGraph {
   }
 
   /** Adjacency embedded in the vector row (rank order: sim desc, dst asc —
-    * same as the edge build) so serving reads ONE pruned table.
+    * same as the edge build) so serving reads ONE pruned table. Payload
+    * columns pass through between the corpus fields and (nbrs, cid).
     */
-  private def vectorsWithNbrs(assigned: DataFrame, edges: DataFrame): DataFrame =
+  private def vectorsWithNbrs(assigned: DataFrame, edges: DataFrame): DataFrame = {
+    val payload = assigned.columns.filterNot(_ == "cid").map(col)
     assigned.join(adjacencyOf(edges), Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("embedding"),
-        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"), col("cid"))
+      .select(payload.toSeq :+
+        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs") :+ col("cid"): _*)
+  }
 
   /** Incremental maintenance of a persisted graph index: keep the STORED
     * centroids, diff the new corpus against the stored vectors on vec_id,
@@ -347,7 +354,7 @@ object AnnGraph {
       // through its out-edges even when unprobed — the join path scores
       // those too); self-exclusion is on because queries ARE corpus rows
       ownCells = qRows.map { case (qid, _, own) => qid -> own }.toMap,
-      topK, nprobe, beam, hops, entriesPerCell, excludeSelf = true)
+      topK, nprobe, beam, hops, entriesPerCell, excludeSelf = true).drop("cid")
   }
 
   /** The production serving shape: beam descent for an arbitrary bounded
@@ -367,9 +374,22 @@ object AnnGraph {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(qRows.map(_._1).distinct.length == qRows.length,
       "annGraphServedOver: duplicate query_id in the query batch")
+    annGraphServedOverCells(spark, indexPath, qRows, topK, nprobe, beam, hops,
+      entriesPerCell).drop("cid")
+  }
+
+  /** [[annGraphServedOver]] with each hit's cell id riding as a `cid`
+    * column — what a metadata-serving consumer (the facade's chunk-graph
+    * search) needs to prune its follow-up read to exactly the hit cells.
+    * Internal: the public serving surfaces keep the (query_id, rank,
+    * vec_id, score) row contract.
+    */
+  private[graft] def annGraphServedOverCells(spark: SparkSession, indexPath: String,
+                                             qRows: Array[(Long, Array[Float])],
+                                             topK: Int, nprobe: Int, beam: Int,
+                                             hops: Int, entriesPerCell: Int): DataFrame =
     servedCore(spark, indexPath, qRows.toMap, ownCells = Map.empty,
       topK, nprobe, beam, hops, entriesPerCell, excludeSelf = false)
-  }
 
   /** Shared serving core: probe selection (driver-side, replicating
     * AnnIvf.probeList's tie order), one partition-pruned read of the
@@ -403,7 +423,11 @@ object AnnGraph {
     val k2 = topK; val b2 = beam; val h2 = hops; val epc = entriesPerCell
     val selfEx = excludeSelf
     vectors.filter(col("cid").isin(cids: _*))
-      .select(col("vec_id"), col("embedding"), col("nbrs"), col("cid"))
+      // cast: the embeddings store is float-typed already (no-op); a
+      // derived index over double-typed vectors (the chunk-graph index)
+      // serves at the descent's float precision — same 4dp score contract
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("nbrs"), col("cid"))
       .as[(Long, Array[Float], Array[Long], Int)]
       .flatMap { case (vid, emb, nbrs, cid) =>
         bcSubs.value(cid).map(qid => (qid, vid, emb, nbrs, cid)) }
@@ -412,7 +436,7 @@ object AnnGraph {
         descentLocal(qid, bcQv.value(qid), bcProbes.value(qid), rows,
           k2, b2, h2, epc, selfEx)
       }
-      .toDF("query_id", "rank", "vec_id", "score")
+      .toDF("query_id", "rank", "vec_id", "score", "cid")
       .orderBy("query_id", "rank")
   }
 
@@ -426,12 +450,13 @@ object AnnGraph {
                            rows: Iterator[(Long, Long, Array[Float], Array[Long], Int)],
                            topK: Int, beam: Int, hops: Int, entriesPerCell: Int,
                            excludeSelf: Boolean)
-      : Iterator[(Long, Long, Long, Double)] = {
+      : Iterator[(Long, Long, Long, Double, Int)] = {
     val emb = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
     val nbrs = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+    val cellOf = scala.collection.mutable.HashMap.empty[Long, Int]
     val byCell = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
     rows.foreach { case (_, vid, e, nb, cid) =>
-      emb(vid) = e; nbrs(vid) = nb
+      emb(vid) = e; nbrs(vid) = nb; cellOf(vid) = cid
       byCell.getOrElseUpdate(cid, scala.collection.mutable.ArrayBuffer.empty) += vid
     }
     val entrySeeds = probed.toSeq.flatMap(c =>
@@ -455,7 +480,7 @@ object AnnGraph {
       frontier = topN(frontier ++ expanded.map(v => (v, score(v))), beam)
     }
     topN(frontier, topK).zipWithIndex.iterator.map { case ((v, s), i) =>
-      (qid, (i + 1).toLong, v, s)
+      (qid, (i + 1).toLong, v, s, cellOf(v))
     }
   }
 

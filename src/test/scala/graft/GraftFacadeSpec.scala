@@ -257,6 +257,64 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(meanRecall >= 0.6, s"facade ANN recall=$meanRecall vs brute ragQuery")
   }
 
+  test("ragQueryAnnGraph: graph-served chunk search, batch delegation, reindex keeps it live") {
+    val root = Files.createTempDirectory("graft_anng_live")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    // 12 docs so a 1-doc mutation stays far under the 30% drift bound
+    Seq(
+      "a.txt" -> "the quick table scan join merges sorted runs of rows",
+      "b.txt" -> "windowed aggregation with watermarks bounds streaming state",
+      "c.txt" -> "columnar parquet encoding with dictionary compression pages",
+      "d.txt" -> "broadcast hash joins avoid shuffling the large fact table",
+      "e.txt" -> "salting hot keys spreads skewed aggregation work evenly",
+      "f.txt" -> "predicate pushdown prunes row groups before any decode",
+      "g.txt" -> "adaptive query execution replans shuffles at runtime",
+      "h.txt" -> "tungsten codegen fuses operators into tight java loops",
+      "i.txt" -> "catalyst rewrites logical plans with rule based passes",
+      "j.txt" -> "bucketed tables co locate join keys across both sides",
+      "k.txt" -> "zebra stripes migrate south during the winter season",
+      "l.txt" -> "checkpointing truncates long lineage chains for recovery"
+    ).foreach { case (n, t) => put(n, t) }
+    val work = Files.createTempDirectory("graft_anng_work").toString
+    val store = Files.createTempDirectory("graft_anng_store").toString + "/store"
+    val g2 = Graft.forDirectory(spark, root.toString, work)
+    // cold reindex: neither chunk index exists yet
+    val cold = g2.reindexDirectory(store).head()
+    assert(cold.getAs[String]("ann_graph_mode") == "absent")
+    // first graph query builds the index through the gate and finds the doc
+    val expectId = Tables.documents(spark, work)
+      .filter(col("text").contains("quick table scan")).head().getAs[Long]("doc_id")
+    val top = g2.ragQueryAnnGraph("the quick table scan join merges", topK = 3, nprobe = 4)
+    assert(top.filter(col("doc_id") === expectId).count() >= 1)
+    assert(top.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "score", "snippet", "total_tokens", "file_size"))
+    // batch serving is row-identical to per-query serving
+    val qs = Seq("broadcast hash joins shuffle", "predicate pushdown prunes")
+    val batch = g2.ragQueryAnnGraphBatch(qs, topK = 3, nprobe = 2).collect()
+    for ((q, i) <- qs.zipWithIndex) {
+      val single = g2.ragQueryAnnGraph(q, topK = 3, nprobe = 2).collect().map(_.toSeq).toSeq
+      assert(batch.filter(_.getAs[Long]("query_id") == i.toLong)
+        .map(_.toSeq.drop(1)).toSeq == single, s"graph batch rows for query $i differ")
+    }
+    // live mutation → reindex refreshes the graph index incrementally and
+    // the refreshed index serves the new doc
+    put("new.txt", "a brand new document about broadcast join hints")
+    val stats = g2.reindexDirectory(store).head()
+    assert(stats.getAs[String]("ann_graph_mode") == "incremental",
+      s"ann_graph_mode=${stats.getAs[String]("ann_graph_mode")}")
+    assert(stats.getAs[Long]("ann_graph_cells_rewritten") >= 1)
+    val newId = Tables.documents(spark, work)
+      .filter(col("text").contains("brand new")).head().getAs[Long]("doc_id")
+    val hit2 = g2.ragQueryAnnGraph("a brand new document about broadcast join hints",
+      topK = 3, nprobe = 4)
+    assert(hit2.filter(col("doc_id") === newId).count() >= 1,
+      "refreshed graph index must serve the newly added doc")
+  }
+
   test("ragQueryAnnBatch: per-query rows identical to single-query ragQueryAnn") {
     val queries = Seq(g.readFile(7, 1, 12), g.readFile(11, 1, 12),
       "columnar parquet dictionary compression")
