@@ -76,10 +76,15 @@ class Graft(spark: SparkSession, sfDir: String,
         val oldFiles = old.select(col("doc_id"), col("file_size")).distinct()
         val curFiles = cur.select(col("doc_id"), col("n_chars"))
         val joined = oldFiles.join(curFiles, Seq("doc_id"), "full_outer").cache()
-        val removedIds = joined.filter(col("n_chars").isNull).select("doc_id")
-        val changedIds = joined.filter(col("n_chars").isNotNull && col("file_size").isNotNull &&
-          col("file_size") =!= col("n_chars")).select("doc_id")
-        val addedIds = joined.filter(col("file_size").isNull).select("doc_id")
+        // ONE definition per diff predicate — the id frames that drive the
+        // reindex and the stats aggregation must never drift apart
+        val isRemoved = col("n_chars").isNull
+        val isChanged = col("n_chars").isNotNull && col("file_size").isNotNull &&
+          col("file_size") =!= col("n_chars")
+        val isAdded = col("file_size").isNull
+        val removedIds = joined.filter(isRemoved).select("doc_id")
+        val changedIds = joined.filter(isChanged).select("doc_id")
+        val addedIds = joined.filter(isAdded).select("doc_id")
         val dirtyIds = changedIds.unionAll(addedIds)
         val kept = old.join(broadcast(removedIds.unionAll(changedIds)), Seq("doc_id"), "left_anti")
         val reindexed = embedFrom(Chunker.indexBuildFrom(
@@ -92,10 +97,9 @@ class Graft(spark: SparkSession, sfDir: String,
         // partition afterwards would read deleted parquet
         def cnt(c: org.apache.spark.sql.Column) = coalesce(sum(when(c, 1L)), lit(0L))
         val s = joined.agg(
-          cnt(col("file_size").isNull).as("n_added"),
-          cnt(col("n_chars").isNotNull && col("file_size").isNotNull &&
-            col("file_size") =!= col("n_chars")).as("n_changed"),
-          cnt(col("n_chars").isNull).as("n_removed"),
+          cnt(isAdded).as("n_added"),
+          cnt(isChanged).as("n_changed"),
+          cnt(isRemoved).as("n_removed"),
           cnt(col("file_size") === col("n_chars")).as("n_unchanged")).head()
         val nAdded = s.getLong(0); val nChanged = s.getLong(1)
         val nRemoved = s.getLong(2); val nUnchanged = s.getLong(3)
@@ -141,13 +145,16 @@ class Graft(spark: SparkSession, sfDir: String,
     // first ragQueryAnn builds one cold through its ensure gate.
     lazy val newE = chunkVectors(IndexStore.load(spark, storePath, meta).getOrElse(
       throw new IllegalStateException("chunk store unreadable after incrementalUpdate")))
+    // one fingerprint listing serves BOTH derived-index manifests — and both
+    // stamps describe the identical corpus state
+    lazy val fp = docsFingerprint
     val (annMode, annCells) =
       storedChunkAnnManifest match {
         case None => ("absent", -1L)
         case Some(stored) =>
           val k = operators.AnnStore.manifestInt(stored, "k").getOrElse(16)
           val r = operators.AnnIvf.refreshIndexOver(
-            spark, chunkAnnPath, newE, chunkAnnManifest(k)).head()
+            spark, chunkAnnPath, newE, chunkAnnManifest(k, fp)).head()
           (r.getAs[String]("mode"), r.getAs[Long]("n_cells_rewritten"))
       }
     // the chunk-GRAPH index (if one was ever built) rides the same
@@ -156,10 +163,9 @@ class Graft(spark: SparkSession, sfDir: String,
       storedChunkGraphManifest match {
         case None => ("absent", -1L)
         case Some(stored) =>
-          val k = operators.AnnStore.manifestInt(stored, "k").getOrElse(16)
-          val degree = operators.AnnStore.manifestInt(stored, "degree").getOrElse(8)
+          val (k, degree) = chunkGraphParams(Some(stored))
           val r = operators.AnnGraph.refreshGraphIndexOver(
-            spark, chunkGraphPath, newE, chunkGraphManifest(k, degree)).head()
+            spark, chunkGraphPath, newE, chunkGraphManifest(k, degree, fp)).head()
           (r.getAs[String]("mode"), r.getAs[Long]("n_cells_rewritten"))
       }
     stats.withColumn("ann_mode", lit(annMode))
@@ -202,22 +208,29 @@ class Graft(spark: SparkSession, sfDir: String,
       col("emb").as("embedding"), col("doc_id"), col("chunk_idx"),
       col("chunk_text"), col("token_count"), col("file_size"))
 
-  /** Chunk-ANN freshness manifest: chunking+embedding+index params plus the
-    * per-file fingerprint of the landed documents table (the corpus every
-    * chunk derives from).
+  /** Per-file fingerprint of the landed documents table (the corpus every
+    * chunk derives from) — computed ONCE per gate/refresh and threaded to
+    * every manifest it stamps (the store contract's computed-once rule; a
+    * reindex maintaining both chunk indexes lists the table a single time).
     */
-  private def chunkAnnManifest(k: Int): String =
+  private def docsFingerprint: String =
+    operators.AnnStore.pathFingerprint(spark,
+      new org.apache.hadoop.fs.Path(sfDir, "documents.parquet").toString)
+
+  /** Chunk-ANN freshness manifest: chunking+embedding+index params plus the
+    * caller-computed documents-table fingerprint.
+    */
+  private def chunkAnnManifest(k: Int, fingerprint: String): String =
     operators.AnnStore.manifest(Graft.ChunkIndexKind,
       Seq("k" -> k, "chunkSize" -> chunkSize, "chunkOverlap" -> chunkOverlap,
         "model" -> modelName),
-      operators.AnnStore.pathFingerprint(spark,
-        new org.apache.hadoop.fs.Path(sfDir, "documents.parquet").toString))
+      fingerprint)
 
   /** Build-once gate for the chunk-ANN index (manifest freshness: params +
     * documents-table fingerprint). Returns the index path.
     */
   def ensureChunkAnnIndex(k: Int = 16): String = {
-    val manifest = chunkAnnManifest(k)
+    val manifest = chunkAnnManifest(k, docsFingerprint)
     operators.AnnStore.ensureIndex(spark, chunkAnnPath, manifest) {
       operators.AnnIvf.writeIndexOver(spark, chunkVectors(buildIndex()),
         chunkAnnPath, k, manifest): Unit
@@ -228,16 +241,24 @@ class Graft(spark: SparkSession, sfDir: String,
   /** Chunk-GRAPH freshness manifest — same contract as [[chunkAnnManifest]]
     * with the graph build's degree riding alongside k.
     */
-  private def chunkGraphManifest(k: Int, degree: Int): String =
+  private def chunkGraphManifest(k: Int, degree: Int, fingerprint: String): String =
     operators.AnnStore.manifest(Graft.ChunkGraphKind,
       Seq("k" -> k, "degree" -> degree, "chunkSize" -> chunkSize,
         "chunkOverlap" -> chunkOverlap, "model" -> modelName),
-      operators.AnnStore.pathFingerprint(spark,
-        new org.apache.hadoop.fs.Path(sfDir, "documents.parquet").toString))
+      fingerprint)
+
+  /** Stored-or-default (k, degree) of the chunk-graph index — the one place
+    * the graph build defaults live for every consumer of the stored params.
+    */
+  private def chunkGraphParams(stored: Option[String]): (Int, Int) = stored match {
+    case Some(m) => (operators.AnnStore.manifestInt(m, "k").getOrElse(16),
+      operators.AnnStore.manifestInt(m, "degree").getOrElse(8))
+    case None => (16, 8)
+  }
 
   /** Build-once gate for the chunk-GRAPH index. Returns the index path. */
   def ensureChunkGraphIndex(k: Int = 16, degree: Int = 8): String = {
-    val manifest = chunkGraphManifest(k, degree)
+    val manifest = chunkGraphManifest(k, degree, docsFingerprint)
     operators.AnnStore.ensureIndex(spark, chunkGraphPath, manifest) {
       operators.AnnGraph.writeGraphIndexOver(spark, chunkVectors(buildIndex()),
         chunkGraphPath, k, degree, manifest)
@@ -318,11 +339,7 @@ class Graft(spark: SparkSession, sfDir: String,
                             nprobe: Int = 2): DataFrame = {
     require(queries.nonEmpty, "ragQueryAnnGraphBatch: empty query batch")
     // honor the stored index's own build params, like the IVF path
-    val (k, degree) = storedChunkGraphManifest match {
-      case Some(m) => (operators.AnnStore.manifestInt(m, "k").getOrElse(16),
-        operators.AnnStore.manifestInt(m, "degree").getOrElse(8))
-      case None => (16, 8)
-    }
+    val (k, degree) = chunkGraphParams(storedChunkGraphManifest)
     val path = ensureChunkGraphIndex(k, degree)
     val qRows = queries.zipWithIndex
       .map { case (q, i) => (i.toLong, HashEmbedAlg.embed(q, dim).map(_.toFloat)) }

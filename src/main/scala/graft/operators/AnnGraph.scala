@@ -32,11 +32,20 @@ import org.apache.spark.sql.functions._
   */
 object AnnGraph {
 
-  /** Cell assignment shared by the graph build and the search. */
+  /** Cell assignment shared by the graph build and the search. The base
+    * store projects to (vec_id, embedding) — the graph serves ids+scores
+    * only, so extra corpus columns (e.g. the embeddings table's label)
+    * would only widen the store and make metadata-only edits rewrite cells.
+    * Derived indexes that DO serve metadata (the facade's chunk-graph)
+    * pass their own pre-projected payload frame to the Over builders.
+    */
+  private def baseCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+
   private def assign(spark: SparkSession, sfDir: String,
                      centroids: Array[Array[Double]]): DataFrame = {
     VecExprs.register(spark)
-    assignOver(Tables.embeddings(spark, sfDir), centroids)
+    assignOver(baseCorpus(spark, sfDir), centroids)
   }
 
   /** The same assignment over an arbitrary (vec_id, embedding, payload...)
@@ -169,7 +178,7 @@ object AnnGraph {
   private def writeGraphIndexWith(spark: SparkSession, sfDir: String, path: String,
                                   k: Int, degree: Int, manifestStr: String): Unit = {
     VecExprs.register(spark)
-    writeGraphIndexOver(spark, Tables.embeddings(spark, sfDir), path, k, degree,
+    writeGraphIndexOver(spark, baseCorpus(spark, sfDir), path, k, degree,
       manifestStr)
   }
 
@@ -268,7 +277,7 @@ object AnnGraph {
   def refreshGraphIndex(spark: SparkSession, sfDir: String, path: String,
                         k: Int = 16, degree: Int = 8,
                         driftBound: Double = 0.3): DataFrame =
-    refreshGraphIndexOver(spark, path, Tables.embeddings(spark, sfDir),
+    refreshGraphIndexOver(spark, path, baseCorpus(spark, sfDir),
       graphManifest(spark, sfDir, k, degree), driftBound)
 
   /** (src → vec_id, nbrs) adjacency lists from a (cid, src, dst, sim) edge

@@ -228,7 +228,7 @@ private[graft] object AnnStore {
     * wrong answer (single-writer, like every store here).
     *
     * Returns a 1-row stats frame: mode ∈ {fresh, restamp, incremental,
-    * full_cold, full_params, full_drift, full_nullcell},
+    * full_cold, full_params, full_drift, full_nullcell, full_schema},
     * n_added/n_changed/n_removed (−1 when the diff was skipped),
     * n_cells_rewritten.
     */
@@ -256,61 +256,70 @@ private[graft] object AnnStore {
         // change detection (embedding AND payload metadata). Row presence is
         // judged by the payload struct, NOT the cid — a null embedding gets
         // a null cid yet is still a real row on either side.
-        val payload = neu.columns.filterNot(_ == "cid").map(col)
-        val oldSide = spark.read.parquet(path + "/vectors")
-          .select(col("vec_id"), struct(payload.toSeq: _*).as("old_payload"),
-            col("cid").cast("int").as("old_cid"))
-        val newSide = neu
-          .select(col("vec_id"), struct(payload.toSeq: _*).as("new_payload"),
-            col("cid").cast("int").as("new_cid"))
-        val j = oldSide.join(newSide, Seq("vec_id"), "full_outer")
-        val isAdded = col("old_payload").isNull
-        val isRemoved = col("new_payload").isNull
-        val isChanged = col("old_payload").isNotNull && col("new_payload").isNotNull &&
-          !(col("old_payload") <=> col("new_payload"))
-        def cnt(c: Column) = coalesce(sum(when(c, 1L)), lit(0L))
-        // ONE aggregation job over the (uncached) diff join computes every
-        // dispatch stat AND the affected cell-id sets; the collect_sets are
-        // bounded by the number of cells (≤ k), never by the corpus.
-        val s = j.agg(
-          cnt(isAdded).as("n_added"),
-          cnt(isChanged).as("n_changed"),
-          cnt(isRemoved).as("n_removed"),
-          cnt(col("old_payload").isNotNull).as("n_old"),
-          // a dirty row without a cell (null embedding → null cid) has no
-          // partition to rewrite surgically — degenerate, cold-rebuild
-          cnt((isAdded && col("new_cid").isNull) ||
-            (isRemoved && col("old_cid").isNull) ||
-            (isChanged && (col("old_cid").isNull || col("new_cid").isNull))).as("n_nullcell"),
-          collect_set(when(isAdded || isChanged, col("new_cid"))).as("new_cells"),
-          collect_set(when(isRemoved || isChanged, col("old_cid"))).as("old_cells")
-        ).head()
-        val nA = s.getLong(0); val nC = s.getLong(1); val nR = s.getLong(2)
-        val nOld = s.getLong(3); val nNullCell = s.getLong(4)
-        if (nA + nC + nR == 0) {
-          // data identical; only the corpus files moved (e.g. a rewrite of
-          // the same rows) — stamp the new fingerprint, touch no data
-          writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
-          stats("restamp", 0, 0, 0, 0)
-        } else if (nNullCell > 0) {
-          fullBuild(); stats("full_nullcell", nA, nC, nR, -1)
-        } else if (nA + nC + nR > driftBound * math.max(nOld, 1L)) {
-          fullBuild(); stats("full_drift", nA, nC, nR, -1)
+        val payloadNames0 = neu.columns.filterNot(_ == "cid")
+        val payload = payloadNames0.map(col)
+        val oldVectors = spark.read.parquet(path + "/vectors")
+        // a store persisted under an older payload schema cannot be diffed
+        // column-for-column — that must COST A REBUILD, never a crash (the
+        // contract every caller relies on). Catches operator upgrades that
+        // add/rename payload columns without a manifest param change.
+        if (!payloadNames0.forall(oldVectors.columns.contains)) {
+          fullBuild(); stats("full_schema", -1, -1, -1, -1)
         } else {
-          val affected = (s.getSeq[Int](5) ++ s.getSeq[Int](6)).distinct.sorted
-          val payloadNames = neu.columns.filterNot(_ == "cid")
-          // the diff join's SECOND (and last) execution, pruned to the
-          // affected cells, materialized eagerly BEFORE any rewrite delete:
-          // the lineage roots in the stored parquet files the rewrite is
-          // about to delete (the hazard Graft.incrementalUpdate documents);
-          // releasingPinned frees the blocks once the rewrite lands.
-          val rows = trackedCheckpoint(
-            j.filter(col("new_cid").isin(affected: _*))
-              .select(payloadNames.map(n => col(s"new_payload.$n").as(n)) :+
-                col("new_cid").as("cid"): _*))
-          rewrite(affected, rows)
-          writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
-          stats("incremental", nA, nC, nR, affected.length.toLong)
+          val oldSide = oldVectors
+            .select(col("vec_id"), struct(payload.toSeq: _*).as("old_payload"),
+              col("cid").cast("int").as("old_cid"))
+          val newSide = neu
+            .select(col("vec_id"), struct(payload.toSeq: _*).as("new_payload"),
+              col("cid").cast("int").as("new_cid"))
+          val j = oldSide.join(newSide, Seq("vec_id"), "full_outer")
+          val isAdded = col("old_payload").isNull
+          val isRemoved = col("new_payload").isNull
+          val isChanged = col("old_payload").isNotNull && col("new_payload").isNotNull &&
+            !(col("old_payload") <=> col("new_payload"))
+          def cnt(c: Column) = coalesce(sum(when(c, 1L)), lit(0L))
+          // ONE aggregation job over the (uncached) diff join computes every
+          // dispatch stat AND the affected cell-id sets; the collect_sets are
+          // bounded by the number of cells (≤ k), never by the corpus.
+          val s = j.agg(
+            cnt(isAdded).as("n_added"),
+            cnt(isChanged).as("n_changed"),
+            cnt(isRemoved).as("n_removed"),
+            cnt(col("old_payload").isNotNull).as("n_old"),
+            // a dirty row without a cell (null embedding → null cid) has no
+            // partition to rewrite surgically — degenerate, cold-rebuild
+            cnt((isAdded && col("new_cid").isNull) ||
+              (isRemoved && col("old_cid").isNull) ||
+              (isChanged && (col("old_cid").isNull || col("new_cid").isNull))).as("n_nullcell"),
+            collect_set(when(isAdded || isChanged, col("new_cid"))).as("new_cells"),
+            collect_set(when(isRemoved || isChanged, col("old_cid"))).as("old_cells")
+          ).head()
+          val nA = s.getLong(0); val nC = s.getLong(1); val nR = s.getLong(2)
+          val nOld = s.getLong(3); val nNullCell = s.getLong(4)
+          if (nA + nC + nR == 0) {
+            // data identical; only the corpus files moved (e.g. a rewrite of
+            // the same rows) — stamp the new fingerprint, touch no data
+            writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
+            stats("restamp", 0, 0, 0, 0)
+          } else if (nNullCell > 0) {
+            fullBuild(); stats("full_nullcell", nA, nC, nR, -1)
+          } else if (nA + nC + nR > driftBound * math.max(nOld, 1L)) {
+            fullBuild(); stats("full_drift", nA, nC, nR, -1)
+          } else {
+            val affected = (s.getSeq[Int](5) ++ s.getSeq[Int](6)).distinct.sorted
+            // the diff join's SECOND (and last) execution, pruned to the
+            // affected cells, materialized eagerly BEFORE any rewrite delete:
+            // the lineage roots in the stored parquet files the rewrite is
+            // about to delete (the hazard Graft.incrementalUpdate documents);
+            // releasingPinned frees the blocks once the rewrite lands.
+            val rows = trackedCheckpoint(
+              j.filter(col("new_cid").isin(affected: _*))
+                .select(payloadNames0.map(n => col(s"new_payload.$n").as(n)) :+
+                  col("new_cid").as("cid"): _*))
+            rewrite(affected, rows)
+            writeManifestFile(fileSystem(spark, path), new Path(path), newManifest)
+            stats("incremental", nA, nC, nR, affected.length.toLong)
+          }
         }
     }
   }

@@ -128,7 +128,9 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(stats.getAs[Long]("n_cells_rewritten") == 1)
     // invariant: both tables equal a pinned-codebook full rewrite
     val expected = root + "/expected"
-    AnnGraph.writeGraphIndexOverWithCentroids(spark, Tables.embeddings(spark, dir),
+    // expected rewrite projects like the base-store build: (vec_id, embedding)
+    AnnGraph.writeGraphIndexOverWithCentroids(spark,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
       expected, centroids, degree = 8,
       manifestStr = AnnStore.readManifest(spark, idx).get)
     for (sub <- Seq("/vectors", "/edges")) {
@@ -242,7 +244,8 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(gStats.getAs[String]("mode") == "incremental")
     assert(gStats.getAs[Long]("n_cells_rewritten") > 1, "graph churn must span cells")
     val gExpected = root + "/gexpected"
-    AnnGraph.writeGraphIndexOverWithCentroids(spark, Tables.embeddings(spark, dir),
+    AnnGraph.writeGraphIndexOverWithCentroids(spark,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
       gExpected, gCentroids, degree = 8,
       manifestStr = AnnStore.readManifest(spark, gidx).get)
     for (sub <- Seq("/vectors", "/edges")) {
@@ -351,6 +354,26 @@ class AnnRefreshSpec extends SparkSpecBase {
     // count() actions over a cached corpus-sized diff — measured 20+ jobs
     // on this same path; 10 is a loose ceiling that still proves one pass.
     assert(jobs <= 10, s"stats path ran $jobs jobs — expected a single aggregation pass")
+  }
+
+  test("refresh on a store with an older payload schema costs a rebuild, never a crash") {
+    VecExprs.register(spark)
+    val dir = copyCorpus()
+    val idx = Files.createTempDirectory("graft_refr_schema").toString + "/idx"
+    // simulate a store persisted by an older operator version: no `label`
+    // payload column, current build params, stale corpus fingerprint
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val centroids = AnnIvf.trainOver(
+      e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), 16)
+    AnnIvf.writeIndexOverWithCentroids(spark, e, idx, centroids,
+      AnnStore.manifest("ivf", Seq("k" -> 16), "stale"))
+    // the diff cannot run column-for-column against the old schema — the
+    // dispatch must fall back to a full rebuild, not throw
+    val stats = AnnIvf.refreshIvfIndex(spark, dir, idx).head()
+    assert(stats.getAs[String]("mode") == "full_schema")
+    assert(spark.read.parquet(idx + "/vectors").columns.contains("label"),
+      "rebuild must land the current payload schema")
+    assert(AnnIvf.refreshIvfIndex(spark, dir, idx).head().getAs[String]("mode") == "fresh")
   }
 
   test("crash mid-refresh (pre-stamp) costs a rebuild, never a stale serve") {
