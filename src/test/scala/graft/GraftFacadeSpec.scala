@@ -300,10 +300,15 @@ class GraftFacadeSpec extends SparkSpecBase {
       assert(batch.filter(_.getAs[Long]("query_id") == i.toLong)
         .map(_.toSeq.drop(1)).toSeq == single, s"graph batch rows for query $i differ")
     }
-    // live mutation → reindex refreshes the graph index incrementally and
-    // the refreshed index serves the new doc
+    // build the IVF chunk index too, so one reindex maintains BOTH derived
+    // indexes (shared fingerprint listing, shared chunk-store read)
+    g2.ragQueryAnn("adaptive query execution", topK = 1)
+    // live mutation → reindex refreshes both indexes incrementally and
+    // the refreshed graph index serves the new doc
     put("new.txt", "a brand new document about broadcast join hints")
     val stats = g2.reindexDirectory(store).head()
+    assert(stats.getAs[String]("ann_mode") == "incremental",
+      s"ann_mode=${stats.getAs[String]("ann_mode")}")
     assert(stats.getAs[String]("ann_graph_mode") == "incremental",
       s"ann_graph_mode=${stats.getAs[String]("ann_graph_mode")}")
     assert(stats.getAs[Long]("ann_graph_cells_rewritten") >= 1)
