@@ -380,6 +380,36 @@ class Graft(spark: SparkSession, sfDir: String,
   def ragQuery(query: String, topK: Int = 5): DataFrame =
     ragQueryOver(servingIndex, query, topK)
 
+  /** Batched exact search: ONE scan of the cached serving index scores the
+    * whole query batch (each chunk row joins the broadcast query-vector
+    * frame), where per-query calls scan once per query. Exact like
+    * [[ragQuery]] — the ANN batch surfaces trade recall for a pruned read;
+    * this one trades nothing and is the right call when the batch is large
+    * enough to amortize the full scan. Results carry `query_id` = position
+    * in `queries`; per-query rows are [[ragQuery]]'s exact rows
+    * (spec-asserted).
+    */
+  def ragQueryBatch(queries: Seq[String], topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(queries.nonEmpty, "ragQueryBatch: empty query batch")
+    val qFrame = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, HashEmbedAlg.embed(q, dim).toSeq) }
+      .toDF("query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
+    servingIndex.crossJoin(broadcast(qFrame))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+        VecExprs.cosineSim(col("emb"), col("qv")).as("score"),
+        substring(col("chunk_text"), 1, 120).as("snippet"),
+        col("token_count").as("total_tokens"), col("file_size"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Graft.clampTopK(topK))
+      .drop("rn")
+      .orderBy(col("query_id").asc, col("score").desc,
+        col("doc_id").asc, col("chunk_idx").asc)
+  }
+
   /** Same search over an explicitly supplied index frame — e.g. one loaded
     * from `IndexStore` (warm serving without rebuilding).
     */

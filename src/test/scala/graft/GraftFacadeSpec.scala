@@ -334,6 +334,22 @@ class GraftFacadeSpec extends SparkSpecBase {
     }
   }
 
+  test("ragQueryBatch: one-scan exact batch equals per-query ragQuery; ANN batch metadata read is partition-pruned") {
+    val queries = Seq(g.readFile(7, 1, 12), g.readFile(11, 1, 12))
+    val batch = g.ragQueryBatch(queries, topK = 4).collect()
+    for ((q, i) <- queries.zipWithIndex) {
+      val single = g.ragQuery(q, topK = 4).collect().map(_.toSeq).toSeq
+      assert(batch.filter(_.getAs[Long]("query_id") == i.toLong)
+        .map(_.toSeq.drop(1)).toSeq == single, s"exact batch rows for query $i differ")
+    }
+    // the ANN batch's metadata join must read ONLY the hit cells — assert
+    // the partition filter in the EXECUTED plan, not by assumption
+    val annPlan = g.ragQueryAnnBatch(queries, topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(annPlan.contains("PartitionFilters: [cid"),
+      s"facade metadata read must be partition-pruned, plan:\n$annPlan")
+  }
+
   test("IndexStore round-trips and rejects mismatched metadata") {
     val dir = Files.createTempDirectory("graft_store").toString
     val meta = IndexStore.Meta(IndexStore.Version, 100, 20, g.modelName)
