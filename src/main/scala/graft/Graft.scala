@@ -386,39 +386,35 @@ class Graft(spark: SparkSession, sfDir: String,
     * [[ragQuery]] — the ANN batch surfaces trade recall for a pruned read;
     * this one trades nothing and is the right call when the batch is large
     * enough to amortize the full scan. Results carry `query_id` = position
-    * in `queries`; per-query rows are [[ragQuery]]'s exact rows
-    * (spec-asserted).
+    * in `queries`; per-query rows are [[ragQuery]]'s exact rows (by
+    * construction: ragQuery delegates here).
     */
-  def ragQueryBatch(queries: Seq[String], topK: Int = 5): DataFrame = {
+  def ragQueryBatch(queries: Seq[String], topK: Int = 5): DataFrame =
+    ragQueryBatchOver(servingIndex, queries, topK)
+
+  /** Same search over an explicitly supplied index frame — e.g. one loaded
+    * from `IndexStore` (warm serving without rebuilding).
+    */
+  def ragQueryOver(index: DataFrame, query: String, topK: Int = 5): DataFrame =
+    ragQueryBatchOver(index, Seq(query), topK).drop("query_id")
+
+  /** The one definition of the exact-search result surface — every exact
+    * path (single or batch, live or store-loaded index) delegates here, so
+    * projection, snippet rule, and tie order cannot drift apart.
+    */
+  def ragQueryBatchOver(index: DataFrame, queries: Seq[String],
+                        topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    require(queries.nonEmpty, "ragQueryBatch: empty query batch")
+    require(queries.nonEmpty, "ragQueryBatchOver: empty query batch")
     val qFrame = queries.zipWithIndex
       .map { case (q, i) => (i.toLong, HashEmbedAlg.embed(q, dim).toSeq) }
       .toDF("query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
-    servingIndex.crossJoin(broadcast(qFrame))
+    index.crossJoin(broadcast(qFrame))
       .select(col("query_id"), col("doc_id"), col("chunk_idx"),
         VecExprs.cosineSim(col("emb"), col("qv")).as("score"),
-        substring(col("chunk_text"), 1, 120).as("snippet"),
-        col("token_count").as("total_tokens"), col("file_size"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= Graft.clampTopK(topK))
-      .drop("rn")
-      .orderBy(col("query_id").asc, col("score").desc,
-        col("doc_id").asc, col("chunk_idx").asc)
-  }
-
-  /** Same search over an explicitly supplied index frame — e.g. one loaded
-    * from `IndexStore` (warm serving without rebuilding).
-    */
-  def ragQueryOver(index: DataFrame, query: String, topK: Int = 5): DataFrame = {
-    val qv = HashEmbedAlg.embed(query, dim)
-    val qvCol = array(qv.map(lit): _*)
-    index
-      .select(col("doc_id"), col("chunk_idx"),
-        VecExprs.cosineSim(col("emb"), qvCol).as("score"),
         substring(col("chunk_text"), 1, 120).as("snippet"),
         // the reference's per-result totalLines + fileSize (src/index.ts:
         // 272-273) — how big the whole source doc is, so a caller can
@@ -428,8 +424,11 @@ class Graft(spark: SparkSession, sfDir: String,
         // join or window.
         col("token_count").as("total_tokens"),
         col("file_size"))
-      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
-      .limit(Graft.clampTopK(topK))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Graft.clampTopK(topK))
+      .drop("rn")
+      .orderBy(col("query_id").asc, col("score").desc,
+        col("doc_id").asc, col("chunk_idx").asc)
   }
 
   /** Hybrid lexical+dense search (BM25 ⊕ embedding cosine via reciprocal

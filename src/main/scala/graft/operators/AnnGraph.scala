@@ -270,7 +270,10 @@ object AnnGraph {
           .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
       },
       fullBuild = () => writeGraphIndexOver(spark, newE, path, k, degree, newManifest),
-      driftBound = driftBound)
+      driftBound = driftBound,
+      // the adjacency column is build-derived, not corpus payload — its
+      // presence in the stored table is not schema drift
+      derivedCols = Seq("nbrs"))
   }
 
   /** The refresh twin of [[ensureGraphIndex]] for the embeddings-table store. */

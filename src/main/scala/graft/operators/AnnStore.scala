@@ -237,7 +237,8 @@ private[graft] object AnnStore {
                                   assignNew: () => DataFrame,
                                   rewrite: (Seq[Int], DataFrame) => Unit,
                                   fullBuild: () => Unit,
-                                  driftBound: Double = 0.3): DataFrame = releasingPinned(spark) {
+                                  driftBound: Double = 0.3,
+                                  derivedCols: Seq[String] = Nil): DataFrame = releasingPinned(spark) {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     def stats(mode: String, a: Long, c: Long, r: Long, cells: Long) =
@@ -259,11 +260,19 @@ private[graft] object AnnStore {
         val payloadNames0 = neu.columns.filterNot(_ == "cid")
         val payload = payloadNames0.map(col)
         val oldVectors = spark.read.parquet(path + "/vectors")
-        // a store persisted under an older payload schema cannot be diffed
-        // column-for-column — that must COST A REBUILD, never a crash (the
-        // contract every caller relies on). Catches operator upgrades that
-        // add/rename payload columns without a manifest param change.
-        if (!payloadNames0.forall(oldVectors.columns.contains)) {
+        // a store persisted under a DIFFERENT payload schema cannot be
+        // refreshed incrementally — that must COST A REBUILD, never a crash
+        // or a mixed-schema table (the contract every caller relies on).
+        // Both directions matter: a missing old column would crash the diff
+        // select; an extra old column (beyond the operator's declared
+        // derived columns, e.g. the graph store's nbrs) means an upgrade
+        // REMOVED a payload field, and an incremental rewrite would append
+        // narrow files into a wide table.
+        val schemaDrift =
+          !payloadNames0.forall(oldVectors.columns.contains) ||
+            oldVectors.columns
+              .diff(payloadNames0 ++ derivedCols :+ "cid").nonEmpty
+        if (schemaDrift) {
           fullBuild(); stats("full_schema", -1, -1, -1, -1)
         } else {
           val oldSide = oldVectors

@@ -374,6 +374,19 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(spark.read.parquet(idx + "/vectors").columns.contains("label"),
       "rebuild must land the current payload schema")
     assert(AnnIvf.refreshIvfIndex(spark, dir, idx).head().getAs[String]("mode") == "fresh")
+    // the other direction: a graph store persisted WITH a payload column
+    // the current build no longer carries (label) must also rebuild — an
+    // incremental rewrite would append narrow files into a wide table
+    val gidx = Files.createTempDirectory("graft_refr_schema_g").toString + "/gidx"
+    val ge = Tables.embeddings(spark, dir) // label included — the old layout
+    val gCentroids = AnnIvf.trainOver(
+      ge.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), 16)
+    AnnGraph.writeGraphIndexOverWithCentroids(spark, ge, gidx, gCentroids, degree = 8,
+      manifestStr = AnnStore.manifest("graph", Seq("k" -> 16, "degree" -> 8), "stale"))
+    val gStats = AnnGraph.refreshGraphIndex(spark, dir, gidx).head()
+    assert(gStats.getAs[String]("mode") == "full_schema")
+    assert(!spark.read.parquet(gidx + "/vectors").columns.contains("label"),
+      "rebuild must land the narrow base-store schema")
   }
 
   test("crash mid-refresh (pre-stamp) costs a rebuild, never a stale serve") {
