@@ -330,6 +330,30 @@ class AnnRefreshSpec extends SparkSpecBase {
       "index maintenance must not pin blocks past its own run")
   }
 
+  test("releasingPinned never sweeps another thread's checkpoint (reader safety)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    @volatile var foreign: org.apache.spark.sql.DataFrame = null
+    AnnStore.releasingPinned(spark) {
+      // a concurrent reader checkpoints a frame INSIDE the maintenance
+      // window — under a context-wide snapshot diff this pin would be
+      // swept (data loss: localCheckpoint truncates lineage); under the
+      // thread-local scope it is invisible to maintenance
+      val reader = new Thread(() => {
+        foreign = spark.range(100).toDF("id").localCheckpoint()
+      })
+      reader.start(); reader.join()
+      AnnStore.trackedCheckpoint(spark.range(50).toDF("x")).count(): Unit
+    }
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    val survivors = after.diff(before)
+    assert(survivors.size == 1,
+      s"exactly the reader's pin must survive the scope (got ${survivors.size})")
+    assert(foreign.count() == 100, "the reader's checkpointed data must still serve")
+    // cleanup so later tests see no stray pins
+    survivors.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
   test("refresh stats are ONE aggregation job, not a count per stat (receipt)") {
     val dir = copyCorpus()
     val idx = Files.createTempDirectory("graft_refr_jobs").toString + "/idx"
