@@ -66,9 +66,14 @@ class Graft(spark: SparkSession, sfDir: String,
     import spark.implicits._
     IndexStore.load(spark, storePath, meta) match {
       case None =>
-        val idx = buildIndex()
-        IndexStore.save(idx, storePath, meta)
-        val (docs, chunks) = (idx.select("doc_id").distinct().count(), idx.count())
+        IndexStore.save(buildIndex(), storePath, meta)
+        // count the STORE, not the build DAG: each count over the unsaved
+        // frame would re-chunk + re-embed the whole corpus (the ingest
+        // pipeline is its lineage); the saved parquet serves the row count
+        // from footers and the doc count from one pruned column scan
+        val stored = IndexStore.load(spark, storePath, meta)
+        val chunks = stored.map(_.count()).getOrElse(-1L)
+        val docs = stored.map(_.select("doc_id").distinct().count()).getOrElse(-1L)
         Seq((docs, 0L, 0L, 0L, chunks))
           .toDF("n_added", "n_changed", "n_removed", "n_unchanged", "total_chunks")
       case Some(old) =>
