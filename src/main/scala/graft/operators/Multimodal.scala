@@ -86,6 +86,38 @@ object Multimodal {
         .as("feat_resized"))
   }
 
+  /** REAL PDF text extraction over a binary column (doc_id, content) —
+    * partition-local decode via mapPartitions (the declared decoder shape),
+    * parsing actual PDF bytes with [[graft.functions.PdfText]]: FlateDecode
+    * streams, literal/hex show strings, Tj/TJ/quote operators, page count.
+    * Non-PDF bytes yield (is_pdf=false, 0 pages, empty text) — the driver
+    * fixture's synthetic documents all take that branch, which is why the
+    * `pdf_decode` oracle query keeps its deterministic stub columns; REAL
+    * PDFs (spec-fed, handcrafted) take this one. Closes the decode half of
+    * the reference's pdf-extractor contract (src/pdf-extractor.ts) as far
+    * as a library-free container allows.
+    */
+  def pdfExtract(docs: DataFrame): DataFrame = {
+    import graft.functions.PdfText
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("is_pdf", BooleanType, nullable = false),
+      StructField("n_pages", IntegerType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col("doc_id"), col("content").cast("binary").as("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          PdfText.extract(r.getAs[Array[Byte]](1)) match {
+            case Some(d) => Row(id, true, d.nPages, d.text)
+            case None => Row(id, false, 0, "")
+          }
+        }
+      }
+  }
+
   /** The real decode plumbing: partition-local batch "decode" over the binary
     * column via mapPartitions on a typed Dataset — the shape a Pandas-UDF /
     * native decoder would plug into. Deterministic fake features (byte
