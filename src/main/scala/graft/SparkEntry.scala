@@ -92,6 +92,7 @@ object SparkEntry {
     "incremental_diff" -> ((s, dir) => Catalog.incrementalDiff(s, dir)),
     "incremental_diff_hash" -> ((s, dir) => Catalog.incrementalDiffHash(s, dir)),
     "pdf_decode" -> ((s, dir) => Multimodal.pdfDecode(s, dir)),
+    "pdf_decode_real" -> ((s, dir) => Multimodal.pdfRoundTrip(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.multimodalMeta(s, dir)),
     // A. hybrid retrieval (the reference's planned BM25+embedding extension)
     "rag_bm25" -> ((s, dir) => Bm25.ragBm25(s, dir)),
@@ -548,6 +549,13 @@ object SparkEntry {
         |       md5(text) AS content_hash,
         |       length(text) > 0 AS decoded_ok,
         |       CAST(1 + n_chars // 1000 AS BIGINT) AS page_count_stub
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // round-trip identity: the Spark side builds a real FlateDecode PDF from
+    // the sanitized text and re-extracts it with the real parser; the oracle
+    // states what lossless recovery plus a correct page parse must equal
+    "pdf_decode_real" ->
+      """SELECT doc_id, true AS is_pdf, 1 AS n_pages,
+        |       trim(regexp_replace(text, '[^\x20-\x7E]', ' ', 'g')) AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,

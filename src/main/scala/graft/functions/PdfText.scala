@@ -31,6 +31,7 @@ object PdfText {
   final case class PdfDoc(text: String, nPages: Int)
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+  private val LengthRe = "/Length\\s+(\\d+)".r
 
   /** None unless `bytes` starts with a PDF header; Some(extracted) with
     * whatever text the supported envelope yields (possibly empty — a
@@ -53,14 +54,28 @@ object PdfText {
         var dataStart = st + "stream".length
         if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-        val end = s.indexOf("endstream", dataStart)
+        // the owning object's full dictionary: scan back to its "obj"
+        // keyword (the innermost "<<" could be a nested /DecodeParms
+        // dict that hides the /Filter entry)
+        val dictStart = s.lastIndexOf("obj", st)
+        val dict = if (dictStart >= 0) s.substring(dictStart, st) else ""
+        // stream end: trust a direct /Length N when "endstream" actually
+        // follows it (whitespace-tolerant) — stream BYTES may legitimately
+        // contain the string "endstream" (binary data, or raw text about
+        // PDFs), and a bare indexOf would truncate mid-stream. Indirect
+        // lengths (/Length 12 0 R) fail the follow-check and fall back.
+        val end = {
+          val byLen = LengthRe.findFirstMatchIn(dict).map(dataStart + _.group(1).toInt)
+            .filter { e =>
+              var p = e
+              while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n' ||
+                s.charAt(p) == ' ')) p += 1
+              e <= s.length && s.startsWith("endstream", p)
+            }
+          byLen.getOrElse(s.indexOf("endstream", dataStart))
+        }
         if (end < 0) from = -1
         else {
-          // the owning object's full dictionary: scan back to its "obj"
-          // keyword (the innermost "<<" could be a nested /DecodeParms
-          // dict that hides the /Filter entry)
-          val dictStart = s.lastIndexOf("obj", st)
-          val dict = if (dictStart >= 0) s.substring(dictStart, st) else ""
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, end)
           val content =
             if (dict.contains("FlateDecode")) inflate(raw).map(new String(_, Latin1))
@@ -139,6 +154,59 @@ object PdfText {
 
   private def isDelim(ch: Char): Boolean =
     ch.isWhitespace || "()<>[]{}/%".indexOf(ch) >= 0
+
+  // ---- builder (round-trip harness + driver query's encode side) ----
+
+  /** Minimal classic-xref PDF: one page object per content stream, correct
+    * direct /Length entries, optional FlateDecode. The envelope [[extract]]
+    * reads — used by the `pdf_decode_real` driver query's encode side and
+    * the specs' handcrafted documents.
+    */
+  def buildPdf(contentStreams: Seq[Array[Byte]], flate: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(Latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")
+    val kids = contentStreams.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj<</Type/Pages/Kids[$kids]/Count ${contentStreams.length}>>endobj\n")
+    contentStreams.zipWithIndex.foreach { case (c, i) =>
+      val pageId = 3 + 2 * i
+      val streamId = pageId + 1
+      w(s"$pageId 0 obj<</Type/Page/Parent 2 0 R/Contents $streamId 0 R>>endobj\n")
+      val body = if (flate) deflate(c) else c
+      val filter = if (flate) "/Filter/FlateDecode" else ""
+      w(s"$streamId 0 obj<</Length ${body.length}$filter>>stream\n")
+      out.write(body)
+      w("\nendstream endobj\n")
+    }
+    w("trailer<</Root 1 0 R>>\n%%EOF")
+    out.toByteArray
+  }
+
+  /** A one-show-op page content stream carrying `text` as a literal string
+    * (backslash and parens escaped, so arbitrary latin-1 text round-trips
+    * through [[extract]]).
+    */
+  def textPage(text: String): Array[Byte] = {
+    val esc = new StringBuilder(text.length + 16)
+    text.foreach {
+      case '\\' => esc ++= "\\\\"
+      case '(' => esc ++= "\\("
+      case ')' => esc ++= "\\)"
+      case ch => esc += ch
+    }
+    s"BT /F1 12 Tf 72 720 Td (${esc.result()}) Tj ET".getBytes(Latin1)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
 
   /** Literal string body starting AFTER the opening paren; returns the index
     * after the closing paren. Handles nesting and the escape table from the

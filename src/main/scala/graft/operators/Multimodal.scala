@@ -97,6 +97,44 @@ object Multimodal {
     * the reference's pdf-extractor contract (src/pdf-extractor.ts) as far
     * as a library-free container allows.
     */
+  /** Encode side of the PDF round trip: each document's text becomes a real
+    * one-page FlateDecode PDF (correct /Length, escaped literal strings) as
+    * a binary column — partition-local, no shuffle, the same mapPartitions
+    * shape as the decode. Text must already be within extract's fidelity
+    * envelope (latin-1; the driver query sanitizes to printable ASCII
+    * first so the DuckDB oracle can express the same projection).
+    */
+  def pdfEncode(docs: DataFrame): DataFrame = {
+    import graft.functions.PdfText
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0),
+            PdfText.buildPdf(Seq(PdfText.textPage(r.getString(1))), flate = true))
+        }
+      }
+  }
+
+  /** A9b driver query `pdf_decode_real`: the REAL decode path under the
+    * oracle gate. Sanitize text to the printable-ASCII envelope (a
+    * projection DuckDB can replicate), build a genuine FlateDecode PDF per
+    * document ([[pdfEncode]]), then recover the text with the real parser
+    * ([[pdfExtract]]) — the oracle asserts round-trip identity plus the
+    * parser-derived is_pdf/n_pages. Encode and decode pipeline in one
+    * narrow stage (no shuffle; the PDF bytes never leave the task).
+    */
+  def pdfRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val sanitized = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x20-\\x7E]", " ").as("text"))
+    pdfExtract(pdfEncode(sanitized)).orderBy("doc_id")
+  }
+
   def pdfExtract(docs: DataFrame): DataFrame = {
     import graft.functions.PdfText
     val outSchema = StructType(Seq(

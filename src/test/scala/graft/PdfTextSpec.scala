@@ -3,48 +3,18 @@ package graft
 import graft.functions.PdfText
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
-import java.io.ByteArrayOutputStream
-import java.util.zip.Deflater
 
 /** Real PDF text extraction (A9's decode half) — fed HANDCRAFTED PDFs, not
   * fixtures pretending to be PDFs: a raw-content-stream document, a
   * FlateDecode document, TJ kerning arrays, literal-escape and hex strings,
-  * multi-page structure, and the non-PDF fallback the synthetic corpus
-  * takes.
+  * multi-page structure, the builder round trip behind the
+  * `pdf_decode_real` driver query, and the non-PDF fallback the synthetic
+  * corpus takes.
   */
 class PdfTextSpec extends SparkSpecBase {
 
-  /** Minimal classic-xref PDF with one page per content stream given. */
-  private def pdf(contents: Seq[Array[Byte]], flate: Boolean): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-    w("%PDF-1.4\n")
-    w("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")
-    val kids = contents.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
-    w(s"2 0 obj<</Type/Pages/Kids[$kids]/Count ${contents.length}>>endobj\n")
-    contents.zipWithIndex.foreach { case (c, i) =>
-      val pageId = 3 + 2 * i
-      val streamId = pageId + 1
-      w(s"$pageId 0 obj<</Type/Page/Parent 2 0 R/Contents $streamId 0 R>>endobj\n")
-      val body = if (flate) deflate(c) else c
-      val filter = if (flate) "/Filter/FlateDecode" else ""
-      w(s"$streamId 0 obj<</Length ${body.length}$filter>>stream\n")
-      out.write(body)
-      w("\nendstream endobj\n")
-    }
-    w("trailer<</Root 1 0 R>>\n%%EOF")
-    out.toByteArray
-  }
-
-  private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater()
-    d.setInput(data); d.finish()
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
-    out.toByteArray
-  }
+  private def pdf(contents: Seq[Array[Byte]], flate: Boolean): Array[Byte] =
+    PdfText.buildPdf(contents, flate)
 
   private def bytes(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
 
@@ -79,6 +49,26 @@ class PdfTextSpec extends SparkSpecBase {
     assert(PdfText.extract(doc).get.text == "ABC")
   }
 
+  test("builder round trip: escapes, unbalanced parens, backslashes survive") {
+    val nasty = """a (b) \ c ) lone close ( lone open \\ double"""
+    val doc = pdf(Seq(PdfText.textPage(nasty)), flate = true)
+    assert(PdfText.extract(doc).get.text == nasty)
+  }
+
+  test("stream bytes containing 'endstream' do not truncate: /Length wins") {
+    // raw (uncompressed) stream whose TEXT contains the keyword — a bare
+    // indexOf("endstream") would cut the stream mid-literal and lose the tail
+    val content = PdfText.textPage("before endstream after")
+    val doc = pdf(Seq(content), flate = false)
+    assert(PdfText.extract(doc).get.text == "before endstream after")
+  }
+
+  test("indirect /Length (12 0 R) falls back to scanning, still extracts") {
+    val doc = new String(pdf(Seq(bytes("BT (indirect len) Tj ET")), flate = false), "ISO-8859-1")
+    val patched = "/Length \\d+".r.replaceFirstIn(doc, "/Length 99 0 R")
+    assert(PdfText.extract(patched.getBytes("ISO-8859-1")).get.text == "indirect len")
+  }
+
   test("non-PDF bytes answer None; corrupt flate degrades, never throws") {
     assert(PdfText.extract("plain text, no header".getBytes("UTF-8")).isEmpty)
     assert(PdfText.extract(Array.emptyByteArray).isEmpty)
@@ -103,5 +93,16 @@ class PdfTextSpec extends SparkSpecBase {
     val corpus = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
     assert(Multimodal.pdfExtract(corpus).filter(col("is_pdf")).count() == 0)
+  }
+
+  test("pdf_decode_real: corpus-wide round-trip identity (the oracle's claim)") {
+    val out = Multimodal.pdfRoundTrip(spark, sf)
+    assert(out.filter(!col("is_pdf") || col("n_pages") =!= 1).count() == 0)
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text"), "[^\\x20-\\x7E]", " ")).as("text"))
+    val got = out.select(col("doc_id"), col("text"))
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0)
   }
 }
