@@ -555,7 +555,7 @@ object SparkEntry {
     // states what lossless recovery plus a correct page parse must equal
     "pdf_decode_real" ->
       """SELECT doc_id, true AS is_pdf, 1 AS n_pages,
-        |       trim(regexp_replace(text, '[^\x20-\x7E]', ' ', 'g')) AS text
+        |       trim(regexp_replace(coalesce(text, ''), '[^\x20-\x7E]', ' ', 'g')) AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,

@@ -43,8 +43,11 @@ object PdfText {
     // structural view: latin-1 is byte-transparent, so offsets in this
     // string are byte offsets in the file
     val s = new String(bytes, Latin1)
-    val nPages = "/Type\\s*/Page(?!s)".r.findAllIn(s).length
     val text = new StringBuilder
+    // stream-body byte ranges, collected during the walk: page counting
+    // must ignore matches INSIDE stream data (raw text about PDFs may
+    // contain "/Type /Page"), so the regex runs only over structure
+    val streamRanges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var from = 0
     while (from >= 0 && from < s.length) {
       val st = s.indexOf("stream", from)
@@ -65,12 +68,18 @@ object PdfText {
         // PDFs), and a bare indexOf would truncate mid-stream. Indirect
         // lengths (/Length 12 0 R) fail the follow-check and fall back.
         val end = {
-          val byLen = LengthRe.findFirstMatchIn(dict).map(dataStart + _.group(1).toInt)
+          // toLong + range filter: a malformed huge /Length must fall back
+          // to scanning, not throw (never-throws contract)
+          val byLen = LengthRe.findFirstMatchIn(dict)
+            .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+            .map(dataStart + _)
+            .filter(_ <= s.length.toLong)
+            .map(_.toInt)
             .filter { e =>
               var p = e
               while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n' ||
                 s.charAt(p) == ' ')) p += 1
-              e <= s.length && s.startsWith("endstream", p)
+              s.startsWith("endstream", p)
             }
           byLen.getOrElse(s.indexOf("endstream", dataStart))
         }
@@ -84,28 +93,40 @@ object PdfText {
             // only text-bearing streams: cheap gate on the BT operator
             if (c.contains("BT")) appendShownText(c, text)
           }
+          streamRanges += ((dataStart, end))
           from = end + "endstream".length
         }
       }
     }
+    val nPages = "/Type\\s*/Page(?!s)".r.findAllIn(s).matchData
+      .count(m => !streamRanges.exists(r => m.start >= r._1 && m.start < r._2))
     Some(PdfDoc(text.result().trim, nPages))
   }
 
-  /** zlib-inflate, tolerant of trailing garbage; None on corrupt data. */
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+  /** Inflated-size cap: a content stream is operators + strings, never
+    * gigabytes — a tiny zlib bomb must degrade (None), not OOM the executor.
+    */
+  private val MaxInflated = 64 << 20
+
+  /** zlib-inflate, tolerant of trailing garbage; None on corrupt data or
+    * output past [[MaxInflated]]. Inflater released on every path.
+    */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
     try {
-      val inf = new Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
+        if (out.size().toLong + n > MaxInflated) return None // decompression bomb
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return Some(out.toByteArray) // stalled
       }
-      inf.end()
       Some(out.toByteArray)
     } catch { case _: Exception => None }
+    finally inf.end()
+  }
 
   /** Append every shown string of one content stream to `out`, separating
     * show operations with single spaces. Strings accumulate in `pending`
@@ -232,7 +253,9 @@ object PdfText {
             while (j < n && cnt < 3 && c.charAt(j) >= '0' && c.charAt(j) <= '7') {
               v = v * 8 + (c.charAt(j) - '0'); j += 1; cnt += 1
             }
-            sb += v.toChar; i = j
+            // PDF 7.3.4.2: high-order overflow ignored — keeps extracted
+            // chars inside the latin-1 byte range the parser models
+            sb += (v & 0xFF).toChar; i = j
           case other => sb += other; i += 2 // includes \( \) \\
         }
       } else {

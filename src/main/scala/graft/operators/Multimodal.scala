@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -86,17 +86,6 @@ object Multimodal {
         .as("feat_resized"))
   }
 
-  /** REAL PDF text extraction over a binary column (doc_id, content) —
-    * partition-local decode via mapPartitions (the declared decoder shape),
-    * parsing actual PDF bytes with [[graft.functions.PdfText]]: FlateDecode
-    * streams, literal/hex show strings, Tj/TJ/quote operators, page count.
-    * Non-PDF bytes yield (is_pdf=false, 0 pages, empty text) — the driver
-    * fixture's synthetic documents all take that branch, which is why the
-    * `pdf_decode` oracle query keeps its deterministic stub columns; REAL
-    * PDFs (spec-fed, handcrafted) take this one. Closes the decode half of
-    * the reference's pdf-extractor contract (src/pdf-extractor.ts) as far
-    * as a library-free container allows.
-    */
   /** Encode side of the PDF round trip: each document's text becomes a real
     * one-page FlateDecode PDF (correct /Length, escaped literal strings) as
     * a binary column — partition-local, no shuffle, the same mapPartitions
@@ -114,8 +103,9 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
         rows.map { r =>
+          val text = if (r.isNullAt(1)) "" else r.getString(1) // nullable column
           Row(r.getLong(0),
-            PdfText.buildPdf(Seq(PdfText.textPage(r.getString(1))), flate = true))
+            PdfText.buildPdf(Seq(PdfText.textPage(text)), flate = true))
         }
       }
   }
@@ -128,13 +118,33 @@ object Multimodal {
     * parser-derived is_pdf/n_pages. Encode and decode pipeline in one
     * narrow stage (no shuffle; the PDF bytes never leave the task).
     */
+  /** One space per CODEPOINT outside printable ASCII: Java regex matches
+    * per UTF-16 code unit but the DuckDB oracle's per codepoint, so the
+    * surrogate-pair alternative must come first or an astral char becomes
+    * two spaces Spark-side and one oracle-side. Coalesce aligns the
+    * nullable column on both sides.
+    */
+  private[graft] def asciiSanitize(c: Column): Column =
+    regexp_replace(coalesce(c, lit("")),
+      "(?:[\\uD800-\\uDBFF][\\uDC00-\\uDFFF]|[^\\x20-\\x7E])", " ")
+
   def pdfRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val sanitized = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        regexp_replace(col("text"), "[^\\x20-\\x7E]", " ").as("text"))
+      .select(col("doc_id"), asciiSanitize(col("text")).as("text"))
     pdfExtract(pdfEncode(sanitized)).orderBy("doc_id")
   }
 
+  /** REAL PDF text extraction over a binary column (doc_id, content) —
+    * partition-local decode via mapPartitions (the declared decoder shape),
+    * parsing actual PDF bytes with [[graft.functions.PdfText]]: FlateDecode
+    * streams, literal/hex show strings, Tj/TJ/quote operators, page count.
+    * Non-PDF bytes yield (is_pdf=false, 0 pages, empty text) — the driver
+    * fixture's synthetic documents all take that branch, which is why the
+    * `pdf_decode` oracle query keeps its deterministic stub columns; REAL
+    * PDFs (spec-fed, handcrafted) take this one. Closes the decode half of
+    * the reference's pdf-extractor contract (src/pdf-extractor.ts) as far
+    * as a library-free container allows.
+    */
   def pdfExtract(docs: DataFrame): DataFrame = {
     import graft.functions.PdfText
     val outSchema = StructType(Seq(

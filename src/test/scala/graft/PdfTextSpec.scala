@@ -69,6 +69,44 @@ class PdfTextSpec extends SparkSpecBase {
     assert(PdfText.extract(patched.getBytes("ISO-8859-1")).get.text == "indirect len")
   }
 
+  test("'/Type /Page' inside shown text does not inflate the page count") {
+    val doc = pdf(Seq(PdfText.textPage("see /Type /Page dict")), flate = false)
+    val r = PdfText.extract(doc).get
+    assert(r.nPages == 1 && r.text == "see /Type /Page dict")
+  }
+
+  test("malformed huge /Length falls back to scanning, never throws") {
+    val doc = new String(pdf(Seq(bytes("BT (big len) Tj ET")), flate = false), "ISO-8859-1")
+    val patched = "/Length \\d+".r.replaceFirstIn(doc, "/Length 99999999999999999999")
+    assert(PdfText.extract(patched.getBytes("ISO-8859-1")).get.text == "big len")
+  }
+
+  test("octal escape overflow wraps to a byte (PDF 7.3.4.2)") {
+    // \777 = 511: high-order overflow ignored -> 0xFF
+    val doc = pdf(Seq(bytes("BT (\\777) Tj ET")), flate = false)
+    assert(PdfText.extract(doc).get.text == "ÿ")
+  }
+
+  test("decompression bomb degrades to empty text, no executor OOM") {
+    // 80 MB of zeros deflates to ~80 KB; inflate caps at 64 MB -> None
+    val bomb = pdf(Seq(new Array[Byte](80 << 20)), flate = true)
+    assert(bomb.length < (1 << 20))
+    assert(PdfText.extract(bomb).get.text == "")
+  }
+
+  test("asciiSanitize: one space per astral codepoint, null becomes empty") {
+    import spark.implicits._
+    val df = Seq((1L, "a😀b"), (2L, null)).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.asciiSanitize(col("text")).as("t"))
+      .orderBy("doc_id").collect()
+    assert(df(0).getString(1) == "a b") // NOT "a  b" — oracle parity
+    assert(df(1).getString(1) == "")
+    // and the encode side tolerates the null row end-to-end
+    val rt = Multimodal.pdfExtract(Multimodal.pdfEncode(
+      Seq((2L, null: String)).toDF("doc_id", "text"))).collect()
+    assert(rt(0).getBoolean(1) && rt(0).getString(3) == "")
+  }
+
   test("non-PDF bytes answer None; corrupt flate degrades, never throws") {
     assert(PdfText.extract("plain text, no header".getBytes("UTF-8")).isEmpty)
     assert(PdfText.extract(Array.emptyByteArray).isEmpty)
