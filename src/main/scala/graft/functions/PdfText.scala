@@ -208,15 +208,37 @@ object PdfText {
     * (backslash and parens escaped, so arbitrary latin-1 text round-trips
     * through [[extract]]).
     */
-  def textPage(text: String): Array[Byte] = {
-    val esc = new StringBuilder(text.length + 16)
-    text.foreach {
-      case '\\' => esc ++= "\\\\"
-      case '(' => esc ++= "\\("
-      case ')' => esc ++= "\\)"
-      case ch => esc += ch
+  def textPage(text: String): Array[Byte] = textPage(text, 0)
+
+  /** Page content carrying `text` through one of the three show-string
+    * forms the parser reads — all decode to identical text, so a caller
+    * can vary the form without changing the expected output (the
+    * `pdf_decode_real` gate routes by doc_id so every form is exercised
+    * corpus-wide against one oracle):
+    * 0 = literal `(…) Tj`; 1 = kerned array `[(…) -28 (…)] TJ`
+    * (halves concatenate, kern numbers ignored); 2 = hex `<…> Tj`.
+    */
+  def textPage(text: String, variant: Int): Array[Byte] = {
+    def esc(t: String): String = {
+      val b = new StringBuilder(t.length + 16)
+      t.foreach {
+        case '\\' => b ++= "\\\\"
+        case '(' => b ++= "\\("
+        case ')' => b ++= "\\)"
+        case ch => b += ch
+      }
+      b.result()
     }
-    s"BT /F1 12 Tf 72 720 Td (${esc.result()}) Tj ET".getBytes(Latin1)
+    val shown = variant % 3 match {
+      case 1 =>
+        val (h1, h2) = text.splitAt(text.length / 2)
+        s"[(${esc(h1)}) -28 (${esc(h2)})] TJ"
+      case 2 =>
+        val hex = text.map(ch => f"${ch.toInt & 0xFF}%02X").mkString
+        s"<$hex> Tj"
+      case _ => s"(${esc(text)}) Tj"
+    }
+    s"BT /F1 12 Tf 72 720 Td $shown ET".getBytes(Latin1)
   }
 
   private def deflate(data: Array[Byte]): Array[Byte] = {

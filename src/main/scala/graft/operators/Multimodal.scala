@@ -103,9 +103,13 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
         rows.map { r =>
+          val id = r.getLong(0)
           val text = if (r.isNullAt(1)) "" else r.getString(1) // nullable column
-          Row(r.getLong(0),
-            PdfText.buildPdf(Seq(PdfText.textPage(text)), flate = true))
+          // rotate the show-string form by doc_id: literal Tj / kerned TJ
+          // array / hex string all decode to the same text, so the gate
+          // exercises every parser path against one oracle
+          Row(id,
+            PdfText.buildPdf(Seq(PdfText.textPage(text, (id % 3).toInt)), flate = true))
         }
       }
   }

@@ -55,6 +55,17 @@ class PdfTextSpec extends SparkSpecBase {
     assert(PdfText.extract(doc).get.text == nasty)
   }
 
+  test("all three show-string encode forms round-trip identically") {
+    val t = """mixed (ops) \ text"""
+    for (v <- 0 to 2) {
+      val doc = pdf(Seq(PdfText.textPage(t, v)), flate = true)
+      assert(PdfText.extract(doc).get.text == t, s"variant $v")
+      // empty text stays empty in every form
+      val empty = pdf(Seq(PdfText.textPage("", v)), flate = true)
+      assert(PdfText.extract(empty).get.text == "", s"variant $v empty")
+    }
+  }
+
   test("stream bytes containing 'endstream' do not truncate: /Length wins") {
     // raw (uncompressed) stream whose TEXT contains the keyword — a bare
     // indexOf("endstream") would cut the stream mid-literal and lose the tail
