@@ -143,6 +143,16 @@ class DedupStreamSpec extends SparkSpecBase {
     assert(je.filter(col("s_emb") =!= col("b_emb")).count() == 0)
   }
 
+  test("streaming PDF round-trip decode equals the batch pdf_decode_real twin") {
+    val out = java.nio.file.Files.createTempDirectory("graft_media_stream").toString + "/pdf"
+    val streamed = graft.streaming.MediaStream.runToParquet(spark, sf, out)
+    val batch = graft.operators.Multimodal.pdfRoundTrip(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    // every document really took the decode path (parsed as a PDF)
+    assert(streamed.filter(!col("is_pdf")).count() == 0)
+  }
+
   test("streaming windowed agg equals the batch twin") {
     val streamed = EventStream.runToCompletion(spark, sf, "events_stream_spec")
       .orderBy("window_start", "event_type")
