@@ -144,6 +144,12 @@ class PdfTextSpec extends SparkSpecBase {
     assert(Multimodal.pdfExtract(corpus).filter(col("is_pdf")).count() == 0)
   }
 
+  test("pdf_decode_real plan: encode+decode pipeline narrow — only the sort exchanges") {
+    val plan = Multimodal.pdfRoundTrip(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most the rangepartitioning sort exchange:\n$plan")
+  }
+
   test("pdf_decode_real: corpus-wide round-trip identity (the oracle's claim)") {
     val out = Multimodal.pdfRoundTrip(spark, sf)
     assert(out.filter(!col("is_pdf") || col("n_pages") =!= 1).count() == 0)
