@@ -138,8 +138,7 @@ class Graft(spark: SparkSession, sfDir: String,
   def reindexDirectory(storePath: String): DataFrame = {
     val src = dirSource.getOrElse(throw new IllegalStateException(
       "reindexDirectory requires a facade built by Graft.forDirectory"))
-    val docs = sources.TextCorpus.asDocuments(
-      sources.TextCorpus.read(spark, src.root, src.allowedExt, src.excludedFolders))
+    val docs = Graft.discoverDocuments(spark, src.root, src.allowedExt, src.excludedFolders)
     Graft.landDocuments(docs, sfDir)
     val stats = incrementalUpdate(storePath)
     // derived-index maintenance (reference: src/indexer.ts:413-511 — the
@@ -562,11 +561,31 @@ object Graft {
                    excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
                    chunkSize: Int = 100, chunkOverlap: Int = 20,
                    dim: Int = 64): Graft = {
-    val docs = sources.TextCorpus.asDocuments(
-      sources.TextCorpus.read(spark, root, allowedExt, excludedFolders))
+    val docs = discoverDocuments(spark, root, allowedExt, excludedFolders)
     landDocuments(docs, workDir)
     new Graft(spark, workDir, chunkSize, chunkOverlap, dim,
       Some(DirSource(root, allowedExt, excludedFolders)))
+  }
+
+  /** Directory discovery with the reference's extension semantics
+    * (README.md:257 — the whitelist may include `pdf`, whose files are
+    * text-EXTRACTED during indexing rather than read as text): the `pdf`
+    * entry routes through the binary scan + real extractor leg
+    * ([[sources.TextCorpus.readPdfAsText]]), everything else through the
+    * wholetext leg; both land in the same documents shape with consistent
+    * path-derived doc_ids, so every downstream operator is source-agnostic.
+    */
+  private[graft] def discoverDocuments(spark: SparkSession, root: String,
+                                       allowedExt: Seq[String],
+                                       excludedFolders: Seq[String]): DataFrame = {
+    val textExts = allowedExt.filterNot(_.equalsIgnoreCase("pdf"))
+    val legs =
+      (if (textExts.nonEmpty)
+        Seq(sources.TextCorpus.read(spark, root, textExts, excludedFolders)) else Nil) ++
+      (if (allowedExt.exists(_.equalsIgnoreCase("pdf")))
+        Seq(sources.TextCorpus.readPdfAsText(spark, root, excludedFolders)) else Nil)
+    require(legs.nonEmpty, "allowedExt must not be empty")
+    sources.TextCorpus.asDocuments(legs.reduce(_ unionByName _))
   }
 }
 

@@ -79,6 +79,55 @@ object TextCorpus {
       .orderBy("path")
   }
 
+  /** The corpus's PDF leg (reference: src/indexer.ts:172 — whitelisted
+    * `.pdf` files get their text extracted by the pdf-extractor during
+    * indexing, then flow through the same chunk pipeline as text files;
+    * README.md:257 puts `pdf` in the default extension list). Output shape
+    * is IDENTICAL to [[read]] — (path, content, size, line_count) with
+    * `content` the EXTRACTED text — so [[asDocuments]] and everything
+    * downstream are source-agnostic, and `doc_id = xxhash64(rel path)`
+    * stays consistent across both legs.
+    *
+    * Scale shape: `binaryFile` scan (listing distributes, glob prunes
+    * before any open), extraction partition-local via mapPartitions —
+    * the decoder never sees the driver. PDFs outside the extraction
+    * envelope yield empty text and are dropped by the same empty-file
+    * filter the text leg applies.
+    */
+  def readPdfAsText(spark: SparkSession, root: String,
+                    excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git")): DataFrame = {
+    import graft.functions.PdfText
+    import org.apache.spark.sql.types._
+    val rootNorm = if (root.endsWith("/")) root else root + "/"
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path").as("abs_path"), col("content"))
+      .withColumn("path", relPathRaw(col("abs_path"), rootNorm))
+    val segs = split(col("path"), "/")
+    val excluded = excludedFolders.foldLeft(raw) { (df, folder) =>
+      df.filter(!array_contains(segs, folder))
+    }
+    val outSchema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("content", StringType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    excluded.select(col("path"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val text = PdfText.extract(r.getAs[Array[Byte]](1)).map(_.text).getOrElse("")
+          org.apache.spark.sql.Row(r.getString(0), text)
+        }
+      }
+      .filter(length(col("content")) > 0)
+      .select(col("path"), col("content"),
+        length(col("content")).cast("long").as("size"),
+        size(split(col("content"), "\r?\n")).cast("long").as("line_count"))
+      .orderBy("path")
+  }
+
   /** Normalize the reference's `dir` argument (reference: src/index.ts:
     * 331-341): a solitary "." or "./" means the root; a leading "./" is
     * dropped; leading slashes are trimmed; dot-prefixed REAL names (".git")

@@ -129,6 +129,43 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(g2.listFiles(limit = 100).filter(col("entry_type") === "file").count() == 4)
   }
 
+  test("forDirectory indexes real PDF files when 'pdf' is whitelisted (reference default)") {
+    import graft.functions.PdfText
+    val root = Files.createTempDirectory("graft_pdftree")
+    def put(rel: String, content: Array[Byte]): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content)
+    }
+    put("notes.md", "plain markdown about hash joins".getBytes("UTF-8"))
+    put("papers/sortmerge.pdf", PdfText.buildPdf(
+      Seq(PdfText.textPage("sort merge shuffle exchanges partitions by key")), flate = true))
+    put("papers/broken.pdf", "not actually a pdf".getBytes("UTF-8"))
+    put("node_modules/skip.pdf", PdfText.buildPdf(
+      Seq(PdfText.textPage("excluded folder must stay excluded")), flate = true))
+    val work = Files.createTempDirectory("graft_pdfwork").toString
+    val g2 = Graft.forDirectory(spark, root.toString, work,
+      allowedExt = Seq("md", "pdf"))
+    val docs = Tables.documents(spark, work)
+    // md + real pdf; the non-PDF .pdf extracts empty and is dropped like an
+    // empty text file; the excluded folder never reaches the extractor
+    assert(docs.count() == 2)
+    assert(docs.filter(col("text") === "sort merge shuffle exchanges partitions by key")
+      .count() == 1)
+    assert(docs.filter(col("text").contains("excluded folder")).count() == 0)
+    // extracted text is first-class: chunked, embedded, and queryable
+    val hit = g2.ragQuery("sort merge shuffle partitions", topK = 1).head()
+    val pdfId = docs.filter(col("text").contains("sort merge")).head().getAs[Long]("doc_id")
+    assert(hit.getAs[Long]("doc_id") == pdfId)
+    // and the incremental path sees a PDF content change as 'changed'
+    val store = Files.createTempDirectory("graft_pdfstore").toString + "/store"
+    assert(g2.reindexDirectory(store).head().getAs[Long]("n_added") == 2)
+    put("papers/sortmerge.pdf", PdfText.buildPdf(
+      Seq(PdfText.textPage("sort merge shuffle exchanges partitions by key twice")), flate = true))
+    val stats = g2.reindexDirectory(store).head()
+    assert(stats.getAs[Long]("n_changed") == 1 && stats.getAs[Long]("n_unchanged") == 1)
+  }
+
   test("reindexDirectory: live tree mutations are picked up incrementally and equal a cold rebuild") {
     val root = Files.createTempDirectory("graft_live")
     def put(rel: String, content: String): Unit = {
