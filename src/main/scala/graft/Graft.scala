@@ -138,7 +138,7 @@ class Graft(spark: SparkSession, sfDir: String,
   def reindexDirectory(storePath: String): DataFrame = {
     val src = dirSource.getOrElse(throw new IllegalStateException(
       "reindexDirectory requires a facade built by Graft.forDirectory"))
-    val docs = Graft.discoverDocuments(spark, src.root, src.allowedExt, src.excludedFolders)
+    val docs = Graft.discoverDocuments(spark, src.root, src.allowedExt, src.excludedFolders, sfDir)
     Graft.landDocuments(docs, sfDir)
     val stats = incrementalUpdate(storePath)
     // derived-index maintenance (reference: src/indexer.ts:413-511 — the
@@ -561,7 +561,7 @@ object Graft {
                    excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
                    chunkSize: Int = 100, chunkOverlap: Int = 20,
                    dim: Int = 64): Graft = {
-    val docs = discoverDocuments(spark, root, allowedExt, excludedFolders)
+    val docs = discoverDocuments(spark, root, allowedExt, excludedFolders, workDir)
     landDocuments(docs, workDir)
     new Graft(spark, workDir, chunkSize, chunkOverlap, dim,
       Some(DirSource(root, allowedExt, excludedFolders)))
@@ -577,13 +577,18 @@ object Graft {
     */
   private[graft] def discoverDocuments(spark: SparkSession, root: String,
                                        allowedExt: Seq[String],
-                                       excludedFolders: Seq[String]): DataFrame = {
-    val textExts = allowedExt.filterNot(_.equalsIgnoreCase("pdf"))
+                                       excludedFolders: Seq[String],
+                                       workDir: String): DataFrame = {
+    val (pdfExts, textExts) = allowedExt.partition(_.equalsIgnoreCase("pdf"))
     val legs =
       (if (textExts.nonEmpty)
         Seq(sources.TextCorpus.read(spark, root, textExts, excludedFolders)) else Nil) ++
-      (if (allowedExt.exists(_.equalsIgnoreCase("pdf")))
-        Seq(sources.TextCorpus.readPdfAsText(spark, root, excludedFolders)) else Nil)
+      (if (pdfExts.nonEmpty)
+        // the caller's exact spellings drive the glob (the text leg's glob
+        // is case-sensitive; this one must not differ); the extraction
+        // cache lands beside the documents table
+        Seq(sources.TextCorpus.readPdfAsText(spark, root, excludedFolders,
+          exts = pdfExts, cachePath = Some(workDir + "/pdf_text_cache"))) else Nil)
     require(legs.nonEmpty, "allowedExt must not be empty")
     sources.TextCorpus.asDocuments(legs.reduce(_ unionByName _))
   }

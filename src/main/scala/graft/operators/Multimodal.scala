@@ -108,8 +108,11 @@ object Multimodal {
           // rotate the show-string form by doc_id: literal Tj / kerned TJ
           // array / hex string all decode to the same text, so the gate
           // exercises every parser path against one oracle
+          // floorMod: Scala % is signed — a negative doc_id must still
+          // rotate through all three forms, not collapse to the literal one
           Row(id,
-            PdfText.buildPdf(Seq(PdfText.textPage(text, (id % 3).toInt)), flate = true))
+            PdfText.buildPdf(Seq(PdfText.textPage(text, Math.floorMod(id, 3L).toInt)),
+              flate = true))
         }
       }
   }

@@ -84,48 +84,129 @@ object TextCorpus {
     * indexing, then flow through the same chunk pipeline as text files;
     * README.md:257 puts `pdf` in the default extension list). Output shape
     * is IDENTICAL to [[read]] — (path, content, size, line_count) with
-    * `content` the EXTRACTED text — so [[asDocuments]] and everything
-    * downstream are source-agnostic, and `doc_id = xxhash64(rel path)`
-    * stays consistent across both legs.
+    * `content` the EXTRACTED text but `size` the FILE's byte size (the
+    * reference's change-detection key: a PDF edit that keeps extracted-text
+    * length still flips the byte size, so the incremental diff sees it) —
+    * so [[asDocuments]] and everything downstream are source-agnostic, and
+    * `doc_id = xxhash64(rel path)` stays consistent across both legs.
     *
-    * Scale shape: `binaryFile` scan (listing distributes, glob prunes
-    * before any open), extraction partition-local via mapPartitions —
-    * the decoder never sees the driver. PDFs outside the extraction
-    * envelope yield empty text and are dropped by the same empty-file
-    * filter the text leg applies.
+    * `cachePath` is the reference's pdf-text-cache.json analog (reference:
+    * src/pdf-extractor.ts — extract once, key by (path, size)): a parquet
+    * table (path, byte_size, text). With a cache, discovery does a
+    * METADATA-ONLY `binaryFile` scan (content column pruned — no PDF is
+    * opened), joins it against the cache on (path, byte_size), opens and
+    * extracts ONLY the misses partition-locally, then rewrites the cache
+    * (current files only, staged swap) and serves the returned frame FROM
+    * the cache — so repeated downstream actions re-read cheap parquet
+    * instead of re-inflating PDFs, and a no-change reindex never opens a
+    * single PDF. Empty extractions are cached too (a broken PDF is not
+    * re-parsed every round) but filtered from the returned corpus like
+    * empty text files.
+    *
+    * Scale shape: listing distributes, glob prunes before any open, the
+    * extractor never sees the driver; the cache join is path-keyed.
     */
   def readPdfAsText(spark: SparkSession, root: String,
-                    excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git")): DataFrame = {
-    import graft.functions.PdfText
-    import org.apache.spark.sql.types._
+                    excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
+                    exts: Seq[String] = Seq("pdf"),
+                    cachePath: Option[String] = None): DataFrame = {
+    require(exts.nonEmpty && exts.forall(_.matches("[A-Za-z0-9_]+")),
+      s"exts must be alphanumeric, got: ${exts.mkString(", ")}")
     val rootNorm = if (root.endsWith("/")) root else root + "/"
-    val raw = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.pdf")
-      .option("recursiveFileLookup", "true")
-      .load(root)
-      .select(col("path").as("abs_path"), col("content"))
-      .withColumn("path", relPathRaw(col("abs_path"), rootNorm))
-    val segs = split(col("path"), "/")
-    val excluded = excludedFolders.foldLeft(raw) { (df, folder) =>
-      df.filter(!array_contains(segs, folder))
-    }
-    val outSchema = StructType(Seq(
-      StructField("path", StringType, nullable = false),
-      StructField("content", StringType, nullable = false)))
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    excluded.select(col("path"), col("content"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val text = PdfText.extract(r.getAs[Array[Byte]](1)).map(_.text).getOrElse("")
-          org.apache.spark.sql.Row(r.getString(0), text)
-        }
+    def scan(columns: Seq[String]): DataFrame = {
+      val raw = spark.read.format("binaryFile")
+        .option("pathGlobFilter", s"*.{${exts.mkString(",")}}")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select((Seq(col("path").as("abs_path"), col("length").as("byte_size")) ++
+          columns.map(col)): _*)
+        .withColumn("path", relPathRaw(col("abs_path"), rootNorm))
+      val segs = split(col("path"), "/")
+      excludedFolders.foldLeft(raw) { (df, folder) =>
+        df.filter(!array_contains(segs, folder))
       }
-      .filter(length(col("content")) > 0)
-      .select(col("path"), col("content"),
-        length(col("content")).cast("long").as("size"),
-        size(split(col("content"), "\r?\n")).cast("long").as("line_count"))
-      .orderBy("path")
+    }
+    val extracted: DataFrame = cachePath match {
+      case None =>
+        extractPartitionLocal(scan(Seq("content"))
+          .select(col("path"), col("byte_size"), col("content")))
+      case Some(cp) =>
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val cpPath = new org.apache.hadoop.fs.Path(cp)
+        val fs = cpPath.getFileSystem(hconf)
+        // metadata-only listing: content column pruned, no PDF opened
+        val meta = scan(Nil).select(col("abs_path"), col("path"), col("byte_size"))
+        val joined =
+          if (fs.exists(cpPath)) {
+            val cache = spark.read.parquet(cp)
+              .select(col("path"), col("byte_size"), col("text").as("cached_text"))
+            meta.join(cache, Seq("path", "byte_size"), "left")
+          } else meta.withColumn("cached_text", lit(null).cast("string"))
+        val hits = joined.filter(col("cached_text").isNotNull)
+          .select(col("path"), col("byte_size"), col("cached_text").as("text"))
+        // misses open THEIR files only, partition-local (a fresh Hadoop
+        // Configuration reaches local/default filesystems; cluster object
+        // stores inherit executor-side core-site defaults)
+        val misses = extractFromPaths(joined.filter(col("cached_text").isNull)
+          .select(col("abs_path"), col("path"), col("byte_size")))
+        val merged = hits.unionByName(misses)
+        // staged swap, stamp-last flavor: the hits frame lazily READS the
+        // old cache, so write beside it and rename — never overwrite input
+        val staging = new org.apache.hadoop.fs.Path(cp + ".staging")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        merged.write.parquet(staging.toString)
+        if (fs.exists(cpPath)) fs.delete(cpPath, true)
+        fs.rename(staging, cpPath)
+        // serve FROM the cache: downstream actions re-read parquet, not PDFs
+        spark.read.parquet(cp).select(col("path"), col("byte_size"), col("text"))
+    }
+    extracted
+      .filter(length(col("text")) > 0)
+      .select(col("path"), col("text").as("content"),
+        col("byte_size").as("size"),
+        size(split(col("text"), "\r?\n")).cast("long").as("line_count"))
+  }
+
+  /** (path, byte_size, content: binary) → (path, byte_size, text). */
+  private def extractPartitionLocal(bin: DataFrame): DataFrame = {
+    import graft.functions.PdfText
+    implicit val enc = pdfTextEncoder(bin.sparkSession)
+    bin.mapPartitions { rows =>
+      rows.map { r =>
+        val text = PdfText.extract(r.getAs[Array[Byte]](2)).map(_.text).getOrElse("")
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1), text)
+      }
+    }
+  }
+
+  /** (abs_path, path, byte_size) → (path, byte_size, text), opening each
+    * file inside the task — only cache MISSES pay an open+inflate+parse.
+    */
+  private def extractFromPaths(paths: DataFrame): DataFrame = {
+    import graft.functions.PdfText
+    implicit val enc = pdfTextEncoder(paths.sparkSession)
+    paths.mapPartitions { rows =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      rows.map { r =>
+        val p = new org.apache.hadoop.fs.Path(r.getString(0))
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        val text = PdfText.extract(bytes).map(_.text).getOrElse("")
+        org.apache.spark.sql.Row(r.getString(1), r.getLong(2), text)
+      }
+    }
+  }
+
+  private def pdfTextEncoder(spark: SparkSession)
+      : org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("byte_size", LongType, nullable = false),
+      StructField("text", StringType, nullable = false))))
   }
 
   /** Normalize the reference's `dir` argument (reference: src/index.ts:

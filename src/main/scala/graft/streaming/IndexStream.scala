@@ -43,8 +43,15 @@ object IndexStream {
     * arrived since — the spec exercises both.
     */
   def runToParquet(spark: SparkSession, sfDir: String, outDir: String,
-                   glob: String = "documents.parquet"): DataFrame = {
-    val q = chunkEmbedStream(spark, sfDir, glob = glob)
+                   glob: String = "documents.parquet"): DataFrame =
+    drainToParquet(chunkEmbedStream(spark, sfDir, glob = glob), outDir)
+
+  /** Shared parquet-sink drain for the finite-input streaming twins: append
+    * mode, checkpoint beside the sink (exactly-once per source file),
+    * blocking until the source is exhausted; returns the sunk frame.
+    */
+  private[streaming] def drainToParquet(stream: DataFrame, outDir: String): DataFrame = {
+    val q = stream
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -53,6 +60,6 @@ object IndexStream {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.read.parquet(outDir)
+    stream.sparkSession.read.parquet(outDir)
   }
 }

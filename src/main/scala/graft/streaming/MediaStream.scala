@@ -38,16 +38,6 @@ object MediaStream {
     * nothing). Returns the decoded frame.
     */
   def runToParquet(spark: SparkSession, sfDir: String, outDir: String,
-                   glob: String = "documents.parquet"): DataFrame = {
-    val q = pdfRoundTripStream(spark, sfDir, glob)
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", outDir + "_checkpoint")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.read.parquet(outDir)
-  }
+                   glob: String = "documents.parquet"): DataFrame =
+    IndexStream.drainToParquet(pdfRoundTripStream(spark, sfDir, glob), outDir)
 }

@@ -166,6 +166,36 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(stats.getAs[Long]("n_changed") == 1 && stats.getAs[Long]("n_unchanged") == 1)
   }
 
+  test("PDF extraction cache: unchanged files are served without reopening; byte size is the key") {
+    import graft.functions.PdfText
+    import graft.sources.TextCorpus
+    val root = Files.createTempDirectory("graft_pdfcache")
+    val pdfBytes = PdfText.buildPdf(
+      Seq(PdfText.textPage("cached extraction survives a same-size rewrite")), flate = true)
+    val f = root.resolve("doc.pdf")
+    Files.write(f, pdfBytes)
+    val cache = Files.createTempDirectory("graft_pdfcachework").toString + "/cache"
+    def readAll() = TextCorpus.readPdfAsText(spark, root.toString, cachePath = Some(cache))
+    val first = readAll().collect()
+    assert(first.length == 1 &&
+      first(0).getAs[String]("content") == "cached extraction survives a same-size rewrite")
+    assert(first(0).getAs[Long]("size") == pdfBytes.length) // FILE bytes, not text length
+    // corrupt the file in place, SAME byte size: the cache serves the old
+    // text without opening the file (the (path, size) key says unchanged)
+    val corrupted = pdfBytes.clone()
+    corrupted(pdfBytes.length / 2) = 0x00
+    Files.write(f, corrupted)
+    val second = readAll().collect()
+    assert(second.length == 1 &&
+      second(0).getAs[String]("content") == "cached extraction survives a same-size rewrite")
+    // grow the file: the key misses, re-extraction sees the new content
+    Files.write(f, PdfText.buildPdf(
+      Seq(PdfText.textPage("rewritten content with a different byte size")), flate = true))
+    val third = readAll().collect()
+    assert(third.length == 1 &&
+      third(0).getAs[String]("content") == "rewritten content with a different byte size")
+  }
+
   test("reindexDirectory: live tree mutations are picked up incrementally and equal a cold rebuild") {
     val root = Files.createTempDirectory("graft_live")
     def put(rel: String, content: String): Unit = {

@@ -116,6 +116,11 @@ class PdfTextSpec extends SparkSpecBase {
     val rt = Multimodal.pdfExtract(Multimodal.pdfEncode(
       Seq((2L, null: String)).toDF("doc_id", "text"))).collect()
     assert(rt(0).getBoolean(1) && rt(0).getString(3) == "")
+    // negative doc_ids still rotate show-string forms (floorMod, not %)
+    val neg = Multimodal.pdfExtract(Multimodal.pdfEncode(
+      Seq((-1L, "negative id"), (-2L, "negative id")).toDF("doc_id", "text")))
+      .orderBy("doc_id").collect()
+    assert(neg.forall(r => r.getBoolean(1) && r.getString(3) == "negative id"))
   }
 
   test("non-PDF bytes answer None; corrupt flate degrades, never throws") {
