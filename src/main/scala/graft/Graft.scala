@@ -79,13 +79,18 @@ class Graft(spark: SparkSession, sfDir: String,
       case Some(old) =>
         val cur = Tables.documents(spark, sfDir)
         val oldFiles = old.select(col("doc_id"), col("file_size")).distinct()
-        val curFiles = cur.select(col("doc_id"), col("n_chars"))
+        // diff key = the stored file_size's own semantic: byte_size when the
+        // documents table carries one (directory corpora — Chunker persisted
+        // exactly that column as file_size), else n_chars (synthetic tables)
+        val curKey =
+          if (cur.columns.contains("byte_size")) col("byte_size") else col("n_chars")
+        val curFiles = cur.select(col("doc_id"), curKey.as("cur_size"))
         val joined = oldFiles.join(curFiles, Seq("doc_id"), "full_outer").cache()
         // ONE definition per diff predicate — the id frames that drive the
         // reindex and the stats aggregation must never drift apart
-        val isRemoved = col("n_chars").isNull
-        val isChanged = col("n_chars").isNotNull && col("file_size").isNotNull &&
-          col("file_size") =!= col("n_chars")
+        val isRemoved = col("cur_size").isNull
+        val isChanged = col("cur_size").isNotNull && col("file_size").isNotNull &&
+          col("file_size") =!= col("cur_size")
         val isAdded = col("file_size").isNull
         val removedIds = joined.filter(isRemoved).select("doc_id")
         val changedIds = joined.filter(isChanged).select("doc_id")
@@ -105,7 +110,7 @@ class Graft(spark: SparkSession, sfDir: String,
           cnt(isAdded).as("n_added"),
           cnt(isChanged).as("n_changed"),
           cnt(isRemoved).as("n_removed"),
-          cnt(col("file_size") === col("n_chars")).as("n_unchanged")).head()
+          cnt(col("file_size") === col("cur_size")).as("n_unchanged")).head()
         val nAdded = s.getLong(0); val nChanged = s.getLong(1)
         val nRemoved = s.getLong(2); val nUnchanged = s.getLong(3)
         IndexStore.save(merged, storePath, meta)

@@ -86,9 +86,11 @@ object TextCorpus {
     * is IDENTICAL to [[read]] — (path, content, size, line_count) with
     * `content` the EXTRACTED text but `size` the FILE's byte size (the
     * reference's change-detection key: a PDF edit that keeps extracted-text
-    * length still flips the byte size, so the incremental diff sees it) —
-    * so [[asDocuments]] and everything downstream are source-agnostic, and
-    * `doc_id = xxhash64(rel path)` stays consistent across both legs.
+    * length still flips the byte size, so the incremental diff sees it;
+    * [[asDocuments]] routes it to the diff-only `byte_size` column and
+    * derives char-semantic `n_chars` from the content itself) — so
+    * downstream operators are source-agnostic, and `doc_id = xxhash64(rel
+    * path)` stays consistent across both legs.
     *
     * `cachePath` is the reference's pdf-text-cache.json analog (reference:
     * src/pdf-extractor.ts — extract once, key by (path, size)): a parquet
@@ -130,12 +132,20 @@ object TextCorpus {
       case None =>
         extractPartitionLocal(scan(Seq("content"))
           .select(col("path"), col("byte_size"), col("content")))
-      case Some(cp) =>
+      case Some(cp) => graft.operators.AnnStore.releasingPinned(spark) {
         val hconf = spark.sparkContext.hadoopConfiguration
         val cpPath = new org.apache.hadoop.fs.Path(cp)
         val fs = cpPath.getFileSystem(hconf)
-        // metadata-only listing: content column pruned, no PDF opened
-        val meta = scan(Nil).select(col("abs_path"), col("path"), col("byte_size"))
+        // metadata-only listing (content pruned, no PDF opened), checkpointed
+        // so the hits and misses subtrees below share ONE evaluation — an
+        // unpinned plan would re-list the tree per subtree, and a file whose
+        // byte size changed between the two evaluations would land as BOTH a
+        // hit (old size) and a miss (new size): duplicate path rows in the
+        // cache and duplicate doc_ids downstream. Bounded: one narrow row
+        // per PDF file. The scope releases the pin once the cache write
+        // below has consumed it; the returned frame reads parquet only.
+        val meta = graft.operators.AnnStore.trackedCheckpoint(
+          scan(Nil).select(col("abs_path"), col("path"), col("byte_size")))
         val joined =
           if (fs.exists(cpPath)) {
             val cache = spark.read.parquet(cp)
@@ -144,21 +154,22 @@ object TextCorpus {
           } else meta.withColumn("cached_text", lit(null).cast("string"))
         val hits = joined.filter(col("cached_text").isNotNull)
           .select(col("path"), col("byte_size"), col("cached_text").as("text"))
-        // misses open THEIR files only, partition-local (a fresh Hadoop
-        // Configuration reaches local/default filesystems; cluster object
-        // stores inherit executor-side core-site defaults)
+        // misses open THEIR files only, partition-local
         val misses = extractFromPaths(joined.filter(col("cached_text").isNull)
           .select(col("abs_path"), col("path"), col("byte_size")))
         val merged = hits.unionByName(misses)
-        // staged swap, stamp-last flavor: the hits frame lazily READS the
-        // old cache, so write beside it and rename — never overwrite input
+        // staged write + backup-rename swap (the store contract's protocol —
+        // the hits frame lazily READS the old cache, so never overwrite the
+        // input in place; delete-then-rename would strand everything in
+        // .staging on a crash between the two, and swapDir also surfaces a
+        // failed rename as a diagnostic instead of a downstream read error)
         val staging = new org.apache.hadoop.fs.Path(cp + ".staging")
         if (fs.exists(staging)) fs.delete(staging, true)
         merged.write.parquet(staging.toString)
-        if (fs.exists(cpPath)) fs.delete(cpPath, true)
-        fs.rename(staging, cpPath)
+        graft.IndexStore.swapDir(fs, staging, cpPath)
         // serve FROM the cache: downstream actions re-read parquet, not PDFs
         spark.read.parquet(cp).select(col("path"), col("byte_size"), col("text"))
+      }
     }
     extracted
       .filter(length(col("text")) > 0)
@@ -170,7 +181,7 @@ object TextCorpus {
   /** (path, byte_size, content: binary) → (path, byte_size, text). */
   private def extractPartitionLocal(bin: DataFrame): DataFrame = {
     import graft.functions.PdfText
-    implicit val enc = pdfTextEncoder(bin.sparkSession)
+    implicit val enc = pdfTextEncoder
     bin.mapPartitions { rows =>
       rows.map { r =>
         val text = PdfText.extract(r.getAs[Array[Byte]](2)).map(_.text).getOrElse("")
@@ -181,12 +192,18 @@ object TextCorpus {
 
   /** (abs_path, path, byte_size) → (path, byte_size, text), opening each
     * file inside the task — only cache MISSES pay an open+inflate+parse.
+    * The SESSION's Hadoop conf rides a broadcast into the tasks: a fresh
+    * executor-side `new Configuration()` would see only classpath defaults,
+    * silently dropping spark.hadoop.* credentials/endpoints (object-store
+    * corpora would list fine driver-side, then fail every open).
     */
   private def extractFromPaths(paths: DataFrame): DataFrame = {
     import graft.functions.PdfText
-    implicit val enc = pdfTextEncoder(paths.sparkSession)
+    implicit val enc = pdfTextEncoder
+    val confBc = paths.sparkSession.sparkContext.broadcast(
+      new SerializableHadoopConf(paths.sparkSession.sparkContext.hadoopConfiguration))
     paths.mapPartitions { rows =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = confBc.value.value
       rows.map { r =>
         val p = new org.apache.hadoop.fs.Path(r.getString(0))
         val fs = p.getFileSystem(conf)
@@ -200,7 +217,24 @@ object TextCorpus {
     }
   }
 
-  private def pdfTextEncoder(spark: SparkSession)
+  /** Java-serializable Hadoop Configuration (Spark's own
+    * SerializableConfiguration is private[spark]): Configuration is a
+    * Writable, so ship it via its own write/readFields.
+    */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  private def pdfTextEncoder
       : org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(StructType(Seq(
@@ -341,6 +375,15 @@ object TextCorpus {
     * doc_id is a 64-bit hash of the path — deterministic and fully
     * distributed (a global row_number window would funnel every file's
     * content through one task); collision odds are ~n²/2⁶⁵.
+    *
+    * Two size columns with DIFFERENT jobs: `n_chars` is always the char
+    * count of `text` — the semantic every consumer of the documents schema
+    * assumes (dedup's len_bucket blocking key, indexStatus char totals) and
+    * must never be polluted by a leg's on-disk representation; `byte_size`
+    * is the leg's CHANGE-DETECTION key (the PDF leg's file byte size — a
+    * PDF edit that keeps extracted-text length still flips it; the text
+    * leg's char length, the best heuristic wholetext offers), consumed only
+    * by the incremental diff and the chunk store's file_size surface.
     */
   def asDocuments(corpus: DataFrame): DataFrame = {
     corpus.select(
@@ -348,6 +391,7 @@ object TextCorpus {
       col("content").as("text"),
       lit("und").as("lang"),
       regexp_extract(col("path"), "^([^/]*)", 1).as("source"),
-      col("size").as("n_chars"))
+      length(col("content")).cast("long").as("n_chars"),
+      col("size").as("byte_size"))
   }
 }

@@ -116,11 +116,18 @@ class PdfTextSpec extends SparkSpecBase {
     val rt = Multimodal.pdfExtract(Multimodal.pdfEncode(
       Seq((2L, null: String)).toDF("doc_id", "text"))).collect()
     assert(rt(0).getBoolean(1) && rt(0).getString(3) == "")
-    // negative doc_ids still rotate show-string forms (floorMod, not %)
-    val neg = Multimodal.pdfExtract(Multimodal.pdfEncode(
-      Seq((-1L, "negative id"), (-2L, "negative id")).toDF("doc_id", "text")))
+    // negative doc_ids still rotate show-string forms (floorMod, not %):
+    // all three encodings round-trip AND are pairwise-distinct bytes —
+    // under signed %, -1 and -2 both hit the default arm and encode
+    // identically, so distinctness is what pins the fix
+    val negDf = Seq(-1L, -2L, -3L).map((_, "negative id")).toDF("doc_id", "text")
+    val neg = Multimodal.pdfExtract(Multimodal.pdfEncode(negDf))
       .orderBy("doc_id").collect()
     assert(neg.forall(r => r.getBoolean(1) && r.getString(3) == "negative id"))
+    val encodings = Multimodal.pdfEncode(negDf).collect()
+      .map(r => new String(r.getAs[Array[Byte]](1), "ISO-8859-1"))
+    assert(encodings.distinct.length == 3,
+      "negative ids must rotate through all three show-string forms")
   }
 
   test("non-PDF bytes answer None; corrupt flate degrades, never throws") {
