@@ -196,6 +196,32 @@ class GraftFacadeSpec extends SparkSpecBase {
       third(0).getAs[String]("content") == "rewritten content with a different byte size")
   }
 
+  test("cross-format dedup: identical text in .md and .pdf shares one blocking key") {
+    // regression: when the PDF leg's file byte size leaked into n_chars,
+    // identical text in two formats landed in different len_buckets and the
+    // near-dup pair was silently unreachable (len_bucket is a dedup JOIN key)
+    import graft.functions.PdfText
+    val root = Files.createTempDirectory("graft_xfmt")
+    def put(rel: String, content: Array[Byte]): Unit =
+      Files.write(root.resolve(rel), content)
+    val text = "distributed joins shuffle rows by key while broadcast joins " +
+      "replicate the small side to every executor for local probing"
+    put("notes.md", text.getBytes("UTF-8"))
+    put("copy.pdf", PdfText.buildPdf(Seq(PdfText.textPage(text)), flate = true))
+    val work = Files.createTempDirectory("graft_xfmtwork").toString
+    Graft.forDirectory(spark, root.toString, work, allowedExt = Seq("md", "pdf"))
+    val docs = Tables.documents(spark, work).collect()
+    assert(docs.length == 2)
+    // n_chars = char count for BOTH legs; the pdf doc's change-detection
+    // byte_size is its FILE size, genuinely different — so this corpus
+    // actually exercises the two-column split
+    assert(docs.forall(_.getAs[Long]("n_chars") == text.length.toLong))
+    val pdfRow = docs.find(_.getAs[String]("source") == "copy.pdf").get
+    assert(pdfRow.getAs[Long]("byte_size") != pdfRow.getAs[Long]("n_chars"))
+    val pairs = operators.Dedup.dedupNgramJaccard(spark, work).collect()
+    assert(pairs.length == 1 && pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
   test("reindexDirectory: live tree mutations are picked up incrementally and equal a cold rebuild") {
     val root = Files.createTempDirectory("graft_live")
     def put(rel: String, content: String): Unit = {
