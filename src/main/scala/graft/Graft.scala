@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 class Graft(spark: SparkSession, sfDir: String,
             chunkSize: Int = 100, chunkOverlap: Int = 20, dim: Int = 64,
-            private val dirSource: Option[Graft.DirSource] = None) {
+            private val dirSource: Option[Graft.CorpusSource] = None) {
   VecExprs.register(spark)
 
   val modelName = s"graft-hash-embed-v1-d$dim"
@@ -142,9 +142,8 @@ class Graft(spark: SparkSession, sfDir: String,
     */
   def reindexDirectory(storePath: String): DataFrame = {
     val src = dirSource.getOrElse(throw new IllegalStateException(
-      "reindexDirectory requires a facade built by Graft.forDirectory"))
-    val docs = Graft.discoverDocuments(spark, src.root, src.allowedExt, src.excludedFolders, sfDir)
-    Graft.landDocuments(docs, sfDir)
+      "reindexDirectory requires a facade built by Graft.forDirectory/forJsonl"))
+    Graft.landDocuments(src.discover(spark, sfDir), sfDir)
     val stats = incrementalUpdate(storePath)
     // derived-index maintenance (reference: src/indexer.ts:413-511 — the
     // watch loop keeps its index live): if a chunk-ANN index was ever built
@@ -525,10 +524,28 @@ object Graft {
     */
   def clampTopK(topK: Int): Int = math.max(1, math.min(MaxTopK, topK))
 
-  /** Where a `forDirectory` facade's corpus came from — kept so
-    * [[Graft.reindexDirectory]] can re-run the identical discovery.
+  /** Where a live-corpus facade's documents came from — kept so
+    * [[Graft.reindexDirectory]] can re-run the IDENTICAL discovery. Each
+    * variant returns a documents-shaped frame (incl. the char-semantic
+    * n_chars / diff-key byte_size split `asDocuments` establishes).
     */
-  case class DirSource(root: String, allowedExt: Seq[String], excludedFolders: Seq[String])
+  sealed trait CorpusSource {
+    def discover(spark: SparkSession, workDir: String): DataFrame
+  }
+
+  case class DirSource(root: String, allowedExt: Seq[String],
+                       excludedFolders: Seq[String]) extends CorpusSource {
+    def discover(spark: SparkSession, workDir: String): DataFrame =
+      discoverDocuments(spark, root, allowedExt, excludedFolders, workDir)
+  }
+
+  case class JsonlSource(root: String, textField: String, idField: Option[String],
+                         langField: Option[String],
+                         excludedFolders: Seq[String]) extends CorpusSource {
+    def discover(spark: SparkSession, workDir: String): DataFrame =
+      sources.TextCorpus.asDocuments(sources.JsonlCorpus.read(
+        spark, root, textField, idField, langField, excludedFolders))
+  }
 
   /** Land a documents frame as the facade's corpus table via staged write +
     * backup-rename swap. The guarantee is CRASH safety: a crash mid-write
@@ -565,11 +582,32 @@ object Graft {
                    allowedExt: Seq[String] = Seq("txt", "md"),
                    excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
                    chunkSize: Int = 100, chunkOverlap: Int = 20,
-                   dim: Int = 64): Graft = {
-    val docs = discoverDocuments(spark, root, allowedExt, excludedFolders, workDir)
-    landDocuments(docs, workDir)
-    new Graft(spark, workDir, chunkSize, chunkOverlap, dim,
-      Some(DirSource(root, allowedExt, excludedFolders)))
+                   dim: Int = 64): Graft =
+    forSource(spark, DirSource(root, allowedExt, excludedFolders), workDir,
+      chunkSize, chunkOverlap, dim)
+
+  /** Point graft at a JSONL corpus — the interchange format training
+    * pipelines exchange (one JSON record per line, a `text` field, often a
+    * stable `id`). Same contract as [[forDirectory]]: records land as the
+    * columnar documents table under `workDir`, every operator runs over
+    * them unchanged, and [[Graft.reindexDirectory]] re-discovers the same
+    * tree incrementally (with `idField`, an edited record re-chunks as
+    * CHANGED; without one, identity is content-addressed and an edit
+    * counts as remove+add — see [[sources.JsonlCorpus.read]]).
+    */
+  def forJsonl(spark: SparkSession, root: String, workDir: String,
+               textField: String = "text", idField: Option[String] = None,
+               langField: Option[String] = None,
+               excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
+               chunkSize: Int = 100, chunkOverlap: Int = 20,
+               dim: Int = 64): Graft =
+    forSource(spark, JsonlSource(root, textField, idField, langField, excludedFolders),
+      workDir, chunkSize, chunkOverlap, dim)
+
+  private def forSource(spark: SparkSession, src: CorpusSource, workDir: String,
+                        chunkSize: Int, chunkOverlap: Int, dim: Int): Graft = {
+    landDocuments(src.discover(spark, workDir), workDir)
+    new Graft(spark, workDir, chunkSize, chunkOverlap, dim, Some(src))
   }
 
   /** Directory discovery with the reference's extension semantics

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JSONL (one JSON document per line) corpus source — the interchange
+  * format large-scale training pipelines actually exchange, alongside the
+  * reference's directory-of-files modality (reference: src/indexer.ts:
+  * 350-387 discovers files; this leg discovers records WITHIN files).
+  * Output is [[TextCorpus.read]]'s corpus shape (path, content, size,
+  * line_count [, lang]), so [[TextCorpus.asDocuments]] and every operator
+  * downstream are source-agnostic.
+  *
+  * Spark-first scale shape:
+  *   - ONE tree listing (brace glob), ONE distributed line read
+  *     (`spark.read.text`) — never `spark.read.json`, whose schema
+  *     inference is a second full pass over the corpus;
+  *   - field extraction is `get_json_object` (codegen'd JsonPath on the
+  *     raw line) — only the requested fields are parsed, a malformed line
+  *     yields null and drops like an empty file, never an error;
+  *   - the only shuffle is the id-collision guard (see below), paid once
+  *     at ingest (every downstream operator then reads the landed table).
+  *
+  * Identity: each record's synthetic `path` is `<file path>#<key>`, so
+  * `asDocuments`'s `doc_id = xxhash64(path)` stays per-record stable.
+  * With `idField`, the key is the record's own id — stable across rescans
+  * and line reorderings, so an edited record surfaces as CHANGED in the
+  * incremental diff. Without one, the key is a hash of the raw line
+  * (content-addressed): an edit looks like remove+add rather than a
+  * change, and byte-identical duplicate lines collapse to one document —
+  * both declared, and the reason to supply `idField` when the corpus has
+  * one. Records sharing an explicit id collapse deterministically (max by
+  * (content, size)) rather than emitting duplicate doc_ids that would
+  * corrupt every downstream join.
+  *
+  * The change-detection `size` is the raw line's char length — the same
+  * size-heuristic family as the other legs (a same-length edit is
+  * invisible to the diff; the reference's watch loop shares exactly this
+  * blindness, src/indexer.ts).
+  */
+object JsonlCorpus {
+
+  private val FieldRe = "[A-Za-z0-9_]+"
+
+  def read(spark: SparkSession, root: String,
+           textField: String = "text",
+           idField: Option[String] = None,
+           langField: Option[String] = None,
+           excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
+           exts: Seq[String] = Seq("jsonl")): DataFrame = {
+    // field names are interpolated into JsonPath expressions; restrict to
+    // identifier chars so a quote/bracket/dot cannot corrupt the path
+    require((textField +: (idField.toSeq ++ langField.toSeq)).forall(_.matches(FieldRe)),
+      s"JSON field names must match $FieldRe")
+    require(exts.nonEmpty && exts.forall(_.matches(FieldRe)),
+      s"exts must be alphanumeric, got: ${exts.mkString(", ")}")
+    def jf(field: String) = get_json_object(col("value"), s"$$.$field")
+    val raw = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", s"*.{${exts.mkString(",")}}")
+      .text(root)
+      .select(input_file_name().as("abs_path"), col("value"))
+    val rootNorm = if (root.endsWith("/")) root else root + "/"
+    val withPath = raw
+      .withColumn("file_path", TextCorpus.relPathEncoded(col("abs_path"), rootNorm))
+    val segs = split(col("file_path"), "/")
+    val included = excludedFolders.foldLeft(withPath) { (df, folder) =>
+      df.filter(!array_contains(segs, folder))
+    }
+    val key = idField.map(jf)
+      .getOrElse(xxhash64(col("value")).cast("string"))
+    val lang = langField
+      .map(f => coalesce(jf(f), lit("und"))).getOrElse(lit("und"))
+    val records = included
+      .select(
+        concat(col("file_path"), lit("#"), key).as("path"),
+        jf(textField).as("content"),
+        length(col("value")).cast("long").as("size"),
+        lang.as("lang"))
+      // malformed line / missing text / empty text / null id all drop —
+      // the JSONL analog of TextCorpus dropping empty files
+      .filter(col("content").isNotNull && length(col("content")) > 0 &&
+        col("path").isNotNull)
+    // id-collision guard: deterministic per-path collapse. One hash
+    // aggregate (map-side combined); for the common collision-free corpus
+    // every group is a single row.
+    records
+      .groupBy(col("path"))
+      .agg(max(struct(col("content"), col("size"), col("lang"))).as("r"))
+      .select(col("path"), col("r.content").as("content"), col("r.size").as("size"),
+        size(split(col("r.content"), "\r?\n")).cast("long").as("line_count"),
+        col("r.lang").as("lang"))
+  }
+}

@@ -27,7 +27,7 @@ object TextCorpus {
     * it would throw on a literal '%' in a filename and silently rename
     * names that happen to look like valid escapes.
     */
-  private def relPathEncoded(uri: org.apache.spark.sql.Column, rootNorm: String)
+  private[sources] def relPathEncoded(uri: org.apache.spark.sql.Column, rootNorm: String)
       : org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(
@@ -386,10 +386,13 @@ object TextCorpus {
     * by the incremental diff and the chunk store's file_size surface.
     */
   def asDocuments(corpus: DataFrame): DataFrame = {
+    // a leg that knows its docs' language (JSONL's langField) passes it
+    // through; file legs default to "und"
+    val lang = if (corpus.columns.contains("lang")) col("lang") else lit("und")
     corpus.select(
       abs(xxhash64(col("path"))).as("doc_id"),
       col("content").as("text"),
-      lit("und").as("lang"),
+      lang.as("lang"),
       regexp_extract(col("path"), "^([^/]*)", 1).as("source"),
       length(col("content")).cast("long").as("n_chars"),
       col("size").as("byte_size"))

@@ -1,0 +1,115 @@
+package graft
+
+import graft.sources.{JsonlCorpus, TextCorpus}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** JSONL corpus leg: record extraction, identity semantics (explicit ids vs
+  * content-addressed), collision collapse, folder exclusion, and the facade
+  * end-to-end (index, query, incremental reindex of record edits).
+  */
+class JsonlCorpusSpec extends SparkSpecBase {
+
+  private def mkTree(files: (String, Seq[String])*): java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft_jsonl")
+    files.foreach { case (rel, lines) =>
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    }
+    root
+  }
+
+  test("record extraction: fields, malformed and empty lines drop, langField rides") {
+    val root = mkTree(
+      "data/train.jsonl" -> Seq(
+        """{"id":"a1","text":"alpha document about joins","lang":"en"}""",
+        """{"id":"a2","text":"beta document about scans"}""",
+        """{"id":"a3","text":""}""",
+        """{"id":"a4"}""",
+        """not json at all""",
+        """{"id":"a5","text":"gamma\nhas two lines","lang":"de"}"""))
+    val corpus = JsonlCorpus.read(spark, root.toString,
+      idField = Some("id"), langField = Some("lang"))
+    val rows = corpus.orderBy("path").collect()
+    // a3 (empty), a4 (missing text), malformed line all dropped
+    assert(rows.map(_.getAs[String]("path")).toSeq ==
+      Seq("data/train.jsonl#a1", "data/train.jsonl#a2", "data/train.jsonl#a5"))
+    assert(rows.map(_.getAs[String]("lang")).toSeq == Seq("en", "und", "de"))
+    // JSON \n unescapes to a real newline; line_count counts it
+    val a5 = rows(2)
+    assert(a5.getAs[String]("content") == "gamma\nhas two lines")
+    assert(a5.getAs[Long]("line_count") == 2L)
+    // size is the RAW line's length (the change-detection key), not the text's
+    assert(rows(0).getAs[Long]("size") ==
+      """{"id":"a1","text":"alpha document about joins","lang":"en"}""".length.toLong)
+  }
+
+  test("identity: explicit ids are rescan-stable; content-addressing collapses exact dups") {
+    val root = mkTree(
+      "a.jsonl" -> Seq(
+        """{"text":"identical line"}""",
+        """{"text":"identical line"}""",
+        """{"text":"another record"}"""))
+    val noId = JsonlCorpus.read(spark, root.toString)
+    // byte-identical duplicate lines collapse to ONE document (declared)
+    assert(noId.count() == 2)
+    // doc_ids are distinct and stable across rescans
+    val docs1 = TextCorpus.asDocuments(noId).orderBy("doc_id").collect()
+    val docs2 = TextCorpus.asDocuments(JsonlCorpus.read(spark, root.toString))
+      .orderBy("doc_id").collect()
+    assert(docs1.map(_.getLong(0)).distinct.length == 2)
+    assert(docs1.map(_.getLong(0)).toSeq == docs2.map(_.getLong(0)).toSeq)
+    // colliding explicit ids collapse deterministically (max by content)
+    val rootDup = mkTree(
+      "b.jsonl" -> Seq(
+        """{"id":"x","text":"bbb earlier"}""",
+        """{"id":"x","text":"zzz later wins"}"""))
+    val dup = JsonlCorpus.read(spark, rootDup.toString, idField = Some("id")).collect()
+    assert(dup.length == 1 && dup(0).getAs[String]("content") == "zzz later wins")
+  }
+
+  test("discovery: brace glob keeps only jsonl, excluded folders skipped") {
+    val root = mkTree(
+      "keep/a.jsonl" -> Seq("""{"text":"kept record"}"""),
+      "keep/readme.md" -> Seq("""{"text":"not a jsonl file"}"""),
+      "node_modules/skip.jsonl" -> Seq("""{"text":"excluded folder"}"""))
+    val got = JsonlCorpus.read(spark, root.toString).collect()
+    assert(got.length == 1 && got(0).getAs[String]("content") == "kept record")
+  }
+
+  test("forJsonl facade: index, query, and incremental reindex of record edits") {
+    val root = mkTree(
+      "corpus/train.jsonl" -> Seq(
+        """{"id":"d1","text":"hash joins build a table on the small side"}""",
+        """{"id":"d2","text":"sort merge join shuffles both sides by key"}"""))
+    val work = Files.createTempDirectory("graft_jsonlwork").toString
+    val g = Graft.forJsonl(spark, root.toString, work, idField = Some("id"))
+    val docs = Tables.documents(spark, work)
+    assert(docs.count() == 2)
+    // char-semantic n_chars, line-length byte_size — the two-column contract
+    val d1 = docs.filter(col("text").startsWith("hash joins")).head()
+    assert(d1.getAs[Long]("n_chars") ==
+      "hash joins build a table on the small side".length.toLong)
+    assert(d1.getAs[Long]("byte_size") > d1.getAs[Long]("n_chars")) // raw JSON line
+    val hit = g.ragQuery("sort merge join shuffles", topK = 1).head()
+    val d2id = docs.filter(col("text").startsWith("sort merge")).head().getAs[Long]("doc_id")
+    assert(hit.getAs[Long]("doc_id") == d2id)
+    // live mutations: append one record, edit one (id kept, length changed),
+    // drop one — the reindex classifies each correctly
+    val store = Files.createTempDirectory("graft_jsonlstore").toString + "/store"
+    assert(g.reindexDirectory(store).head().getAs[Long]("n_added") == 2)
+    Files.write(root.resolve("corpus/train.jsonl"), Seq(
+      """{"id":"d1","text":"hash joins build a hash table on the smaller side"}""",
+      """{"id":"d3","text":"broadcast joins replicate the small side"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val stats = g.reindexDirectory(store).head()
+    assert(stats.getAs[Long]("n_added") == 1, stats.toString)    // d3
+    assert(stats.getAs[Long]("n_changed") == 1, stats.toString)  // d1
+    assert(stats.getAs[Long]("n_removed") == 1, stats.toString)  // d2
+    // the edited text is what serves after the reindex
+    val idx = IndexStore.load(spark, store, g.meta).get
+    assert(g.ragQueryOver(idx, "hash table smaller side", topK = 1)
+      .head().getAs[String]("snippet").contains("smaller side"))
+  }
+}
