@@ -196,6 +196,27 @@ class GraftFacadeSpec extends SparkSpecBase {
       third(0).getAs[String]("content") == "rewritten content with a different byte size")
   }
 
+  test("PDF leg: filenames with spaces and percents survive the cache round trip") {
+    // extractFromPaths re-opens files from binaryFile's path string; a name
+    // that LOOKS like a URI escape ("%20") or contains spaces must reach
+    // the same file, and the cache key must be stable across rescans
+    import graft.functions.PdfText
+    import graft.sources.TextCorpus
+    val root = Files.createTempDirectory("graft_pdfnames")
+    val name = "a b%20c+d.pdf"
+    Files.write(root.resolve(name), PdfText.buildPdf(
+      Seq(PdfText.textPage("odd filename still extracts")), flate = true))
+    val cache = Files.createTempDirectory("graft_pdfnamework").toString + "/cache"
+    def readAll() = TextCorpus.readPdfAsText(spark, root.toString, cachePath = Some(cache))
+      .collect()
+    val first = readAll()
+    assert(first.length == 1 && first(0).getAs[String]("path") == name)
+    assert(first(0).getAs[String]("content") == "odd filename still extracts")
+    // second scan: served from cache under the SAME key (no duplicate rows)
+    val second = readAll()
+    assert(second.length == 1 && second(0).getAs[String]("path") == name)
+  }
+
   test("cross-format dedup: identical text in .md and .pdf shares one blocking key") {
     // regression: when the PDF leg's file byte size leaked into n_chars,
     // identical text in two formats landed in different len_buckets and the

@@ -69,6 +69,14 @@ class JsonlCorpusSpec extends SparkSpecBase {
     assert(dup.length == 1 && dup(0).getAs[String]("content") == "zzz later wins")
   }
 
+  test("plan receipt: one text FileScan, no schema-inferring json source") {
+    val root = mkTree("a.jsonl" -> Seq("""{"text":"plan check"}"""))
+    val plan = JsonlCorpus.read(spark, root.toString)
+      .queryExecution.executedPlan.toString
+    assert("FileScan text".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("FileScan json"), plan)
+  }
+
   test("discovery: brace glob keeps only jsonl, excluded folders skipped") {
     val root = mkTree(
       "keep/a.jsonl" -> Seq("""{"text":"kept record"}"""),
