@@ -48,20 +48,34 @@ object JsonlCorpus {
            langField: Option[String] = None,
            excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
            exts: Seq[String] = Seq("jsonl")): DataFrame = {
-    // field names are interpolated into JsonPath expressions; restrict to
-    // identifier chars so a quote/bracket/dot cannot corrupt the path
-    require((textField +: (idField.toSeq ++ langField.toSeq)).forall(_.matches(FieldRe)),
-      s"JSON field names must match $FieldRe")
     require(exts.nonEmpty && exts.forall(_.matches(FieldRe)),
       s"exts must be alphanumeric, got: ${exts.mkString(", ")}")
-    def jf(field: String) = get_json_object(col("value"), s"$$.$field")
     val raw = spark.read
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", s"*.{${exts.mkString(",")}}")
       .text(root)
       .select(input_file_name().as("abs_path"), col("value"))
+    collapse(extract(raw, root, textField, idField, langField, excludedFolders))
+  }
+
+  /** The stateless record-extraction stage — shared verbatim by the batch
+    * [[read]] and the streaming twin ([[graft.streaming.JsonlStream]]),
+    * which is what makes them equal by construction: JsonPath field pulls,
+    * folder exclusion, the synthetic `path#id` identity, and the
+    * malformed/empty-line drops are all narrow codegen'd transforms.
+    * Input: (abs_path, value) lines. Output: one corpus-shaped record per
+    * surviving line (pre-collapse — duplicate paths possible).
+    */
+  private[graft] def extract(lines: DataFrame, root: String, textField: String,
+                             idField: Option[String], langField: Option[String],
+                             excludedFolders: Seq[String]): DataFrame = {
+    // field names are interpolated into JsonPath expressions; restrict to
+    // identifier chars so a quote/bracket/dot cannot corrupt the path
+    require((textField +: (idField.toSeq ++ langField.toSeq)).forall(_.matches(FieldRe)),
+      s"JSON field names must match $FieldRe")
+    def jf(field: String) = get_json_object(col("value"), s"$$.$field")
     val rootNorm = if (root.endsWith("/")) root else root + "/"
-    val withPath = raw
+    val withPath = lines
       .withColumn("file_path", TextCorpus.relPathEncoded(col("abs_path"), rootNorm))
     val segs = split(col("file_path"), "/")
     val included = excludedFolders.foldLeft(withPath) { (df, folder) =>
@@ -71,7 +85,7 @@ object JsonlCorpus {
       .getOrElse(xxhash64(col("value")).cast("string"))
     val lang = langField
       .map(f => coalesce(jf(f), lit("und"))).getOrElse(lit("und"))
-    val records = included
+    included
       .select(
         concat(col("file_path"), lit("#"), key).as("path"),
         jf(textField).as("content"),
@@ -81,14 +95,19 @@ object JsonlCorpus {
       // the JSONL analog of TextCorpus dropping empty files
       .filter(col("content").isNotNull && length(col("content")) > 0 &&
         col("path").isNotNull)
-    // id-collision guard: deterministic per-path collapse. One hash
-    // aggregate (map-side combined); for the common collision-free corpus
-    // every group is a single row.
+      .withColumn("line_count", size(split(col("content"), "\r?\n")).cast("long"))
+  }
+
+  /** The batch-side id-collision guard: deterministic per-path collapse
+    * (max by (content, size)). One hash aggregate (map-side combined); for
+    * the common collision-free corpus every group is a single row. The
+    * streaming twin runs without it (per-batch state can't see a global
+    * collision) — a declared difference.
+    */
+  private def collapse(records: DataFrame): DataFrame =
     records
       .groupBy(col("path"))
-      .agg(max(struct(col("content"), col("size"), col("lang"))).as("r"))
+      .agg(max(struct(col("content"), col("size"), col("line_count"), col("lang"))).as("r"))
       .select(col("path"), col("r.content").as("content"), col("r.size").as("size"),
-        size(split(col("r.content"), "\r?\n")).cast("long").as("line_count"),
-        col("r.lang").as("lang"))
-  }
+        col("r.line_count").as("line_count"), col("r.lang").as("lang"))
 }

@@ -86,6 +86,32 @@ class JsonlCorpusSpec extends SparkSpecBase {
     assert(got.length == 1 && got(0).getAs[String]("content") == "kept record")
   }
 
+  test("streaming JSONL ingest equals the batch leg; restart picks up only new files") {
+    import graft.streaming.JsonlStream
+    val root = mkTree(
+      "a.jsonl" -> Seq(
+        """{"id":"s1","text":"streamed record one","lang":"en"}""",
+        """{"id":"s2","text":"streamed record two"}""",
+        """not json"""),
+      "sub/b.jsonl" -> Seq("""{"id":"s3","text":"nested streamed record"}"""))
+    val out = Files.createTempDirectory("graft_jsonlstream").toString + "/docs"
+    val streamed = JsonlStream.runToParquet(spark, root.toString, out,
+      idField = Some("id"), langField = Some("lang"))
+    val batch = TextCorpus.asDocuments(JsonlCorpus.read(spark, root.toString,
+      idField = Some("id"), langField = Some("lang")))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    // a file arriving later streams in alone (checkpointed pickup)
+    Files.write(root.resolve("c.jsonl"),
+      """{"id":"s4","text":"late arrival"}""".getBytes("UTF-8"))
+    val after = JsonlStream.runToParquet(spark, root.toString, out,
+      idField = Some("id"), langField = Some("lang"))
+    assert(after.count() == 4)
+    assert(after.filter(col("text") === "late arrival").count() == 1)
+    // no reprocessing: the first three docs appear exactly once
+    assert(after.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("forJsonl facade: index, query, and incremental reindex of record edits") {
     val root = mkTree(
       "corpus/train.jsonl" -> Seq(
