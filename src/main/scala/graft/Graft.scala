@@ -79,12 +79,9 @@ class Graft(spark: SparkSession, sfDir: String,
       case Some(old) =>
         val cur = Tables.documents(spark, sfDir)
         val oldFiles = old.select(col("doc_id"), col("file_size")).distinct()
-        // diff key = the stored file_size's own semantic: byte_size when the
-        // documents table carries one (directory corpora — Chunker persisted
-        // exactly that column as file_size), else n_chars (synthetic tables)
-        val curKey =
-          if (cur.columns.contains("byte_size")) col("byte_size") else col("n_chars")
-        val curFiles = cur.select(col("doc_id"), curKey.as("cur_size"))
+        // diff key = the stored file_size's own semantic — the SHARED
+        // Tables.changeKey definition Chunker persisted as file_size
+        val curFiles = cur.select(col("doc_id"), Tables.changeKey(cur).as("cur_size"))
         val joined = oldFiles.join(curFiles, Seq("doc_id"), "full_outer").cache()
         // ONE definition per diff predicate — the id frames that drive the
         // reindex and the stats aggregation must never drift apart

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -38,6 +39,33 @@ object Tables {
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+
+  /** documents-table schema for STREAMING file sources (batch reads infer
+    * from footers). Includes the optional `byte_size` change-detection key
+    * that directory/JSONL corpora land — ABSENT in the synthetic tables,
+    * where the streaming reader surfaces it as null and [[changeKey]]
+    * falls back, keeping stream ≡ batch on every table shape. The one
+    * definition every streaming documents reader must use: a pruned copy
+    * here is how the stream silently diverges from the batch index.
+    */
+  val documentsStreamSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType), StructField("byte_size", LongType)))
+
+  /** ONE definition of a documents frame's change-detection size — the
+    * value the chunk store persists as `file_size` AND the key
+    * `Graft.incrementalUpdate` diffs it against; two call sites computing
+    * it independently is how every doc gets misclassified as changed.
+    * `byte_size` when the frame carries one (real on directory/JSONL
+    * corpora, null when a fixed streaming schema reads a synthetic table —
+    * hence the coalesce), else `n_chars`.
+    */
+  def changeKey(df: DataFrame): Column = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    if (df.columns.contains("byte_size")) coalesce(col("byte_size"), col("n_chars"))
+    else col("n_chars")
+  }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader

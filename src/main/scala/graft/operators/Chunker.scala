@@ -84,19 +84,13 @@ object Chunker {
   /** Same pipeline over an arbitrary docs frame — the incremental path
     * re-chunks only the changed/new subset.
     *
-    * `file_size` = the doc's change-detection size: `byte_size` when the
-    * frame carries one (directory corpora — real file bytes for the PDF
-    * leg), else `n_chars` (the synthetic tables' proxy). It is BOTH the
-    * reference's per-result fileSize surface and the key
-    * `Graft.incrementalUpdate` diffs against the next scan, so it must
-    * match what [[graft.sources.TextCorpus.asDocuments]] emits as
-    * `byte_size` — never the char count when the two differ.
+    * `file_size` = the doc's change-detection size ([[Tables.changeKey]] —
+    * the shared definition with `Graft.incrementalUpdate`'s diff): real
+    * file bytes on directory corpora, `n_chars` on the synthetic tables.
     */
   def indexBuildFrom(docs: DataFrame, size: Int = 100, overlap: Int = 20): DataFrame = {
-    val fileSize =
-      if (docs.columns.contains("byte_size")) col("byte_size") else col("n_chars")
     docs
-      .select(col("doc_id"), col("lang"), fileSize.as("file_size"),
+      .select(col("doc_id"), col("lang"), Tables.changeKey(docs).as("file_size"),
         size_of_tokens(col("text")).as("token_count"),
         posexplode(Text.chunks(col("text"), size, overlap)).as(Seq("chunk_idx", "chunk_text")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text"),

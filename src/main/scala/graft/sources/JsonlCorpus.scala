@@ -22,16 +22,20 @@ import org.apache.spark.sql.functions._
   *     at ingest (every downstream operator then reads the landed table).
   *
   * Identity: each record's synthetic `path` is `<file path>#<key>`, so
-  * `asDocuments`'s `doc_id = xxhash64(path)` stays per-record stable.
-  * With `idField`, the key is the record's own id — stable across rescans
-  * and line reorderings, so an edited record surfaces as CHANGED in the
-  * incremental diff. Without one, the key is a hash of the raw line
-  * (content-addressed): an edit looks like remove+add rather than a
-  * change, and byte-identical duplicate lines collapse to one document —
-  * both declared, and the reason to supply `idField` when the corpus has
-  * one. Records sharing an explicit id collapse deterministically (max by
-  * (content, size)) rather than emitting duplicate doc_ids that would
-  * corrupt every downstream join.
+  * `asDocuments`'s `doc_id = xxhash64(path)` is stable per (FILE, key) —
+  * file-scoped, not corpus-global. With `idField`, the key is the
+  * record's own id: stable across rescans and line reorderings WITHIN its
+  * file, so an edited record surfaces as CHANGED in the incremental diff
+  * — but a record moved between shard files changes doc_id (remove+add),
+  * and the same id in two different files is two distinct documents on
+  * both legs (use corpus-unique ids, or dedup downstream on content —
+  * B1 — if shards can overlap). Without `idField`, the key is a hash of
+  * the raw line (content-addressed): an edit looks like remove+add, and
+  * byte-identical duplicate lines in one file collapse to one document —
+  * all declared, and the reason to supply `idField` when the corpus has
+  * one. Records sharing an id within a file collapse deterministically
+  * (max by (content, size)) rather than emitting duplicate doc_ids that
+  * would corrupt every downstream join.
   *
   * The change-detection `size` is the raw line's char length — the same
   * size-heuristic family as the other legs (a same-length edit is
@@ -42,17 +46,27 @@ object JsonlCorpus {
 
   private val FieldRe = "[A-Za-z0-9_]+"
 
+  /** Extension-list policy shared by the batch reader and the streaming
+    * twin — validation and glob rendering must be ONE definition or the
+    * two legs drift.
+    */
+  private[graft] def requireCleanExts(exts: Seq[String]): Unit =
+    require(exts.nonEmpty && exts.forall(_.matches(FieldRe)),
+      s"exts must be alphanumeric, got: ${exts.mkString(", ")}")
+
+  private[graft] def extGlob(exts: Seq[String]): String =
+    s"*.{${exts.mkString(",")}}"
+
   def read(spark: SparkSession, root: String,
            textField: String = "text",
            idField: Option[String] = None,
            langField: Option[String] = None,
            excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
            exts: Seq[String] = Seq("jsonl")): DataFrame = {
-    require(exts.nonEmpty && exts.forall(_.matches(FieldRe)),
-      s"exts must be alphanumeric, got: ${exts.mkString(", ")}")
+    requireCleanExts(exts)
     val raw = spark.read
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", s"*.{${exts.mkString(",")}}")
+      .option("pathGlobFilter", extGlob(exts))
       .text(root)
       .select(input_file_name().as("abs_path"), col("value"))
     collapse(extract(raw, root, textField, idField, langField, excludedFolders))
@@ -90,7 +104,11 @@ object JsonlCorpus {
         concat(col("file_path"), lit("#"), key).as("path"),
         jf(textField).as("content"),
         length(col("value")).cast("long").as("size"),
-        lang.as("lang"))
+        lang.as("lang"),
+        // source = the FILE path's first segment, computed here because the
+        // synthetic record path would leak "#<id>" into it for a root-level
+        // file (one bogus source per record; asDocuments passes this through)
+        regexp_extract(col("file_path"), "^([^/]*)", 1).as("source"))
       // malformed line / missing text / empty text / null id all drop —
       // the JSONL analog of TextCorpus dropping empty files
       .filter(col("content").isNotNull && length(col("content")) > 0 &&
@@ -107,7 +125,9 @@ object JsonlCorpus {
   private def collapse(records: DataFrame): DataFrame =
     records
       .groupBy(col("path"))
-      .agg(max(struct(col("content"), col("size"), col("line_count"), col("lang"))).as("r"))
+      .agg(max(struct(col("content"), col("size"), col("line_count"),
+        col("lang"), col("source"))).as("r"))
       .select(col("path"), col("r.content").as("content"), col("r.size").as("size"),
-        col("r.line_count").as("line_count"), col("r.lang").as("lang"))
+        col("r.line_count").as("line_count"), col("r.lang").as("lang"),
+        col("r.source").as("source"))
 }

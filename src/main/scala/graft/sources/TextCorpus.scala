@@ -386,14 +386,18 @@ object TextCorpus {
     * by the incremental diff and the chunk store's file_size surface.
     */
   def asDocuments(corpus: DataFrame): DataFrame = {
-    // a leg that knows its docs' language (JSONL's langField) passes it
-    // through; file legs default to "und"
+    // a leg that knows its docs' language (JSONL's langField) or its own
+    // source notion (JSONL's per-FILE source — the default path prefix
+    // would leak the record id for root-level files) passes them through
     val lang = if (corpus.columns.contains("lang")) col("lang") else lit("und")
+    val source =
+      if (corpus.columns.contains("source")) col("source")
+      else regexp_extract(col("path"), "^([^/]*)", 1)
     corpus.select(
       abs(xxhash64(col("path"))).as("doc_id"),
       col("content").as("text"),
       lang.as("lang"),
-      regexp_extract(col("path"), "^([^/]*)", 1).as("source"),
+      source.as("source"),
       length(col("content")).cast("long").as("n_chars"),
       col("size").as("byte_size"))
   }

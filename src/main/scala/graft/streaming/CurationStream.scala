@@ -16,12 +16,7 @@ import org.apache.spark.sql.types._
   */
 object CurationStream {
 
-  val rawSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
+  val rawSchema: StructType = graft.Tables.documentsStreamSchema
 
   /** The shared per-document curation projection (normalize + PII counts on
     * the raw text + token stats) — applied identically to the stream and to

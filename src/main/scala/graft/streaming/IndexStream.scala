@@ -19,10 +19,12 @@ import org.apache.spark.sql.types._
   */
 object IndexStream {
 
-  val docsSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
+  /** The shared streaming documents schema — NOT a local copy: a pruned
+    * schema here once cost the streamed index its byte_size-based
+    * file_size, silently diverging from the batch build on PDF/JSONL
+    * corpora.
+    */
+  val docsSchema: StructType = graft.Tables.documentsStreamSchema
 
   def chunkEmbedStream(spark: SparkSession, sfDir: String,
                        size: Int = 100, overlap: Int = 20, dim: Int = 64,

@@ -15,11 +15,12 @@ import org.apache.spark.sql.types._
   * Stateless narrow transforms only, so no watermark or state store:
   * throughput is scan-bound, and every transform is the batch plan
   * fragment (equality with batch is by construction, and spec-asserted).
-  * Declared difference: the batch leg's id-collision collapse is a global
-  * aggregate a per-batch stream cannot replicate — colliding ids across
-  * files/batches land as duplicate doc_id rows here, exactly like files
-  * racing an external ingest bus would; dedup downstream (B1) or supply
-  * collision-free ids.
+  * Declared difference: the batch leg's id-collision collapse is an
+  * aggregate the stateless stream does not run — records sharing an id
+  * WITHIN one file land as duplicate doc_id rows here (identity is
+  * per-(file, id) on both legs, so cross-file id reuse is two distinct
+  * documents either way); supply collision-free ids or dedup downstream
+  * (B1).
   */
 object JsonlStream {
 
@@ -29,12 +30,11 @@ object JsonlStream {
                       langField: Option[String] = None,
                       excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
                       exts: Seq[String] = Seq("jsonl")): DataFrame = {
-    require(exts.nonEmpty && exts.forall(_.matches("[A-Za-z0-9_]+")),
-      s"exts must be alphanumeric, got: ${exts.mkString(", ")}")
+    JsonlCorpus.requireCleanExts(exts)
     val lines = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", s"*.{${exts.mkString(",")}}")
+      .option("pathGlobFilter", JsonlCorpus.extGlob(exts))
       .text(root)
       .select(input_file_name().as("abs_path"), col("value"))
     TextCorpus.asDocuments(JsonlCorpus.extract(

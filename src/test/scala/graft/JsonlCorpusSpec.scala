@@ -67,6 +67,25 @@ class JsonlCorpusSpec extends SparkSpecBase {
         """{"id":"x","text":"zzz later wins"}"""))
     val dup = JsonlCorpus.read(spark, rootDup.toString, idField = Some("id")).collect()
     assert(dup.length == 1 && dup(0).getAs[String]("content") == "zzz later wins")
+    // identity is per-(file, id): the same id in two files is two documents
+    val rootSplit = mkTree(
+      "s1.jsonl" -> Seq("""{"id":"x","text":"record in shard one"}"""),
+      "s2.jsonl" -> Seq("""{"id":"x","text":"record in shard two"}"""))
+    assert(JsonlCorpus.read(spark, rootSplit.toString, idField = Some("id")).count() == 2)
+  }
+
+  test("source column is the file, not the record — root-level files included") {
+    val root = mkTree(
+      "train.jsonl" -> Seq(
+        """{"id":"r1","text":"root level record one"}""",
+        """{"id":"r2","text":"root level record two"}"""),
+      "corpus/dev.jsonl" -> Seq("""{"id":"r3","text":"nested record"}"""))
+    val docs = TextCorpus.asDocuments(
+      JsonlCorpus.read(spark, root.toString, idField = Some("id")))
+    // one source per FILE tree location: the root file's records must not
+    // leak their '#id' suffix into source (one bogus source per record)
+    assert(docs.select("source").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("corpus", "train.jsonl"))
   }
 
   test("plan receipt: one text FileScan, no schema-inferring json source") {
@@ -145,5 +164,29 @@ class JsonlCorpusSpec extends SparkSpecBase {
     val idx = IndexStore.load(spark, store, g.meta).get
     assert(g.ragQueryOver(idx, "hash table smaller side", topK = 1)
       .head().getAs[String]("snippet").contains("smaller side"))
+  }
+
+  test("streamed index over a byte_size corpus equals the batch build (file_size included)") {
+    // regression: a streaming docsSchema that pruned byte_size made the
+    // streamed chunks carry file_size = n_chars while the batch index
+    // carried byte_size — every doc then reindexed as 'changed'
+    import graft.streaming.IndexStream
+    val root = mkTree("corpus/train.jsonl" -> Seq(
+      """{"id":"d1","text":"streamed chunks must match the batch index"}"""))
+    val work = Files.createTempDirectory("graft_jsonlidx").toString
+    val g = Graft.forJsonl(spark, root.toString, work, idField = Some("id"))
+    val out = Files.createTempDirectory("graft_jsonlidxout").toString + "/idx"
+    // facade-landed documents.parquet is a DIRECTORY of part files (testdata
+    // ships it as a single file) — stream the table dir itself
+    val streamed = IndexStream.runToParquet(spark, work + "/documents.parquet", out,
+      glob = "*")
+      .select("doc_id", "chunk_idx", "chunk_text", "file_size")
+    val batch = g.buildIndex().select("doc_id", "chunk_idx", "chunk_text", "file_size")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    // and the streamed file_size really is the byte-size diff key
+    val docs = Tables.documents(spark, work).head()
+    assert(streamed.head().getAs[Long]("file_size") == docs.getAs[Long]("byte_size"))
+    assert(docs.getAs[Long]("byte_size") != docs.getAs[Long]("n_chars"))
   }
 }
