@@ -140,7 +140,21 @@ class Graft(spark: SparkSession, sfDir: String,
   def reindexDirectory(storePath: String): DataFrame = {
     val src = dirSource.getOrElse(throw new IllegalStateException(
       "reindexDirectory requires a facade built by Graft.forDirectory/forJsonl"))
-    Graft.landDocuments(src.discover(spark, sfDir), sfDir)
+    reindexFrom(src.discover(spark, sfDir), storePath)
+  }
+
+  /** The table-corpus twin of [[reindexDirectory]] — for a
+    * [[Graft.forFrame]] facade there is no tree to re-scan, so the caller
+    * hands in the CURRENT state of their upstream table/frame and gets
+    * the identical incremental semantics: crash-safe re-land, diff against
+    * the stored snapshot, re-chunk+re-embed only the dirty docs, and both
+    * derived chunk indexes refreshed affected-cells-only.
+    */
+  def reindexFrame(docs: DataFrame, storePath: String): DataFrame =
+    reindexFrom(Graft.frameAsDocuments(docs), storePath)
+
+  private def reindexFrom(docs: DataFrame, storePath: String): DataFrame = {
+    Graft.landDocuments(docs, sfDir)
     val stats = incrementalUpdate(storePath)
     // derived-index maintenance (reference: src/indexer.ts:413-511 — the
     // watch loop keeps its index live): if a chunk-ANN index was ever built
@@ -605,6 +619,74 @@ object Graft {
                         chunkSize: Int, chunkOverlap: Int, dim: Int): Graft = {
     landDocuments(src.discover(spark, workDir), workDir)
     new Graft(spark, workDir, chunkSize, chunkOverlap, dim, Some(src))
+  }
+
+  /** Point graft at an EXISTING DataFrame/table — the entry point a
+    * cluster-scale corpus actually arrives through (the data is already a
+    * lakehouse table, not files on a disk graft can walk). The frame needs a
+    * `text` column; `doc_id`/`id`, `lang`, `source`, `byte_size` are honored
+    * when present (see [[frameAsDocuments]] for the exact contract). The
+    * frame's CURRENT rows land as the facade's documents table (ingest-once,
+    * like the directory/JSONL legs); later upstream states re-land through
+    * [[Graft.reindexFrame]] — a frame is not re-discoverable from inside the
+    * facade (re-executing a captured plan would serve a stale file listing,
+    * not the live table), so reindex takes the current frame explicitly.
+    */
+  def forFrame(spark: SparkSession, docs: DataFrame, workDir: String,
+               chunkSize: Int = 100, chunkOverlap: Int = 20,
+               dim: Int = 64): Graft = {
+    landDocuments(frameAsDocuments(docs), workDir)
+    new Graft(spark, workDir, chunkSize, chunkOverlap, dim, None)
+  }
+
+  /** Normalize a caller's frame to the documents schema — the frame leg's
+    * analog of [[sources.TextCorpus.asDocuments]].
+    *
+    * Identity (drives the incremental diff, so it must be stable across
+    * [[Graft.reindexFrame]] calls): an existing `doc_id` is used as-is
+    * (cast to long); else a string `id` hashes to one; else identity is
+    * content-addressed (`xxhash64(text)`) and an edit counts as remove+add
+    * — the JSONL leg's exact ladder ([[sources.JsonlCorpus.read]]). Rows
+    * with a null id or null/empty text drop like malformed JSONL lines.
+    * Duplicate ids collapse deterministically (max by payload) rather than
+    * corrupting every downstream join — one map-side-combined hash
+    * aggregate at ingest, the same collision guard the JSONL leg pays.
+    *
+    * Change detection: a provided `byte_size` is the diff key
+    * ([[Tables.changeKey]]); absent one it falls back to `n_chars`, sharing
+    * the size-heuristic family's declared same-length-edit blindness —
+    * except on content-addressed frames, where detection is exact by
+    * construction. An id-keyed caller who wants exact detection passes
+    * `byte_size = xxhash64(text)` — it's just a column.
+    */
+  private[graft] def frameAsDocuments(docs: DataFrame): DataFrame = {
+    val cols = docs.columns.toSet
+    require(cols.contains("text"), "forFrame corpus needs a `text` column")
+    val id =
+      if (cols.contains("doc_id")) col("doc_id").cast("long")
+      // xxhash64 IGNORES null inputs (returns its seed), so a null id must
+      // be gated explicitly or every id-less row lands as doc_id 42
+      else if (cols.contains("id"))
+        when(col("id").isNotNull, abs(xxhash64(col("id").cast("string"))))
+      else abs(xxhash64(col("text")))
+    val lang = if (cols.contains("lang")) col("lang") else lit("und")
+    val source = if (cols.contains("source")) col("source") else lit("frame")
+    val byteSize =
+      if (cols.contains("byte_size")) col("byte_size").cast("long")
+      else length(col("text")).cast("long")
+    docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(id.as("doc_id"), col("text").cast("string").as("text"),
+        lang.as("lang"), source.as("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        byteSize.as("byte_size"))
+      .filter(col("doc_id").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("n_chars"), col("byte_size"), col("text"),
+        col("lang"), col("source"))).as("r"))
+      .select(col("doc_id"), col("r.text").as("text"), col("r.lang").as("lang"),
+        col("r.source").as("source"), col("r.n_chars").as("n_chars"),
+        col("r.byte_size").as("byte_size"))
   }
 
   /** Directory discovery with the reference's extension semantics

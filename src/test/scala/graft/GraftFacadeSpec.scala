@@ -464,6 +464,94 @@ class GraftFacadeSpec extends SparkSpecBase {
       s"facade metadata read must be partition-pruned, plan:\n$annPlan")
   }
 
+  test("forFrame: a caller's DataFrame drives the facade; reindexFrame is incremental and maintains the ANN index") {
+    import spark.implicits._
+    def corpus(rows: Seq[(String, String, String)]) =
+      rows.toDF("id", "text", "lang")
+    val v1 = Seq(
+      ("a", "the quick table scan join merges sorted runs of rows", "en"),
+      ("b", "windowed aggregation with watermarks bounds streaming state", "en"),
+      ("c", "columnar parquet encoding with dictionary compression pages", "en"),
+      ("d", "broadcast hash joins avoid shuffling the large fact table", "en"),
+      ("e", "salting hot keys spreads skewed aggregation work evenly", "en"),
+      ("f", "predicate pushdown prunes row groups before any decode", "en"),
+      ("g", "adaptive query execution replans shuffles at runtime", "en"),
+      ("h", "tungsten codegen fuses operators into tight java loops", "en"),
+      ("i", "catalyst rewrites logical plans with rule based passes", "en"),
+      ("j", "bucketed tables co locate join keys across both sides", "en"),
+      ("k", "zebra stripes migrate south during the winter season", "en"),
+      ("l", "checkpointing truncates long lineage chains for recovery", "en"))
+    val work = Files.createTempDirectory("graft_frame_work").toString
+    val store = Files.createTempDirectory("graft_frame_store").toString + "/store"
+    val g2 = Graft.forFrame(spark, corpus(v1), work)
+    // the landed table carries the id-hashed identity + passthrough lang
+    val docs = Tables.documents(spark, work)
+    assert(docs.count() == 12 && docs.select("doc_id").distinct().count() == 12)
+    assert(docs.select("lang").distinct().head().getString(0) == "en")
+    // facade serves the frame corpus like any other leg
+    val hit = g2.ragQuery("the quick table scan join merges", topK = 1).head()
+    val expectId = docs.filter(col("text").contains("quick table scan"))
+      .head().getAs[Long]("doc_id")
+    assert(hit.getAs[Long]("doc_id") == expectId)
+    // a frame facade has no tree to re-scan — the dir API must refuse
+    intercept[IllegalStateException](g2.reindexDirectory(store))
+    // cold reindex from the SAME frame state: all added, no ANN index yet
+    val cold = g2.reindexFrame(corpus(v1), store).head()
+    assert(cold.getAs[Long]("n_added") == 12 && cold.getAs[String]("ann_mode") == "absent")
+    // build the chunk-ANN index through its gate, then mutate the frame:
+    // add one record, grow one (n_chars is the frame diff key), remove one
+    g2.ragQueryAnn("state", topK = 1)
+    val v2 = v1.filterNot(_._1 == "k")
+      .map { case ("b", t, l) => ("b", t + " and memory", l); case r => r } :+
+      (("m", "a brand new document about broadcast join hints", "en"))
+    val stats = g2.reindexFrame(corpus(v2), store).head()
+    assert(stats.getAs[Long]("n_added") == 1, s"added=${stats.getAs[Long]("n_added")}")
+    assert(stats.getAs[Long]("n_changed") == 1 && stats.getAs[Long]("n_removed") == 1)
+    assert(stats.getAs[Long]("n_unchanged") == 10)
+    assert(stats.getAs[String]("ann_mode") == "incremental",
+      s"ann_mode=${stats.getAs[String]("ann_mode")}")
+    // the refreshed ANN index serves the new doc; the incrementally
+    // maintained store equals a cold rebuild from the v2 frame
+    val newId = Tables.documents(spark, work)
+      .filter(col("text").contains("brand new")).head().getAs[Long]("doc_id")
+    val hit2 = g2.ragQueryAnn("a brand new document about broadcast join hints",
+      topK = 1).head()
+    assert(hit2.getAs[Long]("doc_id") == newId)
+    val work2 = Files.createTempDirectory("graft_frame_work2").toString
+    val fresh = Graft.forFrame(spark, corpus(v2), work2).buildIndex()
+      .select("doc_id", "chunk_idx", "chunk_text", "file_size")
+    val healed = IndexStore.load(spark, store, g2.meta).get
+      .select("doc_id", "chunk_idx", "chunk_text", "file_size")
+    assert(healed.exceptAll(fresh).count() == 0 && fresh.exceptAll(healed).count() == 0)
+  }
+
+  test("frameAsDocuments: identity ladder, null/empty drops, duplicate-id collapse") {
+    import spark.implicits._
+    // explicit doc_id passes through untouched (including negative values)
+    val withDocId = Seq((-7L, "alpha"), (9L, "beta")).toDF("doc_id", "text")
+    assert(Graft.frameAsDocuments(withDocId).select("doc_id").as[Long]
+      .collect().sorted.sameElements(Array(-7L, 9L)))
+    // no id at all → content-addressed: same text twice collapses to one doc
+    val bare = Seq("same words", "same words", "other words").toDF("text")
+    val bareDocs = Graft.frameAsDocuments(bare)
+    assert(bareDocs.count() == 2)
+    assert(bareDocs.select("source").distinct().head().getString(0) == "frame")
+    // null/empty text and null ids drop like malformed JSONL lines
+    val dirty = Seq(("x", "kept"), ("y", null), ("z", ""), (null, "no id"))
+      .toDF("id", "text")
+    assert(Graft.frameAsDocuments(dirty).count() == 1)
+    // duplicate ids collapse deterministically to ONE row (max by payload),
+    // never two rows sharing a doc_id
+    val dup = Seq(("d", "short"), ("d", "the longer of the two payloads"))
+      .toDF("id", "text")
+    val collapsed = Graft.frameAsDocuments(dup)
+    assert(collapsed.count() == 1)
+    assert(collapsed.head().getAs[String]("text") == "the longer of the two payloads")
+    // a frame without text is a contract error, not a deep AnalysisException
+    intercept[IllegalArgumentException](
+      Graft.frameAsDocuments(Seq(1L).toDF("doc_id")))
+  }
+
   test("IndexStore round-trips and rejects mismatched metadata") {
     val dir = Files.createTempDirectory("graft_store").toString
     val meta = IndexStore.Meta(IndexStore.Version, 100, 20, g.modelName)
