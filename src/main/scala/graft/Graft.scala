@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   */
 class Graft(spark: SparkSession, sfDir: String,
             chunkSize: Int = 100, chunkOverlap: Int = 20, dim: Int = 64,
-            private val dirSource: Option[Graft.CorpusSource] = None) {
+            private val dirSource: Option[Graft.CorpusSource] = None,
+            private val frameShape: Option[String] = None) {
   VecExprs.register(spark)
 
   val modelName = s"graft-hash-embed-v1-d$dim"
@@ -149,9 +150,26 @@ class Graft(spark: SparkSession, sfDir: String,
     * the identical incremental semantics: crash-safe re-land, diff against
     * the stored snapshot, re-chunk+re-embed only the dirty docs, and both
     * derived chunk indexes refreshed affected-cells-only.
+    *
+    * Only a forFrame facade may call this (a directory/JSONL facade's
+    * corpus would be silently clobbered by the frame — its reindex is
+    * [[reindexDirectory]]), and the frame's COLUMN SET must imply the same
+    * identity/diff-key rungs as the frame the facade was built from: a
+    * column appearing or vanishing between calls switches
+    * [[Graft.frameAsDocuments]]'s semantics and would remove+re-add or
+    * re-embed the entire corpus in one silent sweep, so that drift is an
+    * error here, not a diff result.
     */
-  def reindexFrame(docs: DataFrame, storePath: String): DataFrame =
+  def reindexFrame(docs: DataFrame, storePath: String): DataFrame = {
+    val pinned = frameShape.getOrElse(throw new IllegalStateException(
+      "reindexFrame requires a facade built by Graft.forFrame"))
+    val shape = Graft.frameShapeOf(docs)
+    require(shape == pinned,
+      s"frame shape drifted: the facade pinned '$pinned' but this frame implies " +
+        s"'$shape' — a changed column set switches identity/diff semantics and " +
+        "would misclassify the whole corpus; rebuild via Graft.forFrame instead")
     reindexFrom(Graft.frameAsDocuments(docs), storePath)
+  }
 
   private def reindexFrom(docs: DataFrame, storePath: String): DataFrame = {
     Graft.landDocuments(docs, sfDir)
@@ -636,16 +654,44 @@ object Graft {
                chunkSize: Int = 100, chunkOverlap: Int = 20,
                dim: Int = 64): Graft = {
     landDocuments(frameAsDocuments(docs), workDir)
-    new Graft(spark, workDir, chunkSize, chunkOverlap, dim, None)
+    // pin the identity/diff-key rungs this frame's columns imply, so a
+    // later reindexFrame whose column set drifted fails loudly instead of
+    // silently re-keying the corpus
+    new Graft(spark, workDir, chunkSize, chunkOverlap, dim, None,
+      Some(frameShapeOf(docs)))
+  }
+
+  /** The (identity rung)/(diff key) a frame's column set implies — computed
+    * once at [[forFrame]] time and pinned, then recomputed and compared on
+    * every [[Graft.reindexFrame]]: identity ∈ {doc_id (integral,
+    * passthrough), doc_id_hashed (non-integral — hashed, never cast: a
+    * long cast would null strings and truncate doubles into collisions),
+    * id, content} and diff key ∈ {byte_size, n_chars}.
+    */
+  private[graft] def frameShapeOf(docs: DataFrame): String = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val cols = docs.columns.toSet
+    val idRung =
+      if (cols.contains("doc_id")) docs.schema("doc_id").dataType match {
+        case LongType | IntegerType | ShortType | ByteType => "doc_id"
+        case _ => "doc_id_hashed"
+      }
+      else if (cols.contains("id")) "id"
+      else "content"
+    val diffKey = if (cols.contains("byte_size")) "byte_size" else "n_chars"
+    s"$idRung/$diffKey"
   }
 
   /** Normalize a caller's frame to the documents schema — the frame leg's
     * analog of [[sources.TextCorpus.asDocuments]].
     *
     * Identity (drives the incremental diff, so it must be stable across
-    * [[Graft.reindexFrame]] calls): an existing `doc_id` is used as-is
-    * (cast to long); else a string `id` hashes to one; else identity is
-    * content-addressed (`xxhash64(text)`) and an edit counts as remove+add
+    * [[Graft.reindexFrame]] calls — [[frameShapeOf]] pins the rung): an
+    * INTEGRAL `doc_id` is used as-is; a non-integral one (string/UUID/
+    * decimal) hashes — a long cast would null strings (silently emptying
+    * the corpus) and truncate doubles into collisions; else an `id` hashes
+    * to one; else identity is content-addressed (`xxhash64(text)`) and an
+    * edit counts as remove+add
     * — the JSONL leg's exact ladder ([[sources.JsonlCorpus.read]]). Rows
     * with a null id or null/empty text drop like malformed JSONL lines.
     * Duplicate ids collapse deterministically (max by payload) rather than
@@ -662,31 +708,31 @@ object Graft {
   private[graft] def frameAsDocuments(docs: DataFrame): DataFrame = {
     val cols = docs.columns.toSet
     require(cols.contains("text"), "forFrame corpus needs a `text` column")
-    val id =
-      if (cols.contains("doc_id")) col("doc_id").cast("long")
-      // xxhash64 IGNORES null inputs (returns its seed), so a null id must
-      // be gated explicitly or every id-less row lands as doc_id 42
-      else if (cols.contains("id"))
-        when(col("id").isNotNull, abs(xxhash64(col("id").cast("string"))))
-      else abs(xxhash64(col("text")))
+    // xxhash64 IGNORES null inputs (returns its seed), so every hashed rung
+    // gates nulls explicitly or id-less rows would all land as doc_id 42
+    def hashed(c: org.apache.spark.sql.Column) =
+      when(c.isNotNull, abs(xxhash64(c.cast("string"))))
+    val id = frameShapeOf(docs).split('/')(0) match {
+      case "doc_id" => col("doc_id").cast("long")
+      case "doc_id_hashed" => hashed(col("doc_id"))
+      case "id" => hashed(col("id"))
+      case _ => abs(xxhash64(col("text")))
+    }
     val lang = if (cols.contains("lang")) col("lang") else lit("und")
     val source = if (cols.contains("source")) col("source") else lit("frame")
     val byteSize =
       if (cols.contains("byte_size")) col("byte_size").cast("long")
       else length(col("text")).cast("long")
-    docs
-      .filter(col("text").isNotNull && length(col("text")) > 0)
-      .select(id.as("doc_id"), col("text").cast("string").as("text"),
-        lang.as("lang"), source.as("source"),
-        length(col("text")).cast("long").as("n_chars"),
-        byteSize.as("byte_size"))
-      .filter(col("doc_id").isNotNull)
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("n_chars"), col("byte_size"), col("text"),
-        col("lang"), col("source"))).as("r"))
-      .select(col("doc_id"), col("r.text").as("text"), col("r.lang").as("lang"),
-        col("r.source").as("source"), col("r.n_chars").as("n_chars"),
-        col("r.byte_size").as("byte_size"))
+    sources.JsonlCorpus.collapseLargest(
+      docs
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(id.as("doc_id"), col("text").cast("string").as("text"),
+          lang.as("lang"), source.as("source"),
+          length(col("text")).cast("long").as("n_chars"),
+          byteSize.as("byte_size"))
+        .filter(col("doc_id").isNotNull),
+      "doc_id", Seq("n_chars", "byte_size", "text", "lang", "source"))
+      .select("doc_id", "text", "lang", "source", "n_chars", "byte_size")
   }
 
   /** Directory discovery with the reference's extension semantics

@@ -123,11 +123,19 @@ object JsonlCorpus {
     * collision) — a declared difference.
     */
   private def collapse(records: DataFrame): DataFrame =
-    records
-      .groupBy(col("path"))
-      .agg(max(struct(col("content"), col("size"), col("line_count"),
-        col("lang"), col("source"))).as("r"))
-      .select(col("path"), col("r.content").as("content"), col("r.size").as("size"),
-        col("r.line_count").as("line_count"), col("r.lang").as("lang"),
-        col("r.source").as("source"))
+    collapseLargest(records, "path",
+      Seq("content", "size", "line_count", "lang", "source"))
+
+  /** ONE definition of the deterministic duplicate-key collapse (max by the
+    * payload columns IN ORDER — the first column is the primary tie-break):
+    * shared by the JSONL leg (key = synthetic path) and the frame leg
+    * (`Graft.frameAsDocuments`, key = doc_id), so the two collision guards
+    * cannot drift. One map-side-combined hash aggregate; collision-free
+    * corpora see single-row groups.
+    */
+  private[graft] def collapseLargest(df: DataFrame, key: String,
+                                     payload: Seq[String]): DataFrame =
+    df.groupBy(col(key))
+      .agg(max(struct(payload.map(col): _*)).as("r"))
+      .select(col(key) +: payload.map(c => col(s"r.$c").as(c)): _*)
 }

@@ -550,6 +550,38 @@ class GraftFacadeSpec extends SparkSpecBase {
     // a frame without text is a contract error, not a deep AnalysisException
     intercept[IllegalArgumentException](
       Graft.frameAsDocuments(Seq(1L).toDF("doc_id")))
+    // a NON-integral doc_id (string UUIDs — the common lakehouse key) must
+    // hash, not cast: cast-to-long would null every id and silently land an
+    // EMPTY corpus
+    val uuidKeyed = Seq(("550e8400-e29b-41d4-a716-446655440000", "alpha"),
+      ("f47ac10b-58cc-4372-a567-0e02b2c3d479", "beta")).toDF("doc_id", "text")
+    assert(Graft.frameShapeOf(uuidKeyed) == "doc_id_hashed/n_chars")
+    val uuidDocs = Graft.frameAsDocuments(uuidKeyed)
+    assert(uuidDocs.count() == 2 &&
+      uuidDocs.filter(col("doc_id").isNull).count() == 0)
+  }
+
+  test("reindexFrame: refuses non-frame facades and column-set drift") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_shape_store").toString + "/store"
+    // a testdata facade (no forFrame) must refuse outright
+    intercept[IllegalStateException](
+      g.reindexFrame(Seq(("x", "words")).toDF("id", "text"), store))
+    // a frame facade pins its identity/diff rungs at forFrame time; a frame
+    // whose column set implies DIFFERENT rungs would re-key or re-embed the
+    // whole corpus silently, so it must be an error, not a diff result
+    val work = Files.createTempDirectory("graft_shape_work").toString
+    val gf = Graft.forFrame(spark, Seq(("x", "some words here")).toDF("id", "text"), work)
+    // same shape → accepted (normal reindex)
+    assert(gf.reindexFrame(Seq(("x", "some words here")).toDF("id", "text"), store)
+      .head().getAs[Long]("n_unchanged") >= 0)
+    // id column vanished → identity rung switches to content-addressed
+    intercept[IllegalArgumentException](
+      gf.reindexFrame(Seq("some words here").toDF("text"), store))
+    // byte_size appeared → diff key switches family
+    intercept[IllegalArgumentException](
+      gf.reindexFrame(Seq(("x", "some words here", 15L)).toDF("id", "text", "byte_size"),
+        store))
   }
 
   test("IndexStore round-trips and rejects mismatched metadata") {
