@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *   - the only shuffle is the id-collision guard (see below), paid once
   *     at ingest (every downstream operator then reads the landed table).
   *
-  * Identity: each record's synthetic `path` is `<file path>#<key>`, so
-  * `asDocuments`'s `doc_id = xxhash64(path)` is stable per (FILE, key) —
+  * Identity: each record's synthetic `path` is `<file path>#<key>` with
+  * '%'/'#' percent-escaped in both components (so the mapping is injective
+  * even for '#'-bearing filenames or ids), making `asDocuments`'s
+  * `doc_id = xxhash64(path)` stable per (FILE, key) —
   * file-scoped, not corpus-global. With `idField`, the key is the
   * record's own id: stable across rescans and line reorderings WITHIN its
   * file, so an edited record surfaces as CHANGED in the incremental diff
@@ -46,27 +48,16 @@ object JsonlCorpus {
 
   private val FieldRe = "[A-Za-z0-9_]+"
 
-  /** Extension-list policy shared by the batch reader and the streaming
-    * twin — validation and glob rendering must be ONE definition or the
-    * two legs drift.
-    */
-  private[graft] def requireCleanExts(exts: Seq[String]): Unit =
-    require(exts.nonEmpty && exts.forall(_.matches(FieldRe)),
-      s"exts must be alphanumeric, got: ${exts.mkString(", ")}")
-
-  private[graft] def extGlob(exts: Seq[String]): String =
-    s"*.{${exts.mkString(",")}}"
-
   def read(spark: SparkSession, root: String,
            textField: String = "text",
            idField: Option[String] = None,
            langField: Option[String] = None,
            excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
            exts: Seq[String] = Seq("jsonl")): DataFrame = {
-    requireCleanExts(exts)
+    TextCorpus.requireCleanExts(exts)
     val raw = spark.read
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", extGlob(exts))
+      .option("pathGlobFilter", TextCorpus.extGlob(exts))
       .text(root)
       .select(input_file_name().as("abs_path"), col("value"))
     collapse(extract(raw, root, textField, idField, langField, excludedFolders))
@@ -99,9 +90,16 @@ object JsonlCorpus {
       .getOrElse(xxhash64(col("value")).cast("string"))
     val lang = langField
       .map(f => coalesce(jf(f), lit("und"))).getOrElse(lit("und"))
+    // '#' is legal in BOTH filenames and id values, so a raw concat is not
+    // injective — file "a.jsonl#b.jsonl" + id "x" and file "a.jsonl" + id
+    // "b.jsonl#x" would share one path (and one doc_id: silent merge).
+    // Percent-escape '%' then '#' in each component; the separator is then
+    // unambiguous and (file, id) → path is injective.
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "%", "%25"), "#", "%23")
     included
       .select(
-        concat(col("file_path"), lit("#"), key).as("path"),
+        concat(esc(col("file_path")), lit("#"), esc(key)).as("path"),
         jf(textField).as("content"),
         length(col("value")).cast("long").as("size"),
         lang.as("lang"),

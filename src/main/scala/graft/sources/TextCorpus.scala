@@ -17,6 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object TextCorpus {
 
+  /** Extension-list policy shared by EVERY file leg (text, PDF, JSONL batch
+    * AND streaming) — validation and brace-glob rendering must be ONE
+    * definition or the legs drift. Extensions are interpolated into a
+    * Hadoop brace glob; a ',' '{' '*' or whitespace inside one would
+    * silently corrupt the filter for every extension in the list, so
+    * anything non-alphanumeric is rejected up front.
+    */
+  private[graft] def requireCleanExts(exts: Seq[String]): Unit =
+    require(exts.nonEmpty && exts.forall(_.matches("[A-Za-z0-9_]+")),
+      s"extensions must be alphanumeric ([A-Za-z0-9_]+), got: ${exts.mkString(", ")}")
+
+  /** ONE tree listing for all extensions via brace alternation — a
+    * per-extension read unioned N ways repeats the (driver-side, at 100 TB
+    * object-store-RPC) file listing N times for the same tree.
+    */
+  private[graft] def extGlob(exts: Seq[String]): String =
+    s"*.{${exts.mkString(",")}}"
+
   /** Root-relative path from a PERCENT-ENCODED file URI — what
     * `input_file_name()` yields (file:///a%20b/...). url_decode has
     * form-encoding semantics ('+' → space), but in a URI path a literal '+'
@@ -47,19 +65,11 @@ object TextCorpus {
   def read(spark: SparkSession, root: String,
            allowedExt: Seq[String] = Seq("txt", "md"),
            excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git")): DataFrame = {
-    require(allowedExt.nonEmpty, "allowedExt must not be empty")
-    // extensions are interpolated into the brace glob below — a ',' '{' '*'
-    // or whitespace inside one would silently corrupt the filter for EVERY
-    // extension in the list, so reject anything non-alphanumeric up front
-    require(allowedExt.forall(_.matches("[A-Za-z0-9_]+")),
-      s"allowedExt must be alphanumeric ([A-Za-z0-9_]+), got: ${allowedExt.mkString(", ")}")
-    // ONE listing for all extensions via Hadoop brace alternation — a
-    // per-extension read unioned N ways repeats the (driver-side, at 100 TB
-    // object-store-RPC) file listing N times for the same tree
+    requireCleanExts(allowedExt)
     val raw0 = spark.read
       .option("wholetext", "true")
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", s"*.{${allowedExt.mkString(",")}}")
+      .option("pathGlobFilter", extGlob(allowedExt))
       .text(root)
       .select(input_file_name().as("abs_path"), col("value").as("content"))
     val rootNorm = if (root.endsWith("/")) root else root + "/"
@@ -112,12 +122,11 @@ object TextCorpus {
                     excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
                     exts: Seq[String] = Seq("pdf"),
                     cachePath: Option[String] = None): DataFrame = {
-    require(exts.nonEmpty && exts.forall(_.matches("[A-Za-z0-9_]+")),
-      s"exts must be alphanumeric, got: ${exts.mkString(", ")}")
+    requireCleanExts(exts)
     val rootNorm = if (root.endsWith("/")) root else root + "/"
     def scan(columns: Seq[String]): DataFrame = {
       val raw = spark.read.format("binaryFile")
-        .option("pathGlobFilter", s"*.{${exts.mkString(",")}}")
+        .option("pathGlobFilter", extGlob(exts))
         .option("recursiveFileLookup", "true")
         .load(root)
         .select((Seq(col("path").as("abs_path"), col("length").as("byte_size")) ++
@@ -152,21 +161,37 @@ object TextCorpus {
               .select(col("path"), col("byte_size"), col("text").as("cached_text"))
             meta.join(cache, Seq("path", "byte_size"), "left")
           } else meta.withColumn("cached_text", lit(null).cast("string"))
-        val hits = joined.filter(col("cached_text").isNotNull)
-          .select(col("path"), col("byte_size"), col("cached_text").as("text"))
-        // misses open THEIR files only, partition-local
-        val misses = extractFromPaths(joined.filter(col("cached_text").isNull)
-          .select(col("abs_path"), col("path"), col("byte_size")))
-        val merged = hits.unionByName(misses)
-        // staged write + backup-rename swap (the store contract's protocol —
-        // the hits frame lazily READS the old cache, so never overwrite the
-        // input in place; delete-then-rename would strand everything in
-        // .staging on a crash between the two, and swapDir also surfaces a
-        // failed rename as a diagnostic instead of a downstream read error)
-        val staging = new org.apache.hadoop.fs.Path(cp + ".staging")
-        if (fs.exists(staging)) fs.delete(staging, true)
-        merged.write.parquet(staging.toString)
-        graft.IndexStore.swapDir(fs, staging, cpPath)
+        // one aggregation over the checkpointed narrow listing prices the
+        // round: nMiss new/changed files, nHit files already cached
+        val c = joined.agg(
+          sum(when(col("cached_text").isNull, 1L)).as("n_miss"),
+          sum(when(col("cached_text").isNotNull, 1L)).as("n_hit")).head()
+        val nMiss = Option(c.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val nHit = Option(c.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        // cache row count is a parquet-footer read; equality with nHit means
+        // no removed files either — the merged result would be byte-for-byte
+        // the existing cache, so a NO-CHANGE round rewrites nothing (at
+        // corpus scale the rewrite is a corpus-proportional write + object-
+        // store rename churn, paid every reindex of a stable tree)
+        val unchanged = nMiss == 0 && fs.exists(cpPath) &&
+          spark.read.parquet(cp).count() == nHit
+        if (!unchanged) {
+          val hits = joined.filter(col("cached_text").isNotNull)
+            .select(col("path"), col("byte_size"), col("cached_text").as("text"))
+          // misses open THEIR files only, partition-local
+          val misses = extractFromPaths(joined.filter(col("cached_text").isNull)
+            .select(col("abs_path"), col("path"), col("byte_size")))
+          val merged = hits.unionByName(misses)
+          // staged write + backup-rename swap (the store contract's protocol —
+          // the hits frame lazily READS the old cache, so never overwrite the
+          // input in place; delete-then-rename would strand everything in
+          // .staging on a crash between the two, and swapDir also surfaces a
+          // failed rename as a diagnostic instead of a downstream read error)
+          val staging = new org.apache.hadoop.fs.Path(cp + ".staging")
+          if (fs.exists(staging)) fs.delete(staging, true)
+          merged.write.parquet(staging.toString)
+          graft.IndexStore.swapDir(fs, staging, cpPath)
+        }
         // serve FROM the cache: downstream actions re-read parquet, not PDFs
         spark.read.parquet(cp).select(col("path"), col("byte_size"), col("text"))
       }

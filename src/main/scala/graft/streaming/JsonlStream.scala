@@ -30,11 +30,11 @@ object JsonlStream {
                       langField: Option[String] = None,
                       excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
                       exts: Seq[String] = Seq("jsonl")): DataFrame = {
-    JsonlCorpus.requireCleanExts(exts)
+    TextCorpus.requireCleanExts(exts)
     val lines = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", JsonlCorpus.extGlob(exts))
+      .option("pathGlobFilter", TextCorpus.extGlob(exts))
       .text(root)
       .select(input_file_name().as("abs_path"), col("value"))
     TextCorpus.asDocuments(JsonlCorpus.extract(

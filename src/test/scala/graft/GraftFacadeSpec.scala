@@ -180,6 +180,18 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(first.length == 1 &&
       first(0).getAs[String]("content") == "cached extraction survives a same-size rewrite")
     assert(first(0).getAs[Long]("size") == pdfBytes.length) // FILE bytes, not text length
+    // a NO-CHANGE round must be metadata-only: the cache table is not
+    // rewritten (at corpus scale the rewrite is a corpus-proportional write
+    // per reindex of a stable tree) — pin via the part files' identity+mtime
+    def cacheState() = {
+      val fs = new org.apache.hadoop.fs.Path(cache)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(cache))
+        .map(s => (s.getPath.getName, s.getModificationTime)).sortBy(_._1).toSeq
+    }
+    val before = cacheState()
+    readAll().collect()
+    assert(cacheState() == before, "no-change discovery must not rewrite the cache")
     // corrupt the file in place, SAME byte size: the cache serves the old
     // text without opening the file (the (path, size) key says unchanged)
     val corrupted = pdfBytes.clone()

@@ -45,6 +45,21 @@ class JsonlCorpusSpec extends SparkSpecBase {
       """{"id":"a1","text":"alpha document about joins","lang":"en"}""".length.toLong)
   }
 
+  test("identity is injective for '#'-bearing filenames and ids") {
+    // pre-escape, both records collapse onto ONE synthetic path
+    // "a.jsonl#b.jsonl#x" — a silent merge; the percent-escape keeps the
+    // separator unambiguous so they stay two documents
+    val root = mkTree(
+      "a.jsonl" -> Seq("""{"id":"b.jsonl#x","text":"first document body"}"""),
+      "a.jsonl#b.jsonl" -> Seq("""{"id":"x","text":"second document body"}"""))
+    val corpus = JsonlCorpus.read(spark, root.toString, idField = Some("id"))
+    val paths = corpus.select("path").orderBy("path").collect().map(_.getString(0))
+    assert(paths.toSeq == Seq("a.jsonl#b.jsonl%23x", "a.jsonl%23b.jsonl#x"),
+      s"got ${paths.toSeq}")
+    // and the derived doc_ids are distinct (no silent merge downstream)
+    assert(TextCorpus.asDocuments(corpus).select("doc_id").distinct().count() == 2)
+  }
+
   test("identity: explicit ids are rescan-stable; content-addressing collapses exact dups") {
     val root = mkTree(
       "a.jsonl" -> Seq(

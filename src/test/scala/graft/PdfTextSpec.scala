@@ -165,9 +165,12 @@ class PdfTextSpec extends SparkSpecBase {
   test("pdf_decode_real: corpus-wide round-trip identity (the oracle's claim)") {
     val out = Multimodal.pdfRoundTrip(spark, sf)
     assert(out.filter(!col("is_pdf") || col("n_pages") =!= 1).count() == 0)
+    // expected side uses the REAL sanitize (per-codepoint: a surrogate pair
+    // collapses to ONE space) — a hand-rolled per-code-unit regex here would
+    // diverge from the oracle the moment the corpus grows an astral char
     val expected = Tables.documents(spark, sf)
       .select(col("doc_id"),
-        trim(regexp_replace(col("text"), "[^\\x20-\\x7E]", " ")).as("text"))
+        trim(Multimodal.asciiSanitize(col("text"))).as("text"))
     val got = out.select(col("doc_id"), col("text"))
     assert(got.exceptAll(expected).count() == 0 &&
       expected.exceptAll(got).count() == 0)
