@@ -573,6 +573,28 @@ class GraftFacadeSpec extends SparkSpecBase {
       uuidDocs.filter(col("doc_id").isNull).count() == 0)
   }
 
+  test("forFrame with byte_size: the caller's key drives change detection, including its declared blindness") {
+    import spark.implicits._
+    // a caller-supplied byte_size is the diff key verbatim — e.g. a real
+    // upstream byte count, or xxhash64(text) for exact detection
+    def frame(rows: Seq[(String, String, Long)]) =
+      rows.toDF("id", "text", "byte_size")
+    val v1 = Seq(("a", "alpha document words", 100L), ("b", "beta document words", 200L))
+    val work = Files.createTempDirectory("graft_bs_work").toString
+    val store = Files.createTempDirectory("graft_bs_store").toString + "/store"
+    val gf = Graft.forFrame(spark, frame(v1), work)
+    assert(gf.reindexFrame(frame(v1), store).head().getAs[Long]("n_added") == 2)
+    // SAME text, bumped byte_size → CHANGED (the key, not the text, decides)
+    val bumped = Seq(("a", "alpha document words", 101L), ("b", "beta document words", 200L))
+    val s1 = gf.reindexFrame(frame(bumped), store).head()
+    assert(s1.getAs[Long]("n_changed") == 1 && s1.getAs[Long]("n_unchanged") == 1)
+    // changed text, SAME byte_size → invisible: the size-heuristic family's
+    // declared blindness (the reference's watch loop shares it)
+    val sneaky = Seq(("a", "ALPHA DOCUMENT WORDS", 101L), ("b", "beta document words", 200L))
+    val s2 = gf.reindexFrame(frame(sneaky), store).head()
+    assert(s2.getAs[Long]("n_changed") == 0 && s2.getAs[Long]("n_unchanged") == 2)
+  }
+
   test("reindexFrame: refuses non-frame facades and column-set drift") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft_shape_store").toString + "/store"
