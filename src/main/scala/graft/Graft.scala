@@ -94,9 +94,15 @@ class Graft(spark: SparkSession, sfDir: String,
         val changedIds = joined.filter(isChanged).select("doc_id")
         val addedIds = joined.filter(isAdded).select("doc_id")
         val dirtyIds = changedIds.unionAll(addedIds)
-        val kept = old.join(broadcast(removedIds.unionAll(changedIds)), Seq("doc_id"), "left_anti")
+        // NO broadcast hint on the dirty-id frames: they are unbounded (a
+        // param/clock drift can mark the WHOLE corpus dirty — forcing a
+        // broadcast of 1e9 ids is a driver OOM at scale). In the common
+        // trickle case AQE converts these anti/semi joins to broadcast at
+        // runtime from the observed size; in the everything-dirty case it
+        // keeps the co-partitioned shuffle join, which is the right plan.
+        val kept = old.join(removedIds.unionAll(changedIds), Seq("doc_id"), "left_anti")
         val reindexed = embedFrom(Chunker.indexBuildFrom(
-          cur.join(broadcast(dirtyIds), Seq("doc_id"), "left_semi"), chunkSize, chunkOverlap))
+          cur.join(dirtyIds, Seq("doc_id"), "left_semi"), chunkSize, chunkOverlap))
         val merged = kept.unionByName(reindexed)
         // ONE aggregation for all four stats (the AnnStore.refreshIndex
         // pattern — a count() per stat re-executes the diff per action),
