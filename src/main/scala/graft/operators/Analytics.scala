@@ -29,18 +29,21 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** E2: revenue top-10 — customer⋈orders⋈lineitem. `customer` is broadcast
-    * (dimension ≪ fact); orders⋈lineitem shuffles on the order key, which is
-    * also the aggregate key, so AQE reuses the exchange. Top-10 runs as
-    * TakeOrderedAndProject (per-partition partial top-k, single k-row merge),
-    * never a global sort.
+  /** E2: revenue top-10 — customer⋈orders⋈lineitem. NO forced broadcast on
+    * `customer`: it scales linearly with the corpus (billions of rows at
+    * 100 TB), so pinning a broadcast hint is a driver OOM at scale — AQE
+    * converts the join to broadcast at runtime when the filtered segment
+    * side is actually small, and keeps the shuffle join when it isn't.
+    * orders⋈lineitem shuffles on the order key, which is also the aggregate
+    * key, so AQE reuses the exchange. Top-10 runs as TakeOrderedAndProject
+    * (per-partition partial top-k, single k-row merge), never a global sort.
     */
   def q3Revenue(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
