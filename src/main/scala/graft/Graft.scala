@@ -83,7 +83,11 @@ class Graft(spark: SparkSession, sfDir: String,
         // diff key = the stored file_size's own semantic — the SHARED
         // Tables.changeKey definition Chunker persisted as file_size
         val curFiles = cur.select(col("doc_id"), Tables.changeKey(cur).as("cur_size"))
+        // cached for the reindex joins + the stats aggregation; released in
+        // the finally so a failed save() can't leak a corpus-sized cache
+        // into the session for its lifetime
         val joined = oldFiles.join(curFiles, Seq("doc_id"), "full_outer").cache()
+        try {
         // ONE definition per diff predicate — the id frames that drive the
         // reindex and the stats aggregation must never drift apart
         val isRemoved = col("cur_size").isNull
@@ -122,9 +126,9 @@ class Graft(spark: SparkSession, sfDir: String,
         // the whole diff+chunk+embed pipeline, while count() over the saved
         // parquet is satisfied from row-group footers (no data pages read)
         val total = IndexStore.load(spark, storePath, meta).map(_.count()).getOrElse(-1L)
-        joined.unpersist()
         Seq((nAdded, nChanged, nRemoved, nUnchanged, total))
           .toDF("n_added", "n_changed", "n_removed", "n_unchanged", "total_chunks")
+        } finally joined.unpersist()
     }
   }
 
@@ -444,6 +448,18 @@ class Graft(spark: SparkSession, sfDir: String,
   /** The one definition of the exact-search result surface — every exact
     * path (single or batch, live or store-loaded index) delegates here, so
     * projection, snippet rule, and tie order cannot drift apart.
+    *
+    * Boundedness note: the per-query top-k is a `row_number` over
+    * `Window.partitionBy(query_id)`, which stays scalable ONLY because
+    * Catalyst's `InferWindowGroupLimit` rewrites it to a WindowGroupLimit
+    * (per-partition top-k heap before the shuffle — map-side, like a
+    * TakeOrdered). That rewrite is gated on `rank <= k` with k below
+    * `spark.sql.optimizer.windowGroupLimitThreshold`; topK is clamped to
+    * [[Graft.MaxTopK]]=50, far under the default threshold (2^31-1), and
+    * the executed plan's WindowGroupLimit is spec-asserted — but a session
+    * that disables the threshold reverts this to a full shuffle of the
+    * corpus into nQueries partitions (ONE partition for single-query
+    * ragQuery). Don't turn that knob off around this path.
     */
   def ragQueryBatchOver(index: DataFrame, queries: Seq[String],
                         topK: Int = 5): DataFrame = {
@@ -673,18 +689,38 @@ object Graft {
     * passthrough), doc_id_hashed (non-integral — hashed, never cast: a
     * long cast would null strings and truncate doubles into collisions),
     * id, content} and diff key ∈ {byte_size, n_chars}.
+    *
+    * The identity and diff-key columns pin their DATA TYPE too, not just
+    * their presence: an id column drifting int→double keeps the rung NAME
+    * while its hash input changes rendering ("1" vs "1.0") — silently
+    * re-keying the whole corpus into one giant remove+add. Type drift must
+    * fail the [[Graft.reindexFrame]] require like column drift does. The
+    * integral family is one equivalence class (int→long widening is
+    * value-stable under the rungs' cast-to-long, so failing it would be a
+    * false alarm on a harmless upstream migration); every non-integral type
+    * pins its exact name, because the hashed rungs render through
+    * cast-to-STRING where each type has its own rendering.
     */
   private[graft] def frameShapeOf(docs: DataFrame): String = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val cols = docs.columns.toSet
+    def isIntegral(c: String) = docs.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    def typed(name: String, c: String) = s"$name:${docs.schema(c).dataType.simpleString}"
     val idRung =
-      if (cols.contains("doc_id")) docs.schema("doc_id").dataType match {
-        case LongType | IntegerType | ShortType | ByteType => "doc_id"
-        case _ => "doc_id_hashed"
+      if (cols.contains("doc_id")) {
+        if (isIntegral("doc_id")) "doc_id" else typed("doc_id_hashed", "doc_id")
       }
-      else if (cols.contains("id")) "id"
+      else if (cols.contains("id")) {
+        if (isIntegral("id")) "id" else typed("id", "id")
+      }
       else "content"
-    val diffKey = if (cols.contains("byte_size")) "byte_size" else "n_chars"
+    val diffKey =
+      if (cols.contains("byte_size")) {
+        if (isIntegral("byte_size")) "byte_size" else typed("byte_size", "byte_size")
+      } else "n_chars"
     s"$idRung/$diffKey"
   }
 
@@ -718,7 +754,9 @@ object Graft {
     // gates nulls explicitly or id-less rows would all land as doc_id 42
     def hashed(c: org.apache.spark.sql.Column) =
       when(c.isNotNull, abs(xxhash64(c.cast("string"))))
-    val id = frameShapeOf(docs).split('/')(0) match {
+    // rung NAME only — the shape string's `:type` suffix is drift-guard
+    // detail (reindexFrame's require), not a dispatch key
+    val id = frameShapeOf(docs).split('/')(0).split(':')(0) match {
       case "doc_id" => col("doc_id").cast("long")
       case "doc_id_hashed" => hashed(col("doc_id"))
       case "id" => hashed(col("id"))

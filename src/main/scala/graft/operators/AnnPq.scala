@@ -74,18 +74,38 @@ object AnnPq {
     books
   }
 
-  /** The flat store's rewrite unit: `cid = pmod(vec_id, Buckets)` — a pure
+  /** The flat store's rewrite unit: `cid = pmod(vec_id, buckets)` — a pure
     * hash bucket, NOT a quantizer cell. A flat code table has no natural
     * partition; bucketing by vec_id gives the incremental-refresh dispatch
     * (AnnStore.refreshIndex) a bounded delete+append target, so a corpus
-    * trickle rewrites ~|dirty|/Buckets of the store instead of retraining
-    * and rewriting all of it. Sized so a bucket stays a sane parquet
-    * partition; at 100 TB the bucket count grows with the corpus the same
-    * way IVF's k does.
+    * trickle rewrites ~|dirty|/buckets of the store instead of retraining
+    * and rewriting all of it.
+    *
+    * The bucket count is DERIVED from the corpus size at manifest time
+    * (recorded in the manifest; every reader honors the stored value), so
+    * the rewrite unit stays ~[[TargetVectorsPerBucket]] vectors as the
+    * corpus grows — the "grows with the corpus the same way IVF's k does"
+    * promise, as code. Rounded up to a power of two so the count only
+    * changes at geometric corpus-growth points: each threshold crossing is
+    * a `full_params` rebuild (pmod re-shards every bucket), which is only
+    * amortizable if the corpus roughly doubled since the last one — a
+    * linear rule would rebuild every TargetVectorsPerBucket added rows.
     */
-  private val Buckets = 16
+  private[graft] val MinBuckets = 16
 
-  private def bucketCol: Column = pmod(col("vec_id"), lit(Buckets)).cast("int")
+  /** ~1M vectors/bucket: at dim 64 that is ~8 MB of codes and ~256 MB of
+    * raw vectors per bucket — a sane parquet partition either way.
+    */
+  private[graft] val TargetVectorsPerBucket = 1L << 20
+
+  private[graft] def bucketCountFor(nVectors: Long): Int = {
+    val want = math.max(1L,
+      (nVectors + TargetVectorsPerBucket - 1) / TargetVectorsPerBucket)
+    math.max(MinBuckets, java.lang.Long.highestOneBit(want * 2 - 1)).toInt
+  }
+
+  private def bucketCol(buckets: Int): Column =
+    pmod(col("vec_id"), lit(buckets)).cast("int")
 
   /** Persist the PQ index: the per-vector codes (the compressed
     * representation a 100 TB corpus keeps hot), the m×ks codebooks, and the
@@ -123,14 +143,15 @@ object AnnPq {
     require(dim == Dim && dim % m == 0,
       s"PQ build: corpus dim $dim must equal manifest dim $Dim and divide by m=$m")
     val sd = dim / m
+    val buckets = manifestBuckets(manifest)
     val books = trainAll(e, m, sd, ks, iters)
     AnnStore.writeStaged(spark, path, manifest) { staging =>
       val codeCols = (0 until m).map(j =>
         l2Assign(slice(col("emb"), j * sd + 1, sd), books(j)).as(s"c$j"))
-      e.select(col("vec_id") +: codeCols :+ bucketCol.as("cid"): _*)
+      e.select(col("vec_id") +: codeCols :+ bucketCol(buckets).as("cid"): _*)
         .write.partitionBy("cid").parquet(staging + "/codes")
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-        .withColumn("cid", bucketCol)
+        .withColumn("cid", bucketCol(buckets))
         .write.partitionBy("cid").parquet(staging + "/vectors")
       books.zipWithIndex.flatMap { case (book, j) =>
         book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
@@ -156,10 +177,12 @@ object AnnPq {
                      driftBound: Double = 0.3): DataFrame = {
     VecExprs.register(spark)
     val manifest = pqManifest(spark, sfDir, m, ks, iters)
+    // params only match when the stored bucket count equals the current
+    // manifest's, so assignNew's bucket rule is the STORE's own layout
     AnnStore.refreshIndex(spark, path, manifest,
       assignNew = () => Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("cid", bucketCol),
+        .withColumn("cid", bucketCol(manifestBuckets(manifest))),
       rewrite = (affected, rows) => {
         val books = readBooks(spark, path)
         val sd = books.head.head.length
@@ -190,12 +213,26 @@ object AnnPq {
     */
   private val Dim = 64
 
+  /** The manifest records the corpus-derived bucket count; a corpus growing
+    * past the next power-of-two threshold changes it, so the refresh
+    * dispatch routes to `full_params` (pmod re-shards every row — there IS
+    * no incremental path across a bucket-count change) exactly when the
+    * rewrite-unit bound would otherwise degrade. The count() is a parquet
+    * footer read — metadata-priced, like the fingerprint listing beside it.
+    */
   private def pqManifest(spark: SparkSession, sfDir: String,
                          m: Int, ks: Int, iters: Int): String =
     AnnStore.manifest("pq",
       Seq("m" -> m, "ks" -> ks, "iters" -> iters, "dim" -> Dim,
-        "buckets" -> Buckets),
+        "buckets" -> bucketCountFor(Tables.embeddings(spark, sfDir).count())),
       AnnStore.corpusFingerprint(spark, sfDir))
+
+  /** The stored bucket count — every writer/refresher derives it from the
+    * manifest it is stamping/honoring, never recomputes it from the corpus,
+    * so the partition layout and its stamp can never disagree.
+    */
+  private def manifestBuckets(manifest: String): Int =
+    AnnStore.manifestInt(manifest, "buckets").getOrElse(MinBuckets)
 
   /** Freshness-gated build-once for the persisted PQ layout. The fingerprint
     * is computed once here and reused for the stamp.

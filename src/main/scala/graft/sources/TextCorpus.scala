@@ -121,7 +121,8 @@ object TextCorpus {
   def readPdfAsText(spark: SparkSession, root: String,
                     excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
                     exts: Seq[String] = Seq("pdf"),
-                    cachePath: Option[String] = None): DataFrame = {
+                    cachePath: Option[String] = None,
+                    maxFileBytes: Long = DefaultMaxPdfBytes): DataFrame = {
     requireCleanExts(exts)
     val rootNorm = if (root.endsWith("/")) root else root + "/"
     def scan(columns: Seq[String]): DataFrame = {
@@ -139,8 +140,12 @@ object TextCorpus {
     }
     val extracted: DataFrame = cachePath match {
       case None =>
-        extractPartitionLocal(scan(Seq("content"))
-          .select(col("path"), col("byte_size"), col("content")))
+        // same metadata-only listing + gated task-side open as the cache-miss
+        // path (ONE extraction code path): the `binaryFile` content column
+        // would hard-error the whole job on any file >2 GB, where the gated
+        // open degrades an oversized file to empty text like a broken PDF
+        extractFromPaths(scan(Nil)
+          .select(col("abs_path"), col("path"), col("byte_size")), maxFileBytes)
       case Some(cp) => graft.operators.AnnStore.releasingPinned(spark) {
         val hconf = spark.sparkContext.hadoopConfiguration
         val cpPath = new org.apache.hadoop.fs.Path(cp)
@@ -180,7 +185,7 @@ object TextCorpus {
             .select(col("path"), col("byte_size"), col("cached_text").as("text"))
           // misses open THEIR files only, partition-local
           val misses = extractFromPaths(joined.filter(col("cached_text").isNull)
-            .select(col("abs_path"), col("path"), col("byte_size")))
+            .select(col("abs_path"), col("path"), col("byte_size")), maxFileBytes)
           val merged = hits.unionByName(misses)
           // staged write + backup-rename swap (the store contract's protocol —
           // the hits frame lazily READS the old cache, so never overwrite the
@@ -203,17 +208,14 @@ object TextCorpus {
         size(split(col("text"), "\r?\n")).cast("long").as("line_count"))
   }
 
-  /** (path, byte_size, content: binary) → (path, byte_size, text). */
-  private def extractPartitionLocal(bin: DataFrame): DataFrame = {
-    import graft.functions.PdfText
-    implicit val enc = pdfTextEncoder
-    bin.mapPartitions { rows =>
-      rows.map { r =>
-        val text = PdfText.extract(r.getAs[Array[Byte]](2)).map(_.text).getOrElse("")
-        org.apache.spark.sql.Row(r.getString(0), r.getLong(1), text)
-      }
-    }
-  }
+  /** Extraction size cap: a PDF whose file size exceeds this is never opened
+    * — it degrades to empty text (and is CACHED as empty, like a broken PDF)
+    * instead of being slurped into executor memory. The raw-byte read is the
+    * one place PdfText's degrade-never-throw envelope didn't cover: a single
+    * multi-GB (or hostile) file would OOM the task (or overflow the
+    * byte-array int limit) and fail the whole discovery job.
+    */
+  val DefaultMaxPdfBytes: Long = 256L << 20
 
   /** (abs_path, path, byte_size) → (path, byte_size, text), opening each
     * file inside the task — only cache MISSES pay an open+inflate+parse.
@@ -221,8 +223,14 @@ object TextCorpus {
     * executor-side `new Configuration()` would see only classpath defaults,
     * silently dropping spark.hadoop.* credentials/endpoints (object-store
     * corpora would list fine driver-side, then fail every open).
+    *
+    * Per-file degrade envelope: oversized files (listing byte_size >
+    * `maxBytes`) are skipped unopened; an open/read failure on ONE file
+    * (vanished since listing, permission, truncation) yields empty text for
+    * that file instead of failing the job — the same never-throws contract
+    * PdfText gives the parse side.
     */
-  private def extractFromPaths(paths: DataFrame): DataFrame = {
+  private def extractFromPaths(paths: DataFrame, maxBytes: Long): DataFrame = {
     import graft.functions.PdfText
     implicit val enc = pdfTextEncoder
     val confBc = paths.sparkSession.sparkContext.broadcast(
@@ -230,14 +238,26 @@ object TextCorpus {
     paths.mapPartitions { rows =>
       val conf = confBc.value.value
       rows.map { r =>
-        val p = new org.apache.hadoop.fs.Path(r.getString(0))
-        val fs = p.getFileSystem(conf)
-        val in = fs.open(p)
-        val bytes =
-          try org.apache.commons.io.IOUtils.toByteArray(in)
-          finally in.close()
-        val text = PdfText.extract(bytes).map(_.text).getOrElse("")
-        org.apache.spark.sql.Row(r.getString(1), r.getLong(2), text)
+        val size = r.getLong(2)
+        val text =
+          if (size > maxBytes || size > Int.MaxValue.toLong - 8) ""
+          else try {
+            val p = new org.apache.hadoop.fs.Path(r.getString(0))
+            val fs = p.getFileSystem(conf)
+            val in = fs.open(p)
+            // bounded read: cap+1 so a file that GREW past the cap since the
+            // listing still can't blow the task — it truncates, fails the
+            // parse envelope, and lands as empty text under its stale
+            // (path, byte_size) key, re-extracted on the next round
+            val bytes =
+              try org.apache.commons.io.IOUtils.toByteArray(
+                org.apache.commons.io.input.BoundedInputStream.builder()
+                  .setInputStream(in).setMaxCount(maxBytes + 1).get())
+              finally in.close()
+            if (bytes.length > maxBytes) ""
+            else PdfText.extract(bytes).map(_.text).getOrElse("")
+          } catch { case _: java.io.IOException => "" }
+        org.apache.spark.sql.Row(r.getString(1), size, text)
       }
     }
   }

@@ -306,6 +306,23 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(fs.getFileStatus(new Path(idx, AnnStore.ManifestFile)).getModificationTime == stamp)
   }
 
+  test("flat PQ bucket count derives from corpus size (manifest-recorded, pow2 steps)") {
+    import graft.operators.AnnPq
+    // small corpora stay at the floor — the r9 layout, so existing stores'
+    // manifests (buckets=16) remain param-compatible at test scale
+    assert(AnnPq.bucketCountFor(0) == 16 && AnnPq.bucketCountFor(60) == 16 &&
+      AnnPq.bucketCountFor(16L << 20) == 16)
+    // beyond the floor: next power of two of ceil(n / 1M) — the rewrite unit
+    // stays ~1M vectors, and the count only changes at geometric growth
+    // points (each threshold crossing is an amortized full_params rebuild)
+    assert(AnnPq.bucketCountFor((16L << 20) + 1) == 32)
+    assert(AnnPq.bucketCountFor(100L << 20) == 128)
+    assert(AnnPq.bucketCountFor(1_000_000_000L) == 1024)
+    // monotone: a growing corpus can never shrink its bucket count past MinBuckets
+    val probes = Seq(1L, 1L << 20, 20L << 20, 40L << 20, 1L << 30, 1L << 34)
+    assert(probes.map(AnnPq.bucketCountFor) == probes.map(AnnPq.bucketCountFor).sorted)
+  }
+
   test("build + refresh release every pinned block (no executor-storage leak)") {
     import graft.operators.{AnnIvfPq, AnnPq}
     val dir = copyCorpus()

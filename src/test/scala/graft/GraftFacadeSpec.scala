@@ -208,6 +208,36 @@ class GraftFacadeSpec extends SparkSpecBase {
       third(0).getAs[String]("content") == "rewritten content with a different byte size")
   }
 
+  test("PDF leg: an oversized file degrades to empty (never opened), job survives") {
+    // ADVICE r9: one multi-GB/hostile PDF must not OOM a task or fail the
+    // whole discovery job — the byte_size gate skips it unopened and caches
+    // it as empty, exactly like a broken PDF
+    import graft.functions.PdfText
+    import graft.sources.TextCorpus
+    val root = Files.createTempDirectory("graft_pdfbig")
+    val small = PdfText.buildPdf(Seq(PdfText.textPage("small document extracts fine")), flate = false)
+    val big = PdfText.buildPdf(Seq(PdfText.textPage(
+      ("this one is over the size cap " * 40).trim)), flate = false)
+    Files.write(root.resolve("small.pdf"), small)
+    Files.write(root.resolve("big.pdf"), big)
+    val cap: Long = math.max(small.length.toLong, 16L) // big.pdf exceeds, small.pdf fits
+    assert(big.length > cap)
+    // no-cache path: gated open, oversized row filtered like empty text
+    val noCache = TextCorpus.readPdfAsText(spark, root.toString,
+      maxFileBytes = cap).collect()
+    assert(noCache.length == 1 && noCache(0).getAs[String]("path") == "small.pdf")
+    // cache path: the oversized file lands in the cache as EMPTY text (not
+    // re-attempted every round) under its (path, byte_size) key
+    val cache = Files.createTempDirectory("graft_pdfbigwork").toString + "/cache"
+    val cached = TextCorpus.readPdfAsText(spark, root.toString,
+      cachePath = Some(cache), maxFileBytes = cap).collect()
+    assert(cached.length == 1 && cached(0).getAs[String]("path") == "small.pdf")
+    val cacheRows = spark.read.parquet(cache).collect()
+    assert(cacheRows.length == 2, "oversized file must be cached (as empty)")
+    assert(cacheRows.find(_.getAs[String]("path") == "big.pdf")
+      .get.getAs[String]("text") == "")
+  }
+
   test("PDF leg: filenames with spaces and percents survive the cache round trip") {
     // extractFromPaths re-opens files from binaryFile's path string; a name
     // that LOOKS like a URI escape ("%20") or contains spaces must reach
@@ -474,6 +504,13 @@ class GraftFacadeSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(annPlan.contains("PartitionFilters: [cid"),
       s"facade metadata read must be partition-pruned, plan:\n$annPlan")
+    // the exact path's per-query top-k must be the map-side WindowGroupLimit
+    // rewrite, not a full corpus shuffle into nQueries partitions — assert
+    // the optimizer dependency in the executed plan (like the pruning above)
+    val exactPlan = g.ragQueryBatch(queries, topK = 4)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("WindowGroupLimit"),
+      s"exact batch top-k must run under WindowGroupLimit, plan:\n$exactPlan")
   }
 
   test("forFrame: a caller's DataFrame drives the facade; reindexFrame is incremental and maintains the ANN index") {
@@ -567,7 +604,7 @@ class GraftFacadeSpec extends SparkSpecBase {
     // EMPTY corpus
     val uuidKeyed = Seq(("550e8400-e29b-41d4-a716-446655440000", "alpha"),
       ("f47ac10b-58cc-4372-a567-0e02b2c3d479", "beta")).toDF("doc_id", "text")
-    assert(Graft.frameShapeOf(uuidKeyed) == "doc_id_hashed/n_chars")
+    assert(Graft.frameShapeOf(uuidKeyed) == "doc_id_hashed:string/n_chars")
     val uuidDocs = Graft.frameAsDocuments(uuidKeyed)
     assert(uuidDocs.count() == 2 &&
       uuidDocs.filter(col("doc_id").isNull).count() == 0)
@@ -616,6 +653,18 @@ class GraftFacadeSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       gf.reindexFrame(Seq(("x", "some words here", 15L)).toDF("id", "text", "byte_size"),
         store))
+    // TYPE drift with the column set unchanged: id string→double changes the
+    // hash input's rendering ("1" vs "1.0") — every identity silently re-keys
+    // unless the pinned shape carries the type, so it must error too
+    intercept[IllegalArgumentException](
+      gf.reindexFrame(Seq((1.5, "some words here")).toDF("id", "text"), store))
+    // ...but integral WIDENING is value-stable under the cast-to-long rung
+    // (a harmless upstream int→long migration must not force a rebuild)
+    val workI = Files.createTempDirectory("graft_shape_work_i").toString
+    val storeI = Files.createTempDirectory("graft_shape_store_i").toString + "/store"
+    val gi = Graft.forFrame(spark, Seq((1, "integral words here")).toDF("doc_id", "text"), workI)
+    assert(gi.reindexFrame(Seq((1L, "integral words here")).toDF("doc_id", "text"), storeI)
+      .head().getAs[Long]("n_added") == 1)
   }
 
   test("IndexStore round-trips and rejects mismatched metadata") {
