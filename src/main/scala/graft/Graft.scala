@@ -2,7 +2,6 @@ package graft
 
 import graft.operators.Chunker
 import graft.plans.VecExprs
-import graft.plans.VecExprs.HashEmbedAlg
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,16 +17,30 @@ import org.apache.spark.sql.functions._
   *   - `status()`       ≙ /health indexing counters
   *
   * plus `IndexStore` for the persistence/warm-start path. The query string is
-  * embedded driver-side with the same HashEmbedAlg the executors use, then
+  * embedded driver-side with the same [[Embedder]] the executors use, then
   * shipped as a literal — the corpus side never collects.
   */
 class Graft(spark: SparkSession, sfDir: String,
             chunkSize: Int = 100, chunkOverlap: Int = 20, dim: Int = 64,
             private val dirSource: Option[Graft.CorpusSource] = None,
-            private val frameShape: Option[String] = None) {
+            private val frameShape: Option[String] = None,
+            embedderOpt: Option[Embedder] = None) {
   VecExprs.register(spark)
 
-  val modelName = s"graft-hash-embed-v1-d$dim"
+  /** The facade's embedding seam (see [[Embedder]]) — default is the
+    * oracle-checkable feature hash; a session-backed model drops in here
+    * and every surface (build, query, incremental re-embed, derived ANN
+    * maintenance) routes through it with no operator changes.
+    */
+  val embedder: Embedder = embedderOpt.getOrElse(HashEmbedder(dim))
+  require(embedder.dim == dim,
+    s"embedder dim ${embedder.dim} must match facade dim $dim")
+
+  /** Model identity — rides every store's compatibility metadata, so an
+    * embedder swap reads as a mismatch and rebuilds instead of silently
+    * mixing vector spaces.
+    */
+  val modelName = embedder.name
 
   /** Chunked + embedded index (the reference's in-memory `Doc[]`, columnar:
     * doc_id, chunk_idx, chunk_text, file_size, token_count, lang, emb).
@@ -47,7 +60,7 @@ class Graft(spark: SparkSession, sfDir: String,
   }
 
   private def embedFrom(chunks: DataFrame): DataFrame =
-    chunks.withColumn("emb", VecExprs.hashEmbed(col("chunk_text"), dim))
+    embedder.embedFrame(chunks, "chunk_text", "emb")
 
   def meta: IndexStore.Meta =
     IndexStore.Meta(IndexStore.Version, chunkSize, chunkOverlap, modelName)
@@ -360,7 +373,7 @@ class Graft(spark: SparkSession, sfDir: String,
     // embed driver-side with the executors' exact algorithm, ship as a
     // bounded literal frame (nQueries rows) — the corpus side never collects
     val qFrame = queries.zipWithIndex
-      .map { case (q, i) => (i.toLong, HashEmbedAlg.embed(q, dim).toSeq) }
+      .map { case (q, i) => (i.toLong, embedder.embedText(q).toSeq) }
       .toDF("query_id", "qv")
     // one bounded execution of the probe search (≤ nQueries×topK rows)
     val hits = operators.AnnIvf.annIvfServedOver(spark, path, qFrame,
@@ -389,7 +402,7 @@ class Graft(spark: SparkSession, sfDir: String,
     val (k, degree) = chunkGraphParams(storedChunkGraphManifest)
     val path = ensureChunkGraphIndex(k, degree)
     val qRows = queries.zipWithIndex
-      .map { case (q, i) => (i.toLong, HashEmbedAlg.embed(q, dim).map(_.toFloat)) }
+      .map { case (q, i) => (i.toLong, embedder.embedText(q).map(_.toFloat)) }
       .toArray
     // bounded: ≤ nQueries×topK hit rows, each carrying its cell id
     val hits = operators.AnnGraph.annGraphServedOverCells(spark, path, qRows,
@@ -467,7 +480,7 @@ class Graft(spark: SparkSession, sfDir: String,
     import spark.implicits._
     require(queries.nonEmpty, "ragQueryBatchOver: empty query batch")
     val qFrame = queries.zipWithIndex
-      .map { case (q, i) => (i.toLong, HashEmbedAlg.embed(q, dim).toSeq) }
+      .map { case (q, i) => (i.toLong, embedder.embedText(q).toSeq) }
       .toDF("query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
@@ -497,7 +510,8 @@ class Graft(spark: SparkSession, sfDir: String,
     * happens per call.
     */
   def ragQueryHybrid(query: String, topK: Int = 10): DataFrame =
-    operators.Bm25.ragHybridOver(servingIndex, query, Graft.clampTopK(topK), dim)
+    operators.Bm25.ragHybridOver(servingIndex, query, Graft.clampTopK(topK), dim,
+      queryVec = Some(embedder.embedText(query)))
 
   /** Token-range read of one document (1-based inclusive, like the
     * reference's line ranges). Driver-side scalar — it's a point lookup.
@@ -633,9 +647,9 @@ object Graft {
                    allowedExt: Seq[String] = Seq("txt", "md"),
                    excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
                    chunkSize: Int = 100, chunkOverlap: Int = 20,
-                   dim: Int = 64): Graft =
+                   dim: Int = 64, embedder: Option[Embedder] = None): Graft =
     forSource(spark, DirSource(root, allowedExt, excludedFolders), workDir,
-      chunkSize, chunkOverlap, dim)
+      chunkSize, chunkOverlap, dim, embedder)
 
   /** Point graft at a JSONL corpus — the interchange format training
     * pipelines exchange (one JSON record per line, a `text` field, often a
@@ -651,14 +665,16 @@ object Graft {
                langField: Option[String] = None,
                excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
                chunkSize: Int = 100, chunkOverlap: Int = 20,
-               dim: Int = 64): Graft =
+               dim: Int = 64, embedder: Option[Embedder] = None): Graft =
     forSource(spark, JsonlSource(root, textField, idField, langField, excludedFolders),
-      workDir, chunkSize, chunkOverlap, dim)
+      workDir, chunkSize, chunkOverlap, dim, embedder)
 
   private def forSource(spark: SparkSession, src: CorpusSource, workDir: String,
-                        chunkSize: Int, chunkOverlap: Int, dim: Int): Graft = {
+                        chunkSize: Int, chunkOverlap: Int, dim: Int,
+                        embedder: Option[Embedder] = None): Graft = {
     landDocuments(src.discover(spark, workDir), workDir)
-    new Graft(spark, workDir, chunkSize, chunkOverlap, dim, Some(src))
+    new Graft(spark, workDir, chunkSize, chunkOverlap, dim, Some(src),
+      embedderOpt = embedder)
   }
 
   /** Point graft at an EXISTING DataFrame/table — the entry point a
@@ -674,13 +690,13 @@ object Graft {
     */
   def forFrame(spark: SparkSession, docs: DataFrame, workDir: String,
                chunkSize: Int = 100, chunkOverlap: Int = 20,
-               dim: Int = 64): Graft = {
+               dim: Int = 64, embedder: Option[Embedder] = None): Graft = {
     landDocuments(frameAsDocuments(docs), workDir)
     // pin the identity/diff-key rungs this frame's columns imply, so a
     // later reindexFrame whose column set drifted fails loudly instead of
     // silently re-keying the corpus
     new Graft(spark, workDir, chunkSize, chunkOverlap, dim, None,
-      Some(frameShapeOf(docs)))
+      Some(frameShapeOf(docs)), embedderOpt = embedder)
   }
 
   /** The (identity rung)/(diff key) a frame's column set implies — computed

@@ -100,8 +100,12 @@ object Bm25 {
     * line up with `ragQuery`.
     */
   def ragHybridOver(index: DataFrame, query: String,
-                    topK: Int = 10, dim: Int = 64, candDepth: Int = 200): DataFrame = {
-    val qv = HashEmbedAlg.embed(query, dim)
+                    topK: Int = 10, dim: Int = 64, candDepth: Int = 200,
+                    queryVec: Option[Array[Double]] = None): DataFrame = {
+    // queryVec = the facade's Embedder seam (a swapped model must score the
+    // cosine leg in ITS vector space); default stays the hash embed so the
+    // driver entry is byte-unchanged
+    val qv = queryVec.getOrElse(HashEmbedAlg.embed(query, dim))
     val qvCol = array(qv.map(lit): _*)
     val keys = Seq("doc_id", "chunk_idx")
     // candidate-pool fusion: each signal contributes its distributed top-N

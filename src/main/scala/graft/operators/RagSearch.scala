@@ -107,14 +107,18 @@ object RagSearch {
 
   /** A2: chunk → embed pipeline, exploded to scalar rows
     * `(doc_id, chunk_idx, dim_idx, value)` so the oracle compare stays on
-    * scalar columns. Embeddings via the codegen'd deterministic HashEmbed.
+    * scalar columns. Embeddings via the [[graft.Embedder]] seam — the
+    * default is the codegen'd deterministic HashEmbed, which is what keeps
+    * this entry under the DuckDB oracle gate.
     */
   def embedChunks(spark: SparkSession, sfDir: String,
-                  size: Int = 100, overlap: Int = 20, dim: Int = 64): DataFrame = {
+                  size: Int = 100, overlap: Int = 20, dim: Int = 64,
+                  embedder: Option[graft.Embedder] = None): DataFrame = {
     VecExprs.register(spark)
-    Chunker.chunkDocs(spark, sfDir, size, overlap)
+    embedder.getOrElse(graft.HashEmbedder(dim))
+      .embedFrame(Chunker.chunkDocs(spark, sfDir, size, overlap), "chunk_text", "emb")
       .select(col("doc_id"), col("chunk_idx"),
-        posexplode(VecExprs.hashEmbed(col("chunk_text"), dim)).as(Seq("dim_idx", "value")))
+        posexplode(col("emb")).as(Seq("dim_idx", "value")))
       .select(col("doc_id"), col("chunk_idx"), col("dim_idx").cast("long").as("dim_idx"),
         (round(col("value"), 4) + lit(0.0)).as("value"))
       .orderBy("doc_id", "chunk_idx", "dim_idx")

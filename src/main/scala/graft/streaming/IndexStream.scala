@@ -28,14 +28,17 @@ object IndexStream {
 
   def chunkEmbedStream(spark: SparkSession, sfDir: String,
                        size: Int = 100, overlap: Int = 20, dim: Int = 64,
-                       glob: String = "documents.parquet"): DataFrame = {
+                       glob: String = "documents.parquet",
+                       embedder: Option[graft.Embedder] = None): DataFrame = {
     VecExprs.register(spark)
     val docs = spark.readStream
       .schema(docsSchema)
       .option("pathGlobFilter", glob)
       .parquet(sfDir)
-    Chunker.indexBuildFrom(docs, size, overlap)
-      .withColumn("emb", VecExprs.hashEmbed(col("chunk_text"), dim))
+    // the batch pipeline's Embedder seam, unchanged in streaming — both
+    // embedder shapes are stateless narrow transforms, legal under append
+    embedder.getOrElse(graft.HashEmbedder(dim))
+      .embedFrame(Chunker.indexBuildFrom(docs, size, overlap), "chunk_text", "emb")
   }
 
   /** Run the finite input through the streaming pipeline into a parquet
