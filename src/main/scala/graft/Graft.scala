@@ -528,6 +528,60 @@ class Graft(spark: SparkSession, sfDir: String,
     rows.head.getString(0)
   }
 
+  /** Path-addressed LINE-range read over the real tree — the reference's
+    * read_file surface (reference: src/index.ts:286-314): relative path
+    * resolved under the facade's root with a traversal guard (reference:
+    * src/indexer.ts:320-338 ensureWithinRoot — `../` escapes throw), then
+    * 1-based inclusive line slicing with the reference's exact clamp
+    * (start clamps to 1, end clamps to the line count, start past the end
+    * yields ""). No range → the raw file content, byte-for-byte (ranges
+    * join with "\n", normalizing CRLF exactly like the reference's
+    * split/join). PDFs serve their EXTRACTED text from the discovery
+    * cache keyed (relPath, current size) — a PDF the index hasn't seen is
+    * an error, never an inline decode (reference: src/index.ts:293-301).
+    *
+    * Driver-side point lookup by design (one file; the PDF leg is one
+    * predicate-pushed parquet point read) — this is the interactive
+    * surface, not a corpus operator. Named readFileLines because the
+    * token-addressed [[readFile]] keeps its defaulted signature (Scala
+    * allows only one defaulted overload per name).
+    */
+  def readFileLines(relPath: String, startLine: Option[Int] = None,
+                    endLine: Option[Int] = None): String = {
+    val root = dirSource match {
+      case Some(Graft.DirSource(r, _, _)) => r
+      case _ => throw new IllegalStateException(
+        "readFileLines requires a facade built by Graft.forDirectory (a real tree to read)")
+    }
+    val (abs, relNorm) = Graft.ensureWithinRoot(root, relPath)
+    val hPath = new org.apache.hadoop.fs.Path(abs)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val content =
+      if (relNorm.toLowerCase.endsWith(".pdf")) {
+        val size = fs.getFileStatus(hPath).getLen
+        val cache = sfDir + "/pdf_text_cache"
+        // point read: path+byte_size predicates push into the parquet scan
+        val rows = spark.read.parquet(cache)
+          .filter(col("path") === relNorm && col("byte_size") === size)
+          .select("text").collect()
+        if (rows.isEmpty) throw new IllegalStateException(
+          s"PDF text not available for '$relNorm'. File may not have been indexed yet.")
+        rows.head.getString(0)
+      } else {
+        val in = fs.open(hPath)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    if (startLine.isEmpty && endLine.isEmpty) content
+    else {
+      // -1 limit: JS split keeps a trailing empty line; Java drops it
+      val lines = content.split("\r?\n", -1)
+      val s = math.max(0, startLine.getOrElse(1) - 1)
+      val e = math.min(lines.length, endLine.getOrElse(lines.length))
+      if (s >= e) "" else lines.slice(s, e).mkString("\n")
+    }
+  }
+
   /** Catalog listing (dirs = sources), reference ordering contract with the
     * full option surface (reference: src/index.ts:316-413): `recursive`,
     * `maxDepth`, `includeExtensions` (suppresses dir entries), `limit`.
@@ -578,6 +632,23 @@ object Graft {
   /** The reference's RAG_QUERY_MAX_RESULTS (reference: src/index.ts:62). */
   val MaxTopK = 50
 
+  /** The reference's default ALLOWED_EXT — point-at-a-repo indexes the
+    * common code/text formats out of the box, with `pdf` ON by default
+    * (routed through the extractor leg, reference: src/config.ts:53-88).
+    */
+  val DefaultAllowedExt: Seq[String] = Seq(
+    "ts", "tsx", "js", "jsx", "py", "cs", "java", "kt", "kts", "go", "rs",
+    "cpp", "c", "h", "hpp", "rb", "php", "swift", "scala", "md", "txt",
+    "gradle", "groovy", "json", "yaml", "yml", "xml", "proto", "properties",
+    "pdf")
+
+  /** The reference's default EXCLUDED_FOLDERS (reference:
+    * src/config.ts:90-101) — exact path segments pruned at discovery.
+    */
+  val DefaultExcludedFolders: Seq[String] = Seq(
+    "node_modules", "dist", "build", ".git", "target", "bin", "obj",
+    ".cache", "coverage", ".nyc_output")
+
   /** Manifest `kind` of the facade's chunk-ANN indexes — the one place each
     * literal lives (manifest stamp AND the stored-manifest guard).
     */
@@ -612,6 +683,23 @@ object Graft {
         spark, root, textField, idField, langField, excludedFolders))
   }
 
+  /** Resolve a (possibly hostile) user-supplied relative path under `root`,
+    * refusing any resolution that escapes it (reference:
+    * src/indexer.ts:320-338 — the root itself is permitted; everything else
+    * must be a strict descendant AFTER `..`/`.` normalization, and the
+    * containment check is component-wise so `/root2` never passes as inside
+    * `/root`). Returns (absolute path, normalized root-relative path) — the
+    * latter is the PDF-cache key spelling.
+    */
+  private[graft] def ensureWithinRoot(root: String, relPath: String): (String, String) = {
+    import java.nio.file.Paths
+    val rootNorm = Paths.get(root).toAbsolutePath.normalize()
+    val resolved = rootNorm.resolve(relPath).normalize()
+    require(resolved.startsWith(rootNorm),
+      s"Path outside ROOT: '$relPath' resolves outside the indexed tree")
+    (resolved.toString, rootNorm.relativize(resolved).toString)
+  }
+
   /** Land a documents frame as the facade's corpus table via staged write +
     * backup-rename swap. The guarantee is CRASH safety: a crash mid-write
     * can never lose the live table (the old data survives as `.backup`
@@ -644,8 +732,8 @@ object Graft {
     * graft operator over it unchanged.
     */
   def forDirectory(spark: SparkSession, root: String, workDir: String,
-                   allowedExt: Seq[String] = Seq("txt", "md"),
-                   excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
+                   allowedExt: Seq[String] = DefaultAllowedExt,
+                   excludedFolders: Seq[String] = DefaultExcludedFolders,
                    chunkSize: Int = 100, chunkOverlap: Int = 20,
                    dim: Int = 64, embedder: Option[Embedder] = None): Graft =
     forSource(spark, DirSource(root, allowedExt, excludedFolders), workDir,
@@ -663,7 +751,7 @@ object Graft {
   def forJsonl(spark: SparkSession, root: String, workDir: String,
                textField: String = "text", idField: Option[String] = None,
                langField: Option[String] = None,
-               excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
+               excludedFolders: Seq[String] = DefaultExcludedFolders,
                chunkSize: Int = 100, chunkOverlap: Int = 20,
                dim: Int = 64, embedder: Option[Embedder] = None): Graft =
     forSource(spark, JsonlSource(root, textField, idField, langField, excludedFolders),

@@ -129,6 +129,98 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(g2.listFiles(limit = 100).filter(col("entry_type") === "file").count() == 4)
   }
 
+  test("forDirectory default whitelist: point-at-a-repo indexes code + pdf out of the box") {
+    import graft.functions.PdfText
+    val root = Files.createTempDirectory("graft_defaults")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    // a mixed real-repo shape: code in several default extensions, config,
+    // a PDF — and files the defaults must EXCLUDE (wrong ext, default
+    // excluded folders the old Seq("node_modules","dist",".git") missed)
+    put("src/Main.scala", "object Main { def run(): Unit = println(42) }".getBytes("UTF-8"))
+    put("lib/util.py", "def tokenize(text): return text.split()".getBytes("UTF-8"))
+    put("web/app.tsx", "export const App = () => <div>hello</div>".getBytes("UTF-8"))
+    put("conf/settings.yaml", "retries: 3\ntimeout_ms: 250".getBytes("UTF-8"))
+    put("docs/manual.pdf", PdfText.buildPdf(
+      Seq(PdfText.textPage("printed manual body text")), flate = true))
+    put("img/logo.png", "not text".getBytes("UTF-8"))
+    put("build/out.js", "const built = true".getBytes("UTF-8"))
+    put("target/gen.scala", "object Gen".getBytes("UTF-8"))
+    put("coverage/lcov.json", "{}".getBytes("UTF-8"))
+    val work = Files.createTempDirectory("graft_defaults_work").toString
+    // NO allowedExt / excludedFolders: the reference's defaults drive
+    val g = Graft.forDirectory(spark, root.toString, work)
+    val docs = Tables.documents(spark, work).cache()
+    assert(docs.count() == 5, "exactly the five whitelisted files index")
+    // source = top-level dir; the five whitelisted files span these five
+    val sources = docs.select("source").collect().map(_.getString(0)).toSet
+    assert(sources == Set("src", "lib", "web", "conf", "docs"),
+      s"default discovery got: $sources")
+    // each whitelisted file's content landed; nothing from the excluded set
+    for (marker <- Seq("object Main", "def tokenize", "export const App",
+      "timeout_ms"))
+      assert(docs.filter(col("text").contains(marker)).count() == 1, marker)
+    for (excluded <- Seq("not text", "const built", "object Gen"))
+      assert(docs.filter(col("text").contains(excluded)).count() == 0, excluded)
+    // the PDF leg extracted real text (not raw bytes) under the default
+    assert(docs.filter(col("source") === "docs")
+      .head().getAs[String]("text").contains("printed manual body text"))
+    // and the facade serves queries over the defaults-discovered corpus
+    assert(g.ragQuery("printed manual body", topK = 1).count() == 1)
+    docs.unpersist()
+  }
+
+  test("readFileLines: path+line read_file parity (ranges, clamps, traversal guard, PDF cache)") {
+    import graft.functions.PdfText
+    val root = Files.createTempDirectory("graft_readfile")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put("sub/multi.txt", "line one\nline two\nline three\nline four\nline five\n".getBytes("UTF-8"))
+    put("crlf.md", "alpha\r\nbeta\r\ngamma".getBytes("UTF-8"))
+    put("doc.pdf", PdfText.buildPdf(Seq(PdfText.textPage("pdf body text here")), flate = true))
+    val work = Files.createTempDirectory("graft_readfile_work").toString
+    val g = Graft.forDirectory(spark, root.toString, work,
+      allowedExt = Seq("txt", "md", "pdf"))
+
+    // 1-based inclusive range slice over a real multi-line file
+    assert(g.readFileLines("sub/multi.txt", Some(2), Some(4)) ==
+      "line two\nline three\nline four")
+    // full-file read with no range: RAW content, trailing newline intact
+    assert(g.readFileLines("sub/multi.txt") ==
+      "line one\nline two\nline three\nline four\nline five\n")
+    // reference clamp semantics: start<1 clamps to 1; end past EOF clamps
+    // to the line count (the trailing "" after the final \n is a line,
+    // like the reference's split); start beyond the end yields ""
+    assert(g.readFileLines("sub/multi.txt", Some(0), Some(2)) == "line one\nline two")
+    assert(g.readFileLines("sub/multi.txt", Some(5), Some(99)) == "line five\n")
+    assert(g.readFileLines("sub/multi.txt", Some(42), None) == "")
+    // one-sided ranges: start-only reads to EOF, end-only reads from 1
+    assert(g.readFileLines("sub/multi.txt", Some(4), None) == "line four\nline five\n")
+    assert(g.readFileLines("crlf.md", None, Some(2)) == "alpha\nbeta")
+    // `./`-prefixed spelling of the same file resolves identically
+    assert(g.readFileLines("./sub/../sub/multi.txt", Some(1), Some(1)) == "line one")
+    // traversal escapes are rejected, absolute paths too
+    intercept[IllegalArgumentException](g.readFileLines("../outside.txt"))
+    intercept[IllegalArgumentException](g.readFileLines("sub/../../etc/passwd"))
+    intercept[IllegalArgumentException](g.readFileLines("/etc/passwd"))
+    // PDFs serve the EXTRACTED text from the discovery cache
+    assert(g.readFileLines("doc.pdf").contains("pdf body text here"))
+    // a PDF the index never saw (size mismatch after an edit) is an error,
+    // not an inline decode
+    put("doc.pdf", PdfText.buildPdf(
+      Seq(PdfText.textPage("pdf body text here, now edited longer")), flate = false))
+    intercept[IllegalStateException](g.readFileLines("doc.pdf"))
+    // only a directory-backed facade has a tree to read
+    intercept[IllegalStateException](
+      new Graft(spark, work).readFileLines("sub/multi.txt"))
+  }
+
   test("forDirectory indexes real PDF files when 'pdf' is whitelisted (reference default)") {
     import graft.functions.PdfText
     val root = Files.createTempDirectory("graft_pdftree")
