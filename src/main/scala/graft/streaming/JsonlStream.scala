@@ -12,15 +12,21 @@ import org.apache.spark.sql.types._
   * pulls, folder exclusion, synthetic `path#id` identity,
   * malformed/empty-line drops — then land in the documents schema.
   *
-  * Stateless narrow transforms only, so no watermark or state store:
-  * throughput is scan-bound, and every transform is the batch plan
-  * fragment (equality with batch is by construction, and spec-asserted).
-  * Declared difference: the batch leg's id-collision collapse is an
-  * aggregate the stateless stream does not run — records sharing an id
-  * WITHIN one file land as duplicate doc_id rows here (identity is
-  * per-(file, id) on both legs, so cross-file id reuse is two distinct
-  * documents either way); supply collision-free ids or dedup downstream
-  * (B1).
+  * Narrow transforms plus ONE bounded stateful stage: the batch leg's
+  * id-collision collapse is a global aggregate a stream can't run, so the
+  * stream guards collisions with `dropDuplicatesWithinWatermark` on the
+  * synthetic identity over an arrival-time watermark instead. Semantics,
+  * declared precisely:
+  *   - a collided id within one file (one micro-batch — the file source
+  *     never splits a file across batches) emits exactly ONE row, like
+  *     batch — but the survivor is the FIRST-arrived record, where batch
+  *     keeps the largest (content, size). A divergent survivor reads as a
+  *     content/size diff at the next batch reindex and reconciles there.
+  *   - state is bounded by arrival rate × `dedupWatermark` (the watermark
+  *     evicts seen ids), never corpus-proportional — the 100 TB constraint
+  *     that rules out an unwatermarked dropDuplicates.
+  *   - cross-file id reuse is two distinct documents on BOTH legs
+  *     (identity is per-(file, id)), so eviction across files loses nothing.
   */
 object JsonlStream {
 
@@ -29,7 +35,8 @@ object JsonlStream {
                       idField: Option[String] = None,
                       langField: Option[String] = None,
                       excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
-                      exts: Seq[String] = Seq("jsonl")): DataFrame = {
+                      exts: Seq[String] = Seq("jsonl"),
+                      dedupWatermark: String = "10 minutes"): DataFrame = {
     TextCorpus.requireCleanExts(exts)
     val lines = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
@@ -37,8 +44,16 @@ object JsonlStream {
       .option("pathGlobFilter", TextCorpus.extGlob(exts))
       .text(root)
       .select(input_file_name().as("abs_path"), col("value"))
-    TextCorpus.asDocuments(JsonlCorpus.extract(
-      lines, root, textField, idField, langField, excludedFolders))
+    val records = JsonlCorpus.extract(
+      lines, root, textField, idField, langField, excludedFolders)
+      // the collision guard (see object scaladoc): processing-time
+      // watermark, because JSONL records carry no event time — arrival IS
+      // the stream's time axis here
+      .withColumn("arrival_ts", current_timestamp())
+      .withWatermark("arrival_ts", dedupWatermark)
+      .dropDuplicatesWithinWatermark("path")
+      .drop("arrival_ts")
+    TextCorpus.asDocuments(records)
   }
 
   /** Drain a finite JSONL tree into a parquet documents table; restartable

@@ -120,6 +120,42 @@ class JsonlCorpusSpec extends SparkSpecBase {
     assert(got.length == 1 && got(0).getAs[String]("content") == "kept record")
   }
 
+  test("streaming JSONL collision guard: a duplicate id within one file emits one row") {
+    import graft.streaming.JsonlStream
+    // r9 ADVICE closure: before the watermark-scoped dedup, a collided id in
+    // a stream batch produced duplicate doc_ids downstream until the next
+    // batch reindex. The guard emits exactly one row per (file, id).
+    val root = mkTree(
+      "dup.jsonl" -> Seq(
+        """{"id":"d1","text":"first arrival short"}""",
+        """{"id":"d1","text":"second arrival, strictly longer content"}""",
+        """{"id":"d2","text":"unique record"}"""),
+      // cross-file id reuse stays two distinct documents (per-(file,id)
+      // identity — the guard must not merge across files)
+      "other.jsonl" -> Seq("""{"id":"d1","text":"same id, different file"}"""))
+    val out = Files.createTempDirectory("graft_jsonldup").toString + "/docs"
+    val streamed = JsonlStream.runToParquet(spark, root.toString, out,
+      idField = Some("id"))
+    assert(streamed.count() == 3, "one row per (file, id): d1@dup, d2@dup, d1@other")
+    assert(streamed.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "no duplicate doc_ids downstream of a collided stream batch")
+    // DECLARED divergence, pinned: the stream keeps the FIRST arrival where
+    // batch collapse keeps the largest — the survivor difference is visible
+    // as a content diff and reconciles at the next batch reindex
+    val streamedD1 = streamed.filter(col("text").startsWith("first arrival")).count() +
+      streamed.filter(col("text").startsWith("second arrival")).count()
+    assert(streamedD1 == 1)
+    val batch = TextCorpus.asDocuments(JsonlCorpus.read(spark, root.toString,
+      idField = Some("id")))
+    assert(batch.count() == 3)
+    assert(batch.filter(col("text").startsWith("second arrival")).count() == 1,
+      "batch collapse keeps the largest content for the collided id")
+    // identity agreement: both legs produce the SAME doc_id set, so the
+    // reindex diff reconciles survivors without any remove+add churn
+    assert(streamed.select("doc_id").exceptAll(batch.select("doc_id")).count() == 0 &&
+      batch.select("doc_id").exceptAll(streamed.select("doc_id")).count() == 0)
+  }
+
   test("streaming JSONL ingest equals the batch leg; restart picks up only new files") {
     import graft.streaming.JsonlStream
     val root = mkTree(
