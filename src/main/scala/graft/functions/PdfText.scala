@@ -7,16 +7,22 @@ import java.util.zip.Inflater
   * pdf-parse and caches it by (path, size); this is the same common-case
   * extraction without a library, since this container has none).
   *
-  * Scope (the same envelope simple JS extractors cover): classic xref PDFs
-  * whose page content streams are raw or FlateDecode-compressed and whose
-  * fonts use standard one-byte encodings. Text is read from the content
-  * streams' show operators — `(…) Tj`, `(…) '`, `a_w a_c (…) "`, and
+  * Scope: classic-xref AND PDF 1.5+ cross-reference-stream documents whose
+  * page content streams are raw or FlateDecode-compressed and whose fonts
+  * use standard one-byte encodings. Text is read from the content streams'
+  * show operators — `(…) Tj`, `(…) '`, `a_w a_c (…) "`, and
   * `[(…) kern (…)] TJ` — honoring literal-string escapes (\\n, \\t, \\(,
   * \\), \\\\, octal \\ddd, line continuations), balanced nested parens, and
-  * `<hex>` strings. Out of scope, by design: CID/Unicode CMap remapping,
-  * object streams (compressed xref), encryption — a real corpus routes
-  * those to a full parser; everything else still flows through the same
-  * Spark plumbing.
+  * `<hex>` strings. Modern-writer structure is handled like a real reader:
+  * the trailer's `startxref` bootstraps the cross-reference STREAM chain
+  * (`/W` field widths, `/Index` subsections, PNG `/Predictor` row filters,
+  * `/Prev` incremental updates), whose object table resolves indirect
+  * `/Length N 0 R` stream bounds; `/Type/ObjStm` object streams are
+  * inflated and their embedded objects walked via the `/N`+`/First` pair
+  * table (that is where modern writers keep the page dictionaries, so page
+  * counting covers them). Out of scope, by design: CID/Unicode CMap
+  * remapping and encryption — a real corpus routes those to a full parser;
+  * everything else still flows through the same Spark plumbing.
   *
   * Driver-query note: the `pdf_decode` oracle query keeps its deterministic
   * stub outputs for the synthetic fixture (whose bytes are not PDFs — this
@@ -31,7 +37,22 @@ object PdfText {
   final case class PdfDoc(text: String, nPages: Int)
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
-  private val LengthRe = "/Length\\s+(\\d+)".r
+  // (?![0-9]) pins the FULL number (no backtracked prefix match: in
+  // "/Length 30 0 R" a bare lookahead would accept "3"); the R-lookahead
+  // then rejects indirect references as direct lengths
+  private val LengthRe = "/Length\\s+(\\d+)(?![0-9])(?!\\s+\\d+\\s+R)".r
+  private val IndirectLengthRe = "/Length\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val PageRe = "/Type\\s*/Page(?!s)".r
+  private val ObjStmRe = "/Type\\s*/ObjStm".r
+  private val XRefRe = "/Type\\s*/XRef".r
+
+  /** Where an object lives, per the decoded cross-reference stream table:
+    * at a byte offset in the file (type-1 entry), or embedded at an index
+    * inside a `/Type/ObjStm` object stream (type-2 entry).
+    */
+  private sealed trait XrefLoc
+  private final case class InFile(offset: Int) extends XrefLoc
+  private final case class InObjStm(stm: Int, idx: Int) extends XrefLoc
 
   /** None unless `bytes` starts with a PDF header; Some(extracted) with
     * whatever text the supported envelope yields (possibly empty — a
@@ -43,11 +64,17 @@ object PdfText {
     // structural view: latin-1 is byte-transparent, so offsets in this
     // string are byte offsets in the file
     val s = new String(bytes, Latin1)
+    // bootstrap the object table from the trailer's startxref, like a real
+    // reader — for a 1.5+ file this decodes the cross-reference stream
+    // chain; for a classic-xref file it yields nothing and every lookup
+    // falls back to the scan heuristics below (never-throws either way)
+    val xref = loadXrefStreams(bytes, s)
     val text = new StringBuilder
     // stream-body byte ranges, collected during the walk: page counting
     // must ignore matches INSIDE stream data (raw text about PDFs may
     // contain "/Type /Page"), so the regex runs only over structure
     val streamRanges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var objStmPages = 0
     var from = 0
     while (from >= 0 && from < s.length) {
       val st = s.indexOf("stream", from)
@@ -62,45 +89,236 @@ object PdfText {
         // dict that hides the /Filter entry)
         val dictStart = s.lastIndexOf("obj", st)
         val dict = if (dictStart >= 0) s.substring(dictStart, st) else ""
-        // stream end: trust a direct /Length N when "endstream" actually
-        // follows it (whitespace-tolerant) — stream BYTES may legitimately
-        // contain the string "endstream" (binary data, or raw text about
-        // PDFs), and a bare indexOf would truncate mid-stream. Indirect
-        // lengths (/Length 12 0 R) fail the follow-check and fall back.
+        // stream end, in trust order: a direct /Length N when "endstream"
+        // actually follows it (whitespace-tolerant — stream BYTES may
+        // legitimately contain the string "endstream", and a bare indexOf
+        // would truncate mid-stream); an INDIRECT /Length N 0 R resolved
+        // through the xref table (the modern-writer shape); last, the
+        // endstream scan.
         val end = {
-          // toLong + range filter: a malformed huge /Length must fall back
-          // to scanning, not throw (never-throws contract)
-          val byLen = LengthRe.findFirstMatchIn(dict)
-            .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+          def checked(len: Option[Long]): Option[Int] = len
             .map(dataStart + _)
             .filter(_ <= s.length.toLong)
             .map(_.toInt)
-            .filter { e =>
-              var p = e
-              while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n' ||
-                s.charAt(p) == ' ')) p += 1
-              s.startsWith("endstream", p)
-            }
-          byLen.getOrElse(s.indexOf("endstream", dataStart))
+            .filter(e => followedByEndstream(s, e))
+          checked(directLength(dict))
+            .orElse(checked(IndirectLengthRe.findFirstMatchIn(dict)
+              .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
+              .flatMap(num => resolveIntObject(s, xref, num))))
+            .getOrElse(s.indexOf("endstream", dataStart))
         }
         if (end < 0) from = -1
         else {
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, end)
-          val content =
+          lazy val content =
             if (dict.contains("FlateDecode")) inflate(raw).map(new String(_, Latin1))
             else Some(new String(raw, Latin1))
-          content.foreach { c =>
-            // only text-bearing streams: cheap gate on the BT operator
-            if (c.contains("BT")) appendShownText(c, text)
+          if (ObjStmRe.findFirstIn(dict).isDefined) {
+            // object stream: walk the embedded objects (that is where a
+            // modern writer keeps the page dictionaries)
+            content.foreach(p => objStmPages += countObjStmPages(p, dict))
+          } else if (XRefRe.findFirstIn(dict).isEmpty) {
+            // text path — structural streams (XRef tables, ObjStm payloads)
+            // are excluded so binary table bytes can never masquerade as
+            // show operators; cheap gate on the BT operator for the rest
+            content.foreach(c => if (c.contains("BT")) appendShownText(c, text))
           }
           streamRanges += ((dataStart, end))
           from = end + "endstream".length
         }
       }
     }
-    val nPages = "/Type\\s*/Page(?!s)".r.findAllIn(s).matchData
+    val nPages = PageRe.findAllIn(s).matchData
       .count(m => !streamRanges.exists(r => m.start >= r._1 && m.start < r._2))
-    Some(PdfDoc(text.result().trim, nPages))
+    Some(PdfDoc(text.result().trim, nPages + objStmPages))
+  }
+
+  /** A direct `/Length N` (toLong + None on overflow — a malformed huge
+    * length must fall back to scanning, not throw).
+    */
+  private def directLength(dict: String): Option[Long] =
+    LengthRe.findFirstMatchIn(dict)
+      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+
+  private def followedByEndstream(s: String, e: Int): Boolean = {
+    var p = e
+    while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n' ||
+      s.charAt(p) == ' ')) p += 1
+    s.startsWith("endstream", p)
+  }
+
+  // ---- PDF 1.5+ cross-reference streams ----
+
+  /** Follow `startxref` → cross-reference stream → `/Prev` chain, merging
+    * decoded object tables (earliest update wins on conflict = later /Prev
+    * entries never override the newest table, per the incremental-update
+    * rules). Empty map for classic-xref files (the offset points at an
+    * `xref` keyword, not an object) and on any malformation.
+    */
+  private def loadXrefStreams(bytes: Array[Byte], s: String): Map[Int, XrefLoc] = {
+    val acc = scala.collection.mutable.Map.empty[Int, XrefLoc]
+    try {
+      val tail = s.substring(math.max(0, s.length - 256))
+      var at = "startxref\\s+(\\d+)".r.findAllMatchIn(tail).toSeq.lastOption
+        .flatMap(m => scala.util.Try(m.group(1).toInt).toOption).getOrElse(-1)
+      val seen = scala.collection.mutable.Set.empty[Int] // cycle guard
+      while (at >= 0 && at < s.length && seen.add(at)) {
+        at = decodeXrefStreamAt(bytes, s, at, acc).getOrElse(-1)
+      }
+    } catch { case _: Exception => () }
+    acc.toMap
+  }
+
+  /** Decode one cross-reference STREAM object at byte `offset`; merge its
+    * entries into `acc` (first writer wins — the chain walks newest first)
+    * and return the `/Prev` offset if any. None ends the chain: a classic
+    * `xref` table at the offset, or anything malformed.
+    */
+  private def decodeXrefStreamAt(bytes: Array[Byte], s: String, offset: Int,
+                                 acc: scala.collection.mutable.Map[Int, XrefLoc]): Option[Int] = {
+    val st = s.indexOf("stream", offset)
+    if (st < 0) return None
+    val dict = s.substring(offset, st)
+    if (XRefRe.findFirstIn(dict).isEmpty) return None // classic xref table
+    var dataStart = st + "stream".length
+    if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+    if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+    // the xref stream bootstraps the table, so its /Length must be direct
+    val end = directLength(dict).map(dataStart + _)
+      .filter(_ <= s.length.toLong).map(_.toInt)
+      .filter(e => followedByEndstream(s, e))
+      .orElse(Option(s.indexOf("endstream", dataStart)).filter(_ >= 0))
+      .getOrElse(return None)
+    val raw = java.util.Arrays.copyOfRange(bytes, dataStart, end)
+    val data0 =
+      if (dict.contains("FlateDecode")) inflate(raw).getOrElse(return None)
+      else raw
+    val w = intArray(dict, "/W")
+    if (w.length < 3 || w.exists(_ < 0) || w.sum <= 0 || w.sum > 32) return None
+    val rowLen = w.sum
+    // PNG predictors (/Predictor >= 10): each row is filter-byte + columns
+    val pred = "/Predictor\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .flatMap(m => scala.util.Try(m.group(1).toInt).toOption).getOrElse(1)
+    val data = if (pred >= 10) unpredictPng(data0, rowLen).getOrElse(return None)
+      else data0
+    val size = "/Size\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .flatMap(m => scala.util.Try(m.group(1).toInt).toOption).getOrElse(0)
+    val index = {
+      val raw = intArray(dict, "/Index")
+      if (raw.length >= 2 && raw.length % 2 == 0) raw else Array(0, size)
+    }
+    // big-endian field read; W(0)==0 means "type defaults to 1" per spec
+    var row = 0
+    def field(rowStart: Int, skip: Int, width: Int, default: Long): Long = {
+      if (width == 0) return default
+      var v = 0L; var i = 0
+      while (i < width) { v = (v << 8) | (data(rowStart + skip + i) & 0xffL); i += 1 }
+      v
+    }
+    index.grouped(2).foreach { case Array(first, count) =>
+      var i = 0
+      while (i < count && (row + 1) * rowLen <= data.length) {
+        val rs = row * rowLen
+        val objNum = first + i
+        val typ = field(rs, 0, w(0), 1L)
+        val f2 = field(rs, w(0), w(1), 0L)
+        val f3 = field(rs, w(0) + w(1), w(2), 0L)
+        if (!acc.contains(objNum)) typ match {
+          case 1L if f2 <= Int.MaxValue => acc(objNum) = InFile(f2.toInt)
+          case 2L if f2 <= Int.MaxValue => acc(objNum) = InObjStm(f2.toInt, f3.toInt)
+          case _ => () // type 0 (free) or out of range
+        }
+        row += 1; i += 1
+      }
+    }
+    "/Prev\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
+  }
+
+  /** `[n n n …]` after `key`, or empty on absence/malformation. */
+  private def intArray(dict: String, key: String): Array[Int] =
+    (java.util.regex.Pattern.quote(key) + "\\s*\\[([^\\]]*)\\]").r
+      .findFirstMatchIn(dict)
+      .map(_.group(1).trim.split("\\s+").filter(_.nonEmpty)
+        .flatMap(t => scala.util.Try(t.toInt).toOption))
+      .getOrElse(Array.empty)
+
+  /** Reverse the PNG row filters (None/Sub/Up/Average/Paeth, bpp=1) that
+    * /Predictor 10–15 apply to xref-stream rows. None on a ragged buffer
+    * or an unknown filter byte.
+    */
+  private def unpredictPng(data: Array[Byte], rowLen: Int): Option[Array[Byte]] = {
+    if (rowLen <= 0 || data.length % (rowLen + 1) != 0) return None
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val filter = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val x = data(src + i) & 0xff
+        val a = if (i > 0) out(dst + i - 1) & 0xff else 0 // left (bpp=1)
+        val b = if (r > 0) out(dst - rowLen + i) & 0xff else 0 // up
+        val c = if (r > 0 && i > 0) out(dst - rowLen + i - 1) & 0xff else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** The integer VALUE of object `num` — e.g. an indirect stream length —
+    * looked up through the xref table. Only file-resident objects resolve
+    * (a length stored inside an ObjStm would need that ObjStm decoded
+    * first; callers fall back to scanning, so this stays best-effort).
+    */
+  private def resolveIntObject(s: String, xref: Map[Int, XrefLoc], num: Int): Option[Long] =
+    xref.get(num).collect { case InFile(off) if off < s.length =>
+      "^\\s*\\d+\\s+\\d+\\s+obj\\s*(\\d+)".r
+        .findFirstMatchIn(s.substring(off, math.min(s.length, off + 64)))
+        .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+    }.flatten
+
+  /** Count page dictionaries among an object stream's EMBEDDED objects by
+    * walking the `/N` pair table from `/First` (the spec's layout: N
+    * (objnum, relative-offset) integer pairs, then the serialized objects).
+    * Falls back to a whole-payload match count if the pair table is
+    * malformed — degrade, never throw.
+    */
+  private def countObjStmPages(payload: String, dict: String): Int = {
+    try {
+      val n = "/N\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        .getOrElse(return PageRe.findAllIn(payload).size)
+      val first = "/First\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        .getOrElse(return PageRe.findAllIn(payload).size)
+      if (first <= 0 || first > payload.length || n <= 0)
+        return PageRe.findAllIn(payload).size
+      val nums = payload.substring(0, first).trim.split("\\s+")
+        .filter(_.nonEmpty).flatMap(t => scala.util.Try(t.toInt).toOption)
+      if (nums.length < 2 * n) return PageRe.findAllIn(payload).size
+      val offsets = (0 until n).map(i => nums(2 * i + 1))
+      offsets.indices.count { i =>
+        val from = math.min(payload.length, math.max(first, first + offsets(i)))
+        val until = if (i + 1 < n)
+          math.min(payload.length, math.max(from, first + offsets(i + 1)))
+        else payload.length
+        PageRe.findFirstIn(payload.substring(from, until)).isDefined
+      }
+    } catch { case _: Exception => 0 }
   }
 
   /** Inflated-size cap: a content stream is operators + strings, never
@@ -201,6 +419,106 @@ object PdfText {
       w("\nendstream endobj\n")
     }
     w("trailer<</Root 1 0 R>>\n%%EOF")
+    out.toByteArray
+  }
+
+  /** A PDF 1.5 document the way modern writers emit it: the catalog, page
+    * tree, and page dictionaries packed into a `/Type/ObjStm` OBJECT stream
+    * (Flate), content streams top-level (Flate), and a cross-reference
+    * STREAM (`/W [1 2 1]`, optional PNG `/Predictor 12`) as the only xref —
+    * there is no classic `xref` table, so a reader that cannot decode the
+    * xref stream and walk the ObjStm sees no page objects at all. With
+    * `indirectLength`, the first content stream's `/Length` is an indirect
+    * reference whose value object is only findable through the xref table.
+    * Used by the spec fixtures; [[extract]] is the consumer. `rawFirst`
+    * leaves the first content stream UNcompressed — paired with
+    * `indirectLength` and a decoy "endstream" inside the page text, it
+    * builds the document whose stream bounds are only recoverable through
+    * the xref table (the endstream scan truncates mid-stream).
+    */
+  def buildModernPdf(contentStreams: Seq[Array[Byte]], predictor: Boolean,
+                     indirectLength: Boolean = false,
+                     rawFirst: Boolean = false): Array[Byte] = {
+    val p = contentStreams.length
+    require(p > 0, "at least one page")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(Latin1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int] // objNum -> byte offset
+    // ids: 1 catalog, 2 pages, 3..2+p page dicts (all inside the ObjStm);
+    // 10..9+p content streams; 30 indirect-length value; 50 ObjStm; 51 XRef
+    w("%PDF-1.5\n")
+    contentStreams.zipWithIndex.foreach { case (c, i) =>
+      val id = 10 + i
+      offsets(id) = out.size()
+      val raw = rawFirst && i == 0
+      val body = if (raw) c else deflate(c)
+      val filter = if (raw) "" else "/Filter/FlateDecode"
+      if (indirectLength && i == 0) {
+        w(s"$id 0 obj<</Length 30 0 R$filter>>stream\n")
+        out.write(body)
+        w("\nendstream endobj\n")
+        offsets(30) = out.size()
+        w(s"30 0 obj ${body.length} endobj\n")
+      } else {
+        w(s"$id 0 obj<</Length ${body.length}$filter>>stream\n")
+        out.write(body)
+        w("\nendstream endobj\n")
+      }
+    }
+    // the object stream: pair table then the serialized member objects
+    val kids = (0 until p).map(i => s"${3 + i} 0 R").mkString(" ")
+    val members = Seq(
+      1 -> s"<</Type/Catalog/Pages 2 0 R>>",
+      2 -> s"<</Type/Pages/Kids[$kids]/Count $p>>") ++
+      (0 until p).map(i => (3 + i) -> s"<</Type/Page/Parent 2 0 R/Contents ${10 + i} 0 R>>")
+    val bodyParts = members.map(_._2)
+    val memberOffsets = bodyParts.scanLeft(0)(_ + _.length + 1).init
+    val pairs = members.map(_._1).zip(memberOffsets)
+      .map { case (num, off) => s"$num $off" }.mkString(" ") + "\n"
+    val objStmPayload = (pairs + bodyParts.mkString("\n") + "\n").getBytes(Latin1)
+    val objStmBody = deflate(objStmPayload)
+    offsets(50) = out.size()
+    w(s"50 0 obj<</Type/ObjStm/N ${members.length}/First ${pairs.length}" +
+      s"/Length ${objStmBody.length}/Filter/FlateDecode>>stream\n")
+    out.write(objStmBody)
+    w("\nendstream endobj\n")
+    // the cross-reference stream: one row per object 0..51, W=[1 2 1]
+    offsets(51) = out.size()
+    val size = 52
+    val rows = (0 until size).map { objNum =>
+      if (objNum == 0) (0, 0, 255) // free-list head
+      else if (offsets.contains(objNum)) (1, offsets(objNum), 0)
+      else if (objNum >= 1 && objNum <= 2 + p)
+        (2, 50, members.indexWhere(_._1 == objNum)) // lives in the ObjStm
+      else (0, 0, 0)
+    }
+    val rowLen = 4 // 1 + 2 + 1
+    val table = new Array[Byte](size * rowLen)
+    rows.zipWithIndex.foreach { case ((t, f2, f3), i) =>
+      table(i * rowLen) = t.toByte
+      table(i * rowLen + 1) = ((f2 >> 8) & 0xff).toByte
+      table(i * rowLen + 2) = (f2 & 0xff).toByte
+      table(i * rowLen + 3) = (f3 & 0xff).toByte
+    }
+    val encoded =
+      if (!predictor) table
+      else {
+        // PNG Up filter (2) on every row — the shape real writers emit
+        val enc = new Array[Byte](size * (rowLen + 1))
+        for (r <- 0 until size; i <- 0 until rowLen) {
+          enc(r * (rowLen + 1)) = 2
+          val prev = if (r > 0) table((r - 1) * rowLen + i) & 0xff else 0
+          enc(r * (rowLen + 1) + 1 + i) = (((table(r * rowLen + i) & 0xff) - prev) & 0xff).toByte
+        }
+        enc
+      }
+    val xrefBody = deflate(encoded)
+    val parms = if (predictor) s"/DecodeParms<</Predictor 12/Columns $rowLen>>" else ""
+    w(s"51 0 obj<</Type/XRef/Size $size/Root 1 0 R/W[1 2 1]$parms" +
+      s"/Length ${xrefBody.length}/Filter/FlateDecode>>stream\n")
+    out.write(xrefBody)
+    w("\nendstream endobj\n")
+    w(s"startxref\n${offsets(51)}\n%%EOF")
     out.toByteArray
   }
 

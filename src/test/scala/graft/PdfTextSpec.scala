@@ -80,6 +80,65 @@ class PdfTextSpec extends SparkSpecBase {
     assert(PdfText.extract(patched.getBytes("ISO-8859-1")).get.text == "indirect len")
   }
 
+  test("PDF 1.5 xref stream + ObjStm: text and page count round-trip (no predictor)") {
+    // modern-writer shape: page dicts live INSIDE a compressed /Type/ObjStm,
+    // the only xref is a cross-reference STREAM — no classic table at all
+    val doc = PdfText.buildModernPdf(Seq(
+      PdfText.textPage("modern page one body"),
+      PdfText.textPage("modern page two body", 1)), predictor = false)
+    val r = PdfText.extract(doc).get
+    assert(r.text == "modern page one body modern page two body")
+    assert(r.nPages == 2, "page dicts inside the ObjStm must be counted")
+  }
+
+  test("PDF 1.5 xref stream with PNG /Predictor 12 rows decodes identically") {
+    val doc = PdfText.buildModernPdf(Seq(
+      PdfText.textPage("predicted xref page"),
+      PdfText.textPage("second predicted page", 2),
+      PdfText.textPage("third predicted page")), predictor = true)
+    val r = PdfText.extract(doc).get
+    assert(r.text == "predicted xref page second predicted page third predicted page")
+    assert(r.nPages == 3)
+  }
+
+  test("indirect /Length resolves through the xref table: decoy 'endstream' cannot truncate") {
+    // raw first stream whose TEXT contains "endstream", with /Length 30 0 R:
+    // the scan fallback would cut mid-literal — only the xref-table lookup
+    // of object 30's value recovers the true bound
+    val doc = PdfText.buildModernPdf(Seq(
+      PdfText.textPage("before endstream decoy and after"),
+      PdfText.textPage("clean second page")),
+      predictor = true, indirectLength = true, rawFirst = true)
+    val r = PdfText.extract(doc).get
+    assert(r.text == "before endstream decoy and after clean second page")
+    assert(r.nPages == 2)
+  }
+
+  test("ObjStm payload strings never reach the text path; binary xref rows never fake pages") {
+    // the ObjStm's member dicts and the xref stream's binary rows are
+    // structural — neither may contribute shown text, and a /Type/Page
+    // match inside CONTENT text still must not count (modern twin of the
+    // classic-envelope guard below)
+    val doc = PdfText.buildModernPdf(Seq(
+      PdfText.textPage("content mentioning BT and /Type /Page words")),
+      predictor = true)
+    val r = PdfText.extract(doc).get
+    assert(r.text == "content mentioning BT and /Type /Page words")
+    assert(r.nPages == 1)
+  }
+
+  test("truncated xref stream degrades to scan behavior, never throws") {
+    // cut the file just after startxref's target object header: the xref
+    // decode fails, the table is empty, and extraction still serves what
+    // the scan envelope can reach (content streams are top-level)
+    val full = PdfText.buildModernPdf(Seq(PdfText.textPage("survivor text")),
+      predictor = false)
+    val s = new String(full, "ISO-8859-1")
+    val cut = s.substring(0, s.indexOf("51 0 obj") + 12) + "\nstartxref\n999999\n%%EOF"
+    val r = PdfText.extract(cut.getBytes("ISO-8859-1")).get
+    assert(r.text == "survivor text")
+  }
+
   test("'/Type /Page' inside shown text does not inflate the page count") {
     val doc = pdf(Seq(PdfText.textPage("see /Type /Page dict")), flate = false)
     val r = PdfText.extract(doc).get
