@@ -117,6 +117,36 @@ class DedupStreamSpec extends SparkSpecBase {
     labels.unpersist()
   }
 
+  test("star contraction resolves a long chain in O(log diameter) rounds") {
+    import spark.implicits._
+    // a 200-node path graph is the adversarial case for min-label
+    // propagation: the minimum must travel 199 hops, one per round. The
+    // large-star/small-star contraction collapses it geometrically, so a
+    // 12-round budget (≈ log2(199) + slack) only converges for the
+    // logarithmic algorithm — a propagation loop under the same budget
+    // would leave most labels wrong and fail the assertions below.
+    val n = 200L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val docs = (1L to n + 5).toDF("doc_id") // +5 isolated docs
+    val out = Dedup.connectedComponentsOver(spark, chain, docs,
+      maxIters = 12, maxDriverPairs = -1L).cache()
+    assert(out.count() == n + 5)
+    // every chain node labeled with the component minimum
+    assert(out.filter(col("doc_id") <= n)
+      .filter(col("cluster_id") =!= 1L).count() == 0,
+      "chain must fully contract to its minimum within the log-round budget")
+    assert(out.filter(col("doc_id") === 1L).head().getAs[Boolean]("is_survivor"))
+    // isolated docs are their own singleton components
+    assert(out.filter(col("doc_id") > n)
+      .filter(col("cluster_id") =!= col("doc_id")).count() == 0)
+    // and reversed/duplicated edges canonicalize instead of corrupting
+    val messy = Seq((5L, 3L), (3L, 5L), (5L, 5L), (7L, 5L)).toDF("a_id", "b_id")
+    val out2 = Dedup.connectedComponentsOver(spark, messy,
+      Seq(3L, 5L, 7L).toDF("doc_id"), maxIters = 6, maxDriverPairs = -1L)
+    assert(out2.filter(col("cluster_id") =!= 3L).count() == 0)
+    out.unpersist()
+  }
+
   test("streaming dedup emits one row per content hash") {
     val out = graft.streaming.DedupStream.runToCompletion(spark, sf, "dedup_stream_spec").cache()
     assert(out.count() > 0)
