@@ -99,7 +99,32 @@ abstract class BatchEmbedder extends Embedder {
     */
   def embedBatch(texts: Array[String]): Array[Array[Double]]
 
-  final def embedText(s: String): Array[Double] = embedBatch(Array(s))(0)
+  final def embedText(s: String): Array[Double] = {
+    val out = checkedBatch(Array(s))
+    out(0)
+  }
+
+  /** [[embedBatch]] with the contract enforced AT the model boundary: one
+    * vector per input, each exactly `dim` wide. A wrapper that silently
+    * drops empty strings (common embedding-API behavior) or serves a
+    * different-dimensionality model would otherwise fail far from its
+    * cause — an opaque index error mid-task, or mismatched vectors landing
+    * in the store to break cosine at query time.
+    */
+  private def checkedBatch(texts: Array[String]): Array[Array[Double]] = {
+    val out = embedBatch(texts)
+    require(out.length == texts.length,
+      s"$name.embedBatch returned ${out.length} vectors for ${texts.length} inputs " +
+        "— an embedder must emit one vector per input (including empty strings)")
+    var i = 0
+    while (i < out.length) {
+      require(out(i) != null && out(i).length == dim,
+        s"$name.embedBatch vector $i has dim " +
+          s"${if (out(i) == null) "null" else out(i).length}, expected $dim")
+      i += 1
+    }
+    out
+  }
 
   final def embedFrame(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val textIdx = df.schema.fieldIndex(textCol)
@@ -113,7 +138,7 @@ abstract class BatchEmbedder extends Embedder {
         // path's null semantics, preserved so the two shapes are swappable
         val present = batch.filter(!_.isNullAt(textIdx))
         val embs = if (present.isEmpty) Array.empty[Array[Double]]
-          else embedBatch(present.map(_.getString(textIdx)).toArray)
+          else checkedBatch(present.map(_.getString(textIdx)).toArray)
         var i = 0
         batch.map { r =>
           val e = if (r.isNullAt(textIdx)) null

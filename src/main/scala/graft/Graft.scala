@@ -553,17 +553,25 @@ class Graft(spark: SparkSession, sfDir: String,
       case _ => throw new IllegalStateException(
         "readFileLines requires a facade built by Graft.forDirectory (a real tree to read)")
     }
-    val (abs, relNorm) = Graft.ensureWithinRoot(root, relPath)
+    // the SAME lexical guard discovery/listFiles use (file:-scheme roots
+    // accepted, symlink blindness shared with the reference — see
+    // TextCorpus.ensureWithinRootRel); relNorm is the cache-key spelling
+    val (abs, relNorm) = sources.TextCorpus.ensureWithinRootRel(root, relPath)
     val hPath = new org.apache.hadoop.fs.Path(abs)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val content =
       if (relNorm.toLowerCase.endsWith(".pdf")) {
         val size = fs.getFileStatus(hPath).getLen
-        val cache = sfDir + "/pdf_text_cache"
-        // point read: path+byte_size predicates push into the parquet scan
-        val rows = spark.read.parquet(cache)
-          .filter(col("path") === relNorm && col("byte_size") === size)
-          .select("text").collect()
+        val cache = new org.apache.hadoop.fs.Path(sfDir, "pdf_text_cache")
+        // no cache directory = the facade never ran the PDF leg (pdf not
+        // whitelisted): same "not indexed" contract as a cache miss, not a
+        // leaked AnalysisException about an internal parquet path
+        val rows =
+          if (!fs.exists(cache)) Array.empty[org.apache.spark.sql.Row]
+          // point read: path+byte_size predicates push into the parquet scan
+          else spark.read.parquet(cache.toString)
+            .filter(col("path") === relNorm && col("byte_size") === size)
+            .select("text").collect()
         if (rows.isEmpty) throw new IllegalStateException(
           s"PDF text not available for '$relNorm'. File may not have been indexed yet.")
         rows.head.getString(0)
@@ -681,23 +689,6 @@ object Graft {
     def discover(spark: SparkSession, workDir: String): DataFrame =
       sources.TextCorpus.asDocuments(sources.JsonlCorpus.read(
         spark, root, textField, idField, langField, excludedFolders))
-  }
-
-  /** Resolve a (possibly hostile) user-supplied relative path under `root`,
-    * refusing any resolution that escapes it (reference:
-    * src/indexer.ts:320-338 — the root itself is permitted; everything else
-    * must be a strict descendant AFTER `..`/`.` normalization, and the
-    * containment check is component-wise so `/root2` never passes as inside
-    * `/root`). Returns (absolute path, normalized root-relative path) — the
-    * latter is the PDF-cache key spelling.
-    */
-  private[graft] def ensureWithinRoot(root: String, relPath: String): (String, String) = {
-    import java.nio.file.Paths
-    val rootNorm = Paths.get(root).toAbsolutePath.normalize()
-    val resolved = rootNorm.resolve(relPath).normalize()
-    require(resolved.startsWith(rootNorm),
-      s"Path outside ROOT: '$relPath' resolves outside the indexed tree")
-    (resolved.toString, rootNorm.relativize(resolved).toString)
   }
 
   /** Land a documents frame as the facade's corpus table via staged write +

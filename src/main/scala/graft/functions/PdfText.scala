@@ -115,8 +115,21 @@ object PdfText {
             else Some(new String(raw, Latin1))
           if (ObjStmRe.findFirstIn(dict).isDefined) {
             // object stream: walk the embedded objects (that is where a
-            // modern writer keeps the page dictionaries)
-            content.foreach(p => objStmPages += countObjStmPages(p, dict))
+            // modern writer keeps the page dictionaries). Liveness gates
+            // both LEVELS against the xref — an incremental update
+            // (append-only save) leaves superseded generations in the
+            // file body, and counting their stale page dicts would double
+            // the page count: (a) this physical COPY is the stream object
+            // only if the xref's type-1 entry for its object number points
+            // at this very header offset (generations share the number);
+            // (b) a MEMBER is live only if its type-2 entry points back at
+            // (this stream, this index). No xref → classic behavior.
+            val stmInfo = objNumBefore(s, dictStart)
+            val copyLive = xref.isEmpty || stmInfo.isEmpty ||
+              stmInfo.exists { case (num, off) => xref.get(num).contains(InFile(off)) }
+            if (copyLive)
+              content.foreach(p =>
+                objStmPages += countObjStmPages(p, dict, stmInfo.map(_._1), xref))
           } else if (XRefRe.findFirstIn(dict).isEmpty) {
             // text path — structural streams (XRef tables, ObjStm payloads)
             // are excluded so binary table bytes can never masquerade as
@@ -158,7 +171,10 @@ object PdfText {
   private def loadXrefStreams(bytes: Array[Byte], s: String): Map[Int, XrefLoc] = {
     val acc = scala.collection.mutable.Map.empty[Int, XrefLoc]
     try {
-      val tail = s.substring(math.max(0, s.length - 256))
+      // the spec obliges readers to search the LAST 1024 bytes (trailing
+      // junk after %%EOF exists in the wild); a tighter window silently
+      // disengages the whole xref/ObjStm machinery
+      val tail = s.substring(math.max(0, s.length - 1024))
       var at = "startxref\\s+(\\d+)".r.findAllMatchIn(tail).toSeq.lastOption
         .flatMap(m => scala.util.Try(m.group(1).toInt).toOption).getOrElse(-1)
       val seen = scala.collection.mutable.Set.empty[Int] // cycle guard
@@ -293,13 +309,30 @@ object PdfText {
         .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
     }.flatten
 
+  /** The object number written before the `obj` keyword at `dictStart`
+    * ("50 0 obj…") and the byte offset of its header (where the number
+    * starts — the position a type-1 xref entry addresses). Identifies
+    * which object a stream IS, for the generation-liveness checks.
+    */
+  private def objNumBefore(s: String, dictStart: Int): Option[(Int, Int)] = {
+    val winStart = math.max(0, dictStart - 24)
+    "(\\d+)\\s+\\d+\\s*$".r
+      .findFirstMatchIn(s.substring(winStart, dictStart))
+      .flatMap(m => scala.util.Try((m.group(1).toInt, winStart + m.start)).toOption)
+  }
+
   /** Count page dictionaries among an object stream's EMBEDDED objects by
     * walking the `/N` pair table from `/First` (the spec's layout: N
     * (objnum, relative-offset) integer pairs, then the serialized objects).
-    * Falls back to a whole-payload match count if the pair table is
-    * malformed — degrade, never throw.
+    * With a decoded xref, a member counts only if the table's CURRENT
+    * entry for its object number points back at this very (stream, index)
+    * — superseded generations from incremental updates count zero. With no
+    * xref (classic file, failed decode) every member counts. Falls back to
+    * a whole-payload match count if the pair table is malformed — degrade,
+    * never throw.
     */
-  private def countObjStmPages(payload: String, dict: String): Int = {
+  private def countObjStmPages(payload: String, dict: String,
+                               stmNum: Option[Int], xref: Map[Int, XrefLoc]): Int = {
     try {
       val n = "/N\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
         .getOrElse(return PageRe.findAllIn(payload).size)
@@ -310,13 +343,17 @@ object PdfText {
       val nums = payload.substring(0, first).trim.split("\\s+")
         .filter(_.nonEmpty).flatMap(t => scala.util.Try(t.toInt).toOption)
       if (nums.length < 2 * n) return PageRe.findAllIn(payload).size
+      // live-unknowable (no table, or unparseable stream number): count
+      // all — dropping real pages is worse than tolerating stale ones
+      def live(i: Int): Boolean = (xref.isEmpty || stmNum.isEmpty) ||
+        xref.get(nums(2 * i)).contains(InObjStm(stmNum.get, i))
       val offsets = (0 until n).map(i => nums(2 * i + 1))
       offsets.indices.count { i =>
         val from = math.min(payload.length, math.max(first, first + offsets(i)))
         val until = if (i + 1 < n)
           math.min(payload.length, math.max(from, first + offsets(i + 1)))
         else payload.length
-        PageRe.findFirstIn(payload.substring(from, until)).isDefined
+        live(i) && PageRe.findFirstIn(payload.substring(from, until)).isDefined
       }
     } catch { case _: Exception => 0 }
   }

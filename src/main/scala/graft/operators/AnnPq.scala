@@ -114,7 +114,8 @@ object AnnPq {
     * separate tables on purpose: the ADC scan touches ONLY the codes (m
     * bytes/vector); the float vectors are joined in for the rerank pool
     * alone (nQueries × rerank rows). Both tables are partitioned by the
-    * [[Buckets]] hash bucket — the refresh path's rewrite unit.
+    * corpus-derived hash bucket ([[bucketCountFor]], recorded in the
+    * manifest — see [[manifestBuckets]]) — the refresh path's rewrite unit.
     */
   def writePqIndex(spark: SparkSession, sfDir: String, path: String,
                    m: Int = 8, ks: Int = 16, iters: Int = 3): Unit =

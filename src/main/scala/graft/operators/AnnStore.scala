@@ -150,6 +150,18 @@ private[graft] object AnnStore {
   private val pinScope =
     new ThreadLocal[scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]
 
+  /** Release the pinned blocks behind a localCheckpoint'd frame the caller
+    * has FULLY consumed. The frame must not be acted on afterwards —
+    * localCheckpoint truncated the lineage that could recompute it. For
+    * iterative loops that supersede a checkpoint per round (the CC
+    * contraction), where a [[releasingPinned]] scope would be wrong: the
+    * FINAL round's frame must stay pinned for the caller.
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** `df.localCheckpoint()` that registers the pinned RDD with the current
     * thread's [[releasingPinned]] scope (no-op outside one). Eager — the
     * frame is fully materialized when this returns.

@@ -311,6 +311,12 @@ object Dedup {
       // counts + empty one-way except suffices); at the fixpoint the graph
       // is a star forest centered on each component's minimum
       converged = nextCount == eCount && afterSmall.exceptAll(e).isEmpty
+      // the superseded round's pinned blocks are fully consumed by the
+      // check above — release them, or the loop accumulates O(rounds)
+      // edge-set copies in executor storage for the session lifetime (the
+      // leak class the ANN stores' releasingPinned standard closed). The
+      // FINAL round's frame stays pinned: the returned labels root in it.
+      AnnStore.releaseCheckpoint(e)
       e = afterSmall
       eCount = nextCount
       i += 1

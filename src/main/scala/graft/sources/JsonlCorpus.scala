@@ -117,8 +117,11 @@ object JsonlCorpus {
   /** The batch-side id-collision guard: deterministic per-path collapse
     * (max by (content, size)). One hash aggregate (map-side combined); for
     * the common collision-free corpus every group is a single row. The
-    * streaming twin runs without it (per-batch state can't see a global
-    * collision) — a declared difference.
+    * streaming twin guards the same collisions with a watermark-scoped
+    * `dropDuplicatesWithinWatermark` instead (a stream can't run a global
+    * aggregate) — one row per (file, id) on both legs, with a declared
+    * survivor difference: first-arrival there, largest payload here (see
+    * streaming.JsonlStream's scaladoc for the reconciliation contract).
     */
   private def collapse(records: DataFrame): DataFrame =
     collapseLargest(records, "path",

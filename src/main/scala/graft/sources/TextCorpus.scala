@@ -125,13 +125,15 @@ object TextCorpus {
                     maxFileBytes: Long = DefaultMaxPdfBytes): DataFrame = {
     requireCleanExts(exts)
     val rootNorm = if (root.endsWith("/")) root else root + "/"
-    def scan(columns: Seq[String]): DataFrame = {
+    // metadata-ONLY listing (content pruned at the scan): every extraction
+    // path opens files task-side through the byte_size gate — the
+    // binaryFile content column would hard-error the job on any file >2 GB
+    def scan(): DataFrame = {
       val raw = spark.read.format("binaryFile")
         .option("pathGlobFilter", extGlob(exts))
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select((Seq(col("path").as("abs_path"), col("length").as("byte_size")) ++
-          columns.map(col)): _*)
+        .select(col("path").as("abs_path"), col("length").as("byte_size"))
         .withColumn("path", relPathRaw(col("abs_path"), rootNorm))
       val segs = split(col("path"), "/")
       excludedFolders.foldLeft(raw) { (df, folder) =>
@@ -144,7 +146,7 @@ object TextCorpus {
         // path (ONE extraction code path): the `binaryFile` content column
         // would hard-error the whole job on any file >2 GB, where the gated
         // open degrades an oversized file to empty text like a broken PDF
-        extractFromPaths(scan(Nil)
+        extractFromPaths(scan()
           .select(col("abs_path"), col("path"), col("byte_size")), maxFileBytes)
       case Some(cp) => graft.operators.AnnStore.releasingPinned(spark) {
         val hconf = spark.sparkContext.hadoopConfiguration
@@ -159,7 +161,7 @@ object TextCorpus {
         // per PDF file. The scope releases the pin once the cache write
         // below has consumed it; the returned frame reads parquet only.
         val meta = graft.operators.AnnStore.trackedCheckpoint(
-          scan(Nil).select(col("abs_path"), col("path"), col("byte_size")))
+          scan().select(col("abs_path"), col("path"), col("byte_size")))
         val joined =
           if (fs.exists(cpPath)) {
             val cache = spark.read.parquet(cp)
@@ -313,11 +315,22 @@ object TextCorpus {
     * path; throws IllegalArgumentException on escape, like the reference's
     * InvalidRequest error. Accepts `file:`-scheme roots like `read()` does.
     */
-  def ensureWithinRoot(root: String, rel: String): String = {
+  def ensureWithinRoot(root: String, rel: String): String =
+    ensureWithinRootRel(root, rel)._1
+
+  /** [[ensureWithinRoot]] plus the normalized ROOT-RELATIVE spelling of the
+    * resolved path — the form the PDF extraction cache keys on, so lookups
+    * agree with discovery for any caller spelling ("./a/../a/x.pdf").
+    * Lexical containment only, matching the reference exactly (its
+    * path.resolve guard does not resolve symlinks either — a symlink
+    * INSIDE the tree pointing outside it is followed by both engines;
+    * declared shared blindness, not a divergence).
+    */
+  def ensureWithinRootRel(root: String, rel: String): (String, String) = {
     val rootAbs = localAbs(root)
     val abs = rootAbs.resolve(rel).normalize()
     require(abs.startsWith(rootAbs), s"Path outside ROOT: $rel")
-    abs.toString
+    (abs.toString, rootAbs.relativize(abs).toString)
   }
 
   /** Real-directory `list_files` (reference: src/index.ts:316-413): walk a

@@ -28,6 +28,23 @@ class ReversedEmbedder(val dim: Int) extends BatchEmbedder {
   * operator changes. The driver entries stay byte-unchanged because the
   * default is untouched (the verify gate is the receipt for that half).
   */
+/** Misbehaving stubs for the boundary-contract spec — top-level for the
+  * same serializability reason as [[ReversedEmbedder]].
+  */
+class DropperEmbedder extends BatchEmbedder {
+  val dim = 8
+  def name = "stub-dropper"
+  def embedBatch(texts: Array[String]): Array[Array[Double]] =
+    texts.filter(_.nonEmpty).map(_ => Array.fill(8)(0.5))
+}
+
+class WrongDimEmbedder extends BatchEmbedder {
+  val dim = 8
+  def name = "stub-wrongdim"
+  def embedBatch(texts: Array[String]): Array[Array[Double]] =
+    texts.map(_ => Array.fill(384)(0.1))
+}
+
 class EmbedderSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -102,6 +119,20 @@ class EmbedderSpec extends SparkSpecBase {
     assert(IndexStore.load(spark, store, gDefault.meta).isEmpty)
     val store2 = Files.createTempDirectory("graft_embseam_store2").toString + "/store"
     assert(gDefault.incrementalUpdate(store2).head().getAs[Long]("n_added") == 3)
+  }
+
+  test("a misbehaving model fails AT the boundary: dropped inputs and wrong dims are errors") {
+    // a wrapper that silently drops empty strings (common embedding-API
+    // behavior) must error with the contract named, not throw an opaque
+    // index error mid-task or land short batches
+    val e1 = intercept[Exception](new DropperEmbedder()
+      .embedFrame(Seq(("", 1), ("x", 2)).toDF("txt", "k"), "txt", "emb").collect())
+    assert(e1.getMessage.contains("one vector per input"))
+    // a model serving a different dimensionality than declared must fail
+    // before mismatched vectors can land in a store
+    val e2 = intercept[Exception](new WrongDimEmbedder()
+      .embedFrame(Seq(("x", 1)).toDF("txt", "k"), "txt", "emb").collect())
+    assert(e2.getMessage.contains("expected 8"))
   }
 
   test("embedder/facade dim mismatch is an error, not a silent re-space") {

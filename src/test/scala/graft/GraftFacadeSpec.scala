@@ -219,6 +219,28 @@ class GraftFacadeSpec extends SparkSpecBase {
     // only a directory-backed facade has a tree to read
     intercept[IllegalStateException](
       new Graft(spark, work).readFileLines("sub/multi.txt"))
+    // a file:-scheme root (accepted by discovery) must read identically —
+    // the guard is shared with listFiles' TextCorpus.ensureWithinRoot
+    val workF = Files.createTempDirectory("graft_readfile_workf").toString
+    val gf = Graft.forDirectory(spark, "file://" + root.toString, workF,
+      allowedExt = Seq("txt", "md"))
+    assert(gf.readFileLines("sub/multi.txt", Some(2), Some(3)) ==
+      "line two\nline three")
+    // pdf never whitelisted → no extraction cache: the documented
+    // "not indexed" error, not a leaked parquet AnalysisException
+    val ex = intercept[IllegalStateException](g2Pdfless().readFileLines("doc.pdf"))
+    assert(ex.getMessage.contains("not have been indexed"))
+  }
+
+  /** A facade over the readFileLines tree that never ran the PDF leg. */
+  private def g2Pdfless(): Graft = {
+    val root = Files.createTempDirectory("graft_nopdfcache")
+    Files.write(root.resolve("doc.pdf"),
+      graft.functions.PdfText.buildPdf(
+        Seq(graft.functions.PdfText.textPage("never indexed")), flate = false))
+    Files.write(root.resolve("a.txt"), "text only".getBytes("UTF-8"))
+    val work = Files.createTempDirectory("graft_nopdfcache_work").toString
+    Graft.forDirectory(spark, root.toString, work, allowedExt = Seq("txt"))
   }
 
   test("forDirectory indexes real PDF files when 'pdf' is whitelisted (reference default)") {

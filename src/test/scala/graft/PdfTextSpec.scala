@@ -127,6 +127,28 @@ class PdfTextSpec extends SparkSpecBase {
     assert(r.nPages == 1)
   }
 
+  test("superseded ObjStm generations (incremental update) do not double the page count") {
+    // append-only saves leave the OLD ObjStm in the file body; its members
+    // share object numbers with the live generation, so liveness must be
+    // checked at the copy level (type-1 offset of the stream object
+    // itself), not just the member level
+    val doc = PdfText.buildModernPdf(Seq(
+      PdfText.textPage("gen two page one"),
+      PdfText.textPage("gen two page two")), predictor = false)
+    val s = new String(doc, "ISO-8859-1")
+    // a stale byte-for-byte copy of the ObjStm object (same obj number 50),
+    // appended after %%EOF with the ORIGINAL startxref re-stamped — the
+    // xref's type-1 entry for 50 still addresses the original offset, so
+    // the appended copy is a dead generation
+    val objStm = s.substring(s.indexOf("50 0 obj"),
+      s.indexOf("endobj", s.indexOf("50 0 obj")) + "endobj".length)
+    val startxref = s.substring(s.lastIndexOf("startxref"))
+    val withStale = s + "\n" + objStm + "\n" + startxref
+    val r = PdfText.extract(withStale.getBytes("ISO-8859-1")).get
+    assert(r.nPages == 2, s"stale generation must not count: got ${r.nPages}")
+    assert(r.text == "gen two page one gen two page two")
+  }
+
   test("truncated xref stream degrades to scan behavior, never throws") {
     // cut the file just after startxref's target object header: the xref
     // decode fails, the table is empty, and extraction still serves what
