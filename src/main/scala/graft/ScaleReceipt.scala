@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{AnnIvfPq, AnnPq}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The sf1-class scale receipt for the persisted ANN stores (SURVEY §4):
+  * evidences, in the direction of travel rather than tiny-SF-inverted
+  * numbers, that (a) the IVFADC pruned scan overtakes the flat-PQ full
+  * code scan once the code table exceeds one cheap pass, and (b) the
+  * incremental refresh dispatch's cost tracks the DIRTY set, not the
+  * corpus.
+  *
+  * The driver generates no sf1 testdata, so the corpus is synthesized from
+  * sf0.1 for TIMING ONLY: each source vector is replicated `scale`× with a
+  * fresh vec_id and a norm-only perturbation — cosine cell assignment is
+  * scale-invariant under per-vector scaling, so the replicated corpus
+  * keeps the source's cell-occupancy shape while being `scale`× larger.
+  * Correctness stays pinned by the sf0.01 oracle gate; nothing here feeds
+  * the driver contract.
+  *
+  * Usage: runMain graft.ScaleReceipt [srcSfDir] [workDir] [scale]
+  * Prints one JSON line with build/serve/refresh seconds for both stores.
+  */
+object ScaleReceipt {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val scale = if (args.length > 2) args(2).toInt else 500
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = work + "/corpus"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val embPath = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet")
+    if (!fs.exists(embPath)) {
+      Tables.embeddings(spark, src)
+        .withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
+        .select(
+          (col("vec_id") * scale + col("rep")).as("vec_id"),
+          // norm-only perturbation: replica stays in its source's cosine
+          // cell, so cell-occupancy shape survives the scale-up
+          transform(col("embedding"),
+            x => x * (lit(1.0) + (col("rep") % 97) / lit(1000.0))).as("embedding"),
+          col("label"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath.toString)
+    }
+    val n = spark.read.parquet(embPath.toString).count()
+
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // distinct SOURCE vectors as queries (replicas of one vector would all
+    // ask the same question); bounded: 16 rows
+    def queries(path: String): DataFrame =
+      spark.read.parquet(path + "/vectors")
+        .filter(col("vec_id") % scale === 0 && col("vec_id") < 16L * scale)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+
+    val pqPath = work + "/pq"
+    val ivfPath = work + "/ivfpq"
+    // k scales with the corpus (the IVF contract): ~n/16k vectors per cell
+    val k = math.max(16, math.min(256, (n / 16384L).toInt))
+    val (_, tPqBuild) = time(AnnPq.ensurePqIndex(spark, dir, pqPath))
+    val (_, tIvfBuild) = time(AnnIvfPq.ensureIvfPqIndex(spark, dir, ivfPath, k = k))
+
+    def serveMin(f: => DataFrame): Double = {
+      f.count() // warm: codegen + FS cache
+      (1 to 3).map(_ => time(f.count())._2).min
+    }
+    val tPqServe = serveMin(
+      AnnPq.annPqServedOver(spark, pqPath, queries(pqPath), topK = 10))
+    val tIvfServe = serveMin(
+      AnnIvfPq.annIvfPqServedOver(spark, ivfPath, queries(ivfPath),
+        topK = 10, nprobe = math.max(2, k / 16)))
+
+    // refresh receipt: dirty ~1/9973 of the corpus (norm-only change —
+    // same cells stay affected), staged swap so the read side never sees a
+    // half-written corpus
+    val staged = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet.staging")
+    spark.read.parquet(embPath.toString)
+      .select(col("vec_id"),
+        when(col("vec_id") % 9973 === 0,
+          transform(col("embedding"), x => x * lit(1.0002)))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(staged.toString)
+    fs.delete(embPath, true)
+    fs.rename(staged, embPath)
+    val (rPq, tPqRefresh) = time(AnnPq.refreshPqIndex(spark, dir, pqPath).collect())
+    val (rIvf, tIvfRefresh) = time(AnnIvfPq.refreshIvfPqIndex(spark, dir, ivfPath, k = k).collect())
+    def stat(r: Array[org.apache.spark.sql.Row], c: String) = r.head.getAs[Any](c)
+
+    println(
+      s"""{"metric":"scale_receipt","n_vectors":$n,"scale":$scale,"k":$k,""" +
+        s""""pq_build_sec":$tPqBuild,"ivfpq_build_sec":$tIvfBuild,""" +
+        s""""pq_serve_sec":$tPqServe,"ivfpq_serve_sec":$tIvfServe,""" +
+        s""""pq_refresh_sec":$tPqRefresh,"pq_refresh_mode":"${stat(rPq, "mode")}",""" +
+        s""""pq_cells_rewritten":${stat(rPq, "n_cells_rewritten")},""" +
+        s""""ivfpq_refresh_sec":$tIvfRefresh,"ivfpq_refresh_mode":"${stat(rIvf, "mode")}",""" +
+        s""""ivfpq_cells_rewritten":${stat(rIvf, "n_cells_rewritten")}}""")
+    spark.stop()
+  }
+}
