@@ -55,10 +55,14 @@ object JsonlCorpus {
            excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git"),
            exts: Seq[String] = Seq("jsonl")): DataFrame = {
     TextCorpus.requireCleanExts(exts)
+    // batch discovery prunes excluded folders at LISTING time (the subtree
+    // is never descended); extract()'s segment filter stays as the shared
+    // guard the streaming twin — which cannot enumerate load paths — relies
+    // on, and is a no-op here
+    val dirs = PrunedListing.includedDirs(spark, root, excludedFolders)
     val raw = spark.read
-      .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", TextCorpus.extGlob(exts))
-      .text(root)
+      .text(dirs: _*)
       .select(input_file_name().as("abs_path"), col("value"))
     collapse(extract(raw, root, textField, idField, langField, excludedFolders))
   }

@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * directory, keep files by extension whitelist, drop excluded folder
   * patterns and empty files, return (path, content, size, line_count).
   *
-  * Spark-first: `spark.read.option("wholetext", true).text` with a
-  * recursive lookup does the distributed read; the glob/exclusion logic is
-  * plan-side filters on `input_file_name`, so discovery scales with the
-  * file listing, not the driver. Extension whitelist is pushed into a single
-  * brace-glob `pathGlobFilter` (`*.{txt,md}`) so excluded files are never
-  * opened and the tree is listed exactly once.
+  * Spark-first: `spark.read.option("wholetext", true).text` over the
+  * exclusion-PRUNED directory list ([[PrunedListing]] — excluded subtrees
+  * are never listed, matching the reference's walk which skips them at
+  * descent) does the distributed read. Extension whitelist is pushed into a
+  * single brace-glob `pathGlobFilter` (`*.{txt,md}`) so excluded files are
+  * never opened and each included directory is listed exactly once.
   */
 object TextCorpus {
 
@@ -66,22 +66,20 @@ object TextCorpus {
            allowedExt: Seq[String] = Seq("txt", "md"),
            excludedFolders: Seq[String] = Seq("node_modules", "dist", ".git")): DataFrame = {
     requireCleanExts(allowedExt)
+    // folder exclusion is enforced at LISTING time (PrunedListing: excluded
+    // subtrees are never descended, by exact segment name — "redist/x"
+    // survives excludedFolders = ["dist"]), so no plan-side segment filter
+    // is needed and the listing cost is proportional to the included tree
+    val dirs = PrunedListing.includedDirs(spark, root, excludedFolders)
     val raw0 = spark.read
       .option("wholetext", "true")
-      .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", extGlob(allowedExt))
-      .text(root)
+      .text(dirs: _*)
       .select(input_file_name().as("abs_path"), col("value").as("content"))
     val rootNorm = if (root.endsWith("/")) root else root + "/"
     val raw = raw0
       .withColumn("path", relPathEncoded(col("abs_path"), rootNorm))
-    // exclusion by exact path segment (like the reference's folder patterns),
-    // not substring — "redist/x" must survive excludedFolders = ["dist"]
-    val segs = split(col("path"), "/")
-    val excluded = excludedFolders.foldLeft(raw) { (df, folder) =>
-      df.filter(!array_contains(segs, folder))
-    }
-    excluded
+    raw
       .filter(length(col("content")) > 0)
       .select(col("path"), col("content"),
         length(col("content")).cast("long").as("size"),
@@ -129,16 +127,14 @@ object TextCorpus {
     // path opens files task-side through the byte_size gate — the
     // binaryFile content column would hard-error the job on any file >2 GB
     def scan(): DataFrame = {
-      val raw = spark.read.format("binaryFile")
+      // exclusion pruned at listing (PrunedListing) — excluded subtrees are
+      // never even listed, let alone opened
+      val dirs = PrunedListing.includedDirs(spark, root, excludedFolders)
+      spark.read.format("binaryFile")
         .option("pathGlobFilter", extGlob(exts))
-        .option("recursiveFileLookup", "true")
-        .load(root)
+        .load(dirs: _*)
         .select(col("path").as("abs_path"), col("length").as("byte_size"))
         .withColumn("path", relPathRaw(col("abs_path"), rootNorm))
-      val segs = split(col("path"), "/")
-      excludedFolders.foldLeft(raw) { (df, folder) =>
-        df.filter(!array_contains(segs, folder))
-      }
     }
     val extracted: DataFrame = cachePath match {
       case None =>
@@ -162,31 +158,38 @@ object TextCorpus {
         // below has consumed it; the returned frame reads parquet only.
         val meta = graft.operators.AnnStore.trackedCheckpoint(
           scan().select(col("abs_path"), col("path"), col("byte_size")))
+        // FULL outer: a cache row with no current file (removed, or its byte
+        // size changed) surfaces as abs_path IS NULL — so the single
+        // aggregation below prices the whole round (misses AND stale rows)
+        // and the cache is read exactly once (the old shape re-opened its
+        // footers a second time just to count rows for the removal check)
         val joined =
           if (fs.exists(cpPath)) {
             val cache = spark.read.parquet(cp)
               .select(col("path"), col("byte_size"), col("text").as("cached_text"))
-            meta.join(cache, Seq("path", "byte_size"), "left")
+            meta.join(cache, Seq("path", "byte_size"), "full_outer")
           } else meta.withColumn("cached_text", lit(null).cast("string"))
-        // one aggregation over the checkpointed narrow listing prices the
-        // round: nMiss new/changed files, nHit files already cached
+        // one aggregation over the joined listing prices the round: nMiss
+        // new/changed files to extract, nStale cache rows with no current
+        // file (removals / size changes)
         val c = joined.agg(
-          sum(when(col("cached_text").isNull, 1L)).as("n_miss"),
-          sum(when(col("cached_text").isNotNull, 1L)).as("n_hit")).head()
+          sum(when(col("cached_text").isNull && col("abs_path").isNotNull, 1L))
+            .as("n_miss"),
+          sum(when(col("abs_path").isNull, 1L)).as("n_stale")).head()
         val nMiss = Option(c.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-        val nHit = Option(c.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-        // cache row count is a parquet-footer read; equality with nHit means
-        // no removed files either — the merged result would be byte-for-byte
-        // the existing cache, so a NO-CHANGE round rewrites nothing (at
-        // corpus scale the rewrite is a corpus-proportional write + object-
-        // store rename churn, paid every reindex of a stable tree)
-        val unchanged = nMiss == 0 && fs.exists(cpPath) &&
-          spark.read.parquet(cp).count() == nHit
+        val nStale = Option(c.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        // no misses and no stale rows means the merged result would be
+        // byte-for-byte the existing cache, so a NO-CHANGE round rewrites
+        // nothing (at corpus scale the rewrite is a corpus-proportional
+        // write + object-store rename churn, paid every reindex of a
+        // stable tree)
+        val unchanged = nMiss == 0 && nStale == 0 && fs.exists(cpPath)
         if (!unchanged) {
-          val hits = joined.filter(col("cached_text").isNotNull)
+          val hits = joined.filter(col("cached_text").isNotNull && col("abs_path").isNotNull)
             .select(col("path"), col("byte_size"), col("cached_text").as("text"))
-          // misses open THEIR files only, partition-local
-          val misses = extractFromPaths(joined.filter(col("cached_text").isNull)
+          // misses open THEIR files only, partition-local; stale cache-only
+          // rows (abs_path null) drop here — current files only
+          val misses = extractFromPaths(joined.filter(col("cached_text").isNull && col("abs_path").isNotNull)
             .select(col("abs_path"), col("path"), col("byte_size")), maxFileBytes)
           val merged = hits.unionByName(misses)
           // staged write + backup-rename swap (the store contract's protocol —
@@ -261,23 +264,6 @@ object TextCorpus {
           } catch { case _: java.io.IOException => "" }
         org.apache.spark.sql.Row(r.getString(1), size, text)
       }
-    }
-  }
-
-  /** Java-serializable Hadoop Configuration (Spark's own
-    * SerializableConfiguration is private[spark]): Configuration is a
-    * Writable, so ship it via its own write/readFields.
-    */
-  private class SerializableHadoopConf(
-      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject()
-      value.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new org.apache.hadoop.conf.Configuration(false)
-      value.readFields(in)
     }
   }
 
@@ -458,5 +444,25 @@ object TextCorpus {
       source.as("source"),
       length(col("content")).cast("long").as("n_chars"),
       col("size").as("byte_size"))
+  }
+}
+
+/** Java-serializable Hadoop Configuration (Spark's own
+  * SerializableConfiguration is private[spark]): Configuration is a
+  * Writable, so ship it via its own write/readFields. Shared by the PDF
+  * extraction tasks and [[PrunedListing]]'s distributed frontier tasks —
+  * both must see the SESSION's conf (credentials/endpoints), not a fresh
+  * executor-side `new Configuration()`.
+  */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }
