@@ -333,6 +333,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B7: quality-ranked near-dup suppression — which copy to KEEP, the
+    * decision every dedup pass feeds. Over the verified minhash pair graph
+    * (B3), a document is dropped iff some near-dup NEIGHBOR beats it on the
+    * D2 quality score (ties break toward the lower doc_id). One-hop
+    * dominance, not full connected components — deterministic, one
+    * anti-join-shaped pass, SQL-expressible (so oracle-checked, unlike the
+    * iterative B6), and the max-quality document of every component is
+    * guaranteed to survive. Greedy semantics, declared: in a quality chain
+    * a>b>c, c is dropped because of b even though b itself is dropped —
+    * the standard local-suppression trade; use B6's components when
+    * cluster-global survivor election is worth an iterative pass.
+    *
+    * Scale shape: pairs are dedup OUTPUT (orders of magnitude below the
+    * corpus); every join is doc_id-keyed (quality lookup, degree, dominance)
+    * so the pass shuffles by doc_id like any equi-join and AQE broadcasts
+    * the pair side when it's small. One row per document: kept flag, score,
+    * near-dup degree.
+    */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, sfDir).select(col("a_id"), col("b_id"))
+    val q = TextAnalysis.qualityScore(spark, sfDir).select(col("doc_id"), col("score"))
+    // both directions: u is judged against every neighbor v
+    val e = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    val dominated = e
+      .join(q.select(col("doc_id").as("u"), col("score").as("u_score")), "u")
+      .join(q.select(col("doc_id").as("v"), col("score").as("v_score")), "v")
+      .filter(col("v_score") > col("u_score") ||
+        (col("v_score") === col("u_score") && col("v") < col("u")))
+      .select(col("u").as("doc_id")).distinct()
+      .withColumn("dominated", lit(true))
+    val degree = e.groupBy(col("u").as("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    q.join(degree, Seq("doc_id"), "left_outer")
+      .join(dominated, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        !coalesce(col("dominated"), lit(false)).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** 2^(t*blockBits) as a Column for a lambda-bound t. */
   private def shiftLit(t: org.apache.spark.sql.Column, blockBits: Int) =
     pow(lit(2.0), t.cast("double") * blockBits).cast("long")

@@ -248,4 +248,43 @@ object Pipeline {
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"), col("contamination_frac"))
       .orderBy("doc_id")
   }
+
+  /** F7: deterministic sequence packing — map each document onto the
+    * fixed-length training sequences (`seqLen` tokens) its tokens will
+    * occupy, the layout pass between curated docs and training shards.
+    * Documents are packed CONTIGUOUSLY in doc_id order within a shard
+    * (`shard = doc_id mod nShards`): `tok_start` is the document's offset in
+    * its shard's token stream, `seq_id`/`seq_off` locate its first token,
+    * and `n_seqs` counts the sequences it spans (a doc crossing a boundary
+    * is split across consecutive sequences — the standard pack-and-split
+    * layout; n_seqs > 1 flags the split). Token counts are D3's CJK-aware
+    * estimate, so the packing agrees with [[TextAnalysis.tokenCount]].
+    *
+    * Scale shape: the shard is the shuffle key — each shard's running sum is
+    * an independent window over its own partition, so 100 TB packs as
+    * `nShards`-way parallel scans (pick nShards ≈ cluster parallelism;
+    * documents never move across shards). No global ordering exists
+    * anywhere: the only total order is WITHIN a shard, which is exactly the
+    * order a shard writer would consume.
+    */
+  def seqPack(spark: SparkSession, sfDir: String,
+              seqLen: Int = 512, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cjk = Text.CjkClass
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        (size(Text.tokens(regexp_replace(col("text"), cjk, " "))).cast("long") +
+          Text.codepointCount(col("text"), cjk)).as("n_tok"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("tok_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"tok_start div $seqLen"))
+      .withColumn("seq_off", pmod(col("tok_start"), lit(seqLen.toLong)))
+      .withColumn("n_seqs",
+        when(col("n_tok") > 0, expr(s"(tok_start + n_tok - 1) div $seqLen"))
+          .otherwise(col("seq_id")) - col("seq_id") + lit(1L))
+      .select(col("shard"), col("doc_id"), col("n_tok"), col("tok_start"),
+        col("seq_id"), col("seq_off"), col("n_seqs"))
+      .orderBy("shard", "doc_id")
+  }
 }
