@@ -68,15 +68,66 @@ object Tables {
   }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and truncate to microseconds —
-    * the same precision DuckDB's TIMESTAMP uses, so oracle comparisons agree.
+  /** `events.ts` arrives as either parquet TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects, so the legacy conf reads the nanos as a
+    * plain long to truncate to microseconds (DuckDB TIMESTAMP precision,
+    * keeping oracle comparisons exact) — or, in newer testdata generations,
+    * as a plain microsecond timestamp served as-is. Branch on the LOADED
+    * type, not the file vintage.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // align with the nanos vintage's TIMESTAMP (LTZ) so downstream
+        // unix_micros/window arithmetic type-checks identically; the
+        // session timezone is UTC everywhere, so values are unchanged
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already TIMESTAMP (µs) — nothing to convert
+    }
+  }
+
+  /** Whether an events parquet at `path` stores `ts` as TIMESTAMP(NANOS)
+    * (surfaced as a raw long under the legacy conf) rather than the
+    * microsecond-timestamp vintage. One footer read, no job — streaming
+    * readers need the answer BEFORE declaring their source schema.
+    */
+  private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+  }
+
+  /** The streaming twin of [[events]]: a file-source stream over event
+    * parquet whose `ts` lands as TIMESTAMP (LTZ, µs) regardless of the
+    * file vintage — nanos-long files convert via `div 1000`, native
+    * microsecond (NTZ) files cast (value-preserving under the UTC session
+    * timezone). The vintage is probed from the batch footer because a
+    * stream's schema must be declared before any file is opened.
+    */
+  private[graft] def eventsStream(spark: SparkSession, path: String,
+                                  glob: Option[String] = Some("events.parquet"),
+                                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val probePath = glob.map(g => s"$path/$g").getOrElse(path)
+    val nanos = eventsTsIsNanos(spark, probePath)
+    val tsField = if (nanos) StructField("ts", LongType)
+      else StructField("ts", TimestampNTZType)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), tsField,
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    var rdr = spark.readStream.schema(schema)
+    glob.foreach(g => rdr = rdr.option("pathGlobFilter", g))
+    maxFilesPerTrigger.foreach(n => rdr = rdr.option("maxFilesPerTrigger", n))
+    val raw = rdr.parquet(path)
+    if (nanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -12,12 +12,7 @@ import org.apache.spark.sql.functions._
 object DedupStream {
 
   def dedupped(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.eventsStream(spark, sfDir)
       // duplicate key: the payload identity (same user+type+value+props).
       // Hash a struct, not a delimiter-joined string: concat_ws skips NULL
       // fields, so (1,NULL,'x') and (1,'x',NULL) would collide.

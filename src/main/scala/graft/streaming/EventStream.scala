@@ -20,20 +20,11 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet physical schema (ts read as raw nanos — see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** The streaming aggregation plan (unbound — caller picks the sink). */
+  /** The streaming aggregation plan (unbound — caller picks the sink).
+    * Source schema + ts vintage handling live in [[graft.Tables.eventsStream]].
+    */
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.eventsStream(spark, sfDir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")) + lit(1e-9), 2).as("sum_value"))

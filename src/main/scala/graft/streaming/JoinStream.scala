@@ -15,14 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object JoinStream {
 
-  private def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.eventsStream(spark, sfDir)
 
   /** One join body for both modes: the streaming variant watermarks each
     * side before the shared predicate/projection, so the interval and

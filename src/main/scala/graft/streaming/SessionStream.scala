@@ -140,12 +140,8 @@ object SessionStream {
   def sessionizedBuffered(spark: SparkSession, dir: String,
                           maxFilesPerTrigger: Int = 1): Dataset[SessionOut] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventStream.rawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.eventsStream(spark, dir, glob = None,
+      maxFilesPerTrigger = Some(maxFilesPerTrigger))
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_id"),
         expr("unix_micros(ts)").as("tsUs"), col("value"), col("ts"))
@@ -185,13 +181,9 @@ object SessionStream {
 
   def sessionized(spark: SparkSession, sfDir: String): Dataset[SessionRow] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    graft.Tables.eventsStream(spark, sfDir)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsUs"), col("value"))
+        expr("unix_micros(ts)").as("tsUs"), col("value"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)

@@ -56,17 +56,25 @@ class DedupStreamSpec extends SparkSpecBase {
     // 30 minutes before each boundary whose event_id % 5 == 0 deferred to
     // the next file. The plain fold's cross-batch in-order assumption is
     // violated; the buffered fold must still equal the batch twin.
+    // vintage-neutral: ts may be long nanos (legacy files) or a µs
+    // timestamp — split on a derived numeric column either way, and write
+    // the files with the ORIGINAL ts so the stream reads its native vintage
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet") // ts stays long nanos
-    val Array(t1, t2) = raw.stat.approxQuantile("ts", Array(1.0 / 3, 2.0 / 3), 0.0)
+    val raw0 = spark.read.parquet(s"$sf/events.parquet")
+    val isNanos = raw0.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsNum = if (isNanos) col("ts")
+      else unix_micros(col("ts").cast("timestamp"))
+    val raw = raw0.withColumn("ts_cmp", tsNum)
+    val Array(t1, t2) = raw.stat.approxQuantile("ts_cmp", Array(1.0 / 3, 2.0 / 3), 0.0)
       .map(_.toLong)
-    val lateWinNs = 1800L * 1000000000L // 30 min in nanos
+    val lateWin = 1800L * (if (isNanos) 1000000000L else 1000000L) // 30 min
     def straggler(bound: Long) =
-      col("ts") >= bound - lateWinNs && col("ts") < bound && col("event_id") % 5 === 0
-    val f1 = raw.filter(col("ts") < t1 && !straggler(t1))
-    val f2 = raw.filter((col("ts") >= t1 && col("ts") < t2 && !straggler(t2)) || straggler(t1))
-    val f3 = raw.filter(col("ts") >= t2 || straggler(t2))
-    assert(f1.count() + f2.count() + f3.count() == raw.count())
+      col("ts_cmp") >= bound - lateWin && col("ts_cmp") < bound && col("event_id") % 5 === 0
+    val f1 = raw.filter(col("ts_cmp") < t1 && !straggler(t1)).drop("ts_cmp")
+    val f2 = raw.filter((col("ts_cmp") >= t1 && col("ts_cmp") < t2 && !straggler(t2)) ||
+      straggler(t1)).drop("ts_cmp")
+    val f3 = raw.filter(col("ts_cmp") >= t2 || straggler(t2)).drop("ts_cmp")
+    assert(f1.count() + f2.count() + f3.count() == raw0.count())
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_ooo").toString
     for ((f, i) <- Seq(f1, f2, f3).zipWithIndex) {
       val stage = s"$dir/stage_$i" // unique per run — concurrent-safe
