@@ -20,8 +20,18 @@ import java.util.zip.Inflater
   * `/Length N 0 R` stream bounds; `/Type/ObjStm` object streams are
   * inflated and their embedded objects walked via the `/N`+`/First` pair
   * table (that is where modern writers keep the page dictionaries, so page
-  * counting covers them). Out of scope, by design: CID/Unicode CMap
-  * remapping and encryption — a real corpus routes those to a full parser;
+  * counting covers them). Composite (Type0/CID) fonts decode through their
+  * `/ToUnicode` CMap (r11): page `/Font` resource dicts — inline or
+  * indirect, top-level or packed in an ObjStm — resolve each resource name
+  * to its font object, whose ToUnicode stream is parsed (codespacerange
+  * width, `bfchar`, `bfrange` in both increment and array forms), and show
+  * strings under a `Tf`-selected mapped font regroup into code-width units
+  * remapped to Unicode — the subset-font shape every modern writer emits,
+  * where the raw string bytes are meaningless glyph ids. Resource names
+  * merge document-wide (first binding wins — a name rebound to a different
+  * font across pages is rare and degrades to the first mapping, never
+  * throws). Out of scope, by design: encryption and glyph mapping for
+  * fonts that ship NO ToUnicode (those degrade to the raw one-byte read);
   * everything else still flows through the same Spark plumbing.
   *
   * Driver-query note: the `pdf_decode` oracle query keeps its deterministic
@@ -69,12 +79,10 @@ object PdfText {
     // chain; for a classic-xref file it yields nothing and every lookup
     // falls back to the scan heuristics below (never-throws either way)
     val xref = loadXrefStreams(bytes, s)
-    val text = new StringBuilder
-    // stream-body byte ranges, collected during the walk: page counting
-    // must ignore matches INSIDE stream data (raw text about PDFs may
-    // contain "/Type /Page"), so the regex runs only over structure
-    val streamRanges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    var objStmPages = 0
+    // pass 1 — locate every stream (bounds resolved in trust order below)
+    // without decoding text yet: the font table must exist BEFORE show
+    // strings are read, and fonts may live anywhere in the file
+    val recs = scala.collection.mutable.ArrayBuffer.empty[StreamRec]
     var from = 0
     while (from >= 0 && from < s.length) {
       val st = s.indexOf("stream", from)
@@ -109,41 +117,73 @@ object PdfText {
         }
         if (end < 0) from = -1
         else {
-          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, end)
-          lazy val content =
-            if (dict.contains("FlateDecode")) inflate(raw).map(new String(_, Latin1))
-            else Some(new String(raw, Latin1))
-          if (ObjStmRe.findFirstIn(dict).isDefined) {
-            // object stream: walk the embedded objects (that is where a
-            // modern writer keeps the page dictionaries). Liveness gates
-            // both LEVELS against the xref — an incremental update
-            // (append-only save) leaves superseded generations in the
-            // file body, and counting their stale page dicts would double
-            // the page count: (a) this physical COPY is the stream object
-            // only if the xref's type-1 entry for its object number points
-            // at this very header offset (generations share the number);
-            // (b) a MEMBER is live only if its type-2 entry points back at
-            // (this stream, this index). No xref → classic behavior.
-            val stmInfo = objNumBefore(s, dictStart)
-            val copyLive = xref.isEmpty || stmInfo.isEmpty ||
-              stmInfo.exists { case (num, off) => xref.get(num).contains(InFile(off)) }
-            if (copyLive)
-              content.foreach(p =>
-                objStmPages += countObjStmPages(p, dict, stmInfo.map(_._1), xref))
-          } else if (XRefRe.findFirstIn(dict).isEmpty) {
-            // text path — structural streams (XRef tables, ObjStm payloads)
-            // are excluded so binary table bytes can never masquerade as
-            // show operators; cheap gate on the BT operator for the rest
-            content.foreach(c => if (c.contains("BT")) appendShownText(c, text))
-          }
-          streamRanges += ((dataStart, end))
+          recs += StreamRec(dict, dataStart, end, objNumBefore(s, dictStart))
           from = end + "endstream".length
         }
       }
     }
-    val nPages = PageRe.findAllIn(s).matchData
-      .count(m => !streamRanges.exists(r => m.start >= r._1 && m.start < r._2))
+    def contentOf(r: StreamRec): Option[String] = {
+      val raw = java.util.Arrays.copyOfRange(bytes, r.dataStart, r.end)
+      if (r.dict.contains("FlateDecode")) inflate(raw).map(new String(_, Latin1))
+      else Some(new String(raw, Latin1))
+    }
+    // object streams: walk the embedded objects (that is where a modern
+    // writer keeps the page dictionaries). Liveness gates both LEVELS
+    // against the xref — an incremental update (append-only save) leaves
+    // superseded generations in the file body, and counting their stale
+    // page dicts would double the page count: (a) this physical COPY is
+    // the stream object only if the xref's type-1 entry for its object
+    // number points at this very header offset (generations share the
+    // number); (b) a MEMBER is live only if its type-2 entry points back
+    // at (this stream, this index). No xref → classic behavior.
+    var objStmPages = 0
+    val objStmPayloads = scala.collection.mutable.ArrayBuffer.empty[(Option[Int], String, String)]
+    recs.foreach { r =>
+      if (ObjStmRe.findFirstIn(r.dict).isDefined) {
+        val copyLive = xref.isEmpty || r.objNum.isEmpty ||
+          r.objNum.exists { case (num, off) => xref.get(num).contains(InFile(off)) }
+        if (copyLive) contentOf(r).foreach { p =>
+          objStmPages += countObjStmPages(p, r.dict, r.objNum.map(_._1), xref)
+          objStmPayloads += ((r.objNum.map(_._1), r.dict, p))
+        }
+      }
+    }
+    // structure view with stream BODIES blanked: page counting and the
+    // font-resource scan must never match inside stream data (raw text
+    // about PDFs may contain "/Type /Page" or "/Font")
+    val struct = blankRanges(s, recs.map(r => (r.dataStart, r.end)).toSeq)
+    val fonts =
+      try buildFontTable(struct, recs.toSeq, objStmPayloads.toSeq, xref, contentOf)
+      catch { case _: Exception => Map.empty[String, CidFont] }
+    // pass 2 — text path: structural streams (XRef tables, ObjStm
+    // payloads) are excluded so binary table bytes can never masquerade
+    // as show operators; cheap gate on the BT operator for the rest
+    val text = new StringBuilder
+    recs.foreach { r =>
+      if (ObjStmRe.findFirstIn(r.dict).isEmpty && XRefRe.findFirstIn(r.dict).isEmpty)
+        contentOf(r).foreach(c => if (c.contains("BT")) appendShownText(c, text, fonts))
+    }
+    val nPages = PageRe.findAllIn(struct).size
     Some(PdfDoc(text.result().trim, nPages + objStmPages))
+  }
+
+  /** One located stream: owning dictionary text, body byte range, and the
+    * owning object's (number, header offset) when recoverable.
+    */
+  private final case class StreamRec(dict: String, dataStart: Int, end: Int,
+                                     objNum: Option[(Int, Int)])
+
+  /** `s` with each (from, until) range replaced by spaces — the structural
+    * view regexes may safely run over.
+    */
+  private def blankRanges(s: String, ranges: Seq[(Int, Int)]): String = {
+    val a = s.toCharArray
+    ranges.foreach { case (f, u) =>
+      var i = math.max(0, f)
+      val e = math.min(a.length, u)
+      while (i < e) { a(i) = ' '; i += 1 }
+    }
+    new String(a)
   }
 
   /** A direct `/Length N` (toLong + None on overflow — a malformed huge
@@ -334,28 +374,185 @@ object PdfText {
   private def countObjStmPages(payload: String, dict: String,
                                stmNum: Option[Int], xref: Map[Int, XrefLoc]): Int = {
     try {
+      objStmMembers(payload, dict) match {
+        case None => PageRe.findAllIn(payload).size
+        case Some(members) =>
+          // live-unknowable (no table, or unparseable stream number): count
+          // all — dropping real pages is worse than tolerating stale ones
+          def live(i: Int, num: Int): Boolean = (xref.isEmpty || stmNum.isEmpty) ||
+            xref.get(num).contains(InObjStm(stmNum.get, i))
+          members.zipWithIndex.count { case ((num, body), i) =>
+            live(i, num) && PageRe.findFirstIn(body).isDefined
+          }
+      }
+    } catch { case _: Exception => 0 }
+  }
+
+  /** The embedded objects of one object stream, as (objnum, serialized
+    * body) in member order, by walking the `/N` pair table from `/First`
+    * (the spec's layout: N (objnum, relative-offset) integer pairs, then
+    * the serialized objects). None on a malformed pair table — callers
+    * fall back to whole-payload heuristics.
+    */
+  private def objStmMembers(payload: String, dict: String): Option[Seq[(Int, String)]] = {
+    try {
       val n = "/N\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
-        .getOrElse(return PageRe.findAllIn(payload).size)
+        .getOrElse(return None)
       val first = "/First\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
-        .getOrElse(return PageRe.findAllIn(payload).size)
-      if (first <= 0 || first > payload.length || n <= 0)
-        return PageRe.findAllIn(payload).size
+        .getOrElse(return None)
+      if (first <= 0 || first > payload.length || n <= 0) return None
       val nums = payload.substring(0, first).trim.split("\\s+")
         .filter(_.nonEmpty).flatMap(t => scala.util.Try(t.toInt).toOption)
-      if (nums.length < 2 * n) return PageRe.findAllIn(payload).size
-      // live-unknowable (no table, or unparseable stream number): count
-      // all — dropping real pages is worse than tolerating stale ones
-      def live(i: Int): Boolean = (xref.isEmpty || stmNum.isEmpty) ||
-        xref.get(nums(2 * i)).contains(InObjStm(stmNum.get, i))
+      if (nums.length < 2 * n) return None
       val offsets = (0 until n).map(i => nums(2 * i + 1))
-      offsets.indices.count { i =>
+      Some(offsets.indices.map { i =>
         val from = math.min(payload.length, math.max(first, first + offsets(i)))
         val until = if (i + 1 < n)
           math.min(payload.length, math.max(from, first + offsets(i + 1)))
         else payload.length
-        live(i) && PageRe.findFirstIn(payload.substring(from, until)).isDefined
+        (nums(2 * i), payload.substring(from, until))
+      })
+    } catch { case _: Exception => None }
+  }
+
+  // ---- composite (Type0/CID) fonts via /ToUnicode CMaps ----
+
+  /** One mapped font: show-string code width in bytes (from the CMap's
+    * codespacerange; 2 for every real Type0 subset) and code → Unicode
+    * text (multi-char targets carry ligatures like fi).
+    */
+  private final case class CidFont(codeBytes: Int, map: Map[Int, String])
+
+  private val FontRefRe = "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val ToUnicodeRe = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+
+  /** Resource name (`F1`) → decoder, merged across every `/Font` resource
+    * dict in the document — inline (`/Font<</F1 5 0 R>>`) or indirect
+    * (`/Font 7 0 R`), in top-level structure or inside a live ObjStm
+    * member (where modern writers keep page dicts). First binding wins;
+    * fonts without a parseable ToUnicode CMap simply never enter the
+    * table, so their strings keep the raw one-byte read.
+    */
+  private def buildFontTable(struct: String, recs: Seq[StreamRec],
+                             objStmPayloads: Seq[(Option[Int], String, String)],
+                             xref: Map[Int, XrefLoc],
+                             contentOf: StreamRec => Option[String]): Map[String, CidFont] = {
+    // every structural text a /Font resource dict can live in
+    val memberBodies: Seq[(Int, String)] = objStmPayloads.flatMap {
+      case (_, dict, payload) => objStmMembers(payload, dict).getOrElse(Seq.empty)
+    }
+    val sources: Seq[String] = struct +: memberBodies.map(_._2)
+    // the body of top-level object `num` (xref offset preferred, scan
+    // fallback) or of an ObjStm member
+    def objectBody(num: Int): Option[String] = {
+      val viaXref = xref.get(num).collect { case InFile(off) if off < struct.length =>
+        val to = struct.indexOf("endobj", off)
+        struct.substring(off, if (to < 0) math.min(struct.length, off + 4096) else to)
       }
-    } catch { case _: Exception => 0 }
+      viaXref
+        .orElse {
+          ("(?m)^\\s*" + num + "\\s+\\d+\\s+obj").r.findFirstMatchIn(struct).map { m =>
+            val to = struct.indexOf("endobj", m.end)
+            struct.substring(m.end, if (to < 0) math.min(struct.length, m.end + 4096) else to)
+          }
+        }
+        .orElse(memberBodies.find(_._1 == num).map(_._2))
+    }
+    // the CMap stream for object `num`: prefer the xref-live physical
+    // copy, else the LAST one in the file (incremental updates append)
+    def streamContent(num: Int): Option[String] = {
+      val candidates = recs.filter(_.objNum.exists(_._1 == num))
+      val live = candidates.find(r =>
+        r.objNum.exists { case (n, off) => xref.get(n).contains(InFile(off)) })
+      live.orElse(candidates.lastOption).flatMap(contentOf)
+    }
+    val table = scala.collection.mutable.Map.empty[String, CidFont]
+    def addEntries(fontDict: String): Unit =
+      FontRefRe.findAllMatchIn(fontDict).foreach { m =>
+        val name = m.group(1)
+        if (!table.contains(name))
+          for {
+            fontNum <- scala.util.Try(m.group(2).toInt).toOption
+            body <- objectBody(fontNum)
+            cmapNum <- ToUnicodeRe.findFirstMatchIn(body)
+              .flatMap(mm => scala.util.Try(mm.group(1).toInt).toOption)
+            payload <- streamContent(cmapNum)
+            font <- parseToUnicodeCMap(payload)
+          } table(name) = font
+      }
+    sources.foreach { src =>
+      // inline resource dicts: refs only inside (a nested inline font
+      // dict would break the span — rare, and degrades to no mapping)
+      "/Font\\s*<<([^<>]*)>>".r.findAllMatchIn(src).foreach(m => addEntries(m.group(1)))
+      // indirect resource dicts: /Font 7 0 R → that object's body
+      "/Font\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(src).foreach { m =>
+        scala.util.Try(m.group(1).toInt).toOption
+          .flatMap(objectBody).foreach(addEntries)
+      }
+    }
+    table.toMap
+  }
+
+  /** Mapping-entry cap: a hostile CMap must not expand into unbounded
+    * driver/executor state (64k codes ≫ any real subset font).
+    */
+  private val MaxCMapEntries = 1 << 17
+
+  /** Parse a ToUnicode CMap: code width from the first codespacerange
+    * (default 2 — the Type0 norm), then `bfchar` pairs and `bfrange`
+    * entries in both forms (`<lo> <hi> <dstStart>` incrementing the last
+    * UTF-16 unit, and `<lo> <hi> [<d1> <d2> …]` explicit arrays). The
+    * combined regex consumes array bodies whole, so their inner hex
+    * strings can never be re-read as lo/hi pairs. None when no mapping
+    * parses (font stays unmapped → raw read).
+    */
+  private def parseToUnicodeCMap(payload: String): Option[CidFont] = {
+    try {
+      val codeBytes = "begincodespacerange\\s*<([0-9A-Fa-f]+)>".r
+        .findFirstMatchIn(payload).map(_.group(1).length / 2)
+        .filter(b => b >= 1 && b <= 2).getOrElse(2)
+      val map = scala.collection.mutable.Map.empty[Int, String]
+      def utf16be(hex: String): String = {
+        val h = if (hex.length % 4 == 0) hex else hex.reverse.padTo((hex.length + 3) / 4 * 4, '0').reverse
+        h.grouped(4).map(u => Integer.parseInt(u, 16).toChar).mkString
+      }
+      "beginbfchar([\\s\\S]*?)endbfchar".r.findAllMatchIn(payload).foreach { sec =>
+        "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r.findAllMatchIn(sec.group(1)).foreach { m =>
+          if (map.size < MaxCMapEntries)
+            map(Integer.parseInt(m.group(1), 16)) = utf16be(m.group(2))
+        }
+      }
+      val entry = ("<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
+        "(?:<([0-9A-Fa-f]+)>|\\[((?:\\s*<[0-9A-Fa-f]+>)+)\\s*\\])").r
+      "beginbfrange([\\s\\S]*?)endbfrange".r.findAllMatchIn(payload).foreach { sec =>
+        entry.findAllMatchIn(sec.group(1)).foreach { m =>
+          val lo = Integer.parseInt(m.group(1), 16)
+          val hi = Integer.parseInt(m.group(2), 16)
+          if (hi >= lo && hi - lo <= 0xFFFF) {
+            if (m.group(3) != null) {
+              val dst = utf16be(m.group(3))
+              var c = lo
+              while (c <= hi && map.size < MaxCMapEntries) {
+                val inc = c - lo
+                val mapped =
+                  if (dst.isEmpty) ""
+                  else dst.dropRight(1) + ((dst.last + inc) & 0xFFFF).toChar
+                map(c) = mapped
+                c += 1
+              }
+            } else {
+              val dsts = "<([0-9A-Fa-f]+)>".r.findAllMatchIn(m.group(4))
+                .map(_.group(1)).toSeq
+              dsts.zipWithIndex.foreach { case (d, i) =>
+                if (lo + i <= hi && map.size < MaxCMapEntries)
+                  map(lo + i) = utf16be(d)
+              }
+            }
+          }
+        }
+      }
+      if (map.isEmpty) None else Some(CidFont(codeBytes, map.toMap))
+    } catch { case _: Exception => None }
   }
 
   /** Inflated-size cap: a content stream is operators + strings, never
@@ -391,35 +588,71 @@ object PdfText {
     * array brackets are operands and leave `pending` alone, which is
     * exactly what `[(…) -120 (…)] TJ` needs.
     */
-  private def appendShownText(c: String, out: StringBuilder): Unit = {
+  private def appendShownText(c: String, out: StringBuilder,
+                              fonts: Map[String, CidFont] = Map.empty): Unit = {
     val pending = new StringBuilder
+    // the font selected by the most recent `/Name size Tf` — None (raw
+    // one-byte read) until a MAPPED font is selected; reset by a Tf that
+    // names an unmapped font, because its string bytes are its own
+    var curFont: Option[CidFont] = None
+    var lastName = ""
     def flush(): Unit =
       if (pending.nonEmpty) {
         if (out.nonEmpty) out += ' '
         out ++= pending.result(); pending.clear()
       }
+    // a parsed string's raw chars (one per byte), routed through the
+    // active font: CID fonts regroup into code-width units and remap via
+    // the CMap (unmapped codes drop — a glyph with no Unicode target has
+    // no text), unmapped fonts keep the raw read
+    def decode(raw: String): String = curFont match {
+      case None => raw
+      case Some(f) =>
+        val sb = new StringBuilder(raw.length)
+        var i = 0
+        while (i + f.codeBytes <= raw.length) {
+          var code = 0
+          var j = 0
+          while (j < f.codeBytes) { code = (code << 8) | (raw.charAt(i + j) & 0xff); j += 1 }
+          f.map.get(code).foreach(sb ++= _)
+          i += f.codeBytes
+        }
+        sb.result() // trailing partial code (malformed) drops
+    }
+    val rawBuf = new StringBuilder
     var i = 0
     val n = c.length
     while (i < n) {
       c.charAt(i) match {
         case '(' =>
-          i = parseLiteral(c, i + 1, pending)
+          rawBuf.clear()
+          i = parseLiteral(c, i + 1, rawBuf)
+          pending ++= decode(rawBuf.result())
         case '<' =>
           if (i + 1 < n && c.charAt(i + 1) == '<') i += 2 // dict open — skip
-          else i = parseHex(c, i + 1, pending)
+          else {
+            rawBuf.clear()
+            i = parseHex(c, i + 1, rawBuf)
+            pending ++= decode(rawBuf.result())
+          }
         case '>' =>
           i += 1 // dict close halves — structure, skip
         case '%' => // comment runs to EOL
           while (i < n && c.charAt(i) != '\n' && c.charAt(i) != '\r') i += 1
-        case '/' => // name operand — consume, keep pending
+        case '/' => // name operand — consume (remember it: Tf's operand)
           i += 1
+          val start = i
           while (i < n && !isDelim(c.charAt(i))) i += 1
+          lastName = c.substring(start, i)
         case ch if ch.isLetter || ch == '\'' || ch == '"' || ch == '*' =>
           val start = i
           while (i < n && (c.charAt(i).isLetterOrDigit || c.charAt(i) == '*' ||
             c.charAt(i) == '\'' || c.charAt(i) == '"')) i += 1
           c.substring(start, i) match {
             case "Tj" | "TJ" | "'" | "\"" => flush()
+            case "Tf" =>
+              curFont = fonts.get(lastName)
+              pending.clear() // operands, not text
             case _ => pending.clear() // other operator: strings were operands
           }
         case _ =>
@@ -556,6 +789,59 @@ object PdfText {
     out.write(xrefBody)
     w("\nendstream endobj\n")
     w(s"startxref\n${offsets(51)}\n%%EOF")
+    out.toByteArray
+  }
+
+  /** A complete one-page PDF whose text is shown through a composite
+    * (Type0/Identity-H) font — the modern subset-font shape where string
+    * bytes are 2-byte codes meaningless without the `/ToUnicode` CMap.
+    * Codes are `char + 0x100` (NOT the char values: a reader that skips
+    * the CMap and reads bytes raw cannot accidentally round-trip), mapped
+    * back by a `bfrange` for the run at 0x20–0x4F and `bfchar` entries
+    * for every other distinct char — both CMap entry forms are exercised
+    * by any text spanning the split. Text must be BMP below 0xFE00 (the
+    * oracle gate feeds printable ASCII). Consumed by [[extract]]'s font
+    * table; used by the `pdf_decode_real` gate's encode rotation and the
+    * spec fixtures.
+    */
+  def buildCidPdf(text: String, flate: Boolean = true): Array[Byte] = {
+    require(text.forall(_ < 0xFE00), "buildCidPdf: text must stay below U+FE00")
+    val content =
+      ("BT /F1 12 Tf <" + text.map(ch => f"${ch.toInt + 0x100}%04X").mkString +
+        "> Tj ET").getBytes(Latin1)
+    val rangeLo = 0x20; val rangeHi = 0x4F
+    val extras = text.filter(ch => ch < rangeLo || ch > rangeHi).distinct.sorted
+    val cmap = new StringBuilder
+    cmap ++= "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+    cmap ++= "/CMapName /GraftToUnicode def\n"
+    cmap ++= "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    cmap ++= f"1 beginbfrange\n<${rangeLo + 0x100}%04X> <${rangeHi + 0x100}%04X> <$rangeLo%04X>\nendbfrange\n"
+    if (extras.nonEmpty) {
+      cmap ++= s"${extras.length} beginbfchar\n"
+      extras.foreach(ch => cmap ++= f"<${ch.toInt + 0x100}%04X> <${ch.toInt}%04X>\n")
+      cmap ++= "endbfchar\n"
+    }
+    cmap ++= "endcmap\nend\n"
+    val cmapBytes = cmap.result().getBytes(Latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(Latin1))
+    def stream(id: Int, payload: Array[Byte], extraDict: String): Unit = {
+      val body = if (flate) deflate(payload) else payload
+      val filter = if (flate) "/Filter/FlateDecode" else ""
+      w(s"$id 0 obj<</Length ${body.length}$filter$extraDict>>stream\n")
+      out.write(body)
+      w("\nendstream endobj\n")
+    }
+    w("%PDF-1.4\n")
+    w("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")
+    w("2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n")
+    w("3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>" +
+      "/Contents 4 0 R>>endobj\n")
+    stream(4, content, "")
+    w("5 0 obj<</Type/Font/Subtype/Type0/BaseFont/GraftCID" +
+      "/Encoding/Identity-H/ToUnicode 6 0 R>>endobj\n")
+    stream(6, cmapBytes, "")
+    w("trailer<</Root 1 0 R>>\n%%EOF")
     out.toByteArray
   }
 

@@ -105,14 +105,16 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val text = if (r.isNullAt(1)) "" else r.getString(1) // nullable column
-          // rotate the show-string form by doc_id: literal Tj / kerned TJ
-          // array / hex string all decode to the same text, so the gate
-          // exercises every parser path against one oracle
+          // rotate the encode form by doc_id: literal Tj / kerned TJ array /
+          // hex string / CID composite font (2-byte ToUnicode-mapped codes)
+          // all decode to the same text, so the gate exercises every parser
+          // path — including the CMap machinery — against one oracle
           // floorMod: Scala % is signed — a negative doc_id must still
-          // rotate through all three forms, not collapse to the literal one
-          Row(id,
-            PdfText.buildPdf(Seq(PdfText.textPage(text, Math.floorMod(id, 3L).toInt)),
-              flate = true))
+          // rotate through all four forms, not collapse to the literal one
+          Row(id, Math.floorMod(id, 4L).toInt match {
+            case 3 => PdfText.buildCidPdf(text)
+            case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
+          })
         }
       }
   }

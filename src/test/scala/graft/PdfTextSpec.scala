@@ -66,6 +66,78 @@ class PdfTextSpec extends SparkSpecBase {
     }
   }
 
+  test("CID composite font: 2-byte codes remap through the ToUnicode CMap") {
+    // codes are char+0x100 — raw byte reads CANNOT round-trip; text spans
+    // the builder's bfrange run (0x20-0x4F) AND its bfchar extras
+    val t = "Hello graft! {CID}~ works"
+    val doc = PdfText.buildCidPdf(t)
+    val r = PdfText.extract(doc).get
+    assert(r.text == t, r.text)
+    assert(r.nPages == 1)
+    // the mapping is load-bearing: the PDF carries no plain-text copy
+    assert(!new String(doc, "ISO-8859-1").contains("Hello"))
+    // and without flate too (raw content + raw cmap stream)
+    assert(PdfText.extract(PdfText.buildCidPdf(t, flate = false)).get.text == t)
+    // empty text stays empty
+    assert(PdfText.extract(PdfText.buildCidPdf("")).get.text == "")
+  }
+
+  test("CID codes in LITERAL strings group into 2-byte units; unmapped codes drop") {
+    // buildCidPdf("AB") shows <01410142>; patch the content to a LITERAL
+    // string carrying the same byte pairs ('A' 'B' with a 0x01 lead byte =
+    // codes 0x0141, 0x0142), plus an unmapped code 0x0999 that must vanish
+    // without corrupting neighbors. /Length fixed up to the new content.
+    val s = new String(PdfText.buildCidPdf("AB", flate = false), "ISO-8859-1")
+    val old = "BT /F1 12 Tf <01410142> Tj ET"
+    assert(s.contains(old), "fixture drift: expected content stream not found")
+    val content = "BT /F1 12 Tf (\u0001A\u0001B) Tj <0999> Tj <0141> Tj ET"
+    val patched = s.replace(old, content)
+      .replace(s"/Length ${old.length}", s"/Length ${content.length}")
+    assert(PdfText.extract(patched.getBytes("ISO-8859-1")).get.text == "AB A")
+  }
+
+  test("bfchar multi-char target (ligature) and array-form bfrange") {
+    // handcrafted: font 5 via INDIRECT /Resources /Font object 7; CMap maps
+    // <0001> -> "fi" (ligature) and array bfrange <0010>-<0012> -> A B C
+    val cmap = """/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfchar
+<0001> <00660069>
+endbfchar
+1 beginbfrange
+<0010> <0012> [<0041> <0042> <0043>]
+endbfrange
+endcmap
+end
+"""
+    val content = "BT /F1 10 Tf <000100100011001200010001> Tj ET"
+    val doc = ("%PDF-1.4\n" +
+      "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+      "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+      "3 0 obj<</Type/Page/Parent 2 0 R/Resources 7 0 R/Contents 4 0 R>>endobj\n" +
+      "7 0 obj<</Font<</F1 5 0 R>>>>endobj\n" +
+      s"4 0 obj<</Length ${content.length}>>stream\n" + content + "\nendstream endobj\n" +
+      "5 0 obj<</Type/Font/Subtype/Type0/Encoding/Identity-H/ToUnicode 6 0 R>>endobj\n" +
+      s"6 0 obj<</Length ${cmap.length}>>stream\n" + cmap + "\nendstream endobj\n" +
+      "trailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfText.extract(doc).get.text == "fiABCfifi")
+  }
+
+  test("Tf to an UNMAPPED font resets decoding to the raw one-byte read") {
+    // first show under the mapped /F1, then /F9 (no font object) — its
+    // string bytes are its own and must pass through unmapped
+    val s = new String(PdfText.buildCidPdf("Hi", flate = false), "ISO-8859-1")
+    val old = "BT /F1 12 Tf <01480169> Tj ET"
+    assert(s.contains(old), "fixture drift: expected content stream not found")
+    val content = "BT /F1 12 Tf <01480169> Tj /F9 12 Tf (raw bytes) Tj ET"
+    val patched = s.replace(old, content)
+      .replace(s"/Length ${old.length}", s"/Length ${content.length}")
+    assert(PdfText.extract(patched.getBytes("ISO-8859-1")).get.text == "Hi raw bytes")
+  }
+
   test("stream bytes containing 'endstream' do not truncate: /Length wins") {
     // raw (uncompressed) stream whose TEXT contains the keyword — a bare
     // indexOf("endstream") would cut the stream mid-literal and lose the tail
