@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Chunker
 import graft.plans.VecExprs
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The user-facing facade — what a user of mcp-rag-server switches to.
@@ -240,6 +240,24 @@ class Graft(spark: SparkSession, sfDir: String,
   /** Dir-keyed location of the facade's chunk-embedding GRAPH index. */
   def chunkGraphPath: String = operators.AnnStore.defaultPath("chunkgraph", sfDir)
 
+  /** Compact BOTH derived chunk indexes' small files
+    * ([[operators.AnnStore.compactIndex]]) — the maintenance pass a long
+    * watch loop needs: every incremental reindex rewrites affected cells
+    * from many-partition frames, so heavily-refreshed cells accumulate
+    * tiny part files and the pruned probe reads pay per-file open costs.
+    * No-op for an index that does not exist yet; manifests untouched
+    * (serving stays row-identical — spec-asserted).
+    */
+  def compactIndexes(targetBytes: Long = 128L << 20): DataFrame = {
+    val ann = operators.AnnIvf.compactIvfIndex(spark, chunkAnnPath, targetBytes)
+      .withColumn("index", lit("chunk_ann"))
+    val graph = operators.AnnGraph.compactGraphIndex(spark, chunkGraphPath, targetBytes)
+      .withColumn("index", lit("chunk_graph"))
+    ann.unionByName(graph)
+      .select(col("index"), col("subdir"), col("n_units_compacted"),
+        col("n_files_before"), col("n_files_after"))
+  }
+
   /** The stored manifest at `path`, iff it really describes an index of
     * `kind` — the single gatekeeper for trusting stored build params (a
     * foreign manifest at the path reads as absent, so its k/degree can
@@ -343,8 +361,9 @@ class Graft(spark: SparkSession, sfDir: String,
     * [[servingIndex]], which predates any reindex by design. The two are
     * therefore fresh on different clocks — documented, not accidental.
     */
-  def ragQueryAnn(query: String, topK: Int = 5, nprobe: Int = 2): DataFrame =
-    ragQueryAnnBatch(Seq(query), topK, nprobe).drop("query_id")
+  def ragQueryAnn(query: String, topK: Int = 5, nprobe: Int = 2,
+                  filter: Option[Column] = None): DataFrame =
+    ragQueryAnnBatch(Seq(query), topK, nprobe, filter).drop("query_id")
 
   /** The batched twin of [[ragQueryAnn]]: ONE probe job serves the whole
     * query batch instead of one per call — the per-serve fixed costs
@@ -355,9 +374,17 @@ class Graft(spark: SparkSession, sfDir: String,
     * (spec-asserted). The reference serves one query per MCP call
     * (reference: src/index.ts:265); batching is the cluster-side surface a
     * training pipeline actually calls.
+    *
+    * `filter` restricts hits to chunks satisfying a metadata predicate
+    * over the index's payload columns (`doc_id`, `chunk_idx`,
+    * `token_count`, `file_size`, `chunk_text`) — pushed into the pruned
+    * probe read, never a post-hoc result trim, so a filtered batch still
+    * pays only the probed-cell scan and returns up to `topK` matching
+    * rows per query (a trim would under-fill).
     */
   def ragQueryAnnBatch(queries: Seq[String], topK: Int = 5,
-                       nprobe: Int = 2): DataFrame = operators.AnnStore.releasingPinned(spark) {
+                       nprobe: Int = 2,
+                       filter: Option[Column] = None): DataFrame = operators.AnnStore.releasingPinned(spark) {
     // the scope releases the probe search's tracked checkpoint once the
     // bounded hits collect below has consumed it — without it every batch
     // call leaks one pinned block for the session's lifetime. The returned
@@ -377,7 +404,7 @@ class Graft(spark: SparkSession, sfDir: String,
       .toDF("query_id", "qv")
     // one bounded execution of the probe search (≤ nQueries×topK rows)
     val hits = operators.AnnIvf.annIvfServedOver(spark, path, qFrame,
-      Graft.clampTopK(topK), nprobe)
+      Graft.clampTopK(topK), nprobe, filter = filter)
       .select(col("query_id"), col("vec_id"), col("cid"), col("score")).collect()
     chunkHitResults(path, hits)
   }

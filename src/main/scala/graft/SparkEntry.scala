@@ -36,6 +36,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
     // C. similarity search
     "ann_topk_batch" -> ((s, dir) => RagSearch.annTopKBatch(s, dir)),
+    // C1f filtered ANN: metadata-predicate search, brute-force correctness
+    // anchor (oracle-checked); ann_ivf_filtered below is its served path
+    "rag_topk_filtered" -> ((s, dir) => RagSearch.annTopKFiltered(s, dir)),
     "ann_lsh" -> ((s, dir) => RagSearch.annLsh(s, dir)),
     // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
     // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
@@ -49,6 +52,16 @@ object SparkEntry {
       val path = AnnIvf.defaultIndexPath(dir)
       AnnIvf.ensureIvfIndex(s, dir, path)
       AnnIvf.annIvfServed(s, path)
+    }),
+    // FILTERED serving over the same persisted store: the metadata
+    // predicate rides into the pruned probe read as a pushed filter — one
+    // index serves every predicate. Rows-only (k-means); AnnIvfSpec proves
+    // row-identity with serving a pre-filtered index and bounds recall vs
+    // the oracle-gated rag_topk_filtered anchor.
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val path = AnnIvf.defaultIndexPath(dir)
+      AnnIvf.ensureIvfIndex(s, dir, path)
+      AnnIvf.annIvfServedFiltered(s, path)
     }),
     // C5 likewise rows-only (per-subspace k-means); AnnIvfSpec bounds recall.
     "ann_pq" -> ((s, dir) => AnnPq.annPq(s, dir)),
@@ -348,6 +361,13 @@ object SparkEntry {
          |       FROM embeddings e, q WHERE e.vec_id != q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc)
          |SELECT query_id, CAST(rn AS BIGINT) AS "rank", vec_id, score
+         |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "rag_topk_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT q.query_id, e.vec_id, e.label, round(${cosSql("e.embedding", "q.qv")}, 4) AS score
+         |       FROM embeddings e, q WHERE e.vec_id != q.query_id AND e.label % 4 = 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", vec_id, label, score
          |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "ann_lsh" ->
       s"""WITH b AS (

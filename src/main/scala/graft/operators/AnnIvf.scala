@@ -190,6 +190,14 @@ object AnnIvf {
     refreshIndexOver(spark, path, Tables.embeddings(spark, sfDir),
       ivfManifest(spark, sfDir, k), driftBound)
 
+  /** Compact the IVF store's vectors table ([[AnnStore.compactIndex]]) —
+    * run after a stretch of incremental refreshes to keep the pruned probe
+    * read at O(bytes), not O(small files).
+    */
+  def compactIvfIndex(spark: SparkSession, path: String,
+                      targetBytes: Long = 128L << 20): DataFrame =
+    AnnStore.compactIndex(spark, path, Seq("vectors"), targetBytes)
+
   /** Partition-pruned read of the cells a probe list selects. */
   def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
     spark.read.parquet(path + "/vectors").filter(col("cid").isin(cids: _*))
@@ -213,6 +221,21 @@ object AnnIvf {
       topK, nprobe, excludeSelf = true)
   }
 
+  /** Driver-entry twin of [[annIvfServed]] with the FILTERED-search arm
+    * engaged: same first-nQueries query frame, candidates restricted to
+    * `label % 4 == 1` (the `rag_topk_filtered` oracle query's predicate,
+    * so the spec's recall bound measures the served path against an
+    * oracle-gated brute-force anchor).
+    */
+  def annIvfServedFiltered(spark: SparkSession, indexPath: String, nQueries: Int = 10,
+                           topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    val vectors = spark.read.parquet(indexPath + "/vectors")
+    annIvfServedOver(spark, indexPath,
+      vectors.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      topK, nprobe, excludeSelf = true, filter = Some(col("label") % 4 === 1))
+  }
+
   /** The production serving shape: probe search for an arbitrary bounded
     * query frame `queries` = (query_id: long, qv: numeric array) — external
     * query vectors, not corpus rows (reference: src/index.ts:265 — queries
@@ -221,10 +244,22 @@ object AnnIvf {
     * vectors (the driver-entry benchmark contract); external callers leave
     * it false, since an id collision between a query and an unrelated
     * corpus vector must not suppress a result.
+    *
+    * `filter` is FILTERED ANN search — a metadata predicate over the
+    * vectors table's payload columns (label, source, …), applied to the
+    * pruned probe read BEFORE scoring, so it reaches the parquet scan as a
+    * pushed filter (spec-asserted alongside the cid PartitionFilters).
+    * Because cell assignment never depends on the predicate, this is
+    * row-identical to serving an index built from the pre-filtered corpus
+    * with the same pinned centroids (the filter-then-search ≡
+    * search-inside-filter equivalence, spec-proven) — the shape a 100 TB
+    * store needs: one index serves every predicate, paying only the
+    * probed-cell scan, instead of one index per filterable slice.
     */
   def annIvfServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
                        topK: Int = 5, nprobe: Int = 2,
-                       excludeSelf: Boolean = false): DataFrame = {
+                       excludeSelf: Boolean = false,
+                       filter: Option[Column] = None): DataFrame = {
     VecExprs.register(spark)
     val centroids = AnnStore.readCentroids(spark, indexPath)
     // checkpointed: bounded (nQueries × nprobe) and executed twice (cid
@@ -237,7 +272,8 @@ object AnnIvf {
       probeListOver(queries.select(col("query_id"), col("qv")), centroids, nprobe))
     // bounded collect: the probe lists only (cell ids, not vectors)
     val cids = q.select("probe_cid").distinct().collect().map(_.getInt(0)).toSeq
-    val cands = probeCells(spark, indexPath, cids)
+    val pruned = probeCells(spark, indexPath, cids)
+    val cands = filter.map(pruned.filter).getOrElse(pruned)
       .join(broadcast(q), col("cid") === col("probe_cid"))
     val scored = (if (excludeSelf) cands.filter(col("vec_id") =!= col("query_id")) else cands)
       .select(col("query_id"), col("vec_id"), col("cid"),

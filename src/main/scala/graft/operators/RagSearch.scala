@@ -87,6 +87,35 @@ object RagSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** C1f: FILTERED batch ANN — the brute-force correctness anchor for
+    * metadata-predicate vector search (the "only docs in source X / label
+    * Y" shape every real RAG deployment needs): top-k cosine per query
+    * restricted to corpus vectors satisfying the predicate. The filter is
+    * applied scan-side (pushes to parquet), queries stay broadcast, and
+    * the ranking is the same bounded per-query window as C1 — so the whole
+    * plan is "pruned scan + broadcast join + partial top-k" at any scale.
+    * Fully oracle-checked (the predicate is plain SQL); the SERVED scale
+    * path is [[AnnIvf.annIvfServedOver]]'s `filter` arm, spec-proven
+    * row-identical to serving a pre-filtered index.
+    */
+  def annTopKFiltered(spark: SparkSession, sfDir: String,
+                      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    VecExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.filter(col("label") % 4 === 1) // the metadata predicate
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** C4: int8 vector quantization — per-vector symmetric scale
     * `q = round(127·x/maxabs)` — the 4× memory/IO reduction that makes a
     * 100 TB embedding corpus servable; dequantization error is bounded by

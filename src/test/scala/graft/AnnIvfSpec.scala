@@ -50,6 +50,48 @@ class AnnIvfSpec extends SparkSpecBase {
     assert(served == inline, "served IVF must equal the in-query IVF row for row")
   }
 
+  test("filtered ANN serving: predicate pushes into the pruned read; filter-then-search equivalence") {
+    import graft.operators.AnnStore
+    val base = java.nio.file.Files.createTempDirectory("graft_ivffilt").toString
+    val path = base + "/idx"
+    AnnIvf.ensureIvfIndex(spark, sf, path)
+    val pred = col("label") % 4 === 1
+    val served = AnnIvf.annIvfServedFiltered(spark, path)
+    val rows = served.collect()
+    // every hit satisfies the predicate (hits join back to the corpus)
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+    val offenders = served.join(labels, "vec_id").filter(!(col("label") % 4 === 1)).count()
+    assert(offenders == 0, "a filtered hit violated the predicate")
+    assert(rows.nonEmpty)
+    // the predicate reaches the parquet scan as a PUSHED filter on the
+    // pruned probe read (alongside the cid partition pruning)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"probe read must stay partition-pruned:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
+      s"label predicate must push into the scan:\n$plan")
+    // filter-then-search ≡ search-inside-filter: serving THIS store with
+    // the predicate equals serving an index built from the PRE-FILTERED
+    // corpus with the same pinned centroids
+    val centroids = AnnStore.readCentroids(spark, path)
+    val prePath = base + "/pre"
+    AnnIvf.writeIndexOverWithCentroids(spark,
+      Tables.embeddings(spark, sf).filter(pred), prePath, centroids,
+      AnnStore.manifest("ivf", Seq("k" -> centroids.length), "spec-prefiltered"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pre = AnnIvf.annIvfServedOver(spark, prePath, queries,
+      topK = 5, nprobe = 2, excludeSelf = true)
+    assert(rows.map(_.toSeq).toSeq == pre.collect().map(_.toSeq).toSeq,
+      "filtered serving must equal serving a pre-filtered index")
+    // recall vs the oracle-gated brute-force filtered anchor
+    val brute = RagSearch.annTopKFiltered(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.4, s"filtered recall=$recall")
+  }
+
   test("PQ serving: persisted codes reproduce the in-query ADC search row for row") {
     import graft.operators.AnnPq
     val path = java.nio.file.Files.createTempDirectory("graft_pqserve").toString + "/idx"

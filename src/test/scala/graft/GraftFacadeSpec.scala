@@ -604,6 +604,24 @@ class GraftFacadeSpec extends SparkSpecBase {
     }
   }
 
+  test("ragQueryAnn filter: metadata predicate restricts hits inside the probe read") {
+    val q = g.readFile(7, 1, 12)
+    val unfiltered = g.ragQueryAnn(q, topK = 5, nprobe = 2).collect()
+    assert(unfiltered.nonEmpty)
+    // restrict to a doc-id slice that the unfiltered top-k only partially
+    // covers — the filtered serve must return ONLY matching chunks, found
+    // inside the pruned read (not a trim of the unfiltered rows)
+    val pred = org.apache.spark.sql.functions.col("doc_id") =!= unfiltered.head.getAs[Long]("doc_id")
+    val filtered = g.ragQueryAnn(q, topK = 5, nprobe = 2, filter = Some(pred)).collect()
+    assert(filtered.nonEmpty, "filtered serve must still fill from matching candidates")
+    assert(filtered.forall(_.getAs[Long]("doc_id") != unfiltered.head.getAs[Long]("doc_id")),
+      "a filtered hit violated the predicate")
+    // the excluded doc's slot is refilled by the next-best MATCHING chunk,
+    // which a post-hoc trim of the unfiltered top-k could not produce
+    val trimmed = unfiltered.filter(_.getAs[Long]("doc_id") != unfiltered.head.getAs[Long]("doc_id"))
+    assert(filtered.length >= trimmed.length)
+  }
+
   test("ragQueryBatch: one-scan exact batch equals per-query ragQuery; ANN batch metadata read is partition-pruned") {
     val queries = Seq(g.readFile(7, 1, 12), g.readFile(11, 1, 12))
     val batch = g.ragQueryBatch(queries, topK = 4).collect()
