@@ -502,6 +502,13 @@ object AnnGraph {
     * runs measure SEARCH, with build cost visible separately in the
     * in-query `ann_graph` entry.
     */
+  /** Compact the graph store's cid-partitioned edges and vectors tables
+    * ([[AnnStore.compactIndex]]) after incremental refreshes.
+    */
+  def compactGraphIndex(spark: SparkSession, path: String,
+                        targetBytes: Long = 128L << 20): DataFrame =
+    AnnStore.compactIndex(spark, path, Seq("edges", "vectors"), targetBytes)
+
   def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("graph", sfDir)
 
   /** Freshness-gated build-once: rebuild iff the live manifest does not

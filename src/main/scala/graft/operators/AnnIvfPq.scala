@@ -42,6 +42,13 @@ object AnnIvfPq {
       Seq("k" -> k, "m" -> m, "ks" -> ks, "iters" -> iters, "dim" -> Dim),
       AnnStore.corpusFingerprint(spark, sfDir))
 
+  /** Compact the IVFADC store's cid-partitioned codes and vectors tables
+    * ([[AnnStore.compactIndex]]) after incremental refreshes.
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+                        targetBytes: Long = 128L << 20): DataFrame =
+    AnnStore.compactIndex(spark, path, Seq("codes", "vectors"), targetBytes)
+
   def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("ivfpq", sfDir)
 
   /** The k-row centroid matrix as a broadcastable (cid, centroid) frame for

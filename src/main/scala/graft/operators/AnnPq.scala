@@ -206,6 +206,13 @@ object AnnPq {
       driftBound = driftBound)
   }
 
+  /** Compact the flat-PQ store's bucketed codes and vectors tables
+    * ([[AnnStore.compactIndex]]) after incremental refreshes.
+    */
+  def compactPqIndex(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L << 20): DataFrame =
+    AnnStore.compactIndex(spark, path, Seq("codes", "vectors"), targetBytes)
+
   def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("pq", sfDir)
 
   /** The embeddings tables' vector dimensionality (TESTDATA.md) — recorded in

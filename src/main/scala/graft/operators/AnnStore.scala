@@ -345,6 +345,87 @@ private[graft] object AnnStore {
     }
   }
 
+  /** Small-file COMPACTION for a store's cid-partitioned tables — the
+    * maintenance pass incremental refresh makes necessary at scale: every
+    * refresh rewrites its affected cells from a ~32-partition frame, so a
+    * small cell can land dozens of KB-sized part files, and a
+    * trickle-updated store slowly turns its pruned probe reads into
+    * open-file storms (at 100 TB the scan cost is files opened as much as
+    * bytes read). For each `cid=*` partition whose file count exceeds what
+    * `targetBytes` sizing requires, the partition is rewritten to
+    * `ceil(bytes/targetBytes)` files and swapped in via the backup-rename
+    * protocol. Data-identical (row content unchanged — spec-asserted
+    * against the serve path), manifest untouched (the manifest fingerprints
+    * the CORPUS, not the index files).
+    *
+    * Crash safety: single-writer like all maintenance here. Staging and
+    * backup live under DOT-prefixed siblings (`.cid=N.compacting` /
+    * `.cid=N.backup`) — partition discovery ignores dot-paths, so a crash
+    * can never leave a malformed `cid=` dir that breaks the store's reads.
+    * The heal sweep at the START of the next compaction restores a backup
+    * whose live partition vanished mid-swap and clears stale staging.
+    * Returns one row per subdir: units compacted, files before/after.
+    */
+  private[graft] def compactIndex(spark: SparkSession, path: String,
+                                  subdirs: Seq[String],
+                                  targetBytes: Long = 128L << 20): DataFrame = {
+    import spark.implicits._
+    val fs = fileSystem(spark, path)
+    val results = subdirs.map { sub =>
+      val root = new Path(s"$path/$sub")
+      var units = 0L; var before = 0L; var after = 0L
+      if (fs.exists(root)) {
+        // heal a previous crash: dead staging always clears; a backup
+        // restores only when the live partition vanished mid-swap
+        fs.listStatus(root).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith(".") && name.endsWith(".compacting"))
+            fs.delete(st.getPath, true)
+          else if (name.startsWith(".") && name.endsWith(".backup")) {
+            val live = new Path(root, name.stripPrefix(".").stripSuffix(".backup"))
+            if (!fs.exists(live)) fs.rename(st.getPath, live)
+            else fs.delete(st.getPath, true)
+          }
+        }
+        val parts = fs.listStatus(root)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+        parts.foreach { st =>
+          val files = fs.listStatus(st.getPath).filter(f => f.isFile && {
+            val n = f.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          val bytes = files.map(_.getLen).sum
+          val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          before += files.length
+          if (files.length > want) {
+            units += 1
+            val name = st.getPath.getName
+            val staging = new Path(root, s".$name.compacting")
+            val backup = new Path(root, s".$name.backup")
+            if (fs.exists(staging)) fs.delete(staging, true)
+            // partition-dir read: schema is the payload WITHOUT cid, which
+            // is exactly what partitioned part files store — written back
+            // as-is, the layout is indistinguishable from a fresh build
+            spark.read.parquet(st.getPath.toString)
+              .coalesce(want).write.parquet(staging.toString)
+            if (fs.exists(backup)) fs.delete(backup, true)
+            if (!fs.rename(st.getPath, backup))
+              throw new java.io.IOException(s"compactIndex: cannot move $name aside")
+            if (!fs.rename(staging, st.getPath)) {
+              val restored = fs.rename(backup, st.getPath)
+              throw new java.io.IOException(s"compactIndex: swap failed for $name" +
+                (if (restored) " (original restored)" else s" — original at $backup"))
+            }
+            fs.delete(backup, true)
+            after += want
+          } else after += files.length
+        }
+      }
+      (sub, units, before, after)
+    }
+    results.toDF("subdir", "n_units_compacted", "n_files_before", "n_files_after")
+  }
+
   /** The k-row centroid matrix as a tiny one-file frame — the shared layout
     * for every coarse-quantized index's query-side probe selection.
     */

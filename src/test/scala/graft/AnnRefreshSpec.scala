@@ -113,6 +113,63 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(fs.getFileStatus(new Path(idx, AnnStore.ManifestFile)).getModificationTime == stamp)
   }
 
+  test("compaction: fragmented cells rewrite to sized files; data, manifest, serving unchanged") {
+    val dir = copyCorpus()
+    val root = Files.createTempDirectory("graft_compact").toString
+    val idx = root + "/idx"
+    AnnIvf.ensureIvfIndex(spark, dir, idx)
+    // fragment two cells the way a stretch of incremental refreshes does
+    // (each refresh appends the affected cells from a many-partition
+    // frame): rewrite their partitions as 6 small files apiece
+    fs.listStatus(new Path(idx + "/vectors"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .take(2).foreach { st =>
+        val tmp = new Path(st.getPath.getParent, "." + st.getPath.getName + ".frag")
+        spark.read.parquet(st.getPath.toString)
+          .repartition(6).write.parquet(tmp.toString)
+        fs.delete(st.getPath, true)
+        assert(fs.rename(tmp, st.getPath))
+      }
+    val manifestBefore = AnnStore.readManifest(spark, idx).get
+    val rowsBefore = spark.read.parquet(idx + "/vectors")
+      .collect().map(_.toSeq).toSet
+    val servedBefore = AnnIvf.annIvfServed(spark, idx).collect().map(_.toSeq).toSeq
+    def fileCount(): Long = {
+      val it = fs.listFiles(new Path(idx + "/vectors"), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = fileCount()
+    val stats = AnnIvf.compactIvfIndex(spark, idx).collect()
+    val vec = stats.find(_.getString(0) == "vectors").get
+    // the build writes each cell from a many-partition frame, so cells are
+    // fragmented and compaction has real work at the 128MB default target
+    assert(vec.getLong(1) > 0, s"expected fragmented cells to compact: $stats")
+    assert(vec.getLong(3) < vec.getLong(2), "file count must drop")
+    assert(fileCount() < before)
+    // content, manifest, and serving are all unchanged
+    assert(spark.read.parquet(idx + "/vectors").collect().map(_.toSeq).toSet == rowsBefore)
+    assert(AnnStore.readManifest(spark, idx).contains(manifestBefore))
+    assert(AnnIvf.annIvfServed(spark, idx).collect().map(_.toSeq).toSeq == servedBefore)
+    // idempotent: a second pass finds nothing to do
+    val again = AnnIvf.compactIvfIndex(spark, idx).collect()
+      .find(_.getString(0) == "vectors").get
+    assert(again.getLong(1) == 0, s"second compaction must be a no-op: $again")
+    // crash heal: simulate a crash between the two swap renames (live
+    // partition moved aside, backup left) — the next compaction restores it
+    val victim = fs.listStatus(new Path(idx + "/vectors"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid=")).head.getPath
+    assert(fs.rename(victim,
+      new Path(victim.getParent, "." + victim.getName + ".backup")))
+    AnnIvf.compactIvfIndex(spark, idx)
+    assert(fs.exists(victim), "heal sweep must restore the partition from backup")
+    assert(spark.read.parquet(idx + "/vectors").collect().map(_.toSeq).toSet == rowsBefore)
+  }
+
   test("graph refresh: affected cells' vectors+edges rebuilt, untouched cells preserved, serving matches") {
     val dir = copyCorpus()
     val root = Files.createTempDirectory("graft_refr_g").toString
