@@ -167,6 +167,46 @@ class Graft(spark: SparkSession, sfDir: String,
     reindexFrom(src.discover(spark, sfDir), storePath)
   }
 
+  /** The reference's WATCH MODE as a running stream (reference:
+    * src/index.ts:425-427 names it as the planned extension; the batch
+    * [[reindexDirectory]] is the per-tick body): a file-source stream over
+    * the corpus root detects ARRIVALS, and each micro-batch triggers one
+    * reindexDirectory — full-tree diff, dirty-only re-embed, both derived
+    * chunk ANN indexes refreshed affected-cells-only. The batch frame
+    * itself is NEVER executed: file contents are not read on the trigger
+    * path (discovery re-reads exactly what the diff needs), so the stream
+    * is an arrival signal with checkpointed exactly-once bookkeeping, not
+    * a second ingest path that could drift from batch semantics.
+    *
+    * File-source semantics: only NEW files open a micro-batch; an in-place
+    * edit of a known file does not trigger by itself (the same blindness
+    * as a size-heuristic poll). Because each trigger diffs the WHOLE tree,
+    * any pending edits and deletes ride the next arrival's batch — or an
+    * interleaved manual reindexDirectory. Caller stops the returned query.
+    */
+  def watchDirectory(storePath: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (root, exts) = dirSource match {
+      case Some(Graft.DirSource(r, ext, _)) => (r, ext)
+      case Some(Graft.JsonlSource(r, _, _, _, _)) => (r, Seq("jsonl"))
+      case _ => throw new IllegalStateException(
+        "watchDirectory requires a facade built by Graft.forDirectory/forJsonl")
+    }
+    val arrivals = spark.readStream
+      .option("pathGlobFilter", sources.TextCorpus.extGlob(exts))
+      .option("recursiveFileLookup", "true")
+      .text(root)
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        // the batch frame is deliberately untouched (never executed);
+        // the reindex body recomputes the authoritative diff itself
+        reindexDirectory(storePath)
+        ()
+      }
+      .start()
+  }
+
   /** The table-corpus twin of [[reindexDirectory]] — for a
     * [[Graft.forFrame]] facade there is no tree to re-scan, so the caller
     * hands in the CURRENT state of their upstream table/frame and gets

@@ -444,6 +444,54 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(hit.getAs[Long]("doc_id") == newId)
   }
 
+  test("watchDirectory: arriving files trigger incremental reindex; serving and ANN index stay live") {
+    val root = Files.createTempDirectory("graft_watch")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    for (i <- 1 to 12)
+      put(s"doc$i.txt", s"seed document number $i about topic area $i with shared filler words")
+    val work = Files.createTempDirectory("graft_watchwork").toString
+    val store = Files.createTempDirectory("graft_watchstore").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_watchckpt").toString
+    val gw = Graft.forDirectory(spark, root.toString, work)
+    gw.reindexDirectory(store)
+    gw.ragQueryAnn("seed document", topK = 1) // builds the chunk ANN index
+    val manifestCold = operators.AnnStore.readManifest(spark, gw.chunkAnnPath).get
+    val q = gw.watchDirectory(store, ckpt)
+    try {
+      // startup drains the seed files' arrival batch (reindex = no-op diff)
+      q.processAllAvailable()
+      val n0 = Tables.documents(spark, work).count()
+      assert(n0 == 12)
+      // drop a NEW file into the live tree: the stream must trigger the
+      // reindex tail — corpus table, chunk store, and ANN index all update
+      // without any manual call
+      put("arrival.txt", "a freshly arrived document about vectorized predicate pushdown")
+      q.processAllAvailable()
+      assert(Tables.documents(spark, work).count() == 13)
+      val hit = gw.ragQueryAnn("freshly arrived document about vectorized predicate pushdown",
+        topK = 1).head()
+      assert(hit.getAs[String]("snippet").contains("freshly arrived"),
+        s"watch must serve the arrival: $hit")
+      // the ANN index was REFRESHED (new manifest fingerprint), not rebuilt
+      // cold through a serving call — its stamp changed with the reindex
+      val manifestNow = operators.AnnStore.readManifest(spark, gw.chunkAnnPath).get
+      assert(manifestNow != manifestCold, "reindex must restamp the ANN manifest")
+      // an edit alone does not trigger (file-source blindness, declared) —
+      // but it rides the NEXT arrival's full-tree diff
+      put("doc1.txt", "seed document number 1 rewritten to cover a different area entirely")
+      put("arrival2.txt", "second arrival carrying the edit along")
+      q.processAllAvailable()
+      val docs = Tables.documents(spark, work)
+      assert(docs.count() == 14)
+      assert(docs.filter(col("text").contains("rewritten to cover")).count() == 1,
+        "the pending edit must ride the next arrival's diff")
+    } finally q.stop()
+  }
+
   test("ragQueryAnn: chunk-ANN index builds once through the gate, reindex refreshes it incrementally, serving stays fresh") {
     val root = Files.createTempDirectory("graft_ann_live")
     def put(rel: String, content: String): Unit = {
