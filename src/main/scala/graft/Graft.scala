@@ -182,27 +182,48 @@ class Graft(spark: SparkSession, sfDir: String,
     * edit of a known file does not trigger by itself (the same blindness
     * as a size-heuristic poll). Because each trigger diffs the WHOLE tree,
     * any pending edits and deletes ride the next arrival's batch — or an
-    * interleaved manual reindexDirectory. Caller stops the returned query.
+    * interleaved manual reindexDirectory. The stream source cannot prune
+    * excluded folders at listing time (one load path, no glob negation),
+    * so exclusion is enforced per batch: the arrivals' file paths are read
+    * (a projection-only pass — contents are discarded) and a batch whose
+    * every arrival sits under an excluded folder skips the reindex
+    * entirely, so node_modules churn can never drive full-tree diffs.
+    * Caller stops the returned query.
     */
   def watchDirectory(storePath: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val (root, exts) = dirSource match {
-      case Some(Graft.DirSource(r, ext, _)) => (r, ext)
-      case Some(Graft.JsonlSource(r, _, _, _, _)) => (r, Seq("jsonl"))
+    val (root, exts, excluded) = dirSource match {
+      case Some(Graft.DirSource(r, ext, ex)) => (r, ext, ex)
+      case Some(Graft.JsonlSource(r, _, _, _, ex)) => (r, Seq("jsonl"), ex)
       case _ => throw new IllegalStateException(
         "watchDirectory requires a facade built by Graft.forDirectory/forJsonl")
     }
+    val rootNorm = if (root.endsWith("/")) root else root + "/"
+    val excludedSet = excluded.toSet
     val arrivals = spark.readStream
       .option("pathGlobFilter", sources.TextCorpus.extGlob(exts))
       .option("recursiveFileLookup", "true")
       .text(root)
+      // only the file paths travel to the trigger (the value column is
+      // pruned out of the plan here, at the source)
+      .select(col("_metadata.file_path").as("file_path"))
     arrivals.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        // the batch frame is deliberately untouched (never executed);
-        // the reindex body recomputes the authoritative diff itself
-        reindexDirectory(storePath)
-        ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // only the file paths are consulted — the reindex body recomputes
+        // the authoritative diff itself, so batch CONTENT is never trusted
+        val paths = batch.select(col("file_path")).distinct()
+          .collect().map(_.getString(0))
+        def isExcluded(p: String): Boolean = {
+          val norm = p.replaceFirst("^file:/+", "/")
+          // unknown scheme/prefix → not excluded (reindex is the safe side)
+          norm.startsWith(rootNorm) &&
+            norm.stripPrefix(rootNorm).split('/').dropRight(1).exists(excludedSet)
+        }
+        if (paths.isEmpty || paths.exists(!isExcluded(_))) {
+          reindexDirectory(storePath)
+          ()
+        }
       }
       .start()
   }
@@ -417,10 +438,11 @@ class Graft(spark: SparkSession, sfDir: String,
     *
     * `filter` restricts hits to chunks satisfying a metadata predicate
     * over the index's payload columns (`doc_id`, `chunk_idx`,
-    * `token_count`, `file_size`, `chunk_text`) — pushed into the pruned
-    * probe read, never a post-hoc result trim, so a filtered batch still
-    * pays only the probed-cell scan and returns up to `topK` matching
-    * rows per query (a trim would under-fill).
+    * `token_count`, `file_size`, `chunk_text`) — applied inside the pruned
+    * probe read (source-translatable predicates reach the parquet scan's
+    * PushedFilters), never a post-hoc result trim, so a filtered batch
+    * still pays only the probed-cell scan and returns up to `topK`
+    * matching rows per query (a trim would under-fill).
     */
   def ragQueryAnnBatch(queries: Seq[String], topK: Int = 5,
                        nprobe: Int = 2,

@@ -54,8 +54,9 @@ object SparkEntry {
       AnnIvf.annIvfServed(s, path)
     }),
     // FILTERED serving over the same persisted store: the metadata
-    // predicate rides into the pruned probe read as a pushed filter — one
-    // index serves every predicate. Rows-only (k-means); AnnIvfSpec proves
+    // predicate applies inside the pruned probe read (translatable
+    // predicates reach PushedFilters) — one index serves every predicate.
+    // Rows-only (k-means); AnnIvfSpec proves
     // row-identity with serving a pre-filtered index and bounds recall vs
     // the oracle-gated rag_topk_filtered anchor.
     "ann_ivf_filtered" -> ((s, dir) => {

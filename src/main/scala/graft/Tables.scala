@@ -115,7 +115,12 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val probePath = glob.map(g => s"$path/$g").getOrElse(path)
-    val nanos = eventsTsIsNanos(spark, probePath)
+    // define-then-populate support: with no file to probe yet, assume the
+    // CURRENT generation's vintage (µs timestamps) — a wrong guess fails
+    // loudly at first read, exactly like any static-schema mismatch would
+    val nanos =
+      try eventsTsIsNanos(spark, probePath)
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     val tsField = if (nanos) StructField("ts", LongType)
       else StructField("ts", TimestampNTZType)
     val schema = StructType(Seq(

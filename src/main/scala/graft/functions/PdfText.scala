@@ -122,29 +122,55 @@ object PdfText {
         }
       }
     }
-    def contentOf(r: StreamRec): Option[String] = {
-      val raw = java.util.Arrays.copyOfRange(bytes, r.dataStart, r.end)
-      if (r.dict.contains("FlateDecode")) inflate(raw).map(new String(_, Latin1))
-      else Some(new String(raw, Latin1))
+    // memoized stream decode: font discovery, page counting, and the text
+    // pass may each touch the same stream (a CMap inflates once, not once
+    // per consumer)
+    val contentCache = new java.util.HashMap[Integer, Option[String]]()
+    def contentOf(i: Int): Option[String] = {
+      val hit = contentCache.get(i)
+      if (hit != null) hit
+      else {
+        val r = recs(i)
+        val raw = java.util.Arrays.copyOfRange(bytes, r.dataStart, r.end)
+        val c =
+          if (r.dict.contains("FlateDecode")) inflate(raw).map(new String(_, Latin1))
+          else Some(new String(raw, Latin1))
+        contentCache.put(i, c)
+        c
+      }
     }
-    // object streams: walk the embedded objects (that is where a modern
-    // writer keeps the page dictionaries). Liveness gates both LEVELS
-    // against the xref — an incremental update (append-only save) leaves
-    // superseded generations in the file body, and counting their stale
-    // page dicts would double the page count: (a) this physical COPY is
-    // the stream object only if the xref's type-1 entry for its object
-    // number points at this very header offset (generations share the
-    // number); (b) a MEMBER is live only if its type-2 entry points back
-    // at (this stream, this index). No xref → classic behavior.
+    // object streams: walk the embedded objects ONCE (that is where a
+    // modern writer keeps the page dictionaries — and the font dicts the
+    // font table needs). Liveness gates both LEVELS against the xref — an
+    // incremental update (append-only save) leaves superseded generations
+    // in the file body, and counting their stale page dicts would double
+    // the page count: (a) this physical COPY is the stream object only if
+    // the xref's type-1 entry for its object number points at this very
+    // header offset (generations share the number); (b) a MEMBER is live
+    // only if its type-2 entry points back at (this stream, this index).
+    // No xref → classic behavior (count/keep everything).
     var objStmPages = 0
-    val objStmPayloads = scala.collection.mutable.ArrayBuffer.empty[(Option[Int], String, String)]
-    recs.foreach { r =>
+    val memberBodies = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    recs.indices.foreach { i =>
+      val r = recs(i)
       if (ObjStmRe.findFirstIn(r.dict).isDefined) {
         val copyLive = xref.isEmpty || r.objNum.isEmpty ||
           r.objNum.exists { case (num, off) => xref.get(num).contains(InFile(off)) }
-        if (copyLive) contentOf(r).foreach { p =>
-          objStmPages += countObjStmPages(p, r.dict, r.objNum.map(_._1), xref)
-          objStmPayloads += ((r.objNum.map(_._1), r.dict, p))
+        if (copyLive) contentOf(i).foreach { p =>
+          objStmMembers(p, r.dict) match {
+            case None => objStmPages += PageRe.findAllIn(p).size // degrade
+            case Some(members) =>
+              val stmNum = r.objNum.map(_._1)
+              // live-unknowable (no table, or unparseable stream number):
+              // count all — dropping real pages is worse than stale ones
+              def live(idx: Int, num: Int): Boolean =
+                (xref.isEmpty || stmNum.isEmpty) ||
+                  xref.get(num).contains(InObjStm(stmNum.get, idx))
+              objStmPages += members.zipWithIndex.count { case ((num, body), idx) =>
+                live(idx, num) && PageRe.findFirstIn(body).isDefined
+              }
+              memberBodies ++= members
+          }
         }
       }
     }
@@ -153,15 +179,16 @@ object PdfText {
     // about PDFs may contain "/Type /Page" or "/Font")
     val struct = blankRanges(s, recs.map(r => (r.dataStart, r.end)).toSeq)
     val fonts =
-      try buildFontTable(struct, recs.toSeq, objStmPayloads.toSeq, xref, contentOf)
+      try buildFontTable(struct, recs.toSeq, memberBodies.toSeq, xref, contentOf)
       catch { case _: Exception => Map.empty[String, CidFont] }
     // pass 2 — text path: structural streams (XRef tables, ObjStm
     // payloads) are excluded so binary table bytes can never masquerade
     // as show operators; cheap gate on the BT operator for the rest
     val text = new StringBuilder
-    recs.foreach { r =>
+    recs.indices.foreach { i =>
+      val r = recs(i)
       if (ObjStmRe.findFirstIn(r.dict).isEmpty && XRefRe.findFirstIn(r.dict).isEmpty)
-        contentOf(r).foreach(c => if (c.contains("BT")) appendShownText(c, text, fonts))
+        contentOf(i).foreach(c => if (c.contains("BT")) appendShownText(c, text, fonts))
     }
     val nPages = PageRe.findAllIn(struct).size
     Some(PdfDoc(text.result().trim, nPages + objStmPages))
@@ -361,33 +388,6 @@ object PdfText {
       .flatMap(m => scala.util.Try((m.group(1).toInt, winStart + m.start)).toOption)
   }
 
-  /** Count page dictionaries among an object stream's EMBEDDED objects by
-    * walking the `/N` pair table from `/First` (the spec's layout: N
-    * (objnum, relative-offset) integer pairs, then the serialized objects).
-    * With a decoded xref, a member counts only if the table's CURRENT
-    * entry for its object number points back at this very (stream, index)
-    * — superseded generations from incremental updates count zero. With no
-    * xref (classic file, failed decode) every member counts. Falls back to
-    * a whole-payload match count if the pair table is malformed — degrade,
-    * never throw.
-    */
-  private def countObjStmPages(payload: String, dict: String,
-                               stmNum: Option[Int], xref: Map[Int, XrefLoc]): Int = {
-    try {
-      objStmMembers(payload, dict) match {
-        case None => PageRe.findAllIn(payload).size
-        case Some(members) =>
-          // live-unknowable (no table, or unparseable stream number): count
-          // all — dropping real pages is worse than tolerating stale ones
-          def live(i: Int, num: Int): Boolean = (xref.isEmpty || stmNum.isEmpty) ||
-            xref.get(num).contains(InObjStm(stmNum.get, i))
-          members.zipWithIndex.count { case ((num, body), i) =>
-            live(i, num) && PageRe.findFirstIn(body).isDefined
-          }
-      }
-    } catch { case _: Exception => 0 }
-  }
-
   /** The embedded objects of one object stream, as (objnum, serialized
     * body) in member order, by walking the `/N` pair table from `/First`
     * (the spec's layout: N (objnum, relative-offset) integer pairs, then
@@ -434,13 +434,10 @@ object PdfText {
     * table, so their strings keep the raw one-byte read.
     */
   private def buildFontTable(struct: String, recs: Seq[StreamRec],
-                             objStmPayloads: Seq[(Option[Int], String, String)],
+                             memberBodies: Seq[(Int, String)],
                              xref: Map[Int, XrefLoc],
-                             contentOf: StreamRec => Option[String]): Map[String, CidFont] = {
+                             contentOf: Int => Option[String]): Map[String, CidFont] = {
     // every structural text a /Font resource dict can live in
-    val memberBodies: Seq[(Int, String)] = objStmPayloads.flatMap {
-      case (_, dict, payload) => objStmMembers(payload, dict).getOrElse(Seq.empty)
-    }
     val sources: Seq[String] = struct +: memberBodies.map(_._2)
     // the body of top-level object `num` (xref offset preferred, scan
     // fallback) or of an ObjStm member
@@ -461,9 +458,9 @@ object PdfText {
     // the CMap stream for object `num`: prefer the xref-live physical
     // copy, else the LAST one in the file (incremental updates append)
     def streamContent(num: Int): Option[String] = {
-      val candidates = recs.filter(_.objNum.exists(_._1 == num))
-      val live = candidates.find(r =>
-        r.objNum.exists { case (n, off) => xref.get(n).contains(InFile(off)) })
+      val candidates = recs.indices.filter(recs(_).objNum.exists(_._1 == num))
+      val live = candidates.find(i =>
+        recs(i).objNum.exists { case (n, off) => xref.get(n).contains(InFile(off)) })
       live.orElse(candidates.lastOption).flatMap(contentOf)
     }
     val table = scala.collection.mutable.Map.empty[String, CidFont]
@@ -508,9 +505,12 @@ object PdfText {
     */
   private def parseToUnicodeCMap(payload: String): Option[CidFont] = {
     try {
+      // no parseable codespacerange → leave the font UNMAPPED (raw
+      // one-byte read): guessing 2 bytes would regroup a simple font's
+      // one-byte codes into bogus pairs and silently drop all its text
       val codeBytes = "begincodespacerange\\s*<([0-9A-Fa-f]+)>".r
         .findFirstMatchIn(payload).map(_.group(1).length / 2)
-        .filter(b => b >= 1 && b <= 2).getOrElse(2)
+        .filter(b => b >= 1 && b <= 2).getOrElse(return None)
       val map = scala.collection.mutable.Map.empty[Int, String]
       def utf16be(hex: String): String = {
         val h = if (hex.length % 4 == 0) hex else hex.reverse.padTo((hex.length + 3) / 4 * 4, '0').reverse
@@ -799,13 +799,16 @@ object PdfText {
     * the CMap and reads bytes raw cannot accidentally round-trip), mapped
     * back by a `bfrange` for the run at 0x20–0x4F and `bfchar` entries
     * for every other distinct char — both CMap entry forms are exercised
-    * by any text spanning the split. Text must be BMP below 0xFE00 (the
-    * oracle gate feeds printable ASCII). Consumed by [[extract]]'s font
-    * table; used by the `pdf_decode_real` gate's encode rotation and the
-    * spec fixtures.
+    * by any text spanning the split. Encodable chars are BMP below 0xFE00
+    * (the +0x100 offset must not wrap); anything above degrades to a
+    * space — NEVER a throw, since this runs inside executor tasks
+    * (`Multimodal.pdfEncode`) whose other encode forms also never throw.
+    * The oracle gate feeds printable ASCII, so the gate never degrades.
+    * Consumed by [[extract]]'s font table; used by the `pdf_decode_real`
+    * gate's encode rotation and the spec fixtures.
     */
-  def buildCidPdf(text: String, flate: Boolean = true): Array[Byte] = {
-    require(text.forall(_ < 0xFE00), "buildCidPdf: text must stay below U+FE00")
+  def buildCidPdf(text0: String, flate: Boolean = true): Array[Byte] = {
+    val text = text0.map(ch => if (ch >= 0xFE00) ' ' else ch)
     val content =
       ("BT /F1 12 Tf <" + text.map(ch => f"${ch.toInt + 0x100}%04X").mkString +
         "> Tj ET").getBytes(Latin1)

@@ -247,8 +247,11 @@ object AnnIvf {
     *
     * `filter` is FILTERED ANN search — a metadata predicate over the
     * vectors table's payload columns (label, source, …), applied to the
-    * pruned probe read BEFORE scoring, so it reaches the parquet scan as a
-    * pushed filter (spec-asserted alongside the cid PartitionFilters).
+    * pruned probe read BEFORE scoring. Source-translatable predicates
+    * (equality, ranges, IN) reach the parquet scan as PushedFilters
+    * (spec-asserted, alongside the cid PartitionFilters); arbitrary
+    * expressions evaluate scan-side right after, still never widening
+    * the candidate pool.
     * Because cell assignment never depends on the predicate, this is
     * row-identical to serving an index built from the pre-filtered corpus
     * with the same pinned centroids (the filter-then-search ≡

@@ -383,8 +383,13 @@ private[graft] object AnnStore {
             fs.delete(st.getPath, true)
           else if (name.startsWith(".") && name.endsWith(".backup")) {
             val live = new Path(root, name.stripPrefix(".").stripSuffix(".backup"))
-            if (!fs.exists(live)) fs.rename(st.getPath, live)
-            else fs.delete(st.getPath, true)
+            if (!fs.exists(live)) {
+              // a silent restore failure would leave the cell missing from
+              // every probe read — that must surface, not report success
+              if (!fs.rename(st.getPath, live))
+                throw new java.io.IOException(
+                  s"compactIndex: heal failed — cannot restore $live from backup")
+            } else fs.delete(st.getPath, true)
           }
         }
         val parts = fs.listStatus(root)

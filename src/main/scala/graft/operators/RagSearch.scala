@@ -91,7 +91,8 @@ object RagSearch {
     * metadata-predicate vector search (the "only docs in source X / label
     * Y" shape every real RAG deployment needs): top-k cosine per query
     * restricted to corpus vectors satisfying the predicate. The filter is
-    * applied scan-side (pushes to parquet), queries stay broadcast, and
+    * applied scan-side (translatable predicates push to the parquet
+    * source), queries stay broadcast, and
     * the ranking is the same bounded per-query window as C1 — so the whole
     * plan is "pruned scan + broadcast join + partial top-k" at any scale.
     * Fully oracle-checked (the predicate is plain SQL); the SERVED scale

@@ -63,13 +63,22 @@ class AnnIvfSpec extends SparkSpecBase {
     val offenders = served.join(labels, "vec_id").filter(!(col("label") % 4 === 1)).count()
     assert(offenders == 0, "a filtered hit violated the predicate")
     assert(rows.nonEmpty)
-    // the predicate reaches the parquet scan as a PUSHED filter on the
-    // pruned probe read (alongside the cid partition pruning)
+    // the probe read stays partition-pruned with the filter applied at the
+    // scan; the modulo predicate itself is not source-translatable, so the
+    // PUSHED-filter receipt uses a translatable predicate below
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cid"),
       s"probe read must stay partition-pruned:\n$plan")
-    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
-      s"label predicate must push into the scan:\n$plan")
+    // a source-translatable predicate (equality) lands in PushedFilters —
+    // the row-group-skipping receipt for the 100 TB claim
+    val eqQueries = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val eqServed = AnnIvf.annIvfServedOver(spark, path, eqQueries,
+      topK = 5, nprobe = 2, filter = Some(col("label") === 1))
+    val eqPlan = eqServed.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(label,1\\)".r.findFirstIn(eqPlan).isDefined,
+      s"equality predicate must reach PushedFilters:\n$eqPlan")
+    assert(eqServed.join(labels, "vec_id").filter(col("label") =!= 1).count() == 0)
     // filter-then-search ≡ search-inside-filter: serving THIS store with
     // the predicate equals serving an index built from the PRE-FILTERED
     // corpus with the same pinned centroids

@@ -489,6 +489,14 @@ class GraftFacadeSpec extends SparkSpecBase {
       assert(docs.count() == 14)
       assert(docs.filter(col("text").contains("rewritten to cover")).count() == 1,
         "the pending edit must ride the next arrival's diff")
+      // an arrival under an excluded folder must NOT trigger a reindex:
+      // the corpus table's files stay byte-for-byte untouched (a no-op
+      // reindex would still re-land the table)
+      put("node_modules/junk.txt", "noise that must never drive a full-tree reindex")
+      val fpBefore = operators.AnnStore.pathFingerprint(spark, work + "/documents.parquet")
+      q.processAllAvailable()
+      assert(operators.AnnStore.pathFingerprint(spark, work + "/documents.parquet") == fpBefore,
+        "an excluded-folder arrival triggered a reindex")
     } finally q.stop()
   }
 
