@@ -464,10 +464,16 @@ class Graft(spark: SparkSession, sfDir: String,
     val qFrame = queries.zipWithIndex
       .map { case (q, i) => (i.toLong, embedder.embedText(q).toSeq) }
       .toDF("query_id", "qv")
-    // one bounded execution of the probe search (≤ nQueries×topK rows)
-    val hits = operators.AnnIvf.annIvfServedOver(spark, path, qFrame,
-      Graft.clampTopK(topK), nprobe, filter = filter)
-      .select(col("query_id"), col("vec_id"), col("cid"), col("score")).collect()
+    // one bounded execution of the probe search (≤ nQueries×topK rows);
+    // a filtered batch serves ADAPTIVELY — a selective predicate that
+    // empties the probed cells widens nprobe for the under-filled queries
+    // instead of silently returning fewer than topK matches
+    val hits = (filter match {
+      case Some(_) => operators.AnnIvf.annIvfServedOverAdaptive(spark, path, qFrame,
+        Graft.clampTopK(topK), nprobe, filter = filter)
+      case None => operators.AnnIvf.annIvfServedOver(spark, path, qFrame,
+        Graft.clampTopK(topK), nprobe)
+    }).select(col("query_id"), col("vec_id"), col("cid"), col("score")).collect()
     chunkHitResults(path, hits)
   }
 

@@ -129,6 +129,9 @@ object SparkEntry {
       TextAnalysis.qualityScoreOver(cjkFixture.toDF("doc_id", "text"))
     }),
     "tfidf_terms" -> ((s, dir) => TextAnalysis.tfidfTerms(s, dir)),
+    // D6 bigram-LM quality scoring: corpus-trained add-k model, per-doc
+    // mean NLL — deterministic counting, fully oracle-checked
+    "quality_lm" -> ((s, dir) => TextAnalysis.qualityLm(s, dir)),
     "token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     // E. analytics
@@ -814,6 +817,27 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn FROM sc)
         |SELECT lang, CAST(rn AS BIGINT) AS rn, term, tf, df, score
         |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "quality_lm" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+        |              FROM documents),
+        |uni AS (SELECT doc_id, unnest(l) AS w FROM toks),
+        |big AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |                 i -> struct_pack(w1 := l[CAST(i AS INT)], w2 := l[CAST(i+1 AS INT)]))) AS b
+        |        FROM toks WHERE len(l) >= 2),
+        |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM big),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b2 GROUP BY w1, w2),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM uni),
+        |sc AS (SELECT b2.doc_id,
+        |         ln((cb.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS lnp
+        |       FROM b2 JOIN cb ON b2.w1 = cb.w1 AND b2.w2 = cb.w2
+        |                JOIN c1 ON b2.w1 = c1.w, v),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+        |          round(-avg(lnp) + 1e-9, 4) AS nll
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams, agg.nll
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, n_chars, (doc_id * 2654435761) % 1000 AS strat_key,
         |       round(1000.0 / (CASE WHEN lang = 'en' THEN 500 ELSE 250 END) + 1e-9, 4) AS weight

@@ -288,6 +288,48 @@ object AnnIvf {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED serving with ADAPTIVE probe widening — a selective predicate
+    * can empty the probed cells' candidate pool and under-fill topK even
+    * though matching vectors exist in unprobed cells (the classic filtered
+    * -ANN failure). This wrapper re-serves only the under-filled queries
+    * with a doubled nprobe until every query fills or the probes cover all
+    * k cells (at which point the result IS the exact filtered answer).
+    * Driver-side state stays bounded: per-round hit counts (≤ nQueries
+    * rows) and the shrinking query-id list; filled queries never re-serve.
+    */
+  def annIvfServedOverAdaptive(spark: SparkSession, indexPath: String, queries: DataFrame,
+                               topK: Int = 5, nprobe: Int = 2,
+                               excludeSelf: Boolean = false,
+                               filter: Option[Column] = None): DataFrame = {
+    val kCells = AnnStore.readCentroids(spark, indexPath).length
+    val allIds = queries.select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    if (allIds.isEmpty) // empty batch: one plain serve carries the schema
+      return annIvfServedOver(spark, indexPath, queries, topK, nprobe, excludeSelf, filter)
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var pending = queries
+    var pendingIds = allIds
+    var np = math.min(math.max(1, nprobe), kCells)
+    var continue = pendingIds.nonEmpty
+    while (continue) {
+      val out = AnnStore.trackedCheckpoint(
+        annIvfServedOver(spark, indexPath, pending, topK, np, excludeSelf, filter))
+      val counts = out.groupBy("query_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val unfilled = pendingIds.filter(id => counts.getOrElse(id, 0L) < topK)
+      if (unfilled.isEmpty || np >= kCells) {
+        done += out // all-cells probing is exhaustive: nothing more to find
+        continue = false
+      } else {
+        val filled = (pendingIds -- unfilled).toSeq
+        if (filled.nonEmpty) done += out.filter(col("query_id").isin(filled: _*))
+        pending = pending.filter(col("query_id").isin(unfilled.toSeq: _*))
+        pendingIds = unfilled
+        np = math.min(np * 2, kCells)
+      }
+    }
+    done.reduce(_ unionByName _).orderBy("query_id", "rank")
+  }
+
   /** C3: IVF probe search for the first `nQueries` vectors: rank the
     * candidates in each query's `nprobe` nearest cells by exact cosine.
     */

@@ -182,6 +182,54 @@ object TextAnalysis {
       .orderBy("lang", "rn")
   }
 
+  /** D6: bigram-LM quality scoring (r11) — the language-model quality
+    * filter every training-data pipeline runs between crawl and shards
+    * (score each document by how "expected" its text is under a corpus
+    * LM; outliers = boilerplate, garbage, or exotic content). The LM is an
+    * add-k-smoothed bigram model TRAINED ON THE CORPUS ITSELF in the same
+    * query: P(w2|w1) = (c(w1,w2)+k)/(c(w1)+k·V), score = mean −ln P over
+    * the document's bigrams (a per-token NLL; exp of it is perplexity).
+    *
+    * Scale shape: bigram construction is scan-side (a `transform` over the
+    * token array exploded to pairs — no window, no shuffle); both count
+    * tables are map-side-combined hash aggregates; the scoring joins
+    * shuffle on the bigram/unigram keys (vocabulary-sized tables — AQE
+    * broadcasts them when small, co-partitioned shuffle joins otherwise);
+    * V rides a broadcast 1-row frame. Fully oracle-checked — the model is
+    * deterministic counting, so DuckDB reproduces it exactly.
+    */
+  def qualityLm(spark: SparkSession, sfDir: String, k: Double = 0.5): DataFrame =
+    qualityLmOver(Tables.documents(spark, sfDir), k)
+
+  /** [[qualityLm]] over an arbitrary documents frame (fixture testing and
+    * the facade's real corpora).
+    */
+  def qualityLmOver(d: DataFrame, k: Double = 0.5): DataFrame = {
+    val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("l"))
+    val uni = toks.select(col("doc_id"), explode(col("l")).as("w"))
+    val bi = toks.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l)-2), i -> struct(l[i] as w1, l[i+1] as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c1 = uni.groupBy(col("w").as("u_w")).agg(count(lit(1)).as("c1"))
+    val cb = bi.groupBy(col("w1").as("b_w1"), col("w2").as("b_w2"))
+      .agg(count(lit(1)).as("c12"))
+    val vocab = uni.agg(countDistinct(col("w")).cast("double").as("v"))
+    val scored = bi
+      .join(cb, col("w1") === col("b_w1") && col("w2") === col("b_w2"))
+      .join(c1, col("w1") === col("u_w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))).as("lnp"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), round(-avg(col("lnp")) + lit(1e-9), 4).as("nll"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        col("nll"))
+      .orderBy("doc_id")
+  }
+
   /** A4: read_file line-range analog (reference: src/index.ts:307-312) — the
     * synthetic docs are single-line, so the 1-based inclusive range is over
     * tokens instead of lines: tokens [11, 30].

@@ -101,6 +101,42 @@ class AnnIvfSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"filtered recall=$recall")
   }
 
+  test("adaptive filtered serving: selective predicates widen probes instead of under-filling") {
+    import graft.operators.AnnStore
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfadapt").toString + "/idx"
+    AnnIvf.ensureIvfIndex(spark, sf, path)
+    val kCells = AnnStore.readCentroids(spark, path).length
+    val e = Tables.embeddings(spark, sf)
+    // a predicate rare enough that topK exceeds the matching population:
+    // the adaptive loop must widen to ALL cells and return the exact
+    // filtered answer, where the fixed-nprobe serve returns a subset
+    val label = e.groupBy("label").count().orderBy(col("count").asc, col("label").asc)
+      .head().getInt(0)
+    val m = e.filter(col("label") === label).count().toInt
+    assert(m >= 2, s"fixture needs a non-trivial label population, got $m")
+    val pred = col("label") === label
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val topK = m + 2 // unfillable: forces exhaustive widening
+    val adaptive = AnnIvf.annIvfServedOverAdaptive(spark, path, queries,
+      topK = topK, nprobe = 1, filter = Some(pred)).collect()
+    // every query returns the complete filtered population, exactly
+    val perQuery = adaptive.groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.length }
+    assert(perQuery.size == 3 && perQuery.values.forall(_ == m),
+      s"adaptive must return all $m matches per query: $perQuery")
+    // and the rows equal the exhaustive all-cells serve row for row
+    val exhaustive = AnnIvf.annIvfServedOver(spark, path, queries,
+      topK = topK, nprobe = kCells, filter = Some(pred)).collect()
+    assert(adaptive.map(_.toSeq).toSeq == exhaustive.map(_.toSeq).toSeq)
+    // a query that FILLS at the first probe never re-serves wider: with the
+    // always-true predicate the adaptive call equals the plain fixed-probe call
+    val plain = AnnIvf.annIvfServedOver(spark, path, queries, topK = 5, nprobe = 2,
+      filter = Some(col("label") >= 0))
+    val adaptive2 = AnnIvf.annIvfServedOverAdaptive(spark, path, queries, topK = 5,
+      nprobe = 2, filter = Some(col("label") >= 0))
+    assert(adaptive2.collect().map(_.toSeq).toSeq == plain.collect().map(_.toSeq).toSeq)
+  }
+
   test("PQ serving: persisted codes reproduce the in-query ADC search row for row") {
     import graft.operators.AnnPq
     val path = java.nio.file.Files.createTempDirectory("graft_pqserve").toString + "/idx"

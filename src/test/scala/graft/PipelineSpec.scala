@@ -140,6 +140,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
   }
 
+  test("quality_lm: corpus-trained bigram NLL separates formulaic from anomalous text") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // 20 near-identical formulaic docs + one gibberish doc of unseen
+    // bigrams: the anomaly must score a strictly higher NLL than every
+    // formulaic doc (its bigrams have count 1 against a vocabulary the
+    // smoothing penalizes), and short docs degrade to n_bigrams=0/null
+    val docs = ((1 to 20).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i")) ++
+      Seq((21L, "zxq wvu tsr qpo nml kji hgf edc"),
+        (22L, "solo"), (23L, ""))).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityLmOver(docs).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val formulaic = (1 to 20).map(i => byId(i.toLong).getDouble(2))
+    val anomaly = byId(21L).getDouble(2)
+    assert(formulaic.forall(_ < anomaly),
+      s"anomalous doc must score highest NLL: anomaly=$anomaly formulaic=${formulaic.max}")
+    assert(byId(22L).getLong(1) == 0 && byId(22L).isNullAt(2), "1-token doc: no bigrams")
+    assert(byId(23L).getLong(1) == 0 && byId(23L).isNullAt(2), "empty doc: no bigrams")
+    assert(out.length == 23)
+    // NLLs are positive (probabilities < 1) and finite
+    assert(formulaic.forall(v => v > 0 && !v.isInfinite) && anomaly > 0 && !anomaly.isInfinite)
+  }
+
   test("tfidf_terms: 5 ranked terms per language, df consistent with corpus") {
     import graft.operators.TextAnalysis
     val t = TextAnalysis.tfidfTerms(spark, sf).cache()
