@@ -157,6 +157,11 @@ object SparkEntry {
     "quality_repetition" -> ((s, dir) => Pipeline.qualityRepetition(s, dir)),
     "sample_stratified" -> ((s, dir) => Pipeline.sampleStratified(s, dir)),
     "sample_mixture" -> ((s, dir) => Pipeline.sampleMixture(s, dir)),
+    // F7 sequence packing: concat-and-split token bins via a distributed
+    // prefix sum (range partition + bounded partial totals + broadcast
+    // offsets — never a single-partition window); oracle = the global
+    // window definition, which the partition-invariant sum reproduces
+    "sample_pack" -> ((s, dir) => Pipeline.packSequences(s, dir)),
     "contamination_check" -> ((s, dir) => Pipeline.contaminationCheck(s, dir)),
   )
 
@@ -838,6 +843,18 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams, agg.nll
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "sample_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |      FROM t)
+        |SELECT doc_id, n_tokens,
+        |       CAST(prior // 512 AS BIGINT) AS bin_id,
+        |       CAST(prior % 512 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, n_chars, (doc_id * 2654435761) % 1000 AS strat_key,
         |       round(1000.0 / (CASE WHEN lang = 'en' THEN 500 ELSE 250 END) + 1e-9, 4) AS weight

@@ -207,6 +207,79 @@ object Pipeline {
     * this is exactly the layout a loader wants (uniform shards, stable
     * order, no stragglers). Returns the shard file inventory.
     */
+  /** F7: sequence packing (r11) — the concat-and-split pretraining shard
+    * shape: documents in deterministic doc_id order are conceptually
+    * concatenated into one token stream and cut into fixed `binTokens`
+    * bins; each doc reports the bin its FIRST token lands in and its
+    * offset inside that bin (GPT-style packing — a doc may straddle bin
+    * boundaries; the assignment is the straddle-aware start position).
+    *
+    * The global running token count is a DISTRIBUTED PREFIX SUM, never a
+    * single-partition window: range-partition by doc_id (contiguous id
+    * ranges per partition), one bounded pass collects per-partition totals
+    * (≤ nPartitions rows), their prefix offsets broadcast back, and each
+    * partition accumulates locally from its offset. The result is
+    * partition-count-invariant (spec-pinned) and equals the global-window
+    * definition the DuckDB oracle computes.
+    */
+  def packSequences(spark: SparkSession, sfDir: String, binTokens: Int = 512): DataFrame =
+    packSequencesOver(Tables.documents(spark, sfDir), binTokens)
+
+  /** [[packSequences]] over an arbitrary documents frame; `partitions`
+    * exposes the partition count so the invariance property is testable.
+    */
+  def packSequencesOver(d: DataFrame, binTokens: Int = 512,
+                        partitions: Int = 32): DataFrame = {
+    require(binTokens > 0, "packSequencesOver: binTokens must be positive")
+    val spark = d.sparkSession
+    import org.apache.spark.sql.types._
+    // materialized ONCE (localCheckpoint): both passes must see the SAME
+    // physical partitioning — repartitionByRange samples its bounds per
+    // execution, so an unmaterialized frame could assign a doc to
+    // different pids in pass 1 and pass 2 and corrupt the prefix offsets.
+    // Tracked: a releasingPinned caller frees the blocks after consuming.
+    val toks = AnnStore.trackedCheckpoint(
+      d.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .repartitionByRange(partitions, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", spark_partition_id()))
+    // pass 1 — bounded: one (pid, min_id, total) row per partition; prefix
+    // offsets are ordered by each partition's id RANGE (min doc_id), not
+    // by pid, so no assumption about the range partitioner's index order
+    val partials = toks.groupBy("pid")
+      .agg(min("doc_id").as("min_id"), sum("n_tokens").as("total"))
+      .collect().sortBy(_.getAs[Long]("min_id"))
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partials.map { r =>
+        val e = r.getAs[Int]("pid") -> acc
+        acc += r.getAs[Long]("total")
+        e
+      }.toMap
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("bin_id", LongType, nullable = false),
+      StructField("bin_offset", LongType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.Row
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    // pass 2 — per-partition local accumulation from the broadcast offset
+    toks.mapPartitions { rows =>
+      var cum = -1L // lazily initialized from the first row's pid
+      rows.map { r =>
+        val id = r.getLong(0); val n = r.getLong(1); val pid = r.getInt(2)
+        if (cum < 0) cum = bOffsets.value.getOrElse(pid, 0L)
+        val start = cum
+        cum += n
+        Row(id, n, start / binTokens, start % binTokens)
+      }
+    }.orderBy("doc_id")
+  }
+
   def writeShards(docs: DataFrame, path: String,
                   numShards: Int = 8, maxRecordsPerFile: Long = 0L): DataFrame = {
     val spark = docs.sparkSession

@@ -140,6 +140,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
   }
 
+  test("sample_pack: distributed prefix sum is partition-count invariant and bin math holds") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, ("tok " * (i % 37 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val base = Pipeline.packSequencesOver(docs, binTokens = 64, partitions = 1)
+      .collect().map(_.toSeq).toSeq
+    // the global running sum must not depend on how the corpus is split
+    for (p <- Seq(3, 7, 32)) {
+      val got = Pipeline.packSequencesOver(docs, binTokens = 64, partitions = p)
+        .collect().map(_.toSeq).toSeq
+      assert(got == base, s"packing diverged at $p partitions")
+    }
+    // bin math: offsets stay inside the bin, bins are non-decreasing, and
+    // each doc's start equals the previous doc's start + its tokens
+    val rows = base.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long],
+      s(2).asInstanceOf[Long], s(3).asInstanceOf[Long]))
+    assert(rows.forall { case (_, _, _, off) => off >= 0 && off < 64 })
+    val starts = rows.map { case (_, n, bin, off) => (bin * 64 + off, n) }
+    starts.sliding(2).foreach {
+      case Seq((s1, n1), (s2, _)) => assert(s2 == s1 + n1, "concat stream must be gapless")
+      case _ =>
+    }
+  }
+
   test("quality_lm: corpus-trained bigram NLL separates formulaic from anomalous text") {
     import graft.operators.TextAnalysis
     import spark.implicits._
