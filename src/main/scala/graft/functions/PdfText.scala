@@ -30,9 +30,14 @@ import java.util.zip.Inflater
   * where the raw string bytes are meaningless glyph ids. Resource names
   * merge document-wide (first binding wins — a name rebound to a different
   * font across pages is rare and degrades to the first mapping, never
-  * throws). Out of scope, by design: encryption and glyph mapping for
-  * fonts that ship NO ToUnicode (those degrade to the raw one-byte read);
-  * everything else still flows through the same Spark plumbing.
+  * throws). Encrypted documents decrypt through the standard security
+  * handler for the EMPTY user password (r11 — the permissions-only case
+  * most encrypted crawl PDFs are): Algorithm-2 key derivation from
+  * /O‖/P‖/ID, per-object keys, RC4 (V1/V2/V4-`/V2`) and AES-128-CBC
+  * (V4 `/AESV2`) stream decryption. Out of scope, by design: AES-256
+  * (R5/6), password-protected opens, and glyph mapping for fonts that
+  * ship NO ToUnicode (those degrade to the raw one-byte read or empty
+  * text); everything else still flows through the same Spark plumbing.
   *
   * Driver-query note: the `pdf_decode` oracle query keeps its deterministic
   * stub outputs for the synthetic fixture (whose bytes are not PDFs — this
@@ -122,6 +127,14 @@ object PdfText {
         }
       }
     }
+    // structure view with stream BODIES blanked: page counting, the
+    // font-resource scan, and the /Encrypt lookup must never match inside
+    // stream data (raw text about PDFs may contain "/Type /Page")
+    val struct = blankRanges(s, recs.map(r => (r.dataStart, r.end)).toSeq)
+    // encrypted document? derive the file key (empty user password) so
+    // stream bodies decrypt before inflate; the xref stream itself is
+    // never encrypted (spec) and was already decoded above
+    val crypt = loadDecryptor(struct)
     // memoized stream decode: font discovery, page counting, and the text
     // pass may each touch the same stream (a CMap inflates once, not once
     // per consumer)
@@ -131,7 +144,17 @@ object PdfText {
       if (hit != null) hit
       else {
         val r = recs(i)
-        val raw = java.util.Arrays.copyOfRange(bytes, r.dataStart, r.end)
+        val raw0 = java.util.Arrays.copyOfRange(bytes, r.dataStart, r.end)
+        val raw = crypt match {
+          case Some(d) if XRefRe.findFirstIn(r.dict).isEmpty =>
+            r.objNum match {
+              case Some((num, gen, _)) =>
+                try d.decrypt(num, gen, raw0)
+                catch { case _: Exception => raw0 } // degrade, never throw
+              case None => raw0
+            }
+          case _ => raw0
+        }
         val c =
           if (r.dict.contains("FlateDecode")) inflate(raw).map(new String(_, Latin1))
           else Some(new String(raw, Latin1))
@@ -155,7 +178,7 @@ object PdfText {
       val r = recs(i)
       if (ObjStmRe.findFirstIn(r.dict).isDefined) {
         val copyLive = xref.isEmpty || r.objNum.isEmpty ||
-          r.objNum.exists { case (num, off) => xref.get(num).contains(InFile(off)) }
+          r.objNum.exists { case (num, _, off) => xref.get(num).contains(InFile(off)) }
         if (copyLive) contentOf(i).foreach { p =>
           objStmMembers(p, r.dict) match {
             case None => objStmPages += PageRe.findAllIn(p).size // degrade
@@ -174,10 +197,6 @@ object PdfText {
         }
       }
     }
-    // structure view with stream BODIES blanked: page counting and the
-    // font-resource scan must never match inside stream data (raw text
-    // about PDFs may contain "/Type /Page" or "/Font")
-    val struct = blankRanges(s, recs.map(r => (r.dataStart, r.end)).toSeq)
     val fonts =
       try buildFontTable(struct, recs.toSeq, memberBodies.toSeq, xref, contentOf)
       catch { case _: Exception => Map.empty[String, CidFont] }
@@ -198,7 +217,7 @@ object PdfText {
     * owning object's (number, header offset) when recoverable.
     */
   private final case class StreamRec(dict: String, dataStart: Int, end: Int,
-                                     objNum: Option[(Int, Int)])
+                                     objNum: Option[(Int, Int, Int)])
 
   /** `s` with each (from, until) range replaced by spaces — the structural
     * view regexes may safely run over.
@@ -381,11 +400,12 @@ object PdfText {
     * starts — the position a type-1 xref entry addresses). Identifies
     * which object a stream IS, for the generation-liveness checks.
     */
-  private def objNumBefore(s: String, dictStart: Int): Option[(Int, Int)] = {
+  private def objNumBefore(s: String, dictStart: Int): Option[(Int, Int, Int)] = {
     val winStart = math.max(0, dictStart - 24)
-    "(\\d+)\\s+\\d+\\s*$".r
+    "(\\d+)\\s+(\\d+)\\s*$".r
       .findFirstMatchIn(s.substring(winStart, dictStart))
-      .flatMap(m => scala.util.Try((m.group(1).toInt, winStart + m.start)).toOption)
+      .flatMap(m => scala.util.Try(
+        (m.group(1).toInt, m.group(2).toInt, winStart + m.start)).toOption)
   }
 
   /** The embedded objects of one object stream, as (objnum, serialized
@@ -413,6 +433,161 @@ object PdfText {
         (nums(2 * i), payload.substring(from, until))
       })
     } catch { case _: Exception => None }
+  }
+
+  // ---- encrypted documents (standard security handler) ----
+
+  /** Standard-security-handler crypt for the EMPTY user password — the
+    * permissions-only encryption most encrypted PDFs in a crawl carry
+    * (the user can open them; only edit/print permissions are locked).
+    * RC4 for V1/V2 (R2/R3) and V4 `/V2` crypt filters; AES-128-CBC for
+    * V4 `/AESV2` (first 16 bytes of each stream are the IV, PKCS#5
+    * padding). R5/6 (AES-256) and non-empty passwords stay out of
+    * envelope: their streams decrypt to garbage that the inflate/BT
+    * gates degrade to empty text, never a throw. Encryption side exists
+    * for the round-trip fixtures ([[buildEncryptedPdf]]).
+    */
+  private[functions] final case class StdCrypt(fileKey: Array[Byte], aes: Boolean) {
+    private def objKey(num: Int, gen: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(fileKey)
+      md.update(Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+      if (aes) md.update(Array[Byte](0x73, 0x41, 0x6c, 0x54)) // "sAlT"
+      md.digest().take(math.min(fileKey.length + 5, 16))
+    }
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      if (aes) {
+        if (data.length < 32) Array.emptyByteArray // IV + >=1 block
+        else {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(objKey(num, gen), "AES"),
+            new javax.crypto.spec.IvParameterSpec(java.util.Arrays.copyOf(data, 16)))
+          c.doFinal(data, 16, data.length - 16)
+        }
+      } else rc4(objKey(num, gen), data)
+    private[functions] def encrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      if (aes) {
+        // deterministic IV (fixtures need byte-stable output): MD5 of the
+        // object id — unique per object, which is all CBC needs here
+        val iv = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"iv:$num:$gen".getBytes(Latin1)).take(16)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey(num, gen), "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(data)
+      } else rc4(objKey(num, gen), data)
+  }
+
+  private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val sBox = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + sBox(i) + key(i % key.length)) & 0xff
+      val t = sBox(i); sBox(i) = sBox(j); sBox(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    i = 0; j = 0
+    while (x < data.length) {
+      i = (i + 1) & 0xff
+      j = (j + sBox(i)) & 0xff
+      val t = sBox(i); sBox(i) = sBox(j); sBox(j) = t
+      out(x) = (data(x) ^ sBox((sBox(i) + sBox(j)) & 0xff)).toByte
+      x += 1
+    }
+    out
+  }
+
+  /** The spec's 32-byte password pad (Algorithm 2). */
+  private val PadBytes: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** Algorithm 2 file key for the empty user password: MD5(pad ‖ O ‖ P
+    * little-endian ‖ ID₀), then 50 MD5 rounds over the first n bytes for
+    * R≥3; key length n = Length/8 (clamped 5..16, 5 for V1).
+    */
+  private[functions] def deriveFileKey(o: Array[Byte], p: Int, id0: Array[Byte],
+                                       r: Int, lengthBits: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(PadBytes)
+    md.update(o, 0, math.min(32, o.length))
+    md.update(Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte))
+    md.update(id0)
+    var h = md.digest()
+    val n = math.max(5, math.min(16, lengthBits / 8))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) {
+        val m2 = java.security.MessageDigest.getInstance("MD5")
+        m2.update(h, 0, n); h = m2.digest(); i += 1
+      }
+    }
+    h.take(n)
+  }
+
+  /** Parse the /Encrypt dictionary out of the structural view (it is
+    * top-level and never itself encrypted) and derive the file key for
+    * the empty user password. None = unencrypted document, an unsupported
+    * handler/revision, or any malformation — all degrade to "no
+    * decryption", which for a truly encrypted document means garbage
+    * streams that the downstream gates turn into empty text.
+    */
+  private def loadDecryptor(struct: String): Option[StdCrypt] = {
+    try {
+      val encNum = "/Encrypt\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(struct)
+        .toSeq.lastOption.map(_.group(1).toInt).getOrElse(return None)
+      val body = ("(?s)(?m)^\\s*" + encNum + "\\s+\\d+\\s+obj(.*?)endobj").r
+        .findFirstMatchIn(struct).map(_.group(1)).getOrElse(return None)
+      if (!body.contains("/Standard")) return None
+      val v = "/V\\s+(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+      val r = "/R\\s+(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(2)
+      if (v < 1 || v > 4 || r < 2 || r > 4) return None // AES-256 et al.
+      val aes = v == 4 && body.contains("/AESV2")
+      val lengthBits = "/Length\\s+(\\d+)".r.findFirstMatchIn(body)
+        .map(_.group(1).toInt).getOrElse(40)
+      val p = "/P\\s+(-?\\d+)".r.findFirstMatchIn(body)
+        .map(_.group(1).toLong.toInt).getOrElse(-1)
+      val o = pdfStringValue(body, "/O").getOrElse(return None)
+      val id0 = "/ID\\s*\\[\\s*<([0-9A-Fa-f]*)>".r.findAllMatchIn(struct)
+        .toSeq.lastOption.map(m => hexToBytes(m.group(1)))
+        .getOrElse(Array.emptyByteArray)
+      Some(StdCrypt(deriveFileKey(o, p, id0, r, if (v == 1) 40 else lengthBits), aes))
+    } catch { case _: Exception => None }
+  }
+
+  /** The string VALUE after `key` in a dictionary body — literal
+    * (escape-aware) or hex form — as raw bytes.
+    */
+  private def pdfStringValue(body: String, key: String): Option[Array[Byte]] = {
+    val idx = body.indexOf(key)
+    if (idx < 0) return None
+    var i = idx + key.length
+    while (i < body.length && body.charAt(i).isWhitespace) i += 1
+    if (i >= body.length) None
+    else body.charAt(i) match {
+      case '(' =>
+        val sb = new StringBuilder
+        parseLiteral(body, i + 1, sb)
+        Some(sb.result().map(_.toByte).toArray)
+      case '<' =>
+        val sb = new StringBuilder
+        parseHex(body, i + 1, sb)
+        Some(sb.result().map(_.toByte).toArray)
+      case _ => None
+    }
+  }
+
+  private def hexToBytes(h: String): Array[Byte] = {
+    val hh = if (h.length % 2 == 1) h + "0" else h
+    hh.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
   }
 
   // ---- composite (Type0/CID) fonts via /ToUnicode CMaps ----
@@ -460,7 +635,7 @@ object PdfText {
     def streamContent(num: Int): Option[String] = {
       val candidates = recs.indices.filter(recs(_).objNum.exists(_._1 == num))
       val live = candidates.find(i =>
-        recs(i).objNum.exists { case (n, off) => xref.get(n).contains(InFile(off)) })
+        recs(i).objNum.exists { case (n, _, off) => xref.get(n).contains(InFile(off)) })
       live.orElse(candidates.lastOption).flatMap(contentOf)
     }
     val table = scala.collection.mutable.Map.empty[String, CidFont]
@@ -845,6 +1020,46 @@ object PdfText {
       "/Encoding/Identity-H/ToUnicode 6 0 R>>endobj\n")
     stream(6, cmapBytes, "")
     w("trailer<</Root 1 0 R>>\n%%EOF")
+    out.toByteArray
+  }
+
+  /** A classic-xref document ENCRYPTED with the standard security handler
+    * (empty user password): content streams deflate then encrypt per
+    * object, the /Encrypt dictionary and trailer /ID carry everything
+    * [[extract]]'s key derivation needs. `aes` selects V4 `/AESV2`
+    * (AES-128-CBC, IV-prefixed streams) over V2/R3 RC4-128. Fixture
+    * builder for the decryption envelope — O/U are arbitrary bytes (the
+    * reader never validates the user password; it assumes empty, which
+    * is exactly the permissions-only encryption case).
+    */
+  def buildEncryptedPdf(contentStreams: Seq[Array[Byte]], aes: Boolean): Array[Byte] = {
+    val oBytes = Array.tabulate(32)(i => ((i * 37 + 11) & 0xff).toByte)
+    val id0 = Array.tabulate(16)(i => ((i * 73 + 5) & 0xff).toByte)
+    val p = -44
+    val r = if (aes) 4 else 3
+    val crypt = StdCrypt(deriveFileKey(oBytes, p, id0, r, 128), aes)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(Latin1))
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    w("%PDF-1.6\n")
+    w("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")
+    val kids = contentStreams.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj<</Type/Pages/Kids[$kids]/Count ${contentStreams.length}>>endobj\n")
+    contentStreams.zipWithIndex.foreach { case (c, i) =>
+      val pageId = 3 + 2 * i
+      val streamId = pageId + 1
+      w(s"$pageId 0 obj<</Type/Page/Parent 2 0 R/Contents $streamId 0 R>>endobj\n")
+      val body = crypt.encrypt(streamId, 0, deflate(c))
+      w(s"$streamId 0 obj<</Length ${body.length}/Filter/FlateDecode>>stream\n")
+      out.write(body)
+      w("\nendstream endobj\n")
+    }
+    val encId = 3 + 2 * contentStreams.length
+    val cf = if (aes) "/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF" else ""
+    val v = if (aes) 4 else 2
+    w(s"$encId 0 obj<</Filter/Standard/V $v/R $r/Length 128$cf" +
+      s"/O <${hex(oBytes)}>/U <${hex(oBytes)}>/P $p>>endobj\n")
+    w(s"trailer<</Root 1 0 R/Encrypt $encId 0 R/ID[<${hex(id0)}><${hex(id0)}>]>>\n%%EOF")
     out.toByteArray
   }
 

@@ -107,12 +107,15 @@ object Multimodal {
           val text = if (r.isNullAt(1)) "" else r.getString(1) // nullable column
           // rotate the encode form by doc_id: literal Tj / kerned TJ array /
           // hex string / CID composite font (2-byte ToUnicode-mapped codes)
+          // / ENCRYPTED (standard security handler — RC4 or AES by parity)
           // all decode to the same text, so the gate exercises every parser
-          // path — including the CMap machinery — against one oracle
-          // floorMod: Scala % is signed — a negative doc_id must still
-          // rotate through all four forms, not collapse to the literal one
-          Row(id, Math.floorMod(id, 4L).toInt match {
+          // path — CMap machinery and decryption included — against one
+          // oracle. floorMod: Scala % is signed — a negative doc_id must
+          // still rotate through all forms, not collapse to the literal one
+          Row(id, Math.floorMod(id, 5L).toInt match {
             case 3 => PdfText.buildCidPdf(text)
+            case 4 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)),
+              aes = Math.floorMod(id, 2L) == 0L)
             case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
           })
         }

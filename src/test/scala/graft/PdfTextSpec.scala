@@ -138,6 +138,41 @@ end
     assert(PdfText.extract(patched.getBytes("ISO-8859-1")).get.text == "Hi raw bytes")
   }
 
+  test("RC4-encrypted PDF (V2/R3, empty user password) decrypts and round-trips") {
+    val doc = PdfText.buildEncryptedPdf(Seq(
+      PdfText.textPage("locked down but readable"),
+      PdfText.textPage("second encrypted page", 1)), aes = false)
+    // the plaintext genuinely is not in the file
+    assert(!new String(doc, "ISO-8859-1").contains("locked down"))
+    val r = PdfText.extract(doc).get
+    assert(r.text == "locked down but readable second encrypted page", r.text)
+    assert(r.nPages == 2)
+  }
+
+  test("AES-128 (/AESV2) encrypted PDF decrypts and round-trips") {
+    val doc = PdfText.buildEncryptedPdf(Seq(
+      PdfText.textPage("aes protected content here", 2)), aes = true)
+    assert(!new String(doc, "ISO-8859-1").contains("aes protected"))
+    val r = PdfText.extract(doc).get
+    assert(r.text == "aes protected content here", r.text)
+    assert(r.nPages == 1)
+  }
+
+  test("encrypted PDF with a tampered key degrades to empty text, never throws") {
+    // corrupt /P: the derived key changes, RC4 output is garbage, inflate
+    // fails -> empty text (the declared degrade for wrong-password docs)
+    val doc = new String(PdfText.buildEncryptedPdf(
+      Seq(PdfText.textPage("secret")), aes = false), "ISO-8859-1")
+    val patched = doc.replace("/P -44", "/P -3904")
+    val r = PdfText.extract(patched.getBytes("ISO-8859-1")).get
+    assert(r.text == "")
+    assert(r.nPages == 1, "page dicts are plaintext and still count")
+    // unsupported revision (AES-256 R6) is out of envelope: no decryptor,
+    // garbage streams, empty text, no exception
+    val r6 = doc.replace("/V 2/R 3", "/V 5/R 6")
+    assert(PdfText.extract(r6.getBytes("ISO-8859-1")).get.text == "")
+  }
+
   test("stream bytes containing 'endstream' do not truncate: /Length wins") {
     // raw (uncompressed) stream whose TEXT contains the keyword — a bare
     // indexOf("endstream") would cut the stream mid-literal and lose the tail
