@@ -702,6 +702,20 @@ class Graft(spark: SparkSession, sfDir: String,
   def curate(): DataFrame =
     streaming.CurationStream.curate(Tables.documents(spark, sfDir))
 
+  /** LM-based quality scores over the corpus (corpus-trained bigram
+    * model, per-doc mean NLL — SURVEY §2 D6): the standard quality-filter
+    * signal; sort descending to find boilerplate/garbage outliers.
+    */
+  def qualityLm(): DataFrame =
+    operators.TextAnalysis.qualityLmOver(Tables.documents(spark, sfDir))
+
+  /** Sequence-packing assignment for the corpus (concat-and-split token
+    * bins — SURVEY §2 F7): each doc's straddle-aware start bin + offset
+    * for fixed `binTokens` training sequences.
+    */
+  def packSequences(binTokens: Int = 512): DataFrame =
+    operators.Pipeline.packSequencesOver(Tables.documents(spark, sfDir), binTokens)
+
   /** Verified near-duplicate pairs over the corpus (MinHash-LSH blocked,
     * exact-Jaccard checked).
     */

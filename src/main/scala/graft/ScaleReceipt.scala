@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnnIvfPq, AnnPq}
+import graft.operators.{AnnIvf, AnnIvfPq, AnnPq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,10 +72,12 @@ object ScaleReceipt {
 
     val pqPath = work + "/pq"
     val ivfPath = work + "/ivfpq"
+    val ivfPlainPath = work + "/ivf"
     // k scales with the corpus (the IVF contract): ~n/16k vectors per cell
     val k = math.max(16, math.min(256, (n / 16384L).toInt))
     val (_, tPqBuild) = time(AnnPq.ensurePqIndex(spark, dir, pqPath))
     val (_, tIvfBuild) = time(AnnIvfPq.ensureIvfPqIndex(spark, dir, ivfPath, k = k))
+    val (_, tIvfPlainBuild) = time(AnnIvf.ensureIvfIndex(spark, dir, ivfPlainPath, k = k))
 
     def serveMin(f: => DataFrame): Double = {
       f.count() // warm: codegen + FS cache
@@ -86,6 +88,20 @@ object ScaleReceipt {
     val tIvfServe = serveMin(
       AnnIvfPq.annIvfPqServedOver(spark, ivfPath, queries(ivfPath),
         topK = 10, nprobe = math.max(2, k / 16)))
+    // r11: FILTERED serving at the same scale — the predicate prunes
+    // inside the probed cells, so the filtered serve must track the
+    // unfiltered one (it scans the same nprobe/k slice), and the adaptive
+    // wrapper's overhead is one bounded count per round
+    val nprobePlain = math.max(2, k / 16)
+    val tIvfPlainServe = serveMin(
+      AnnIvf.annIvfServedOver(spark, ivfPlainPath, queries(ivfPlainPath),
+        topK = 10, nprobe = nprobePlain))
+    val tIvfFiltServe = serveMin(
+      AnnIvf.annIvfServedOver(spark, ivfPlainPath, queries(ivfPlainPath),
+        topK = 10, nprobe = nprobePlain, filter = Some(col("label") === 1)))
+    val tIvfAdaptServe = serveMin(
+      AnnIvf.annIvfServedOverAdaptive(spark, ivfPlainPath, queries(ivfPlainPath),
+        topK = 10, nprobe = nprobePlain, filter = Some(col("label") === 1)))
 
     // refresh receipt: dirty ~1/9973 of the corpus (norm-only change —
     // same cells stay affected), staged swap so the read side never sees a
@@ -103,16 +119,35 @@ object ScaleReceipt {
     fs.rename(staged, embPath)
     val (rPq, tPqRefresh) = time(AnnPq.refreshPqIndex(spark, dir, pqPath).collect())
     val (rIvf, tIvfRefresh) = time(AnnIvfPq.refreshIvfPqIndex(spark, dir, ivfPath, k = k).collect())
+    val (rIvfP, tIvfPlainRefresh) =
+      time(AnnIvf.refreshIvfIndex(spark, dir, ivfPlainPath, k = k).collect())
     def stat(r: Array[org.apache.spark.sql.Row], c: String) = r.head.getAs[Any](c)
+
+    // r11 compaction receipt: the refresh just rewrote its affected cells
+    // from many-partition frames — compact them back to sized files and
+    // prove the serve is row-identical before/after
+    val servedPre = AnnIvf.annIvfServedOver(spark, ivfPlainPath, queries(ivfPlainPath),
+      topK = 10, nprobe = nprobePlain).collect().map(_.toSeq).toSeq
+    val (comp, tCompact) = time(AnnIvf.compactIvfIndex(spark, ivfPlainPath).collect())
+    val servedPost = AnnIvf.annIvfServedOver(spark, ivfPlainPath, queries(ivfPlainPath),
+      topK = 10, nprobe = nprobePlain).collect().map(_.toSeq).toSeq
+    require(servedPre == servedPost, "compaction changed serving results")
+    val compRow = comp.find(_.getString(0) == "vectors").get
 
     println(
       s"""{"metric":"scale_receipt","n_vectors":$n,"scale":$scale,"k":$k,""" +
         s""""pq_build_sec":$tPqBuild,"ivfpq_build_sec":$tIvfBuild,""" +
+        s""""ivf_build_sec":$tIvfPlainBuild,""" +
         s""""pq_serve_sec":$tPqServe,"ivfpq_serve_sec":$tIvfServe,""" +
+        s""""ivf_serve_sec":$tIvfPlainServe,"ivf_filtered_serve_sec":$tIvfFiltServe,""" +
+        s""""ivf_adaptive_serve_sec":$tIvfAdaptServe,""" +
         s""""pq_refresh_sec":$tPqRefresh,"pq_refresh_mode":"${stat(rPq, "mode")}",""" +
         s""""pq_cells_rewritten":${stat(rPq, "n_cells_rewritten")},""" +
         s""""ivfpq_refresh_sec":$tIvfRefresh,"ivfpq_refresh_mode":"${stat(rIvf, "mode")}",""" +
-        s""""ivfpq_cells_rewritten":${stat(rIvf, "n_cells_rewritten")}}""")
+        s""""ivfpq_cells_rewritten":${stat(rIvf, "n_cells_rewritten")},""" +
+        s""""ivf_refresh_sec":$tIvfPlainRefresh,"ivf_refresh_mode":"${stat(rIvfP, "mode")}",""" +
+        s""""compact_sec":$tCompact,"compact_units":${compRow.getLong(1)},""" +
+        s""""compact_files_before":${compRow.getLong(2)},"compact_files_after":${compRow.getLong(3)}}""")
     spark.stop()
   }
 }

@@ -271,6 +271,10 @@ class PipelineSpec extends SparkSpecBase {
     assert(g.curate().count() == Tables.documents(spark, sf).count())
     assert(g.findNearDuplicates().count() ==
       graft.operators.Dedup.dedupMinhashLsh(spark, sf).count())
+    assert(g.qualityLm().count() == Tables.documents(spark, sf).count())
+    assert(g.packSequences(256).collect().map(_.toSeq).toSeq ==
+      graft.operators.Pipeline.packSequencesOver(
+        Tables.documents(spark, sf), 256).collect().map(_.toSeq).toSeq)
     // export writes only near-dup survivors, as uniform shards
     val out = java.nio.file.Files.createTempDirectory("graft_export").toString + "/shards"
     val inv = g.exportShards(out, numShards = 2)
