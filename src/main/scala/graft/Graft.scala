@@ -608,6 +608,15 @@ class Graft(spark: SparkSession, sfDir: String,
     operators.Bm25.ragHybridOver(servingIndex, query, Graft.clampTopK(topK), dim,
       queryVec = Some(embedder.embedText(query)))
 
+  /** The batched twin of [[ragQueryHybrid]] — one index scan (single
+    * tokenize pass, query-independent tf/df) serves the whole batch;
+    * per-query rows identical to the single-query serve (spec-asserted).
+    * Completes the batch family: exact, ANN, graph, and now hybrid.
+    */
+  def ragQueryHybridBatch(queries: Seq[String], topK: Int = 10): DataFrame =
+    operators.Bm25.ragHybridBatchOver(servingIndex, queries, Graft.clampTopK(topK),
+      dim, queryVecs = Some(queries.map(q => embedder.embedText(q))))
+
   /** Token-range read of one document (1-based inclusive, like the
     * reference's line ranges). Driver-side scalar — it's a point lookup.
     */

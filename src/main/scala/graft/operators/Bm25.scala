@@ -138,6 +138,85 @@ object Bm25 {
       .limit(topK)
   }
 
+  /** Batched hybrid retrieval (r11): ONE index scan serves a whole query
+    * batch, completing the batch family (exact `ragQueryBatch`, ANN
+    * `ragQueryAnnBatch`, graph — and now hybrid). Row-identical per query
+    * to [[ragHybridOver]] (spec-asserted), because every shared statistic
+    * is query-independent: the tokenize pass filters hits against the
+    * UNION of all queries' terms, tf/df/N/avgdl come out identical, and
+    * the bounded (query_id, term) frame broadcast into the tf join
+    * restricts each query to its own terms. Candidate pools are per-query
+    * `row_number ≤ candDepth` over `partitionBy(query_id)` — the
+    * [[graft.Graft.ragQueryBatchOver]] shape, bounded by the optimizer's
+    * WindowGroupLimit rank pushdown (plan-asserted in the spec), never a
+    * single-partition corpus sort.
+    */
+  def ragHybridBatchOver(index: DataFrame, queries: Seq[String],
+                         topK: Int = 10, dim: Int = 64, candDepth: Int = 200,
+                         queryVecs: Option[Seq[Array[Double]]] = None): DataFrame = {
+    require(queries.nonEmpty, "ragHybridBatchOver: empty query batch")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val keys = Seq("doc_id", "chunk_idx")
+    val qvs = queryVecs.getOrElse(queries.map(q => HashEmbedAlg.embed(q, dim)))
+    require(qvs.length == queries.length, "one query vector per query")
+    val qTerms = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.split(" ").filter(_.nonEmpty).distinct.map(t => (i.toLong, t))
+    }.toDF("query_id", "term")
+    val termSet = queries.flatMap(_.split(" ").filter(_.nonEmpty)).distinct.toSeq
+    // one tokenize pass shared by every query (the single-query scorer's
+    // checkpoint note applies unchanged)
+    val prepped = index
+      .select(col("doc_id"), col("chunk_idx"), Text.tokens(col("chunk_text")).as("toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("toks")).cast("double").as("dl"),
+        filter(col("toks"), t => t.isin(termSet.map(lit): _*)).as("hits"))
+      .localCheckpoint(false)
+    val stats = prepped.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    // per-(chunk, term) tf and per-term df are QUERY-INDEPENDENT — computed
+    // once, expanded to queries by the bounded broadcast join below
+    val tf = prepped
+      .select(col("doc_id"), col("chunk_idx"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val wq = Window.partitionBy(col("query_id"))
+    val bmTop = tf.join(broadcast(qTerms), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id") +: keys.map(col): _*)
+      .agg(sum(col("w")).as("bm25raw"))
+      .withColumn("bm25", round(col("bm25raw") + lit(1e-9), 4))
+      .withColumn("bm25_rank", row_number().over(
+        wq.orderBy(col("bm25").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
+      .filter(col("bm25_rank") <= candDepth)
+      .select(col("query_id") +: keys.map(col) :+ col("bm25_rank"): _*)
+    val qvF = qvs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("query_id", "qv")
+    val cosTop = index.crossJoin(broadcast(qvF))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+        round(VecExprs.cosineSim(col("emb"), col("qv")) + lit(1e-9), 4).as("cos"))
+      .withColumn("cos_rank", row_number().over(
+        wq.orderBy(col("cos").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
+      .filter(col("cos_rank") <= candDepth)
+      .select(col("query_id") +: keys.map(col) :+ col("cos_rank"): _*)
+    cosTop.join(bmTop, "query_id" +: keys, "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("bm25_rank") + RrfC), lit(0.0)) +
+          coalesce(lit(1.0) / (col("cos_rank") + RrfC), lit(0.0)) + lit(1e-12), 6))
+      .withColumn("rn", row_number().over(
+        wq.orderBy(col("rrf").desc, col("doc_id").asc, col("chunk_idx").asc)))
+      .filter(col("rn") <= topK).drop("rn")
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+        col("rrf"), col("bm25_rank"), col("cos_rank"))
+      .orderBy(col("query_id").asc, col("rrf").desc,
+        col("doc_id").asc, col("chunk_idx").asc)
+  }
+
   /** A11: hybrid retrieval — RRF of the BM25 ranking and the hash-embedding
     * cosine ranking for the same query string.
     */

@@ -28,6 +28,28 @@ class Bm25Spec extends SparkSpecBase {
     assert(hits >= 3, s"top doc only has $hits query-term hits")
   }
 
+  test("hybrid batch: one-scan batch equals per-query hybrid; pools stay WindowGroupLimit-bounded") {
+    val g = new Graft(spark, sf)
+    val queries = Seq(
+      g.readFile(3, 1, 10),
+      "columnar parquet dictionary compression",
+      "zzznolexicalhitterm qqqalsonothing") // cosine-only query: no term hits
+    val batchDf = g.ragQueryHybridBatch(queries, topK = 5)
+    val batch = batchDf.collect()
+    assert(batch.map(_.getAs[Long]("query_id")).distinct.length == 3,
+      "every query must produce rows (the no-hit query rides its cosine leg)")
+    for ((q, i) <- queries.zipWithIndex) {
+      val single = g.ragQueryHybrid(q, topK = 5).collect().map(_.toSeq).toSeq
+      val slice = batch.filter(_.getAs[Long]("query_id") == i.toLong)
+        .map(_.toSeq.drop(1)).toSeq
+      assert(slice == single, s"batch rows for query $i differ from per-query serving")
+    }
+    // the per-query pools are rank-pushdown bounded, not a corpus sort
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"candidate pools must be WindowGroupLimit-bounded:\n$plan")
+  }
+
   test("hybrid RRF fuses both rankings: top result appears in a head of either ranking") {
     val hybrid = Bm25.ragHybrid(spark, sf, topK = 10).collect()
     assert(hybrid.length == 10)
