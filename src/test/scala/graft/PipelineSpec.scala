@@ -389,6 +389,41 @@ class PipelineSpec extends SparkSpecBase {
     inventory.unpersist()
   }
 
+  test("mediaMeta: real header parsing for PNG/JPEG/GIF/WAV, unknown degrades") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      bytes(0, 0, 2, 0x80, /*width 640*/ 0, 0, 1, 0xE0, /*height 480*/ 8, 6, 0, 0, 0)
+    val jpeg = bytes(0xff, 0xd8,
+      0xff, 0xe0, 0, 16) ++ "JFIF".getBytes ++ bytes(0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+      bytes(0xff, 0xc0, 0, 17, 8, 0, 0xF0, /*h 240*/ 1, 0x40, /*w 320*/ 3,
+        1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val gif = "GIF89a".getBytes ++ bytes(100, 0, 50, 0, 0xF7, 0, 0)
+    val wav = "RIFF".getBytes ++ bytes(36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ bytes(16, 0, 0, 0, 1, 0, 2, 0, /*ch 2*/
+        0x44, 0xAC, 0, 0, /*44100*/ 0x10, 0xB1, 2, 0, 4, 0, 16, 0 /*bits 16*/)
+    val docs = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, wav),
+      (5L, "just some text".getBytes)).toDF("doc_id", "content")
+    val out = Multimodal.mediaMeta(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "png" && out(1L).getInt(2) == 640 &&
+      out(1L).getInt(3) == 480 && out(1L).getInt(6) == 8)
+    assert(out(2L).getString(1) == "jpeg" && out(2L).getInt(2) == 320 &&
+      out(2L).getInt(3) == 240 && out(2L).getInt(6) == 8,
+      s"jpeg parse: ${out(2L)}")
+    assert(out(3L).getString(1) == "gif" && out(3L).getInt(2) == 100 && out(3L).getInt(3) == 50)
+    assert(out(4L).getString(1) == "wav" && out(4L).getInt(4) == 2 &&
+      out(4L).getInt(5) == 44100 && out(4L).getInt(6) == 16)
+    assert(out(5L).getString(1) == "unknown" && out(5L).isNullAt(2))
+    // truncated/hostile headers never throw
+    val hostile = Seq((6L, bytes(0xff, 0xd8, 0xff, 0xc0, 0, 3)),
+      (7L, "RIFF1234WAVE".getBytes), (8L, Array.emptyByteArray))
+      .toDF("doc_id", "content")
+    val h = Multimodal.mediaMeta(hostile).collect()
+    assert(h.length == 3)
+  }
+
   test("binary corpus source + frame sampling + resize plumbing") {
     import graft.operators.Multimodal
     import graft.sources.BinaryCorpus
