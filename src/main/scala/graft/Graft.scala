@@ -184,11 +184,14 @@ class Graft(spark: SparkSession, sfDir: String,
     * any pending edits and deletes ride the next arrival's batch — or an
     * interleaved manual reindexDirectory. The stream source cannot prune
     * excluded folders at listing time (one load path, no glob negation),
-    * so exclusion is enforced per batch: the arrivals' file paths are read
-    * (a projection-only pass — contents are discarded) and a batch whose
-    * every arrival sits under an excluded folder skips the reindex
-    * entirely, so node_modules churn can never drive full-tree diffs.
-    * Caller stops the returned query.
+    * so exclusion is enforced per batch: the arrivals' PATHS are consulted
+    * through the binaryFile source with content pruned away — file bytes
+    * are never read on the trigger path — and a batch whose every arrival
+    * sits under an excluded folder skips the reindex entirely, so
+    * node_modules churn can never drive full-tree diffs. (binaryFile's
+    * `path` is Hadoop's unescaped form, so the excluded-segment check
+    * works for spaces/percent names without URI decoding.) Caller stops
+    * the returned query.
     */
   def watchDirectory(storePath: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val (root, exts, excluded) = dirSource match {
@@ -199,20 +202,30 @@ class Graft(spark: SparkSession, sfDir: String,
     }
     val rootNorm = if (root.endsWith("/")) root else root + "/"
     val excludedSet = excluded.toSet
+    // binaryFile's fixed schema, declared up front (a streaming source
+    // cannot infer one from an empty-at-start directory)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
     val arrivals = spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
       .option("pathGlobFilter", sources.TextCorpus.extGlob(exts))
       .option("recursiveFileLookup", "true")
-      .text(root)
-      // only the file paths travel to the trigger (the value column is
-      // pruned out of the plan here, at the source)
-      .select(col("_metadata.file_path").as("file_path"))
+      .load(root)
+      // only the file paths travel to the trigger: binaryFile prunes the
+      // content column away, so arrival bytes are never opened here
+      .select(col("path"))
     arrivals.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // only the file paths are consulted — the reindex body recomputes
         // the authoritative diff itself, so batch CONTENT is never trusted
-        val paths = batch.select(col("file_path")).distinct()
+        val paths = batch.select(col("path")).distinct()
           .collect().map(_.getString(0))
         def isExcluded(p: String): Boolean = {
           val norm = p.replaceFirst("^file:/+", "/")

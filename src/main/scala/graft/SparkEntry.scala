@@ -845,7 +845,7 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "sample_pack" ->
       """WITH t AS (SELECT doc_id,
-        |             CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |             CAST(len(list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
         |           FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |        coalesce(sum(n_tokens) OVER (ORDER BY doc_id

@@ -91,17 +91,6 @@ object Tables {
     }
   }
 
-  /** Whether an events parquet at `path` stores `ts` as TIMESTAMP(NANOS)
-    * (surfaced as a raw long under the legacy conf) rather than the
-    * microsecond-timestamp vintage. One footer read, no job — streaming
-    * readers need the answer BEFORE declaring their source schema.
-    */
-  private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
-  }
-
   /** The streaming twin of [[events]]: a file-source stream over event
     * parquet whose `ts` lands as TIMESTAMP (LTZ, µs) regardless of the
     * file vintage — nanos-long files convert via `div 1000`, native
@@ -116,23 +105,28 @@ object Tables {
     import org.apache.spark.sql.types._
     val probePath = glob.map(g => s"$path/$g").getOrElse(path)
     // define-then-populate support: with no file to probe yet, assume the
-    // CURRENT generation's vintage (µs timestamps) — a wrong guess fails
-    // loudly at first read, exactly like any static-schema mismatch would
-    val nanos =
-      try eventsTsIsNanos(spark, probePath)
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
-    val tsField = if (nanos) StructField("ts", LongType)
-      else StructField("ts", TimestampNTZType)
+    // CURRENT generation's vintage (NTZ µs timestamps) — a wrong guess
+    // fails loudly at first read, like any static-schema mismatch would.
+    // All THREE vintages the batch reader tolerates are declared here:
+    // long nanos (legacy conf), TIMESTAMP_NTZ µs (current generation),
+    // and adjusted-to-UTC TIMESTAMP µs (served as-is).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probed: DataType =
+      try spark.read.parquet(probePath).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
     val schema = StructType(Seq(
-      StructField("event_id", LongType), tsField,
+      StructField("event_id", LongType), StructField("ts", probed),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     var rdr = spark.readStream.schema(schema)
     glob.foreach(g => rdr = rdr.option("pathGlobFilter", g))
     maxFilesPerTrigger.foreach(n => rdr = rdr.option("maxFilesPerTrigger", n))
     val raw = rdr.parquet(path)
-    if (nanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw.withColumn("ts", col("ts").cast(TimestampType))
+    probed match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already TIMESTAMP (µs)
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -551,8 +551,13 @@ object PdfText {
       val r = "/R\\s+(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(2)
       if (v < 1 || v > 4 || r < 2 || r > 4) return None // AES-256 et al.
       val aes = v == 4 && body.contains("/AESV2")
-      val lengthBits = "/Length\\s+(\\d+)".r.findFirstMatchIn(body)
-        .map(_.group(1).toInt).getOrElse(40)
+      // the TOP-LEVEL /Length is in BITS (40–256); a /CF sub-dictionary's
+      // per-filter /Length is in BYTES (e.g. 16) and can appear first in
+      // real writers' dicts — take the first match that is a legal bit
+      // count so the key width can never derive from the wrong entry
+      val lengthBits = "/Length\\s+(\\d+)".r.findAllMatchIn(body)
+        .map(_.group(1).toInt).find(l => l >= 40 && l <= 256 && l % 8 == 0)
+        .getOrElse(40)
       val p = "/P\\s+(-?\\d+)".r.findFirstMatchIn(body)
         .map(_.group(1).toLong.toInt).getOrElse(-1)
       val o = pdfStringValue(body, "/O").getOrElse(return None)

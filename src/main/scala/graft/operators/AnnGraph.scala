@@ -379,6 +379,7 @@ object AnnGraph {
   def annGraphServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
                          topK: Int = 5, nprobe: Int = 2, beam: Int = 32,
                          hops: Int = 2, entriesPerCell: Int = 3): DataFrame = {
+    AnnStore.healCompacted(spark, indexPath, Seq("edges", "vectors"))
     // bounded collect: the caller-supplied query batch. qv is cast to the
     // index's float precision so any numeric array type is accepted (the
     // IVF/PQ Over twins take double arrays).

@@ -198,9 +198,15 @@ object AnnIvf {
                       targetBytes: Long = 128L << 20): DataFrame =
     AnnStore.compactIndex(spark, path, Seq("vectors"), targetBytes)
 
-  /** Partition-pruned read of the cells a probe list selects. */
-  def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
+  /** Partition-pruned read of the cells a probe list selects. The heal
+    * sweep first restores any partition a crashed compaction left
+    * moved-aside (one metadata listing) — a serve must never silently
+    * miss a cell.
+    */
+  def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame = {
+    AnnStore.healCompacted(spark, path, Seq("vectors"))
     spark.read.parquet(path + "/vectors").filter(col("cid").isin(cids: _*))
+  }
 
   def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("ivf", sfDir)
 

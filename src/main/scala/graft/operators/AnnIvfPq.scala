@@ -187,6 +187,7 @@ object AnnIvfPq {
   def annIvfPqServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
                          topK: Int = 5, nprobe: Int = 2, rerank: Int = 50,
                          excludeSelf: Boolean = false): DataFrame = {
+    AnnStore.healCompacted(spark, indexPath, Seq("codes", "vectors"))
     VecExprs.register(spark)
     val centroids = AnnStore.readCentroids(spark, indexPath)
     val books = AnnPq.readBooks(spark, indexPath)

@@ -286,6 +286,7 @@ object AnnPq {
   def annPqServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
                       topK: Int = 5, rerank: Int = 50,
                       excludeSelf: Boolean = false): DataFrame = {
+    AnnStore.healCompacted(spark, indexPath, Seq("codes", "vectors"))
     VecExprs.register(spark)
     val books = readBooks(spark, indexPath)
     val m = books.length

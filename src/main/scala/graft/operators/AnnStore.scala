@@ -366,6 +366,35 @@ private[graft] object AnnStore {
     * whose live partition vanished mid-swap and clears stale staging.
     * Returns one row per subdir: units compacted, files before/after.
     */
+  /** Restore any partition a crashed compaction left moved-aside: dead
+    * `.cid=N.compacting` staging always clears; a `.cid=N.backup` whose
+    * live partition vanished mid-swap renames back (a failed restore
+    * throws — a silently missing cell would serve wrong answers). One
+    * metadata listing per subdir — cheap enough that the SERVE entry
+    * points call it too, so the crash window between the swap's two
+    * renames can never silently drop a cell from a pruned read.
+    */
+  private[graft] def healCompacted(spark: SparkSession, path: String,
+                                   subdirs: Seq[String]): Unit = {
+    val fs = fileSystem(spark, path)
+    subdirs.foreach { sub =>
+      val root = new Path(s"$path/$sub")
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".") && name.endsWith(".compacting"))
+          fs.delete(st.getPath, true)
+        else if (name.startsWith(".") && name.endsWith(".backup")) {
+          val live = new Path(root, name.stripPrefix(".").stripSuffix(".backup"))
+          if (!fs.exists(live)) {
+            if (!fs.rename(st.getPath, live))
+              throw new java.io.IOException(
+                s"healCompacted: cannot restore $live from backup")
+          } else fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
   private[graft] def compactIndex(spark: SparkSession, path: String,
                                   subdirs: Seq[String],
                                   targetBytes: Long = 128L << 20): DataFrame = {
@@ -375,23 +404,7 @@ private[graft] object AnnStore {
       val root = new Path(s"$path/$sub")
       var units = 0L; var before = 0L; var after = 0L
       if (fs.exists(root)) {
-        // heal a previous crash: dead staging always clears; a backup
-        // restores only when the live partition vanished mid-swap
-        fs.listStatus(root).foreach { st =>
-          val name = st.getPath.getName
-          if (name.startsWith(".") && name.endsWith(".compacting"))
-            fs.delete(st.getPath, true)
-          else if (name.startsWith(".") && name.endsWith(".backup")) {
-            val live = new Path(root, name.stripPrefix(".").stripSuffix(".backup"))
-            if (!fs.exists(live)) {
-              // a silent restore failure would leave the cell missing from
-              // every probe read — that must surface, not report success
-              if (!fs.rename(st.getPath, live))
-                throw new java.io.IOException(
-                  s"compactIndex: heal failed — cannot restore $live from backup")
-            } else fs.delete(st.getPath, true)
-          }
-        }
+        healCompacted(spark, path, Seq(sub))
         val parts = fs.listStatus(root)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
         parts.foreach { st =>

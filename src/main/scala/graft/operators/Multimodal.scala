@@ -229,20 +229,26 @@ object Multimodal {
         b.length >= 26)
         ("png", Some(be32(16)), Some(be32(20)), None, None, Some(u8(24)))
       else if (u8(0) == 0xff && u8(1) == 0xd8) {
-        // marker walk: skip segments by length until a start-of-frame
+        // marker walk: skip segments by length until a start-of-frame.
+        // ITU T.81 allows any number of 0xFF fill bytes before a marker,
+        // and entropy data follows SOS — both must not desync the walk.
         var i = 2
         var res: Option[(Int, Int, Int)] = None
         while (res.isEmpty && i + 3 < b.length && u8(i) == 0xff) {
-          val m = u8(i + 1)
-          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // bare markers
+          if (u8(i + 1) == 0xff) i += 1 // fill byte before the marker
           else {
-            val len = be16(i + 2)
-            if (len < 2) i = b.length // malformed — stop
-            else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-              if (i + 9 < b.length)
-                res = Some((be16(i + 7), be16(i + 5), u8(i + 4))) // (w, h, precision)
-              i = b.length
-            } else i += 2 + len
+            val m = u8(i + 1)
+            if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // bare markers
+            else if (m == 0xd9 || m == 0xda) i = b.length // EOI / SOS: no SOF found
+            else {
+              val len = be16(i + 2)
+              if (len < 2) i = b.length // malformed — stop
+              else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                if (i + 9 < b.length)
+                  res = Some((be16(i + 7), be16(i + 5), u8(i + 4))) // (w, h, precision)
+                i = b.length
+              } else i += 2 + len
+            }
           }
         }
         res match {

@@ -239,8 +239,12 @@ object Pipeline {
     // different pids in pass 1 and pass 2 and corrupt the prefix offsets.
     // Tracked: a releasingPinned caller frees the blocks after consuming.
     val toks = AnnStore.trackedCheckpoint(
+      // null text counts as 0 tokens (coalesce the INPUT: size(null) is
+      // NULL under ANSI and -1 under legacy sizeOfNull — the -1 would
+      // silently shrink the running prefix sum); the oracle coalesces
+      // identically
       d.select(col("doc_id"),
-          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+          size(Text.tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"))
         .repartitionByRange(partitions, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .withColumn("pid", spark_partition_id()))

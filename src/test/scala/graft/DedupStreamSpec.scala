@@ -97,6 +97,31 @@ class DedupStreamSpec extends SparkSpecBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("eventsStream serves the adjusted-to-UTC timestamp vintage the batch reader tolerates") {
+    import spark.implicits._
+    // write ts as a plain TimestampType column — the third vintage (LTZ /
+    // INT96 physical): the stream must declare the probed type and serve
+    // it as-is instead of mis-declaring NTZ and failing at first read
+    val dir = java.nio.file.Files.createTempDirectory("graft_evtltz").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 7L, "click", 1.5, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), 7L, "purchase", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir + "/stage")
+    // land as a single FILE named events.parquet (the glob the testdata
+    // vintage uses), like the driver-generated tables
+    val part = new java.io.File(dir + "/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val q = graft.Tables.eventsStream(spark, dir)
+      .writeStream.format("memory").queryName("ltz_vintage")
+      .option("checkpointLocation", dir + "_ck").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("ltz_vintage")
+    assert(out.count() == 2)
+    assert(out.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
   test("near-dup clusters: pairs share a label, labels are component minima") {
     val labels = Dedup.nearDupClusters(spark, sf).cache()
     val lab = labels.select(col("doc_id"), col("cluster_id"))

@@ -158,6 +158,21 @@ end
     assert(r.nPages == 1)
   }
 
+  test("real-writer /CF-first Encrypt dict: key width comes from the BIT-count /Length") {
+    // many writers emit the /CF sub-dict (whose per-filter /Length 16 is
+    // BYTES) before the top-level /Length 128 (bits) — the key derivation
+    // must skip the byte-count entry or every stream decrypts to garbage
+    val doc = new String(PdfText.buildEncryptedPdf(
+      Seq(PdfText.textPage("cf ordering must not break the key")), aes = true), "ISO-8859-1")
+    val cf = "/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF"
+    assert(doc.contains(cf), "fixture drift")
+    val reordered = doc
+      .replace(cf, "")
+      .replace("/Filter/Standard", "/Filter/Standard" + cf)
+    assert(PdfText.extract(reordered.getBytes("ISO-8859-1")).get.text ==
+      "cf ordering must not break the key")
+  }
+
   test("encrypted PDF with a tampered key degrades to empty text, never throws") {
     // corrupt /P: the derived key changes, RC4 output is garbage, inflate
     // fails -> empty text (the declared degrade for wrong-password docs)

@@ -142,7 +142,8 @@ class PipelineSpec extends SparkSpecBase {
 
   test("sample_pack: distributed prefix sum is partition-count invariant and bin math holds") {
     import spark.implicits._
-    val docs = (1L to 200L).map(i => (i, ("tok " * (i % 37 + 1).toInt).trim))
+    val docs = ((1L to 200L).map(i => (i, ("tok " * (i % 37 + 1).toInt).trim)) :+
+      (201L, null.asInstanceOf[String])) // null text = 0 tokens, not -1/null
       .toDF("doc_id", "text")
     val base = Pipeline.packSequencesOver(docs, binTokens = 64, partitions = 1)
       .collect().map(_.toSeq).toSeq
@@ -422,6 +423,13 @@ class PipelineSpec extends SparkSpecBase {
       .toDF("doc_id", "content")
     val h = Multimodal.mediaMeta(hostile).collect()
     assert(h.length == 3)
+    // ITU T.81 fill bytes (extra 0xFF before a marker) must not desync
+    val filled = Seq((9L, bytes(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0, 17,
+      8, 0, 0x10, 0, 0x20, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)))
+      .toDF("doc_id", "content")
+    val f = Multimodal.mediaMeta(filled).head()
+    assert(f.getString(1) == "jpeg" && f.getInt(2) == 32 && f.getInt(3) == 16,
+      s"fill bytes desynced the marker walk: $f")
   }
 
   test("binary corpus source + frame sampling + resize plumbing") {
