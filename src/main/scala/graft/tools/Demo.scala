@@ -97,6 +97,24 @@ object Demo {
     println("== graph ANN (per-cell kNN graph + beam descent) ==")
     graft.operators.AnnGraph.annGraph(spark, sfDir, nQueries = 3, topK = 3).show()
 
+    println("== batched hybrid serving (one scan, whole batch) ==")
+    g.ragQueryHybridBatch(Seq(
+      "fast hash join on a big table",
+      "columnar parquet dictionary compression"), topK = 3).show()
+
+    println("== filtered ANN over the chunk index (predicate inside the probe read) ==")
+    g.ragQueryAnn("fast hash join on a big table", topK = 3,
+      filter = Some(org.apache.spark.sql.functions.col("token_count") > 5)).show(3, truncate = 60)
+
+    println("== LM quality scores (corpus-trained bigram NLL, worst 5) ==")
+    g.qualityLm().orderBy(org.apache.spark.sql.functions.col("nll").desc).show(5)
+
+    println("== sequence packing (concat-and-split, 512-token bins, first 5) ==")
+    g.packSequences(512).show(5)
+
+    println("== index compaction (small-file maintenance for the derived indexes) ==")
+    g.compactIndexes().show()
+
     spark.stop()
   }
 }
