@@ -31,6 +31,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(s, dir)),
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(s, dir)),
+    // B7 exact repeated spans (ExactSubstr-style): repeated w-token
+    // windows merged into maximal 1-based token spans; oracle-checked
+    "dedup_spans" -> ((s, dir) => Dedup.dedupSpans(s, dir)),
     // B6 is iterative (connected components) — not SQL-replicable, so
     // rows-only; DedupStreamSpec verifies the component invariants.
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
@@ -822,6 +825,24 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn FROM sc)
         |SELECT lang, CAST(rn AS BIGINT) AS rn, term, tf, df, score
         |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+        |              FROM documents),
+        |w AS (SELECT doc_id, i AS off,
+        |        md5(array_to_string(l[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')) AS h
+        |      FROM (SELECT doc_id, l, unnest(range(0, len(l) - 7)) AS i
+        |            FROM toks WHERE len(l) >= 8) t),
+        |rep AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+        |f AS (SELECT w.doc_id, w.off FROM w JOIN rep USING (h)),
+        |isl AS (SELECT doc_id, off,
+        |          off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS g
+        |        FROM f),
+        |sp AS (SELECT doc_id, min(off) + 1 AS span_start, max(off) + 8 AS span_end,
+        |         count(*) AS n_windows
+        |       FROM isl GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        |       CAST(span_end AS BIGINT) AS span_end, CAST(n_windows AS BIGINT) AS n_windows
+        |FROM sp ORDER BY doc_id, span_start""".stripMargin,
     "quality_lm" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
         |              FROM documents),

@@ -441,4 +441,48 @@ object Dedup {
       .select(col("keep_id"), col("dup_id"), col("bucket"), col("score"))
       .orderBy("keep_id", "dup_id")
   }
+
+  /** B7: exact repeated-SPAN detection (r11) — the ExactSubstr-style pass
+    * ("Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022): find every maximal token span whose `w`-token windows ALL
+    * occur elsewhere in the corpus (boilerplate, licenses, templated
+    * passages — repeated at the SUBSTRING level that doc- and
+    * chunk-granular dedup miss). Windows are built scan-side (a transform
+    * over the token array exploded to (offset, window-hash) — no
+    * shuffle), repeated windows are one map-side-combined hash aggregate
+    * with the window hash as the shuffle key (AQE splits a hot
+    * boilerplate hash), and the per-doc merge of overlapping repeated
+    * windows into maximal spans is a gaps-and-islands window PARTITIONED
+    * BY doc (bounded per-doc state). Emits 1-based inclusive token spans.
+    * Fully oracle-checked — deterministic hashing plus the same islands
+    * logic in SQL.
+    */
+  def dedupSpans(spark: SparkSession, sfDir: String, w: Int = 8): DataFrame =
+    dedupSpansOver(Tables.documents(spark, sfDir), w)
+
+  /** [[dedupSpans]] over an arbitrary documents frame (fixture testing and
+    * the facade's real corpora).
+    */
+  def dedupSpansOver(d: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d
+      .select(col("doc_id"), Text.tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= w)
+    val wins = toks.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(l)-$w), " +
+          s"i -> struct(i as off, array_join(slice(l, i+1, $w), ' ') as wtext))")).as("x"))
+      .select(col("doc_id"), col("x.off").cast("long").as("off"),
+        md5(col("x.wtext")).as("h"))
+    val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val flagged = wins.join(rep, "h")
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    flagged.withColumn("g", col("off") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg((min(col("off")) + 1).as("span_start"),
+        (max(col("off")) + w).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
 }

@@ -140,6 +140,39 @@ class PipelineSpec extends SparkSpecBase {
     assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
   }
 
+  test("dedup_spans: repeated windows merge to maximal spans; unique text stays clean") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // a 12-token boilerplate passage planted in docs 1 and 2 at different
+    // offsets; doc 3 is unique; doc 4 repeats ITS OWN 8-token run twice
+    val boiler = "standard license header do not remove this line of text please"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma delta epsilon zeta eta theta"),
+      (2L, s"one two three four $boiler five six seven eight nine ten"),
+      (3L, "completely unique words nobody else ever wrote down anywhere at all today"),
+      (4L, "self repeat run a b c d e f middle filler self repeat run a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansOver(docs, w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the 11-token boilerplate sits at tokens 3..13 of doc 1 (4 repeated
+    // 8-windows merge to one span) and tokens 5..15 of doc 2
+    assert(out.exists { case (d, s, e, n) => d == 1L && s == 3 && e == 13 && n == 4 }, out.toSeq)
+    assert(out.exists { case (d, s, e, n) => d == 2L && s == 5 && e == 15 && n == 4 }, out.toSeq)
+    // doc 3 reports nothing
+    assert(!out.exists(_._1 == 3L))
+    // doc 4's self-repeat is caught (both occurrences flagged)
+    assert(out.count(_._1 == 4L) >= 1)
+    // spans never overlap within a doc and n_windows matches the width
+    out.groupBy(_._1).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._2).toSeq
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 < b._2, s"overlapping spans: $a $b")
+        case _ =>
+      }
+      sorted.foreach { case (_, s, e, n) => assert(n == e - s + 1 - 8 + 1) }
+    }
+  }
+
   test("sample_pack: distributed prefix sum is partition-count invariant and bin math holds") {
     import spark.implicits._
     val docs = ((1L to 200L).map(i => (i, ("tok " * (i % 37 + 1).toInt).trim)) :+
