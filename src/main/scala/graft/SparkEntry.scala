@@ -834,9 +834,14 @@ object SparkEntry {
         |            FROM toks WHERE len(l) >= 8) t),
         |rep AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
         |f AS (SELECT w.doc_id, w.off FROM w JOIN rep USING (h)),
+        |b AS (SELECT doc_id, off,
+        |        CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) < 8
+        |             THEN 0 ELSE 1 END AS boundary
+        |      FROM f),
         |isl AS (SELECT doc_id, off,
-        |          off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS g
-        |        FROM f),
+        |          sum(boundary) OVER (PARTITION BY doc_id ORDER BY off
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |        FROM b),
         |sp AS (SELECT doc_id, min(off) + 1 AS span_start, max(off) + 8 AS span_end,
         |         count(*) AS n_windows
         |       FROM isl GROUP BY doc_id, g)

@@ -125,7 +125,10 @@ object Tables {
     probed match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw // already TIMESTAMP (µs)
+      case TimestampType => raw // adjusted-to-UTC µs (or INT96) — as-is
+      case other => throw new IllegalArgumentException(
+        s"eventsStream: unsupported ts type $other at $probePath — " +
+          "expected TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")

@@ -355,6 +355,7 @@ object AnnGraph {
   def annGraphServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
                      topK: Int = 5, nprobe: Int = 2, beam: Int = 32,
                      hops: Int = 2, entriesPerCell: Int = 3): DataFrame = {
+    AnnStore.healCompacted(spark, indexPath, Seq("edges", "vectors"))
     val vectors = spark.read.parquet(indexPath + "/vectors")
     // bounded collect: the query rows (corpus vectors by contract)
     val qRows = vectors.filter(col("vec_id") < nQueries)
@@ -379,7 +380,6 @@ object AnnGraph {
   def annGraphServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
                          topK: Int = 5, nprobe: Int = 2, beam: Int = 32,
                          hops: Int = 2, entriesPerCell: Int = 3): DataFrame = {
-    AnnStore.healCompacted(spark, indexPath, Seq("edges", "vectors"))
     // bounded collect: the caller-supplied query batch. qv is cast to the
     // index's float precision so any numeric array type is accepted (the
     // IVF/PQ Over twins take double arrays).
@@ -415,6 +415,10 @@ object AnnGraph {
                          topK: Int, nprobe: Int, beam: Int, hops: Int,
                          entriesPerCell: Int, excludeSelf: Boolean): DataFrame = {
     import spark.implicits._
+    // every graph serve path funnels through here — heal BEFORE any read
+    // so a crashed compaction's moved-aside cell can never silently
+    // vanish from descent or the facade's pruned metadata read
+    AnnStore.healCompacted(spark, indexPath, Seq("edges", "vectors"))
     val centroids = readCentroids(spark, indexPath)
     val vectors = spark.read.parquet(indexPath + "/vectors")
     // probe selection replicates AnnIvf.probeList's tie order exactly:

@@ -198,15 +198,11 @@ object AnnIvf {
                       targetBytes: Long = 128L << 20): DataFrame =
     AnnStore.compactIndex(spark, path, Seq("vectors"), targetBytes)
 
-  /** Partition-pruned read of the cells a probe list selects. The heal
-    * sweep first restores any partition a crashed compaction left
-    * moved-aside (one metadata listing) — a serve must never silently
-    * miss a cell.
+  /** Partition-pruned read of the cells a probe list selects (pure — the
+    * serve entries heal crashed-compaction leftovers before any read).
     */
-  def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame = {
-    AnnStore.healCompacted(spark, path, Seq("vectors"))
+  def probeCells(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
     spark.read.parquet(path + "/vectors").filter(col("cid").isin(cids: _*))
-  }
 
   def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("ivf", sfDir)
 
@@ -220,6 +216,7 @@ object AnnIvf {
     */
   def annIvfServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
                    topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
     val vectors = spark.read.parquet(indexPath + "/vectors")
     annIvfServedOver(spark, indexPath,
       vectors.filter(col("vec_id") < nQueries)
@@ -235,6 +232,7 @@ object AnnIvf {
     */
   def annIvfServedFiltered(spark: SparkSession, indexPath: String, nQueries: Int = 10,
                            topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
     val vectors = spark.read.parquet(indexPath + "/vectors")
     annIvfServedOver(spark, indexPath,
       vectors.filter(col("vec_id") < nQueries)
@@ -269,6 +267,9 @@ object AnnIvf {
                        topK: Int = 5, nprobe: Int = 2,
                        excludeSelf: Boolean = false,
                        filter: Option[Column] = None): DataFrame = {
+    // heal BEFORE anything executes: the probe list's eager checkpoint
+    // below may itself scan the vectors table (corpus-vector queries)
+    AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
     VecExprs.register(spark)
     val centroids = AnnStore.readCentroids(spark, indexPath)
     // checkpointed: bounded (nQueries × nprobe) and executed twice (cid

@@ -345,6 +345,43 @@ private[graft] object AnnStore {
     }
   }
 
+  /** Restore any partition a crashed compaction left moved-aside: a
+    * `.cid=N.backup` whose live partition vanished mid-swap renames back.
+    * One metadata listing per subdir — cheap enough that the SERVE entry
+    * points call it too, so the crash window between the swap's two
+    * renames can never silently drop a cell from a pruned read.
+    *
+    * Serve-path calls are NON-destructive and race-tolerant (concurrent
+    * readers are part of the operating model): stale `.compacting`
+    * staging is left alone (it may belong to an in-flight compactor —
+    * only maintenance clears it via `destructive = true`), and a lost
+    * restore race is fine as long as SOMEONE restored the live partition
+    * (throw only if it is still missing afterwards).
+    */
+  private[graft] def healCompacted(spark: SparkSession, path: String,
+                                   subdirs: Seq[String],
+                                   destructive: Boolean = false): Unit = {
+    val fs = fileSystem(spark, path)
+    subdirs.foreach { sub =>
+      val root = new Path(s"$path/$sub")
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".") && name.endsWith(".compacting")) {
+          if (destructive) fs.delete(st.getPath, true)
+        } else if (name.startsWith(".") && name.endsWith(".backup")) {
+          val live = new Path(root, name.stripPrefix(".").stripSuffix(".backup"))
+          if (!fs.exists(live)) {
+            val renamed = fs.rename(st.getPath, live)
+            if (!renamed && !fs.exists(live))
+              throw new java.io.IOException(
+                s"healCompacted: cannot restore $live from backup")
+          } else if (destructive) fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
+
   /** Small-file COMPACTION for a store's cid-partitioned tables — the
     * maintenance pass incremental refresh makes necessary at scale: every
     * refresh rewrites its affected cells from a ~32-partition frame, so a
@@ -366,35 +403,6 @@ private[graft] object AnnStore {
     * whose live partition vanished mid-swap and clears stale staging.
     * Returns one row per subdir: units compacted, files before/after.
     */
-  /** Restore any partition a crashed compaction left moved-aside: dead
-    * `.cid=N.compacting` staging always clears; a `.cid=N.backup` whose
-    * live partition vanished mid-swap renames back (a failed restore
-    * throws — a silently missing cell would serve wrong answers). One
-    * metadata listing per subdir — cheap enough that the SERVE entry
-    * points call it too, so the crash window between the swap's two
-    * renames can never silently drop a cell from a pruned read.
-    */
-  private[graft] def healCompacted(spark: SparkSession, path: String,
-                                   subdirs: Seq[String]): Unit = {
-    val fs = fileSystem(spark, path)
-    subdirs.foreach { sub =>
-      val root = new Path(s"$path/$sub")
-      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith(".") && name.endsWith(".compacting"))
-          fs.delete(st.getPath, true)
-        else if (name.startsWith(".") && name.endsWith(".backup")) {
-          val live = new Path(root, name.stripPrefix(".").stripSuffix(".backup"))
-          if (!fs.exists(live)) {
-            if (!fs.rename(st.getPath, live))
-              throw new java.io.IOException(
-                s"healCompacted: cannot restore $live from backup")
-          } else fs.delete(st.getPath, true)
-        }
-      }
-    }
-  }
-
   private[graft] def compactIndex(spark: SparkSession, path: String,
                                   subdirs: Seq[String],
                                   targetBytes: Long = 128L << 20): DataFrame = {
@@ -404,7 +412,7 @@ private[graft] object AnnStore {
       val root = new Path(s"$path/$sub")
       var units = 0L; var before = 0L; var after = 0L
       if (fs.exists(root)) {
-        healCompacted(spark, path, Seq(sub))
+        healCompacted(spark, path, Seq(sub), destructive = true)
         val parts = fs.listStatus(root)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
         parts.foreach { st =>

@@ -476,8 +476,18 @@ object Dedup {
     val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
     val flagged = wins.join(rep, "h")
+    // merge OVERLAPPING repeated windows (offset gap < w), not just
+    // consecutive ones: two repeated windows 2..w-1 apart share tokens,
+    // and separate islands would emit token-overlapping spans — a
+    // consumer excising spans would double-count the shared tokens. A
+    // span is therefore a maximal region every token of which lies in
+    // some repeated window (islands keyed by a running boundary count).
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("off"))
-    flagged.withColumn("g", col("off") - row_number().over(wd))
+    flagged
+      .withColumn("boundary",
+        when(col("off") - lag(col("off"), 1).over(wd) < w, 0).otherwise(1))
+      .withColumn("g", sum(col("boundary")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("g"))
       .agg((min(col("off")) + 1).as("span_start"),
         (max(col("off")) + w).as("span_end"),

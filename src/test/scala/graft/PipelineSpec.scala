@@ -150,7 +150,13 @@ class PipelineSpec extends SparkSpecBase {
       (1L, s"alpha beta $boiler gamma delta epsilon zeta eta theta"),
       (2L, s"one two three four $boiler five six seven eight nine ten"),
       (3L, "completely unique words nobody else ever wrote down anywhere at all today"),
-      (4L, "self repeat run a b c d e f middle filler self repeat run a b c d e f")
+      (4L, "self repeat run a b c d e f middle filler self repeat run a b c d e f"),
+      // doc 7's windows at offsets 0 and 2 each repeat ELSEWHERE (docs 8/9)
+      // while the straddling window at offset 1 is unique — overlapping
+      // repeated windows must merge to ONE span, never two overlapping ones
+      (7L, "c1 c2 c3 c4 c5 c6 c7 c8 dd ee"),
+      (8L, "c1 c2 c3 c4 c5 c6 c7 c8 uniquetail"),
+      (9L, "uniquehead c3 c4 c5 c6 c7 c8 dd ee")
     ).toDF("doc_id", "text")
     val out = Dedup.dedupSpansOver(docs, w = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -162,14 +168,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(!out.exists(_._1 == 3L))
     // doc 4's self-repeat is caught (both occurrences flagged)
     assert(out.count(_._1 == 4L) >= 1)
-    // spans never overlap within a doc and n_windows matches the width
+    // doc 7: offsets 0 and 2 overlap (gap < w) -> ONE merged span over
+    // tokens 1..10 from its 2 repeated windows
+    assert(out.filter(_._1 == 7L).toSeq == Seq((7L, 1L, 10L, 2L)),
+      out.filter(_._1 == 7L).toSeq)
+    // spans never overlap within a doc; every span holds >= 1 window of
+    // width w (n_windows == exact run length only for gap-free runs)
     out.groupBy(_._1).foreach { case (_, spans) =>
       val sorted = spans.sortBy(_._2).toSeq
       sorted.sliding(2).foreach {
         case Seq(a, b) => assert(a._3 < b._2, s"overlapping spans: $a $b")
         case _ =>
       }
-      sorted.foreach { case (_, s, e, n) => assert(n == e - s + 1 - 8 + 1) }
+      sorted.foreach { case (_, s, e, n) =>
+        assert(n >= 1 && e - s + 1 >= 8 && n <= e - s + 1 - 8 + 1)
+      }
     }
   }
 
