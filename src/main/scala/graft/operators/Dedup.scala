@@ -468,11 +468,16 @@ object Dedup {
     val toks = d
       .select(col("doc_id"), Text.tokens(col("text")).as("l"))
       .filter(size(col("l")) >= w)
+    // LAZY checkpoint: the window frame feeds BOTH the repeated-hash
+    // aggregate and the join back — unmaterialized, the tokenize + window
+    // build would execute twice (the same single-pass rule as
+    // Bm25.bm25ScoresOver; blocks released by the ContextCleaner)
     val wins = toks.select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(l)-$w), " +
           s"i -> struct(i as off, array_join(slice(l, i+1, $w), ' ') as wtext))")).as("x"))
       .select(col("doc_id"), col("x.off").cast("long").as("off"),
         md5(col("x.wtext")).as("h"))
+      .localCheckpoint(false)
     val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
     val flagged = wins.join(rep, "h")
