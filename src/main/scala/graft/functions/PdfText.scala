@@ -155,9 +155,15 @@ object PdfText {
             }
           case _ => raw0
         }
-        val c =
-          if (r.dict.contains("FlateDecode")) inflate(raw).map(new String(_, Latin1))
-          else Some(new String(raw, Latin1))
+        // filter chain, applied in document order: ASCIIHexDecode (hex
+        // text → bytes, terminated by '>') may wrap FlateDecode — writers
+        // emit `[/ASCIIHexDecode /FlateDecode]` for binary-safe embedding
+        val hexed =
+          if (r.dict.contains("ASCIIHexDecode")) asciiHexDecode(raw) else Some(raw)
+        val c = hexed.flatMap { data =>
+          if (r.dict.contains("FlateDecode")) inflate(data).map(new String(_, Latin1))
+          else Some(new String(data, Latin1))
+        }
         contentCache.put(i, c)
         c
       }
@@ -739,6 +745,30 @@ object PdfText {
     * gigabytes — a tiny zlib bomb must degrade (None), not OOM the executor.
     */
   private val MaxInflated = 64 << 20
+
+  /** ASCIIHexDecode: whitespace-tolerant hex text → bytes, terminated by
+    * `>` (an odd final digit pads with 0 per spec). None on any non-hex,
+    * non-whitespace byte before the terminator — degrade, never throw.
+    */
+  private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val ch = data(i).toChar
+      if (ch == '>') i = data.length // EOD
+      else {
+        val d = Character.digit(ch, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        } else if (!ch.isWhitespace) return None
+        i += 1
+      }
+    }
+    if (hi >= 0) out.write(hi << 4) // odd digit: pad with 0
+    Some(out.toByteArray)
+  }
 
   /** zlib-inflate, tolerant of trailing garbage; None on corrupt data or
     * output past [[MaxInflated]]. Inflater released on every path.

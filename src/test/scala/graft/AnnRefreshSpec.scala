@@ -168,6 +168,30 @@ class AnnRefreshSpec extends SparkSpecBase {
     AnnIvf.compactIvfIndex(spark, idx)
     assert(fs.exists(victim), "heal sweep must restore the partition from backup")
     assert(spark.read.parquet(idx + "/vectors").collect().map(_.toSeq).toSet == rowsBefore)
+    // a crashed-swap leftover is ALSO healed by the serve path itself
+    // (non-destructively): move a partition aside again and serve
+    assert(fs.rename(victim,
+      new Path(victim.getParent, "." + victim.getName + ".backup")))
+    val servedHealed = AnnIvf.annIvfServed(spark, idx).collect().map(_.toSeq).toSeq
+    assert(fs.exists(victim), "serve entry must heal before reading")
+    assert(servedHealed == servedBefore)
+    // the shared path also compacts the flat-PQ store's bucketed tables
+    import graft.operators.AnnPq
+    val pqIdx = root + "/pq"
+    AnnPq.ensurePqIndex(spark, dir, pqIdx)
+    val pqRows = spark.read.parquet(pqIdx + "/codes").collect().map(_.toSeq).toSet
+    fs.listStatus(new Path(pqIdx + "/codes"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid=")).take(1)
+      .foreach { st =>
+        val tmp = new Path(st.getPath.getParent, "." + st.getPath.getName + ".frag")
+        spark.read.parquet(st.getPath.toString).repartition(5).write.parquet(tmp.toString)
+        fs.delete(st.getPath, true)
+        assert(fs.rename(tmp, st.getPath))
+      }
+    val pqStats = AnnPq.compactPqIndex(spark, pqIdx).collect()
+      .find(_.getString(0) == "codes").get
+    assert(pqStats.getLong(1) >= 1 && pqStats.getLong(3) < pqStats.getLong(2))
+    assert(spark.read.parquet(pqIdx + "/codes").collect().map(_.toSeq).toSet == pqRows)
   }
 
   test("graph refresh: affected cells' vectors+edges rebuilt, untouched cells preserved, serving matches") {

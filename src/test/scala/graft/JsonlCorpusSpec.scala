@@ -217,6 +217,29 @@ class JsonlCorpusSpec extends SparkSpecBase {
       .head().getAs[String]("snippet").contains("smaller side"))
   }
 
+  test("watchDirectory over a JSONL facade: an arriving file triggers the reindex") {
+    val root = mkTree(
+      "corpus/seed.jsonl" -> Seq(
+        """{"id":"s1","text":"seed record about columnar storage formats"}"""))
+    val work = Files.createTempDirectory("graft_jsonlwatch").toString
+    val store = Files.createTempDirectory("graft_jsonlwatchstore").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_jsonlwatchckpt").toString
+    val g = Graft.forJsonl(spark, root.toString, work, idField = Some("id"))
+    g.reindexDirectory(store)
+    val q = g.watchDirectory(store, ckpt)
+    try {
+      q.processAllAvailable() // drain the seed arrival (no-op diff)
+      assert(Tables.documents(spark, work).count() == 1)
+      Files.write(root.resolve("corpus/late.jsonl"),
+        """{"id":"l1","text":"late arriving record about predicate pushdown"}"""
+          .getBytes("UTF-8"))
+      q.processAllAvailable()
+      val docs = Tables.documents(spark, work)
+      assert(docs.count() == 2, "the JSONL arrival must ride the watch loop")
+      assert(docs.filter(col("text").contains("predicate pushdown")).count() == 1)
+    } finally q.stop()
+  }
+
   test("streamed index over a byte_size corpus equals the batch build (file_size included)") {
     // regression: a streaming docsSchema that pruned byte_size made the
     // streamed chunks carry file_size = n_chars while the batch index

@@ -138,6 +138,32 @@ end
     assert(PdfText.extract(patched.getBytes("ISO-8859-1")).get.text == "Hi raw bytes")
   }
 
+  test("ASCIIHexDecode streams decode, plain and chained with FlateDecode") {
+    def hexDoc(body: String, filter: String): Array[Byte] =
+      ("%PDF-1.4\n1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+        "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+        "3 0 obj<</Type/Page/Parent 2 0 R/Contents 4 0 R>>endobj\n" +
+        s"4 0 obj<</Length ${body.length}$filter>>stream\n" + body +
+        "\nendstream endobj\ntrailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+    val content = PdfText.textPage("ascii hex payload")
+    val hex = content.map(b => f"${b & 0xff}%02X").mkString + ">"
+    val r1 = PdfText.extract(hexDoc(hex, "/Filter/ASCIIHexDecode")).get
+    assert(r1.text == "ascii hex payload" && r1.nPages == 1)
+    // chained [/ASCIIHexDecode /FlateDecode]: deflate, hex with embedded
+    // whitespace (legal), decode through both
+    val d = new java.util.zip.Deflater()
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    val n = d.deflate(buf); d.end()
+    val flatedHex = buf.take(n).map(b => f"${b & 0xff}%02X")
+      .grouped(16).map(_.mkString).mkString("\n") + ">"
+    val r2 = PdfText.extract(
+      hexDoc(flatedHex, "/Filter[/ASCIIHexDecode/FlateDecode]")).get
+    assert(r2.text == "ascii hex payload", r2.text)
+    // hostile: a non-hex byte degrades to empty, never throws
+    assert(PdfText.extract(hexDoc("4142ZZ>", "/Filter/ASCIIHexDecode")).get.text == "")
+  }
+
   test("RC4-encrypted PDF (V2/R3, empty user password) decrypts and round-trips") {
     val doc = PdfText.buildEncryptedPdf(Seq(
       PdfText.textPage("locked down but readable"),
