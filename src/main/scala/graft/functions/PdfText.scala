@@ -155,15 +155,10 @@ object PdfText {
             }
           case _ => raw0
         }
-        // filter chain, applied in document order: ASCIIHexDecode (hex
-        // text → bytes, terminated by '>') may wrap FlateDecode — writers
-        // emit `[/ASCIIHexDecode /FlateDecode]` for binary-safe embedding
-        val hexed =
-          if (r.dict.contains("ASCIIHexDecode")) asciiHexDecode(raw) else Some(raw)
-        val c = hexed.flatMap { data =>
-          if (r.dict.contains("FlateDecode")) inflate(data).map(new String(_, Latin1))
-          else Some(new String(data, Latin1))
-        }
+        // the DECLARED filter chain, applied in decode order — an unknown
+        // filter (LZW, DCT, …) yields None so compressed bytes can never
+        // masquerade as show operators in the text scan
+        val c = decodeFilters(raw, filterChain(r.dict)).map(new String(_, Latin1))
         contentCache.put(i, c)
         c
       }
@@ -746,6 +741,30 @@ object PdfText {
     */
   private val MaxInflated = 64 << 20
 
+  /** The stream's declared filter chain in DECODE order — a single name
+    * (`/Filter/FlateDecode`) or an array (`/Filter[/ASCIIHexDecode
+    * /FlateDecode]`, first listed applied first). Empty = no filter.
+    */
+  private def filterChain(dict: String): Seq[String] =
+    "/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)".r.findFirstMatchIn(dict)
+      .map(m => "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Apply the declared chain in order. Unknown filters (LZWDecode,
+    * DCTDecode, …) answer None — degrade to empty text, never scan
+    * compressed bytes as if they were operators. `Crypt` passes through
+    * (decryption is the layer above).
+    */
+  private def decodeFilters(raw: Array[Byte], filters: Seq[String]): Option[Array[Byte]] =
+    filters.foldLeft(Option(raw)) { (acc, f) =>
+      acc.flatMap(data => f match {
+        case "FlateDecode" | "Fl" => inflate(data)
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+        case "Crypt" => Some(data)
+        case _ => None
+      })
+    }
+
   /** ASCIIHexDecode: whitespace-tolerant hex text → bytes, terminated by
     * `>` (an odd final digit pads with 0 per spec). None on any non-hex,
     * non-whitespace byte before the terminator — degrade, never throw.
@@ -762,7 +781,7 @@ object PdfText {
         if (d >= 0) {
           if (hi < 0) hi = d
           else { out.write((hi << 4) | d); hi = -1 }
-        } else if (!ch.isWhitespace) return None
+        } else if (!ch.isWhitespace && ch != '\u0000') return None // PDF ws incl. NUL
         i += 1
       }
     }

@@ -25,6 +25,16 @@ class AnnRefreshSpec extends SparkSpecBase {
 
   private def fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Rewrite one partition dir as `n` small files — the post-refresh
+    * fragmentation shape the compaction tests exercise.
+    */
+  private def fragment(dirPath: Path, n: Int): Unit = {
+    val tmp = new Path(dirPath.getParent, "." + dirPath.getName + ".frag")
+    spark.read.parquet(dirPath.toString).repartition(n).write.parquet(tmp.toString)
+    fs.delete(dirPath, true)
+    assert(fs.rename(tmp, dirPath))
+  }
+
   private def copyCorpus(): String = {
     val dir = Files.createTempDirectory("graft_refresh_sf").toString
     spark.read.parquet(sf + "/embeddings.parquet")
@@ -123,13 +133,7 @@ class AnnRefreshSpec extends SparkSpecBase {
     // frame): rewrite their partitions as 6 small files apiece
     fs.listStatus(new Path(idx + "/vectors"))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
-      .take(2).foreach { st =>
-        val tmp = new Path(st.getPath.getParent, "." + st.getPath.getName + ".frag")
-        spark.read.parquet(st.getPath.toString)
-          .repartition(6).write.parquet(tmp.toString)
-        fs.delete(st.getPath, true)
-        assert(fs.rename(tmp, st.getPath))
-      }
+      .take(2).foreach(st => fragment(st.getPath, 6))
     val manifestBefore = AnnStore.readManifest(spark, idx).get
     val rowsBefore = spark.read.parquet(idx + "/vectors")
       .collect().map(_.toSeq).toSet
@@ -182,12 +186,7 @@ class AnnRefreshSpec extends SparkSpecBase {
     val pqRows = spark.read.parquet(pqIdx + "/codes").collect().map(_.toSeq).toSet
     fs.listStatus(new Path(pqIdx + "/codes"))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid=")).take(1)
-      .foreach { st =>
-        val tmp = new Path(st.getPath.getParent, "." + st.getPath.getName + ".frag")
-        spark.read.parquet(st.getPath.toString).repartition(5).write.parquet(tmp.toString)
-        fs.delete(st.getPath, true)
-        assert(fs.rename(tmp, st.getPath))
-      }
+      .foreach(st => fragment(st.getPath, 5))
     val pqStats = AnnPq.compactPqIndex(spark, pqIdx).collect()
       .find(_.getString(0) == "codes").get
     assert(pqStats.getLong(1) >= 1 && pqStats.getLong(3) < pqStats.getLong(2))

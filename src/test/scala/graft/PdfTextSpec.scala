@@ -162,6 +162,15 @@ end
     assert(r2.text == "ascii hex payload", r2.text)
     // hostile: a non-hex byte degrades to empty, never throws
     assert(PdfText.extract(hexDoc("4142ZZ>", "/Filter/ASCIIHexDecode")).get.text == "")
+    // the chain is ORDER-AWARE: the reversed (legal) chain hex-decodes
+    // LAST, so a hex-of-deflate body must extract empty under it — never
+    // misapplied in the array's reverse order
+    assert(PdfText.extract(
+      hexDoc(flatedHex, "/Filter[/FlateDecode/ASCIIHexDecode]")).get.text == "")
+    // unknown filters (LZW) degrade to empty — compressed bytes must never
+    // be scanned as if they were show operators
+    assert(PdfText.extract(
+      hexDoc("not really lzw BT (leak) Tj ET", "/Filter/LZWDecode")).get.text == "")
   }
 
   test("RC4-encrypted PDF (V2/R3, empty user password) decrypts and round-trips") {
