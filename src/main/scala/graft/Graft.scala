@@ -738,6 +738,14 @@ class Graft(spark: SparkSession, sfDir: String,
   def packSequences(binTokens: Int = 512): DataFrame =
     operators.Pipeline.packSequencesOver(Tables.documents(spark, sfDir), binTokens)
 
+  /** Exact repeated token spans across the corpus (ExactSubstr-style —
+    * SURVEY §2 B7): maximal spans whose `w`-token windows all occur
+    * elsewhere; the substring-granular boilerplate report doc-level
+    * dedup misses.
+    */
+  def findRepeatedSpans(w: Int = 8): DataFrame =
+    operators.Dedup.dedupSpansOver(Tables.documents(spark, sfDir), w)
+
   /** Verified near-duplicate pairs over the corpus (MinHash-LSH blocked,
     * exact-Jaccard checked).
     */

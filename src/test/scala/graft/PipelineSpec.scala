@@ -319,6 +319,8 @@ class PipelineSpec extends SparkSpecBase {
     assert(g.findNearDuplicates().count() ==
       graft.operators.Dedup.dedupMinhashLsh(spark, sf).count())
     assert(g.qualityLm().count() == Tables.documents(spark, sf).count())
+    assert(g.findRepeatedSpans().collect().map(_.toSeq).toSeq ==
+      graft.operators.Dedup.dedupSpans(spark, sf).collect().map(_.toSeq).toSeq)
     assert(g.packSequences(256).collect().map(_.toSeq).toSeq ==
       graft.operators.Pipeline.packSequencesOver(
         Tables.documents(spark, sf), 256).collect().map(_.toSeq).toSeq)
