@@ -21,6 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object MediaStream {
 
+  /** Arrival-time media-header metadata (r11): [[Multimodal.mediaMeta]]'s
+    * REAL header parse (PNG/JPEG/GIF/WAV) over a binaryFile file stream —
+    * new media files landing in `root` emit their (format, dims, signal)
+    * row exactly once. Identity matches [[graft.sources.BinaryCorpus]]'s
+    * (abs xxhash64 of the path), so the stream is row-comparable to the
+    * batch ingest; stateless narrow transform like every decode here.
+    */
+  def mediaMetaStream(spark: SparkSession, root: String,
+                      glob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val src = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(abs(xxhash64(col("path"))).as("doc_id"), col("content"))
+    Multimodal.mediaMeta(src)
+  }
+
+  /** Drain [[mediaMetaStream]] over a finite directory into a memory sink;
+    * exactly-once per file via the checkpoint. Returns the completed frame.
+    */
+  def runMediaMetaToCompletion(spark: SparkSession, root: String,
+                               queryName: String = "media_meta_stream",
+                               checkpointDir: String): DataFrame = {
+    val q = mediaMetaStream(spark, root)
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** documents files → (doc_id, is_pdf, n_pages, text) streaming frame. */
   def pdfRoundTripStream(spark: SparkSession, sfDir: String,
                          glob: String = "documents.parquet"): DataFrame = {

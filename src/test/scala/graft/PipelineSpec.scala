@@ -478,6 +478,21 @@ class PipelineSpec extends SparkSpecBase {
     val f = Multimodal.mediaMeta(filled).head()
     assert(f.getString(1) == "jpeg" && f.getInt(2) == 32 && f.getInt(3) == 16,
       s"fill bytes desynced the marker walk: $f")
+    // streaming twin: files on disk stream through the identical parse and
+    // equal the batch BinaryCorpus ingest row for row
+    val mediaDir = java.nio.file.Files.createTempDirectory("graft_mediastream")
+    java.nio.file.Files.write(mediaDir.resolve("a.png"), png)
+    java.nio.file.Files.write(mediaDir.resolve("b.wav"), wav)
+    java.nio.file.Files.write(mediaDir.resolve("c.bin"), "not media".getBytes)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mediastream_ck").toString
+    val streamed = graft.streaming.MediaStream
+      .runMediaMetaToCompletion(spark, mediaDir.toString, checkpointDir = ckpt)
+    val batch = Multimodal.mediaMeta(
+      graft.sources.BinaryCorpus.read(spark, mediaDir.toString))
+    assert(streamed.count() == 3)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed media metadata must equal the batch ingest")
   }
 
   test("binary corpus source + frame sampling + resize plumbing") {
