@@ -192,10 +192,13 @@ object TextAnalysis {
     *
     * Scale shape: bigram construction is scan-side (a `transform` over the
     * token array exploded to pairs — no window, no shuffle); both count
-    * tables are map-side-combined hash aggregates; the scoring joins
-    * shuffle on the bigram/unigram keys (vocabulary-sized tables — AQE
-    * broadcasts them when small, co-partitioned shuffle joins otherwise);
-    * V rides a broadcast 1-row frame. Fully oracle-checked — the model is
+    * tables are map-side-combined hash aggregates; the scoring side is
+    * pre-aggregated to distinct (doc_id,w1,w2,c) triples before the joins
+    * (repetition collapses map-side — the NLL is the c-weighted mean), so
+    * the shuffles on the Zipf-skewed bigram/unigram keys carry
+    * distinct-triple rows, not corpus-token-scale rows; AQE's skew-join
+    * split covers residual hot keys (receipt: QualityLmSkewSpec). V rides
+    * a broadcast 1-row frame. Fully oracle-checked — the model is
     * deterministic counting, so DuckDB reproduces it exactly.
     */
   def qualityLm(spark: SparkSession, sfDir: String, k: Double = 0.5): DataFrame =
@@ -211,18 +214,40 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(l)-2), i -> struct(l[i] as w1, l[i+1] as w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c1 = uni.groupBy(col("w").as("u_w")).agg(count(lit(1)).as("c1"))
-    val cb = bi.groupBy(col("w1").as("b_w1"), col("w2").as("b_w2"))
-      .agg(count(lit(1)).as("c12"))
+    // The stats aggregates carry a constant-by-construction extra grouping
+    // column `z` (not foldable, so it survives optimization): it makes the
+    // aggregate's hash partitioning NOT satisfy the scoring join's key, so
+    // EnsureRequirements inserts a bare ENSURE_REQUIREMENTS exchange on the
+    // stats side. AQE's OptimizeSkewedJoin only matches a join whose BOTH
+    // children are bare shuffle reads — an aggregate sitting between the
+    // shuffle and the join blocks the split of the OTHER, corpus-sized
+    // side's stopword keys (measured: C_aggsmall vs F_dummygroup in
+    // QualityLmSkewSpec's lineage). Price: one extra vocab-sized exchange;
+    // payoff: the fat side's hot partitions split at runtime.
+    val c1 = uni.groupBy(col("w").as("u_w"), (length(col("w")) * 0).as("z"))
+      .agg(count(lit(1)).as("c1")).drop("z")
+    val cb = bi.groupBy(col("w1").as("b_w1"), col("w2").as("b_w2"),
+        (length(col("w1")) * 0).as("z"))
+      .agg(count(lit(1)).as("c12")).drop("z")
     val vocab = uni.agg(countDistinct(col("w")).cast("double").as("v"))
-    val scored = bi
+    // Shuffle diet: the scoring joins run over DISTINCT (doc_id,w1,w2)
+    // triples with an occurrence count, not one row per bigram occurrence
+    // — a repetitive document contributes each bigram key once, so the
+    // two shuffles on the Zipf-skewed (w1,w2)/w1 keys carry at most
+    // |vocab²∩doc| rows per doc instead of corpus-token-scale rows. The
+    // per-doc NLL is then the c-weighted mean of −ln P (identical math:
+    // avg over occurrences ≡ Σc·lnp / Σc).
+    val biDoc = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val scored = biDoc
       .join(cb, col("w1") === col("b_w1") && col("w2") === col("b_w2"))
       .join(c1, col("w1") === col("u_w"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("c"),
         log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))).as("lnp"))
     val perDoc = scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nb"), round(-avg(col("lnp")) + lit(1e-9), 4).as("nll"))
+      .agg(sum(col("c")).as("nb"),
+        round(-(sum(col("c") * col("lnp")) / sum(col("c"))) + lit(1e-9), 4).as("nll"))
     d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("nb"), lit(0L)).as("n_bigrams"),
