@@ -43,6 +43,11 @@ object SparkEntry {
     // anchor (oracle-checked); ann_ivf_filtered below is its served path
     "rag_topk_filtered" -> ((s, dir) => RagSearch.annTopKFiltered(s, dir)),
     "ann_lsh" -> ((s, dir) => RagSearch.annLsh(s, dir)),
+    // C1w (r12): C1's brute-force search re-run in a LEARNED space — MLlib
+    // Word2Vec trained on the corpus through the Embedder seam. Learned
+    // weights aren't SQL-replicable → rows-only; Word2VecEmbedderSpec
+    // carries the identity/serving/recall receipts.
+    "rag_topk_w2v" -> ((s, dir) => RagSearch.ragTopKW2v(s, dir)),
     // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
     // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
     "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),

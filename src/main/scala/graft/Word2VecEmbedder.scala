@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.feature.Word2Vec
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A REAL learned embedding model behind the [[Embedder]] seam: Spark
+  * MLlib Word2Vec trained on the corpus itself (public algorithm, no
+  * downloads), mean-pooled + L2-normalized per document — the same
+  * pooling the reference applies to its transformer token embeddings
+  * (reference: src/embeddings.ts:62-67, mean-pool then normalize).
+  *
+  * This is the seam's proof piece: every prior vector in the project was
+  * hash-derived, while ANN recall/cluster behavior only means something
+  * on a TRAINED space where co-occurring words land near each other. The
+  * model rides the standard session-backed [[BatchEmbedder]] shape:
+  *
+  *   - the trained word table is held in a `Broadcast[Map[word,vec]]` —
+  *     one copy per executor, not one per task closure; at 100 TB the
+  *     table stays vocabulary-bounded (`minCount` prunes the tail), which
+  *     is the classical word2vec serving shape;
+  *   - `embedBatch` is pure lookup+mean — executor-side, no session;
+  *   - `name` carries a CONTENT fingerprint of the trained table, so two
+  *     facades only share stores when they share the exact model: a
+  *     retrain on changed data reads as a metadata mismatch and rebuilds
+  *     (the identity contract every index manifest enforces).
+  *
+  * Training determinism: fixed `seed` and `numPartitions=1` make MLlib's
+  * word2vec reproducible, so the fingerprint is stable for a given
+  * (corpus, dim, params) — the property the rebuild-on-drift specs rely
+  * on. Training itself is one MLlib fit over the tokenized corpus;
+  * `getVectors` is a vocabulary-bounded driver materialization (the same
+  * bound the broadcast needs anyway).
+  *
+  * Tokenization matches [[functions.Text.tokens]] (single-space split,
+  * empties dropped) on BOTH sides — corpus rows executor-side and query
+  * strings driver-side embed identically, the seam's core contract.
+  */
+final class Word2VecEmbedder private (
+    val dim: Int,
+    fingerprint: String,
+    table: Broadcast[Map[String, Array[Float]]]) extends BatchEmbedder {
+
+  def name: String = s"graft-word2vec-v1-d$dim-$fingerprint"
+
+  /** Vocabulary actually learned (minCount survivors). */
+  def vocabSize: Int = table.value.size
+
+  def embedBatch(texts: Array[String]): Array[Array[Double]] = {
+    val t = table.value
+    texts.map { s =>
+      val acc = new Array[Double](dim)
+      var n = 0
+      for (w <- s.split(' ') if w.nonEmpty; v <- t.get(w)) {
+        var i = 0
+        while (i < dim) { acc(i) += v(i); i += 1 }
+        n += 1
+      }
+      if (n > 0) {
+        var i = 0
+        while (i < dim) { acc(i) /= n; i += 1 }
+        var ss = 0.0
+        i = 0
+        while (i < dim) { ss += acc(i) * acc(i); i += 1 }
+        val inv = if (ss > 0) 1.0 / math.sqrt(ss) else 0.0
+        i = 0
+        while (i < dim) { acc(i) *= inv; i += 1 }
+      }
+      // empty / all-OOV text → zero vector (cosine 0 against everything:
+      // ranked last, never NaN)
+      acc
+    }
+  }
+}
+
+object Word2VecEmbedder {
+
+  /** Train on a documents frame's `textCol`. One MLlib fit; the learned
+    * word table is collected (vocabulary-bounded), fingerprinted, and
+    * broadcast. `minCount` is the vocab/scale knob: at corpus scale raise
+    * it so the broadcast table stays executor-memory-bounded.
+    */
+  def train(spark: SparkSession, docs: DataFrame, textCol: String = "text",
+            dim: Int = 64, minCount: Int = 1, maxIter: Int = 1,
+            seed: Long = 42L): Word2VecEmbedder = {
+    val toks = docs
+      .select(functions.Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val model = new Word2Vec()
+      .setInputCol("toks").setOutputCol("v")
+      .setVectorSize(dim).setMinCount(minCount)
+      .setMaxIter(maxIter).setSeed(seed)
+      .setNumPartitions(1) // determinism: one training partition → stable fingerprint
+      .fit(toks)
+    // vocabulary-bounded driver materialization — the broadcast needs the
+    // full table driver-side once regardless
+    val rows = model.getVectors.collect()
+    val table = rows.map { r =>
+      r.getString(0) -> r.getAs[MlVector](1).toArray.map(_.toFloat)
+    }.toMap
+    // content fingerprint: order-independent (sorted words), float-bit
+    // exact — the model identity that gates store compatibility
+    var h = 1125899906842597L
+    for (w <- table.keys.toArray.sorted) {
+      h = h * 31 + w.hashCode
+      val v = table(w)
+      var i = 0
+      while (i < v.length) { h = h * 31 + java.lang.Float.floatToIntBits(v(i)); i += 1 }
+    }
+    new Word2VecEmbedder(dim, java.lang.Long.toHexString(h),
+      spark.sparkContext.broadcast(table))
+  }
+}

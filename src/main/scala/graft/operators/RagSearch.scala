@@ -62,6 +62,39 @@ object RagSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** C1w (r12): the C1 brute-force batch ANN re-run in a LEARNED vector
+    * space — MLlib Word2Vec trained on the documents corpus itself through
+    * the [[graft.Embedder]] seam (the reference's whole point is a trained
+    * space, reference: src/embeddings.ts:7,62-67; this is the public,
+    * no-download equivalent). Training is deterministic (fixed seed, one
+    * training partition), but the learned weights are not SQL-expressible,
+    * so this is a declared rows-only query; the recall/identity/serving
+    * receipts live in Word2VecEmbedderSpec. Scale shape: training is one
+    * MLlib fit (vocabulary-bounded driver state), embedding is the batched
+    * mapPartitions seam, scoring is the same broadcast-queries pattern as
+    * C1.
+    */
+  def ragTopKW2v(spark: SparkSession, sfDir: String,
+                 nQueries: Int = 5, k: Int = 5): DataFrame = {
+    VecExprs.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val w2v = graft.Word2VecEmbedder.train(spark, docs,
+      dim = 32, minCount = 2, maxIter = 1)
+    val e = w2v.embedFrame(docs.select("doc_id", "text"), "text", "embedding")
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** C2: LSH-bucketed ANN — 6 deterministic hyperplanes → 64 buckets;
     * candidates = same bucket as the query; exact cosine rerank within the
     * bucket. The bucket id is the join key, so at scale this is a
