@@ -156,9 +156,12 @@ object PdfText {
           case _ => raw0
         }
         // the DECLARED filter chain, applied in decode order — an unknown
-        // filter (LZW, DCT, …) yields None so compressed bytes can never
-        // masquerade as show operators in the text scan
-        val c = decodeFilters(raw, filterChain(r.dict)).map(new String(_, Latin1))
+        // filter (DCT, JBIG2, …) or an indirectly-referenced /Filter
+        // yields None so compressed bytes can never masquerade as show
+        // operators in the text scan
+        val c = filterChain(r.dict)
+          .flatMap(ch => decodeFilters(raw, ch, r.dict))
+          .map(new String(_, Latin1))
         contentCache.put(i, c)
         c
       }
@@ -443,13 +446,20 @@ object PdfText {
     * (the user can open them; only edit/print permissions are locked).
     * RC4 for V1/V2 (R2/R3) and V4 `/V2` crypt filters; AES-128-CBC for
     * V4 `/AESV2` (first 16 bytes of each stream are the IV, PKCS#5
-    * padding). R5/6 (AES-256) and non-empty passwords stay out of
-    * envelope: their streams decrypt to garbage that the inflate/BT
-    * gates degrade to empty text, never a throw. Encryption side exists
-    * for the round-trip fixtures ([[buildEncryptedPdf]]).
+    * padding); AES-256-CBC for V5 R5/R6 `/AESV3` (r12 — file key
+    * recovered from /U+/UE via SHA-256 / Algorithm 2.B, used directly
+    * per object, no MD5 salting). Non-empty passwords stay out of
+    * envelope: R5/6 validation fails cleanly (None → no decryption) and
+    * R2–R4 streams decrypt to garbage that the inflate/BT gates degrade
+    * to empty text, never a throw. Encryption side exists for the
+    * round-trip fixtures ([[buildEncryptedPdf]]).
     */
-  private[functions] final case class StdCrypt(fileKey: Array[Byte], aes: Boolean) {
+  private[graft] final case class StdCrypt(fileKey: Array[Byte], aes: Boolean,
+                                           v5: Boolean = false) {
     private def objKey(num: Int, gen: Int): Array[Byte] = {
+      // V5 (AES-256): the file key IS the object key (ISO 32000-2
+      // §7.6.3.3 — no per-object derivation)
+      if (v5) return fileKey
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(fileKey)
       md.update(Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
@@ -534,12 +544,52 @@ object PdfText {
     h.take(n)
   }
 
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** The R5/R6 password hash (ISO 32000-2 §7.6.4.3.3-4). R5 (the
+    * deprecated Adobe extension) is one SHA-256 over pwd‖salt‖udata; R6
+    * hardens it with Algorithm 2.B: iterate (K1 = 64×(pwd‖K‖udata);
+    * E = AES-128-CBC(K[0..16], iv=K[16..32], K1); K = SHA-256/384/512 of
+    * E picked by sum(E[0..16]) mod 3) until ≥64 rounds AND E's last byte
+    * ≤ rounds−32. Public algorithm; empty-password use only here.
+    */
+  private[graft] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+                            udata: Array[Byte], r: Int): Array[Byte] = {
+    var k = sha("SHA-256", pwd, salt, udata)
+    if (r == 5) return k
+    var rounds = 0
+    var continue = true
+    while (continue) {
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(block, 0, k1, j * block.length, block.length); j += 1
+      }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(if (mod == 0) "SHA-256" else if (mod == 1) "SHA-384" else "SHA-512", e)
+      rounds += 1
+      if (rounds >= 64 && (e(e.length - 1) & 0xff) <= rounds - 32) continue = false
+    }
+    k.take(32)
+  }
+
   /** Parse the /Encrypt dictionary out of the structural view (it is
     * top-level and never itself encrypted) and derive the file key for
     * the empty user password. None = unencrypted document, an unsupported
-    * handler/revision, or any malformation — all degrade to "no
-    * decryption", which for a truly encrypted document means garbage
-    * streams that the downstream gates turn into empty text.
+    * handler/revision, a non-empty password (R5/6 validation fails), or
+    * any malformation — all degrade to "no decryption", which for a truly
+    * encrypted document means garbage streams that the downstream gates
+    * turn into empty text.
     */
   private def loadDecryptor(struct: String): Option[StdCrypt] = {
     try {
@@ -550,14 +600,39 @@ object PdfText {
       if (!body.contains("/Standard")) return None
       val v = "/V\\s+(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
       val r = "/R\\s+(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(2)
-      if (v < 1 || v > 4 || r < 2 || r > 4) return None // AES-256 et al.
+      if (v == 5 && (r == 5 || r == 6)) {
+        // AES-256 (r12): recover the file key from /U + /UE. /U is 48
+        // bytes — hash(32) ‖ validation salt(8) ‖ key salt(8); an empty
+        // user password must reproduce the hash, then the intermediate
+        // key (hash over the KEY salt) AES-unwraps /UE into the file key.
+        val u = pdfStringValue(body, "/U").getOrElse(return None)
+        val ue = pdfStringValue(body, "/UE").getOrElse(return None)
+        if (u.length < 48 || ue.length != 32) return None
+        val pwd = Array.emptyByteArray
+        val expect = hash2B(pwd, u.slice(32, 40), Array.emptyByteArray, r)
+        if (!java.util.Arrays.equals(expect, u.take(32)))
+          return None // non-empty password: out of envelope, degrade
+        val ikey = hash2B(pwd, u.slice(40, 48), Array.emptyByteArray, r)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+        return Some(StdCrypt(c.doFinal(ue), aes = true, v5 = true))
+      }
+      if (v < 1 || v > 4 || r < 2 || r > 4) return None
       val aes = v == 4 && body.contains("/AESV2")
       // the TOP-LEVEL /Length is in BITS (40–256); a /CF sub-dictionary's
       // per-filter /Length is in BYTES (e.g. 16) and can appear first in
       // real writers' dicts — take the first match that is a legal bit
-      // count so the key width can never derive from the wrong entry
-      val lengthBits = "/Length\\s+(\\d+)".r.findAllMatchIn(body)
-        .map(_.group(1).toInt).find(l => l >= 40 && l <= 256 && l % 8 == 0)
+      // count so the key width can never derive from the wrong entry.
+      // A V4 dict that carries ONLY the per-filter byte count (legal —
+      // /Length is optional at top level) falls back to that count ×8
+      // before defaulting to 40, so an AES-128 document whose only width
+      // hint is `/CF…/Length 16` derives a 16-byte key, not a 5-byte one
+      val lengths = "/Length\\s+(\\d+)".r.findAllMatchIn(body)
+        .map(_.group(1).toInt).toSeq
+      val lengthBits = lengths.find(l => l >= 40 && l <= 256 && l % 8 == 0)
+        .orElse(if (v == 4) lengths.find(l => l >= 5 && l <= 32).map(_ * 8) else None)
         .getOrElse(40)
       val p = "/P\\s+(-?\\d+)".r.findFirstMatchIn(body)
         .map(_.group(1).toLong.toInt).getOrElse(-1)
@@ -570,25 +645,33 @@ object PdfText {
   }
 
   /** The string VALUE after `key` in a dictionary body — literal
-    * (escape-aware) or hex form — as raw bytes.
+    * (escape-aware) or hex form — as raw bytes. NAME-BOUNDARY aware: `/U`
+    * must not match inside `/UE` (the R6 dict carries both), so a hit
+    * whose next character continues the name is skipped, as is one whose
+    * value is not a string (an occurrence inside another entry's bytes).
     */
   private def pdfStringValue(body: String, key: String): Option[Array[Byte]] = {
-    val idx = body.indexOf(key)
-    if (idx < 0) return None
-    var i = idx + key.length
-    while (i < body.length && body.charAt(i).isWhitespace) i += 1
-    if (i >= body.length) None
-    else body.charAt(i) match {
-      case '(' =>
-        val sb = new StringBuilder
-        parseLiteral(body, i + 1, sb)
-        Some(sb.result().map(_.toByte).toArray)
-      case '<' =>
-        val sb = new StringBuilder
-        parseHex(body, i + 1, sb)
-        Some(sb.result().map(_.toByte).toArray)
-      case _ => None
+    var idx = body.indexOf(key)
+    while (idx >= 0) {
+      val after = idx + key.length
+      if (after >= body.length || !body.charAt(after).isLetterOrDigit) {
+        var i = after
+        while (i < body.length && body.charAt(i).isWhitespace) i += 1
+        if (i < body.length) body.charAt(i) match {
+          case '(' =>
+            val sb = new StringBuilder
+            parseLiteral(body, i + 1, sb)
+            return Some(sb.result().map(_.toByte).toArray)
+          case '<' =>
+            val sb = new StringBuilder
+            parseHex(body, i + 1, sb)
+            return Some(sb.result().map(_.toByte).toArray)
+          case _ => () // not a string value here — try the next occurrence
+        }
+      }
+      idx = body.indexOf(key, idx + 1)
     }
+    None
   }
 
   private def hexToBytes(h: String): Array[Byte] = {
@@ -743,27 +826,126 @@ object PdfText {
 
   /** The stream's declared filter chain in DECODE order — a single name
     * (`/Filter/FlateDecode`) or an array (`/Filter[/ASCIIHexDecode
-    * /FlateDecode]`, first listed applied first). Empty = no filter.
+    * /FlateDecode]`, first listed applied first). `Some(empty)` = no
+    * filter (raw stream). None = the dict DECLARES a /Filter the parser
+    * cannot resolve — an indirect reference (`/Filter 7 0 R`, legal per
+    * spec) or malformed syntax. The distinction matters: "no filter" scans
+    * the bytes as text, while "undecodable filter" must degrade to empty
+    * text — otherwise compressed bytes that happen to contain `BT` would
+    * masquerade as show operators.
     */
-  private def filterChain(dict: String): Seq[String] =
-    "/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)".r.findFirstMatchIn(dict)
-      .map(m => "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
-      .getOrElse(Seq.empty)
+  private def filterChain(dict: String): Option[Seq[String]] =
+    if (!dict.contains("/Filter")) Some(Seq.empty)
+    else "/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)".r.findFirstMatchIn(dict) match {
+      case Some(m) =>
+        Some("/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      case None => None // indirect or malformed /Filter — cannot trust the bytes
+    }
 
-  /** Apply the declared chain in order. Unknown filters (LZWDecode,
-    * DCTDecode, …) answer None — degrade to empty text, never scan
+  /** Apply the declared chain in order. Unknown filters (DCTDecode,
+    * JBIG2Decode, …) answer None — degrade to empty text, never scan
     * compressed bytes as if they were operators. `Crypt` passes through
-    * (decryption is the layer above).
+    * (decryption is the layer above). `dict` supplies the DecodeParms the
+    * chain needs: LZW's /EarlyChange, and the /Predictor guard — a
+    * predictor (>1) restructures the decoded bytes row-wise, so a content
+    * stream declaring one degrades rather than scanning shuffled bytes.
     */
-  private def decodeFilters(raw: Array[Byte], filters: Seq[String]): Option[Array[Byte]] =
+  private def decodeFilters(raw: Array[Byte], filters: Seq[String],
+                            dict: String = ""): Option[Array[Byte]] = {
+    val predictor = "/Predictor\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .flatMap(m => scala.util.Try(m.group(1).toInt).toOption).getOrElse(1)
+    if (filters.nonEmpty && predictor > 1) return None
+    val early = "/EarlyChange\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .flatMap(m => scala.util.Try(m.group(1).toInt).toOption).getOrElse(1)
     filters.foldLeft(Option(raw)) { (acc, f) =>
       acc.flatMap(data => f match {
         case "FlateDecode" | "Fl" => inflate(data)
+        case "LZWDecode" | "LZW" => lzwDecode(data, early)
+        case "RunLengthDecode" | "RL" => runLengthDecode(data)
         case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
         case "Crypt" => Some(data)
         case _ => None
       })
     }
+  }
+
+  /** LZWDecode (PDF 1.7 §7.4.4 / TIFF LZW): 9→12-bit variable-width codes,
+    * 256 = clear-table, 257 = EOD, code width grows when the next-free
+    * code reaches the capacity minus `earlyChange` (PDF default 1 — one
+    * code early; /DecodeParms /EarlyChange 0 selects the late switch).
+    * Handles the KwKwK self-reference case; None on out-of-range codes or
+    * output past [[MaxInflated]] (bomb guard). Missing EOD is tolerated —
+    * real writers sometimes end at the byte boundary.
+    */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val table = new Array[Array[Byte]](4096)
+    var nextCode = 258
+    var codeBits = 9
+    def widthFor(n: Int): Int =
+      if (n + earlyChange < 512) 9
+      else if (n + earlyChange < 1024) 10
+      else if (n + earlyChange < 2048) 11
+      else 12
+    var prev: Array[Byte] = null
+    var buf = 0L
+    var nbits = 0
+    var i = 0
+    while (i < data.length) {
+      buf = (buf << 8) | (data(i) & 0xffL); nbits += 8; i += 1
+      while (nbits >= codeBits) {
+        val code = ((buf >>> (nbits - codeBits)) & ((1L << codeBits) - 1)).toInt
+        nbits -= codeBits
+        if (code == 256) {
+          // stale entries above nextCode are unreachable (guarded below)
+          nextCode = 258; codeBits = 9; prev = null
+        } else if (code == 257) {
+          return Some(out.toByteArray)
+        } else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code >= 258 && code < nextCode && table(code) != null) table(code)
+            else if (code == nextCode && prev != null) prev :+ prev(0) // KwKwK
+            else return None
+          out.write(entry, 0, entry.length)
+          if (out.size > MaxInflated) return None
+          if (prev != null && nextCode < 4096) {
+            table(nextCode) = prev :+ entry(0)
+            nextCode += 1
+          }
+          prev = entry
+          codeBits = widthFor(nextCode)
+        }
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** RunLengthDecode (PDF 1.7 §7.4.5): length byte L — L<128 copies the
+    * next L+1 literal bytes; L>128 repeats the next byte 257−L times;
+    * L=128 is EOD. None on a truncated run; missing EOD tolerated.
+    */
+  private[graft] def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) return Some(out.toByteArray) // EOD
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        var n = 257 - l
+        val b = data(i + 1)
+        while (n > 0) { out.write(b); n -= 1 }
+        i += 2
+      }
+      if (out.size > MaxInflated) return None
+    }
+    Some(out.toByteArray)
+  }
 
   /** ASCIIHexDecode: whitespace-tolerant hex text → bytes, terminated by
     * `>` (an odd final digit pads with 0 per spec). None on any non-hex,
@@ -900,7 +1082,32 @@ object PdfText {
     * reads — used by the `pdf_decode_real` driver query's encode side and
     * the specs' handcrafted documents.
     */
-  def buildPdf(contentStreams: Seq[Array[Byte]], flate: Boolean): Array[Byte] = {
+  def buildPdf(contentStreams: Seq[Array[Byte]], flate: Boolean): Array[Byte] =
+    buildPdf(contentStreams, if (flate) Seq("FlateDecode") else Seq.empty)
+
+  /** The filter-chain builder: `filters` is the DECODE-order chain to
+    * declare (`/Filter/X` or `/Filter[/X/Y]`), so the builder applies the
+    * matching encoders in REVERSE. Supports the full decodable envelope —
+    * FlateDecode, LZWDecode, RunLengthDecode, ASCIIHexDecode — which is
+    * what lets the round-trip specs and the driver's encode rotation
+    * exercise every filter leg against one oracle.
+    */
+  def buildPdf(contentStreams: Seq[Array[Byte]], filters: Seq[String]): Array[Byte] = {
+    def encode(data: Array[Byte]): Array[Byte] =
+      filters.reverse.foldLeft(data) { (d, f) =>
+        f match {
+          case "FlateDecode" => deflate(d)
+          case "LZWDecode" => lzwEncode(d)
+          case "RunLengthDecode" => runLengthEncode(d)
+          case "ASCIIHexDecode" =>
+            (d.map(b => f"${b & 0xff}%02x").mkString + ">").getBytes(Latin1)
+          case other => throw new IllegalArgumentException(s"no encoder for $other")
+        }
+      }
+    val filterEntry =
+      if (filters.isEmpty) ""
+      else if (filters.length == 1) s"/Filter/${filters.head}"
+      else filters.map("/" + _).mkString("/Filter[", "", "]")
     val out = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(Latin1))
     w("%PDF-1.4\n")
@@ -911,9 +1118,8 @@ object PdfText {
       val pageId = 3 + 2 * i
       val streamId = pageId + 1
       w(s"$pageId 0 obj<</Type/Page/Parent 2 0 R/Contents $streamId 0 R>>endobj\n")
-      val body = if (flate) deflate(c) else c
-      val filter = if (flate) "/Filter/FlateDecode" else ""
-      w(s"$streamId 0 obj<</Length ${body.length}$filter>>stream\n")
+      val body = encode(c)
+      w(s"$streamId 0 obj<</Length ${body.length}$filterEntry>>stream\n")
       out.write(body)
       w("\nendstream endobj\n")
     }
@@ -1117,6 +1323,56 @@ object PdfText {
     out.toByteArray
   }
 
+  /** An AES-256 document (V5, R5 or R6) for the empty user password —
+    * the modern encryption real writers emit since PDF 2.0 (and Acrobat
+    * X). /U carries hash‖validation-salt‖key-salt; /UE AES-wraps the
+    * 256-bit file key under the key-salt hash; streams are AES-256-CBC
+    * with the file key directly. Deterministic salts/key so fixtures are
+    * byte-stable.
+    */
+  def buildEncryptedPdfR6(contentStreams: Seq[Array[Byte]], r: Int = 6): Array[Byte] = {
+    require(r == 5 || r == 6, s"V5 revision must be 5 or 6, got $r")
+    val fileKey = Array.tabulate(32)(i => ((i * 29 + 17) & 0xff).toByte)
+    val vsalt = Array.tabulate(8)(i => ((i * 41 + 3) & 0xff).toByte)
+    val ksalt = Array.tabulate(8)(i => ((i * 53 + 9) & 0xff).toByte)
+    val pwd = Array.emptyByteArray
+    val uHash = hash2B(pwd, vsalt, Array.emptyByteArray, r)
+    val u = uHash ++ vsalt ++ ksalt // 48 bytes
+    val ikey = hash2B(pwd, ksalt, Array.emptyByteArray, r)
+    val enc = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    enc.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    val ue = enc.doFinal(fileKey)
+    // owner entries: structurally valid decoys (the empty-user-password
+    // open never consults them)
+    val o = Array.tabulate(48)(i => ((i * 7 + 1) & 0xff).toByte)
+    val oe = Array.tabulate(32)(i => ((i * 11 + 2) & 0xff).toByte)
+    val crypt = StdCrypt(fileKey, aes = true, v5 = true)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(Latin1))
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    w("%PDF-2.0\n")
+    w("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")
+    val kids = contentStreams.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj<</Type/Pages/Kids[$kids]/Count ${contentStreams.length}>>endobj\n")
+    contentStreams.zipWithIndex.foreach { case (c, i) =>
+      val pageId = 3 + 2 * i
+      val streamId = pageId + 1
+      w(s"$pageId 0 obj<</Type/Page/Parent 2 0 R/Contents $streamId 0 R>>endobj\n")
+      val body = crypt.encrypt(streamId, 0, deflate(c))
+      w(s"$streamId 0 obj<</Length ${body.length}/Filter/FlateDecode>>stream\n")
+      out.write(body)
+      w("\nendstream endobj\n")
+    }
+    val encId = 3 + 2 * contentStreams.length
+    w(s"$encId 0 obj<</Filter/Standard/V 5/R $r/Length 256" +
+      "/CF<</StdCF<</CFM/AESV3/Length 32>>>>/StmF/StdCF/StrF/StdCF" +
+      s"/O <${hex(o)}>/OE <${hex(oe)}>/U <${hex(u)}>/UE <${hex(ue)}>/P -44>>endobj\n")
+    w(s"trailer<</Root 1 0 R/Encrypt $encId 0 R>>\n%%EOF")
+    out.toByteArray
+  }
+
   /** A one-show-op page content stream carrying `text` as a literal string
     * (backslash and parens escaped, so arbitrary latin-1 text round-trips
     * through [[extract]]).
@@ -1161,6 +1417,93 @@ object PdfText {
     val buf = new Array[Byte](8192)
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
+    out.toByteArray
+  }
+
+  /** LZW ENCODE (the builder/fixture side of [[lzwDecode]]): emits
+    * clear-table, (prefix,byte)-dictionary codes with the same
+    * earlyChange=1 width schedule the decoder follows, clear+reset on a
+    * full table, EOD. Exists so the round-trip harness and the driver's
+    * encode rotation can produce genuine LZW streams — correctness is
+    * pinned by decode(encode(x)) == x plus fixed known-vector specs.
+    */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length))
+    var buf = 0L
+    var nbits = 0
+    var codeBits = 9
+    // the encoder's add happens one code EARLIER in the stream than the
+    // decoder's (enc: write then add; dec: the add for that code lands
+    // while processing the NEXT one), so the earlyChange=1 schedule the
+    // decoder applies as f(nextCode+1) is f(nextCode) here — both switch
+    // between the same two codes of the stream
+    def widthFor(n: Int): Int =
+      if (n < 512) 9 else if (n < 1024) 10 else if (n < 2048) 11 else 12
+    def writeCode(c: Int): Unit = {
+      buf = (buf << codeBits) | c; nbits += codeBits
+      while (nbits >= 8) { out.write(((buf >>> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+    }
+    val table = new java.util.HashMap[Long, Integer]()
+    var nextCode = 258
+    writeCode(256) // initial clear, as most writers emit
+    var prefix = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (prefix < 0) prefix = b
+      else {
+        val key = (prefix.toLong << 8) | b
+        val hit = table.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          writeCode(prefix)
+          if (nextCode < 4096) {
+            table.put(key, nextCode); nextCode += 1
+            codeBits = widthFor(nextCode)
+          }
+          if (nextCode == 4096) { // table full: clear and restart
+            writeCode(256)
+            table.clear(); nextCode = 258; codeBits = 9
+          }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) writeCode(prefix)
+    writeCode(257) // EOD
+    if (nbits > 0) out.write(((buf << (8 - nbits)) & 0xff).toInt) // flush pad
+    out.toByteArray
+  }
+
+  /** RunLength ENCODE: literal runs up to 128 bytes, repeat runs for 3+
+    * equal bytes, EOD marker — the fixture side of [[runLengthDecode]].
+    */
+  private[graft] def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length))
+    var i = 0
+    while (i < data.length) {
+      // measure the repeat run at i
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i)); i += run
+      } else {
+        // literal run: until the next 3+ repeat or 128 bytes
+        val start = i
+        var j = i
+        var rep = 1
+        while (j < data.length && j - start < 128 && rep < 3) {
+          j += 1
+          rep = if (j < data.length && data(j) == data(j - 1)) rep + 1 else 1
+        }
+        val end = if (rep >= 3) j - 2 else j // exclude the repeat's start
+        out.write(end - start - 1)
+        out.write(data, start, end - start)
+        i = end
+      }
+    }
+    out.write(128) // EOD
     out.toByteArray
   }
 

@@ -108,14 +108,22 @@ object Multimodal {
           // rotate the encode form by doc_id: literal Tj / kerned TJ array /
           // hex string / CID composite font (2-byte ToUnicode-mapped codes)
           // / ENCRYPTED (standard security handler — RC4 or AES by parity)
-          // all decode to the same text, so the gate exercises every parser
-          // path — CMap machinery and decryption included — against one
-          // oracle. floorMod: Scala % is signed — a negative doc_id must
-          // still rotate through all forms, not collapse to the literal one
-          Row(id, Math.floorMod(id, 5L).toInt match {
+          // / LZW- or RunLength-filtered chains (r12, by parity) — all
+          // decode to the same text, so the gate exercises every parser
+          // path — CMap machinery, decryption, and the non-Flate filter
+          // legs included — against one oracle. floorMod: Scala % is
+          // signed — a negative doc_id must still rotate through all
+          // forms, not collapse to the literal one
+          Row(id, Math.floorMod(id, 6L).toInt match {
             case 3 => PdfText.buildCidPdf(text)
-            case 4 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)),
-              aes = Math.floorMod(id, 2L) == 0L)
+            case 4 => Math.floorMod(id, 3L).toInt match {
+              case 0 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = true)
+              case 1 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = false)
+              case _ => PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(text)))
+            }
+            case 5 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
+              if (Math.floorMod(id, 2L) == 0L) Seq("LZWDecode")
+              else Seq("RunLengthDecode", "FlateDecode"))
             case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
           })
         }

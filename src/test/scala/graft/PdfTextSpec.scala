@@ -167,10 +167,106 @@ end
     // misapplied in the array's reverse order
     assert(PdfText.extract(
       hexDoc(flatedHex, "/Filter[/FlateDecode/ASCIIHexDecode]")).get.text == "")
-    // unknown filters (LZW) degrade to empty — compressed bytes must never
-    // be scanned as if they were show operators
+    // unknown filters (DCT — LZW is decodable since r12) degrade to empty
+    // — compressed bytes must never be scanned as if they were operators
     assert(PdfText.extract(
-      hexDoc("not really lzw BT (leak) Tj ET", "/Filter/LZWDecode")).get.text == "")
+      hexDoc("not really jpeg BT (leak) Tj ET", "/Filter/DCTDecode")).get.text == "")
+  }
+
+  test("LZWDecode: spec-vector decode, encoder round trip across width/clear boundaries") {
+    // the PDF 1.7 §7.4.4.2 published example: 45 45 45 45 45 65 45 45 45 66
+    // encodes (earlyChange schedule, 9-bit codes) to 80 0B 60 50 22 0C 0C 85 01
+    val specIn = Array[Byte](45, 45, 45, 45, 45, 65, 45, 45, 45, 66) // decimal, per spec
+    val specOut = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01).map(_.toByte)
+    assert(PdfText.lzwDecode(specOut).get.toSeq == specIn.toSeq,
+      "decoder must reproduce the spec's published vector")
+    assert(PdfText.lzwEncode(specIn).toSeq == specOut.toSeq,
+      "encoder must emit the spec's published vector")
+    // round trips that cross the 9→10→11→12-bit width switches and the
+    // 4096-entry clear: seeded pseudo-random data compresses badly, so a
+    // 200 KB input drives the dictionary through a table reset
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 2, 300, 5000, 200000)) {
+      val data = new Array[Byte](n); rnd.nextBytes(data)
+      assert(PdfText.lzwDecode(PdfText.lzwEncode(data)).get.toSeq == data.toSeq, s"n=$n")
+    }
+    // highly repetitive data exercises the KwKwK self-reference path
+    val rep = ("abcabcabc" * 5000).getBytes("ISO-8859-1")
+    assert(PdfText.lzwDecode(PdfText.lzwEncode(rep)).get.toSeq == rep.toSeq)
+    // hostile: out-of-range codes degrade to None, never throw
+    assert(PdfText.lzwDecode(Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte)).isEmpty)
+  }
+
+  test("RunLengthDecode: literal/repeat runs, EOD, truncation degrades") {
+    def rl(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // 2 literals + a 4-repeat + EOD
+    assert(PdfText.runLengthDecode(rl(1, 'a', 'b', 253, 'c', 128)).get.toSeq ==
+      "abcccc".getBytes("ISO-8859-1").toSeq)
+    // truncated repeat run → None
+    assert(PdfText.runLengthDecode(rl(253)).isEmpty)
+    // truncated literal run → None
+    assert(PdfText.runLengthDecode(rl(5, 'a')).isEmpty)
+    // encoder round trip over mixed content
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 130, 4000)) {
+      val data = new Array[Byte](n)
+      rnd.nextBytes(data)
+      // splice in long runs so both encoder branches fire
+      if (n > 200) java.util.Arrays.fill(data, 50, 180, 'x'.toByte)
+      assert(PdfText.runLengthDecode(PdfText.runLengthEncode(data)).get.toSeq == data.toSeq,
+        s"n=$n")
+    }
+  }
+
+  test("LZW and RunLength filter chains round-trip through whole documents") {
+    val t = """older-writer text (with ops) \ and escapes"""
+    for (chain <- Seq(
+      Seq("LZWDecode"),
+      Seq("RunLengthDecode"),
+      Seq("ASCIIHexDecode", "LZWDecode"),     // hex-wrapped LZW
+      Seq("RunLengthDecode", "FlateDecode"),  // RL of deflate
+      Seq("LZWDecode", "FlateDecode"))) {     // the VERDICT's [/LZW /Flate]
+      val doc = PdfText.buildPdf(Seq(PdfText.textPage(t)), chain)
+      val r = PdfText.extract(doc).get
+      assert(r.text == t && r.nPages == 1, s"chain $chain: '${r.text}'")
+    }
+    // order-awareness carries over: reversing a working chain mis-declares
+    // the layers, which must degrade to empty — never leak raw bytes
+    val fl = PdfText.buildPdf(Seq(PdfText.textPage(t)), Seq("LZWDecode", "FlateDecode"))
+    val reversed = new String(fl, "ISO-8859-1")
+      .replace("/Filter[/LZWDecode/FlateDecode]", "/Filter[/FlateDecode/LZWDecode]")
+      .getBytes("ISO-8859-1")
+    assert(PdfText.extract(reversed).get.text == "")
+  }
+
+  test("indirect /Filter reference degrades to empty text (never scans compressed bytes)") {
+    // '/Filter 7 0 R' is legal PDF; the parser cannot resolve it, so the
+    // stream must yield NO text — not a raw scan that would leak a 'BT
+    // (...) Tj' byte pattern inside compressed-looking data
+    val body = "BT (leaked operands) Tj ET"
+    val doc = ("%PDF-1.4\n1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+      "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+      "3 0 obj<</Type/Page/Parent 2 0 R/Contents 4 0 R>>endobj\n" +
+      s"4 0 obj<</Length ${body.length}/Filter 7 0 R>>stream\n" + body +
+      "\nendstream endobj\ntrailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+    val r = PdfText.extract(doc).get
+    assert(r.text == "" && r.nPages == 1, s"'${r.text}'")
+  }
+
+  test("content-stream /Predictor declarations degrade instead of scanning shuffled bytes") {
+    val content = PdfText.textPage("predictor text")
+    val d = new java.util.zip.Deflater()
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    val n = d.deflate(buf); d.end()
+    val body = new String(buf.take(n), "ISO-8859-1")
+    val doc = ("%PDF-1.4\n1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+      "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+      "3 0 obj<</Type/Page/Parent 2 0 R/Contents 4 0 R>>endobj\n" +
+      s"4 0 obj<</Length ${body.length}/Filter/FlateDecode" +
+      "/DecodeParms<</Predictor 12/Columns 4>>>>stream\n" + body +
+      "\nendstream endobj\ntrailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfText.extract(doc).get.text == "")
   }
 
   test("RC4-encrypted PDF (V2/R3, empty user password) decrypts and round-trips") {
@@ -206,6 +302,48 @@ end
       .replace("/Filter/Standard", "/Filter/Standard" + cf)
     assert(PdfText.extract(reordered.getBytes("ISO-8859-1")).get.text ==
       "cf ordering must not break the key")
+  }
+
+  test("AES-256 R6 (V5/AESV3) encrypted PDF decrypts and round-trips; R5 variant too") {
+    val t = """modern AES-256 document (with ops) \ and escapes"""
+    for (r <- Seq(5, 6)) {
+      val doc = PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(t)), r)
+      val res = PdfText.extract(doc).get
+      assert(res.text == t && res.nPages == 1, s"R$r: '${res.text}'")
+    }
+    // multi-page under R6
+    val multi = PdfText.buildEncryptedPdfR6(
+      Seq(PdfText.textPage("page one"), PdfText.textPage("page two")))
+    val m = PdfText.extract(multi).get
+    assert(m.nPages == 2 && m.text == "page one page two")
+  }
+
+  test("AES-256 with a non-empty password fails validation and degrades to empty") {
+    // tamper the /U validation hash: the empty-password check must fail,
+    // loadDecryptor answers None, and the still-encrypted streams inflate
+    // to garbage → empty text, never a throw or ciphertext leak
+    val doc = PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage("secret body text")))
+    val s = new String(doc, "ISO-8859-1")
+    val uIdx = s.indexOf("/U <")
+    val tampered = (s.substring(0, uIdx + 4) + "00112233" +
+      s.substring(uIdx + 12)).getBytes("ISO-8859-1")
+    val r = PdfText.extract(tampered).get
+    assert(r.text == "" && r.nPages == 1, s"'${r.text}'")
+  }
+
+  test("V4 dict whose only /Length is the /CF byte count derives a 128-bit key") {
+    // real writers may omit the top-level /Length and carry only
+    // /CF<</StdCF<</Length 16>>>> (BYTES): the key must come out 16 bytes
+    // wide, not the 40-bit default — receipt is a successful round trip
+    // of an AES-128 document re-written without its top-level /Length
+    val doc = PdfText.buildEncryptedPdf(Seq(PdfText.textPage("cf length doc")), aes = true)
+    val s = new String(doc, "ISO-8859-1")
+    // the encrypt dict carries "/V 4/R 4/Length 128/CF<<...Length 16>>" —
+    // drop the top-level bit count only
+    val rewritten = s.replace("/R 4/Length 128/CF", "/R 4/CF").getBytes("ISO-8859-1")
+    assert(new String(rewritten, "ISO-8859-1") != s, "fixture must actually change")
+    val r = PdfText.extract(rewritten).get
+    assert(r.text == "cf length doc", s"'${r.text}'")
   }
 
   test("encrypted PDF with a tampered key degrades to empty text, never throws") {
