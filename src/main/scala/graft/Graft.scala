@@ -493,15 +493,21 @@ class Graft(spark: SparkSession, sfDir: String,
     * the recall trade is the graph search's, not IVF's. Kept live by
     * [[reindexDirectory]] like the IVF chunk index.
     */
-  def ragQueryAnnGraph(query: String, topK: Int = 5, nprobe: Int = 2): DataFrame =
-    ragQueryAnnGraphBatch(Seq(query), topK, nprobe).drop("query_id")
+  def ragQueryAnnGraph(query: String, topK: Int = 5, nprobe: Int = 2,
+                       filter: Option[Column] = None): DataFrame =
+    ragQueryAnnGraphBatch(Seq(query), topK, nprobe, filter).drop("query_id")
 
   /** Batched chunk-graph serving — one pruned cell read + one in-task
     * descent per query for the whole batch (see [[ragQueryAnnBatch]] for
-    * the batching rationale).
+    * the batching rationale). `filter` (r12) restricts hits to chunks
+    * satisfying a metadata predicate, served ADAPTIVELY like the IVF arm:
+    * descent ranks every visited passing node, under-filled queries widen
+    * their probes, and at full widening the answer is the exact filtered
+    * result (terminal exact scan — beam descent alone is not exhaustive).
     */
   def ragQueryAnnGraphBatch(queries: Seq[String], topK: Int = 5,
-                            nprobe: Int = 2): DataFrame = {
+                            nprobe: Int = 2,
+                            filter: Option[Column] = None): DataFrame = {
     require(queries.nonEmpty, "ragQueryAnnGraphBatch: empty query batch")
     // honor the stored index's own build params, like the IVF path
     val (k, degree) = chunkGraphParams(storedChunkGraphManifest)
@@ -510,8 +516,14 @@ class Graft(spark: SparkSession, sfDir: String,
       .map { case (q, i) => (i.toLong, embedder.embedText(q).map(_.toFloat)) }
       .toArray
     // bounded: ≤ nQueries×topK hit rows, each carrying its cell id
-    val hits = operators.AnnGraph.annGraphServedOverCells(spark, path, qRows,
-      Graft.clampTopK(topK), nprobe, beam = 32, hops = 2, entriesPerCell = 3)
+    val served = filter match {
+      case Some(_) => operators.AnnGraph.annGraphServedOverCellsAdaptive(spark, path,
+        qRows, Graft.clampTopK(topK), nprobe, beam = 32, hops = 2,
+        entriesPerCell = 3, filter = filter)
+      case None => operators.AnnGraph.annGraphServedOverCells(spark, path, qRows,
+        Graft.clampTopK(topK), nprobe, beam = 32, hops = 2, entriesPerCell = 3)
+    }
+    val hits = served
       .select(col("query_id"), col("vec_id"), col("cid"), col("score")).collect()
     chunkHitResults(path, hits)
   }

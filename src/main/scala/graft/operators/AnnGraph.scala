@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.plans.VecExprs
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -205,6 +205,7 @@ object AnnGraph {
     // releasingPinned: the build's localCheckpoint blocks (assignment +
     // edges) are corpus-sized and dead once the staged write lands
     AnnStore.releasingPinned(spark) {
+      VecExprs.register(spark) // the build must not depend on a prior caller registering
       val assigned = AnnStore.trackedCheckpoint(assignOver(e, centroids))
       // freshness manifest + staged swap (AnnStore): the live index keeps
       // serving until the atomic rename, and a manifest mismatch (params OR
@@ -400,9 +401,106 @@ object AnnGraph {
   private[graft] def annGraphServedOverCells(spark: SparkSession, indexPath: String,
                                              qRows: Array[(Long, Array[Float])],
                                              topK: Int, nprobe: Int, beam: Int,
-                                             hops: Int, entriesPerCell: Int): DataFrame =
+                                             hops: Int, entriesPerCell: Int,
+                                             filter: Option[Column] = None): DataFrame =
     servedCore(spark, indexPath, qRows.toMap, ownCells = Map.empty,
-      topK, nprobe, beam, hops, entriesPerCell, excludeSelf = false)
+      topK, nprobe, beam, hops, entriesPerCell, excludeSelf = false, filter)
+
+  /** FILTERED graph serving (r12, the C3f twin for C6): the predicate
+    * gates RESULT ELIGIBILITY, not navigation — descent walks every row of
+    * the probed cells (a filtered-out node still routes the search, the
+    * standard filtered-graph-ANN design; blocking navigation at the
+    * predicate strands the beam in sparse regions), while the ranked hits
+    * come from every VISITED passing node, not just the final beam. The
+    * predicate evaluates scan-side on the pruned read's full payload
+    * columns, so metadata filters see the same columns IVF's arm does.
+    */
+  def annGraphServedOverFiltered(spark: SparkSession, indexPath: String,
+                                 queries: DataFrame, topK: Int = 5, nprobe: Int = 2,
+                                 beam: Int = 32, hops: Int = 2,
+                                 entriesPerCell: Int = 3,
+                                 filter: Option[Column] = None): DataFrame = {
+    val qRows = queries.select(col("query_id"), col("qv").cast("array<float>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      "annGraphServedOverFiltered: duplicate query_id in the query batch")
+    annGraphServedOverCells(spark, indexPath, qRows, topK, nprobe, beam, hops,
+      entriesPerCell, filter).drop("cid")
+  }
+
+  /** ADAPTIVE filtered graph serving — closes C6's version of the classic
+    * filtered-ANN failure (a selective predicate leaves too few passing
+    * nodes among the visited set and under-fills topK): under-filled
+    * queries re-serve with doubled nprobe; once every cell is probed and a
+    * query is STILL under-filled, its answer comes from an exact scored
+    * scan of the passing rows (beam descent is not exhaustive even at full
+    * probing, so the terminal round must be — the same "provably exact at
+    * full widening" contract the IVF arm gives). Driver state stays
+    * bounded: per-round hit counts and the shrinking pending-query list.
+    */
+  private[graft] def annGraphServedOverCellsAdaptive(spark: SparkSession, indexPath: String,
+                                                     qRows: Array[(Long, Array[Float])],
+                                                     topK: Int, nprobe: Int, beam: Int,
+                                                     hops: Int, entriesPerCell: Int,
+                                                     filter: Option[Column]): DataFrame = {
+    val kCells = readCentroids(spark, indexPath).length
+    if (qRows.isEmpty)
+      return annGraphServedOverCells(spark, indexPath, qRows, topK, nprobe, beam,
+        hops, entriesPerCell, filter)
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var pending = qRows
+    var np = math.min(math.max(1, nprobe), kCells)
+    var continue = true
+    while (continue) {
+      val out = AnnStore.trackedCheckpoint(
+        annGraphServedOverCells(spark, indexPath, pending, topK, np, beam, hops,
+          entriesPerCell, filter))
+      val counts = out.groupBy("query_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val unfilled = pending.filter(q => counts.getOrElse(q._1, 0L) < topK)
+      if (unfilled.isEmpty) {
+        done += out
+        continue = false
+      } else if (np >= kCells) {
+        // all cells probed and still short: descent has no more cells to
+        // widen into — the exact scan over passing rows IS the answer
+        val filledIds = pending.map(_._1).toSet -- unfilled.map(_._1)
+        if (filledIds.nonEmpty) done += out.filter(col("query_id").isin(filledIds.toSeq: _*))
+        done += exactFilteredScan(spark, indexPath, unfilled, topK, filter)
+        continue = false
+      } else {
+        val filledIds = pending.map(_._1).toSet -- unfilled.map(_._1)
+        if (filledIds.nonEmpty) done += out.filter(col("query_id").isin(filledIds.toSeq: _*))
+        pending = unfilled
+        np = math.min(np * 2, kCells)
+      }
+    }
+    done.reduce(_ unionByName _).orderBy("query_id", "rank")
+  }
+
+  /** The terminal exact round: brute-force cosine over the rows the
+    * predicate passes (the whole store only when the adaptive loop already
+    * widened to every cell), same float precision and 4dp rounding as the
+    * descent so merged results rank consistently.
+    */
+  private def exactFilteredScan(spark: SparkSession, indexPath: String,
+                                qRows: Array[(Long, Array[Float])], topK: Int,
+                                filter: Option[Column]): DataFrame = {
+    import spark.implicits._
+    VecExprs.register(spark)
+    val vectors = spark.read.parquet(indexPath + "/vectors")
+    val qFrame = broadcast(qRows.toSeq.toDF("query_id", "qv"))
+    val base = filter.map(vectors.filter).getOrElse(vectors)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("cid"))
+    val scored = base.crossJoin(qFrame)
+      .select(col("query_id"), col("vec_id"), col("cid"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"), col("cid"))
+  }
 
   /** Shared serving core: probe selection (driver-side, replicating
     * AnnIvf.probeList's tie order), one partition-pruned read of the
@@ -413,7 +511,8 @@ object AnnGraph {
   private def servedCore(spark: SparkSession, indexPath: String,
                          qvs: Map[Long, Array[Float]], ownCells: Map[Long, Int],
                          topK: Int, nprobe: Int, beam: Int, hops: Int,
-                         entriesPerCell: Int, excludeSelf: Boolean): DataFrame = {
+                         entriesPerCell: Int, excludeSelf: Boolean,
+                         filter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     // every graph serve path funnels through here — heal BEFORE any read
     // so a crashed compaction's moved-aside cell can never silently
@@ -439,19 +538,25 @@ object AnnGraph {
     val cids = subs.keys.toSeq
     val k2 = topK; val b2 = beam; val h2 = hops; val epc = entriesPerCell
     val selfEx = excludeSelf
+    val filtered = filter.isDefined
     vectors.filter(col("cid").isin(cids: _*))
+      // result eligibility evaluates scan-side on the FULL payload row
+      // (before the narrowing select), so metadata predicates see the
+      // same columns the IVF arm's filter does; navigation stays
+      // unfiltered — the flag only gates which nodes may RANK
+      .withColumn("pass", filter.getOrElse(lit(true)))
       // cast: the embeddings store is float-typed already (no-op); a
       // derived index over double-typed vectors (the chunk-graph index)
       // serves at the descent's float precision — same 4dp score contract
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
-        col("nbrs"), col("cid"))
-      .as[(Long, Array[Float], Array[Long], Int)]
-      .flatMap { case (vid, emb, nbrs, cid) =>
-        bcSubs.value(cid).map(qid => (qid, vid, emb, nbrs, cid)) }
+        col("nbrs"), col("cid"), col("pass"))
+      .as[(Long, Array[Float], Array[Long], Int, Boolean)]
+      .flatMap { case (vid, emb, nbrs, cid, pass) =>
+        bcSubs.value(cid).map(qid => (qid, vid, emb, nbrs, cid, pass)) }
       .groupByKey(_._1)
       .flatMapGroups { (qid, rows) =>
         descentLocal(qid, bcQv.value(qid), bcProbes.value(qid), rows,
-          k2, b2, h2, epc, selfEx)
+          k2, b2, h2, epc, selfEx, filtered)
       }
       .toDF("query_id", "rank", "vec_id", "score", "cid")
       .orderBy("query_id", "rank")
@@ -464,16 +569,18 @@ object AnnGraph {
     * final ranking order (score desc, vec_id asc).
     */
   private def descentLocal(qid: Long, qv: Array[Float], probed: Set[Int],
-                           rows: Iterator[(Long, Long, Array[Float], Array[Long], Int)],
+                           rows: Iterator[(Long, Long, Array[Float], Array[Long], Int, Boolean)],
                            topK: Int, beam: Int, hops: Int, entriesPerCell: Int,
-                           excludeSelf: Boolean)
+                           excludeSelf: Boolean, filtered: Boolean = false)
       : Iterator[(Long, Long, Long, Double, Int)] = {
     val emb = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
     val nbrs = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
     val cellOf = scala.collection.mutable.HashMap.empty[Long, Int]
+    val passes = scala.collection.mutable.HashSet.empty[Long]
     val byCell = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
-    rows.foreach { case (_, vid, e, nb, cid) =>
+    rows.foreach { case (_, vid, e, nb, cid, pass) =>
       emb(vid) = e; nbrs(vid) = nb; cellOf(vid) = cid
+      if (pass) passes += vid
       byCell.getOrElseUpdate(cid, scala.collection.mutable.ArrayBuffer.empty) += vid
     }
     val entrySeeds = probed.toSeq.flatMap(c =>
@@ -484,7 +591,15 @@ object AnnGraph {
     val selfSeeds =
       if (excludeSelf) nbrs.getOrElse(qid, Array.empty[Long]).toSeq else Seq.empty[Long]
     def notSelf(v: Long): Boolean = !excludeSelf || v != qid
-    def score(vid: Long): Double = round4(cosineLocal(emb(vid), qv))
+    // under a filter, every VISITED passing node is a result candidate
+    // (not just the final beam — the beam may be dominated by non-passing
+    // routers), accumulated as nodes get scored
+    val visited = scala.collection.mutable.HashMap.empty[Long, Double]
+    def score(vid: Long): Double = {
+      val s = round4(cosineLocal(emb(vid), qv))
+      if (filtered && passes.contains(vid) && notSelf(vid)) visited(vid) = s
+      s
+    }
     var frontier: Vector[(Long, Double)] =
       (entrySeeds ++ selfSeeds).distinct.filter(v => notSelf(v) && emb.contains(v))
         .map(v => (v, score(v))).toVector
@@ -496,7 +611,10 @@ object AnnGraph {
         .distinct.filter(v => !inF.contains(v) && notSelf(v) && emb.contains(v))
       frontier = topN(frontier ++ expanded.map(v => (v, score(v))), beam)
     }
-    topN(frontier, topK).zipWithIndex.iterator.map { case ((v, s), i) =>
+    val pool =
+      if (filtered) visited.toVector
+      else topN(frontier, topK)
+    topN(pool, topK).zipWithIndex.iterator.map { case ((v, s), i) =>
       (qid, (i + 1).toLong, v, s, cellOf(v))
     }
   }
