@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Bm25, Dedup, Pipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The sf1-class scale receipt for the r11 TEXT operators (SURVEY §4f) —
+  * dedup_spans, quality_lm, sample_pack, and the batched hybrid retrieval
+  * had only ever run at sf0.1; this drives each at sf0.1 AND at a
+  * synthesized `scale`× corpus and prints both timings, so near-linear
+  * scaling (or a found cliff) is a recorded number, not a hope.
+  *
+  * The driver generates no sf1 testdata, so the corpus is synthesized
+  * from sf0.1 for TIMING ONLY: each document is replicated `scale`× with
+  * a fresh doc_id and a per-replica suffix token (replicas stay
+  * near-duplicates — the realistic shape for dedup at crawl scale — while
+  * doc ids and pack offsets stay unique). Correctness stays pinned by the
+  * sf0.01 oracle gate; nothing here feeds the driver contract.
+  *
+  * Usage: runMain graft.TextScaleReceipt [srcSfDir] [workDir] [scale]
+  */
+object TextScaleReceipt {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_textscale"
+    val scale = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = work + "/corpus"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docPath = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    if (!fs.exists(docPath)) {
+      Tables.documents(spark, src)
+        .withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
+        .select(
+          (col("doc_id") * scale + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" r"), col("rep")).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(docPath.toString)
+    }
+    val nSrc = Tables.documents(spark, src).count()
+    val nScaled = spark.read.parquet(docPath.toString).count()
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one untimed warmup at the small SF covers codegen/class-load costs
+    // for both sides; each measurement is the min of 2 runs
+    def measure(body: String => Unit): (Double, Double) = {
+      body(src)
+      val tSrc = (1 to 2).map(_ => time(body(src))).min
+      val tScaled = (1 to 2).map(_ => time(body(dir))).min
+      (tSrc, tScaled)
+    }
+
+    // full-row materialization (not count()): a bare count lets the
+    // optimizer prune the computed columns, which would time the joins
+    // but not the scoring math the receipt is about
+    def run(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.executedPlan.execute().count(); ()
+    }
+    val (spanSrc, spanScaled) = measure(d => run(Dedup.dedupSpans(spark, d)))
+    val (lmSrc, lmScaled) = measure(d => run(operators.TextAnalysis.qualityLm(spark, d)))
+    val (packSrc, packScaled) = measure(d => run(Pipeline.packSequences(spark, d)))
+    val (hybSrc, hybScaled) = measure(d => run(Bm25.ragHybrid(spark, d)))
+
+    def r(x: Double) = math.round(x * 1000) / 1000.0
+    def ratio(a: Double, b: Double) = r(b / math.max(a, 1e-9))
+    println(
+      s"""{"metric":"text_scale_receipt","n_docs_src":$nSrc,"n_docs_scaled":$nScaled,""" +
+        s""""scale":$scale,""" +
+        s""""dedup_spans_src_sec":${r(spanSrc)},"dedup_spans_scaled_sec":${r(spanScaled)},""" +
+        s""""dedup_spans_ratio":${ratio(spanSrc, spanScaled)},""" +
+        s""""quality_lm_src_sec":${r(lmSrc)},"quality_lm_scaled_sec":${r(lmScaled)},""" +
+        s""""quality_lm_ratio":${ratio(lmSrc, lmScaled)},""" +
+        s""""sample_pack_src_sec":${r(packSrc)},"sample_pack_scaled_sec":${r(packScaled)},""" +
+        s""""sample_pack_ratio":${ratio(packSrc, packScaled)},""" +
+        s""""rag_hybrid_src_sec":${r(hybSrc)},"rag_hybrid_scaled_sec":${r(hybScaled)},""" +
+        s""""rag_hybrid_ratio":${ratio(hybSrc, hybScaled)}}""")
+    spark.stop()
+  }
+}

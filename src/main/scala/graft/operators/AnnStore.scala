@@ -401,6 +401,21 @@ private[graft] object AnnStore {
     * can never leave a malformed `cid=` dir that breaks the store's reads.
     * The heal sweep at the START of the next compaction restores a backup
     * whose live partition vanished mid-swap and clears stale staging.
+    *
+    * DECLARED RESIDUAL WINDOW (concurrent reads): between the two renames
+    * of a cell's swap, a serve that lists the vectors dir in exactly that
+    * instant sees no `cid=N` and silently misses that cell's rows.
+    * heal-at-entry narrows the window to the two-rename span (~ms per
+    * compacted cell) but cannot close it — a plain filesystem has no
+    * atomic multi-file swap, and the alternatives are strictly worse: new
+    * files landed beside old ones double-count rows, and per-file rename
+    * sequences widen the missing-rows span from 2 renames to N. This is
+    * the documented single-writer/snapshot-reader contract: run
+    * compaction from the maintenance process that owns refreshes, not
+    * concurrently with serving; a deployment needing true snapshot
+    * isolation under concurrent compaction should hold the vectors table
+    * in a table format with an atomic-commit log (Iceberg/Delta), which
+    * swaps this layout's directory listing for a manifest pointer.
     * Returns one row per subdir: units compacted, files before/after.
     */
   private[graft] def compactIndex(spark: SparkSession, path: String,
