@@ -507,7 +507,11 @@ class Graft(spark: SparkSession, sfDir: String,
     */
   def ragQueryAnnGraphBatch(queries: Seq[String], topK: Int = 5,
                             nprobe: Int = 2,
-                            filter: Option[Column] = None): DataFrame = {
+                            filter: Option[Column] = None): DataFrame = operators.AnnStore.releasingPinned(spark) {
+    // the scope releases the adaptive loop's per-round trackedCheckpoints
+    // once the bounded hits collect below consumes them — without it every
+    // filtered graph query leaks one pinned block per widening round for
+    // the session's lifetime (the same contract as ragQueryAnnBatch)
     require(queries.nonEmpty, "ragQueryAnnGraphBatch: empty query batch")
     // honor the stored index's own build params, like the IVF path
     val (k, degree) = chunkGraphParams(storedChunkGraphManifest)
@@ -811,16 +815,6 @@ object Graft {
   private[graft] val ChunkIndexKind = "chunk_ivf"
   private[graft] val ChunkGraphKind = "chunk_graph"
 
-  /** Watch-mode trigger decision: does this arrival batch contain anything
-    * worth a reindex? True when the batch is empty (defensive — reindex is
-    * the safe side) or when at least one arrival is NOT under an excluded
-    * folder. Runs as ONE map-side-combined aggregate over the batch and
-    * returns a single 2-counter row to the driver — the arrival paths
-    * themselves are never materialized driver-side, so the first
-    * micro-batch after start (which backfills the whole existing tree)
-    * stays O(1) in driver memory at any corpus size. Receipt:
-    * WatchTriggerSpec counts driver-bound task-result bytes.
-    */
   /** Column form of the watch exclusion test, evaluated on the EXECUTORS.
     * A `path` is excluded iff it sits under the watched root AND one of
     * its intermediate directory segments (filename dropped) matches an
@@ -840,6 +834,16 @@ object Graft {
       arrays_overlap(dirSegs, array(excluded.map(lit): _*))
   }
 
+  /** Watch-mode trigger decision: does this arrival batch contain anything
+    * worth a reindex? True when the batch is empty (defensive — reindex is
+    * the safe side) or when at least one arrival is NOT under an excluded
+    * folder. Runs as ONE map-side-combined aggregate over the batch and
+    * returns a single 2-counter row to the driver — the arrival paths
+    * themselves are never materialized driver-side, so the first
+    * micro-batch after start (which backfills the whole existing tree)
+    * stays O(1) in driver memory at any corpus size. Receipt:
+    * WatchTriggerSpec counts driver-bound task-result bytes.
+    */
   private[graft] def shouldReindex(batch: DataFrame, isExcludedCol: Column): Boolean = {
     val counts = batch.agg(
       count(lit(1)).as("n"),

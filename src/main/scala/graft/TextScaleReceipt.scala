@@ -39,6 +39,14 @@ object TextScaleReceipt {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val docPath = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    // cache keyed on the actual row count, not bare existence: a rerun
+    // with a different `scale` against the same workDir must regenerate,
+    // or the receipt would time the old corpus while reporting the new
+    // scale value
+    val expected = Tables.documents(spark, src).count() * scale
+    if (fs.exists(docPath) &&
+        spark.read.parquet(docPath.toString).count() != expected)
+      fs.delete(docPath, true)
     if (!fs.exists(docPath)) {
       Tables.documents(spark, src)
         .withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))

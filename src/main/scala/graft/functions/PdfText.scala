@@ -1471,6 +1471,13 @@ object PdfText {
       i += 1
     }
     if (prefix >= 0) writeCode(prefix)
+    // EOD alone is read AFTER the decoder's lagging add for the final
+    // data code, so its width follows the DECODER's schedule f(nextCode+1)
+    // — at an exact boundary (nextCode = 511/1023/2047) the decoder has
+    // already widened and a same-width EOD would be misread as a table code
+    codeBits =
+      if (nextCode + 1 < 512) 9 else if (nextCode + 1 < 1024) 10
+      else if (nextCode + 1 < 2048) 11 else 12
     writeCode(257) // EOD
     if (nbits > 0) out.write(((buf << (8 - nbits)) & 0xff).toInt) // flush pad
     out.toByteArray

@@ -114,15 +114,19 @@ object Multimodal {
           // legs included — against one oracle. floorMod: Scala % is
           // signed — a negative doc_id must still rotate through all
           // forms, not collapse to the literal one
+          // the INNER rotations must key on floorDiv(id, 6), not on id:
+          // id mod 6 == 4 forces id mod 3 == 1 and id mod 6 == 5 forces
+          // odd id, so an id-keyed inner rotation would collapse to one
+          // branch and silently drop AES/R6/LZW from the oracle gate
           Row(id, Math.floorMod(id, 6L).toInt match {
             case 3 => PdfText.buildCidPdf(text)
-            case 4 => Math.floorMod(id, 3L).toInt match {
+            case 4 => Math.floorMod(Math.floorDiv(id, 6L), 3L).toInt match {
               case 0 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = true)
               case 1 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = false)
               case _ => PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(text)))
             }
             case 5 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
-              if (Math.floorMod(id, 2L) == 0L) Seq("LZWDecode")
+              if (Math.floorMod(Math.floorDiv(id, 6L), 2L) == 0L) Seq("LZWDecode")
               else Seq("RunLengthDecode", "FlateDecode"))
             case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
           })

@@ -193,6 +193,26 @@ end
     // highly repetitive data exercises the KwKwK self-reference path
     val rep = ("abcabcabc" * 5000).getBytes("ISO-8859-1")
     assert(PdfText.lzwDecode(PdfText.lzwEncode(rep)).get.toSeq == rep.toSeq)
+    // EOD exactly ON a width boundary (review finding, r12): the decoder
+    // widens after its final lagging add, so an EOD written at the
+    // encoder's pre-widening width is misread as a populated table code.
+    // Alternating 0,k bytes make every step a dictionary miss while
+    // k ≤ 255 (adds = N−1, nextCode at EOD = 256+N), so N = 253..257
+    // deterministically walks nextCode across the 509..513 window that
+    // brackets the 511 boundary — the same code path guards 1023/2047.
+    for (n <- Seq.range(253, 258)) {
+      val d = new Array[Byte](n)
+      var ctr = 1
+      for (i <- d.indices if i % 2 == 1) { d(i) = ctr.toByte; ctr += 1 }
+      assert(PdfText.lzwDecode(PdfText.lzwEncode(d)).get.toSeq == d.toSeq, s"boundary n=$n")
+    }
+    // and a dense random sweep across the 1023 boundary (pair collisions
+    // shift the landing by a few codes; the sweep width absorbs that)
+    val rnd2 = new scala.util.Random(13)
+    for (n <- Seq.range(750, 790)) {
+      val d = new Array[Byte](n); rnd2.nextBytes(d)
+      assert(PdfText.lzwDecode(PdfText.lzwEncode(d)).get.toSeq == d.toSeq, s"sweep n=$n")
+    }
     // hostile: out-of-range codes degrade to None, never throw
     assert(PdfText.lzwDecode(Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte)).isEmpty)
   }
