@@ -735,10 +735,19 @@ object PdfText {
           for {
             fontNum <- scala.util.Try(m.group(2).toInt).toOption
             body <- objectBody(fontNum)
-            cmapNum <- ToUnicodeRe.findFirstMatchIn(body)
-              .flatMap(mm => scala.util.Try(mm.group(1).toInt).toOption)
-            payload <- streamContent(cmapNum)
-            font <- parseToUnicodeCMap(payload)
+            font <- {
+              // /ToUnicode wins when both are present (it is the
+              // text-extraction channel by design, ISO 32000-1 §9.10.3);
+              // a simple font with only /Encoding falls back to the
+              // glyph-name map (r12 — the last declared decode gap)
+              val viaCMap = for {
+                cmapNum <- ToUnicodeRe.findFirstMatchIn(body)
+                  .flatMap(mm => scala.util.Try(mm.group(1).toInt).toOption)
+                payload <- streamContent(cmapNum)
+                f <- parseToUnicodeCMap(payload)
+              } yield f
+              viaCMap.orElse(parseSimpleEncoding(body, objectBody))
+            }
           } table(name) = font
       }
     sources.foreach { src =>
@@ -752,6 +761,200 @@ object PdfText {
       }
     }
     table.toMap
+  }
+
+  // ---- simple-font /Encoding glyph maps (no ToUnicode) ----
+
+  /** AGL glyph names for the printable-ASCII codes 32..126 in code order —
+    * the spine every base encoding shares (PDF 1.7 Annex D).
+    */
+  private val AsciiGlyphNames: IndexedSeq[String] =
+    (IndexedSeq("space", "exclam", "quotedbl", "numbersign", "dollar", "percent",
+      "ampersand", "quotesingle", "parenleft", "parenright", "asterisk", "plus",
+      "comma", "hyphen", "period", "slash",
+      "zero", "one", "two", "three", "four", "five", "six", "seven", "eight", "nine",
+      "colon", "semicolon", "less", "equal", "greater", "question", "at") ++
+      ('A' to 'Z').map(_.toString) ++
+      IndexedSeq("bracketleft", "backslash", "bracketright", "asciicircum",
+        "underscore", "grave") ++
+      ('a' to 'z').map(_.toString) ++
+      IndexedSeq("braceleft", "bar", "braceright", "asciitilde"))
+
+  /** The non-ASCII slice of the Adobe Glyph List a Latin document can
+    * actually reach through WinAnsi/MacRoman/`/Differences`: Latin-1
+    * letters, typographic punctuation, currency, ligatures, accents.
+    * Names outside this subset resolve only through the `uniXXXX`/`uXXXX`
+    * conventions; otherwise the glyph has no text and its code drops —
+    * same degrade contract as an unmapped CID.
+    */
+  private lazy val ExtraGlyphNames: Map[String, String] = Map(
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "ellipsis" -> "…", "dagger" -> "†", "daggerdbl" -> "‡",
+    "perthousand" -> "‰", "guilsinglleft" -> "‹",
+    "guilsinglright" -> "›", "guillemotleft" -> "«",
+    "guillemotright" -> "»", "fi" -> "ﬁ", "fl" -> "ﬂ",
+    "florin" -> "ƒ", "fraction" -> "⁄", "Euro" -> "€",
+    "trademark" -> "™", "copyright" -> "©", "registered" -> "®",
+    "degree" -> "°", "plusminus" -> "±", "multiply" -> "×",
+    "divide" -> "÷", "sterling" -> "£", "yen" -> "¥",
+    "cent" -> "¢", "currency" -> "¤", "section" -> "§",
+    "paragraph" -> "¶", "brokenbar" -> "¦", "exclamdown" -> "¡",
+    "questiondown" -> "¿", "ordfeminine" -> "ª",
+    "ordmasculine" -> "º", "mu" -> "µ", "periodcentered" -> "·",
+    "cedilla" -> "¸", "onequarter" -> "¼", "onehalf" -> "½",
+    "threequarters" -> "¾", "onesuperior" -> "¹",
+    "twosuperior" -> "²", "threesuperior" -> "³",
+    "logicalnot" -> "¬", "macron" -> "¯", "acute" -> "´",
+    "dieresis" -> "¨", "tilde" -> "˜", "circumflex" -> "ˆ",
+    "caron" -> "ˇ", "breve" -> "˘", "dotaccent" -> "˙",
+    "ring" -> "˚", "ogonek" -> "˛", "hungarumlaut" -> "˝",
+    "minus" -> "−", "OE" -> "Œ", "oe" -> "œ",
+    "Scaron" -> "Š", "scaron" -> "š", "Zcaron" -> "Ž",
+    "zcaron" -> "ž", "Ydieresis" -> "Ÿ", "ydieresis" -> "ÿ",
+    "Agrave" -> "À", "Aacute" -> "Á", "Acircumflex" -> "Â",
+    "Atilde" -> "Ã", "Adieresis" -> "Ä", "Aring" -> "Å",
+    "AE" -> "Æ", "Ccedilla" -> "Ç", "Egrave" -> "È",
+    "Eacute" -> "É", "Ecircumflex" -> "Ê", "Edieresis" -> "Ë",
+    "Igrave" -> "Ì", "Iacute" -> "Í", "Icircumflex" -> "Î",
+    "Idieresis" -> "Ï", "Eth" -> "Ð", "Ntilde" -> "Ñ",
+    "Ograve" -> "Ò", "Oacute" -> "Ó", "Ocircumflex" -> "Ô",
+    "Otilde" -> "Õ", "Odieresis" -> "Ö", "Oslash" -> "Ø",
+    "Ugrave" -> "Ù", "Uacute" -> "Ú", "Ucircumflex" -> "Û",
+    "Udieresis" -> "Ü", "Yacute" -> "Ý", "Thorn" -> "Þ",
+    "germandbls" -> "ß",
+    "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+    "atilde" -> "ã", "adieresis" -> "ä", "aring" -> "å",
+    "ae" -> "æ", "ccedilla" -> "ç", "egrave" -> "è",
+    "eacute" -> "é", "ecircumflex" -> "ê", "edieresis" -> "ë",
+    "igrave" -> "ì", "iacute" -> "í", "icircumflex" -> "î",
+    "idieresis" -> "ï", "eth" -> "ð", "ntilde" -> "ñ",
+    "ograve" -> "ò", "oacute" -> "ó", "ocircumflex" -> "ô",
+    "otilde" -> "õ", "odieresis" -> "ö", "oslash" -> "ø",
+    "ugrave" -> "ù", "uacute" -> "ú", "ucircumflex" -> "û",
+    "udieresis" -> "ü", "yacute" -> "ý", "thorn" -> "þ")
+
+  private lazy val GlyphNameTable: Map[String, String] =
+    ExtraGlyphNames ++ AsciiGlyphNames.zipWithIndex.map { case (n, i) =>
+      n -> (32 + i).toChar.toString
+    }
+
+  private val UniNameRe = "uni((?:[0-9A-Fa-f]{4})+)".r
+  private val UNameRe = "u([0-9A-Fa-f]{4,6})".r
+
+  /** AGL resolution for one glyph name: the `uniXXXX`(+) and `uXXXXXX`
+    * conventions first (they are the spec'd escape hatch for arbitrary
+    * code points), then the Latin table. None = the glyph has no known
+    * text → its code drops.
+    */
+  private[graft] def glyphToUnicode(name: String): Option[String] = name match {
+    case UniNameRe(hex) =>
+      Some(hex.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString)
+    case UNameRe(hex) =>
+      scala.util.Try(new String(Character.toChars(Integer.parseInt(hex, 16)))).toOption
+    case _ => GlyphNameTable.get(name)
+  }
+
+  /** Code → text for 32..126: every base encoding agrees with ASCII
+    * there; also the declared degrade for StandardEncoding / an absent
+    * /BaseEncoding (the font's built-in encoding is unknowable without
+    * the font program, and ASCII identity is what the raw read already
+    * assumed — Differences then overlay the part the writer re-declared).
+    */
+  private lazy val AsciiIdentity: Map[Int, String] =
+    ((32 to 126) ++ Seq(9, 10, 13)).map(c => c -> c.toChar.toString).toMap
+
+  /** A single-byte base-encoding table from the JDK charset that defines
+    * it (WinAnsi IS windows-1252, MacRoman IS x-MacRoman — PDF 1.7
+    * Annex D): high bytes decode through the charset; slots the charset
+    * leaves as C1 controls or unmappable are undefined in the PDF
+    * encoding too and drop.
+    */
+  private def charsetEncoding(csName: String): Map[Int, String] =
+    if (!java.nio.charset.Charset.isSupported(csName)) AsciiIdentity
+    else {
+      val cs = java.nio.charset.Charset.forName(csName)
+      val high = (128 to 255).flatMap { b =>
+        val s = new String(Array(b.toByte), cs)
+        if (s.length == 1 && !Character.isISOControl(s.charAt(0)) &&
+          s.charAt(0) != '�') Some(b -> s)
+        else None
+      }.toMap
+      AsciiIdentity ++ high
+    }
+
+  private lazy val WinAnsiMap: Map[Int, String] = charsetEncoding("windows-1252")
+  private lazy val MacRomanMap: Map[Int, String] = charsetEncoding("x-MacRoman")
+
+  private def baseEncodingMap(name: String): Option[Map[Int, String]] = name match {
+    case "WinAnsiEncoding" => Some(WinAnsiMap)
+    case "MacRomanEncoding" => Some(MacRomanMap)
+    case "StandardEncoding" | "PDFDocEncoding" => Some(AsciiIdentity)
+    case _ => None
+  }
+
+  private val EncInlineRe = "(?s)/Encoding\\s*<<(.*?)>>".r
+  private val EncIndirectRe = "/Encoding\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val EncNameRe = "/Encoding\\s*/([A-Za-z]+)".r
+
+  /** A simple font's `/Encoding` entry as a 1-byte decoder (r12 — glyph
+    * maps without ToUnicode, the reference's pdf-parse envelope): a bare
+    * name (`/Encoding/WinAnsiEncoding`), an inline dictionary, or an
+    * indirect reference to one; a dictionary starts from its
+    * /BaseEncoding (ASCII identity when absent) and overlays the
+    * /Differences array (integers reset the current code, names assign
+    * and auto-increment, ISO 32000-1 §9.6.5.2). A name the AGL subset
+    * cannot resolve UNmaps its code — a glyph with no Unicode target has
+    * no text. None when the font declares no /Encoding at all → raw
+    * one-byte read, unchanged behavior.
+    */
+  private def parseSimpleEncoding(fontBody: String,
+                                  objectBody: Int => Option[String]): Option[CidFont] = {
+    val dictText: Option[String] =
+      EncInlineRe.findFirstMatchIn(fontBody).map(_.group(1))
+        .orElse(EncIndirectRe.findFirstMatchIn(fontBody).flatMap(m =>
+          scala.util.Try(m.group(1).toInt).toOption.flatMap(objectBody)))
+    dictText match {
+      case Some(d) =>
+        // /BaseEncoding, or — for an indirect reference to a bare NAME
+        // object rather than a dictionary — the name itself ("/Type
+        // /Encoding" can never false-match: only the three concrete
+        // base-encoding names are accepted)
+        val base = "/BaseEncoding\\s*/([A-Za-z]+)".r.findFirstMatchIn(d)
+          .flatMap(m => baseEncodingMap(m.group(1)))
+          .orElse("/(WinAnsiEncoding|MacRomanEncoding|StandardEncoding|PDFDocEncoding)".r
+            .findFirstMatchIn(d).flatMap(m => baseEncodingMap(m.group(1))))
+          .getOrElse(AsciiIdentity)
+        val map = "(?s)/Differences\\s*\\[(.*?)\\]".r.findFirstMatchIn(d)
+          .map(_.group(1)) match {
+          case None => base
+          case Some(body) =>
+            val acc = scala.collection.mutable.Map.empty[Int, String] ++= base
+            var code = 0
+            "(\\d+)|/([^\\s/\\[\\]<>()]+)".r.findAllMatchIn(body).foreach { t =>
+              if (t.group(1) != null)
+                code = scala.util.Try(t.group(1).toInt).getOrElse(0)
+              else {
+                if (code >= 0 && code <= 255)
+                  glyphToUnicode(t.group(2)) match {
+                    case Some(s) => acc(code) = s
+                    case None => acc.remove(code)
+                  }
+                code += 1
+              }
+            }
+            acc.toMap
+        }
+        Some(CidFont(1, map))
+      case None =>
+        // bare name — but not Type0's /Encoding/Identity-H etc., which
+        // baseEncodingMap rejects (those fonts need a ToUnicode)
+        EncNameRe.findFirstMatchIn(fontBody)
+          .flatMap(m => baseEncodingMap(m.group(1)))
+          .map(CidFont(1, _))
+    }
   }
 
   /** Mapping-entry cap: a hostile CMap must not expand into unbounded
@@ -1279,6 +1482,55 @@ object PdfText {
     w("5 0 obj<</Type/Font/Subtype/Type0/BaseFont/GraftCID" +
       "/Encoding/Identity-H/ToUnicode 6 0 R>>endobj\n")
     stream(6, cmapBytes, "")
+    w("trailer<</Root 1 0 R>>\n%%EOF")
+    out.toByteArray
+  }
+
+  /** A one-page document shown through a SIMPLE font whose text is only
+    * recoverable via its `/Encoding` glyph map — no ToUnicode anywhere
+    * (r12 fixture for the glyph-map decode leg). `differences = true`
+    * writes every byte shifted into 128..222 and a `/Differences` array
+    * that names the printable-ASCII glyphs back into place, so a reader
+    * that ignores the encoding recovers garbage, not the text;
+    * `differences = false` writes windows-1252 bytes under a bare
+    * `/Encoding/WinAnsiEncoding`. `indirectEncoding` moves the encoding
+    * dictionary behind an object reference (the common writer shape).
+    * Text chars outside the form's envelope become spaces.
+    */
+  def buildSimpleFontPdf(text0: String, differences: Boolean,
+                         flate: Boolean = true,
+                         indirectEncoding: Boolean = false): Array[Byte] = {
+    val winAnsi = java.nio.charset.Charset.forName("windows-1252")
+    val (bytes: Array[Byte], encodingEntry: String) =
+      if (differences) {
+        val t = text0.map(ch => if (ch >= 32 && ch <= 126) ch else ' ')
+        val names = AsciiGlyphNames.map("/" + _).mkString(" ")
+        (t.map(ch => (128 + ch - 32).toByte).toArray,
+          s"<</Type/Encoding/Differences[128 $names]>>")
+      } else {
+        val enc = winAnsi.newEncoder()
+        val t = text0.map(ch => if (enc.canEncode(ch)) ch else ' ')
+        (t.toString.getBytes(winAnsi), "/WinAnsiEncoding")
+      }
+    val content =
+      ("BT /F1 12 Tf <" + bytes.map(b => f"${b & 0xff}%02X").mkString +
+        "> Tj ET").getBytes(Latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(Latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")
+    w("2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n")
+    w("3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>" +
+      "/Contents 4 0 R>>endobj\n")
+    val body = if (flate) deflate(content) else content
+    val filter = if (flate) "/Filter/FlateDecode" else ""
+    w(s"4 0 obj<</Length ${body.length}$filter>>stream\n")
+    out.write(body)
+    w("\nendstream endobj\n")
+    val encRef = if (indirectEncoding) "7 0 R" else encodingEntry
+    w(s"5 0 obj<</Type/Font/Subtype/Type1/BaseFont/Helvetica" +
+      s"/Encoding $encRef>>endobj\n")
+    if (indirectEncoding) w(s"7 0 obj$encodingEntry endobj\n")
     w("trailer<</Root 1 0 R>>\n%%EOF")
     out.toByteArray
   }

@@ -108,26 +108,33 @@ object Multimodal {
           // rotate the encode form by doc_id: literal Tj / kerned TJ array /
           // hex string / CID composite font (2-byte ToUnicode-mapped codes)
           // / ENCRYPTED (standard security handler — RC4 or AES by parity)
-          // / LZW- or RunLength-filtered chains (r12, by parity) — all
+          // / LZW- or RunLength-filtered chains (r12, by parity) / a
+          // simple font whose text is only recoverable via the /Encoding
+          // glyph map (r12 — /Differences-remapped bytes behind an
+          // indirect encoding dict, or bare /WinAnsiEncoding) — all
           // decode to the same text, so the gate exercises every parser
-          // path — CMap machinery, decryption, and the non-Flate filter
-          // legs included — against one oracle. floorMod: Scala % is
-          // signed — a negative doc_id must still rotate through all
-          // forms, not collapse to the literal one
-          // the INNER rotations must key on floorDiv(id, 6), not on id:
-          // id mod 6 == 4 forces id mod 3 == 1 and id mod 6 == 5 forces
-          // odd id, so an id-keyed inner rotation would collapse to one
-          // branch and silently drop AES/R6/LZW from the oracle gate
-          Row(id, Math.floorMod(id, 6L).toInt match {
+          // path — CMap machinery, decryption, the non-Flate filter
+          // legs, and the glyph-name path included — against one oracle.
+          // floorMod: Scala % is signed — a negative doc_id must still
+          // rotate through all forms, not collapse to the literal one
+          // the INNER rotations must key on floorDiv(id, 7), not on id:
+          // an id-keyed inner rotation correlates with the outer mod-7
+          // pick and can collapse to one branch, silently dropping
+          // AES/R6/LZW/Differences from the oracle gate
+          Row(id, Math.floorMod(id, 7L).toInt match {
             case 3 => PdfText.buildCidPdf(text)
-            case 4 => Math.floorMod(Math.floorDiv(id, 6L), 3L).toInt match {
+            case 4 => Math.floorMod(Math.floorDiv(id, 7L), 3L).toInt match {
               case 0 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = true)
               case 1 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = false)
               case _ => PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(text)))
             }
             case 5 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
-              if (Math.floorMod(Math.floorDiv(id, 6L), 2L) == 0L) Seq("LZWDecode")
+              if (Math.floorMod(Math.floorDiv(id, 7L), 2L) == 0L) Seq("LZWDecode")
               else Seq("RunLengthDecode", "FlateDecode"))
+            case 6 =>
+              val diffs = Math.floorMod(Math.floorDiv(id, 7L), 2L) == 0L
+              PdfText.buildSimpleFontPdf(text, differences = diffs,
+                indirectEncoding = diffs)
             case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
           })
         }

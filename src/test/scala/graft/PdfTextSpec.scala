@@ -571,4 +571,89 @@ end
     assert(got.exceptAll(expected).count() == 0 &&
       expected.exceptAll(got).count() == 0)
   }
+
+  // ---- simple-font /Encoding glyph maps (r12 — no ToUnicode anywhere) ----
+
+  test("simple font /Differences: bytes are only recoverable via the glyph map") {
+    val t = "Graft reads glyph maps! (even nested) ~ 100%"
+    // differences form shifts every byte into 128..222 — a raw one-byte
+    // read yields high-latin garbage, so a pass here proves the map ran
+    val doc = PdfText.buildSimpleFontPdf(t, differences = true)
+    assert(PdfText.extract(doc).get.text == t)
+    // and the encoding dict behind an indirect object reference
+    val ind = PdfText.buildSimpleFontPdf(t, differences = true, indirectEncoding = true)
+    assert(PdfText.extract(ind).get.text == t)
+  }
+
+  test("WinAnsiEncoding: CP1252 high bytes decode to their Unicode glyphs") {
+    val t = "café €12 “smart” – dash ™"
+    val doc = PdfText.buildSimpleFontPdf(t, differences = false)
+    assert(PdfText.extract(doc).get.text == t)
+    // bare-name encoding behind an indirect reference also resolves
+    val ind = PdfText.buildSimpleFontPdf(t, differences = false, indirectEncoding = true)
+    assert(PdfText.extract(ind).get.text == t)
+  }
+
+  test("Differences overlay a base encoding; unknown glyph names drop their code") {
+    // font: WinAnsi base, code 65 remapped to eacute, code 66 to an
+    // unknown name (drops), code 67 to uni2603 (SNOWMAN via the uniXXXX
+    // convention); other codes keep the base mapping
+    val content = "BT /F1 12 Tf (ABCD) Tj ET"
+    val doc =
+      ("%PDF-1.4\n" +
+        "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+        "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+        "3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>endobj\n" +
+        s"4 0 obj<</Length ${content.length}>>stream\n$content\nendstream endobj\n" +
+        "5 0 obj<</Type/Font/Subtype/TrueType/BaseFont/Arial" +
+        "/Encoding<</Type/Encoding/BaseEncoding/WinAnsiEncoding" +
+        "/Differences[65 /eacute /NoSuchGlyph 67 /uni2603]>>>>endobj\n" +
+        "trailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfText.extract(doc).get.text == "é☃D")
+  }
+
+  test("MacRomanEncoding differs from WinAnsi where the tables differ") {
+    // byte 0xA5 is BULLET in MacRoman but YEN in WinAnsi
+    val content = "BT /F1 12 Tf <A5> Tj ET"
+    def doc(enc: String): Array[Byte] =
+      ("%PDF-1.4\n" +
+        "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+        "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+        "3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>endobj\n" +
+        s"4 0 obj<</Length ${content.length}>>stream\n$content\nendstream endobj\n" +
+        s"5 0 obj<</Type/Font/Subtype/Type1/BaseFont/F/Encoding/$enc>>endobj\n" +
+        "trailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfText.extract(doc("MacRomanEncoding")).get.text == "•")
+    assert(PdfText.extract(doc("WinAnsiEncoding")).get.text == "¥")
+  }
+
+  test("ToUnicode wins over /Encoding; no /Encoding keeps the raw read") {
+    // buildCidPdf's font carries /Encoding/Identity-H AND a ToUnicode —
+    // the CMap (2-byte, +0x100-shifted) must drive the decode, not a
+    // 1-byte glyph table
+    val t = "cid beats encoding"
+    assert(PdfText.extract(PdfText.buildCidPdf(t)).get.text == t)
+    // and a font with NO /Encoding at all: bytes read raw (old behavior)
+    val content = "BT /F1 12 Tf (plain) Tj ET"
+    val doc =
+      ("%PDF-1.4\n" +
+        "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+        "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+        "3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>endobj\n" +
+        s"4 0 obj<</Length ${content.length}>>stream\n$content\nendstream endobj\n" +
+        "5 0 obj<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>endobj\n" +
+        "trailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfText.extract(doc).get.text == "plain")
+  }
+
+  test("glyph-name resolution: uniXXXX(+), uXXXXX, letters, names, unknowns") {
+    assert(PdfText.glyphToUnicode("uni0041").contains("A"))
+    assert(PdfText.glyphToUnicode("uni00410042").contains("AB")) // AGL multi-group
+    assert(PdfText.glyphToUnicode("u1F600").contains(new String(Character.toChars(0x1F600))))
+    assert(PdfText.glyphToUnicode("a").contains("a"))
+    assert(PdfText.glyphToUnicode("seven").contains("7"))
+    assert(PdfText.glyphToUnicode("germandbls").contains("ß"))
+    assert(PdfText.glyphToUnicode("fi").contains("ﬁ"))
+    assert(PdfText.glyphToUnicode("g12345").isEmpty)
+  }
 }
