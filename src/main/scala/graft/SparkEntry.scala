@@ -171,6 +171,10 @@ object SparkEntry {
     // window definition, which the partition-invariant sum reproduces
     "sample_pack" -> ((s, dir) => Pipeline.packSequences(s, dir)),
     "contamination_check" -> ((s, dir) => Pipeline.contaminationCheck(s, dir)),
+    // F8 DSIR importance resampling: hashed-unigram LLR scoring against
+    // the en-target distribution, deterministic Gumbel-top-k — the
+    // hash-derived noise is what makes the sample oracle-replicable
+    "sample_dsir" -> ((s, dir) => Pipeline.sampleDsir(s, dir)),
   )
 
   /** Multilingual fixture rows (BMP-only — Spark `length` counts UTF-16
@@ -906,6 +910,43 @@ object SparkEntry {
         |FROM documents d JOIN r ON d.source = r.source
         |WHERE CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE) < rate * 1e6
         |ORDER BY d.doc_id""".stripMargin,
+    // F8 DSIR: same polynomial token code as fingerprint/minhash, bucketed
+    // mod 512; add-one-smoothed log-likelihood ratios; Gumbel key from the
+    // multiplicative doc_id hash (deterministic on both engines)
+    "sample_dsir" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, (lang = 'en') AS is_target,
+        |         list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, is_target,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h*31 + c) % 1000000007) % 512 AS f,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, is_target, unnest(toks) AS tok FROM toksrc) t
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT f,
+        |    CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS tc,
+        |    CAST(sum(CASE WHEN NOT is_target THEN c ELSE 0 END) AS BIGINT) AS qc
+        |  FROM feats GROUP BY f),
+        |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(qc) AS BIGINT) AS qt FROM stats),
+        |dist AS (SELECT f,
+        |    ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 512 AS DOUBLE))
+        |  - ln(CAST(qc + 1 AS DOUBLE) / CAST(qt + 512 AS DOUBLE)) AS llr
+        |  FROM stats, tot),
+        |scored AS (
+        |  SELECT fe.doc_id, sum(CAST(fe.c AS DOUBLE) * d.llr) AS log_w
+        |  FROM feats fe JOIN dist d ON fe.f = d.f
+        |  WHERE NOT fe.is_target GROUP BY fe.doc_id),
+        |keyed AS (
+        |  SELECT doc_id, log_w,
+        |    log_w - ln(-ln((CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)) AS key
+        |  FROM scored),
+        |top AS (SELECT doc_id, log_w, key FROM keyed ORDER BY key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, round(log_w + 1e-9, 4) AS log_w, round(key + 1e-9, 4) AS dsir_key
+        |FROM top ORDER BY doc_id""".stripMargin,
     "contamination_check" ->
       """WITH s AS (
         |  SELECT doc_id,

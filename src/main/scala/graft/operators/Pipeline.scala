@@ -199,6 +199,72 @@ object Pipeline {
         round(lit(1.0) / col("rate") + lit(1e-9), 4).as("weight"))
   }
 
+  /** F8: importance resampling toward a target distribution (r12) — the
+    * DSIR recipe (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling", arXiv:2302.03169): learn hashed-n-gram
+    * bag-of-words distributions for a TARGET corpus (here: `targetPred`
+    * documents — the trusted in-domain set) and for the RAW candidate
+    * pool, score every candidate by its log importance weight
+    * Σ_f c_f·(ln p̂_target[f] − ln q̂_raw[f]) (Laplace-smoothed), and take
+    * the Gumbel-top-k — Gumbel noise derived from the same deterministic
+    * multiplicative hash as F4/F6, so the "sample" is reproducible and
+    * DuckDB-replicable, which is what puts this under the oracle gate
+    * rather than rows-only.
+    *
+    * 100 TB shape: tokens bucket through [[Text.stringCode]] mod
+    * `buckets` at scan time; the ONLY corpus-scale shuffle is the
+    * (doc_id, bucket) count aggregate (map-side combined — per-doc
+    * distinct buckets ≤ `buckets`, so the post-agg volume is bounded by
+    * docs×buckets, not corpus tokens); both distributions reduce to
+    * ≤`buckets` rows and the scoring join BROADCASTS them; the top-k is a
+    * TakeOrdered, never a global sort. Nothing driver-side scales with
+    * the corpus.
+    */
+  def sampleDsir(spark: SparkSession, sfDir: String,
+                 buckets: Int = 512, topN: Int = 50): DataFrame =
+    sampleDsirOver(Tables.documents(spark, sfDir), col("lang") === "en",
+      buckets, topN)
+
+  def sampleDsirOver(docs: DataFrame, targetPred: Column,
+                     buckets: Int = 512, topN: Int = 50): DataFrame = {
+    // per-doc hashed-unigram counts: c occurrences of bucket f in doc
+    val feats = docs
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(Text.stringCode(col("tok")), lit(buckets.toLong)).as("f"))
+      .groupBy(col("doc_id"), col("is_target"), col("f"))
+      .agg(count(lit(1)).as("c"))
+    // the two bag-of-words distributions, ≤`buckets` rows: log-likelihood
+    // ratio per bucket under add-one smoothing (a bucket unseen in target
+    // still scores, just negatively)
+    val stats = feats.groupBy(col("f"))
+      .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
+        sum(when(!col("is_target"), col("c")).otherwise(0L)).as("qc"))
+    val totals = stats.agg(sum(col("tc")).as("tt"), sum(col("qc")).as("qt"))
+    val dist = stats.crossJoin(broadcast(totals))
+      .select(col("f"),
+        (log((col("tc") + 1).cast("double") / (col("tt") + buckets).cast("double")) -
+          log((col("qc") + 1).cast("double") / (col("qt") + buckets).cast("double")))
+          .as("llr"))
+    // candidate scores, then Gumbel-top-k: u from the deterministic
+    // multiplicative hash (pmod — same large-id wrap rationale as F4),
+    // +0.5 keeps u strictly inside (0,1) so neither log can hit ±inf
+    val scored = feats.filter(!col("is_target"))
+      .join(broadcast(dist), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("double") * col("llr")).as("log_w"))
+    val u = (pmod(col("doc_id") * 2654435761L, lit(1000000L)).cast("double") +
+      lit(0.5)) / lit(1000000.0)
+    scored
+      .withColumn("key", col("log_w") - log(-log(u)))
+      .orderBy(col("key").desc, col("doc_id")).limit(topN)
+      .select(col("doc_id"),
+        round(col("log_w") + lit(1e-9), 4).as("log_w"),
+        round(col("key") + lit(1e-9), 4).as("dsir_key"))
+      .orderBy("doc_id")
+  }
+
   /** Training-shard export — the pipeline's sink: write curated documents
     * as size-bounded parquet shards, hash-distributed by doc_id so shard
     * sizes stay uniform regardless of input skew, each shard internally

@@ -110,6 +110,34 @@ class PipelineSpec extends SparkSpecBase {
     s.unpersist()
   }
 
+  test("sample_dsir: target-like candidates outrank, targets excluded, broadcast plan") {
+    import spark.implicits._
+    // target vocabulary: "spark shuffle join"; candidate 100 shares it,
+    // candidate 101 is vocabulary-disjoint — the LLR score must separate
+    // them regardless of the Gumbel perturbation (checked on log_w alone)
+    val docs = Seq(
+      (1L, "spark shuffle join spark shuffle join spark", "en"),
+      (2L, "spark join shuffle spark join shuffle spark", "en"),
+      (100L, "spark shuffle join spark shuffle", "de"),
+      (101L, "zebra quokka wombat zebra quokka", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Pipeline.sampleDsirOver(docs, col("lang") === "en", buckets = 512, topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // targets never appear in the sample
+    assert(!out.contains(1L) && !out.contains(2L))
+    assert(out(100L) > out(101L),
+      s"target-like doc must outscore disjoint doc: $out")
+    // deterministic and partition-count invariant
+    val a = Pipeline.sampleDsirOver(docs.repartition(7), col("lang") === "en")
+    val b = Pipeline.sampleDsirOver(docs.repartition(2), col("lang") === "en")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // 100 TB shape: the ≤buckets-row LLR table broadcasts into the scoring
+    // join — the corpus side must never sort-merge against it
+    val plan = Pipeline.sampleDsir(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("streaming mixture ingest equals the batch sample row-for-row") {
     import graft.streaming.CurationStream
     val batch = Pipeline.sampleMixture(spark, sf)
