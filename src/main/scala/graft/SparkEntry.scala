@@ -37,6 +37,10 @@ object SparkEntry {
     // B6 is iterative (connected components) — not SQL-replicable, so
     // rows-only; DedupStreamSpec verifies the component invariants.
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
+    // B8 SemDeDup: k-means blocks + intra-cluster ε-pairs, paper keeper
+    // rule (lowest centroid-sim survives). Rows-only (k-means); specs pin
+    // the no-two-survivors-similar invariant and recall vs exact B5.
+    "dedup_semantic" -> ((s, dir) => Dedup.dedupSemantic(s, dir)),
     // C. similarity search
     "ann_topk_batch" -> ((s, dir) => RagSearch.annTopKBatch(s, dir)),
     // C1f filtered ANN: metadata-predicate search, brute-force correctness

@@ -442,6 +442,63 @@ object Dedup {
       .orderBy("keep_id", "dup_id")
   }
 
+  /** B8: SemDeDup (r12 — Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): k-means-cluster the embedding space, then test
+    * ε-similarity ONLY within clusters — the published web-scale recipe
+    * for semantic (not lexical) near-dup removal. The cluster id is the
+    * equi-join key, so candidate volume is Σ|cluster|², never n² — the
+    * same blocking discipline as B5b but with LEARNED blocks, which is
+    * what finds paraphrase-level duplicates LSH's random hyperplanes
+    * only find at much higher similarity.
+    *
+    * Keeper rule follows the paper: in every ε-pair the member with the
+    * LOWER cosine to its centroid survives (keeping far-from-centroid
+    * points preserves diversity), ties to the lower vec_id. A vector is
+    * removed iff it loses at least one ε-pair; hence two SURVIVORS are
+    * never ε-similar (every pair has exactly one loser), and each
+    * cluster's min-centroid-sim member always survives — both
+    * spec-pinned. Rows-only (k-means is not SQL-replicable); recall vs
+    * the exact B5 pair set is receipted in the spec.
+    *
+    * 100 TB shape: centroids are a k×dim broadcast (assignment is
+    * scan-side, codegen'd); the pair join shuffles by cluster id with
+    * AQE handling skewed clusters; nothing driver-side beyond the k-row
+    * centroid matrix.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String, k: Int = 16,
+                    eps: Double = 0.30): DataFrame = {
+    VecExprs.register(spark)
+    val centroids = AnnIvf.train(spark, sfDir, k)
+    dedupSemanticOver(Tables.embeddings(spark, sfDir), centroids, eps)
+  }
+
+  def dedupSemanticOver(e0: DataFrame, centroids: Array[Array[Double]],
+                        eps: Double): DataFrame = {
+    val matrix = typedlit(centroids.map(_.toSeq).toSeq)
+    val e = e0
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .filter(col("emb").isNotNull)
+      .withColumn("cid", VecExprs.centroidAssign(col("emb"), centroids, useCosine = true))
+      .withColumn("centroid_sim",
+        VecExprs.cosineSim(col("emb"), element_at(matrix, col("cid") + 1)))
+    val a = e.select(col("cid"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("centroid_sim").as("a_csim"))
+    val b = e.select(col("cid"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("centroid_sim").as("b_csim"))
+    val losers = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(VecExprs.cosineSim(col("a_emb"), col("b_emb")) >= eps)
+      .select(when(col("a_csim") > col("b_csim"), col("a_id"))
+        .otherwise(col("b_id")).as("vec_id"))
+      .distinct()
+    e.join(losers.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        round(col("centroid_sim") + lit(1e-9), 4).as("centroid_sim"),
+        coalesce(col("dup"), lit(false)).as("is_duplicate"))
+      .orderBy("vec_id")
+  }
+
   /** B7: exact repeated-SPAN detection (r11) — the ExactSubstr-style pass
     * ("Deduplicating Training Data Makes Language Models Better", Lee et
     * al. 2022): find every maximal token span whose `w`-token windows ALL

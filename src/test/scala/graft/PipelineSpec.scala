@@ -341,6 +341,55 @@ class PipelineSpec extends SparkSpecBase {
     assert(lsh.count() <= exact.count())
   }
 
+  test("dedup_semantic: paper keeper rule on a handcrafted space; corpus invariants") {
+    import graft.operators.Dedup
+    import graft.plans.VecExprs
+    import spark.implicits._
+    VecExprs.register(spark)
+    // three axis-aligned centroids; group A (1,2,3) and group B (10,11)
+    // are intra-cluster ε-groups, 20/21 share a cluster but are NOT
+    // ε-similar (cos ≈ 0.25 < 0.30) — both must survive
+    val cents = Array(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0), Array(0.0, 0, 1, 0))
+    val vecs = Seq(
+      1L -> Array(1.0, 0, 0, 0), // csim 1.000
+      2L -> Array(0.98, 0.2, 0, 0), // csim ≈ 0.980
+      3L -> Array(0.9, 0.42, 0, 0), // csim ≈ 0.906  ← farthest: survives
+      10L -> Array(0.0, 1, 0, 0), // csim 1.000
+      11L -> Array(0.0, 0.95, 0.3, 0), // csim ≈ 0.954 ← survives
+      20L -> Array(0.0, 0, 1, 0),
+      21L -> Array(0.0, 0, 0.25, 0.97))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.dedupSemanticOver(vecs, cents, eps = 0.30)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.filter(!_._2).keySet == Set(3L, 11L, 20L, 21L), out)
+    // corpus run: every vector accounted for, and NO two survivors in the
+    // same cluster are ε-similar (every ε-pair has exactly one loser) —
+    // raw (unrounded) centroid sims recomputed from the deterministic
+    // training so rounding can't blur the keeper rule
+    val corpus = Dedup.dedupSemantic(spark, sf).cache()
+    val e = Tables.embeddings(spark, sf)
+    assert(corpus.count() == e.filter(col("embedding").isNotNull).count())
+    val kept = corpus.filter(!col("is_duplicate")).select("vec_id", "cid")
+      .join(e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), "vec_id")
+    val a = kept.select(col("cid"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = kept.select(col("cid"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    assert(a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
+      .filter(VecExprs.cosineSim(col("a_emb"), col("b_emb")) >= 0.30).count() == 0)
+    // recall receipt vs the exact B5 pair set: learned blocks must catch a
+    // real fraction of true ε-pairs (cross-cluster pairs are the declared
+    // recall loss, exactly like B5b's bucket misses)
+    val exact = Dedup.dedupEmbedding(spark, sf)
+      .select(col("keep_id").as("a_id"), col("dup_id").as("b_id"))
+    val assign = corpus.select(col("vec_id"), col("cid"))
+    val sameCluster = exact
+      .join(assign.withColumnRenamed("vec_id", "a_id").withColumnRenamed("cid", "a_cid"), "a_id")
+      .join(assign.withColumnRenamed("vec_id", "b_id").withColumnRenamed("cid", "b_cid"), "b_id")
+      .filter(col("a_cid") === col("b_cid")).count()
+    val recall = sameCluster.toDouble / exact.count()
+    assert(recall >= 0.10, s"semantic-block recall $recall")
+    corpus.unpersist()
+  }
+
   test("facade curation/dedup entry points run and agree with operators") {
     val g = new Graft(spark, sf)
     assert(g.curate().count() == Tables.documents(spark, sf).count())
