@@ -145,6 +145,9 @@ object SparkEntry {
     // mean NLL — deterministic counting, fully oracle-checked
     "quality_lm" -> ((s, dir) => TextAnalysis.qualityLm(s, dir)),
     "token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
+    // D7 corpus-trained BPE: learned merges (Sennrich-style), rows-only
+    // (iterative trainer); round-trip + determinism spec-pinned
+    "token_bpe" -> ((s, dir) => TextAnalysis.tokenBpe(s, dir)),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     // E. analytics
     "q1_pricing" -> ((s, dir) => Analytics.q1Pricing(s, dir)),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{Bpe, Text}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -146,6 +146,40 @@ object TextAnalysis {
       .drop("__noncjk")
       .orderBy("doc_id")
   }
+
+  /** D7: corpus-TRAINED BPE token counting (r12) — the learned
+    * counterpart of D3's regex heuristic: merges trained on this corpus
+    * with the published BPE algorithm ([[graft.functions.Bpe]], Sennrich
+    * et al. 2016), then every document encoded under the fixed merge
+    * table inside one codegen'd expression. Emits whitespace vs BPE
+    * counts and the chars-per-BPE-token fertility. Rows-only (the
+    * iterative trainer is not SQL-replicable); determinism, round-trip
+    * losslessness, and merge-order optimality are spec-pinned.
+    *
+    * Scale: training reads one map-side-combined word-count aggregate
+    * truncated to the top-V types (the bounded driver collect); encoding
+    * is scan-side with the ≤nMerges rank table shipped by reference —
+    * per-doc work only, no shuffle beyond the output sort.
+    */
+  def tokenBpe(spark: SparkSession, sfDir: String,
+               nMerges: Int = 200, vocabLimit: Int = 10000): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.trainOver(docs, "text", nMerges, vocabLimit)
+    tokenBpeOver(docs, merges)
+  }
+
+  def tokenBpeOver(docs: DataFrame, merges: Array[(String, String)]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(Bpe.bpeTokens(coalesce(col("text"), lit("")), merges))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens") + lit(1e-9), 4))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
 
   /** D4: rolling polynomial fingerprint over the token stream — the
     * order-sensitive content hash for shard-level change detection.

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.Bpe
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** The corpus-trained BPE tokenizer (D7): the published merge algorithm on
+  * a known word table, determinism of corpus training, corpus-wide
+  * round-trip losslessness, compression monotonicity, and the codegen
+  * health of the encode expression.
+  */
+class BpeSpec extends SparkSpecBase {
+
+  test("first merge is the most frequent pair; ties break lexicographically") {
+    // the Sennrich paper's example vocabulary
+    val words = Array[(String, Long)](("low", 5L), ("lower", 2L),
+      ("newest", 6L), ("widest", 3L))
+    // brute-force the expected winner over the initial symbol sequences
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    words.foreach { case (w, c) =>
+      val syms = w.map(_.toString).toArray
+      syms(w.length - 1) += Bpe.Eow
+      syms.sliding(2).foreach { p =>
+        counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+      }
+    }
+    val expected = counts.minBy { case ((a, b), c) => (-c, a, b) }._1
+    val merges = Bpe.train(words, nMerges = 1)
+    assert(merges.length == 1 && merges.head == expected,
+      s"got ${merges.toSeq}, expected $expected (counts $counts)")
+    // ("e","s") and ("s","t</w>") both occur 9 times — lexicographic tie
+    assert(expected == ("e", "s"))
+  }
+
+  test("encode applies merges in rank order; unseen words still segment") {
+    val words = Array[(String, Long)](("low", 5L), ("lower", 2L),
+      ("newest", 6L), ("widest", 3L))
+    val ranks = Bpe.ranksOf(Bpe.train(words, nMerges = 10))
+    // a trained word collapses far below character count
+    val newest = Bpe.encodeWord("newest", ranks)
+    assert(newest.length < 6, newest.toSeq)
+    assert(newest.mkString.stripSuffix(Bpe.Eow) == "newest")
+    // an UNSEEN word reuses learned subwords and stays lossless
+    val unseen = Bpe.encodeWord("lowest", ranks)
+    assert(unseen.mkString.stripSuffix(Bpe.Eow) == "lowest")
+    assert(unseen.length < 6, unseen.toSeq)
+  }
+
+  test("corpus training is deterministic and partition-count invariant") {
+    val docs = Tables.documents(spark, sf)
+    val a = Bpe.trainOver(docs, nMerges = 50, vocabLimit = 2000)
+    val b = Bpe.trainOver(docs.repartition(7), nMerges = 50, vocabLimit = 2000)
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+  }
+
+  test("corpus-wide round trip: BPE symbols concatenate back to the words") {
+    val docs = Tables.documents(spark, sf)
+    val merges = Bpe.trainOver(docs, nMerges = 100, vocabLimit = 5000)
+    val bad = docs
+      .select(col("doc_id"),
+        array_join(graft.functions.Text.tokens(col("text")), " ").as("want"),
+        Bpe.bpeTokens(coalesce(col("text"), lit("")), merges).as("toks"))
+      .withColumn("got",
+        trim(regexp_replace(array_join(col("toks"), ""), Bpe.Eow, " ")))
+      .filter(col("got") =!= col("want"))
+    assert(bad.count() == 0, bad.take(3).mkString("\n"))
+  }
+
+  test("token_bpe: counts bounded, fertility consistent, more merges compress") {
+    val out = TextAnalysis.tokenBpe(spark, sf, nMerges = 200).cache()
+    assert(out.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+    assert(out.filter(col("n_bpe_tokens") > col("n_chars")).count() == 0)
+    // fertility = chars per BPE token wherever tokens exist
+    assert(out.filter(col("n_bpe_tokens") > 0)
+      .filter(abs(col("fertility") -
+        round(col("n_chars").cast("double") / col("n_bpe_tokens") + lit(1e-9), 4)) > 1e-9)
+      .count() == 0)
+    // a longer merge table can only tighten the encoding
+    val small = TextAnalysis.tokenBpe(spark, sf, nMerges = 20)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n20"))
+    val joined = out.join(small, "doc_id")
+    assert(joined.filter(col("n_bpe_tokens") > col("n20")).count() == 0)
+    val total200 = out.agg(sum("n_bpe_tokens")).head().getLong(0)
+    val total20 = joined.agg(sum("n20")).head().getLong(0)
+    assert(total200 < total20, s"200 merges must strictly compress: $total200 vs $total20")
+    out.unpersist()
+  }
+
+  test("encode expression survives with codegen fallback disabled") {
+    val docs = Tables.documents(spark, sf)
+    val merges = Bpe.trainOver(docs, nMerges = 30, vocabLimit = 1000)
+    val before = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = docs
+        .select(size(Bpe.bpeTokens(coalesce(col("text"), lit("")), merges)).as("n"))
+        .agg(sum("n")).head().getLong(0)
+      assert(n > 0)
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+}
