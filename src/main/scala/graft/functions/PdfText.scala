@@ -73,9 +73,21 @@ object PdfText {
     * whatever text the supported envelope yields (possibly empty — a
     * valid-but-exotic PDF degrades to empty text, never an exception).
     */
-  def extract(bytes: Array[Byte]): Option[PdfDoc] = {
+  def extract(bytes: Array[Byte]): Option[PdfDoc] = extract(bytes, "")
+
+  /** [[extract]] with a user password (r12): supplied credentials are
+    * tried first (Algorithm-6 `/U` validation for R2–4, the `/U` hash
+    * for R5/6); a failed non-empty attempt falls back to the empty-user-
+    * password open so a caller can pass one corpus-wide password without
+    * breaking unprotected documents. Owner-password opens (Algorithm 7)
+    * stay out of envelope — degrade to empty text.
+    */
+  def extract(bytes: Array[Byte], password: String): Option[PdfDoc] = {
     if (bytes == null || bytes.length < 5 ||
       !new String(bytes, 0, 5, Latin1).equals("%PDF-")) return None
+    val pwdBytes =
+      if (password == null) Array.emptyByteArray
+      else password.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
     // structural view: latin-1 is byte-transparent, so offsets in this
     // string are byte offsets in the file
     val s = new String(bytes, Latin1)
@@ -131,10 +143,11 @@ object PdfText {
     // font-resource scan, and the /Encrypt lookup must never match inside
     // stream data (raw text about PDFs may contain "/Type /Page")
     val struct = blankRanges(s, recs.map(r => (r.dataStart, r.end)).toSeq)
-    // encrypted document? derive the file key (empty user password) so
-    // stream bodies decrypt before inflate; the xref stream itself is
-    // never encrypted (spec) and was already decoded above
-    val crypt = loadDecryptor(struct)
+    // encrypted document? derive the file key (supplied password first,
+    // empty-user-password fallback) so stream bodies decrypt before
+    // inflate; the xref stream itself is never encrypted (spec) and was
+    // already decoded above
+    val crypt = loadDecryptor(struct, pwdBytes)
     // memoized stream decode: font discovery, page counting, and the text
     // pass may each touch the same stream (a CMap inflates once, not once
     // per consumer)
@@ -520,14 +533,26 @@ object PdfText {
     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
-  /** Algorithm 2 file key for the empty user password: MD5(pad ‖ O ‖ P
+  /** The user password padded/truncated to 32 bytes with the spec's pad
+    * string (Algorithm 2 step a) — the empty password is exactly
+    * [[PadBytes]].
+    */
+  private def pad32(pwd: Array[Byte]): Array[Byte] =
+    (pwd.take(32) ++ PadBytes).take(32)
+
+  private[functions] def deriveFileKey(o: Array[Byte], p: Int, id0: Array[Byte],
+                                       r: Int, lengthBits: Int): Array[Byte] =
+    deriveFileKey(Array.emptyByteArray, o, p, id0, r, lengthBits)
+
+  /** Algorithm 2 file key for a user password: MD5(padded pwd ‖ O ‖ P
     * little-endian ‖ ID₀), then 50 MD5 rounds over the first n bytes for
     * R≥3; key length n = Length/8 (clamped 5..16, 5 for V1).
     */
-  private[functions] def deriveFileKey(o: Array[Byte], p: Int, id0: Array[Byte],
-                                       r: Int, lengthBits: Int): Array[Byte] = {
+  private[functions] def deriveFileKey(pwd: Array[Byte], o: Array[Byte], p: Int,
+                                       id0: Array[Byte], r: Int,
+                                       lengthBits: Int): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(PadBytes)
+    md.update(pad32(pwd))
     md.update(o, 0, math.min(32, o.length))
     md.update(Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
       ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte))
@@ -542,6 +567,33 @@ object PdfText {
       }
     }
     h.take(n)
+  }
+
+  /** Algorithm 4/5 `/U` value for a file key (r12 — what a conforming
+    * writer stores and a reader compares to validate a user password):
+    * R2 = RC4(key, pad); R≥3 = MD5(pad ‖ ID₀) RC4'd through the key then
+    * 19 rounds with key⊕i — only the first 16 bytes are compared.
+    */
+  private[functions] def computeU(key: Array[Byte], id0: Array[Byte],
+                                  r: Int): Array[Byte] =
+    if (r == 2) rc4(key, PadBytes)
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(PadBytes); md.update(id0)
+      var e = rc4(key, md.digest())
+      var i = 1
+      while (i <= 19) {
+        e = rc4(key.map(b => (b ^ i).toByte), e)
+        i += 1
+      }
+      e
+    }
+
+  private def validateU(key: Array[Byte], u: Array[Byte], id0: Array[Byte],
+                        r: Int): Boolean = {
+    val expect = computeU(key, id0, r)
+    val n = if (r == 2) 32 else 16
+    u.length >= n && java.util.Arrays.equals(expect.take(n), u.take(n))
   }
 
   private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
@@ -584,14 +636,17 @@ object PdfText {
   }
 
   /** Parse the /Encrypt dictionary out of the structural view (it is
-    * top-level and never itself encrypted) and derive the file key for
-    * the empty user password. None = unencrypted document, an unsupported
-    * handler/revision, a non-empty password (R5/6 validation fails), or
-    * any malformation — all degrade to "no decryption", which for a truly
-    * encrypted document means garbage streams that the downstream gates
-    * turn into empty text.
+    * top-level and never itself encrypted) and derive the file key: the
+    * SUPPLIED user password is tried first (validated against /U), then
+    * the empty user password (r12 — password-protected opens). None =
+    * unencrypted document, an unsupported handler/revision, no candidate
+    * password validating (R5/6; R2–4 keep the legacy unvalidated
+    * empty-password fallback because permissions-only writers store
+    * arbitrary /U bytes), or any malformation — all degrade to "no
+    * decryption", which for a truly encrypted document means garbage
+    * streams that the downstream gates turn into empty text.
     */
-  private def loadDecryptor(struct: String): Option[StdCrypt] = {
+  private def loadDecryptor(struct: String, pwd: Array[Byte]): Option[StdCrypt] = {
     try {
       val encNum = "/Encrypt\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(struct)
         .toSeq.lastOption.map(_.group(1).toInt).getOrElse(return None)
@@ -608,16 +663,22 @@ object PdfText {
         val u = pdfStringValue(body, "/U").getOrElse(return None)
         val ue = pdfStringValue(body, "/UE").getOrElse(return None)
         if (u.length < 48 || ue.length != 32) return None
-        val pwd = Array.emptyByteArray
-        val expect = hash2B(pwd, u.slice(32, 40), Array.emptyByteArray, r)
-        if (!java.util.Arrays.equals(expect, u.take(32)))
-          return None // non-empty password: out of envelope, degrade
-        val ikey = hash2B(pwd, u.slice(40, 48), Array.emptyByteArray, r)
-        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-        c.init(javax.crypto.Cipher.DECRYPT_MODE,
-          new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
-          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
-        return Some(StdCrypt(c.doFinal(ue), aes = true, v5 = true))
+        // supplied password first, then the empty user password — which
+        // password opened the file is invisible downstream (same key)
+        val candidates =
+          if (pwd.isEmpty) Seq(pwd) else Seq(pwd, Array.emptyByteArray)
+        candidates.foreach { p =>
+          val expect = hash2B(p, u.slice(32, 40), Array.emptyByteArray, r)
+          if (java.util.Arrays.equals(expect, u.take(32))) {
+            val ikey = hash2B(p, u.slice(40, 48), Array.emptyByteArray, r)
+            val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+            c.init(javax.crypto.Cipher.DECRYPT_MODE,
+              new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+              new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+            return Some(StdCrypt(c.doFinal(ue), aes = true, v5 = true))
+          }
+        }
+        return None // no candidate validates: out of envelope, degrade
       }
       if (v < 1 || v > 4 || r < 2 || r > 4) return None
       val aes = v == 4 && body.contains("/AESV2")
@@ -640,7 +701,18 @@ object PdfText {
       val id0 = "/ID\\s*\\[\\s*<([0-9A-Fa-f]*)>".r.findAllMatchIn(struct)
         .toSeq.lastOption.map(m => hexToBytes(m.group(1)))
         .getOrElse(Array.emptyByteArray)
-      Some(StdCrypt(deriveFileKey(o, p, id0, r, if (v == 1) 40 else lengthBits), aes))
+      val bits = if (v == 1) 40 else lengthBits
+      // a supplied password must VALIDATE against /U (Algorithm 6) to be
+      // used; the empty-password key stays unvalidated — permissions-only
+      // writers store arbitrary /U bytes and the pre-r12 envelope opened
+      // those fine, so validation there would be a regression
+      if (pwd.nonEmpty) {
+        val key = deriveFileKey(pwd, o, p, id0, r, bits)
+        val uVal = pdfStringValue(body, "/U")
+        if (uVal.exists(u => validateU(key, u, id0, r)))
+          return Some(StdCrypt(key, aes))
+      }
+      Some(StdCrypt(deriveFileKey(o, p, id0, r, bits), aes))
     } catch { case _: Exception => None }
   }
 
@@ -1544,12 +1616,29 @@ object PdfText {
     * reader never validates the user password; it assumes empty, which
     * is exactly the permissions-only encryption case).
     */
-  def buildEncryptedPdf(contentStreams: Seq[Array[Byte]], aes: Boolean): Array[Byte] = {
+  def buildEncryptedPdf(contentStreams: Seq[Array[Byte]], aes: Boolean): Array[Byte] =
+    buildEncryptedPdf(contentStreams, aes, "")
+
+  /** As above with a USER PASSWORD (r12): the file key derives from the
+    * padded password and `/U` carries the real Algorithm-5 value, so a
+    * reader must both know the password and validate it to open — the
+    * password-protected fixture for the extract(bytes, password) leg.
+    */
+  def buildEncryptedPdf(contentStreams: Seq[Array[Byte]], aes: Boolean,
+                        password: String): Array[Byte] = {
     val oBytes = Array.tabulate(32)(i => ((i * 37 + 11) & 0xff).toByte)
     val id0 = Array.tabulate(16)(i => ((i * 73 + 5) & 0xff).toByte)
     val p = -44
     val r = if (aes) 4 else 3
-    val crypt = StdCrypt(deriveFileKey(oBytes, p, id0, r, 128), aes)
+    val pwdBytes = password.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
+    val key = deriveFileKey(pwdBytes, oBytes, p, id0, r, 128)
+    // Algorithm-5 /U (16 computed + 16 arbitrary pad) whenever a password
+    // is set; the empty-password fixture keeps its legacy arbitrary /U —
+    // that path must stay open WITHOUT validation (permissions-only shape)
+    val uBytes =
+      if (password.isEmpty) oBytes
+      else computeU(key, id0, r).take(16) ++ Array.fill(16)(0x5A.toByte)
+    val crypt = StdCrypt(key, aes)
     val out = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(Latin1))
     def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
@@ -1570,7 +1659,7 @@ object PdfText {
     val cf = if (aes) "/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF" else ""
     val v = if (aes) 4 else 2
     w(s"$encId 0 obj<</Filter/Standard/V $v/R $r/Length 128$cf" +
-      s"/O <${hex(oBytes)}>/U <${hex(oBytes)}>/P $p>>endobj\n")
+      s"/O <${hex(oBytes)}>/U <${hex(uBytes)}>/P $p>>endobj\n")
     w(s"trailer<</Root 1 0 R/Encrypt $encId 0 R/ID[<${hex(id0)}><${hex(id0)}>]>>\n%%EOF")
     out.toByteArray
   }
@@ -1582,12 +1671,13 @@ object PdfText {
     * with the file key directly. Deterministic salts/key so fixtures are
     * byte-stable.
     */
-  def buildEncryptedPdfR6(contentStreams: Seq[Array[Byte]], r: Int = 6): Array[Byte] = {
+  def buildEncryptedPdfR6(contentStreams: Seq[Array[Byte]], r: Int = 6,
+                          password: String = ""): Array[Byte] = {
     require(r == 5 || r == 6, s"V5 revision must be 5 or 6, got $r")
     val fileKey = Array.tabulate(32)(i => ((i * 29 + 17) & 0xff).toByte)
     val vsalt = Array.tabulate(8)(i => ((i * 41 + 3) & 0xff).toByte)
     val ksalt = Array.tabulate(8)(i => ((i * 53 + 9) & 0xff).toByte)
-    val pwd = Array.emptyByteArray
+    val pwd = password.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
     val uHash = hash2B(pwd, vsalt, Array.emptyByteArray, r)
     val u = uHash ++ vsalt ++ ksalt // 48 bytes
     val ikey = hash2B(pwd, ksalt, Array.emptyByteArray, r)

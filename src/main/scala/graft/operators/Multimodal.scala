@@ -123,10 +123,17 @@ object Multimodal {
           // AES/R6/LZW/Differences from the oracle gate
           Row(id, Math.floorMod(id, 7L).toInt match {
             case 3 => PdfText.buildCidPdf(text)
-            case 4 => Math.floorMod(Math.floorDiv(id, 7L), 3L).toInt match {
+            case 4 => Math.floorMod(Math.floorDiv(id, 7L), 5L).toInt match {
               case 0 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = true)
               case 1 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = false)
-              case _ => PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(text)))
+              case 2 => PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(text)))
+              // PASSWORD-protected forms (r12): decode side supplies the
+              // corpus-wide password — RC4-128 with a real Algorithm-5 /U
+              // (validation must pass) and AES-256 R6 keyed on the password
+              case 3 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)),
+                aes = false, password = PdfPassword)
+              case _ => PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(text)),
+                password = PdfPassword)
             }
             case 5 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
               if (Math.floorMod(Math.floorDiv(id, 7L), 2L) == 0L) Seq("LZWDecode")
@@ -159,10 +166,16 @@ object Multimodal {
     regexp_replace(coalesce(c, lit("")),
       "(?:[\\uD800-\\uDBFF][\\uDC00-\\uDFFF]|[^\\x20-\\x7E])", " ")
 
+  /** The corpus-wide user password the rotation's protected forms use —
+    * one password for the whole batch, the shape a real ingest of a
+    * protected document set has (unprotected documents ignore it).
+    */
+  private[graft] val PdfPassword = "gr4ft-batch"
+
   def pdfRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val sanitized = Tables.documents(spark, sfDir)
       .select(col("doc_id"), asciiSanitize(col("text")).as("text"))
-    pdfExtract(pdfEncode(sanitized)).orderBy("doc_id")
+    pdfExtract(pdfEncode(sanitized), PdfPassword).orderBy("doc_id")
   }
 
   /** REAL PDF text extraction over a binary column (doc_id, content) —
@@ -176,7 +189,7 @@ object Multimodal {
     * the reference's pdf-extractor contract (src/pdf-extractor.ts) as far
     * as a library-free container allows.
     */
-  def pdfExtract(docs: DataFrame): DataFrame = {
+  def pdfExtract(docs: DataFrame, password: String = ""): DataFrame = {
     import graft.functions.PdfText
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -189,7 +202,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          PdfText.extract(r.getAs[Array[Byte]](1)) match {
+          PdfText.extract(r.getAs[Array[Byte]](1), password) match {
             case Some(d) => Row(id, true, d.nPages, d.text)
             case None => Row(id, false, 0, "")
           }

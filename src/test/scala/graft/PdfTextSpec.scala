@@ -517,7 +517,9 @@ end
     // under signed %, -1 and -2 both hit the default arm and encode
     // identically, so distinctness is what pins the fix
     val negDf = Seq(-1L, -2L, -3L).map((_, "negative id")).toDF("doc_id", "text")
-    val neg = Multimodal.pdfExtract(Multimodal.pdfEncode(negDf))
+    // the rotation includes password-protected forms (id -3 lands on one),
+    // so the decode side supplies the batch password like the driver query
+    val neg = Multimodal.pdfExtract(Multimodal.pdfEncode(negDf), Multimodal.PdfPassword)
       .orderBy("doc_id").collect()
     assert(neg.forall(r => r.getBoolean(1) && r.getString(3) == "negative id"))
     val encodings = Multimodal.pdfEncode(negDf).collect()
@@ -644,6 +646,37 @@ end
         "5 0 obj<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>endobj\n" +
         "trailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
     assert(PdfText.extract(doc).get.text == "plain")
+  }
+
+  // ---- password-protected opens (r12) ----
+
+  test("password opens: RC4/AES Algorithm-5 /U validation, R6 hash, fallbacks") {
+    val t = "secret corpus text (protected)"
+    val page = Seq(PdfText.textPage(t))
+    // RC4-128 V2/R3 under a user password: right password opens, wrong or
+    // missing degrades to empty text (garbage streams), never throws
+    val rc4 = PdfText.buildEncryptedPdf(page, aes = false, password = "hunter2")
+    assert(PdfText.extract(rc4, "hunter2").get.text == t)
+    assert(PdfText.extract(rc4, "wrong").get.text == "")
+    assert(PdfText.extract(rc4).get.text == "")
+    // AES-128 V4/R4 under the same password machinery
+    val aes = PdfText.buildEncryptedPdf(page, aes = true, password = "hunter2")
+    assert(PdfText.extract(aes, "hunter2").get.text == t)
+    assert(PdfText.extract(aes, "wrong").get.text == "")
+    // AES-256 R6 keyed on the password
+    val r6 = PdfText.buildEncryptedPdfR6(page, password = "hunter2")
+    assert(PdfText.extract(r6, "hunter2").get.text == t)
+    assert(PdfText.extract(r6, "wrong").get.text == "")
+    assert(PdfText.extract(r6).get.text == "")
+    // a supplied password must NOT break empty-password documents: the
+    // failed validation falls back to the empty-user-password open
+    assert(PdfText.extract(
+      PdfText.buildEncryptedPdf(page, aes = true), "hunter2").get.text == t)
+    assert(PdfText.extract(
+      PdfText.buildEncryptedPdfR6(page), "hunter2").get.text == t)
+    // and unencrypted documents ignore the password entirely
+    assert(PdfText.extract(
+      PdfText.buildPdf(page, flate = true), "hunter2").get.text == t)
   }
 
   test("glyph-name resolution: uniXXXX(+), uXXXXX, letters, names, unknowns") {
