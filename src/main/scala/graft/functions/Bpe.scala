@@ -36,14 +36,19 @@ object Bpe {
   val Eow = "</w>"
 
   private def initSymbols(word: String): Array[String] = {
-    val out = new Array[String](word.length)
+    // split by CODE POINT, not UTF-16 char: a lone surrogate symbol would
+    // mangle to '?' in UTF8String and break round-trip losslessness for
+    // astral-plane text (emoji, rare CJK)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < word.length) {
-      out(i) = String.valueOf(word.charAt(i))
-      i += 1
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += word.substring(i, i + n)
+      i += n
     }
-    out(word.length - 1) = out(word.length - 1) + Eow
-    out
+    out(out.length - 1) = out(out.length - 1) + Eow
+    out.toArray
   }
 
   /** Driver-local BPE refinement over a bounded (word, count) table:
@@ -176,9 +181,9 @@ object Bpe {
     override def nullSafeEval(input: Any): Any =
       encodeEval(input.asInstanceOf[UTF8String], ranks)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      // raw type: Janino compiles the generated cast and predates generics
-      val ref = ctx.addReferenceObj("bpeRanks", ranksOf(merges),
-        "java.util.HashMap")
+      // raw type: Janino compiles the generated cast and predates generics;
+      // the lazy val keeps interpreted and generated paths on ONE table
+      val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
       defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.encodeEval($c, $ref)")
     }
     override protected def withNewChildInternal(c: Expression): Expression =

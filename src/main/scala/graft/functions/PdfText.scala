@@ -938,27 +938,51 @@ object PdfText {
   private lazy val AsciiIdentity: Map[Int, String] =
     ((32 to 126) ++ Seq(9, 10, 13)).map(c => c -> c.toChar.toString).toMap
 
-  /** A single-byte base-encoding table from the JDK charset that defines
-    * it (WinAnsi IS windows-1252, MacRoman IS x-MacRoman — PDF 1.7
-    * Annex D): high bytes decode through the charset; slots the charset
-    * leaves as C1 controls or unmappable are undefined in the PDF
-    * encoding too and drop.
+  /** The 0x80–0xFF halves of WinAnsi (= windows-1252) and MacRoman
+    * (= Mac OS Roman), embedded as 128-char strings so decode behavior
+    * never depends on the optional `jdk.charsets` provider (a minimized
+    * runtime lacks `x-MacRoman`). U+FFFD marks the slots the encoding
+    * leaves undefined — those codes drop. Data: PDF 1.7 Annex D /
+    * the Unicode Consortium's published mapping tables.
     */
-  private def charsetEncoding(csName: String): Map[Int, String] =
-    if (!java.nio.charset.Charset.isSupported(csName)) AsciiIdentity
-    else {
-      val cs = java.nio.charset.Charset.forName(csName)
-      val high = (128 to 255).flatMap { b =>
-        val s = new String(Array(b.toByte), cs)
-        if (s.length == 1 && !Character.isISOControl(s.charAt(0)) &&
-          s.charAt(0) != '�') Some(b -> s)
-        else None
-      }.toMap
-      AsciiIdentity ++ high
-    }
+  private val WinAnsiHigh: String =
+    "\u20AC\uFFFD\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030" +
+    "\u0160\u2039\u0152\uFFFD\u017D\uFFFD\uFFFD\u2018\u2019\u201C" +
+    "\u201D\u2022\u2013\u2014\u02DC\u2122\u0161\u203A\u0153\uFFFD" +
+    "\u017E\u0178\u00A0\u00A1\u00A2\u00A3\u00A4\u00A5\u00A6\u00A7" +
+    "\u00A8\u00A9\u00AA\u00AB\u00AC\u00AD\u00AE\u00AF\u00B0\u00B1" +
+    "\u00B2\u00B3\u00B4\u00B5\u00B6\u00B7\u00B8\u00B9\u00BA\u00BB" +
+    "\u00BC\u00BD\u00BE\u00BF\u00C0\u00C1\u00C2\u00C3\u00C4\u00C5" +
+    "\u00C6\u00C7\u00C8\u00C9\u00CA\u00CB\u00CC\u00CD\u00CE\u00CF" +
+    "\u00D0\u00D1\u00D2\u00D3\u00D4\u00D5\u00D6\u00D7\u00D8\u00D9" +
+    "\u00DA\u00DB\u00DC\u00DD\u00DE\u00DF\u00E0\u00E1\u00E2\u00E3" +
+    "\u00E4\u00E5\u00E6\u00E7\u00E8\u00E9\u00EA\u00EB\u00EC\u00ED" +
+    "\u00EE\u00EF\u00F0\u00F1\u00F2\u00F3\u00F4\u00F5\u00F6\u00F7" +
+    "\u00F8\u00F9\u00FA\u00FB\u00FC\u00FD\u00FE\u00FF"
 
-  private lazy val WinAnsiMap: Map[Int, String] = charsetEncoding("windows-1252")
-  private lazy val MacRomanMap: Map[Int, String] = charsetEncoding("x-MacRoman")
+  private val MacRomanHigh: String =
+    "\u00C4\u00C5\u00C7\u00C9\u00D1\u00D6\u00DC\u00E1\u00E0\u00E2" +
+    "\u00E4\u00E3\u00E5\u00E7\u00E9\u00E8\u00EA\u00EB\u00ED\u00EC" +
+    "\u00EE\u00EF\u00F1\u00F3\u00F2\u00F4\u00F6\u00F5\u00FA\u00F9" +
+    "\u00FB\u00FC\u2020\u00B0\u00A2\u00A3\u00A7\u2022\u00B6\u00DF" +
+    "\u00AE\u00A9\u2122\u00B4\u00A8\u2260\u00C6\u00D8\u221E\u00B1" +
+    "\u2264\u2265\u00A5\u00B5\u2202\u2211\u220F\u03C0\u222B\u00AA" +
+    "\u00BA\u03A9\u00E6\u00F8\u00BF\u00A1\u00AC\u221A\u0192\u2248" +
+    "\u2206\u00AB\u00BB\u2026\u00A0\u00C0\u00C3\u00D5\u0152\u0153" +
+    "\u2013\u2014\u201C\u201D\u2018\u2019\u00F7\u25CA\u00FF\u0178" +
+    "\u2044\u20AC\u2039\u203A\uFB01\uFB02\u2021\u00B7\u201A\u201E" +
+    "\u2030\u00C2\u00CA\u00C1\u00CB\u00C8\u00CD\u00CE\u00CF\u00CC" +
+    "\u00D3\u00D4\uF8FF\u00D2\u00DA\u00DB\u00D9\u0131\u02C6\u02DC" +
+    "\u00AF\u02D8\u02D9\u02DA\u00B8\u02DD\u02DB\u02C7"
+
+  private def highTable(table: String): Map[Int, String] =
+    AsciiIdentity ++ (128 to 255).flatMap { b =>
+      val ch = table.charAt(b - 128)
+      if (ch == '�') None else Some(b -> ch.toString)
+    }.toMap
+
+  private lazy val WinAnsiMap: Map[Int, String] = highTable(WinAnsiHigh)
+  private lazy val MacRomanMap: Map[Int, String] = highTable(MacRomanHigh)
 
   private def baseEncodingMap(name: String): Option[Map[Int, String]] = name match {
     case "WinAnsiEncoding" => Some(WinAnsiMap)

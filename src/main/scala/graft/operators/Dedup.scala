@@ -476,12 +476,16 @@ object Dedup {
   def dedupSemanticOver(e0: DataFrame, centroids: Array[Array[Double]],
                         eps: Double): DataFrame = {
     val matrix = typedlit(centroids.map(_.toSeq).toSeq)
+    // localCheckpoint: the assigned frame feeds BOTH self-join sides and
+    // the final survivor join — without it each reference replays the
+    // scan + centroid assignment (same discipline as dedup_spans)
     val e = e0
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .filter(col("emb").isNotNull)
       .withColumn("cid", VecExprs.centroidAssign(col("emb"), centroids, useCosine = true))
       .withColumn("centroid_sim",
         VecExprs.cosineSim(col("emb"), element_at(matrix, col("cid") + 1)))
+      .localCheckpoint()
     val a = e.select(col("cid"), col("vec_id").as("a_id"),
       col("emb").as("a_emb"), col("centroid_sim").as("a_csim"))
     val b = e.select(col("cid"), col("vec_id").as("b_id"),

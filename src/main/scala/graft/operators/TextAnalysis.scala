@@ -170,11 +170,13 @@ object TextAnalysis {
 
   def tokenBpeOver(docs: DataFrame, merges: Array[(String, String)]): DataFrame =
     docs
+      // one null-normalization for EVERY metric — a null-text row must
+      // report 0s, not nulls in two of four columns
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_ws_tokens"),
-        size(Bpe.bpeTokens(coalesce(col("text"), lit("")), merges))
-          .cast("long").as("n_bpe_tokens"),
-        length(col("text")).cast("long").as("n_chars"))
+        size(Text.tokens(col("t"))).cast("long").as("n_ws_tokens"),
+        size(Bpe.bpeTokens(col("t"), merges)).cast("long").as("n_bpe_tokens"),
+        length(col("t")).cast("long").as("n_chars"))
       .withColumn("fertility",
         when(col("n_bpe_tokens") > 0,
           round(col("n_chars").cast("double") / col("n_bpe_tokens") + lit(1e-9), 4))

@@ -67,7 +67,9 @@ object MediaStream {
       .parquet(sfDir)
     val sanitized = docs.select(col("doc_id"),
       Multimodal.asciiSanitize(col("text")).as("text"))
-    Multimodal.pdfExtract(Multimodal.pdfEncode(sanitized))
+    // same batch password as the batch twin — the rotation's protected
+    // forms (r12) must decode identically or streaming≡batch breaks
+    Multimodal.pdfExtract(Multimodal.pdfEncode(sanitized), Multimodal.PdfPassword)
   }
 
   /** Drain the finite input into a parquet sink; exactly-once per file via

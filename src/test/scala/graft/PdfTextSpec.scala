@@ -679,6 +679,37 @@ end
       PdfText.buildPdf(page, flate = true), "hunter2").get.text == t)
   }
 
+  test("embedded WinAnsi/MacRoman tables match the defining JDK charsets") {
+    // the tables are embedded so decode never depends on the optional
+    // jdk.charsets provider; this environment HAS the provider, so pin
+    // byte-for-byte agreement (including the undefined slots)
+    for ((cs, table) <- Seq("windows-1252" -> "winansi", "x-MacRoman" -> "macroman")) {
+      assume(java.nio.charset.Charset.isSupported(cs))
+      val charset = java.nio.charset.Charset.forName(cs)
+      (128 to 255).foreach { b =>
+        val viaJdk = new String(Array(b.toByte), charset)
+        val defined = viaJdk.length == 1 &&
+          !Character.isISOControl(viaJdk.charAt(0)) && viaJdk.charAt(0) != '�'
+        val content = "BT /F1 9 Tf <%02X> Tj ET".format(b)
+        val doc =
+          ("%PDF-1.4\n" +
+            "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+            "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+            "3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>endobj\n" +
+            s"4 0 obj<</Length ${content.length}>>stream\n$content\nendstream endobj\n" +
+            (if (table == "winansi")
+              "5 0 obj<</Type/Font/Subtype/Type1/BaseFont/F/Encoding/WinAnsiEncoding>>endobj\n"
+            else
+              "5 0 obj<</Type/Font/Subtype/Type1/BaseFont/F/Encoding/MacRomanEncoding>>endobj\n") +
+            "trailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+        val got = PdfText.extract(doc).get.text
+        if (defined) assert(got == viaJdk.trim || got == viaJdk,
+          s"$cs byte $b: got '$got' want '$viaJdk'")
+        else assert(got == "", s"$cs byte $b: undefined slot must drop, got '$got'")
+      }
+    }
+  }
+
   test("glyph-name resolution: uniXXXX(+), uXXXXX, letters, names, unknowns") {
     assert(PdfText.glyphToUnicode("uni0041").contains("A"))
     assert(PdfText.glyphToUnicode("uni00410042").contains("AB")) // AGL multi-group
