@@ -765,6 +765,38 @@ class Graft(spark: SparkSession, sfDir: String,
   def findNearDuplicates(threshold: Double = 0.4): DataFrame =
     operators.Dedup.dedupMinhashLsh(spark, sfDir, threshold = threshold)
 
+  /** DSIR importance resampling toward a target slice of the corpus
+    * (SURVEY §2 F8): documents matching `targetPred` define the target
+    * distribution; the rest are scored by hashed-unigram log-likelihood
+    * ratio and the deterministic Gumbel-top-`topN` is returned.
+    */
+  def sampleDsir(targetPred: Column, buckets: Int = 512,
+                 topN: Int = 50): DataFrame =
+    operators.Pipeline.sampleDsirOver(Tables.documents(spark, sfDir),
+      targetPred, buckets, topN)
+
+  /** Corpus-trained BPE token statistics (SURVEY §2 D7): merges learned
+    * on THIS corpus, per-document whitespace vs BPE counts + fertility.
+    */
+  def tokenStatsBpe(nMerges: Int = 200, vocabLimit: Int = 10000): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    operators.TextAnalysis.tokenBpeOver(docs,
+      functions.Bpe.trainOver(docs, "text", nMerges, vocabLimit))
+  }
+
+  /** Semantic near-duplicate report over the CHUNK embedding space
+    * (SemDeDup, SURVEY §2 B8, on the same vectors the ANN indexes
+    * serve): k-means-blocked ε-pairs with the paper's keeper rule —
+    * paraphrase-level duplicates that lexical MinHash blocking misses.
+    */
+  def findSemanticDuplicates(k: Int = 16, eps: Double = 0.9): DataFrame = {
+    plans.VecExprs.register(spark)
+    val vecs = chunkVectors(buildIndex())
+    val cents = operators.AnnIvf.trainOver(
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
+    operators.Dedup.dedupSemanticOver(vecs, cents, eps)
+  }
+
   /** Near-duplicate clusters with survivors (connected components over the
     * verified pair graph; survivor = component minimum).
     */

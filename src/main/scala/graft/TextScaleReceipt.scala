@@ -58,6 +58,24 @@ object TextScaleReceipt {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(docPath.toString)
     }
+    // scaled EMBEDDINGS for the r12 semantic-dedup leg: replicas keep the
+    // source vector verbatim (fresh vec_id) — identical replicas form the
+    // densest possible ε-clusters, which is the WORST case for the
+    // intra-cluster pair join, exactly what the receipt should stress
+    val embPath = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet")
+    val expectedEmb = Tables.embeddings(spark, src).count() * scale
+    if (fs.exists(embPath) &&
+        spark.read.parquet(embPath.toString).count() != expectedEmb)
+      fs.delete(embPath, true)
+    if (!fs.exists(embPath)) {
+      Tables.embeddings(spark, src)
+        .withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
+        .select((col("vec_id") * scale + col("rep")).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath.toString)
+    }
+
     val nSrc = Tables.documents(spark, src).count()
     val nScaled = spark.read.parquet(docPath.toString).count()
 
@@ -85,6 +103,12 @@ object TextScaleReceipt {
     val (lmSrc, lmScaled) = measure(d => run(operators.TextAnalysis.qualityLm(spark, d)))
     val (packSrc, packScaled) = measure(d => run(Pipeline.packSequences(spark, d)))
     val (hybSrc, hybScaled) = measure(d => run(Bm25.ragHybrid(spark, d)))
+    // r12 operators: DSIR scoring (distribution build + broadcast join),
+    // BPE (training collect + scan-side encode), SemDeDup (train + the
+    // worst-case dense-cluster pair join)
+    val (dsirSrc, dsirScaled) = measure(d => run(Pipeline.sampleDsir(spark, d)))
+    val (bpeSrc, bpeScaled) = measure(d => run(operators.TextAnalysis.tokenBpe(spark, d)))
+    val (semSrc, semScaled) = measure(d => run(Dedup.dedupSemantic(spark, d)))
 
     def r(x: Double) = math.round(x * 1000) / 1000.0
     def ratio(a: Double, b: Double) = r(b / math.max(a, 1e-9))
@@ -98,7 +122,13 @@ object TextScaleReceipt {
         s""""sample_pack_src_sec":${r(packSrc)},"sample_pack_scaled_sec":${r(packScaled)},""" +
         s""""sample_pack_ratio":${ratio(packSrc, packScaled)},""" +
         s""""rag_hybrid_src_sec":${r(hybSrc)},"rag_hybrid_scaled_sec":${r(hybScaled)},""" +
-        s""""rag_hybrid_ratio":${ratio(hybSrc, hybScaled)}}""")
+        s""""rag_hybrid_ratio":${ratio(hybSrc, hybScaled)},""" +
+        s""""sample_dsir_src_sec":${r(dsirSrc)},"sample_dsir_scaled_sec":${r(dsirScaled)},""" +
+        s""""sample_dsir_ratio":${ratio(dsirSrc, dsirScaled)},""" +
+        s""""token_bpe_src_sec":${r(bpeSrc)},"token_bpe_scaled_sec":${r(bpeScaled)},""" +
+        s""""token_bpe_ratio":${ratio(bpeSrc, bpeScaled)},""" +
+        s""""dedup_semantic_src_sec":${r(semSrc)},"dedup_semantic_scaled_sec":${r(semScaled)},""" +
+        s""""dedup_semantic_ratio":${ratio(semSrc, semScaled)}}""")
     spark.stop()
   }
 }

@@ -401,6 +401,15 @@ class PipelineSpec extends SparkSpecBase {
     assert(g.packSequences(256).collect().map(_.toSeq).toSeq ==
       graft.operators.Pipeline.packSequencesOver(
         Tables.documents(spark, sf), 256).collect().map(_.toSeq).toSeq)
+    // r12 entry points: DSIR sample, BPE stats, chunk-space SemDeDup
+    assert(g.sampleDsir(col("lang") === "en").collect().map(_.toSeq).toSeq ==
+      graft.operators.Pipeline.sampleDsir(spark, sf).collect().map(_.toSeq).toSeq)
+    assert(g.tokenStatsBpe(nMerges = 50, vocabLimit = 2000).count() ==
+      Tables.documents(spark, sf).count())
+    val semDups = g.findSemanticDuplicates(k = 8, eps = 0.95)
+    assert(semDups.count() > 0) // one row per chunk vector
+    assert(semDups.columns.toSeq ==
+      Seq("vec_id", "cid", "centroid_sim", "is_duplicate"))
     // export writes only near-dup survivors, as uniform shards
     val out = java.nio.file.Files.createTempDirectory("graft_export").toString + "/shards"
     val inv = g.exportShards(out, numShards = 2)
