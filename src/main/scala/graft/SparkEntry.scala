@@ -148,6 +148,9 @@ object SparkEntry {
     // D7 corpus-trained BPE: learned merges (Sennrich-style), rows-only
     // (iterative trainer); round-trip + determinism spec-pinned
     "token_bpe" -> ((s, dir) => TextAnalysis.tokenBpe(s, dir)),
+    // D8 learned quality classifier (CCNet-style LR on hashed unigrams,
+    // deterministic split): rows-only (L-BFGS); held-out receipts in spec
+    "quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(s, dir)),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     // E. analytics
     "q1_pricing" -> ((s, dir) => Analytics.q1Pricing(s, dir)),

@@ -183,6 +183,70 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
 
+  /** D8: LEARNED quality classifier (r12) — the CCNet/GPT-3-style linear
+    * filter (Wenzek et al. 2019, arXiv:1911.00359 §4.3; Brown et al.
+    * 2020 Appendix A): train a logistic regression on hashed-unigram
+    * features to predict a target/non-target document split, then score
+    * every document with the predicted target probability. The default
+    * target is WEAK SUPERVISION from the D2 heuristic (score ≥
+    * `threshold`) — the published distillation pattern: a cheap linear
+    * model learns to replicate the multi-signal filter from raw
+    * unigrams, and its held-out agreement is a real generalization
+    * measure. (The synthetic corpus's `lang` column is metadata
+    * independent of the text, so a text classifier can only learn
+    * text-derived targets.) Any other target arrives via
+    * [[qualityClassifierOver]]'s predicate.
+    *
+    * Train/score mechanics: MLlib HashingTF (dim-bounded sparse
+    * features, built scan-side) + LogisticRegression fit on a
+    * DETERMINISTIC 70% doc_id-hash split; the held-out 30% is marked so
+    * specs can measure generalization, not memorization. Inference
+    * broadcasts the dim-sized coefficient vector and scores per-row —
+    * the same batched-model-inference exception as the embedder seam
+    * (model math, not expressible as Columns). Rows-only under the
+    * driver gate (L-BFGS is not SQL-replicable); held-out separation,
+    * accuracy over the majority baseline, and rounding-stable partition
+    * invariance are spec-pinned.
+    *
+    * 100 TB shape: feature build is one narrow pass; the L-BFGS
+    * iterations are MLlib treeAggregates (map-side partials, dim-bounded
+    * driver state); scoring is scan-side with no shuffle beyond the
+    * output sort.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String,
+                        dim: Int = 4096, maxIter: Int = 30,
+                        threshold: Double = 0.72): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val labels = qualityScoreOver(docs)
+      .select(col("doc_id"), (col("score") >= threshold).as("is_target"))
+    qualityClassifierOver(docs.join(labels, "doc_id"), col("is_target"),
+      dim, maxIter)
+  }
+
+  def qualityClassifierOver(docs: DataFrame, targetPred: Column,
+                            dim: Int = 4096, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.ml.functions.vector_to_array
+    val toks = docs.select(col("doc_id"), col("lang"),
+      targetPred.cast("double").as("label"),
+      Text.tokens(coalesce(col("text"), lit(""))).as("toks"))
+    val feat = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(dim).transform(toks)
+    // the F4 multiplicative hash again: reproducible split, no RNG state
+    val mix = pmod(col("doc_id") * 2654435761L, lit(1000L))
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(0.01).setLabelCol("label")
+      .fit(feat.filter(mix < 700))
+    model.transform(feat)
+      .select(col("doc_id"), col("lang"),
+        (col("label") > 0.5).as("is_target"),
+        (mix >= 700).as("held_out"),
+        round(element_at(vector_to_array(col("probability")), 2) + lit(1e-9), 4)
+          .as("p_target"))
+      .orderBy("doc_id")
+  }
+
   /** D4: rolling polynomial fingerprint over the token stream — the
     * order-sensitive content hash for shard-level change detection.
     */
