@@ -225,19 +225,31 @@ object Pipeline {
     sampleDsirOver(Tables.documents(spark, sfDir), col("lang") === "en",
       buckets, topN)
 
-  def sampleDsirOver(docs: DataFrame, targetPred: Column,
-                     buckets: Int = 512, topN: Int = 50): DataFrame = {
-    // per-doc hashed-unigram counts: c occurrences of bucket f in doc
-    val feats = docs
+  /** F8's per-doc hashed-unigram counts: c occurrences of bucket f. */
+  private def dsirFeats(docs: DataFrame, targetPred: Column,
+                        buckets: Int): DataFrame =
+    docs
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(Text.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("is_target"),
         pmod(Text.stringCode(col("tok")), lit(buckets.toLong)).as("f"))
       .groupBy(col("doc_id"), col("is_target"), col("f"))
       .agg(count(lit(1)).as("c"))
-    // the two bag-of-words distributions, ≤`buckets` rows: log-likelihood
-    // ratio per bucket under add-one smoothing (a bucket unseen in target
-    // still scores, just negatively)
+
+  /** F8's distribution snapshot: per-bucket add-one-smoothed
+    * log-likelihood ratios `(f, llr)`, ≤`buckets` real rows plus a
+    * SENTINEL row `f = -1` carrying the unseen-bucket LLR (what a bucket
+    * absent from BOTH pools would score: ln((qt+B)/(tt+B))) — real
+    * bucket ids are non-negative, so the sentinel can never collide or
+    * join. The streaming ingest twin looks buckets up in this table and
+    * falls back to the sentinel for arrivals whose vocabulary the
+    * snapshot never saw.
+    */
+  def dsirStats(docs: DataFrame, targetPred: Column,
+                buckets: Int = 512): DataFrame =
+    dsirStatsFrom(dsirFeats(docs, targetPred, buckets), buckets)
+
+  private def dsirStatsFrom(feats: DataFrame, buckets: Int): DataFrame = {
     val stats = feats.groupBy(col("f"))
       .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
         sum(when(!col("is_target"), col("c")).otherwise(0L)).as("qc"))
@@ -247,17 +259,35 @@ object Pipeline {
         (log((col("tc") + 1).cast("double") / (col("tt") + buckets).cast("double")) -
           log((col("qc") + 1).cast("double") / (col("qt") + buckets).cast("double")))
           .as("llr"))
-    // candidate scores, then Gumbel-top-k: u from the deterministic
-    // multiplicative hash (pmod — same large-id wrap rationale as F4),
-    // +0.5 keeps u strictly inside (0,1) so neither log can hit ±inf
+    val sentinel = totals.select(lit(-1L).as("f"),
+      (log(lit(1.0) / (col("tt") + buckets).cast("double")) -
+        log(lit(1.0) / (col("qt") + buckets).cast("double"))).as("llr"))
+    dist.unionByName(sentinel)
+  }
+
+  /** The F8 Gumbel perturbation for a doc_id column — shared by the batch
+    * query and the streaming twin so the two keys are bit-identical.
+    * +0.5 keeps u strictly inside (0,1) so neither log can hit ±inf;
+    * pmod for the same large-id wrap rationale as F4.
+    */
+  private[graft] def dsirGumbel(docId: Column): Column = {
+    val u = (pmod(docId * 2654435761L, lit(1000000L)).cast("double") +
+      lit(0.5)) / lit(1000000.0)
+    -log(-log(u))
+  }
+
+  def sampleDsirOver(docs: DataFrame, targetPred: Column,
+                     buckets: Int = 512, topN: Int = 50): DataFrame = {
+    val feats = dsirFeats(docs, targetPred, buckets)
+    // candidate scores (the sentinel row never matches a real bucket id),
+    // then the deterministic Gumbel-top-k; the stats side re-aggregates
+    // the same feats subplan, so the scan+explode exchange is reused
     val scored = feats.filter(!col("is_target"))
-      .join(broadcast(dist), "f")
+      .join(broadcast(dsirStatsFrom(feats, buckets)), "f")
       .groupBy(col("doc_id"))
       .agg(sum(col("c").cast("double") * col("llr")).as("log_w"))
-    val u = (pmod(col("doc_id") * 2654435761L, lit(1000000L)).cast("double") +
-      lit(0.5)) / lit(1000000.0)
     scored
-      .withColumn("key", col("log_w") - log(-log(u)))
+      .withColumn("key", col("log_w") + dsirGumbel(col("doc_id")))
       .orderBy(col("key").desc, col("doc_id")).limit(topN)
       .select(col("doc_id"),
         round(col("log_w") + lit(1e-9), 4).as("log_w"),

@@ -79,4 +79,57 @@ object CurationStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** Streaming DSIR scoring — F8's ingest twin (r12). The LLR snapshot
+    * comes from a BATCH census ([[graft.operators.Pipeline.dsirStats]] —
+    * like F6's rate table, distributions move with corpus demography,
+    * not per-arrival) and is collected to a ≤buckets+1-entry literal
+    * lookup map (the bounded-broadcast discipline). Each arriving
+    * candidate scores PER ROW — a fold over its own tokens, bucket →
+    * LLR with the sentinel default for vocabulary the snapshot never
+    * saw — so the stream stays stateless: no explode, no groupBy, no
+    * watermark. The Gumbel key reuses the batch expression, so a
+    * streamed row's (log_w, dsir_key) equals the batch scorer's within
+    * float-summation-order tolerance (spec-asserted; top-k is a global
+    * rank and stays a batch/downstream concern).
+    */
+  def dsirScored(docs: DataFrame, stats: Array[(Long, Double)],
+                 targetPred: org.apache.spark.sql.Column,
+                 buckets: Int = 512): DataFrame = {
+    import graft.operators.Pipeline
+    val default = stats.find(_._1 == -1L).map(_._2).getOrElse(0.0)
+    val lut = typedlit(stats.filter(_._1 >= 0L).toMap)
+    val logW = aggregate(
+      Text.tokens(coalesce(col("text"), lit(""))),
+      lit(0.0),
+      (acc, t) => acc + coalesce(
+        element_at(lut, pmod(Text.stringCode(t), lit(buckets.toLong))),
+        lit(default)))
+    docs.filter(!targetPred)
+      .select(col("doc_id"), logW.as("log_w"))
+      .withColumn("dsir_key", col("log_w") + Pipeline.dsirGumbel(col("doc_id")))
+      .select(col("doc_id"),
+        round(col("log_w") + lit(1e-9), 4).as("log_w"),
+        round(col("dsir_key") + lit(1e-9), 4).as("dsir_key"))
+  }
+
+  def runDsirToCompletion(spark: SparkSession, sfDir: String,
+                          stats: Array[(Long, Double)],
+                          targetPred: org.apache.spark.sql.Column,
+                          queryName: String = "dsir_stream"): DataFrame = {
+    val q = dsirScored(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir),
+      stats, targetPred)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
 }

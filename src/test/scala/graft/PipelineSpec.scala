@@ -147,6 +147,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming DSIR scoring matches the batch scorer on the arrived corpus") {
+    import graft.streaming.CurationStream
+    val docs = Tables.documents(spark, sf)
+    val stats = Pipeline.dsirStats(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(stats.length <= 513 && stats.exists(_._1 == -1L)) // bounded + sentinel
+    val streamed = CurationStream.runDsirToCompletion(
+      spark, sf, stats, col("lang") === "en")
+    // one score per candidate arrival (token-less docs score 0 — the
+    // batch scorer has no row for them, which only affects non-candidates
+    // of the top-k anyway)
+    assert(streamed.count() == docs.filter(col("lang") =!= "en").count())
+    // every batch top-k row reappears with the same values, within float
+    // summation-order tolerance (per-row fold vs grouped aggregate)
+    val batch = Pipeline.sampleDsir(spark, sf)
+    val j = batch.join(streamed.select(col("doc_id"),
+      col("log_w").as("lw2"), col("dsir_key").as("k2")), "doc_id")
+    assert(j.count() == batch.count())
+    assert(j.filter(abs(col("log_w") - col("lw2")) > 1e-3 ||
+      abs(col("dsir_key") - col("k2")) > 1e-3).count() == 0)
+  }
+
   test("contamination_check: benchmark docs excluded, fracs bounded") {
     val c = Pipeline.contaminationCheck(spark, sf).cache()
     assert(c.filter(col("doc_id") % 17 === 3).count() == 0)
