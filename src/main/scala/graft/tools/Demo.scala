@@ -115,6 +115,23 @@ object Demo {
     println("== index compaction (small-file maintenance for the derived indexes) ==")
     g.compactIndexes().show()
 
+    println("== DSIR importance sample toward the en slice (top 5 by key) ==")
+    g.sampleDsir(org.apache.spark.sql.functions.col("lang") === "en")
+      .orderBy(org.apache.spark.sql.functions.col("dsir_key").desc).show(5)
+
+    println("== corpus-trained BPE token stats (highest-fertility 5) ==")
+    g.tokenStatsBpe(nMerges = 100, vocabLimit = 2000)
+      .orderBy(org.apache.spark.sql.functions.col("fertility").desc).show(5)
+
+    println("== semantic near-duplicates over the chunk embedding space ==")
+    g.findSemanticDuplicates(k = 8, eps = 0.95)
+      .filter(org.apache.spark.sql.functions.col("is_duplicate")).show(5)
+
+    println("== learned quality classifier (held-out rows, most-confident 5) ==")
+    graft.operators.TextAnalysis.qualityClassifier(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("held_out"))
+      .orderBy(org.apache.spark.sql.functions.col("p_target").desc).show(5)
+
     spark.stop()
   }
 }
