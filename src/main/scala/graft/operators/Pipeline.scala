@@ -250,9 +250,14 @@ object Pipeline {
     dsirStatsFrom(dsirFeats(docs, targetPred, buckets), buckets)
 
   private def dsirStatsFrom(feats: DataFrame, buckets: Int): DataFrame = {
+    // localCheckpoint the ≤`buckets`-row aggregate: dist, totals, and the
+    // sentinel each read it, and without materialization every reader
+    // replays the corpus-scale feats pass (the .explain showed 3 extra
+    // full exchanges) — one pass, ≤512 stored rows
     val stats = feats.groupBy(col("f"))
       .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
         sum(when(!col("is_target"), col("c")).otherwise(0L)).as("qc"))
+      .localCheckpoint()
     val totals = stats.agg(sum(col("tc")).as("tt"), sum(col("qc")).as("qt"))
     val dist = stats.crossJoin(broadcast(totals))
       .select(col("f"),
