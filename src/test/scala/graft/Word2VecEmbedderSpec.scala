@@ -184,4 +184,49 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
     val gRecall = (brute intersect gHits).size.toDouble / brute.size
     assert(gRecall >= 0.4, s"graph recall on learned vectors = $gRecall")
   }
+
+  test("SemDeDup on the learned space: topic clusters block, replica dups fall") {
+    import graft.operators.{AnnIvf => Ivf, Dedup}
+    graft.plans.VecExprs.register(spark)
+    val w2v = Word2VecEmbedder.train(spark, topicCorpus, dim = 16, maxIter = 5)
+    // the corpus plus EXACT replicas of docs 0..4 under fresh ids — the
+    // mean-pooled learned vector is identical, the realistic near-dup
+    val base = topicCorpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val withReps = (base ++ (0 until 5).map(i => (100L + i, base(i)._2))).toSeq
+    val embedded = withReps.map { case (id, t) => (id, w2v.embedText(t)) }
+      .toDF("vec_id", "embedding")
+    // k = 2 k-means on the learned vectors must rediscover the two topics
+    val cents = Ivf.trainOver(
+      embedded.select(col("vec_id"), col("embedding").as("emb")), k = 2)
+    val out = Dedup.dedupSemanticOver(embedded, cents, eps = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+    val cidByDoc = out.map(r => r._1 -> r._2).toMap
+    val sysCids = (0L until 40L).map(cidByDoc).toSet
+    val musicCids = (40L until 80L).map(cidByDoc).toSet
+    assert(sysCids.size == 1 && musicCids.size == 1 && sysCids != musicCids,
+      s"learned clusters must separate the topics: sys=$sysCids music=$musicCids")
+    // every exact replica falls (its twin ties on centroid-sim, and the
+    // tie-break keeps the lower id — i.e. SOME copy always survives); the
+    // learned space may legitimately fold other same-topic docs too
+    // (mean-pooled topic vectors are nearly colinear — that is SemDeDup
+    // finding paraphrase-level redundancy, the paper's point)
+    val removed = out.filter(_._3).map(_._1).toSet
+    assert(Set(100L, 101L, 102L, 103L, 104L).subsetOf(removed),
+      s"every replica must be removed: $removed")
+    // and the survivor set carries NO ε-similar pair within a cluster —
+    // verified on the actual learned vectors, not just the generic spec
+    val vecById = withReps.map { case (id, t) => id -> w2v.embedText(t) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum // embedText vectors are unit/zero
+    val survivors = out.filter(!_._3)
+    val bad = for {
+      a <- survivors; b <- survivors
+      if a._1 < b._1 && a._2 == b._2 && cos(vecById(a._1), vecById(b._1)) >= 0.9999
+    } yield (a._1, b._1)
+    assert(bad.isEmpty, s"ε-similar survivor pairs remain: ${bad.toSeq}")
+    // redundancy collapsed but content coverage survived: both topics
+    // keep at least one doc
+    val survivorIds = survivors.map(_._1).toSet
+    assert(survivorIds.exists(_ < 40L) && survivorIds.exists(id => id >= 40L && id < 80L))
+  }
 }
