@@ -778,11 +778,8 @@ class Graft(spark: SparkSession, sfDir: String,
   /** Corpus-trained BPE token statistics (SURVEY §2 D7): merges learned
     * on THIS corpus, per-document whitespace vs BPE counts + fertility.
     */
-  def tokenStatsBpe(nMerges: Int = 200, vocabLimit: Int = 10000): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    operators.TextAnalysis.tokenBpeOver(docs,
-      functions.Bpe.trainOver(docs, "text", nMerges, vocabLimit))
-  }
+  def tokenStatsBpe(nMerges: Int = 200, vocabLimit: Int = 10000): DataFrame =
+    operators.TextAnalysis.tokenBpe(spark, sfDir, nMerges, vocabLimit)
 
   /** Semantic near-duplicate report over the CHUNK embedding space
     * (SemDeDup, SURVEY §2 B8, on the same vectors the ANN indexes
@@ -791,7 +788,10 @@ class Graft(spark: SparkSession, sfDir: String,
     */
   def findSemanticDuplicates(k: Int = 16, eps: Double = 0.9): DataFrame = {
     plans.VecExprs.register(spark)
-    val vecs = chunkVectors(buildIndex())
+    // the facade's CACHED index — chunk embedding is the expensive part
+    // and must not rerun for a report (train and dedup each materialize
+    // the vectors, but both read the cached frame)
+    val vecs = chunkVectors(servingIndex)
     val cents = operators.AnnIvf.trainOver(
       vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
     operators.Dedup.dedupSemanticOver(vecs, cents, eps)

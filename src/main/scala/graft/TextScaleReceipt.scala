@@ -63,17 +63,28 @@ object TextScaleReceipt {
     // densest possible ε-clusters, which is the WORST case for the
     // intra-cluster pair join, exactly what the receipt should stress
     val embPath = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet")
-    val expectedEmb = Tables.embeddings(spark, src).count() * scale
-    if (fs.exists(embPath) &&
-        spark.read.parquet(embPath.toString).count() != expectedEmb)
+    // scheme marker doubles as the regeneration key: the id layout below
+    // changed in r12 (interleaved, see comment) and count alone cannot
+    // tell the layouts apart
+    val schemeMarker = new org.apache.hadoop.fs.Path(dir, "_emb_scheme_v2")
+    val nSrcEmb = Tables.embeddings(spark, src).count()
+    val expectedEmb = nSrcEmb * scale
+    if (fs.exists(embPath) && (!fs.exists(schemeMarker) ||
+        spark.read.parquet(embPath.toString).count() != expectedEmb))
       fs.delete(embPath, true)
     if (!fs.exists(embPath)) {
+      // INTERLEAVED ids (vec_id + rep·nSrc), not vec_id·scale+rep: k-means
+      // seeds from the first k ids, and the blocked layout would seed 16
+      // centroids from ~2 distinct replicated vectors — the scaled leg
+      // would then cluster with ~2 effective cells and the receipt would
+      // compare structurally different workloads
       Tables.embeddings(spark, src)
         .withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
-        .select((col("vec_id") * scale + col("rep")).as("vec_id"),
+        .select((col("vec_id") + col("rep") * nSrcEmb).as("vec_id"),
           col("embedding"), col("label"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(embPath.toString)
+      fs.create(schemeMarker, true).close()
     }
 
     val nSrc = Tables.documents(spark, src).count()

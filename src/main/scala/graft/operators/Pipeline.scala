@@ -270,6 +270,24 @@ object Pipeline {
     dist.unionByName(sentinel)
   }
 
+  /** F8's COLLECTED snapshot for stream-side scoring: the bucket modulus
+    * travels WITH the lookup table (a scorer hashing mod a different
+    * `buckets` than the snapshot was built with would silently take the
+    * sentinel default for ~every miss), and construction fails loudly if
+    * the sentinel row is absent rather than degrading to 0.0.
+    */
+  final case class DsirSnapshot(buckets: Int, llr: Map[Long, Double],
+                                default: Double)
+
+  def dsirSnapshot(docs: DataFrame, targetPred: Column,
+                   buckets: Int = 512): DsirSnapshot = {
+    val rows = dsirStats(docs, targetPred, buckets).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val default = rows.find(_._1 == -1L).map(_._2).getOrElse(
+      throw new IllegalStateException("dsirStats snapshot missing its sentinel row"))
+    DsirSnapshot(buckets, rows.filter(_._1 >= 0L).toMap, default)
+  }
+
   /** The F8 Gumbel perturbation for a doc_id column — shared by the batch
     * query and the streaming twin so the two keys are bit-identical.
     * +0.5 keeps u strictly inside (0,1) so neither log can hit ±inf;
@@ -285,8 +303,11 @@ object Pipeline {
                      buckets: Int = 512, topN: Int = 50): DataFrame = {
     val feats = dsirFeats(docs, targetPred, buckets)
     // candidate scores (the sentinel row never matches a real bucket id),
-    // then the deterministic Gumbel-top-k; the stats side re-aggregates
-    // the same feats subplan, so the scan+explode exchange is reused
+    // then the deterministic Gumbel-top-k. Two corpus passes total: the
+    // stats side materializes once inside dsirStatsFrom's checkpoint,
+    // the scored side is this plan's own feats evaluation — the eager
+    // checkpoint severs exchange sharing, which is the accepted trade
+    // for not replaying feats once per stats READER
     val scored = feats.filter(!col("is_target"))
       .join(broadcast(dsirStatsFrom(feats, buckets)), "f")
       .groupBy(col("doc_id"))

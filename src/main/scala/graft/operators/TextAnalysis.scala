@@ -216,7 +216,11 @@ object TextAnalysis {
   def qualityClassifier(spark: SparkSession, sfDir: String,
                         dim: Int = 4096, maxIter: Int = 30,
                         threshold: Double = 0.72): DataFrame = {
+    // null text normalizes to "" BEFORE labeling: qualityScoreOver scores
+    // null text as null, and a null label crashes LogisticRegression.fit
+    // if the row lands in the training split
     val docs = Tables.documents(spark, sfDir)
+      .withColumn("text", coalesce(col("text"), lit("")))
     val labels = qualityScoreOver(docs)
       .select(col("doc_id"), (col("score") >= threshold).as("is_target"))
     qualityClassifierOver(docs.join(labels, "doc_id"), col("is_target"),

@@ -93,18 +93,16 @@ object CurationStream {
     * float-summation-order tolerance (spec-asserted; top-k is a global
     * rank and stays a batch/downstream concern).
     */
-  def dsirScored(docs: DataFrame, stats: Array[(Long, Double)],
-                 targetPred: org.apache.spark.sql.Column,
-                 buckets: Int = 512): DataFrame = {
+  def dsirScored(docs: DataFrame, snap: graft.operators.Pipeline.DsirSnapshot,
+                 targetPred: org.apache.spark.sql.Column): DataFrame = {
     import graft.operators.Pipeline
-    val default = stats.find(_._1 == -1L).map(_._2).getOrElse(0.0)
-    val lut = typedlit(stats.filter(_._1 >= 0L).toMap)
+    val lut = typedlit(snap.llr)
     val logW = aggregate(
       Text.tokens(coalesce(col("text"), lit(""))),
       lit(0.0),
       (acc, t) => acc + coalesce(
-        element_at(lut, pmod(Text.stringCode(t), lit(buckets.toLong))),
-        lit(default)))
+        element_at(lut, pmod(Text.stringCode(t), lit(snap.buckets.toLong))),
+        lit(snap.default)))
     docs.filter(!targetPred)
       .select(col("doc_id"), logW.as("log_w"))
       .withColumn("dsir_key", col("log_w") + Pipeline.dsirGumbel(col("doc_id")))
@@ -114,7 +112,7 @@ object CurationStream {
   }
 
   def runDsirToCompletion(spark: SparkSession, sfDir: String,
-                          stats: Array[(Long, Double)],
+                          snap: graft.operators.Pipeline.DsirSnapshot,
                           targetPred: org.apache.spark.sql.Column,
                           queryName: String = "dsir_stream"): DataFrame = {
     val q = dsirScored(
@@ -122,7 +120,7 @@ object CurationStream {
         .schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sfDir),
-      stats, targetPred)
+      snap, targetPred)
       .writeStream
       .outputMode("append")
       .format("memory")

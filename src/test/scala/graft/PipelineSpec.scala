@@ -150,11 +150,10 @@ class PipelineSpec extends SparkSpecBase {
   test("streaming DSIR scoring matches the batch scorer on the arrived corpus") {
     import graft.streaming.CurationStream
     val docs = Tables.documents(spark, sf)
-    val stats = Pipeline.dsirStats(docs, col("lang") === "en")
-      .collect().map(r => r.getLong(0) -> r.getDouble(1))
-    assert(stats.length <= 513 && stats.exists(_._1 == -1L)) // bounded + sentinel
+    val snap = Pipeline.dsirSnapshot(docs, col("lang") === "en")
+    assert(snap.llr.size <= 512 && snap.buckets == 512) // bounded, modulus carried
     val streamed = CurationStream.runDsirToCompletion(
-      spark, sf, stats, col("lang") === "en")
+      spark, sf, snap, col("lang") === "en")
     // one score per candidate arrival (token-less docs score 0 — the
     // batch scorer has no row for them, which only affects non-candidates
     // of the top-k anyway)
