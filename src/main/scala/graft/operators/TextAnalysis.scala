@@ -214,7 +214,7 @@ object TextAnalysis {
     * output sort.
     */
   def qualityClassifier(spark: SparkSession, sfDir: String,
-                        dim: Int = 4096, maxIter: Int = 30,
+                        dim: Int = 4096, maxIter: Int = 15,
                         threshold: Double = 0.72): DataFrame = {
     // null text normalizes to "" BEFORE labeling: qualityScoreOver scores
     // null text as null, and a null label crashes LogisticRegression.fit
@@ -228,7 +228,7 @@ object TextAnalysis {
   }
 
   def qualityClassifierOver(docs: DataFrame, targetPred: Column,
-                            dim: Int = 4096, maxIter: Int = 30): DataFrame = {
+                            dim: Int = 4096, maxIter: Int = 15): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.HashingTF
     import org.apache.spark.ml.functions.vector_to_array

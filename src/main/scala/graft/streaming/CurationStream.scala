@@ -81,7 +81,7 @@ object CurationStream {
   }
 
   /** Streaming DSIR scoring — F8's ingest twin (r12). The LLR snapshot
-    * comes from a BATCH census ([[graft.operators.Pipeline.dsirStats]] —
+    * comes from a BATCH census ([[graft.operators.Pipeline.dsirSnapshot]] —
     * like F6's rate table, distributions move with corpus demography,
     * not per-arrival) and is collected to a ≤buckets+1-entry literal
     * lookup map (the bounded-broadcast discipline). Each arriving
