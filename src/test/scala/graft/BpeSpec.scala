@@ -46,6 +46,28 @@ class BpeSpec extends SparkSpecBase {
     assert(unseen.length < 6, unseen.toSeq)
   }
 
+  test("non-Latin text: code-point symbols keep CJK and emoji lossless") {
+    import spark.implicits._
+    // spaceless CJK words and astral-plane emoji — initSymbols must split
+    // by code point or lone surrogates mangle to '?' (review finding r12)
+    val docs = Seq(
+      (1L, "今天天气很好 今天天气很好 天气"),
+      (2L, "mixed 今天 ascii and 😀😀 emoji"),
+      (3L, "😀🎉 😀🎉 😀🎉")).toDF("doc_id", "text")
+    val merges = Bpe.trainOver(docs, nMerges = 30, vocabLimit = 100)
+    val bad = docs
+      .select(col("doc_id"),
+        array_join(graft.functions.Text.tokens(col("text")), " ").as("want"),
+        Bpe.bpeTokens(col("text"), merges).as("toks"))
+      .withColumn("got",
+        trim(regexp_replace(array_join(col("toks"), ""), Bpe.Eow, " ")))
+      .filter(col("got") =!= col("want"))
+    assert(bad.count() == 0, bad.take(3).mkString("\n"))
+    // repeated CJK bigrams actually merge (the trainer sees code points)
+    val ranks = Bpe.ranksOf(merges)
+    assert(Bpe.encodeWord("今天天气很好", ranks).length < 6)
+  }
+
   test("corpus training is deterministic and partition-count invariant") {
     val docs = Tables.documents(spark, sf)
     val a = Bpe.trainOver(docs, nMerges = 50, vocabLimit = 2000)

@@ -710,6 +710,41 @@ end
     }
   }
 
+  test("corruption sweep: every decoder path degrades, never throws") {
+    // deterministic fuzz over every fixture family: flip/zero/truncate at
+    // a stride of byte positions and assert extract() still answers
+    // (Some or None — anything but an exception). This is the robustness
+    // contract a 100 TB ingest needs: one corrupt file must never kill a
+    // task, whatever stage of the parser it reaches.
+    val t = "fuzz target text"
+    val page = Seq(PdfText.textPage(t))
+    val fixtures: Seq[Array[Byte]] = Seq(
+      PdfText.buildPdf(page, flate = true),
+      PdfText.buildPdf(page, Seq("LZWDecode")),
+      PdfText.buildPdf(page, Seq("RunLengthDecode", "FlateDecode")),
+      PdfText.buildModernPdf(Seq(PdfText.textPage(t)), predictor = true,
+        indirectLength = true),
+      PdfText.buildCidPdf(t),
+      PdfText.buildSimpleFontPdf(t, differences = true, indirectEncoding = true),
+      PdfText.buildEncryptedPdf(page, aes = true),
+      PdfText.buildEncryptedPdfR6(page),
+      PdfText.buildEncryptedPdf(page, aes = false, password = "pw"))
+    var probes = 0
+    fixtures.foreach { doc =>
+      val stride = math.max(1, doc.length / 97) // ~97 positions per fixture
+      (7 until doc.length by stride).foreach { pos =>
+        val flipped = doc.clone(); flipped(pos) = (flipped(pos) ^ 0x5a).toByte
+        val zeroed = doc.clone(); zeroed(pos) = 0
+        val truncated = java.util.Arrays.copyOf(doc, pos)
+        Seq(flipped, zeroed, truncated).foreach { b =>
+          PdfText.extract(b, "pw") // must not throw
+          probes += 1
+        }
+      }
+    }
+    assert(probes > 2000, s"sweep too small: $probes")
+  }
+
   test("glyph-name resolution: uniXXXX(+), uXXXXX, letters, names, unknowns") {
     assert(PdfText.glyphToUnicode("uni0041").contains("A"))
     assert(PdfText.glyphToUnicode("uni00410042").contains("AB")) // AGL multi-group
