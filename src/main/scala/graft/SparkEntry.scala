@@ -151,6 +151,9 @@ object SparkEntry {
     // D8 learned quality classifier (CCNet-style LR on hashed unigrams,
     // deterministic split): rows-only (L-BFGS); held-out receipts in spec
     "quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(s, dir)),
+    // D9 count-min-sketch heavy hitters: fixed 4×1024 counter state,
+    // deterministic sample candidates — fully oracle hash-matched
+    "tokens_heavy" -> ((s, dir) => TextAnalysis.tokensHeavy(s, dir)),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     // E. analytics
     "q1_pricing" -> ((s, dir) => Analytics.q1Pricing(s, dir)),
@@ -920,6 +923,32 @@ object SparkEntry {
         |FROM documents d JOIN r ON d.source = r.source
         |WHERE CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE) < rate * 1e6
         |ORDER BY d.doc_id""".stripMargin,
+    // D9 CMS heavy hitters: same token code + universal-hash family as
+    // minhash; estimate = min over the 4 sketch rows
+    "tokens_heavy" ->
+      """WITH toksrc AS (
+        |  SELECT (doc_id * 2654435761) % 1000 AS mix,
+        |         unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |codes AS (
+        |  SELECT tok, mix,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h*31 + c) % 1000000007) AS x
+        |  FROM toksrc),
+        |cms AS (
+        |  SELECT i, ((x*(40503*i + 11) + 19349663*i) % 1000000007) % 1024 AS b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT x, unnest(range(0, 4)) AS i FROM codes) t GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT tok, x FROM codes WHERE mix < 100),
+        |ce AS (SELECT tok, x, unnest(range(0, 4)) AS i FROM cand),
+        |est AS (
+        |  SELECT ce.tok, min(cms.c) AS est_count
+        |  FROM ce JOIN cms ON cms.i = ce.i
+        |    AND cms.b = ((ce.x*(40503*ce.i + 11) + 19349663*ce.i) % 1000000007) % 1024
+        |  GROUP BY ce.tok),
+        |top AS (SELECT tok AS token, est_count FROM est ORDER BY est_count DESC, tok LIMIT 20)
+        |SELECT token, est_count FROM top ORDER BY token""".stripMargin,
     // F8 DSIR: same polynomial token code as fingerprint/minhash, bucketed
     // mod 512; add-one-smoothed log-likelihood ratios; Gumbel key from the
     // multiplicative doc_id hash (deterministic on both engines)

@@ -251,6 +251,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** D9: heavy hitters via a count-min sketch (r12 — Cormode &
+    * Muthukrishnan 2005, "An improved data stream summary: the
+    * count-min sketch and its applications"): the frequent-token report
+    * whose aggregate state is a FIXED depth×width counter matrix
+    * (4×1024 rows here), never a vocabulary-sized table — the property
+    * that matters at 100 TB, where distinct tokens outnumber executor
+    * memory but the sketch does not grow at all. Hash family =
+    * [[graft.functions.Text.stringCode]] codes pushed through the same
+    * universal-hash permutations the minhash oracle uses, so the whole
+    * computation is DuckDB-replicable and hash-matched.
+    *
+    * Candidates are the distinct tokens of a deterministic 10% doc_id-
+    * hash sample (a heavy hitter is in any constant-fraction sample
+    * w.h.p. — the standard candidate-tracking companion to a CMS);
+    * estimate = min over the depth rows of the token's bucket counts
+    * (never an underestimate; overestimate ≤ collisions/width,
+    * spec-bounded). Top-`topK` by (estimate, token).
+    */
+  def tokensHeavy(spark: SparkSession, sfDir: String,
+                  width: Int = 1024, depth: Int = 4, topK: Int = 20,
+                  samplePerMille: Int = 100): DataFrame = {
+    val codes = Tables.documents(spark, sfDir)
+      .select(pmod(col("doc_id") * 2654435761L, lit(1000L)).as("mix"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("mix"), col("tok"), Text.stringCode(col("tok")).as("x"))
+    def bucket(x: Column, i: Column): Column =
+      ((x * (lit(40503L) * i + 11L) + lit(19349663L) * i) % Text.FpMod) % width
+    // the sketch: ≤ depth×width rows, map-side combined — bounded state
+    val cms = codes
+      .select(explode(sequence(lit(0L), lit(depth - 1L))).as("i"), col("x"))
+      .select(col("i"), bucket(col("x"), col("i")).as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+    val cand = codes.filter(col("mix") < samplePerMille)
+      .select(col("tok"), col("x")).distinct()
+    cand
+      .select(col("tok"), col("x"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("i"))
+      .withColumn("b", bucket(col("x"), col("i")))
+      .join(broadcast(cms), Seq("i", "b"))
+      .groupBy(col("tok")).agg(min(col("c")).as("est_count"))
+      .orderBy(col("est_count").desc, col("tok")).limit(topK)
+      .select(col("tok").as("token"), col("est_count"))
+      .orderBy("token")
+  }
+
   /** D4: rolling polynomial fingerprint over the token stream — the
     * order-sensitive content hash for shard-level change detection.
     */

@@ -147,6 +147,32 @@ class PipelineSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("tokens_heavy: CMS never underestimates, finds the true heavy hitters") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.tokensHeavy(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 20)
+    // exact truth for the receipt (the operator itself never builds this
+    // vocabulary-sized table — that is its whole point)
+    val exact = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    // CMS property 1: an estimate never undercounts
+    out.foreach { case (t, est) =>
+      assert(est >= exact(t), s"underestimate for '$t': $est < ${exact(t)}")
+      // property 2: overestimate bounded by collisions — e·N/width is the
+      // expected bound; allow 4× slack for the worst of the 20
+      assert(est - exact(t) <= 4L * total / 1024,
+        s"overestimate for '$t': $est vs ${exact(t)} (N=$total)")
+    }
+    // property 3: the report IS the heavy-hitter set — every true top-10
+    // token appears in the top-20 estimates
+    val trueTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1)
+    trueTop.foreach(t => assert(out.contains(t), s"true heavy hitter '$t' missing"))
+  }
+
   test("streaming DSIR scoring matches the batch scorer on the arrived corpus") {
     import graft.streaming.CurationStream
     val docs = Tables.documents(spark, sf)
