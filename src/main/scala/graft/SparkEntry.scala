@@ -184,6 +184,9 @@ object SparkEntry {
     // window definition, which the partition-invariant sum reproduces
     "sample_pack" -> ((s, dir) => Pipeline.packSequences(s, dir)),
     "contamination_check" -> ((s, dir) => Pipeline.contaminationCheck(s, dir)),
+    // F5b Bloom-filter contamination (the billion-shingle scale arm):
+    // rows-only (Spark Bloom hash); one-sided-error specs vs exact F5
+    "contamination_bloom" -> ((s, dir) => Pipeline.contaminationBloom(s, dir)),
     // F8 DSIR importance resampling: hashed-unigram LLR scoring against
     // the en-target distribution, deterministic Gumbel-top-k — the
     // hash-derived noise is what makes the sample oracle-replicable

@@ -448,6 +448,56 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** F5b: Bloom-filter contamination check (r12) — F5's 100 TB arm. The
+    * exact pass broadcasts the benchmark's DISTINCT shingle codes, which
+    * is MBs at test scale but ~8 bytes/shingle at a billion-shingle
+    * benchmark; a Bloom filter at 1% FPR is ~1.2 bits/shingle — the
+    * standard decontamination structure at crawl scale. The error is
+    * ONE-SIDED: a truly contaminated shingle ALWAYS flags (no false
+    * negatives — nothing contaminated can slip through), false positives
+    * are bounded by `fpp`, so the reported fraction is a certified UPPER
+    * bound on F5's exact fraction (both spec-pinned). Membership tests
+    * run per-row against the broadcast filter in one mapPartitions pass
+    * (the filter deserializes once per task, like the decode paths);
+    * rows-only under the driver gate (Spark's Bloom hash is not
+    * SQL-replicable).
+    */
+  def contaminationBloom(spark: SparkSession, sfDir: String,
+                         k: Int = 5, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    TextExprs.register(spark)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(TextExprs.shingleCodes(col("text"), k)).as("sh"))
+    val bench = d.filter(col("doc_id") % 17 === 3)
+      .select(explode(col("sh")).as("code")).distinct()
+    val bf = bench.stat.bloomFilter("code", math.max(bench.count(), 1L), fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_shingles", LongType, nullable = false),
+      StructField("n_flagged", LongType, nullable = false),
+      StructField("contamination_frac_ub", DoubleType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    d.filter(col("doc_id") % 17 =!= 3)
+      .mapPartitions { rows =>
+        val filter = bcast.value
+        rows.map { r =>
+          val id = r.getLong(0)
+          val sh = r.getSeq[Long](1)
+          var flagged = 0L
+          sh.foreach(c => if (filter.mightContainLong(c)) flagged += 1)
+          val n = sh.length.toLong
+          val frac =
+            if (n > 0) math.rint((flagged.toDouble / n + 1e-9) * 1e4) / 1e4 else 0.0
+          Row(id, n, flagged, frac)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** F7: deterministic sequence packing — map each document onto the
     * fixed-length training sequences (`seqLen` tokens) its tokens will
     * occupy, the layout pass between curated docs and training shards.

@@ -194,6 +194,28 @@ class PipelineSpec extends SparkSpecBase {
       abs(col("dsir_key") - col("k2")) > 1e-3).count() == 0)
   }
 
+  test("contamination_bloom: one-sided error vs the exact pass, FPR bounded") {
+    val exact = Pipeline.contaminationCheck(spark, sf)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"))
+    val bloom = Pipeline.contaminationBloom(spark, sf)
+    val j = exact.join(bloom.select(col("doc_id"), col("n_flagged"),
+      col("contamination_frac_ub")), "doc_id").cache()
+    // same doc coverage (exact emits only docs with ≥1 hit — every one of
+    // those must appear at least as contaminated in the bloom report)
+    assert(j.count() == exact.count())
+    // NO false negatives: the bloom count never undercounts the truth,
+    // and the reported fraction upper-bounds the exact fraction
+    assert(j.filter(col("n_flagged") < col("n_contaminated")).count() == 0)
+    // false positives bounded: total extra flags over total clean
+    // shingles ≤ 3×fpp (slack over the 1% configured rate)
+    val agg = j.agg(
+      sum(col("n_flagged") - col("n_contaminated")).as("extra"),
+      sum(col("n_shingles") - col("n_contaminated")).as("clean")).head()
+    val fpr = agg.getLong(0).toDouble / math.max(agg.getLong(1), 1L)
+    assert(fpr <= 0.03, s"observed FPR $fpr exceeds 3×fpp")
+    j.unpersist()
+  }
+
   test("contamination_check: benchmark docs excluded, fracs bounded") {
     val c = Pipeline.contaminationCheck(spark, sf).cache()
     assert(c.filter(col("doc_id") % 17 === 3).count() == 0)
