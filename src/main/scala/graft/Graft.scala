@@ -817,6 +817,69 @@ class Graft(spark: SparkSession, sfDir: String,
   /** Indexing counters (filesDiscovered / chunksTotal / chars per lang). */
   def status(): DataFrame =
     Chunker.indexStatus(spark, sfDir, chunkSize, chunkOverlap)
+
+  /** The END-TO-END curation pipeline as one call (r12 capstone) — the
+    * crawl-to-shards run a training-data user performs: near-dup
+    * SURVIVORS → heuristic quality gate → benchmark DECONTAMINATION gate
+    * (the F5 convention's held-out slice is excluded outright, its
+    * contaminated lookalikes dropped by fraction) → tempered mixture
+    * SAMPLE → uniform doc_id-hash training SHARDS at `outPath`, with
+    * sequence-packing assignments computed over the final set so a
+    * loader knows each doc's bin before it reads a byte. Every stage is
+    * the same §2 operator the driver gate checks — this method only
+    * composes them.
+    *
+    * Returns the LEDGER: one row per stage with surviving doc and token
+    * counts — the provenance record a 100 TB run needs to explain where
+    * its data went. Deterministic end to end (every gate is
+    * deterministic), so a re-run reproduces both shards and ledger.
+    */
+  def buildTrainingSet(outPath: String,
+                       qualityMin: Double = 0.6,
+                       contaminationMax: Double = 0.2,
+                       temperature: Double = 2.0,
+                       targetFrac: Double = 0.5,
+                       binTokens: Int = 512,
+                       numShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    def ntok(d: DataFrame): Long =
+      d.select(sum(size(functions.Text.tokens(coalesce(col("text"), lit(""))))
+        .cast("long"))).head().getLong(0)
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    // gates checkpoint so each stage builds on the last ONCE; the raw
+    // corpus does not (materializing the whole input to executor storage
+    // is exactly what a 100 TB run must not do — a scan is cheaper)
+    def stage(name: String, d: DataFrame, checkpoint: Boolean = true): DataFrame = {
+      val kept = if (checkpoint) d.localCheckpoint() else d
+      ledger += ((name, kept.count(), ntok(kept)))
+      kept
+    }
+    val s0 = stage("raw", docs, checkpoint = false)
+    val survivors = dedupClusters().filter(col("is_survivor")).select("doc_id")
+    val s1 = stage("dedup_survivors", s0.join(survivors, "doc_id"))
+    val quality = operators.TextAnalysis.qualityScoreOver(s0)
+      .filter(col("score") >= qualityMin).select("doc_id")
+    val s2 = stage("quality_gate", s1.join(quality, "doc_id"))
+    // decontamination: the held-out slice leaves the training set, and a
+    // doc overlapping the benchmark beyond the threshold is dropped
+    // (contaminationCheck emits only docs with ≥1 hit — absent = clean)
+    val contaminated = operators.Pipeline.contaminationCheck(spark, sfDir)
+      .filter(col("contamination_frac") > contaminationMax).select("doc_id")
+    val s3 = stage("decontaminated",
+      s2.filter(col("doc_id") % 17 =!= 3)
+        .join(contaminated.withColumn("bad", lit(true)), Seq("doc_id"), "left")
+        .filter(col("bad").isNull).drop("bad"))
+    val rates = operators.Pipeline.mixtureRates(s3, temperature, targetFrac)
+    val s4 = stage("mixture_sample",
+      s3.join(operators.Pipeline.applyMixture(s3, rates).select("doc_id"), "doc_id"))
+    // packing assignments over the FINAL set (provenance for the loader)
+    operators.Pipeline.packSequencesOver(s4, binTokens)
+      .write.mode("overwrite").parquet(outPath + "/packing")
+    val inventory = operators.Pipeline.writeShards(s4, outPath + "/shards", numShards)
+    ledger += (("shard_files", inventory.count(), ledger.last._3))
+    ledger.toSeq.toDF("stage", "docs", "tokens")
+  }
 }
 
 object Graft {

@@ -462,6 +462,20 @@ object Pipeline {
     * rows-only under the driver gate (Spark's Bloom hash is not
     * SQL-replicable).
     */
+  /** F5b's benchmark snapshot: the Bloom filter over the held-out set's
+    * distinct shingle codes — a batch artifact the streaming ingest twin
+    * reuses verbatim (it changes with the benchmark, not per arrival).
+    */
+  def benchmarkBloom(spark: SparkSession, sfDir: String,
+                     k: Int = 5, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    TextExprs.register(spark)
+    val bench = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 17 === 3)
+      .select(explode(array_distinct(
+        TextExprs.shingleCodes(col("text"), k))).as("code")).distinct()
+    bench.stat.bloomFilter("code", math.max(bench.count(), 1L), fpp)
+  }
+
   def contaminationBloom(spark: SparkSession, sfDir: String,
                          k: Int = 5, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.Row
@@ -470,10 +484,7 @@ object Pipeline {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         array_distinct(TextExprs.shingleCodes(col("text"), k)).as("sh"))
-    val bench = d.filter(col("doc_id") % 17 === 3)
-      .select(explode(col("sh")).as("code")).distinct()
-    val bf = bench.stat.bloomFilter("code", math.max(bench.count(), 1L), fpp)
-    val bcast = spark.sparkContext.broadcast(bf)
+    val bcast = spark.sparkContext.broadcast(benchmarkBloom(spark, sfDir, k, fpp))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("n_shingles", LongType, nullable = false),

@@ -111,6 +111,60 @@ object CurationStream {
         round(col("dsir_key") + lit(1e-9), 4).as("dsir_key"))
   }
 
+  /** Streaming decontamination — F5b's ingest twin (r12): the benchmark
+    * Bloom filter is a BATCH artifact (it changes when the benchmark
+    * does, not per arrival) broadcast into a stateless per-row check on
+    * the arrival stream, the same snapshot-then-stream discipline as the
+    * mixture and DSIR twins. Uses the identical shingle codes and filter
+    * object as the batch pass, so streamed counts equal batch counts
+    * row-for-row (spec-asserted).
+    */
+  def contaminationScored(spark: SparkSession, docs: DataFrame,
+                          bf: org.apache.spark.util.sketch.BloomFilter,
+                          k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    graft.plans.TextExprs.register(spark)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_shingles", LongType, nullable = false),
+      StructField("n_flagged", LongType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    docs
+      .select(col("doc_id"),
+        array_distinct(graft.plans.TextExprs.shingleCodes(col("text"), k)).as("sh"))
+      .mapPartitions { rows =>
+        val filter = bcast.value
+        rows.map { r =>
+          val sh = r.getSeq[Long](1)
+          var flagged = 0L
+          sh.foreach(c => if (filter.mightContainLong(c)) flagged += 1)
+          Row(r.getLong(0), sh.length.toLong, flagged)
+        }
+      }
+  }
+
+  def runContaminationToCompletion(spark: SparkSession, sfDir: String,
+                                   bf: org.apache.spark.util.sketch.BloomFilter,
+                                   queryName: String = "contamination_stream"): DataFrame = {
+    val q = contaminationScored(spark,
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir),
+      bf)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   def runDsirToCompletion(spark: SparkSession, sfDir: String,
                           snap: graft.operators.Pipeline.DsirSnapshot,
                           targetPred: org.apache.spark.sql.Column,

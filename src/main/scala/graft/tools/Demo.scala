@@ -132,6 +132,13 @@ object Demo {
       .filter(org.apache.spark.sql.functions.col("held_out"))
       .orderBy(org.apache.spark.sql.functions.col("p_target").desc).show(5)
 
+    println("== CMS heavy hitters (fixed 4x1024 sketch state) ==")
+    graft.operators.TextAnalysis.tokensHeavy(spark, sfDir, topK = 8).show()
+
+    println("== end-to-end: crawl -> curated training shards, with ledger ==")
+    val trainDir = java.nio.file.Files.createTempDirectory("graft_demo_train").toString
+    g.buildTrainingSet(trainDir).show(truncate = false)
+
     spark.stop()
   }
 }

@@ -216,6 +216,22 @@ class PipelineSpec extends SparkSpecBase {
     j.unpersist()
   }
 
+  test("streaming decontamination equals the batch bloom pass row-for-row") {
+    import graft.streaming.CurationStream
+    val bf = Pipeline.benchmarkBloom(spark, sf)
+    val streamed = CurationStream.runContaminationToCompletion(spark, sf, bf)
+    val batch = Pipeline.contaminationBloom(spark, sf)
+      .select(col("doc_id"), col("n_shingles"), col("n_flagged"))
+    // the stream scores every arrival incl. benchmark docs; on the shared
+    // (non-benchmark) ids the two must agree exactly — same codes, same
+    // filter object
+    val j = batch.join(streamed.select(col("doc_id"),
+      col("n_shingles").as("ns2"), col("n_flagged").as("nf2")), "doc_id")
+    assert(j.count() == batch.count())
+    assert(j.filter(col("n_shingles") =!= col("ns2") ||
+      col("n_flagged") =!= col("nf2")).count() == 0)
+  }
+
   test("contamination_check: benchmark docs excluded, fracs bounded") {
     val c = Pipeline.contaminationCheck(spark, sf).cache()
     assert(c.filter(col("doc_id") % 17 === 3).count() == 0)
@@ -457,6 +473,41 @@ class PipelineSpec extends SparkSpecBase {
     val recall = sameCluster.toDouble / exact.count()
     assert(recall >= 0.10, s"semantic-block recall $recall")
     corpus.unpersist()
+  }
+
+  test("buildTrainingSet: end-to-end crawl-to-shards with a faithful ledger") {
+    val g = new Graft(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_trainset").toString
+    val ledger = g.buildTrainingSet(out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // all stages present, counts monotone non-increasing through the gates
+    val order = Seq("raw", "dedup_survivors", "quality_gate",
+      "decontaminated", "mixture_sample")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(ledger(b)._1 <= ledger(a)._1, s"$b grew past $a: $ledger")
+      assert(ledger(b)._2 <= ledger(a)._2, s"$b tokens grew past $a")
+    }
+    assert(ledger("mixture_sample")._1 > 0, "pipeline must keep data")
+    // the written shards ARE the final stage, packing covers them 1:1
+    val shardDocs = spark.read.parquet(out + "/shards")
+    assert(shardDocs.count() == ledger("mixture_sample")._1)
+    val packing = spark.read.parquet(out + "/packing")
+    assert(packing.count() == shardDocs.count())
+    assert(packing.join(shardDocs.select("doc_id"), "doc_id").count() == packing.count())
+    assert(ledger("shard_files")._1 == 8L)
+    // every gate actually held: spot-check the surviving docs against the
+    // operators the stages compose
+    val survived = shardDocs.select("doc_id")
+    val lowQ = graft.operators.TextAnalysis.qualityScoreOver(Tables.documents(spark, sf))
+      .filter(col("score") < 0.6).select("doc_id")
+    assert(survived.join(lowQ, "doc_id").count() == 0, "low-quality doc in shards")
+    val bench = survived.filter(col("doc_id") % 17 === 3)
+    assert(bench.count() == 0, "held-out benchmark doc in shards")
+    // deterministic: a second run reproduces the ledger exactly
+    val out2 = java.nio.file.Files.createTempDirectory("graft_trainset2").toString
+    val ledger2 = new Graft(spark, sf).buildTrainingSet(out2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ledger2 == ledger)
   }
 
   test("facade curation/dedup entry points run and agree with operators") {
