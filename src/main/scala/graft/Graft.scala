@@ -842,43 +842,51 @@ class Graft(spark: SparkSession, sfDir: String,
                        binTokens: Int = 512,
                        numShards: Int = 8): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-    def ntok(d: DataFrame): Long =
-      d.select(sum(size(functions.Text.tokens(coalesce(col("text"), lit(""))))
-        .cast("long"))).head().getLong(0)
-    val ledger = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-    // gates checkpoint so each stage builds on the last ONCE; the raw
-    // corpus does not (materializing the whole input to executor storage
-    // is exactly what a 100 TB run must not do — a scan is cheaper)
-    def stage(name: String, d: DataFrame, checkpoint: Boolean = true): DataFrame = {
-      val kept = if (checkpoint) d.localCheckpoint() else d
-      ledger += ((name, kept.count(), ntok(kept)))
-      kept
+    // every checkpoint this run pins is released on exit — shards,
+    // packing, and the ledger are fully materialized before the scope
+    // closes, so nothing pinned is needed afterwards (the leak class the
+    // ANN stores' releasingPinned standard exists to close)
+    operators.AnnStore.releasingPinned(spark) {
+      val docs = Tables.documents(spark, sfDir)
+      val ledger = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      // gates checkpoint (TRACKED) so each stage builds on the last ONCE;
+      // the raw corpus does not — materializing the whole input to
+      // executor storage is exactly what a 100 TB run must not do. ONE
+      // combined action per ledger row; coalesce, because sum over zero
+      // rows is null and an emptied-out stage must record 0, not crash
+      def stage(name: String, d: DataFrame, checkpoint: Boolean = true): DataFrame = {
+        val kept = if (checkpoint) operators.AnnStore.trackedCheckpoint(d) else d
+        val row = kept.agg(count(lit(1)).as("docs"),
+          coalesce(sum(size(functions.Text.tokens(coalesce(col("text"), lit(""))))
+            .cast("long")), lit(0L)).as("tokens")).head()
+        ledger += ((name, row.getLong(0), row.getLong(1)))
+        kept
+      }
+      val s0 = stage("raw", docs, checkpoint = false)
+      val survivors = dedupClusters().filter(col("is_survivor")).select("doc_id")
+      val s1 = stage("dedup_survivors", s0.join(survivors, "doc_id"))
+      val quality = operators.TextAnalysis.qualityScoreOver(s0)
+        .filter(col("score") >= qualityMin).select("doc_id")
+      val s2 = stage("quality_gate", s1.join(quality, "doc_id"))
+      // decontamination: the held-out slice leaves the training set, and a
+      // doc overlapping the benchmark beyond the threshold is dropped
+      // (contaminationCheck emits only docs with ≥1 hit — absent = clean)
+      val contaminated = operators.Pipeline.contaminationCheck(spark, sfDir)
+        .filter(col("contamination_frac") > contaminationMax).select("doc_id")
+      val s3 = stage("decontaminated",
+        s2.filter(!operators.Pipeline.isBenchmark(col("doc_id")))
+          .join(contaminated.withColumn("bad", lit(true)), Seq("doc_id"), "left")
+          .filter(col("bad").isNull).drop("bad"))
+      val rates = operators.Pipeline.mixtureRates(s3, temperature, targetFrac)
+      val s4 = stage("mixture_sample",
+        s3.join(operators.Pipeline.applyMixture(s3, rates).select("doc_id"), "doc_id"))
+      // packing assignments over the FINAL set (provenance for the loader)
+      operators.Pipeline.packSequencesOver(s4, binTokens)
+        .write.mode("overwrite").parquet(outPath + "/packing")
+      val inventory = operators.Pipeline.writeShards(s4, outPath + "/shards", numShards)
+      ledger += (("shard_files", inventory.count(), ledger.last._3))
+      ledger.toSeq.toDF("stage", "docs", "tokens")
     }
-    val s0 = stage("raw", docs, checkpoint = false)
-    val survivors = dedupClusters().filter(col("is_survivor")).select("doc_id")
-    val s1 = stage("dedup_survivors", s0.join(survivors, "doc_id"))
-    val quality = operators.TextAnalysis.qualityScoreOver(s0)
-      .filter(col("score") >= qualityMin).select("doc_id")
-    val s2 = stage("quality_gate", s1.join(quality, "doc_id"))
-    // decontamination: the held-out slice leaves the training set, and a
-    // doc overlapping the benchmark beyond the threshold is dropped
-    // (contaminationCheck emits only docs with ≥1 hit — absent = clean)
-    val contaminated = operators.Pipeline.contaminationCheck(spark, sfDir)
-      .filter(col("contamination_frac") > contaminationMax).select("doc_id")
-    val s3 = stage("decontaminated",
-      s2.filter(col("doc_id") % 17 =!= 3)
-        .join(contaminated.withColumn("bad", lit(true)), Seq("doc_id"), "left")
-        .filter(col("bad").isNull).drop("bad"))
-    val rates = operators.Pipeline.mixtureRates(s3, temperature, targetFrac)
-    val s4 = stage("mixture_sample",
-      s3.join(operators.Pipeline.applyMixture(s3, rates).select("doc_id"), "doc_id"))
-    // packing assignments over the FINAL set (provenance for the loader)
-    operators.Pipeline.packSequencesOver(s4, binTokens)
-      .write.mode("overwrite").parquet(outPath + "/packing")
-    val inventory = operators.Pipeline.writeShards(s4, outPath + "/shards", numShards)
-    ledger += (("shard_files", inventory.count(), ledger.last._3))
-    ledger.toSeq.toDF("stage", "docs", "tokens")
   }
 }
 

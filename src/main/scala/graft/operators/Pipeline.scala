@@ -434,9 +434,9 @@ object Pipeline {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         array_distinct(TextExprs.shingleCodes(col("text"), k)).as("sh"))
-    val benchCodes = d.filter(col("doc_id") % 17 === 3)
+    val benchCodes = d.filter(isBenchmark(col("doc_id")))
       .select(explode(col("sh")).as("code")).distinct()
-    val train = d.filter(col("doc_id") % 17 =!= 3)
+    val train = d.filter(!isBenchmark(col("doc_id")))
     train.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("code"))
       .join(broadcast(benchCodes), "code")
@@ -462,52 +462,79 @@ object Pipeline {
     * rows-only under the driver gate (Spark's Bloom hash is not
     * SQL-replicable).
     */
+  /** The held-out benchmark slice convention — ONE definition shared by
+    * every decontamination pass (F5, F5b batch + streaming) and the
+    * capstone's exclusion gate, so the slice can never silently diverge
+    * between the filter builder and a consumer.
+    */
+  def isBenchmark(docId: Column): Column = docId % 17 === 3
+
   /** F5b's benchmark snapshot: the Bloom filter over the held-out set's
     * distinct shingle codes — a batch artifact the streaming ingest twin
     * reuses verbatim (it changes with the benchmark, not per arrival).
+    * The distinct-code frame is cached across the two consuming jobs
+    * (count for sizing, then the filter aggregate) — at a billion-shingle
+    * benchmark the shingle+distinct pass is the expensive step and must
+    * not run twice.
     */
   def benchmarkBloom(spark: SparkSession, sfDir: String,
                      k: Int = 5, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     TextExprs.register(spark)
     val bench = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 17 === 3)
+      .filter(isBenchmark(col("doc_id")))
       .select(explode(array_distinct(
-        TextExprs.shingleCodes(col("text"), k))).as("code")).distinct()
-    bench.stat.bloomFilter("code", math.max(bench.count(), 1L), fpp)
+        TextExprs.shingleCodes(coalesce(col("text"), lit("")), k))).as("code"))
+      .distinct().cache()
+    try bench.stat.bloomFilter("code", math.max(bench.count(), 1L), fpp)
+    finally bench.unpersist(blocking = false)
   }
 
-  def contaminationBloom(spark: SparkSession, sfDir: String,
-                         k: Int = 5, fpp: Double = 0.01): DataFrame = {
+  /** The shared Bloom-probe core — the batch F5b pass and the streaming
+    * ingest twin both run exactly THIS, so their spec-asserted equality
+    * is by construction: (doc_id, n_shingles, n_flagged) per document,
+    * null text scoring as empty (a corrupt row must never kill a task).
+    * The filter broadcasts once and deserializes once per task.
+    */
+  def bloomScore(docs: DataFrame,
+                 bf: org.apache.spark.util.sketch.BloomFilter,
+                 k: Int = 5): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    TextExprs.register(spark)
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        array_distinct(TextExprs.shingleCodes(col("text"), k)).as("sh"))
-    val bcast = spark.sparkContext.broadcast(benchmarkBloom(spark, sfDir, k, fpp))
+    TextExprs.register(docs.sparkSession)
+    val bcast = docs.sparkSession.sparkContext.broadcast(bf)
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("n_shingles", LongType, nullable = false),
-      StructField("n_flagged", LongType, nullable = false),
-      StructField("contamination_frac_ub", DoubleType, nullable = false)))
+      StructField("n_flagged", LongType, nullable = false)))
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    d.filter(col("doc_id") % 17 =!= 3)
+    docs
+      .select(col("doc_id"), array_distinct(
+        TextExprs.shingleCodes(coalesce(col("text"), lit("")), k)).as("sh"))
       .mapPartitions { rows =>
         val filter = bcast.value
         rows.map { r =>
-          val id = r.getLong(0)
           val sh = r.getSeq[Long](1)
           var flagged = 0L
           sh.foreach(c => if (filter.mightContainLong(c)) flagged += 1)
-          val n = sh.length.toLong
-          val frac =
-            if (n > 0) math.rint((flagged.toDouble / n + 1e-9) * 1e4) / 1e4 else 0.0
-          Row(id, n, flagged, frac)
+          Row(r.getLong(0), sh.length.toLong, flagged)
         }
       }
-      .orderBy("doc_id")
   }
+
+  def contaminationBloom(spark: SparkSession, sfDir: String,
+                         k: Int = 5, fpp: Double = 0.01): DataFrame =
+    bloomScore(
+      Tables.documents(spark, sfDir).filter(!isBenchmark(col("doc_id"))),
+      benchmarkBloom(spark, sfDir, k, fpp), k)
+      // CEIL, not round-to-nearest: the column certifies an UPPER bound,
+      // and nearest-rounding could report 0.0 for a doc with one truly
+      // contaminated shingle among tens of thousands
+      .withColumn("contamination_frac_ub",
+        when(col("n_shingles") > 0,
+          ceil(col("n_flagged").cast("double") / col("n_shingles") * 1e4) / 1e4)
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
 
   /** F7: deterministic sequence packing — map each document onto the
     * fixed-length training sequences (`seqLen` tokens) its tokens will

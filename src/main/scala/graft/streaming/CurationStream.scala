@@ -121,30 +121,8 @@ object CurationStream {
     */
   def contaminationScored(spark: SparkSession, docs: DataFrame,
                           bf: org.apache.spark.util.sketch.BloomFilter,
-                          k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    graft.plans.TextExprs.register(spark)
-    val bcast = spark.sparkContext.broadcast(bf)
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("n_shingles", LongType, nullable = false),
-      StructField("n_flagged", LongType, nullable = false)))
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    docs
-      .select(col("doc_id"),
-        array_distinct(graft.plans.TextExprs.shingleCodes(col("text"), k)).as("sh"))
-      .mapPartitions { rows =>
-        val filter = bcast.value
-        rows.map { r =>
-          val sh = r.getSeq[Long](1)
-          var flagged = 0L
-          sh.foreach(c => if (filter.mightContainLong(c)) flagged += 1)
-          Row(r.getLong(0), sh.length.toLong, flagged)
-        }
-      }
-  }
+                          k: Int = 5): DataFrame =
+    graft.operators.Pipeline.bloomScore(docs, bf, k) // ONE probe core
 
   def runContaminationToCompletion(spark: SparkSession, sfDir: String,
                                    bf: org.apache.spark.util.sketch.BloomFilter,

@@ -478,8 +478,14 @@ class PipelineSpec extends SparkSpecBase {
   test("buildTrainingSet: end-to-end crawl-to-shards with a faithful ledger") {
     val g = new Graft(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_trainset").toString
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val ledger = g.buildTrainingSet(out).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the run's stage checkpoints are RELEASED on exit (the ANN stores'
+    // releasingPinned standard) — a long-lived session must not accrete
+    // corpus-sized pinned blocks per build
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"pinned blocks leaked: $leaked")
     // all stages present, counts monotone non-increasing through the gates
     val order = Seq("raw", "dedup_survivors", "quality_gate",
       "decontaminated", "mixture_sample")
