@@ -120,6 +120,21 @@ object TextScaleReceipt {
     val (dsirSrc, dsirScaled) = measure(d => run(Pipeline.sampleDsir(spark, d)))
     val (bpeSrc, bpeScaled) = measure(d => run(operators.TextAnalysis.tokenBpe(spark, d)))
     val (semSrc, semScaled) = measure(d => run(Dedup.dedupSemantic(spark, d)))
+    // the crawl-to-shards capstone end to end (dedup + gates + sample +
+    // pack + shard write + ledger) — the whole-pipeline scaling number
+    val (buildSrc, buildScaled) = {
+      var i = 0
+      def once(d: String): Unit = {
+        i += 1
+        new Graft(spark, d)
+          .buildTrainingSet(work + s"/trainset_$i", numShards = cpus.toInt)
+          .collect(); ()
+      }
+      once(src) // warmup
+      val a = (1 to 2).map(_ => time(once(src))).min
+      val b = (1 to 2).map(_ => time(once(dir))).min
+      (a, b)
+    }
 
     def r(x: Double) = math.round(x * 1000) / 1000.0
     def ratio(a: Double, b: Double) = r(b / math.max(a, 1e-9))
@@ -139,7 +154,9 @@ object TextScaleReceipt {
         s""""token_bpe_src_sec":${r(bpeSrc)},"token_bpe_scaled_sec":${r(bpeScaled)},""" +
         s""""token_bpe_ratio":${ratio(bpeSrc, bpeScaled)},""" +
         s""""dedup_semantic_src_sec":${r(semSrc)},"dedup_semantic_scaled_sec":${r(semScaled)},""" +
-        s""""dedup_semantic_ratio":${ratio(semSrc, semScaled)}}""")
+        s""""dedup_semantic_ratio":${ratio(semSrc, semScaled)},""" +
+        s""""build_training_set_src_sec":${r(buildSrc)},"build_training_set_scaled_sec":${r(buildScaled)},""" +
+        s""""build_training_set_ratio":${ratio(buildSrc, buildScaled)}}""")
     spark.stop()
   }
 }
