@@ -193,4 +193,37 @@ object Bpe {
   def bpeTokens(text: Column, merges: Array[(String, String)]): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       BpeTokens(org.apache.spark.sql.GraftSqlBridge.expression(text), merges))
+
+  /** Content fingerprint of a merge table — the model identity, same role
+    * as the Word2Vec table fingerprint: training artifacts that hash
+    * differently tokenize differently and must not be silently swapped.
+    */
+  def fingerprint(merges: Array[(String, String)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    merges.foreach { case (a, b) =>
+      md.update(a.getBytes("UTF-8")); md.update(0.toByte)
+      md.update(b.getBytes("UTF-8")); md.update(1.toByte)
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Persist a trained merge table as a tiny (rank, left, right) parquet —
+    * the tokenizer artifact a real pipeline trains once and ships to every
+    * consumer. Rank is explicit (not file order) so a reread applies
+    * merges in the exact trained order regardless of parquet task layout.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           merges: Array[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toSeq
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]]d merge table, rank order restored. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Array[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2)))
 }

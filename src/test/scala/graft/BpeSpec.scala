@@ -109,6 +109,29 @@ class BpeSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("merge-table persistence: save/load round trip, identity fingerprint") {
+    val docs = Tables.documents(spark, sf)
+    val merges = Bpe.trainOver(docs, nMerges = 60, vocabLimit = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/merges"
+    Bpe.save(spark, merges, dir)
+    val loaded = Bpe.load(spark, dir)
+    // the artifact IS the tokenizer: identical merges, identical encoding
+    assert(loaded.toSeq == merges.toSeq)
+    assert(Bpe.fingerprint(loaded) == Bpe.fingerprint(merges))
+    val t = "persistence round trip of the learned tokenizer"
+    assert(Bpe.encodeWord("persistence", Bpe.ranksOf(loaded)).toSeq ==
+      Bpe.encodeWord("persistence", Bpe.ranksOf(merges)).toSeq)
+    assert(graft.operators.TextAnalysis.tokenBpeOver(docs, loaded)
+      .exceptAll(graft.operators.TextAnalysis.tokenBpeOver(docs, merges))
+      .count() == 0)
+    // a DIFFERENT table fingerprints differently (identity gate material)
+    val other = Bpe.trainOver(docs, nMerges = 30, vocabLimit = 2000)
+    assert(Bpe.fingerprint(other) != Bpe.fingerprint(merges))
+    // fingerprint is boundary-aware: [("ab","c")] vs [("a","bc")] differ
+    assert(Bpe.fingerprint(Array(("ab", "c"))) != Bpe.fingerprint(Array(("a", "bc"))))
+    assert(t.nonEmpty)
+  }
+
   test("encode expression survives with codegen fallback disabled") {
     val docs = Tables.documents(spark, sf)
     val merges = Bpe.trainOver(docs, nMerges = 30, vocabLimit = 1000)
