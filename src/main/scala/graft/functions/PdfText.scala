@@ -569,6 +569,57 @@ object PdfText {
     h.take(n)
   }
 
+  /** The Algorithm-3 RC4 key derived from an OWNER password: MD5 of the
+    * padded password (50 extra rounds for R≥3), truncated to the key
+    * width — used both to WRITE `/O` (encrypting the padded user
+    * password) and to INVERT it in an Algorithm-7 owner open.
+    */
+  private[functions] def ownerRc4Key(ownerPwd: Array[Byte], r: Int,
+                                     lengthBits: Int): Array[Byte] = {
+    var h = java.security.MessageDigest.getInstance("MD5")
+      .digest(pad32(ownerPwd))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) {
+        h = java.security.MessageDigest.getInstance("MD5").digest(h)
+        i += 1
+      }
+    }
+    h.take(math.max(5, math.min(16, lengthBits / 8)))
+  }
+
+  /** Algorithm-3 `/O`: the padded USER password RC4'd under the owner
+    * key, plus 19 key⊕i rounds for R≥3.
+    */
+  private[functions] def computeO(ownerPwd: Array[Byte], userPwd: Array[Byte],
+                                  r: Int, lengthBits: Int): Array[Byte] = {
+    val key = ownerRc4Key(ownerPwd, r, lengthBits)
+    var e = rc4(key, pad32(userPwd))
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) { e = rc4(key.map(b => (b ^ i).toByte), e); i += 1 }
+    }
+    e
+  }
+
+  /** Algorithm 7's recovery step: invert [[computeO]] with the owner key
+    * — RC4 is its own inverse per key, so the rounds replay in REVERSE
+    * (key⊕19 … key⊕1, then the plain key). Returns the padded user
+    * password `/O` encrypts; whether the owner password was RIGHT is
+    * decided downstream by Algorithm-6 `/U` validation of the key that
+    * padded password derives.
+    */
+  private[functions] def recoverUserPad(ownerPwd: Array[Byte], o: Array[Byte],
+                                        r: Int, lengthBits: Int): Array[Byte] = {
+    val key = ownerRc4Key(ownerPwd, r, lengthBits)
+    var e = o.take(32)
+    if (r >= 3) {
+      var i = 19
+      while (i >= 1) { e = rc4(key.map(b => (b ^ i).toByte), e); i -= 1 }
+    }
+    rc4(key, e)
+  }
+
   /** Algorithm 4/5 `/U` value for a file key (r12 — what a conforming
     * writer stores and a reader compares to validate a user password):
     * R2 = RC4(key, pad); R≥3 = MD5(pad ‖ ID₀) RC4'd through the key then
@@ -663,20 +714,35 @@ object PdfText {
         val u = pdfStringValue(body, "/U").getOrElse(return None)
         val ue = pdfStringValue(body, "/UE").getOrElse(return None)
         if (u.length < 48 || ue.length != 32) return None
-        // supplied password first, then the empty user password — which
+        // supplied password first (as USER, then as OWNER — the owner
+        // hash is the same 2.B construction with /U as the user data and
+        // /OE as the wrapped key), then the empty user password — which
         // password opened the file is invisible downstream (same key)
-        val candidates =
-          if (pwd.isEmpty) Seq(pwd) else Seq(pwd, Array.emptyByteArray)
-        candidates.foreach { p =>
+        def unwrap(ikey: Array[Byte], wrapped: Array[Byte]): StdCrypt = {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+            new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+          StdCrypt(c.doFinal(wrapped), aes = true, v5 = true)
+        }
+        def tryUser(p: Array[Byte]): Option[StdCrypt] = {
           val expect = hash2B(p, u.slice(32, 40), Array.emptyByteArray, r)
-          if (java.util.Arrays.equals(expect, u.take(32))) {
-            val ikey = hash2B(p, u.slice(40, 48), Array.emptyByteArray, r)
-            val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-            c.init(javax.crypto.Cipher.DECRYPT_MODE,
-              new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
-              new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
-            return Some(StdCrypt(c.doFinal(ue), aes = true, v5 = true))
-          }
+          if (java.util.Arrays.equals(expect, u.take(32)))
+            Some(unwrap(hash2B(p, u.slice(40, 48), Array.emptyByteArray, r), ue))
+          else None
+        }
+        def tryOwner(p: Array[Byte]): Option[StdCrypt] =
+          for {
+            o <- pdfStringValue(body, "/O") if o.length >= 48
+            oe <- pdfStringValue(body, "/OE") if oe.length == 32
+            u48 = u.take(48)
+            if java.util.Arrays.equals(
+              hash2B(p, o.slice(32, 40), u48, r), o.take(32))
+          } yield unwrap(hash2B(p, o.slice(40, 48), u48, r), oe)
+        tryUser(pwd).foreach(c => return Some(c))
+        if (pwd.nonEmpty) {
+          tryOwner(pwd).foreach(c => return Some(c))
+          tryUser(Array.emptyByteArray).foreach(c => return Some(c))
         }
         return None // no candidate validates: out of envelope, degrade
       }
@@ -703,14 +769,21 @@ object PdfText {
         .getOrElse(Array.emptyByteArray)
       val bits = if (v == 1) 40 else lengthBits
       // a supplied password must VALIDATE against /U (Algorithm 6) to be
-      // used; the empty-password key stays unvalidated — permissions-only
-      // writers store arbitrary /U bytes and the pre-r12 envelope opened
-      // those fine, so validation there would be a regression
+      // used — first as the USER password, then as the OWNER password
+      // (Algorithm 7: invert /O to recover the padded user password and
+      // validate the key IT derives); the empty-password key stays
+      // unvalidated — permissions-only writers store arbitrary /U bytes
+      // and the pre-r12 envelope opened those fine, so validation there
+      // would be a regression
       if (pwd.nonEmpty) {
-        val key = deriveFileKey(pwd, o, p, id0, r, bits)
         val uVal = pdfStringValue(body, "/U")
-        if (uVal.exists(u => validateU(key, u, id0, r)))
-          return Some(StdCrypt(key, aes))
+        val userKey = deriveFileKey(pwd, o, p, id0, r, bits)
+        if (uVal.exists(u => validateU(userKey, u, id0, r)))
+          return Some(StdCrypt(userKey, aes))
+        val ownerKey = deriveFileKey(
+          recoverUserPad(pwd, o, r, bits), o, p, id0, r, bits)
+        if (uVal.exists(u => validateU(ownerKey, u, id0, r)))
+          return Some(StdCrypt(ownerKey, aes))
       }
       Some(StdCrypt(deriveFileKey(o, p, id0, r, bits), aes))
     } catch { case _: Exception => None }
@@ -1649,18 +1722,30 @@ object PdfText {
     * password-protected fixture for the extract(bytes, password) leg.
     */
   def buildEncryptedPdf(contentStreams: Seq[Array[Byte]], aes: Boolean,
-                        password: String): Array[Byte] = {
-    val oBytes = Array.tabulate(32)(i => ((i * 37 + 11) & 0xff).toByte)
+                        password: String): Array[Byte] =
+    buildEncryptedPdf(contentStreams, aes, password, "")
+
+  /** As above with an OWNER password too (r12): `/O` carries the real
+    * Algorithm-3 value (the padded user password under the owner key),
+    * so an Algorithm-7 owner open recovers the user password and
+    * validates — the full two-password fixture.
+    */
+  def buildEncryptedPdf(contentStreams: Seq[Array[Byte]], aes: Boolean,
+                        password: String, ownerPassword: String): Array[Byte] = {
     val id0 = Array.tabulate(16)(i => ((i * 73 + 5) & 0xff).toByte)
     val p = -44
     val r = if (aes) 4 else 3
     val pwdBytes = password.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
+    val ownBytes = ownerPassword.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
+    val oBytes =
+      if (ownerPassword.isEmpty) Array.tabulate(32)(i => ((i * 37 + 11) & 0xff).toByte)
+      else computeO(ownBytes, pwdBytes, r, 128)
     val key = deriveFileKey(pwdBytes, oBytes, p, id0, r, 128)
-    // Algorithm-5 /U (16 computed + 16 arbitrary pad) whenever a password
-    // is set; the empty-password fixture keeps its legacy arbitrary /U —
-    // that path must stay open WITHOUT validation (permissions-only shape)
+    // Algorithm-5 /U (16 computed + 16 arbitrary pad) whenever either
+    // password is set; the all-empty fixture keeps its legacy arbitrary
+    // /U — that path must stay open WITHOUT validation (permissions-only)
     val uBytes =
-      if (password.isEmpty) oBytes
+      if (password.isEmpty && ownerPassword.isEmpty) oBytes
       else computeU(key, id0, r).take(16) ++ Array.fill(16)(0x5A.toByte)
     val crypt = StdCrypt(key, aes)
     val out = new java.io.ByteArrayOutputStream()
@@ -1696,7 +1781,8 @@ object PdfText {
     * byte-stable.
     */
   def buildEncryptedPdfR6(contentStreams: Seq[Array[Byte]], r: Int = 6,
-                          password: String = ""): Array[Byte] = {
+                          password: String = "",
+                          ownerPassword: String = ""): Array[Byte] = {
     require(r == 5 || r == 6, s"V5 revision must be 5 or 6, got $r")
     val fileKey = Array.tabulate(32)(i => ((i * 29 + 17) & 0xff).toByte)
     val vsalt = Array.tabulate(8)(i => ((i * 41 + 3) & 0xff).toByte)
@@ -1704,16 +1790,29 @@ object PdfText {
     val pwd = password.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
     val uHash = hash2B(pwd, vsalt, Array.emptyByteArray, r)
     val u = uHash ++ vsalt ++ ksalt // 48 bytes
-    val ikey = hash2B(pwd, ksalt, Array.emptyByteArray, r)
-    val enc = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-    enc.init(javax.crypto.Cipher.ENCRYPT_MODE,
-      new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
-      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
-    val ue = enc.doFinal(fileKey)
-    // owner entries: structurally valid decoys (the empty-user-password
-    // open never consults them)
-    val o = Array.tabulate(48)(i => ((i * 7 + 1) & 0xff).toByte)
-    val oe = Array.tabulate(32)(i => ((i * 11 + 2) & 0xff).toByte)
+    def wrap(ikey: Array[Byte]): Array[Byte] = {
+      val enc = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      enc.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      enc.doFinal(fileKey)
+    }
+    val ue = wrap(hash2B(pwd, ksalt, Array.emptyByteArray, r))
+    // owner entries: the REAL §7.6.4 construction when an owner password
+    // is set (hash over pwd‖salt‖U48, /OE wraps the same file key);
+    // structurally-valid decoys otherwise (the empty-user-password open
+    // never consults them)
+    val (o, oe) =
+      if (ownerPassword.isEmpty)
+        (Array.tabulate(48)(i => ((i * 7 + 1) & 0xff).toByte),
+          Array.tabulate(32)(i => ((i * 11 + 2) & 0xff).toByte))
+      else {
+        val own = ownerPassword.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
+        val ovsalt = Array.tabulate(8)(i => ((i * 59 + 7) & 0xff).toByte)
+        val oksalt = Array.tabulate(8)(i => ((i * 67 + 13) & 0xff).toByte)
+        (hash2B(own, ovsalt, u, r) ++ ovsalt ++ oksalt,
+          wrap(hash2B(own, oksalt, u, r)))
+      }
     val crypt = StdCrypt(fileKey, aes = true, v5 = true)
     val out = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(Latin1))

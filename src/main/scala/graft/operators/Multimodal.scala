@@ -123,17 +123,23 @@ object Multimodal {
           // AES/R6/LZW/Differences from the oracle gate
           Row(id, Math.floorMod(id, 7L).toInt match {
             case 3 => PdfText.buildCidPdf(text)
-            case 4 => Math.floorMod(Math.floorDiv(id, 7L), 5L).toInt match {
+            case 4 => Math.floorMod(Math.floorDiv(id, 7L), 6L).toInt match {
               case 0 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = true)
               case 1 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)), aes = false)
               case 2 => PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(text)))
               // PASSWORD-protected forms (r12): decode side supplies the
               // corpus-wide password — RC4-128 with a real Algorithm-5 /U
-              // (validation must pass) and AES-256 R6 keyed on the password
+              // (validation must pass), AES-256 R6 keyed on the password,
+              // and an OWNER-password open (the batch password is the
+              // owner credential; the user password is different, so only
+              // the Algorithm-7 inversion can derive the file key)
               case 3 => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)),
                 aes = false, password = PdfPassword)
-              case _ => PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(text)),
+              case 4 => PdfText.buildEncryptedPdfR6(Seq(PdfText.textPage(text)),
                 password = PdfPassword)
+              case _ => PdfText.buildEncryptedPdf(Seq(PdfText.textPage(text)),
+                aes = false, password = "not-the-batch-password",
+                ownerPassword = PdfPassword)
             }
             case 5 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
               if (Math.floorMod(Math.floorDiv(id, 7L), 2L) == 0L) Seq("LZWDecode")

@@ -745,6 +745,35 @@ end
     assert(probes > 2000, s"sweep too small: $probes")
   }
 
+  test("owner-password opens: Algorithm 7 recovers the user key; R6 /O hash") {
+    val t = "owner-opened document"
+    val page = Seq(PdfText.textPage(t))
+    // R3 RC4: /O is the real Algorithm-3 value — the owner password must
+    // open the document even though it is NOT the user password
+    val rc4 = PdfText.buildEncryptedPdf(page, aes = false,
+      password = "user-pw", ownerPassword = "owner-pw")
+    assert(PdfText.extract(rc4, "owner-pw").get.text == t)
+    assert(PdfText.extract(rc4, "user-pw").get.text == t) // user still works
+    assert(PdfText.extract(rc4, "wrong").get.text == "")
+    assert(PdfText.extract(rc4).get.text == "")
+    // R4 AES-128 through the same machinery
+    val aes = PdfText.buildEncryptedPdf(page, aes = true,
+      password = "user-pw", ownerPassword = "owner-pw")
+    assert(PdfText.extract(aes, "owner-pw").get.text == t)
+    // owner password with an EMPTY user password: owner opens; so does
+    // the empty-password default (standard permissions-only shape)
+    val openDoc = PdfText.buildEncryptedPdf(page, aes = false,
+      password = "", ownerPassword = "owner-pw")
+    assert(PdfText.extract(openDoc, "owner-pw").get.text == t)
+    assert(PdfText.extract(openDoc).get.text == t)
+    // AES-256 R6: the /O hash + /OE unwrap leg
+    val r6 = PdfText.buildEncryptedPdfR6(page,
+      password = "user-pw", ownerPassword = "owner-pw")
+    assert(PdfText.extract(r6, "owner-pw").get.text == t)
+    assert(PdfText.extract(r6, "user-pw").get.text == t)
+    assert(PdfText.extract(r6, "wrong").get.text == "")
+  }
+
   test("glyph-name resolution: uniXXXX(+), uXXXXX, letters, names, unknowns") {
     assert(PdfText.glyphToUnicode("uni0041").contains("A"))
     assert(PdfText.glyphToUnicode("uni00410042").contains("AB")) // AGL multi-group
