@@ -221,9 +221,11 @@ object Bpe {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Load a [[save]]d merge table, rank order restored. */
+  /** Load a [[save]]d merge table, rank order restored. Columns selected
+    * by NAME — a reordered artifact must not silently swap pair halves.
+    */
   def load(spark: org.apache.spark.sql.SparkSession,
            path: String): Array[(String, String)] =
-    spark.read.parquet(path).orderBy("rank")
-      .collect().map(r => (r.getString(1), r.getString(2)))
+    spark.read.parquet(path).orderBy("rank").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1)))
 }

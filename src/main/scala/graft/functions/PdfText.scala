@@ -75,12 +75,14 @@ object PdfText {
     */
   def extract(bytes: Array[Byte]): Option[PdfDoc] = extract(bytes, "")
 
-  /** [[extract]] with a user password (r12): supplied credentials are
-    * tried first (Algorithm-6 `/U` validation for R2–4, the `/U` hash
-    * for R5/6); a failed non-empty attempt falls back to the empty-user-
-    * password open so a caller can pass one corpus-wide password without
-    * breaking unprotected documents. Owner-password opens (Algorithm 7)
-    * stay out of envelope — degrade to empty text.
+  /** [[extract]] with a password (r12): the supplied credential is tried
+    * as the USER password (Algorithm-6 `/U` validation for R2–4, the
+    * `/U` hash for R5/6), then as the OWNER password (Algorithm 7
+    * inverts `/O` to recover the user password for R2–4; the §7.6.4
+    * `/O`-hash + `/OE`-unwrap leg for R5/6), then the empty user
+    * password — so a caller can pass one corpus-wide credential without
+    * breaking unprotected or permissions-only documents. No candidate
+    * validating degrades to empty text, never throws.
     */
   def extract(bytes: Array[Byte], password: String): Option[PdfDoc] = {
     if (bytes == null || bytes.length < 5 ||
@@ -528,7 +530,7 @@ object PdfText {
   }
 
   /** The spec's 32-byte password pad (Algorithm 2). */
-  private val PadBytes: Array[Byte] = Array(
+  private[graft] val PadBytes: Array[Byte] = Array(
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
@@ -574,7 +576,7 @@ object PdfText {
     * width — used both to WRITE `/O` (encrypting the padded user
     * password) and to INVERT it in an Algorithm-7 owner open.
     */
-  private[functions] def ownerRc4Key(ownerPwd: Array[Byte], r: Int,
+  private[graft] def ownerRc4Key(ownerPwd: Array[Byte], r: Int,
                                      lengthBits: Int): Array[Byte] = {
     var h = java.security.MessageDigest.getInstance("MD5")
       .digest(pad32(ownerPwd))
@@ -591,7 +593,7 @@ object PdfText {
   /** Algorithm-3 `/O`: the padded USER password RC4'd under the owner
     * key, plus 19 key⊕i rounds for R≥3.
     */
-  private[functions] def computeO(ownerPwd: Array[Byte], userPwd: Array[Byte],
+  private[graft] def computeO(ownerPwd: Array[Byte], userPwd: Array[Byte],
                                   r: Int, lengthBits: Int): Array[Byte] = {
     val key = ownerRc4Key(ownerPwd, r, lengthBits)
     var e = rc4(key, pad32(userPwd))
@@ -609,7 +611,7 @@ object PdfText {
     * decided downstream by Algorithm-6 `/U` validation of the key that
     * padded password derives.
     */
-  private[functions] def recoverUserPad(ownerPwd: Array[Byte], o: Array[Byte],
+  private[graft] def recoverUserPad(ownerPwd: Array[Byte], o: Array[Byte],
                                         r: Int, lengthBits: Int): Array[Byte] = {
     val key = ownerRc4Key(ownerPwd, r, lengthBits)
     var e = o.take(32)
@@ -775,14 +777,16 @@ object PdfText {
       // unvalidated — permissions-only writers store arbitrary /U bytes
       // and the pre-r12 envelope opened those fine, so validation there
       // would be a regression
-      if (pwd.nonEmpty) {
-        val uVal = pdfStringValue(body, "/U")
+      val uVal = if (pwd.nonEmpty) pdfStringValue(body, "/U") else None
+      uVal.foreach { u =>
+        // derive only when there IS a /U to validate against — each key
+        // costs 50 MD5 rounds (+~20 RC4 passes for the owner inversion)
         val userKey = deriveFileKey(pwd, o, p, id0, r, bits)
-        if (uVal.exists(u => validateU(userKey, u, id0, r)))
+        if (validateU(userKey, u, id0, r))
           return Some(StdCrypt(userKey, aes))
         val ownerKey = deriveFileKey(
           recoverUserPad(pwd, o, r, bits), o, p, id0, r, bits)
-        if (uVal.exists(u => validateU(ownerKey, u, id0, r)))
+        if (validateU(ownerKey, u, id0, r))
           return Some(StdCrypt(ownerKey, aes))
       }
       Some(StdCrypt(deriveFileKey(o, p, id0, r, bits), aes))

@@ -118,7 +118,6 @@ class BpeSpec extends SparkSpecBase {
     // the artifact IS the tokenizer: identical merges, identical encoding
     assert(loaded.toSeq == merges.toSeq)
     assert(Bpe.fingerprint(loaded) == Bpe.fingerprint(merges))
-    val t = "persistence round trip of the learned tokenizer"
     assert(Bpe.encodeWord("persistence", Bpe.ranksOf(loaded)).toSeq ==
       Bpe.encodeWord("persistence", Bpe.ranksOf(merges)).toSeq)
     assert(graft.operators.TextAnalysis.tokenBpeOver(docs, loaded)
@@ -129,7 +128,6 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.fingerprint(other) != Bpe.fingerprint(merges))
     // fingerprint is boundary-aware: [("ab","c")] vs [("a","bc")] differ
     assert(Bpe.fingerprint(Array(("ab", "c"))) != Bpe.fingerprint(Array(("a", "bc"))))
-    assert(t.nonEmpty)
   }
 
   test("encode expression survives with codegen fallback disabled") {

@@ -772,6 +772,24 @@ end
     assert(PdfText.extract(r6, "owner-pw").get.text == t)
     assert(PdfText.extract(r6, "user-pw").get.text == t)
     assert(PdfText.extract(r6, "wrong").get.text == "")
+    // R5 (the deprecated single-SHA-256 revision) through the same owner
+    // leg — hash2B's r==5 early return is otherwise never owner-exercised
+    val r5 = PdfText.buildEncryptedPdfR6(page, r = 5,
+      password = "user-pw", ownerPassword = "owner-pw")
+    assert(PdfText.extract(r5, "owner-pw").get.text == t)
+    assert(PdfText.extract(r5, "wrong").get.text == "")
+    // the Algorithm-3/7 pair inverts exactly at every revision and key
+    // width, including the R2/40-bit clamp no full fixture reaches
+    for ((r, bits) <- Seq((2, 40), (3, 40), (3, 128), (4, 128))) {
+      val user = "u-pw".getBytes("UTF-8"); val owner = "o-pw".getBytes("UTF-8")
+      val o = PdfText.computeO(owner, user, r, bits)
+      val rec = PdfText.recoverUserPad(owner, o, r, bits)
+      val expected = (user.take(32) ++ PdfText.PadBytes).take(32)
+      assert(java.util.Arrays.equals(rec, expected), s"r=$r bits=$bits")
+      // wrong owner password recovers garbage, not the padded user pwd
+      val bad = PdfText.recoverUserPad("nope".getBytes("UTF-8"), o, r, bits)
+      assert(!java.util.Arrays.equals(bad, expected), s"r=$r bits=$bits wrong-pwd")
+    }
   }
 
   test("glyph-name resolution: uniXXXX(+), uXXXXX, letters, names, unknowns") {
