@@ -172,6 +172,8 @@ object SparkEntry {
     "q_skew_agg" -> ((s, dir) => Analytics.skewAgg(s, dir)),
     "q_rollup" -> ((s, dir) => Analytics.rollupPricing(s, dir)),
     "q_pivot" -> ((s, dir) => Analytics.pivotEvents(s, dir)),
+    // E15 asymmetric GROUPING SETS — one Expand pass, three granularities
+    "q_grouping_sets" -> ((s, dir) => Analytics.groupingSetsPricing(s, dir)),
     // F. training-data pipeline (curation passes)
     "text_normalize" -> ((s, dir) => Pipeline.textNormalize(s, dir)),
     "pii_redact" -> ((s, dir) => Pipeline.piiRedact(s, dir)),
@@ -755,6 +757,14 @@ object SparkEntry {
         |       count(*) AS n_rows,
         |       round(sum(l_quantity)+1e-9, 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n_rows,
+        |       round(sum(l_quantity)+1e-9, 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 10 AS user_bucket,

@@ -224,6 +224,28 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** E15: GROUPING SETS (r12) — the asymmetric multi-granularity
+    * aggregate neither rollup nor cube can express: (flag,status),
+    * (status alone), and the grand total in ONE pass. Spark plans a
+    * single Expand + aggregate — each input row fans to its grouping
+    * combinations map-side, no re-scan per granularity, which is the
+    * property that matters when the input is 100 TB and three report
+    * granularities would otherwise mean three scans.
+    */
+  def groupingSetsPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")) + lit(1e-9), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** E14: pivot — event counts per user bucket with event types as columns
     * (the wide-format export BI layers ask for). The pivot values are
     * declared, so Spark plans a single aggregate with one conditional

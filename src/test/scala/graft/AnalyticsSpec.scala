@@ -55,6 +55,32 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(cells == Tables.events(spark, sf).count())
   }
 
+  test("grouping sets: asymmetric granularities agree with separate aggregates, one Expand") {
+    // plan receipt BEFORE caching (a cached relation's displayed plan
+    // nests initial+final plans and double-counts nodes): one Expand,
+    // one scan — three granularities never re-read the input
+    val plan = Analytics.groupingSetsPricing(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length == 1, plan)
+    assert("Scan".r.findAllIn(plan).length <= 2, plan) // table scan (+reuse)
+    val g = Analytics.groupingSetsPricing(spark, sf).cache()
+    val li = Tables.lineitem(spark, sf)
+    // grand total row
+    assert(g.filter(col("l_returnflag") === "ALL" && col("l_linestatus") === "ALL")
+      .head().getAs[Long]("n_rows") == li.count())
+    // the (status)-only granularity equals a direct aggregate — the set
+    // rollup cannot express (it would also emit per-flag subtotals)
+    val direct = li.groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    g.filter(col("l_returnflag") === "ALL" && col("l_linestatus") =!= "ALL")
+      .collect().foreach(r =>
+        assert(r.getAs[Long]("n_rows") == direct(r.getString(1)), r.toString))
+    // and NO per-flag subtotal rows exist (the asymmetry is real)
+    assert(g.filter(col("l_returnflag") =!= "ALL" && col("l_linestatus") === "ALL")
+      .count() == 0)
+    g.unpersist()
+  }
+
   test("events_window counts add up to the event count") {
     val n = Analytics.eventsWindow(spark, sf).agg(sum("n_events")).head().getLong(0)
     assert(n == Tables.events(spark, sf).count())
