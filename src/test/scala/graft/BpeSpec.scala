@@ -109,6 +109,40 @@ class BpeSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("randomized properties: round trip, merge budget, monotone compression") {
+    // fixed seed → deterministic sweep over arbitrary word tables — the
+    // invariants that must hold for ANY corpus, not just the fixtures
+    val rnd = new scala.util.Random(1234)
+    (0 until 60).foreach { caseId =>
+      val nWords = 1 + rnd.nextInt(40)
+      val words: Array[(String, Long)] = Array.tabulate(nWords) { _ =>
+        val len = 1 + rnd.nextInt(12)
+        val w = (0 until len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+        (w, (1 + rnd.nextInt(20)).toLong)
+      }
+      val nMerges = rnd.nextInt(30)
+      val merges = Bpe.train(words, nMerges)
+      // budget respected
+      assert(merges.length <= nMerges, s"case $caseId: over budget")
+      val ranks = Bpe.ranksOf(merges)
+      val fewer = Bpe.ranksOf(merges.take(merges.length / 2))
+      words.map(_._1).distinct.foreach { w =>
+        val enc = Bpe.encodeWord(w, ranks)
+        // lossless for every trained word
+        assert(enc.mkString.stripSuffix(Bpe.Eow) == w, s"case $caseId: '$w'")
+        // a PREFIX of the merge list never encodes shorter (merges only
+        // ever join symbols)
+        assert(enc.length <= Bpe.encodeWord(w, fewer).length,
+          s"case $caseId: prefix table beat full table on '$w'")
+      }
+      // unseen words (fresh random draws) also round-trip
+      (0 until 5).foreach { _ =>
+        val w = (0 until 1 + rnd.nextInt(10)).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString
+        assert(Bpe.encodeWord(w, ranks).mkString.stripSuffix(Bpe.Eow) == w)
+      }
+    }
+  }
+
   test("merge-table persistence: save/load round trip, identity fingerprint") {
     val docs = Tables.documents(spark, sf)
     val merges = Bpe.trainOver(docs, nMerges = 60, vocabLimit = 2000)
