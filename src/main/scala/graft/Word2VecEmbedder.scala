@@ -27,12 +27,19 @@ import org.apache.spark.sql.functions._
   *     retrain on changed data reads as a metadata mismatch and rebuilds
   *     (the identity contract every index manifest enforces).
   *
-  * Training determinism: fixed `seed` and `numPartitions=1` make MLlib's
-  * word2vec reproducible, so the fingerprint is stable for a given
-  * (corpus, dim, params) — the property the rebuild-on-drift specs rely
-  * on. Training itself is one MLlib fit over the tokenized corpus;
-  * `getVectors` is a vocabulary-bounded driver materialization (the same
-  * bound the broadcast needs anyway).
+  * Training parallelism vs determinism: training is one MLlib fit over
+  * the tokenized corpus, corpus-parallel by default (`numPartitions`
+  * defaults to `spark.defaultParallelism` — each partition trains a
+  * skip-gram shard, shards are merged per word). Parallel merges sum
+  * floats in task-completion order, so a parallel retrain may land on a
+  * DIFFERENT fingerprint for the same inputs — which is SAFE by design:
+  * the fingerprint gates store reuse, so a drifted identity reads as a
+  * metadata mismatch and costs one index rebuild, never a mixed vector
+  * space (Word2VecEmbedderSpec pins that contract). Pass
+  * `numPartitions=1` only where a stable fingerprint is itself the thing
+  * under test (the determinism specs do). `getVectors` is a
+  * vocabulary-bounded driver materialization (the same bound the
+  * broadcast needs anyway).
   *
   * Tokenization matches [[functions.Text.tokens]] (single-space split,
   * empties dropped) on BOTH sides — corpus rows executor-side and query
@@ -81,10 +88,16 @@ object Word2VecEmbedder {
     * word table is collected (vocabulary-bounded), fingerprinted, and
     * broadcast. `minCount` is the vocab/scale knob: at corpus scale raise
     * it so the broadcast table stays executor-memory-bounded.
+    * `numPartitions <= 0` (the default) trains corpus-parallel on
+    * `spark.defaultParallelism` partitions — the 100 TB shape; pass 1
+    * only when a run-stable fingerprint is required (see class doc).
     */
   def train(spark: SparkSession, docs: DataFrame, textCol: String = "text",
             dim: Int = 64, minCount: Int = 1, maxIter: Int = 1,
-            seed: Long = 42L): Word2VecEmbedder = {
+            seed: Long = 42L, numPartitions: Int = 0): Word2VecEmbedder = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
     val toks = docs
       .select(functions.Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -92,7 +105,7 @@ object Word2VecEmbedder {
       .setInputCol("toks").setOutputCol("v")
       .setVectorSize(dim).setMinCount(minCount)
       .setMaxIter(maxIter).setSeed(seed)
-      .setNumPartitions(1) // determinism: one training partition → stable fingerprint
+      .setNumPartitions(parts)
       .fit(toks)
     // vocabulary-bounded driver materialization — the broadcast needs the
     // full table driver-side once regardless

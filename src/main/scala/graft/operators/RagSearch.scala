@@ -66,20 +66,25 @@ object RagSearch {
     * space — MLlib Word2Vec trained on the documents corpus itself through
     * the [[graft.Embedder]] seam (the reference's whole point is a trained
     * space, reference: src/embeddings.ts:7,62-67; this is the public,
-    * no-download equivalent). Training is deterministic (fixed seed, one
-    * training partition), but the learned weights are not SQL-expressible,
-    * so this is a declared rows-only query; the recall/identity/serving
-    * receipts live in Word2VecEmbedderSpec. Scale shape: training is one
-    * MLlib fit (vocabulary-bounded driver state), embedding is the batched
-    * mapPartitions seam, scoring is the same broadcast-queries pattern as
-    * C1.
+    * no-download equivalent). Training is corpus-parallel by default
+    * (`trainPartitions=0` → `spark.defaultParallelism` skip-gram shards —
+    * the 100 TB shape); the learned weights are not SQL-expressible, so
+    * this is a declared rows-only query; the recall/identity/serving
+    * receipts live in Word2VecEmbedderSpec. Parallel float merges make the
+    * exact weights run-dependent — safe here (shape-only contract) and
+    * safe for stores (the fingerprint gates reuse); pass
+    * `trainPartitions=1` where a bit-stable result is itself under test.
+    * Scale shape: training is one MLlib fit (vocabulary-bounded driver
+    * state), embedding is the batched mapPartitions seam, scoring is the
+    * same broadcast-queries pattern as C1.
     */
   def ragTopKW2v(spark: SparkSession, sfDir: String,
-                 nQueries: Int = 5, k: Int = 5): DataFrame = {
+                 nQueries: Int = 5, k: Int = 5,
+                 trainPartitions: Int = 0): DataFrame = {
     VecExprs.register(spark)
     val docs = Tables.documents(spark, sfDir)
     val w2v = graft.Word2VecEmbedder.train(spark, docs,
-      dim = 32, minCount = 2, maxIter = 1)
+      dim = 32, minCount = 2, maxIter = 1, numPartitions = trainPartitions)
     val e = w2v.embedFrame(docs.select("doc_id", "text"), "text", "embedding")
       .select(col("doc_id").as("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < nQueries)

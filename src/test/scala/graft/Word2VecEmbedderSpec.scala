@@ -39,15 +39,20 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
     (40 until 80).map(i => (i.toLong, doc(musicVocab, i)))
   ).toDF("doc_id", "text")
 
-  test("training is deterministic; the fingerprint IS the model identity") {
-    val e1 = Word2VecEmbedder.train(spark, topicCorpus, dim = 16, maxIter = 3)
-    val e2 = Word2VecEmbedder.train(spark, topicCorpus, dim = 16, maxIter = 3)
+  test("single-partition training is deterministic; the fingerprint IS the model identity") {
+    // numPartitions=1 is deliberate HERE and only here: run-stable
+    // fingerprints are the property under test. Default training is
+    // corpus-parallel (see the parallel-training spec below).
+    val e1 = Word2VecEmbedder.train(spark, topicCorpus, dim = 16, maxIter = 3,
+      numPartitions = 1)
+    val e2 = Word2VecEmbedder.train(spark, topicCorpus, dim = 16, maxIter = 3,
+      numPartitions = 1)
     assert(e1.name == e2.name, "same corpus+params must fingerprint identically")
     assert(e1.embedText("spark shuffle").toSeq == e2.embedText("spark shuffle").toSeq)
     // a changed corpus retrains to a DIFFERENT identity
     val e3 = Word2VecEmbedder.train(spark,
       topicCorpus.withColumn("text", concat(col("text"), lit(" extra"))),
-      dim = 16, maxIter = 3)
+      dim = 16, maxIter = 3, numPartitions = 1)
     assert(e3.name != e1.name, "retraining on changed data must change the identity")
     // contract corners: empty and all-OOV texts embed to the zero vector
     assert(e1.embedText("").forall(_ == 0.0))
@@ -137,9 +142,45 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
       assert(rows.forall(r => r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001))
       assert(rows.forall(_.getLong(2) != q), "self-match must be excluded")
     }
-    // determinism: the fixed-seed training makes the whole result stable
-    val again = operators.RagSearch.ragTopKW2v(spark, sf).collect()
-    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // determinism is a property of SINGLE-partition training (parallel
+    // merges sum floats in task order): pin trainPartitions=1 and the
+    // whole result is run-stable
+    val once = operators.RagSearch.ragTopKW2v(spark, sf, trainPartitions = 1).collect()
+    val again = operators.RagSearch.ragTopKW2v(spark, sf, trainPartitions = 1).collect()
+    assert(once.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("PARALLEL training (the default) serves end-to-end through ragQueryAnn") {
+    // the r12 weak flag: numPartitions was pinned to 1, serializing the
+    // skip-gram fit through one partition at any scale. The default is now
+    // spark.defaultParallelism; this spec proves a genuinely multi-shard
+    // fit trains, fingerprints, gates stores, and serves — the learned
+    // structure surviving the parallel merge.
+    assert(spark.sparkContext.defaultParallelism > 1,
+      "spec must actually exercise multi-partition training")
+    val work = Files.createTempDirectory("graft_w2v_par").toString
+    val store = Files.createTempDirectory("graft_w2v_parstore").toString + "/store"
+    val w2v = Word2VecEmbedder.train(spark, topicCorpus, dim = 16, maxIter = 5)
+    assert(w2v.vocabSize == 20, "parallel fit must learn the full 20-word vocab")
+    // the learned structure survives the shard merge: a systems query
+    // routes to systems docs end-to-end through the ANN-served facade
+    val g = Graft.forFrame(spark, topicCorpus, work, dim = 16, embedder = Some(w2v))
+    g.incrementalUpdate(store)
+    val hits = g.ragQueryAnn("executor shuffle stage", topK = 5, nprobe = 4).collect()
+    assert(hits.length == 5)
+    assert(hits.forall(_.getAs[Long]("doc_id") < 40L),
+      s"systems query must hit systems docs on the parallel-trained space: " +
+        s"${hits.map(_.getAs[Long]("doc_id")).mkString(",")}")
+    // identity contract under nondeterminism: whatever fingerprint a
+    // parallel retrain lands on, a MISMATCHED one refuses the warm store —
+    // drift costs a rebuild, never a mixed vector space
+    val w2vDrift = Word2VecEmbedder.train(spark,
+      topicCorpus.withColumn("text", concat(col("text"), lit(" drift"))),
+      dim = 16, maxIter = 5)
+    val work2 = Files.createTempDirectory("graft_w2v_par2").toString
+    val g2 = Graft.forFrame(spark, topicCorpus, work2, dim = 16, embedder = Some(w2vDrift))
+    assert(IndexStore.load(spark, store, g2.meta).isEmpty,
+      "a drifted model fingerprint must refuse the warm store")
   }
 
   test("(c) recall receipts on Word2Vec vectors: IVF and graph vs brute force") {
