@@ -786,14 +786,18 @@ class Graft(spark: SparkSession, sfDir: String,
     * serve): k-means-blocked ε-pairs with the paper's keeper rule —
     * paraphrase-level duplicates that lexical MinHash blocking misses.
     */
-  def findSemanticDuplicates(k: Int = 16, eps: Double = 0.9): DataFrame = {
+  def findSemanticDuplicates(k: Int = 0, eps: Double = 0.9): DataFrame = {
     plans.VecExprs.register(spark)
     // the facade's CACHED index — chunk embedding is the expensive part
     // and must not rerun for a report (train and dedup each materialize
     // the vectors, but both read the cached frame)
     val vecs = chunkVectors(servingIndex)
+    // k<=0 → corpus-derived (expected cluster size pinned so candidate
+    // pair volume stays linear in the chunk count — see semClusterCountFor)
+    val kUse = if (k > 0) k
+               else operators.Dedup.semClusterCountFor(vecs.count())
     val cents = operators.AnnIvf.trainOver(
-      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), kUse)
     operators.Dedup.dedupSemanticOver(vecs, cents, eps)
   }
 

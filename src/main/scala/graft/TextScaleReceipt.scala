@@ -120,6 +120,26 @@ object TextScaleReceipt {
     val (dsirSrc, dsirScaled) = measure(d => run(Pipeline.sampleDsir(spark, d)))
     val (bpeSrc, bpeScaled) = measure(d => run(operators.TextAnalysis.tokenBpe(spark, d)))
     val (semSrc, semScaled) = measure(d => run(Dedup.dedupSemantic(spark, d)))
+    // the derived-k receipt: k grows with the corpus (pow2 steps of
+    // n/TargetVectorsPerSemCluster), so the candidate pair volume Σ|c|²
+    // PER VECTOR must stay bounded as n grows — a fixed k would show
+    // pairs/vec growing linearly with scale. Measured on the actual
+    // trained clustering, not the balanced-cluster idealization.
+    def semStats(d: String): (Long, Int, Double) = {
+      val n = Tables.embeddings(spark, d).count()
+      val k = Dedup.semClusterCountFor(n)
+      val cents = graft.operators.AnnIvf.train(spark, d, k)
+      val sizes = Tables.embeddings(spark, d)
+        .select(col("embedding").cast("array<double>").as("emb"))
+        .filter(col("emb").isNotNull)
+        .withColumn("cid",
+          graft.plans.VecExprs.centroidAssign(col("emb"), cents, useCosine = true))
+        .groupBy("cid").count()
+        .agg(sum(col("count") * col("count")).as("pairs")).head().getLong(0)
+      (n, k, sizes.toDouble / math.max(n, 1L))
+    }
+    val (semNSrc, semKSrc, semPvSrc) = semStats(src)
+    val (semNScaled, semKScaled, semPvScaled) = semStats(dir)
     // the crawl-to-shards capstone end to end (dedup + gates + sample +
     // pack + shard write + ledger) — the whole-pipeline scaling number
     val (buildSrc, buildScaled) = {
@@ -155,6 +175,8 @@ object TextScaleReceipt {
         s""""token_bpe_ratio":${ratio(bpeSrc, bpeScaled)},""" +
         s""""dedup_semantic_src_sec":${r(semSrc)},"dedup_semantic_scaled_sec":${r(semScaled)},""" +
         s""""dedup_semantic_ratio":${ratio(semSrc, semScaled)},""" +
+        s""""sem_n_src":$semNSrc,"sem_k_src":$semKSrc,"sem_pairs_per_vec_src":${r(semPvSrc)},""" +
+        s""""sem_n_scaled":$semNScaled,"sem_k_scaled":$semKScaled,"sem_pairs_per_vec_scaled":${r(semPvScaled)},""" +
         s""""build_training_set_src_sec":${r(buildSrc)},"build_training_set_scaled_sec":${r(buildScaled)},""" +
         s""""build_training_set_ratio":${ratio(buildSrc, buildScaled)}}""")
     spark.stop()

@@ -188,6 +188,19 @@ private[graft] object AnnStore {
     * that could recompute it). Untracked pins — a concurrent serving
     * call's checkpoint, a facade cache — are never touched.
     */
+  /** Scope-aware checkpoint for operators that RETURN lazy frames: inside
+    * a [[releasingPinned]] scope the materialization is tracked and
+    * released with the scope (the pipeline shape — buildTrainingSet fully
+    * consumes before its scope closes); with NO scope active the frame is
+    * returned unmaterialized, trading a replayed scan for not pinning a
+    * block per invocation that nobody can ever release (the accretion
+    * class the r12 ADVICE named for sampleDsir/dedupSemantic). At corpus
+    * scale the no-pin branch is also the right default on its own terms:
+    * localCheckpoint of a corpus-sized frame fills executor storage.
+    */
+  private[graft] def scopedCheckpoint(df: DataFrame): DataFrame =
+    if (pinScope.get() != null) trackedCheckpoint(df) else df
+
   private[graft] def releasingPinned[T](spark: SparkSession)(body: => T): T = {
     val outer = pinScope.get()
     val scope = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]

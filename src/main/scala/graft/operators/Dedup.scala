@@ -462,30 +462,59 @@ object Dedup {
     * the exact B5 pair set is receipted in the spec.
     *
     * 100 TB shape: centroids are a k×dim broadcast (assignment is
-    * scan-side, codegen'd); the pair join shuffles by cluster id with
+    * scan-side, codegen'd, the matrix rides as a compiled-plan reference
+    * object — never a literal); the pair join shuffles by cluster id with
     * AQE handling skewed clusters; nothing driver-side beyond the k-row
-    * centroid matrix.
+    * centroid matrix. k is corpus-DERIVED by default ([[semClusterCountFor]]):
+    * a fixed k makes per-cluster size n/k grow linearly with the corpus and
+    * the candidate pair volume Σ|cluster|² ≈ n²/k grow quadratically — the
+    * derived rule pins expected cluster size to ~[[TargetVectorsPerSemCluster]]
+    * so candidate volume stays LINEAR in n (the paper's own regime: SemDeDup
+    * on LAION-440M used 50k clusters ≈ 9k vectors/cluster).
     */
-  def dedupSemantic(spark: SparkSession, sfDir: String, k: Int = 16,
+  def dedupSemantic(spark: SparkSession, sfDir: String, k: Int = 0,
                     eps: Double = 0.30): DataFrame = {
     VecExprs.register(spark)
-    val centroids = AnnIvf.train(spark, sfDir, k)
+    val kUse = if (k > 0) k
+               else semClusterCountFor(Tables.embeddings(spark, sfDir).count())
+    val centroids = AnnIvf.train(spark, sfDir, kUse)
     dedupSemanticOver(Tables.embeddings(spark, sfDir), centroids, eps)
+  }
+
+  /** SemDeDup cluster-count rule: expected cluster size pinned to
+    * ~[[TargetVectorsPerSemCluster]] vectors, pow2-stepped so incremental
+    * corpus growth doesn't re-cluster on every batch (same discipline as
+    * AnnPq.bucketCountFor). Floor [[MinSemClusters]] keeps test-scale
+    * corpora from degenerating to one block; cap [[MaxSemClusters]] keeps
+    * the centroid matrix broadcast-bounded (2^16 × dim64 doubles = 33 MB) —
+    * past the cap cluster size grows again, which is the declared handoff
+    * point to hierarchical clustering.
+    */
+  private[graft] val MinSemClusters = 16
+  private[graft] val MaxSemClusters = 1 << 16
+  private[graft] val TargetVectorsPerSemCluster = 1024L
+
+  private[graft] def semClusterCountFor(n: Long): Int = {
+    val want = math.max(1L,
+      (n + TargetVectorsPerSemCluster - 1) / TargetVectorsPerSemCluster)
+    val pow2 = java.lang.Long.highestOneBit(want * 2 - 1)
+    math.min(MaxSemClusters.toLong, math.max(MinSemClusters.toLong, pow2)).toInt
   }
 
   def dedupSemanticOver(e0: DataFrame, centroids: Array[Array[Double]],
                         eps: Double): DataFrame = {
-    val matrix = typedlit(centroids.map(_.toSeq).toSeq)
-    // localCheckpoint: the assigned frame feeds BOTH self-join sides and
-    // the final survivor join — without it each reference replays the
-    // scan + centroid assignment (same discipline as dedup_spans)
-    val e = e0
+    // scope-aware checkpoint: the assigned frame feeds BOTH self-join
+    // sides and the final survivor join. Inside a releasingPinned pipeline
+    // the materialization is tracked and released with the scope; a
+    // standalone lazy call replays the (scan-side, codegen'd) assignment
+    // per reference instead of pinning an unreleasable block per
+    // invocation — the r12 ADVICE accretion class
+    val e = AnnStore.scopedCheckpoint(e0
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .filter(col("emb").isNotNull)
       .withColumn("cid", VecExprs.centroidAssign(col("emb"), centroids, useCosine = true))
       .withColumn("centroid_sim",
-        VecExprs.cosineSim(col("emb"), element_at(matrix, col("cid") + 1)))
-      .localCheckpoint()
+        VecExprs.centroidSim(col("emb"), col("cid"), centroids)))
     val a = e.select(col("cid"), col("vec_id").as("a_id"),
       col("emb").as("a_emb"), col("centroid_sim").as("a_csim"))
     val b = e.select(col("cid"), col("vec_id").as("b_id"),

@@ -250,14 +250,21 @@ object Pipeline {
     dsirStatsFrom(dsirFeats(docs, targetPred, buckets), buckets)
 
   private def dsirStatsFrom(feats: DataFrame, buckets: Int): DataFrame = {
-    // localCheckpoint the ≤`buckets`-row aggregate: dist, totals, and the
-    // sentinel each read it, and without materialization every reader
-    // replays the corpus-scale feats pass (the .explain showed 3 extra
-    // full exchanges) — one pass, ≤512 stored rows
+    // the grouped stats are ≤`buckets` rows: materialize the corpus-scale
+    // feats pass ONCE into a bounded driver-side local relation (the same
+    // ≤512-row bound dsirSnapshot's collect already rides) — dist, totals,
+    // and the sentinel each read it, and the previous localCheckpoint here
+    // pinned an unreleasable executor block per invocation (the r12 ADVICE
+    // accretion class); a LocalRelation needs no storage and broadcasts
+    // directly
+    val spark = feats.sparkSession
+    import spark.implicits._
     val stats = feats.groupBy(col("f"))
       .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
         sum(when(!col("is_target"), col("c")).otherwise(0L)).as("qc"))
-      .localCheckpoint()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("f", "tc", "qc")
     val totals = stats.agg(sum(col("tc")).as("tt"), sum(col("qc")).as("qt"))
     val dist = stats.crossJoin(broadcast(totals))
       .select(col("f"),
@@ -304,10 +311,10 @@ object Pipeline {
     val feats = dsirFeats(docs, targetPred, buckets)
     // candidate scores (the sentinel row never matches a real bucket id),
     // then the deterministic Gumbel-top-k. Two corpus passes total: the
-    // stats side materializes once inside dsirStatsFrom's checkpoint,
-    // the scored side is this plan's own feats evaluation — the eager
-    // checkpoint severs exchange sharing, which is the accepted trade
-    // for not replaying feats once per stats READER
+    // stats side materializes once into dsirStatsFrom's bounded local
+    // relation, the scored side is this plan's own feats evaluation — the
+    // eager materialization severs exchange sharing, which is the accepted
+    // trade for not replaying feats once per stats READER
     val scored = feats.filter(!col("is_target"))
       .join(broadcast(dsirStatsFrom(feats, buckets)), "f")
       .groupBy(col("doc_id"))

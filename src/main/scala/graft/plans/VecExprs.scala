@@ -178,6 +178,42 @@ object VecExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Cosine of a vector against centroid `cid` of an embedded codebook —
+    * the companion of [[CentroidAssign]] for consumers that need the
+    * similarity itself (SemDeDup's keeper rule). Same discipline: the
+    * codebook is a compiled-plan reference object, never a literal matrix
+    * — a corpus-derived k (thousands of centroids at scale) as a typedlit
+    * would bloat every serialized task with the k×dim array tree.
+    */
+  def centroidSimEval(arr: ArrayData, cid: Int, cents: Array[Array[Double]]): Double = {
+    if (cid < 0 || cid >= cents.length) return 0.0
+    val cent = cents(cid)
+    val m = math.min(arr.numElements(), cent.length)
+    var dot = 0.0; var na = 0.0; var nc = 0.0
+    var i = 0
+    while (i < m) {
+      val x = arr.getDouble(i)
+      dot += x * cent(i); na += x * x; nc += cent(i) * cent(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nc) + 1e-10)
+  }
+
+  /** cosine(vec, cents(cid)) over a double-array column + centroid-id column. */
+  case class CentroidSim(left: Expression, right: Expression,
+                         cents: Array[Array[Double]]) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any, cid: Any): Any =
+      centroidSimEval(v.asInstanceOf[ArrayData], cid.asInstanceOf[Int], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simCents", cents, "double[][]")
+      defineCodeGen(ctx, ev,
+        (v, cid) => s"graft.plans.VecExprs.centroidSimEval($v, $cid, $ref)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Per-subspace argmin-L2 centroid id: (subvector, subspace id) → code. */
   case class PqAssign(left: Expression, right: Expression,
                       books: Array[Array[Array[Double]]]) extends BinaryExpression {
@@ -198,6 +234,8 @@ object VecExprs {
     */
   def centroidAssign(vec: Column, cents: Array[Array[Double]], useCosine: Boolean): Column =
     toColumn(CentroidAssign(toExpr(vec), cents, useCosine))
+  def centroidSim(vec: Column, cid: Column, cents: Array[Array[Double]]): Column =
+    toColumn(CentroidSim(toExpr(vec), toExpr(cid), cents))
   def pqAssign(sub: Column, j: Column, books: Array[Array[Array[Double]]]): Column =
     toColumn(PqAssign(toExpr(sub), toExpr(j), books))
 

@@ -475,6 +475,80 @@ class PipelineSpec extends SparkSpecBase {
     corpus.unpersist()
   }
 
+  test("dedup_semantic derived k: cluster count grows with the corpus, candidate volume stays linear") {
+    import graft.operators.{AnnIvf, Dedup}
+    import graft.plans.VecExprs
+    // the RULE: pow2 steps of n/Target, floored and capped. k ≥ ⌈n/Target⌉
+    // ⇒ expected cluster size n/k ≤ Target ⇒ balanced candidate volume
+    // Σ|c|² ≈ n·(n/k) ≤ Target·n — LINEAR in n, where any fixed k is
+    // quadratic. (SemDeDup's published regime: LAION-440M at 50k clusters.)
+    assert(Dedup.semClusterCountFor(0) == Dedup.MinSemClusters)
+    assert(Dedup.semClusterCountFor(500) == Dedup.MinSemClusters)
+    var prev = 0
+    for (n <- Seq(1L, 1000L, 20000L, 300000L, 5000000L, 80000000L, 1000000000L)) {
+      val k = Dedup.semClusterCountFor(n)
+      assert(Integer.bitCount(k) == 1, s"k=$k must be a power of two")
+      assert(k >= prev, "k must be monotone in n")
+      assert(k <= Dedup.MaxSemClusters)
+      if (n >= Dedup.MinSemClusters * Dedup.TargetVectorsPerSemCluster &&
+          k < Dedup.MaxSemClusters)
+        assert(n.toDouble / k <= Dedup.TargetVectorsPerSemCluster,
+          s"expected cluster size ${n / k} exceeds target at n=$n k=$k")
+      prev = k
+    }
+    // the RECEIPT on real clusterings: 4× the vectors under the derived k
+    // must NOT 4× the per-vector candidate load (a fixed k would). Points
+    // are deterministic pseudo-random directions; k-means is the actual
+    // trained blocking, so measured Σ|c|² includes real skew, not the
+    // balanced idealization.
+    def corpus(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 4).map(j =>
+        sin(col("id") * lit(0.7368 + j * 0.211) + lit(j * 1.13))): _*).as("emb"))
+    def pairsPerVec(n: Long): (Int, Double) = {
+      val k = Dedup.semClusterCountFor(n)
+      val cents = AnnIvf.trainOver(corpus(n), k)
+      val sumSq = corpus(n)
+        .withColumn("cid", VecExprs.centroidAssign(col("emb"), cents, useCosine = true))
+        .groupBy("cid").count()
+        .agg(sum(col("count") * col("count"))).head().getLong(0)
+      (k, sumSq.toDouble / n)
+    }
+    val (k1, pv1) = pairsPerVec(16384L)
+    val (k2, pv2) = pairsPerVec(65536L)
+    assert(k2 > k1, s"derived k must grow with n: $k1 -> $k2")
+    // bounded per-vector candidate load at BOTH sizes (8× headroom over
+    // the balanced value covers k-means skew), and no blow-up across the
+    // 4× growth — the linearity the derivation exists to buy
+    val bound = 8.0 * Dedup.TargetVectorsPerSemCluster
+    assert(pv1 <= bound && pv2 <= bound, s"pairs/vec $pv1, $pv2 vs bound $bound")
+    assert(pv2 <= 3.0 * pv1, s"candidate load grew super-linearly: $pv1 -> $pv2")
+  }
+
+  test("dedup_semantic/sample_dsir standalone calls pin nothing; in-scope checkpoints release") {
+    import graft.operators.{AnnStore, Dedup, Pipeline}
+    // the r12 ADVICE accretion class: a long-lived session invoking these
+    // repeatedly must not accrete unreleasable pinned blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.dedupSemantic(spark, sf).count()
+    Pipeline.sampleDsir(spark, sf).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"standalone calls pinned blocks: $leaked")
+    // inside a releasingPinned scope the operator DOES checkpoint (the
+    // pipeline shape), and the scope releases it on exit
+    import spark.implicits._
+    val vecs = (0L until 64L).map(i => (i, Array(math.sin(i * 0.7), math.cos(i * 1.3))))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    var pinnedInside = 0
+    AnnStore.releasingPinned(spark) {
+      Dedup.dedupSemanticOver(vecs, cents, eps = 0.3).count()
+      pinnedInside = (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    }
+    assert(pinnedInside >= 1, "in-scope call must materialize via tracked checkpoint")
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"scope exit must release: $after")
+  }
+
   test("buildTrainingSet: end-to-end crawl-to-shards with a faithful ledger") {
     val g = new Graft(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_trainset").toString
