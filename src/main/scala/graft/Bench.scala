@@ -52,7 +52,9 @@ object Bench {
     def medianOf(samples: Seq[Double]): Double =
       if (samples.length % 2 == 1) samples(samples.length / 2)
       else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // benchQueries: queries, minus oracle-fixture costs that would time
+    // the test harness instead of the operator (see SparkEntry.benchQueries)
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (!coldOnly)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       def sample(): Double = {

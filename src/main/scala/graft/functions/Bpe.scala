@@ -172,12 +172,17 @@ object Bpe {
 
   /** BPE symbol stream of a text column under a fixed merge table —
     * codegen'd via an object reference so the surrounding operator stays
-    * in one WholeStageCodegen span.
+    * in one WholeStageCodegen span. The merge table is an IndexedSeq, NOT
+    * an Array: case-class equality on an Array is by reference, so two
+    * expressions built from the same table would never compare equal —
+    * semanticEquals/canonicalization would fail and Spark would miss
+    * common-subexpression elimination and exchange reuse whenever the
+    * tokenizer column is referenced more than once in a plan.
     */
-  case class BpeTokens(child: Expression, merges: Array[(String, String)])
+  case class BpeTokens(child: Expression, merges: IndexedSeq[(String, String)])
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    @transient private lazy val ranks = ranksOf(merges)
+    @transient private lazy val ranks = ranksOf(merges.toArray)
     override def nullSafeEval(input: Any): Any =
       encodeEval(input.asInstanceOf[UTF8String], ranks)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -192,7 +197,8 @@ object Bpe {
 
   def bpeTokens(text: Column, merges: Array[(String, String)]): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
-      BpeTokens(org.apache.spark.sql.GraftSqlBridge.expression(text), merges))
+      BpeTokens(org.apache.spark.sql.GraftSqlBridge.expression(text),
+        merges.toIndexedSeq))
 
   /** Content fingerprint of a merge table — the model identity, same role
     * as the Word2Vec table fingerprint: training artifacts that hash

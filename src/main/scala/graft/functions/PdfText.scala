@@ -1068,9 +1068,31 @@ object PdfText {
     case _ => None
   }
 
-  private val EncInlineRe = "(?s)/Encoding\\s*<<(.*?)>>".r
+  private val EncInlineOpenRe = "/Encoding\\s*<<".r
   private val EncIndirectRe = "/Encoding\\s+(\\d+)\\s+\\d+\\s+R".r
   private val EncNameRe = "/Encoding\\s*/([A-Za-z]+)".r
+
+  /** Balanced extraction of an inline `/Encoding <<…>>` dictionary BODY.
+    * A non-greedy regex would stop at the FIRST `>>`, so an /Encoding
+    * dictionary containing a nested dictionary value would be truncated
+    * there and the tail of its /Differences array silently dropped
+    * (real-world writers do nest; the fixtures never did — r12 ADVICE).
+    * Unbalanced input (`<<` never closed) yields None → the name/indirect
+    * fallbacks, never a half-read map.
+    */
+  private def encInlineDict(fontBody: String): Option[String] =
+    EncInlineOpenRe.findFirstMatchIn(fontBody).flatMap { m =>
+      val start = m.end // just past the opening '<<'
+      val n = fontBody.length
+      var depth = 1
+      var i = start
+      while (i < n && depth > 0) {
+        if (fontBody.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (fontBody.startsWith(">>", i)) { depth -= 1; i += 2 }
+        else i += 1
+      }
+      if (depth == 0) Some(fontBody.substring(start, i - 2)) else None
+    }
 
   /** A simple font's `/Encoding` entry as a 1-byte decoder (r12 — glyph
     * maps without ToUnicode, the reference's pdf-parse envelope): a bare
@@ -1086,7 +1108,7 @@ object PdfText {
   private def parseSimpleEncoding(fontBody: String,
                                   objectBody: Int => Option[String]): Option[CidFont] = {
     val dictText: Option[String] =
-      EncInlineRe.findFirstMatchIn(fontBody).map(_.group(1))
+      encInlineDict(fontBody)
         .orElse(EncIndirectRe.findFirstMatchIn(fontBody).flatMap(m =>
           scala.util.Try(m.group(1).toInt).toOption.flatMap(objectBody)))
     dictText match {

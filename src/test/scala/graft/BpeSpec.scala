@@ -68,6 +68,23 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.encodeWord("今天天气很好", ranks).length < 6)
   }
 
+  test("two BpeTokens from the same merge table are semantically equal (CSE/exchange reuse)") {
+    // r12 ADVICE: with the table as an Array, case-class equality was by
+    // reference — two expressions built from the same merges never compared
+    // equal, so canonicalization missed common-subexpression elimination
+    // whenever the tokenizer column appeared twice in a plan
+    // a resolved child isolates the fixed field (an unresolved Column's
+    // node carries a stack-trace Origin that never compares equal — a
+    // harness artifact the analyzer erases in real plans)
+    val child = org.apache.spark.sql.catalyst.expressions.Literal.create("a b c")
+    val merges = Array(("a", "b"), ("ab", "c"))
+    def expr(m: Array[(String, String)]) = Bpe.BpeTokens(child, m.toIndexedSeq)
+    assert(expr(merges).semanticEquals(expr(merges.clone())),
+      "same merge table must canonicalize equal")
+    assert(!expr(merges).semanticEquals(expr(Array(("a", "b")))),
+      "different merge tables must not compare equal")
+  }
+
   test("corpus training is deterministic and partition-count invariant") {
     val docs = Tables.documents(spark, sf)
     val a = Bpe.trainOver(docs, nMerges = 50, vocabLimit = 2000)

@@ -574,6 +574,19 @@ end
       expected.exceptAll(got).count() == 0)
   }
 
+  test("lean bench rotation: same round-trip identity over its 5 non-crypto forms") {
+    // the bench-only subset must stay a REAL end-to-end decode — identical
+    // contract to the full rotation, minus the deliberately-slow crypto
+    // forms whose cost is the oracle fixture's, not the parser's
+    val out = Multimodal.pdfRoundTrip(spark, sf, lean = true)
+    assert(out.filter(!col("is_pdf") || col("n_pages") =!= 1).count() == 0)
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), trim(Multimodal.asciiSanitize(col("text"))).as("text"))
+    val got = out.select(col("doc_id"), col("text"))
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0)
+  }
+
   // ---- simple-font /Encoding glyph maps (r12 — no ToUnicode anywhere) ----
 
   test("simple font /Differences: bytes are only recoverable via the glyph map") {
@@ -612,6 +625,39 @@ end
         "/Differences[65 /eacute /NoSuchGlyph 67 /uni2603]>>>>endobj\n" +
         "trailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
     assert(PdfText.extract(doc).get.text == "é☃D")
+  }
+
+  test("inline /Encoding with a NESTED dictionary value keeps its /Differences tail") {
+    // r12 ADVICE: the old non-greedy regex stopped at the FIRST '>>' — a
+    // nested dict value (here a harmless /Metadata sub-dict ahead of the
+    // real entries) truncated the body and silently dropped /BaseEncoding
+    // and the whole /Differences array. The brace-balance scan keeps them.
+    val content = "BT /F1 12 Tf (ABCD) Tj ET"
+    val doc =
+      ("%PDF-1.4\n" +
+        "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+        "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+        "3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>endobj\n" +
+        s"4 0 obj<</Length ${content.length}>>stream\n$content\nendstream endobj\n" +
+        "5 0 obj<</Type/Font/Subtype/TrueType/BaseFont/Arial" +
+        "/Encoding<</Type/Encoding/Metadata<</Writer<</V 2>>/Q 1>>" +
+        "/BaseEncoding/WinAnsiEncoding" +
+        "/Differences[65 /eacute /NoSuchGlyph 67 /uni2603]>>>>endobj\n" +
+        "trailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfText.extract(doc).get.text == "é☃D")
+    // unbalanced inline dict (writer bug): degrade to the fallbacks, never
+    // a half-read map — here no fallback exists, so the raw read stands
+    val broken =
+      ("%PDF-1.4\n" +
+        "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+        "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+        "3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>endobj\n" +
+        s"4 0 obj<</Length ${content.length}>>stream\n$content\nendstream endobj\n" +
+        "5 0 obj<</Type/Font/Subtype/TrueType/BaseFont/Arial" +
+        "/Encoding<</Type/Encoding/Metadata<</V 2/Differences[65 /eacute]" +
+        ">>endobj\n" +
+        "trailer<</Root 1 0 R>>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfText.extract(broken).get.text == "ABCD")
   }
 
   test("MacRomanEncoding differs from WinAnsi where the tables differ") {
