@@ -389,9 +389,60 @@ private[graft] object AnnStore {
               throw new java.io.IOException(
                 s"healCompacted: cannot restore $live from backup")
           } else if (destructive) fs.delete(st.getPath, true)
+        } else if (st.isDirectory && name.startsWith("cid=") && destructive) {
+          // in-place swap markers (the r13 protocol) — maintenance-only:
+          // a serve never needs this heal for completeness (mid-crash
+          // states are supersets, never missing rows), and touching an
+          // in-flight compactor's markers from a reader would race it
+          healSwapMarkers(fs, st.getPath)
         }
       }
     }
+  }
+
+  private val SwapMarkerRe = "\\.graftcompact-([0-9a-f]+)\\.(intent|committed)".r
+
+  /** Resolve a crashed in-place swap from its markers. `.committed` rolls
+    * FORWARD (the run's new files were all visible when it was written —
+    * delete every visible file not of that run); `.intent` without a
+    * commit rolls BACK (the old set is still complete — delete the run's
+    * temp and visible files). Both markers present means the crash fell
+    * between the commit write and the intent delete: forward wins.
+    */
+  private def healSwapMarkers(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: Path): Unit = {
+    val entries = fs.listStatus(dir)
+    val marks = entries.flatMap(e => e.getPath.getName match {
+      case SwapMarkerRe(run, kind) => Some((run, kind, e.getPath))
+      case _ => None
+    })
+    if (marks.isEmpty) return
+    val committed = marks.filter(_._2 == "committed").map(_._1).distinct
+    // the protocol heals at every compaction entry, so two interrupted
+    // runs can never stack; refusing the impossible state beats guessing
+    // which of two "complete" sets to keep
+    if (committed.length > 1)
+      throw new java.io.IOException(
+        s"healSwapMarkers: multiple committed swaps in $dir: ${committed.mkString(",")}")
+    committed.headOption match {
+      case Some(run) =>
+        entries.foreach { e =>
+          val n = e.getPath.getName
+          val keep = n.startsWith(s"graftcompact-$run-")
+          val hidden = n.startsWith(".") || n.startsWith("_")
+          if (e.isFile && !hidden && !keep) fs.delete(e.getPath, false)
+        }
+      case None =>
+        marks.filter(_._2 == "intent").map(_._1).distinct.foreach { run =>
+          entries.foreach { e =>
+            val n = e.getPath.getName
+            if (n.startsWith(s".graftcompact-$run-") ||
+                n.startsWith(s"graftcompact-$run-"))
+              fs.delete(e.getPath, false)
+          }
+        }
+    }
+    marks.foreach(m => fs.delete(m._3, false))
   }
 
 
@@ -408,27 +459,32 @@ private[graft] object AnnStore {
     * against the serve path), manifest untouched (the manifest fingerprints
     * the CORPUS, not the index files).
     *
-    * Crash safety: single-writer like all maintenance here. Staging and
-    * backup live under DOT-prefixed siblings (`.cid=N.compacting` /
-    * `.cid=N.backup`) — partition discovery ignores dot-paths, so a crash
-    * can never leave a malformed `cid=` dir that breaks the store's reads.
-    * The heal sweep at the START of the next compaction restores a backup
-    * whose live partition vanished mid-swap and clears stale staging.
+    * Crash safety AND reader atomicity (r13 — closes the r12 declared
+    * window): the swap is IN-PLACE with superset visibility, never a
+    * partition-dir rename. Compacted files are staged under a dot-dir,
+    * moved into the LIVE partition dir under dot-temp names (invisible to
+    * Spark's listing convention), flipped visible one rename at a time,
+    * and only then are the old part files deleted. The listing invariant
+    * at EVERY instant: the visible file set contains at least one
+    * complete copy of the partition's rows — old stays complete until the
+    * new set is fully visible, new is complete before the first old
+    * delete. A concurrent serve can therefore never MISS a cell's rows;
+    * mid-swap it may transiently see some rows twice (at-least-once), the
+    * strictly weaker failure mode. Run compaction from the maintenance
+    * process that owns refreshes; a deployment needing exactly-once reads
+    * under concurrent compaction still wants a table format with an
+    * atomic-commit log (Iceberg/Delta).
     *
-    * DECLARED RESIDUAL WINDOW (concurrent reads): between the two renames
-    * of a cell's swap, a serve that lists the vectors dir in exactly that
-    * instant sees no `cid=N` and silently misses that cell's rows.
-    * heal-at-entry narrows the window to the two-rename span (~ms per
-    * compacted cell) but cannot close it — a plain filesystem has no
-    * atomic multi-file swap, and the alternatives are strictly worse: new
-    * files landed beside old ones double-count rows, and per-file rename
-    * sequences widen the missing-rows span from 2 renames to N. This is
-    * the documented single-writer/snapshot-reader contract: run
-    * compaction from the maintenance process that owns refreshes, not
-    * concurrently with serving; a deployment needing true snapshot
-    * isolation under concurrent compaction should hold the vectors table
-    * in a table format with an atomic-commit log (Iceberg/Delta), which
-    * swaps this layout's directory listing for a manifest pointer.
+    * Crash heal is decided by two dot markers in the partition dir:
+    * `.graftcompact-<run>.intent` (created before any live-dir mutation,
+    * removed after the commit point) rolls BACK — the old set is still
+    * complete, so the run's temp and visible files are deleted;
+    * `.graftcompact-<run>.committed` (created once every new file is
+    * visible) rolls FORWARD — the new set is complete, so every visible
+    * file not of that run is deleted. Both present (crash between the two
+    * marker writes) means the new set was fully visible: forward wins.
+    * Partition discovery ignores dot-paths throughout, so no crash state
+    * malforms the store's reads.
     * Returns one row per subdir: units compacted, files before/after.
     */
   private[graft] def compactIndex(spark: SparkSession, path: String,
@@ -455,22 +511,42 @@ private[graft] object AnnStore {
             units += 1
             val name = st.getPath.getName
             val staging = new Path(root, s".$name.compacting")
-            val backup = new Path(root, s".$name.backup")
             if (fs.exists(staging)) fs.delete(staging, true)
             // partition-dir read: schema is the payload WITHOUT cid, which
             // is exactly what partitioned part files store — written back
             // as-is, the layout is indistinguishable from a fresh build
             spark.read.parquet(st.getPath.toString)
               .coalesce(want).write.parquet(staging.toString)
-            if (fs.exists(backup)) fs.delete(backup, true)
-            if (!fs.rename(st.getPath, backup))
-              throw new java.io.IOException(s"compactIndex: cannot move $name aside")
-            if (!fs.rename(staging, st.getPath)) {
-              val restored = fs.rename(backup, st.getPath)
-              throw new java.io.IOException(s"compactIndex: swap failed for $name" +
-                (if (restored) " (original restored)" else s" — original at $backup"))
+            val run = java.util.UUID.randomUUID().toString.take(8)
+            val intent = new Path(st.getPath, s".graftcompact-$run.intent")
+            val committed = new Path(st.getPath, s".graftcompact-$run.committed")
+            fs.create(intent, true).close()
+            // 1. staged files into the LIVE dir under dot-temp names —
+            //    invisible to listings; readers still see the complete old set
+            val staged = fs.listStatus(staging).filter(f => f.isFile && {
+              val n = f.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            })
+            val flips = staged.zipWithIndex.map { case (f, i) =>
+              val tmp = new Path(st.getPath, s".graftcompact-$run-$i.tmp")
+              if (!fs.rename(f.getPath, tmp))
+                throw new java.io.IOException(s"compactIndex: cannot stage into $name")
+              (tmp, new Path(st.getPath, s"graftcompact-$run-$i.parquet"))
             }
-            fs.delete(backup, true)
+            // 2. flip visible one at a time — readers see the complete old
+            //    set plus a growing subset of the new (never missing rows)
+            flips.foreach { case (tmp, vis) =>
+              if (!fs.rename(tmp, vis))
+                throw new java.io.IOException(s"compactIndex: flip failed in $name")
+            }
+            // 2.5 commit point: from here heal rolls FORWARD
+            fs.create(committed, true).close()
+            fs.delete(intent, false)
+            // 3. retire the old files — readers see the complete new set
+            //    plus a shrinking subset of the old
+            files.foreach(f => fs.delete(f.getPath, false))
+            fs.delete(committed, false)
+            fs.delete(staging, true)
             after += want
           } else after += files.length
         }

@@ -193,6 +193,81 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(spark.read.parquet(pqIdx + "/codes").collect().map(_.toSeq).toSet == pqRows)
   }
 
+  test("compaction swap is reader-atomic: every protocol state lists a complete row set; heal converges") {
+    import org.apache.hadoop.fs.FileUtil
+    val dir = copyCorpus()
+    val root = Files.createTempDirectory("graft_compact_atomic").toString
+    val idx = root + "/idx"
+    AnnIvf.ensureIvfIndex(spark, dir, idx)
+    val vectors = idx + "/vectors"
+    val expected = spark.read.parquet(vectors).collect().map(_.toSeq).toSet
+    val part = fs.listStatus(new Path(vectors))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid=")).head.getPath
+    val conf = spark.sparkContext.hadoopConfiguration
+    def partFiles() = fs.listStatus(part).filter(f => f.isFile && {
+      val n = f.getPath.getName; !n.startsWith(".") && !n.startsWith("_")
+    })
+    def readSet() = spark.read.parquet(vectors).collect().map(_.toSeq).toSet
+    def readCount() = spark.read.parquet(vectors).count()
+    val run = "deadbeef"
+    val old = partFiles()
+    val nRows = readCount()
+    // the "new set" is a same-rows copy of the cell (what a real compaction
+    // stages); its files land under the protocol's names
+    def stage(visible: Boolean): Unit = old.zipWithIndex.foreach { case (f, i) =>
+      val name = if (visible) s"graftcompact-$run-$i.parquet"
+                 else s".graftcompact-$run-$i.tmp"
+      FileUtil.copy(fs, f.getPath, fs, new Path(part, name), false, conf)
+    }
+    def marker(kind: String): Path = {
+      val p = new Path(part, s".graftcompact-$run.$kind")
+      fs.create(p, true).close(); p
+    }
+    // STATE 1 — intent written, new files still dot-temps: a listing sees
+    // exactly the complete old set (temps are invisible)
+    marker("intent"); stage(visible = false)
+    assert(readSet() == expected && readCount() == nRows)
+    // heal rolls BACK: temps and marker gone, old set untouched
+    AnnStore.healCompacted(spark, idx, Seq("vectors"), destructive = true)
+    assert(readSet() == expected && readCount() == nRows)
+    assert(fs.listStatus(part).forall(f => !f.getPath.getName.contains("graftcompact")))
+    // STATE 2 — intent + new files flipped VISIBLE: a listing sees a
+    // SUPERSET (old complete + duplicates), never missing rows
+    marker("intent"); stage(visible = true)
+    assert(readSet() == expected, "distinct rows must still be the complete set")
+    assert(readCount() > nRows, "mid-swap duplicates are the declared transient")
+    AnnStore.healCompacted(spark, idx, Seq("vectors"), destructive = true)
+    assert(readSet() == expected && readCount() == nRows)
+    // STATE 3 — committed (intent gone), old files not yet deleted: heal
+    // rolls FORWARD to exactly the new set
+    stage(visible = true); marker("committed")
+    assert(readSet() == expected && readCount() > nRows)
+    AnnStore.healCompacted(spark, idx, Seq("vectors"), destructive = true)
+    assert(readSet() == expected && readCount() == nRows)
+    assert(partFiles().forall(_.getPath.getName.startsWith(s"graftcompact-$run-")),
+      "roll-forward must keep only the committed run's files")
+    // STATE 4 — BOTH markers (crash between commit write and intent
+    // delete): forward wins — the commit proves the new set was complete
+    val old2 = partFiles()
+    old2.zipWithIndex.foreach { case (f, i) =>
+      FileUtil.copy(fs, f.getPath, fs, new Path(part, s"graftcompact-cafe01-$i.parquet"),
+        false, conf)
+    }
+    fs.create(new Path(part, ".graftcompact-cafe01.intent"), true).close()
+    fs.create(new Path(part, ".graftcompact-cafe01.committed"), true).close()
+    AnnStore.healCompacted(spark, idx, Seq("vectors"), destructive = true)
+    assert(readSet() == expected && readCount() == nRows)
+    assert(partFiles().forall(_.getPath.getName.startsWith("graftcompact-cafe01-")))
+    // and a REAL compaction of a fragmented cell leaves rows + serving
+    // identical with no markers or temps behind
+    fragment(part, 6)
+    val served = AnnIvf.annIvfServed(spark, idx).collect().map(_.toSeq).toSeq
+    AnnIvf.compactIvfIndex(spark, idx)
+    assert(readSet() == expected && readCount() == nRows)
+    assert(AnnIvf.annIvfServed(spark, idx).collect().map(_.toSeq).toSeq == served)
+    assert(fs.listStatus(part).forall(f => !f.getPath.getName.startsWith(".")))
+  }
+
   test("graph refresh: affected cells' vectors+edges rebuilt, untouched cells preserved, serving matches") {
     val dir = copyCorpus()
     val root = Files.createTempDirectory("graft_refr_g").toString
