@@ -885,10 +885,12 @@ object PdfText {
             fontNum <- scala.util.Try(m.group(2).toInt).toOption
             body <- objectBody(fontNum)
             font <- {
-              // /ToUnicode wins when both are present (it is the
-              // text-extraction channel by design, ISO 32000-1 §9.10.3);
-              // a simple font with only /Encoding falls back to the
-              // glyph-name map (r12 — the last declared decode gap)
+              // /ToUnicode wins when present (it is the text-extraction
+              // channel by design, ISO 32000-1 §9.10.3); a simple font
+              // with only /Encoding falls back to the glyph-name map
+              // (r12); a font with NEITHER falls back to its embedded
+              // TrueType program's own cmap/post tables (r13 — the
+              // symbolic/subset-font class that closed the envelope)
               val viaCMap = for {
                 cmapNum <- ToUnicodeRe.findFirstMatchIn(body)
                   .flatMap(mm => scala.util.Try(mm.group(1).toInt).toOption)
@@ -896,6 +898,7 @@ object PdfText {
                 f <- parseToUnicodeCMap(payload)
               } yield f
               viaCMap.orElse(parseSimpleEncoding(body, objectBody))
+                .orElse(parseEmbeddedTrueType(body, objectBody, streamContent))
             }
           } table(name) = font
       }
@@ -1151,6 +1154,175 @@ object PdfText {
           .map(CidFont(1, _))
     }
   }
+
+  // ---- embedded TrueType font programs (r13 — the last decode-envelope
+  //      leg: no /ToUnicode, no usable /Encoding, the mapping lives only
+  //      inside the /FontFile2 font program's own `cmap`/`post` tables;
+  //      reference delegates this to pdf-parse, src/pdf-extractor.ts:1-56) ----
+
+  private val FontDescRefRe = "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val FontFile2Re = "/FontFile2\\s+(\\d+)\\s+\\d+\\s+R".r
+
+  /** Decode a simple font through its embedded TrueType program
+    * (ISO 32000-1 §9.6.6.4 + the OpenType `cmap`/`post` table formats):
+    * codes map to glyph ids through the font's (3,0) symbol / (1,0) Mac /
+    * (3,1) Unicode cmap subtables (symbol fonts key at 0xF000|code), and
+    * glyph ids map back to text by inverting the Unicode subtable or via
+    * `post` format-2.0 glyph names through the AGL subset. Anything
+    * unparseable degrades to None (raw read) — never a throw.
+    */
+  private def parseEmbeddedTrueType(fontBody: String,
+                                    objectBody: Int => Option[String],
+                                    streamContent: Int => Option[String]): Option[CidFont] =
+    try {
+      for {
+        dm <- FontDescRefRe.findFirstMatchIn(fontBody)
+        descNum <- scala.util.Try(dm.group(1).toInt).toOption
+        desc <- objectBody(descNum)
+        fm <- FontFile2Re.findFirstMatchIn(desc)
+        ffNum <- scala.util.Try(fm.group(1).toInt).toOption
+        ttf <- streamContent(ffNum)
+        font <- trueTypeCodeMap(ttf)
+      } yield font
+    } catch { case _: Exception => None }
+
+  /** The 1-byte code → text table of a TrueType font program (latin-1
+    * string view of its bytes). Caps mirror MaxCMapEntries: subtable walks
+    * stop at hostile sizes instead of allocating them.
+    */
+  private def trueTypeCodeMap(ttf: String): Option[CidFont] = {
+    val n = ttf.length
+    def u8(i: Int): Int =
+      if (i < 0 || i >= n) throw new IndexOutOfBoundsException(i.toString)
+      else ttf.charAt(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Int = (u16(i) << 16) | u16(i + 2)
+    if (n < 12) return None
+    val numTables = math.min(u16(4), 64)
+    val tables = (0 until numTables).flatMap { k =>
+      val e = 12 + 16 * k
+      if (e + 16 > n) None else Some(ttf.substring(e, e + 4) -> u32(e + 8))
+    }.toMap
+    val cmapOff = tables.getOrElse("cmap", return None)
+    if (cmapOff < 0 || cmapOff + 4 > n) return None
+    val nSub = math.min(u16(cmapOff + 2), 32)
+    val subs: Map[(Int, Int), Int] = (0 until nSub).flatMap { k =>
+      val e = cmapOff + 4 + 8 * k
+      if (e + 8 > n) None
+      else Some((u16(e), u16(e + 2)) -> (cmapOff + u32(e + 4)))
+    }.toMap
+    // one cmap subtable → char code → glyph id (formats 0/4/6/12)
+    def parseSub(off: Int): Map[Int, Int] = try {
+      if (off < 0 || off + 4 > n) return Map.empty
+      val out = scala.collection.mutable.Map.empty[Int, Int]
+      def put(c: Int, g: Int): Unit =
+        if (g != 0 && c != 0xFFFF && out.size < MaxCMapEntries) out(c) = g
+      u16(off) match {
+        case 0 =>
+          for (c <- 0 until 256) put(c, u8(off + 6 + c))
+        case 4 =>
+          val segX2 = u16(off + 6)
+          val seg = segX2 / 2
+          if (seg > 0 && seg <= 8192) {
+            val endA = off + 14
+            val startA = endA + segX2 + 2
+            val deltaA = startA + segX2
+            val rangeA = deltaA + segX2
+            for (i <- 0 until seg) {
+              val endC = u16(endA + 2 * i)
+              val startC = u16(startA + 2 * i)
+              val delta = u16(deltaA + 2 * i)
+              val ro = u16(rangeA + 2 * i)
+              var c = startC
+              while (c <= endC && c < 0x10000 && out.size < MaxCMapEntries) {
+                if (ro == 0) put(c, (c + delta) & 0xFFFF)
+                else {
+                  val addr = rangeA + 2 * i + ro + 2 * (c - startC)
+                  if (addr + 1 < n) {
+                    val g0 = u16(addr)
+                    if (g0 != 0) put(c, (g0 + delta) & 0xFFFF)
+                  }
+                }
+                c += 1
+              }
+            }
+          }
+        case 6 =>
+          val first = u16(off + 6)
+          val cnt = math.min(u16(off + 8), 0x10000)
+          for (k <- 0 until cnt) put(first + k, u16(off + 10 + 2 * k))
+        case 12 =>
+          val nGroups = math.min(u32(off + 12), 0x10000)
+          for (k <- 0 until nGroups) {
+            val e = off + 16 + 12 * k
+            val s = u32(e); val t = u32(e + 4); val g = u32(e + 8)
+            var c = s
+            while (c <= t && c - s < 256 && out.size < MaxCMapEntries) {
+              put(c, g + (c - s)); c += 1
+            }
+          }
+        case _ => ()
+      }
+      out.toMap
+    } catch { case _: Exception => Map.empty }
+    val uniToGid = subs.get((3, 1))
+      .orElse(subs.collectFirst { case ((0, _), o) => o })
+      .map(parseSub).getOrElse(Map.empty)
+    val symGid = subs.get((3, 0)).map(parseSub).getOrElse(Map.empty)
+    val macGid = subs.get((1, 0)).map(parseSub).getOrElse(Map.empty)
+    // glyph → text: invert the Unicode subtable (lowest codepoint wins —
+    // deterministic under double-mapped glyphs), post names fill the rest
+    val gidToUni = scala.collection.mutable.Map.empty[Int, String]
+    uniToGid.toSeq.sortBy(_._1).foreach { case (u, g) =>
+      if (!gidToUni.contains(g) && u != 0xFFFF)
+        gidToUni(g) = new String(Character.toChars(u))
+    }
+    for {
+      (gid, name) <- postGlyphNames(ttf, tables.getOrElse("post", -1))
+      if !gidToUni.contains(gid)
+      s <- glyphToUnicode(name)
+    } gidToUni(gid) = s
+    // the PDF-side read is one byte per code (§9.6.6.4 lookup order:
+    // symbol cmap at 0xF000|code then bare, Mac cmap, Unicode-as-code)
+    val map = (0 to 255).flatMap { c =>
+      symGid.get(0xF000 | c).orElse(symGid.get(c))
+        .orElse(macGid.get(c)).orElse(uniToGid.get(c))
+        .flatMap(gidToUni.get).map(c -> _)
+    }.toMap
+    if (map.isEmpty) None else Some(CidFont(1, map))
+  }
+
+  /** `post` format-2.0 glyph names: indices 0..257 are the standard
+    * Macintosh order (its 3..97 span IS the printable-ASCII spine in code
+    * order — the slice this parser resolves), 258+ index the table's own
+    * Pascal-string names.
+    */
+  private def postGlyphNames(ttf: String, postOff: Int): Seq[(Int, String)] = try {
+    val n = ttf.length
+    def u8(i: Int): Int =
+      if (i < 0 || i >= n) throw new IndexOutOfBoundsException(i.toString)
+      else ttf.charAt(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Int = (u16(i) << 16) | u16(i + 2)
+    if (postOff < 0 || postOff + 34 > n || u32(postOff) != 0x00020000) return Nil
+    val numGlyphs = math.min(u16(postOff + 32), 0x10000)
+    val idxA = postOff + 34
+    if (idxA + 2 * numGlyphs > n) return Nil
+    // the Pascal-string pool, in order, bounded by the table end
+    val custom = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = idxA + 2 * numGlyphs
+    while (p < n && custom.size < numGlyphs) {
+      val len = u8(p)
+      if (p + 1 + len > n) p = n
+      else { custom += ttf.substring(p + 1, p + 1 + len); p += 1 + len }
+    }
+    (0 until numGlyphs).flatMap { gid =>
+      val idx = u16(idxA + 2 * gid)
+      if (idx >= 3 && idx <= 97) Some(gid -> AsciiGlyphNames(idx - 3))
+      else if (idx >= 258 && idx - 258 < custom.size) Some(gid -> custom(idx - 258))
+      else None
+    }
+  } catch { case _: Exception => Nil }
 
   /** Mapping-entry cap: a hostile CMap must not expand into unbounded
     * driver/executor state (64k codes ≫ any real subset font).
@@ -1726,6 +1898,107 @@ object PdfText {
     w(s"5 0 obj<</Type/Font/Subtype/Type1/BaseFont/Helvetica" +
       s"/Encoding $encRef>>endobj\n")
     if (indirectEncoding) w(s"7 0 obj$encodingEntry endobj\n")
+    w("trailer<</Root 1 0 R>>\n%%EOF")
+    out.toByteArray
+  }
+
+  /** A one-page document shown through a symbolic TrueType font whose
+    * mapping lives ONLY inside its embedded /FontFile2 program (r13
+    * fixture for the embedded-font leg): no ToUnicode, no /Encoding. Every
+    * distinct char gets a PRIVATE code (128+k) and a non-trivial glyph id;
+    * the font's (3,0) cmap maps 0xF000|code → gid, and gid maps back to
+    * text through the (3,1) Unicode subtable's inverse (`viaPost = false`)
+    * or through `post` format-2.0 glyph names (`viaPost = true`) — a
+    * reader without the TrueType tables recovers garbage, not the text.
+    * Chars outside printable ASCII become spaces.
+    */
+  def buildTrueTypePdf(text0: String, viaPost: Boolean = false,
+                       flate: Boolean = true): Array[Byte] = {
+    val t = text0.map(ch => if (ch >= 32 && ch <= 126) ch else ' ')
+    val chars = t.distinct.sorted
+    val code = chars.zipWithIndex.map { case (ch, i) => ch -> (128 + i) }.toMap
+    val gid = chars.zipWithIndex.map { case (ch, i) => ch -> (5 + 3 * i) }.toMap
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Int): Array[Byte] = u16((v >> 16) & 0xffff) ++ u16(v & 0xffff)
+    // cmap format-4 subtable: one single-code segment per mapping plus the
+    // required 0xFFFF terminal (delta 1 → maps to gid 0)
+    def format4(m: Seq[(Int, Int)]): Array[Byte] = {
+      val segs = m.sortBy(_._1) :+ (0xFFFF, 0x10000) // terminal: delta 1 → gid 0
+      val sc = segs.length
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(u16(4)); b.write(u16(16 + 8 * sc)); b.write(u16(0))
+      b.write(u16(sc * 2)); b.write(u16(0)); b.write(u16(0)); b.write(u16(0))
+      segs.foreach { case (c, _) => b.write(u16(c)) } // endCode
+      b.write(u16(0)) // reservedPad
+      segs.foreach { case (c, _) => b.write(u16(c)) } // startCode
+      segs.foreach { case (c, g) => b.write(u16((g - c) & 0xFFFF)) } // idDelta
+      segs.foreach(_ => b.write(u16(0))) // idRangeOffset
+      b.toByteArray
+    }
+    val symSub = format4(chars.map(ch => (0xF000 | code(ch), gid(ch))))
+    val uniSub = format4(chars.map(ch => (ch.toInt, gid(ch))))
+    val subList: Seq[((Int, Int), Array[Byte])] =
+      if (viaPost) Seq((3, 0) -> symSub)
+      else Seq((3, 0) -> symSub, (3, 1) -> uniSub)
+    val cmapTable = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(u16(0)); b.write(u16(subList.length))
+      var off = 4 + 8 * subList.length
+      subList.foreach { case ((p, e), body) =>
+        b.write(u16(p)); b.write(u16(e)); b.write(u32(off)); off += body.length
+      }
+      subList.foreach { case (_, body) => b.write(body) }
+      b.toByteArray
+    }
+    val postTable: Option[Array[Byte]] = if (!viaPost) None else Some {
+      val numGlyphs = gid.values.max + 1
+      val byGid = gid.map(_.swap)
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(u32(0x00020000)); b.write(new Array[Byte](28)) // header rest
+      b.write(u16(numGlyphs))
+      val names = chars.map(ch => AsciiGlyphNames(ch - 32))
+      (0 until numGlyphs).foreach { g =>
+        b.write(u16(byGid.get(g).map(ch => 258 + chars.indexOf(ch)).getOrElse(0)))
+      }
+      names.foreach { nm => b.write(nm.length); b.write(nm.getBytes(Latin1)) }
+      b.toByteArray
+    }
+    val ttfTables = Seq("cmap" -> cmapTable) ++ postTable.map("post" -> _)
+    val ttf = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(u32(0x00010000)); b.write(u16(ttfTables.length))
+      b.write(u16(0)); b.write(u16(0)); b.write(u16(0)) // search fields unused
+      var off = 12 + 16 * ttfTables.length
+      ttfTables.foreach { case (tag, body) =>
+        b.write(tag.getBytes(Latin1)); b.write(u32(0)) // checksum unchecked
+        b.write(u32(off)); b.write(u32(body.length))
+        off += body.length
+      }
+      ttfTables.foreach { case (_, body) => b.write(body) }
+      b.toByteArray
+    }
+    val content = ("BT /F1 12 Tf <" +
+      t.map(ch => f"${code(ch)}%02X").mkString + "> Tj ET").getBytes(Latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(Latin1))
+    def stream(id: Int, payload: Array[Byte], compress: Boolean): Unit = {
+      val body = if (compress) deflate(payload) else payload
+      val filter = if (compress) "/Filter/FlateDecode" else ""
+      w(s"$id 0 obj<</Length ${body.length}$filter>>stream\n")
+      out.write(body)
+      w("\nendstream endobj\n")
+    }
+    w("%PDF-1.4\n")
+    w("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")
+    w("2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n")
+    w("3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>" +
+      "/Contents 4 0 R>>endobj\n")
+    stream(4, content, flate)
+    w("5 0 obj<</Type/Font/Subtype/TrueType/BaseFont/GraftTT" +
+      "/FirstChar 128/FontDescriptor 6 0 R>>endobj\n")
+    w("6 0 obj<</Type/FontDescriptor/FontName/GraftTT/Flags 4" +
+      "/FontFile2 7 0 R>>endobj\n")
+    stream(7, ttf, flate)
     w("trailer<</Root 1 0 R>>\n%%EOF")
     out.toByteArray
   }

@@ -158,10 +158,16 @@ object Multimodal {
             case 5 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
               if (Math.floorMod(Math.floorDiv(id, 7L), 2L) == 0L) Seq("LZWDecode")
               else Seq("RunLengthDecode", "FlateDecode"))
-            case 6 =>
-              val diffs = Math.floorMod(Math.floorDiv(id, 7L), 2L) == 0L
-              PdfText.buildSimpleFontPdf(text, differences = diffs,
-                indirectEncoding = diffs)
+            case 6 => Math.floorMod(Math.floorDiv(id, 7L), 4L).toInt match {
+              // glyph-mapped simple fonts (r12) and EMBEDDED TrueType
+              // programs (r13 — mapping only in the FontFile2 cmap/post
+              // tables; the subset-font class that closed the envelope)
+              case 0 => PdfText.buildSimpleFontPdf(text, differences = true,
+                indirectEncoding = true)
+              case 1 => PdfText.buildSimpleFontPdf(text, differences = false)
+              case 2 => PdfText.buildTrueTypePdf(text)
+              case _ => PdfText.buildTrueTypePdf(text, viaPost = true)
+            }
             case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
           })
         }

@@ -675,6 +675,34 @@ end
     assert(PdfText.extract(doc("WinAnsiEncoding")).get.text == "¥")
   }
 
+  test("embedded TrueType: text recoverable ONLY through the font program's cmap tables") {
+    // r13 — the last envelope leg: no ToUnicode, no /Encoding; the show
+    // bytes are private codes (128+k) and the mapping lives in the
+    // /FontFile2 program. (3,0) symbol cmap routes code→glyph; glyph→text
+    // comes from the (3,1) subtable's inverse here
+    val t = "Glyphs via embedded cmap! (fonts, tables) ~ 42%"
+    assert(PdfText.extract(PdfText.buildTrueTypePdf(t)).get.text == t)
+    // and from post format-2.0 glyph names when no Unicode subtable exists
+    assert(PdfText.extract(PdfText.buildTrueTypePdf(t, viaPost = true)).get.text == t)
+    // uncompressed font stream too (no /Filter on the FontFile2)
+    assert(PdfText.extract(PdfText.buildTrueTypePdf(t, flate = false)).get.text == t)
+    // precedence: a /ToUnicode-mapped font must NOT be re-routed through
+    // its font program (ISO 32000-1 §9.10.3 — ToUnicode is the channel)
+    assert(PdfText.extract(PdfText.buildCidPdf("cid text wins")).get.text == "cid text wins")
+    // corruption never throws: truncate the document at every 97th byte
+    val doc = PdfText.buildTrueTypePdf(t)
+    (1 until doc.length by 97).foreach { cut =>
+      PdfText.extract(java.util.Arrays.copyOfRange(doc, 0, cut)) // must not throw
+    }
+    // and a corrupted font program degrades to is_pdf with garbage-or-empty
+    // text, never an exception: zero out the cmap table body
+    val broken = doc.clone()
+    val s = new String(broken, "ISO-8859-1")
+    val cm = s.indexOf("cmap", s.indexOf("7 0 obj"))
+    if (cm > 0) java.util.Arrays.fill(broken, cm + 16, math.min(cm + 80, broken.length), 0.toByte)
+    assert(PdfText.extract(broken).isDefined)
+  }
+
   test("ToUnicode wins over /Encoding; no /Encoding keeps the raw read") {
     // buildCidPdf's font carries /Encoding/Identity-H AND a ToUnicode —
     // the CMap (2-byte, +0x100-shifted) must drive the decode, not a
