@@ -96,10 +96,16 @@ object Bench {
       val f = new java.io.File(histPath)
       if (!f.exists()) Map.empty
       else {
+        // compare against the last entry at the SAME sf — a local sf0.001
+        // smoke run must not read as a 10× "drift" against the driver's
+        // sf0.1 medians (entries carry their sf; the sf value is a quoted
+        // string, so the numeric pair-scan below can never pick it up)
         val lines = scala.io.Source.fromFile(f)
-        val last = try lines.getLines().foldLeft("")((_, l) => l) finally lines.close()
+        val last = try lines.getLines()
+          .filter(_.contains(s""""sf":"$sfDir""""))
+          .foldLeft("")((_, l) => l) finally lines.close()
         // the history line is exactly what THIS code wrote: one flat
-        // {"q":median,…} object — a regex pair-scan is a full parse of it
+        // medians object — a regex pair-scan is a full parse of it
         val Pair = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
         val prev = Pair.findAllMatchIn(last)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -116,7 +122,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     try {
       val w = new java.io.FileWriter(histPath, true)
-      try w.write(med + "\n") finally w.close()
+      try w.write(s"""{"sf":"$sfDir","medians":$med}""" + "\n") finally w.close()
     } catch { case _: Throwable => () }
     // Per-query detail FIRST (min map, medians, spread, drift), then the
     // compact driver contract line LAST — the driver tail-captures the

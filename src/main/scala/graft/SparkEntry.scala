@@ -174,6 +174,8 @@ object SparkEntry {
     "q_pivot" -> ((s, dir) => Analytics.pivotEvents(s, dir)),
     // E15 asymmetric GROUPING SETS — one Expand pass, three granularities
     "q_grouping_sets" -> ((s, dir) => Analytics.groupingSetsPricing(s, dir)),
+    // E16 funnel: ordered per-user step completion in an anchored window
+    "q_funnel" -> ((s, dir) => Analytics.funnel(s, dir)),
     // F. training-data pipeline (curation passes)
     "text_normalize" -> ((s, dir) => Pipeline.textNormalize(s, dir)),
     "pii_redact" -> ((s, dir) => Pipeline.piiRedact(s, dir)),
@@ -780,6 +782,28 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(s1.t1)
+        |         AND epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |                     JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(s2.t2)
+        |         AND epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+        |             (SELECT count(*) FROM s2) AS c2,
+        |             (SELECT count(*) FROM s3) AS c3)
+        |SELECT step, step_name, n_users,
+        |       CASE WHEN c1 > 0 THEN round(CAST(n_users AS DOUBLE) / c1 + 1e-9, 4)
+        |            ELSE 0.0 END AS conversion
+        |FROM (SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, c1 AS n_users, c1 FROM c
+        |      UNION ALL SELECT 2, 'click', c2, c1 FROM c
+        |      UNION ALL SELECT 3, 'purchase', c3, c1 FROM c)
+        |ORDER BY step""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
         |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,

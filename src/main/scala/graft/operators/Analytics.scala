@@ -282,4 +282,49 @@ object Analytics {
         round(sum(col("value")) + lit(1e-9), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** E16 (r13): FUNNEL analysis — per-user ordered step completion within
+    * a window anchored at the user's FIRST step-1 event (the product-
+    * analytics staple: view → click → purchase in 24 h, strictly ordered
+    * timestamps). One row per step: users reaching it and conversion from
+    * step 1.
+    *
+    * Scale shape: each step is one filtered scan aggregated per user
+    * (map-side combine — state is one timestamp per QUALIFYING user per
+    * step, never per event) left-joined back on user_id; every join and
+    * aggregate shares the user_id hash partitioning, so the chain costs
+    * k filtered scans + one reused exchange, not k shuffles of the event
+    * stream. The final unpivot runs over a ONE-row aggregate. Fully
+    * SQL-expressible → hash oracle.
+    */
+  def funnel(spark: SparkSession, sfDir: String,
+             steps: Seq[String] = Seq("view", "click", "purchase"),
+             windowSec: Long = 86400L): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    var cur = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    for (k <- 2 to steps.length) {
+      val stepK = e.filter(col("event_type") === steps(k - 1))
+        .join(cur.select(col("user_id"), col(s"t${k - 1}"), col("t1")), "user_id")
+        .filter(unix_micros(col("ts")) > unix_micros(col(s"t${k - 1}")) &&
+          unix_micros(col("ts")) <= unix_micros(col("t1")) + windowSec * 1000000L)
+        .groupBy("user_id").agg(min(col("ts")).as(s"t$k"))
+      cur = cur.join(stepK, Seq("user_id"), "left")
+    }
+    val cs = steps.indices.map(i => count(col(s"t${i + 1}")).as(s"c${i + 1}"))
+    val agg = cur.agg(cs.head, cs.tail: _*)
+    agg.select(explode(array(steps.indices.map { i =>
+        struct(lit((i + 1).toLong).as("step"),
+          lit(steps(i)).as("step_name"),
+          col(s"c${i + 1}").as("n_users"))
+      }: _*)).as("s"), col("c1"))
+      .select(col("s.step").as("step"), col("s.step_name").as("step_name"),
+        col("s.n_users").as("n_users"),
+        when(col("c1") > 0,
+          round(col("s.n_users").cast("double") / col("c1") + lit(1e-9), 4))
+          .otherwise(lit(0.0)).as("conversion"))
+      .orderBy("step")
+  }
 }

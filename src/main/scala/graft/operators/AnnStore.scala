@@ -431,6 +431,8 @@ private[graft] object AnnStore {
           val keep = n.startsWith(s"graftcompact-$run-")
           val hidden = n.startsWith(".") || n.startsWith("_")
           if (e.isFile && !hidden && !keep) fs.delete(e.getPath, false)
+          // a stale dot-temp of the committed run is invisible junk — clear it
+          if (n.startsWith(s".graftcompact-$run-")) fs.delete(e.getPath, false)
         }
       case None =>
         marks.filter(_._2 == "intent").map(_._1).distinct.foreach { run =>

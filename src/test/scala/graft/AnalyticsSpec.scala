@@ -93,4 +93,42 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(n == Tables.events(spark, sf).count())
     s.unpersist()
   }
+
+  test("funnel: strict order + anchored window enforced; corpus counts monotone") {
+    import spark.implicits._
+    // handcrafted users — ts in seconds for readability:
+    //  u1: view@0  click@10 purchase@20   → completes all 3
+    //  u2: click@0 view@10  purchase@5    → purchase BEFORE its click-after-
+    //     view: click@? — u2's first view is 10, no click after 10 → stops at view
+    //  u3: view@0  click@50000 …          → click outside the 1000 s window
+    //  u4: purchase@0 click@1 view@2      → reversed order: view only
+    //  u5: no view at all                 → never enters the funnel
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      (2L, "click", 0L), (2L, "view", 10L), (2L, "purchase", 5L),
+      (3L, "view", 0L), (3L, "click", 50000L),
+      (4L, "purchase", 0L), (4L, "click", 1L), (4L, "view", 2L),
+      (5L, "signup", 0L), (5L, "error", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    rows.toDF("user_id", "event_type", "sec")
+      .select(monotonically_increasing_id().as("event_id"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.parquet(dir + "/events.parquet")
+    val out = Analytics.funnel(spark, dir, windowSec = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // views: u1,u2,u3,u4 = 4; click-after-view in window: u1 only (u2 has
+    // none after its view, u3 outside window, u4 ordered wrong); purchase
+    // after that click: u1
+    assert(out.toSeq == Seq(
+      (1L, "view", 4L, 1.0), (2L, "click", 1L, 0.25), (3L, "purchase", 1L, 0.25)),
+      out.mkString(", "))
+    // corpus run: counts monotone non-increasing, conversions in [0,1]
+    val corpus = Analytics.funnel(spark, sf).collect()
+    val counts = corpus.map(_.getLong(2))
+    assert(counts.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)), counts.toSeq)
+    assert(corpus.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0001))
+    assert(corpus.head.getDouble(3) == 1.0)
+  }
 }
