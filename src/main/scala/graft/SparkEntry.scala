@@ -148,6 +148,8 @@ object SparkEntry {
     // D7 corpus-trained BPE: learned merges (Sennrich-style), rows-only
     // (iterative trainer); round-trip + determinism spec-pinned
     "token_bpe" -> ((s, dir) => TextAnalysis.tokenBpe(s, dir)),
+    // D10 unigram-LM tokenizer (rows-only: EM-fitted probs not in SQL)
+    "token_unigram" -> ((s, dir) => TextAnalysis.tokenUnigram(s, dir)),
     // D8 learned quality classifier (CCNet-style LR on hashed unigrams,
     // deterministic split): rows-only (L-BFGS); held-out receipts in spec
     "quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(s, dir)),

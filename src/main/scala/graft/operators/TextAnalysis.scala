@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{Bpe, Text}
+import graft.functions.{Bpe, Text, Unigram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -180,6 +180,39 @@ object TextAnalysis {
       .withColumn("fertility",
         when(col("n_bpe_tokens") > 0,
           round(col("n_chars").cast("double") / col("n_bpe_tokens") + lit(1e-9), 4))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
+  /** D10 (r13): unigram-LM tokenizer statistics — the SentencePiece-style
+    * learned counterpart of D7's BPE (Kudo 2018, arXiv:1804.10959; see
+    * [[graft.functions.Unigram]]). Same declared 100 TB shape as D7:
+    * training statistics live on the bounded top-V word table (one
+    * map-side-combined aggregate + driver-local EM), encoding ships the
+    * ≤vocabSize piece-logprob table by reference inside a codegen'd
+    * expression — per-doc work only, no shuffle beyond the output sort.
+    * Rows-only under the driver gate (EM-fitted probabilities are not
+    * SQL-replicable); round-trip losslessness, EM-monotonicity, vocab
+    * bound, and determinism are spec-pinned. The n_unigram vs n_bpe
+    * contrast is itself the point: Viterbi segmentation under a fitted
+    * LM typically needs FEWER pieces than greedy merge application.
+    */
+  def tokenUnigram(spark: SparkSession, sfDir: String,
+                   vocabSize: Int = 1000, vocabLimit: Int = 10000): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val model = Unigram.trainOver(docs, "text", vocabSize, vocabLimit)
+    tokenUnigramOver(docs, model)
+  }
+
+  def tokenUnigramOver(docs: DataFrame, model: Unigram.Model): DataFrame =
+    docs
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .select(col("doc_id"),
+        size(Text.tokens(col("t"))).cast("long").as("n_ws_tokens"),
+        size(Unigram.unigramTokens(col("t"), model)).cast("long").as("n_pieces"),
+        length(col("t")).cast("long").as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_pieces") > 0,
+          round(col("n_chars").cast("double") / col("n_pieces") + lit(1e-9), 4))
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
 
