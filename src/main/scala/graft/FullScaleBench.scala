@@ -93,32 +93,41 @@ object FullScaleBench {
       body
       (System.nanoTime() - t0) / 1e9
     }
-    def run(fn: (SparkSession, String) => DataFrame, d: String): Unit = {
-      try fn(spark, d).count() catch { case _: Throwable => () }
-      ()
-    }
+    // a query that CRASHES on either corpus must surface in the receipt —
+    // swallowing it would record time-to-failure as a valid sample and
+    // report the exact cliff this receipt exists to find as covered
+    def run(fn: (SparkSession, String) => DataFrame, d: String): Boolean =
+      try { fn(spark, d).count(); true } catch { case _: Throwable => false }
     // one untimed warmup per (query, dir), then one timed run — the
     // receipt wants the ratio's ORDER of magnitude, not a tight bound
     val rows = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(fn, src)
-      val tSrc = time(run(fn, src))
+      var ok = true
+      val tSrc = time { ok &= run(fn, src) }
       run(fn, dir)
-      val tScaled = time(run(fn, dir))
-      (name, tSrc, tScaled, tScaled / math.max(tSrc, 1e-3))
+      val tScaled = time { ok &= run(fn, dir) }
+      (name, tSrc, tScaled, tScaled / math.max(tSrc, 1e-3), ok)
     }
     def r(x: Double) = math.round(x * 1000) / 1000.0
+    val failed = rows.filter(!_._5).map(_._1)
     val superLinear = rows.filter(q =>
-      q._4 > 1.5 * scale && !DeclaredQuadratic(q._1)).map(_._1)
-    val qJson = rows.map { case (n, a, b, ra) =>
-      s""""$n":{"src":${r(a)},"scaled":${r(b)},"ratio":${r(ra)}}"""
+      q._5 && q._4 > 1.5 * scale && !DeclaredQuadratic(q._1)).map(_._1)
+    val qJson = rows.map { case (n, a, b, ra, ok) =>
+      s""""$n":{"src":${r(a)},"scaled":${r(b)},"ratio":${r(ra)},"ok":$ok}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"full_scale_receipt","scale":$scale,""" +
       s""""n_queries":${rows.length},""" +
       s""""total_src_sec":${r(rows.map(_._2).sum)},""" +
       s""""total_scaled_sec":${r(rows.map(_._3).sum)},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""super_linear":${superLinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""declared_quadratic":${DeclaredQuadratic.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":$qJson}""")
+    if (failed.nonEmpty) {
+      System.err.println(s"[full-scale] FAILED queries: ${failed.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

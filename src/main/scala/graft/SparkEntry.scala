@@ -325,13 +325,14 @@ object SparkEntry {
 
   /** The bench's query map: identical to [[queries]] except where an
     * ORACLE-SIDE cost (not the operator under test) dominates the timing.
-    * pdf_decode_real's 13-form encode rotation includes AES-256 R5/R6
-    * whose key derivation is deliberately slow hashing — each added form
+    * pdf_decode_real's full encode rotation includes AES-256 R5/R6 whose
+    * key derivation is deliberately slow hashing — each added crypto form
     * grew the BENCH number while testing the oracle fixture, not the
     * parser's throughput (r12: 2.40 s, ~linear in forms). The bench times
-    * the lean 5-form rotation (every non-crypto parser leg); Verify keeps
-    * all 13 forms under the oracle gate, so correctness coverage is
-    * untouched.
+    * the lean rotation — every NON-crypto parser leg (show-string forms,
+    * CID, filter chains, glyph maps, embedded TrueType), so pure-parsing
+    * regressions stay drift-visible; Verify keeps the full 15-form
+    * rotation under the oracle gate, so correctness coverage is untouched.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries + ("pdf_decode_real" ->

@@ -135,7 +135,10 @@ object TextScaleReceipt {
         .withColumn("cid",
           graft.plans.VecExprs.centroidAssign(col("emb"), cents, useCosine = true))
         .groupBy("cid").count()
-        .agg(sum(col("count") * col("count")).as("pairs")).head().getLong(0)
+        // coalesce: sum over ZERO groups (empty/all-null embeddings) is
+        // SQL NULL — report pairs 0, don't NPE the whole receipt
+        .agg(coalesce(sum(col("count") * col("count")), lit(0L)).as("pairs"))
+        .head().getLong(0)
       (n, k, sizes.toDouble / math.max(n, 1L))
     }
     val (semNSrc, semKSrc, semPvSrc) = semStats(src)

@@ -38,17 +38,14 @@ object Bpe {
   private def initSymbols(word: String): Array[String] = {
     // split by CODE POINT, not UTF-16 char: a lone surrogate symbol would
     // mangle to '?' in UTF8String and break round-trip losslessness for
-    // astral-plane text (emoji, rare CJK)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // astral-plane text (emoji, rare CJK). One splitter shared with the
+    // unigram tokenizer (Text.codePointOffsets).
+    val offs = Text.codePointOffsets(word)
+    val out = new Array[String](offs.length - 1)
     var i = 0
-    while (i < word.length) {
-      val cp = word.codePointAt(i)
-      val n = Character.charCount(cp)
-      out += word.substring(i, i + n)
-      i += n
-    }
+    while (i < out.length) { out(i) = word.substring(offs(i), offs(i + 1)); i += 1 }
     out(out.length - 1) = out(out.length - 1) + Eow
-    out.toArray
+    out
   }
 
   /** Driver-local BPE refinement over a bounded (word, count) table:

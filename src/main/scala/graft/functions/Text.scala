@@ -41,6 +41,23 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
+  /** CHAR offsets of each code-point boundary in `word` (length n+1 for n
+    * code points, last entry = word.length) — the surrogate-pair-aware
+    * splitter both learned tokenizers share: a piece/symbol is
+    * `word.substring(offs(i), offs(j))`, so per-code-point iteration never
+    * mangles astral-plane text and never allocates intermediate arrays.
+    */
+  def codePointOffsets(word: String): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < word.length) {
+      out += i
+      i += Character.charCount(word.codePointAt(i))
+    }
+    out += word.length
+    out.toArray
+  }
+
   /** CJK codepoint ranges — ONE definition shared by language ID (which
     * scores the scripts separately) and token counting (which uses the
     * union), so the two can never disagree about what counts as CJK.

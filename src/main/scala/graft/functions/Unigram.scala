@@ -33,10 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object Unigram {
 
   /** Log-probability floor for out-of-vocabulary single code points —
-    * low enough that Viterbi never prefers it over any real piece, finite
-    * so every word segments (the unk convention).
+    * low enough that Viterbi never prefers it over any resident piece
+    * (e^-100 ≈ 1e-44: no real corpus's total piece count reaches 1e44, so
+    * every MLE log-prob stays above it), finite so every word segments
+    * (the unk convention). The M-step never resurrects floor-segmented
+    * chars into the vocabulary, so the floor terms are CONSTANT across EM
+    * rounds and the coordinate-ascent monotonicity argument stays exact.
     */
-  val FloorLogp: Double = -30.0
+  val FloorLogp: Double = -100.0
 
   /** A trained model: pieces with log-probabilities plus the EM
     * log-likelihood traces (before and after the prune) — the
@@ -55,27 +59,18 @@ object Unigram {
     m
   }
 
-  private def codePoints(word: String): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < word.length) {
-      val n = Character.charCount(word.codePointAt(i))
-      out += word.substring(i, i + n)
-      i += n
-    }
-    out.toArray
-  }
-
-  /** Viterbi segmentation of one word (as code points) under a piece
-    * table; single code points fall back to [[FloorLogp]] so every word
-    * segments. Ties prefer the LONGER piece (smaller start), fixed.
-    * Returns (pieces, total log-probability).
+  /** Viterbi segmentation of one word under a piece table; single code
+    * points fall back to [[FloorLogp]] so every word segments. Ties
+    * prefer the LONGER piece (smaller start), fixed. Positions are the
+    * shared [[Text.codePointOffsets]] boundaries, so each candidate piece
+    * is ONE `String.substring` — no intermediate arrays in the per-row
+    * encode hot path. Returns (pieces, total log-probability).
     */
-  def segmentCps(cps: Array[String], table: java.util.HashMap[String, java.lang.Double],
-                 maxLen: Int): (Array[String], Double) = {
-    val n = cps.length
-    if (n == 0) return (Array.empty, 0.0)
-    // prefix strings per position avoid re-joining in the inner loop
+  def segmentOffs(word: String, offs: Array[Int],
+                  table: java.util.HashMap[String, java.lang.Double],
+                  maxLen: Int): (Array[String], Double) = {
+    val n = offs.length - 1
+    if (n <= 0) return (Array.empty, 0.0)
     val best = Array.fill(n + 1)(Double.NegativeInfinity)
     val back = new Array[Int](n + 1)
     best(0) = 0.0
@@ -83,7 +78,7 @@ object Unigram {
     while (i <= n) {
       var j = math.max(0, i - maxLen)
       while (j < i) {
-        val piece = cps.slice(j, i).mkString
+        val piece = word.substring(offs(j), offs(i))
         val lpBoxed = table.get(piece)
         val lp: Double =
           if (lpBoxed != null) lpBoxed
@@ -99,13 +94,13 @@ object Unigram {
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var p = n
-    while (p > 0) { out += cps.slice(back(p), p).mkString; p = back(p) }
+    while (p > 0) { out += word.substring(offs(back(p)), offs(p)); p = back(p) }
     (out.reverseIterator.toArray, best(n))
   }
 
   def segmentWord(word: String, table: java.util.HashMap[String, java.lang.Double],
                   maxLen: Int): Array[String] =
-    segmentCps(codePoints(word), table, maxLen)._1
+    segmentOffs(word, Text.codePointOffsets(word), table, maxLen)._1
 
   /** Driver-local training over a bounded (word, count) table — see the
     * object doc for the EM scheme. `vocabSize` bounds the FINAL piece
@@ -114,19 +109,22 @@ object Unigram {
     */
   def train(words: Array[(String, Long)], vocabSize: Int = 1000,
             maxLen: Int = 8, seedFactor: Int = 4, emIters: Int = 2): Model = {
-    val cpsW = words.collect { case (w, c) if w.nonEmpty => (codePoints(w), c) }
-    if (cpsW.isEmpty)
+    val offsW = words.collect { case (w, c) if w.nonEmpty =>
+      (w, Text.codePointOffsets(w), c)
+    }
+    if (offsW.isEmpty)
       return Model(Array.empty, maxLen, Array.empty, Array.empty)
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
     // seed: substring (code-point span) frequencies, lengths 1..maxLen
     val freq = scala.collection.mutable.Map.empty[String, Long]
-    for ((cps, c) <- cpsW; i <- cps.indices;
-         l <- 1 to math.min(maxLen, cps.length - i)) {
-      val s = cps.slice(i, i + l).mkString
+    for ((w, offs, c) <- offsW; i <- 0 until offs.length - 1;
+         l <- 1 to math.min(maxLen, offs.length - 1 - i)) {
+      val s = w.substring(offs(i), offs(i + l))
       freq(s) = freq.getOrElse(s, 0L) + c
     }
-    val singles = freq.keys.filter(s => codePoints(s).length == 1).toArray.sorted
+    val singles = freq.keys.filter(cpLen(_) == 1).toArray.sorted
     val multiBudget = math.max(0, vocabSize * seedFactor - singles.length)
-    val multis = freq.keys.filter(s => codePoints(s).length > 1)
+    val multis = freq.keys.filter(cpLen(_) > 1)
       .toArray.sortBy(s => (-freq(s), s)).take(multiBudget)
     var vocab: Map[String, Double] = normalize(
       (singles ++ multis).map(s => s -> freq(s).toDouble).toMap)
@@ -136,21 +134,26 @@ object Unigram {
       val table = tableOf(vocab.toArray)
       val counts = scala.collection.mutable.Map.empty[String, Double]
       var ll = 0.0
-      for ((cps, c) <- cpsW) {
-        val (pieces, lp) = segmentCps(cps, table, maxLen)
+      for ((w, offs, c) <- offsW) {
+        val (pieces, lp) = segmentOffs(w, offs, table, maxLen)
         ll += c * lp
-        pieces.foreach(p => counts(p) = counts.getOrElse(p, 0.0) + c)
+        // M-step counts ONLY resident pieces: a floor-segmented OOV char
+        // must not be resurrected into the vocabulary, or its (possibly
+        // below-floor) MLE probability would replace the constant floor
+        // term and break the coordinate-ascent monotonicity this model
+        // receipts. Unused resident pieces drop (hard-EM MLE).
+        pieces.foreach(p =>
+          if (table.containsKey(p)) counts(p) = counts.getOrElse(p, 0.0) + c)
       }
-      // unused pieces drop (hard-EM MLE); used ones re-normalize. Single
-      // code points that drop stay reachable through the OOV floor.
-      vocab = normalize(counts.toMap)
+      // all-floor segmentation (degenerate corpus) → keep the vocab as-is
+      if (counts.nonEmpty) vocab = normalize(counts.toMap)
       ll
     }
     val traceSeed = Array.fill(emIters)(0.0)
     for (k <- 0 until emIters) traceSeed(k) = emRound()
     // prune to the target: all singles survive (coverage), then the
     // highest-probability multi-cp pieces (ties lexicographic)
-    val (sing, multi) = vocab.partition { case (p, _) => codePoints(p).length == 1 }
+    val (sing, multi) = vocab.partition { case (p, _) => cpLen(p) == 1 }
     val keep = multi.toArray.sortBy { case (p, lp) => (-lp, p) }
       .take(math.max(0, vocabSize - sing.size))
     vocab = normalize((sing.toArray ++ keep).map { case (p, lp) => p -> math.exp(lp) }.toMap)

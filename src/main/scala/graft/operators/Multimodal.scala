@@ -121,18 +121,25 @@ object Multimodal {
           // an id-keyed inner rotation correlates with the outer mod-7
           // pick and can collapse to one branch, silently dropping
           // AES/R6/LZW/Differences from the oracle gate
-          Row(id, if (lean) Math.floorMod(id, 5L).toInt match {
-            // LEAN (bench-only) 5-form subset: every non-crypto parser leg
-            // (literal/TJ/hex show strings, CID CMap, LZW/RLE filter
-            // chains) at a bounded cost — the AES-256 R5/R6 key derivation
-            // is DELIBERATELY slow hashing (ISO 32000-2 Algorithm 2.B) and
-            // was growing the bench linearly with each rotation form
-            // (2.40 s in r12); Verify keeps the full 13-form rotation
-            // under the oracle, so nothing leaves the correctness gate
+          Row(id, if (lean) Math.floorMod(id, 8L).toInt match {
+            // LEAN (bench-only) rotation: every NON-CRYPTO parser leg —
+            // literal/TJ/hex show strings, CID CMap, LZW/RLE filter
+            // chains, /Differences glyph maps, and both embedded-TrueType
+            // legs — so a pure-parsing throughput regression stays
+            // visible to the bench and the cross-round drift detector.
+            // Only the encrypted forms are excluded: AES-256 R5/R6 key
+            // derivation is DELIBERATELY slow hashing (ISO 32000-2
+            // Algorithm 2.B) and was growing the bench linearly per form
+            // (2.40 s in r12) while timing the oracle fixture, not the
+            // parser. Verify keeps the full rotation under the oracle.
             case 3 => PdfText.buildCidPdf(text)
             case 4 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
-              if (Math.floorMod(Math.floorDiv(id, 5L), 2L) == 0L) Seq("LZWDecode")
+              if (Math.floorMod(Math.floorDiv(id, 8L), 2L) == 0L) Seq("LZWDecode")
               else Seq("RunLengthDecode", "FlateDecode"))
+            case 5 => PdfText.buildSimpleFontPdf(text, differences = true,
+              indirectEncoding = true)
+            case 6 => PdfText.buildTrueTypePdf(text)
+            case 7 => PdfText.buildTrueTypePdf(text, viaPost = true)
             case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
           }
           else Math.floorMod(id, 7L).toInt match {

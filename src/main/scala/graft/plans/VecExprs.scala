@@ -164,14 +164,22 @@ object VecExprs {
   def pqAssignEval(arr: ArrayData, j: Int, books: Array[Array[Array[Double]]]): Int =
     centroidAssignEval(arr, books(j), false)
 
-  /** argmax-cosine (or argmin-L2) centroid id over a double-array column. */
-  case class CentroidAssign(child: Expression, cents: Array[Array[Double]],
+  /** argmax-cosine (or argmin-L2) centroid id over a double-array column.
+    * The codebook field is an IndexedSeq (structural equality) so two
+    * expressions from content-equal codebooks canonicalize equal —
+    * case-class equality on a raw Array is by reference, which defeats
+    * CSE/exchange reuse (the r12 ADVICE trap on BpeTokens); the eval and
+    * generated code still run on a cached primitive array.
+    */
+  case class CentroidAssign(child: Expression, cents: IndexedSeq[IndexedSeq[Double]],
                             useCosine: Boolean) extends UnaryExpression {
+    @transient private lazy val centsArr: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any =
-      centroidAssignEval(input.asInstanceOf[ArrayData], cents, useCosine)
+      centroidAssignEval(input.asInstanceOf[ArrayData], centsArr, useCosine)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+      val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
       defineCodeGen(ctx, ev,
         c => s"graft.plans.VecExprs.centroidAssignEval($c, $ref, $useCosine)")
     }
@@ -199,14 +207,19 @@ object VecExprs {
     dot / (math.sqrt(na) * math.sqrt(nc) + 1e-10)
   }
 
-  /** cosine(vec, cents(cid)) over a double-array column + centroid-id column. */
+  /** cosine(vec, cents(cid)) over a double-array column + centroid-id
+    * column. IndexedSeq codebook field for the same canonicalization
+    * reason as [[CentroidAssign]].
+    */
   case class CentroidSim(left: Expression, right: Expression,
-                         cents: Array[Array[Double]]) extends BinaryExpression {
+                         cents: IndexedSeq[IndexedSeq[Double]]) extends BinaryExpression {
+    @transient private lazy val centsArr: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
     override def dataType: DataType = DoubleType
     override def nullSafeEval(v: Any, cid: Any): Any =
-      centroidSimEval(v.asInstanceOf[ArrayData], cid.asInstanceOf[Int], cents)
+      centroidSimEval(v.asInstanceOf[ArrayData], cid.asInstanceOf[Int], centsArr)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("simCents", cents, "double[][]")
+      val ref = ctx.addReferenceObj("simCents", centsArr, "double[][]")
       defineCodeGen(ctx, ev,
         (v, cid) => s"graft.plans.VecExprs.centroidSimEval($v, $cid, $ref)")
     }
@@ -214,14 +227,19 @@ object VecExprs {
       copy(left = l, right = r)
   }
 
-  /** Per-subspace argmin-L2 centroid id: (subvector, subspace id) → code. */
+  /** Per-subspace argmin-L2 centroid id: (subvector, subspace id) → code.
+    * IndexedSeq codebook field for the same canonicalization reason as
+    * [[CentroidAssign]].
+    */
   case class PqAssign(left: Expression, right: Expression,
-                      books: Array[Array[Array[Double]]]) extends BinaryExpression {
+                      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) extends BinaryExpression {
+    @transient private lazy val booksArr: Array[Array[Array[Double]]] =
+      books.map(_.map(_.toArray).toArray).toArray
     override def dataType: DataType = IntegerType
     override def nullSafeEval(v: Any, j: Any): Any =
-      pqAssignEval(v.asInstanceOf[ArrayData], j.asInstanceOf[Int], books)
+      pqAssignEval(v.asInstanceOf[ArrayData], j.asInstanceOf[Int], booksArr)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+      val ref = ctx.addReferenceObj("pqBooks", booksArr, "double[][][]")
       defineCodeGen(ctx, ev,
         (v, j) => s"graft.plans.VecExprs.pqAssignEval($v, $j, $ref)")
     }
@@ -233,11 +251,14 @@ object VecExprs {
     * codebooks aren't SQL-literal-able anyway).
     */
   def centroidAssign(vec: Column, cents: Array[Array[Double]], useCosine: Boolean): Column =
-    toColumn(CentroidAssign(toExpr(vec), cents, useCosine))
+    toColumn(CentroidAssign(toExpr(vec),
+      cents.map(_.toIndexedSeq).toIndexedSeq, useCosine))
   def centroidSim(vec: Column, cid: Column, cents: Array[Array[Double]]): Column =
-    toColumn(CentroidSim(toExpr(vec), toExpr(cid), cents))
+    toColumn(CentroidSim(toExpr(vec), toExpr(cid),
+      cents.map(_.toIndexedSeq).toIndexedSeq))
   def pqAssign(sub: Column, j: Column, books: Array[Array[Array[Double]]]): Column =
-    toColumn(PqAssign(toExpr(sub), toExpr(j), books))
+    toColumn(PqAssign(toExpr(sub), toExpr(j),
+      books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 
   private def toExpr(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)

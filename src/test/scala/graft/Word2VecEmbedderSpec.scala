@@ -181,6 +181,21 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
     val g2 = Graft.forFrame(spark, topicCorpus, work2, dim = 16, embedder = Some(w2vDrift))
     assert(IndexStore.load(spark, store, g2.meta).isEmpty,
       "a drifted model fingerprint must refuse the warm store")
+    // ...and the restart protocol that makes the nondeterminism free:
+    // SAVE the trained artifact, LOAD it in place of retraining — the
+    // reloaded table is bit-identical, the fingerprint survives, and the
+    // warm store built above still accepts it
+    val modelPath = Files.createTempDirectory("graft_w2v_model").toString + "/model"
+    Word2VecEmbedder.save(spark, w2v, modelPath)
+    val reloaded = Word2VecEmbedder.load(spark, modelPath)
+    assert(reloaded.name == w2v.name,
+      "a reloaded artifact must carry the trained fingerprint")
+    assert(reloaded.embedText("executor shuffle").toSeq ==
+      w2v.embedText("executor shuffle").toSeq)
+    val work3 = Files.createTempDirectory("graft_w2v_par3").toString
+    val g3 = Graft.forFrame(spark, topicCorpus, work3, dim = 16, embedder = Some(reloaded))
+    assert(IndexStore.load(spark, store, g3.meta).isDefined,
+      "a restart that LOADS the artifact must warm-reuse the store")
   }
 
   test("(c) recall receipts on Word2Vec vectors: IVF and graph vs brute force") {
