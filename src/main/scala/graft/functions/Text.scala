@@ -41,6 +41,22 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
+  /** Deterministic multiplicative-hash bucket of an id column — ONE
+    * definition for every doc_id-keyed sampler/split (F4 stratified, F6
+    * mixture, F8 Gumbel, D8 train split, D9 candidate sample):
+    * `(id · 2654435761) mod m`, computed in EXACT modular arithmetic as
+    * `((id mod m) · (2654435761 mod m)) mod m` so the product can never
+    * overflow a Long. Spark 4's ANSI mode THROWS on 64-bit overflow
+    * rather than wrapping — the r13 whole-suite 10× receipt caught every
+    * multiplicative sampler failing at rep-shifted ids ≈ 4×10¹⁰, i.e.
+    * exactly the id range a real 100 TB corpus uses. The congruence keeps
+    * every value identical to the plain-product form wherever that form
+    * did not overflow, so all sf0.01 oracle hashes are unchanged; pmod
+    * keeps the bucket non-negative for any id sign.
+    */
+  def mixBucket(id: Column, m: Long): Column =
+    pmod(pmod(id, lit(m)) * lit(2654435761L % m), lit(m))
+
   /** CHAR offsets of each code-point boundary in `word` (length n+1 for n
     * code points, last entry = word.length) — the surrogate-pair-aware
     * splitter both learned tokenizers share: a piece/symbol is

@@ -134,11 +134,9 @@ object Pipeline {
     Map("en" -> 500).withDefaultValue(250)
 
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
-    // pmod, not %: doc_id * 2654435761 wraps Long for ids above ~3.5e9 (the
-    // wrap itself is fine — multiplicative hashing lives on wrap — but a
-    // plain % keeps the sign, and a negative key passes every threshold,
-    // silently degrading the sampler to keep-everything at large-id scale)
-    val mix = pmod(col("doc_id") * 2654435761L, lit(1000L))
+    // modular-safe mix (Text.mixBucket): the plain product THROWS under
+    // Spark 4 ANSI for ids above ~3.5e9 — found by the 10× receipt
+    val mix = Text.mixBucket(col("doc_id"), 1000L)
     val thresh = when(col("lang") === "en", lit(SampleRates("en")))
       .otherwise(lit(SampleRates.default("")))
     Tables.documents(spark, sfDir)
@@ -189,8 +187,8 @@ object Pipeline {
     * stateless).
     */
   def applyMixture(docs: DataFrame, rates: DataFrame): DataFrame = {
-    // pmod for the same large-id wrap reason as sampleStratified
-    val mix = pmod(col("doc_id") * 2654435761L, lit(1000000L))
+    // modular-safe mix for the same large-id reason as sampleStratified
+    val mix = Text.mixBucket(col("doc_id"), 1000000L)
     docs.select(col("doc_id"), col("source"), mix.as("mix_key"))
       .join(broadcast(rates), "source")
       .filter(col("mix_key").cast("double") < col("rate") * 1e6)
@@ -298,10 +296,10 @@ object Pipeline {
   /** The F8 Gumbel perturbation for a doc_id column — shared by the batch
     * query and the streaming twin so the two keys are bit-identical.
     * +0.5 keeps u strictly inside (0,1) so neither log can hit ±inf;
-    * pmod for the same large-id wrap rationale as F4.
+    * modular-safe mix for the same large-id rationale as F4.
     */
   private[graft] def dsirGumbel(docId: Column): Column = {
-    val u = (pmod(docId * 2654435761L, lit(1000000L)).cast("double") +
+    val u = (Text.mixBucket(docId, 1000000L).cast("double") +
       lit(0.5)) / lit(1000000.0)
     -log(-log(u))
   }

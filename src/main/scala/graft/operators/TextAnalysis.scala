@@ -271,7 +271,8 @@ object TextAnalysis {
     val feat = new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(dim).transform(toks)
     // the F4 multiplicative hash again: reproducible split, no RNG state
-    val mix = pmod(col("doc_id") * 2654435761L, lit(1000L))
+    // (modular-safe — the plain product ANSI-throws at large ids)
+    val mix = Text.mixBucket(col("doc_id"), 1000L)
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(0.01).setLabelCol("label")
       .fit(feat.filter(mix < 700))
@@ -306,7 +307,7 @@ object TextAnalysis {
                   width: Int = 1024, depth: Int = 4, topK: Int = 20,
                   samplePerMille: Int = 100): DataFrame = {
     val codes = Tables.documents(spark, sfDir)
-      .select(pmod(col("doc_id") * 2654435761L, lit(1000L)).as("mix"),
+      .select(Text.mixBucket(col("doc_id"), 1000L).as("mix"),
         explode(Text.tokens(col("text"))).as("tok"))
       .select(col("mix"), col("tok"), Text.stringCode(col("tok")).as("x"))
     def bucket(x: Column, i: Column): Column =

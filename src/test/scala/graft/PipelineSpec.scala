@@ -524,6 +524,38 @@ class PipelineSpec extends SparkSpecBase {
     assert(pv2 <= 3.0 * pv1, s"candidate load grew super-linearly: $pv1 -> $pv2")
   }
 
+  test("mixBucket: exact modular congruence, no ANSI overflow at 100TB-scale ids") {
+    import graft.functions.Text
+    import spark.implicits._
+    // the r13 10x receipt found every multiplicative sampler ANSI-throwing
+    // at rep-shifted ids ~4e10 (doc_id * 2654435761 > Long.Max): mixBucket
+    // computes the SAME congruence in overflow-free modular arithmetic
+    val ids = Seq(0L, 1L, 999L, 123456L, 3500000000L, 43000000000L,
+      Long.MaxValue, Long.MaxValue - 7, -5L)
+    for (m <- Seq(1000L, 1000000L)) {
+      val got = ids.toDF("id")
+        .select(Text.mixBucket(col("id"), m).as("b")).collect().map(_.getLong(0))
+      val want = ids.map { id =>
+        val bi = (BigInt(id) * BigInt(2654435761L)).mod(BigInt(m))
+        bi.toLong
+      }
+      assert(got.toSeq == want, s"m=$m: ${got.toSeq} vs $want")
+    }
+    // end-to-end cliff reproducer: the samplers run on 100TB-scale ids
+    val bigDocs = (0 until 64).map(i =>
+      (40000000000L + i.toLong * (1L << 32), s"text $i words here",
+        if (i % 2 == 0) "en" else "de", if (i % 3 == 0) "web" else "books", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigid").toString
+    bigDocs.write.parquet(dir + "/documents.parquet")
+    import graft.operators.{Pipeline, TextAnalysis}
+    assert(Pipeline.sampleStratified(spark, dir).count() > 0)
+    assert(Pipeline.sampleMixture(spark, dir).count() > 0)
+    assert(Pipeline.sampleDsir(spark, dir, topN = 5).count() > 0)
+    assert(TextAnalysis.tokensHeavy(spark, dir).count() >= 0)
+    assert(TextAnalysis.qualityClassifier(spark, dir).count() == 64)
+  }
+
   test("dedup_semantic/sample_dsir standalone calls pin nothing; in-scope checkpoints release") {
     import graft.operators.{AnnStore, Dedup, Pipeline}
     // the r12 ADVICE accretion class: a long-lived session invoking these
