@@ -832,7 +832,7 @@ object SparkEntry {
         |           || '@mail.example.com tel +1-555-'
         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         |           || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-        |           || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS full_text
+        |           || '.' || CAST(((doc_id % 256) * 7) % 256 AS VARCHAR) AS full_text
         |  FROM documents),
         |r AS (
         |  SELECT doc_id,

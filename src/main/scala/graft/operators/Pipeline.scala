@@ -57,7 +57,10 @@ object Pipeline {
       lit("@mail.example.com tel +1-555-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
       lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
-      lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+      // modular form: full-range hash ids would ANSI-overflow a direct
+      // doc_id*7 (same class as the mixBucket fix; identical values
+      // wherever the product didn't overflow)
+      lit("."), (((col("doc_id") % 256) * 7) % 256).cast("string"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), full.as("full_text"))
       .select(col("doc_id"),
