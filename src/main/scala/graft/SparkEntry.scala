@@ -184,6 +184,8 @@ object SparkEntry {
     "quality_repetition" -> ((s, dir) => Pipeline.qualityRepetition(s, dir)),
     "sample_stratified" -> ((s, dir) => Pipeline.sampleStratified(s, dir)),
     "sample_mixture" -> ((s, dir) => Pipeline.sampleMixture(s, dir)),
+    // F9 leakage-safe split: exact-dup groups assign as ONE unit
+    "split_leakage_safe" -> ((s, dir) => Pipeline.splitLeakageSafe(s, dir)),
     // F7 sequence packing: concat-and-split token bins via a distributed
     // prefix sum (range partition + bounded partial totals + broadcast
     // offsets — never a single-partition window); oracle = the global
@@ -977,6 +979,16 @@ object SparkEntry {
         |FROM documents d JOIN r ON d.source = r.source
         |WHERE CAST(((d.doc_id % 1000000) * (2654435761 % 1000000)) % 1000000 AS DOUBLE) < rate * 1e6
         |ORDER BY d.doc_id""".stripMargin,
+    "split_leakage_safe" ->
+      """WITH g AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),
+        |a AS (SELECT doc_id, text_hash,
+        |             min(doc_id) OVER (PARTITION BY text_hash) AS anchor_id FROM g),
+        |b AS (SELECT *, ((anchor_id % 1000) * (2654435761 % 1000)) % 1000 AS bucket FROM a)
+        |SELECT doc_id, text_hash, anchor_id,
+        |       CASE WHEN bucket < 100 THEN 'test'
+        |            WHEN bucket < 200 THEN 'val'
+        |            ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     // D9 CMS heavy hitters: same token code + universal-hash family as
     // minhash; estimate = min over the 4 sketch rows
     "tokens_heavy" ->

@@ -582,4 +582,38 @@ object Pipeline {
         col("seq_id"), col("seq_off"), col("n_seqs"))
       .orderBy("shard", "doc_id")
   }
+
+  /** F9 (r13): LEAKAGE-SAFE train/val/test split — the assignment an eval
+    * pipeline must make GROUP-wise, never doc-wise: two copies of the same
+    * document landing in train and test is evaluation contamination by
+    * construction (the well-known dedup-before-split rule; Lee et al.
+    * 2022 §6 measure exactly this leakage class). The assignment unit is
+    * B1's exact-dup group (md5 of normalized text); the group's ANCHOR
+    * (min doc_id) feeds the deterministic [[Text.mixBucket]], so every
+    * member of a group inherits ONE split, reproducibly, with no RNG
+    * state and no doc ever dropped or double-assigned.
+    *
+    * 100 TB shape: one shuffle total — the min-anchor window partitions
+    * by text_hash (the same key B1 aggregates on); bucketing and the
+    * split CASE are scan-side. Fully SQL-expressible → hash oracle.
+    * Near-dup-group splitting (MinHash clusters as the unit) composes by
+    * feeding [[Dedup.nearDupClusters]]' component ids in place of
+    * text_hash — exact groups are the oracle-checkable core.
+    */
+  def splitLeakageSafe(spark: SparkSession, sfDir: String,
+                       testPermille: Int = 100,
+                       valPermille: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col("text_hash"))
+    val bucket = Text.mixBucket(col("anchor_id"), 1000L)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("text_hash"))
+      .withColumn("anchor_id", min(col("doc_id")).over(byGroup))
+      .withColumn("split",
+        when(bucket < testPermille, lit("test"))
+          .when(bucket < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("text_hash"), col("anchor_id"), col("split"))
+      .orderBy("doc_id")
+  }
 }

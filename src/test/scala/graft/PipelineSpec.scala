@@ -524,6 +524,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(pv2 <= 3.0 * pv1, s"candidate load grew super-linearly: $pv1 -> $pv2")
   }
 
+  test("split_leakage_safe: duplicate groups never straddle splits; full disjoint coverage") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    // adversarial fixture: the same text under WIDELY separated ids (the
+    // doc-wise mixBucket would scatter them across splits), plus uniques
+    val dupText = "the exact same document text appears twice"
+    val docs = (Seq((3L, dupText), (9000000017L, dupText), (400000007L, dupText)) ++
+      (100L until 400L).map(i => (i, s"unique doc $i with words")))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_split").toString
+    docs.write.parquet(dir + "/documents.parquet")
+    val out = Pipeline.splitLeakageSafe(spark, dir).cache()
+    // coverage: every doc assigned exactly once
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // THE leakage invariant: one split per text_hash, corpus-wide
+    assert(out.groupBy("text_hash").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count() == 0,
+      "a duplicate group straddled splits")
+    // the adversarial dup trio shares its anchor's split
+    val trio = out.filter(col("doc_id").isin(3L, 9000000017L, 400000007L))
+      .select("split", "anchor_id").collect()
+    assert(trio.map(_.getString(0)).distinct.length == 1, trio.mkString(","))
+    assert(trio.forall(_.getLong(1) == 3L), "anchor must be the group min")
+    // deterministic; all three splits materialize at corpus scale with
+    // roughly the configured proportions
+    val again = Pipeline.splitLeakageSafe(spark, dir).collect()
+    assert(out.collect().map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val corpus = Pipeline.splitLeakageSafe(spark, sf)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(corpus.keySet == Set("train", "val", "test"), corpus.toString)
+    val total = corpus.values.sum.toDouble
+    assert(corpus("train") / total > 0.6, s"train share: $corpus")
+    assert(corpus("test") / total > 0.03 && corpus("val") / total > 0.03, corpus.toString)
+    out.unpersist()
+  }
+
   test("mixBucket: exact modular congruence, no ANSI overflow at 100TB-scale ids") {
     import graft.functions.Text
     import spark.implicits._
