@@ -54,12 +54,17 @@ object Bench {
       else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
     // benchQueries: queries, minus oracle-fixture costs that would time
     // the test harness instead of the operator (see SparkEntry.benchQueries)
+    // crash-as-failure: a query that throws must surface in a "failed"
+    // list and a nonzero exit — recording time-to-failure as a valid
+    // sample ships a flattering number for a broken query (the defect
+    // class the r13 10× receipt hardening caught)
+    val failedSet = scala.collection.mutable.SortedSet.empty[String]
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (!coldOnly)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       def sample(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failedSet += name }
         (System.nanoTime() - t0) / 1e9
       }
       var samples = (1 to reps).map(_ => sample()).sorted
@@ -129,8 +134,13 @@ object Bench {
     // final line and its window is finite; at 73 queries an embedded
     // queries dict overflowed it (BENCH_r12 parsed:null), so the total
     // line carries only scalars + the normally-empty noisy/drift names.
-    println(s"""{"metric":"detail","reps":$reps,"retried":$retriedNames,"drift":$driftJson,"queries":$qs,"queries_median":$med,"queries_spread":$spr,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"noisy":$noisy,"drift":$driftJson,"sf":"$sfDir"}""")
+    val failed = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"detail","reps":$reps,"retried":$retriedNames,"failed":$failed,"drift":$driftJson,"queries":$qs,"queries_median":$med,"queries_spread":$spr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"noisy":$noisy,"drift":$driftJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failedSet.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failedSet.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

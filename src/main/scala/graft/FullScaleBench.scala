@@ -74,8 +74,12 @@ object FullScaleBench {
       val out = new org.apache.hadoop.fs.Path(dir, s"$t.parquet")
       val srcDf = Tables.load(spark, src, t)
       val expected = srcDf.count() * scale
-      if (fs.exists(out) && spark.read.parquet(out.toString).count() != expected)
-        fs.delete(out, true)
+      // a partially-written corpus from a killed run has no readable
+      // footers — any validation failure means regenerate, not abort
+      val stale = fs.exists(out) &&
+        scala.util.Try(spark.read.parquet(out.toString).count())
+          .toOption.forall(_ != expected)
+      if (stale) fs.delete(out, true)
       if (!fs.exists(out)) {
         val (k64, k32) = keyCols(t)
         var df = srcDf.withColumn("rep",

@@ -960,10 +960,10 @@ object SparkEntry {
         |       CAST(prior % 512 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
-      """SELECT doc_id, lang, n_chars, ((doc_id % 1000) * (2654435761 % 1000)) % 1000 AS strat_key,
+      """SELECT doc_id, lang, n_chars, (((doc_id % 1000) * (2654435761 % 1000)) % 1000 + 1000) % 1000 AS strat_key,
         |       round(1000.0 / (CASE WHEN lang = 'en' THEN 500 ELSE 250 END) + 1e-9, 4) AS weight
         |FROM documents
-        |WHERE ((doc_id % 1000) * (2654435761 % 1000)) % 1000 < (CASE WHEN lang = 'en' THEN 500 ELSE 250 END)
+        |WHERE (((doc_id % 1000) * (2654435761 % 1000)) % 1000 + 1000) % 1000 < (CASE WHEN lang = 'en' THEN 500 ELSE 250 END)
         |ORDER BY doc_id""".stripMargin,
     "sample_mixture" ->
       """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
@@ -977,13 +977,13 @@ object SparkEntry {
         |       round(rate + 1e-9, 6) AS rate,
         |       round(1.0 / rate + 1e-9, 4) AS weight
         |FROM documents d JOIN r ON d.source = r.source
-        |WHERE CAST(((d.doc_id % 1000000) * (2654435761 % 1000000)) % 1000000 AS DOUBLE) < rate * 1e6
+        |WHERE CAST((((d.doc_id % 1000000) * (2654435761 % 1000000)) % 1000000 + 1000000) % 1000000 AS DOUBLE) < rate * 1e6
         |ORDER BY d.doc_id""".stripMargin,
     "split_leakage_safe" ->
       """WITH g AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),
         |a AS (SELECT doc_id, text_hash,
         |             min(doc_id) OVER (PARTITION BY text_hash) AS anchor_id FROM g),
-        |b AS (SELECT *, ((anchor_id % 1000) * (2654435761 % 1000)) % 1000 AS bucket FROM a)
+        |b AS (SELECT *, (((anchor_id % 1000) * (2654435761 % 1000)) % 1000 + 1000) % 1000 AS bucket FROM a)
         |SELECT doc_id, text_hash, anchor_id,
         |       CASE WHEN bucket < 100 THEN 'test'
         |            WHEN bucket < 200 THEN 'val'
@@ -993,7 +993,7 @@ object SparkEntry {
     // minhash; estimate = min over the 4 sketch rows
     "tokens_heavy" ->
       """WITH toksrc AS (
-        |  SELECT ((doc_id % 1000) * (2654435761 % 1000)) % 1000 AS mix,
+        |  SELECT (((doc_id % 1000) * (2654435761 % 1000)) % 1000 + 1000) % 1000 AS mix,
         |         unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
         |  FROM documents),
         |codes AS (
@@ -1047,7 +1047,7 @@ object SparkEntry {
         |  WHERE NOT fe.is_target GROUP BY fe.doc_id),
         |keyed AS (
         |  SELECT doc_id, log_w,
-        |    log_w - ln(-ln((CAST(((doc_id % 1000000) * (2654435761 % 1000000)) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)) AS key
+        |    log_w - ln(-ln((CAST((((doc_id % 1000000) * (2654435761 % 1000000)) % 1000000 + 1000000) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)) AS key
         |  FROM scored),
         |top AS (SELECT doc_id, log_w, key FROM keyed ORDER BY key DESC, doc_id LIMIT 50)
         |SELECT doc_id, round(log_w + 1e-9, 4) AS log_w, round(key + 1e-9, 4) AS dsir_key

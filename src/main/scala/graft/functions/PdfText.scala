@@ -1951,7 +1951,9 @@ object PdfText {
       b.toByteArray
     }
     val postTable: Option[Array[Byte]] = if (!viaPost) None else Some {
-      val numGlyphs = gid.values.max + 1
+      // empty text → no glyphs beyond .notdef; max on an empty Map would
+      // throw and break the encode rotation's never-throw contract
+      val numGlyphs = (gid.values.toSeq :+ 0).max + 1
       val byGid = gid.map(_.swap)
       val b = new java.io.ByteArrayOutputStream()
       b.write(u32(0x00020000)); b.write(new Array[Byte](28)) // header rest

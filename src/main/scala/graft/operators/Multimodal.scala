@@ -121,7 +121,7 @@ object Multimodal {
           // an id-keyed inner rotation correlates with the outer mod-7
           // pick and can collapse to one branch, silently dropping
           // AES/R6/LZW/Differences from the oracle gate
-          Row(id, if (lean) Math.floorMod(id, 8L).toInt match {
+          Row(id, if (lean) Math.floorMod(id, 9L).toInt match {
             // LEAN (bench-only) rotation: every NON-CRYPTO parser leg —
             // literal/TJ/hex show strings, CID CMap, LZW/RLE filter
             // chains, /Differences glyph maps, and both embedded-TrueType
@@ -134,12 +134,13 @@ object Multimodal {
             // parser. Verify keeps the full rotation under the oracle.
             case 3 => PdfText.buildCidPdf(text)
             case 4 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
-              if (Math.floorMod(Math.floorDiv(id, 8L), 2L) == 0L) Seq("LZWDecode")
+              if (Math.floorMod(Math.floorDiv(id, 9L), 2L) == 0L) Seq("LZWDecode")
               else Seq("RunLengthDecode", "FlateDecode"))
             case 5 => PdfText.buildSimpleFontPdf(text, differences = true,
               indirectEncoding = true)
-            case 6 => PdfText.buildTrueTypePdf(text)
-            case 7 => PdfText.buildTrueTypePdf(text, viaPost = true)
+            case 6 => PdfText.buildSimpleFontPdf(text, differences = false)
+            case 7 => PdfText.buildTrueTypePdf(text)
+            case 8 => PdfText.buildTrueTypePdf(text, viaPost = true)
             case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
           }
           else Math.floorMod(id, 7L).toInt match {

@@ -689,6 +689,12 @@ end
     // precedence: a /ToUnicode-mapped font must NOT be re-routed through
     // its font program (ISO 32000-1 §9.10.3 — ToUnicode is the channel)
     assert(PdfText.extract(PdfText.buildCidPdf("cid text wins")).get.text == "cid text wins")
+    // empty/whitespace text never throws on either leg (null text reaches
+    // the rotation as "" — the encode contract is degrade, not crash)
+    for (empty <- Seq("", "   ")) {
+      assert(PdfText.extract(PdfText.buildTrueTypePdf(empty)).get.text == "")
+      assert(PdfText.extract(PdfText.buildTrueTypePdf(empty, viaPost = true)).get.text == "")
+    }
     // corruption never throws: truncate the document at every 97th byte
     val doc = PdfText.buildTrueTypePdf(t)
     (1 until doc.length by 97).foreach { cut =>
