@@ -781,6 +781,21 @@ class Graft(spark: SparkSession, sfDir: String,
   def tokenStatsBpe(nMerges: Int = 200, vocabLimit: Int = 10000): DataFrame =
     operators.TextAnalysis.tokenBpe(spark, sfDir, nMerges, vocabLimit)
 
+  /** Corpus-trained unigram-LM token statistics (SURVEY §2 D10, r13):
+    * the SentencePiece-style counterpart of [[tokenStatsBpe]].
+    */
+  def tokenStatsUnigram(vocabSize: Int = 1000,
+                        vocabLimit: Int = 10000): DataFrame =
+    operators.TextAnalysis.tokenUnigram(spark, sfDir, vocabSize, vocabLimit)
+
+  /** Leakage-safe train/val/test assignment (SURVEY §2 F9, r13):
+    * exact-dup groups assign as ONE unit, so duplicates never straddle
+    * train/test — run this BEFORE any eval-set export.
+    */
+  def assignSplits(testPermille: Int = 100,
+                   valPermille: Int = 100): DataFrame =
+    operators.Pipeline.splitLeakageSafe(spark, sfDir, testPermille, valPermille)
+
   /** Semantic near-duplicate report over the CHUNK embedding space
     * (SemDeDup, SURVEY §2 B8, on the same vectors the ANN indexes
     * serve): k-means-blocked ε-pairs with the paper's keeper rule —

@@ -680,6 +680,11 @@ class PipelineSpec extends SparkSpecBase {
     assert(semDups.count() > 0) // one row per chunk vector
     assert(semDups.columns.toSeq ==
       Seq("vec_id", "cid", "centroid_sim", "is_duplicate"))
+    // r13 entry points: unigram stats, leakage-safe splits
+    assert(g.tokenStatsUnigram(vocabSize = 200, vocabLimit = 2000).count() ==
+      Tables.documents(spark, sf).count())
+    assert(g.assignSplits().collect().map(_.toSeq).toSeq ==
+      graft.operators.Pipeline.splitLeakageSafe(spark, sf).collect().map(_.toSeq).toSeq)
     // export writes only near-dup survivors, as uniform shards
     val out = java.nio.file.Files.createTempDirectory("graft_export").toString + "/shards"
     val inv = g.exportShards(out, numShards = 2)
