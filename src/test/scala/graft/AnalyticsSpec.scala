@@ -94,6 +94,50 @@ class AnalyticsSpec extends SparkSpecBase {
     s.unpersist()
   }
 
+  test("streaming funnel equals the batch rollup; late anchors handled across batches") {
+    import graft.streaming.FunnelStream
+    import spark.implicits._
+    // corpus twin: streamed per-user reach rolls up to the batch rows
+    val steps = Seq("view", "click", "purchase")
+    val streamed = FunnelStream.runToCompletion(spark, sf).cache()
+    val got = FunnelStream.rollup(streamed, steps)
+      .collect().map(_.toSeq).toSeq
+    val want = Analytics.funnel(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == want, s"streamed rollup $got vs batch $want")
+    streamed.unpersist()
+    // cross-batch DISORDER: the anchor-moving case — file 2 delivers an
+    // EARLIER step-1 event than file 1's, which must retroactively lower
+    // u1's reach (the new anchor's window excludes the old chain) and the
+    // latest-epoch collapse must drop the stale higher-reach emission
+    def ev(id: Long, u: Long, t: String, sec: Long) =
+      (id, new java.sql.Timestamp(sec * 1000L), u, t, 1.0, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_ooo").toString
+    val batches = Seq(
+      Seq(ev(1, 1, "view", 100000), ev(2, 1, "click", 100010), ev(3, 1, "purchase", 100020)),
+      Seq(ev(4, 1, "view", 10))) // new anchor far in the past: its window excludes the chain
+    for ((rows, i) <- batches.zipWithIndex) {
+      // the repo's multi-file stream layout: part files land FLAT in the
+      // watched dir with deterministic mtimes (a nested x.parquet dir is
+      // invisible to the file stream source)
+      val stage = s"$dir/stage_$i"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/in", f"part$i%02d.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val out = FunnelStream.runToCompletion(spark, s"$dir/in",
+      windowSec = 3600L, maxFilesPerTrigger = Some(1), glob = None,
+      queryName = "funnel_stream_ooo").collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(1) == 1,
+      s"late earlier anchor must lower reach to 1: ${out.toSeq}")
+    assert(out.head.getLong(2) == 10L * 1000000L, "anchor must move to the earlier view")
+  }
+
   test("funnel: strict order + anchored window enforced; corpus counts monotone") {
     import spark.implicits._
     // handcrafted users — ts in seconds for readability:
