@@ -34,8 +34,9 @@ object SparkEntry {
     // B7 exact repeated spans (ExactSubstr-style): repeated w-token
     // windows merged into maximal 1-based token spans; oracle-checked
     "dedup_spans" -> ((s, dir) => Dedup.dedupSpans(s, dir)),
-    // B6 is iterative (connected components) — not SQL-replicable, so
-    // rows-only; DedupStreamSpec verifies the component invariants.
+    // B6 connected components: iterative Spark-side, but the FIXPOINT is
+    // deterministic (min-id labels over the hash-matched B3 edge set), so
+    // a DuckDB recursive CTE replicates it — oracle-checked since r13.
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
     // B8 SemDeDup: k-means blocks + intra-cluster ε-pairs, paper keeper
     // rule (lowest centroid-sim survives). Rows-only (k-means); specs pin
@@ -538,6 +539,41 @@ object SparkEntry {
         |SELECT a_id, b_id, round(inter/(tot-inter)+1e-9, 4) AS jaccard
         |FROM j WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // B6: the Spark side is iterative (large-star/small-star), but its
+    // FIXPOINT — min-doc_id component labels over the hash-matched B3 edge
+    // set — is deterministic, so DuckDB replicates it with a recursive CTE
+    // (min-label reachability). Converted rows-only → hash-matched in r13.
+    "dedup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h*31 + c) % 1000000007))) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |        FROM documents) t0),
+        |s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |sig AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), i ->
+        |      list_min(list_transform(sh, x -> (x*(40503*i + 11) + 19349663*i) % 1000000007))) AS sig
+        |  FROM s2),
+        |bands AS (SELECT doc_id, b AS band_idx,
+        |    CAST(sig[CAST(2*b+1 AS INT)] AS VARCHAR) || ':' || CAST(sig[CAST(2*b+2 AS INT)] AS VARCHAR) AS band_key
+        |  FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS b FROM sig) z),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |j AS (SELECT c.a_id, c.b_id,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
+        |  FROM cand c JOIN s2 sa ON sa.doc_id = c.a_id JOIN s2 sb ON sb.doc_id = c.b_id),
+        |edges AS (SELECT a_id, b_id FROM j WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.4),
+        |e2 AS (SELECT a_id AS u, b_id AS v FROM edges UNION ALL SELECT b_id, a_id FROM edges),
+        |walk(node, front) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.node, e.v FROM walk w JOIN e2 e ON e.u = w.front
+        |)
+        |SELECT node AS doc_id, min(front) AS cluster_id,
+        |       (node = min(front)) AS is_survivor
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |           FROM documents),
