@@ -100,6 +100,38 @@ object RagSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** C1t: C1's top-k on a TRANSFORMER-encoded space ([[graft.TransformerEmbedder]]
+    * — the from-scratch encoder forward pass: multi-head self-attention +
+    * FFN + mean-pool, the reference's actual inference shape, reference:
+    * src/embeddings.ts:26-67). Weights are the deterministic seeded
+    * stand-in (no checkpoint downloads here), so the QUERY is run-stable
+    * end-to-end — but a forward pass is not SQL-expressible, so declared
+    * rows-only; the determinism/position-awareness/identity-gating/serving
+    * receipts live in TransformerEmbedderSpec. Scale shape: zero training,
+    * per-executor weight materialization (nothing ships), batched
+    * mapPartitions inference with the O(L²·d + L·d²) per-text cost a
+    * 100 TB embed stage budgets for, then the C1 broadcast-queries scoring.
+    */
+  def ragTopKTx(spark: SparkSession, sfDir: String,
+                nQueries: Int = 5, k: Int = 5): DataFrame = {
+    VecExprs.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val tx = graft.TransformerEmbedder.seeded(spark)
+    val e = tx.embedFrame(docs.select("doc_id", "text"), "text", "embedding")
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** C2: LSH-bucketed ANN — 6 deterministic hyperplanes → 64 buckets;
     * candidates = same bucket as the query; exact cosine rerank within the
     * bucket. The bucket id is the join key, so at scale this is a

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Receipts for the transformer-encoder embedder — the reference's actual
+  * inference shape (encode → mean-pool → normalize) as a from-scratch
+  * forward pass behind the [[Embedder]] seam, with deterministic seeded
+  * weights standing in for a checkpoint this sandbox cannot download:
+  *
+  *   (a) bit-exact determinism across instances, batch shapes, and the
+  *       driver/executor boundary (StrictMath + fixed loop order);
+  *   (b) POSITION-awareness — the property no bag-of-words pooling
+  *       (hash, Word2Vec mean-pool) can have;
+  *   (c) the weight bundle persists/reloads with its content identity,
+  *       and identity gates warm stores exactly like every other model;
+  *   (d) end-to-end facade serving (build → ragQueryAnn) on the space.
+  */
+class TransformerEmbedderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("(a) deterministic: same arch+seed → same identity and bit-identical vectors; contract corners") {
+    val e1 = TransformerEmbedder.seeded(spark, dim = 16, layers = 2, heads = 4, seed = 7L)
+    val e2 = TransformerEmbedder.seeded(spark, dim = 16, layers = 2, heads = 4, seed = 7L)
+    assert(e1.name == e2.name, "same config must fingerprint identically")
+    assert(e1.embedText("spark shuffle partition").toSeq ==
+      e2.embedText("spark shuffle partition").toSeq)
+    // a different seed is a DIFFERENT model: different identity, different space
+    val e3 = TransformerEmbedder.seeded(spark, dim = 16, layers = 2, heads = 4, seed = 8L)
+    assert(e3.name != e1.name)
+    assert(e3.embedText("spark shuffle partition").toSeq !=
+      e1.embedText("spark shuffle partition").toSeq)
+    // contract corners: empty / whitespace-only → zero vector; otherwise unit norm
+    assert(e1.embedText("").forall(_ == 0.0))
+    assert(e1.embedText("   ").forall(_ == 0.0))
+    val n = math.sqrt(e1.embedText("hello world").map(x => x * x).sum)
+    assert(math.abs(n - 1.0) < 1e-9, s"norm=$n")
+    // truncation: texts identical through maxLen tokens embed identically
+    val words = (0 until 60).map(i => s"w$i").mkString(" ")
+    val eTrunc = TransformerEmbedder.seeded(spark, dim = 16, maxLen = 48, seed = 7L)
+    assert(eTrunc.embedText(words).toSeq ==
+      eTrunc.embedText(words + " tail beyond the window").toSeq,
+      "tokens past maxLen must not change the encoding")
+  }
+
+  test("(b) the encoding is position-aware: token order changes the vector (bag-of-words cannot)") {
+    val tx = TransformerEmbedder.seeded(spark, dim = 16, seed = 7L)
+    val ab = tx.embedText("alpha beta").toSeq
+    val ba = tx.embedText("beta alpha").toSeq
+    assert(ab != ba, "a transformer encode must distinguish token order")
+    // the CONTROL: Word2Vec-style mean pooling is order-invariant by
+    // construction — position-awareness is what the forward pass adds
+    val w2v = Word2VecEmbedder.train(spark,
+      Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      dim = 16, numPartitions = 1)
+    assert(w2v.embedText("alpha beta").toSeq == w2v.embedText("beta alpha").toSeq)
+    // and context MIXES: the same word in different company encodes
+    // differently (self-attention, not a per-token lookup)
+    def headDiff(a: Seq[Double], b: Seq[Double]) = a != b
+    assert(headDiff(tx.embedText("alpha beta").toSeq, tx.embedText("alpha gamma").toSeq))
+  }
+
+  test("(a2) batch-shape invariance: embedFrame equals embedText row-by-row under any partitioning/batch size") {
+    val docs = (0L until 40L)
+      .map(i => (i, if (i % 7 == 0) null else s"doc $i body token${i % 5} token${i % 3}"))
+      .toDF("doc_id", "text")
+    val tx = TransformerEmbedder.seeded(spark, dim = 16, seed = 7L)
+    val small = new TransformerEmbedderBatch2(tx) // batchSize = 2
+    for (e <- Seq(tx, small); parts <- Seq(1, 7)) {
+      val got = e.embedFrame(docs.repartition(parts), "text", "emb")
+        .select("doc_id", "emb").collect()
+        .map(r => r.getLong(0) -> Option(r.getSeq[Double](1)).map(_.toSeq)).toMap
+      for ((id, t) <- docs.collect().map(r => r.getLong(0) -> Option(r.getString(1)))) {
+        val want = t.map(s => e.embedText(s).toSeq)
+        assert(got(id) == want, s"doc $id under parts=$parts batch=${e.batchSize}")
+      }
+    }
+  }
+
+  test("(c) save/load: the reloaded bundle carries the same identity and function; drift gates stores") {
+    val tx = TransformerEmbedder.seeded(spark, dim = 16, seed = 7L)
+    val path = Files.createTempDirectory("graft_tx_model").toString + "/model"
+    TransformerEmbedder.save(spark, tx, path)
+    val re = TransformerEmbedder.load(spark, path)
+    assert(re.name == tx.name, "a reloaded bundle must carry the saved fingerprint")
+    assert(re.dim == tx.dim && re.layers == tx.layers && re.heads == tx.heads &&
+      re.vocab == tx.vocab && re.maxLen == tx.maxLen)
+    assert(re.embedText("spark shuffle").toSeq == tx.embedText("spark shuffle").toSeq)
+    // identity gating end-to-end: a store built under one seed refuses a
+    // facade holding another (rebuild, never a mixed space)
+    val docs = (0L until 30L).map(i => (i, s"text body $i token${i % 4}")).toDF("doc_id", "text")
+    val work = Files.createTempDirectory("graft_tx_work").toString
+    val store = Files.createTempDirectory("graft_tx_store").toString + "/store"
+    val g = Graft.forFrame(spark, docs, work, dim = 16, embedder = Some(tx))
+    assert(g.modelName.startsWith("graft-tx-v1-d16-"))
+    g.incrementalUpdate(store)
+    assert(IndexStore.load(spark, store, g.meta).isDefined)
+    val gRe = Graft.forFrame(spark, docs,
+      Files.createTempDirectory("graft_tx_work2").toString, dim = 16, embedder = Some(re))
+    assert(IndexStore.load(spark, store, gRe.meta).isDefined,
+      "the reloaded artifact must warm-reuse the store")
+    val gDrift = Graft.forFrame(spark, docs,
+      Files.createTempDirectory("graft_tx_work3").toString, dim = 16,
+      embedder = Some(TransformerEmbedder.seeded(spark, dim = 16, seed = 8L)))
+    assert(IndexStore.load(spark, store, gDrift.meta).isEmpty,
+      "a different weight fingerprint must refuse the warm store")
+  }
+
+  test("(d) end-to-end: ragQueryAnn serves on the transformer space; driver query shape + determinism") {
+    val docs = (0L until 30L).map(i => (i, s"text body $i token${i % 4}")).toDF("doc_id", "text")
+    val tx = TransformerEmbedder.seeded(spark, dim = 16, seed = 7L)
+    val work = Files.createTempDirectory("graft_tx_e2e").toString
+    val store = Files.createTempDirectory("graft_tx_e2estore").toString + "/store"
+    val g = Graft.forFrame(spark, docs, work, dim = 16, embedder = Some(tx))
+    g.incrementalUpdate(store)
+    val hits = g.ragQueryAnn("text body 3 token3", topK = 5, nprobe = 4).collect()
+    assert(hits.length == 5)
+    // the query's own text must be its best match (exact encode match)
+    assert(hits.head.getAs[Long]("doc_id") == 3L,
+      s"self text must rank first: ${hits.map(_.getAs[Long]("doc_id")).mkString(",")}")
+    // driver query: C1's shape on the transformer space, run-stable
+    val out = operators.RagSearch.ragTopKTx(spark, sf).collect()
+    assert(out.map(_.getLong(0)).distinct.sorted.toSeq == (0L until 5L).toSeq)
+    for ((q, rows) <- out.groupBy(_.getLong(0))) {
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L).toSeq, s"query $q ranks")
+      assert(rows.forall(r => r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001))
+      assert(rows.forall(_.getLong(2) != q), "self-match must be excluded")
+    }
+    val again = operators.RagSearch.ragTopKTx(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "seeded weights + strict math ⇒ the whole query is run-stable")
+  }
+}
+
+/** batchSize-override wrapper for the batch-shape invariance receipt. */
+class TransformerEmbedderBatch2(inner: TransformerEmbedder) extends BatchEmbedder {
+  override def batchSize: Int = 2
+  def name: String = inner.name
+  def dim: Int = inner.dim
+  def embedBatch(texts: Array[String]): Array[Array[Double]] = inner.embedBatch(texts)
+}
