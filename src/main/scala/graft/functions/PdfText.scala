@@ -889,8 +889,9 @@ object PdfText {
               // channel by design, ISO 32000-1 §9.10.3); a simple font
               // with only /Encoding falls back to the glyph-name map
               // (r12); a font with NEITHER falls back to its embedded
-              // TrueType program's own cmap/post tables (r13 — the
-              // symbolic/subset-font class that closed the envelope)
+              // font program — TrueType cmap/post tables, or the
+              // Type1/CFF encoding+charset (r13 — the symbolic/subset-
+              // font classes that closed the envelope)
               val viaCMap = for {
                 cmapNum <- ToUnicodeRe.findFirstMatchIn(body)
                   .flatMap(mm => scala.util.Try(mm.group(1).toInt).toOption)
@@ -899,6 +900,7 @@ object PdfText {
               } yield f
               viaCMap.orElse(parseSimpleEncoding(body, objectBody))
                 .orElse(parseEmbeddedTrueType(body, objectBody, streamContent))
+                .orElse(parseEmbeddedType1(body, objectBody, streamContent))
             }
           } table(name) = font
       }
@@ -1323,6 +1325,236 @@ object PdfText {
       else None
     }
   } catch { case _: Exception => Nil }
+
+  // ---- embedded Type1/CFF font programs (r13 — the companion leg to
+  //      FontFile2: a Type1 font with no /ToUnicode and no usable
+  //      /Encoding carries its code→glyph-name mapping inside the font
+  //      program itself — the cleartext /Encoding array of a /FontFile,
+  //      or the charset/Encoding structures of a /FontFile3 CFF
+  //      (Adobe TN#5176); reference delegates to pdf-parse,
+  //      src/pdf-extractor.ts:1-56) ----
+
+  private val FontFile3Re = "/FontFile3\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val FontFileRe = "/FontFile\\s+(\\d+)\\s+\\d+\\s+R".r
+
+  /** Decode a simple font through its embedded Type1-family program:
+    * /FontFile3 (CFF/Type1C — code → gid via the CFF Encoding, gid → SID
+    * via the charset, SID → glyph name via the standard strings or the
+    * String INDEX) or /FontFile (original Type1 — `dup code /name put`
+    * entries in the cleartext portion). Glyph names resolve through the
+    * same AGL subset + uniXXXX conventions as every other glyph path.
+    * Anything unparseable degrades to None (raw read) — never a throw.
+    */
+  private def parseEmbeddedType1(fontBody: String,
+                                 objectBody: Int => Option[String],
+                                 streamContent: Int => Option[String]): Option[CidFont] =
+    try {
+      for {
+        dm <- FontDescRefRe.findFirstMatchIn(fontBody)
+        descNum <- scala.util.Try(dm.group(1).toInt).toOption
+        desc <- objectBody(descNum)
+        font <- {
+          val viaCff = for {
+            fm <- FontFile3Re.findFirstMatchIn(desc)
+            num <- scala.util.Try(fm.group(1).toInt).toOption
+            cff <- streamContent(num)
+            f <- cffCodeMap(cff)
+          } yield f
+          viaCff.orElse(for {
+            fm <- FontFileRe.findFirstMatchIn(desc)
+            num <- scala.util.Try(fm.group(1).toInt).toOption
+            t1 <- streamContent(num)
+            f <- type1CodeMap(t1)
+          } yield f)
+        }
+      } yield font
+    } catch { case _: Exception => None }
+
+  /** StandardEncoding's code → text for the built-in-default cases (CFF
+    * encoding offset 0, Type1 `/Encoding StandardEncoding def`): the
+    * printable-ASCII spine with the two spots where StandardEncoding
+    * diverges from ASCII names (39 → quoteright, 96 → quoteleft; PDF 1.7
+    * Annex D.2). Codes above 126 resolve only through a font's own
+    * encoding — the declared degrade.
+    */
+  private lazy val StandardEncodingText: Map[Int, String] =
+    (32 to 126).flatMap { c =>
+      val name = c match {
+        case 39 => "quoteright"
+        case 96 => "quoteleft"
+        case _  => AsciiGlyphNames(c - 32)
+      }
+      glyphToUnicode(name).map(c -> _)
+    }.toMap
+
+  /** The 1-byte code → text table of a CFF (Type1C) font program, latin-1
+    * string view (Adobe TN#5176): header → Name/Top-DICT/String INDEXes →
+    * charset (gid → SID, formats 0/1/2) + Encoding (code → gid, formats
+    * 0/1 with supplements) → SID → name (standard strings 1..95 are the
+    * ASCII spine; 391+ index the String INDEX; other predefined SIDs
+    * degrade) → AGL text. Expert charsets/encodings and CID-keyed CFF
+    * degrade to None.
+    */
+  private def cffCodeMap(cff: String): Option[CidFont] = try {
+    val n = cff.length
+    def u8(i: Int): Int =
+      if (i < 0 || i >= n) throw new IndexOutOfBoundsException(i.toString)
+      else cff.charAt(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (n < 4) return None
+    val hdrSize = u8(2)
+    // INDEX: count(u16) offSize(u8) offsets[count+1] data; returns the
+    // (start, end) item spans plus the INDEX's own end position
+    def readIndex(at: Int): (IndexedSeq[(Int, Int)], Int) = {
+      val count = math.min(u16(at), 0x10000)
+      if (count == 0) return (IndexedSeq.empty, at + 2)
+      val offSize = u8(at + 2)
+      if (offSize < 1 || offSize > 4) throw new IllegalArgumentException("offSize")
+      def off(k: Int): Int = {
+        var v = 0; var i = 0
+        while (i < offSize) { v = (v << 8) | u8(at + 3 + k * offSize + i); i += 1 }
+        v
+      }
+      val dataStart = at + 3 + (count + 1) * offSize - 1
+      val items = (0 until count).map(k => (dataStart + off(k), dataStart + off(k + 1)))
+      (items, dataStart + off(count))
+    }
+    val (_, afterName) = readIndex(hdrSize)
+    val (topIdx, afterTop) = readIndex(afterName)
+    val (strIdx, _) = readIndex(afterTop)
+    val (topS, topE) = topIdx.headOption.getOrElse(return None)
+    // Top DICT: operand stack → operator map (TN#5176 table 9 number
+    // encodings; reals consumed structurally, value unused here)
+    val dict = scala.collection.mutable.Map.empty[Int, List[Double]]
+    locally {
+      val ops = scala.collection.mutable.ListBuffer.empty[Double]
+      var p = topS
+      while (p < topE) {
+        val b0 = u8(p)
+        if (b0 <= 21) {
+          val op = if (b0 == 12) { p += 1; 1200 + u8(p) } else b0
+          dict(op) = ops.toList; ops.clear(); p += 1
+        } else if (b0 == 28) { ops += ((u8(p + 1) << 8 | u8(p + 2)).toShort.toDouble); p += 3 }
+        else if (b0 == 29) {
+          ops += ((u8(p + 1) << 24) | (u8(p + 2) << 16) | (u8(p + 3) << 8) | u8(p + 4)).toDouble
+          p += 5
+        } else if (b0 == 30) { // real: nibbles until 0xf terminator
+          p += 1
+          var done = false
+          while (!done && p < topE) {
+            val b = u8(p); p += 1
+            if ((b & 0xf0) == 0xf0 || (b & 0x0f) == 0x0f) done = true
+          }
+          ops += 0.0
+        } else if (b0 >= 32 && b0 <= 246) { ops += (b0 - 139).toDouble; p += 1 }
+        else if (b0 >= 247 && b0 <= 250) { ops += ((b0 - 247) * 256 + u8(p + 1) + 108).toDouble; p += 2 }
+        else if (b0 >= 251 && b0 <= 254) { ops += (-(b0 - 251) * 256 - u8(p + 1) - 108).toDouble; p += 2 }
+        else p += 1 // reserved byte: skip
+      }
+    }
+    if (dict.contains(1230)) return None // ROS ⇒ CID-keyed CFF: no names
+    val charStringsOff = dict.get(17).flatMap(_.headOption).map(_.toInt).getOrElse(return None)
+    val (charStrings, _) = readIndex(charStringsOff)
+    val nGlyphs = charStrings.size
+    if (nGlyphs == 0) return None
+    // charset: gid → SID (offset 0 = ISOAdobe ⇒ SID = gid; predefined
+    // expert charsets degrade)
+    val charsetOff = dict.get(15).flatMap(_.headOption).map(_.toInt).getOrElse(0)
+    val sidOf = new Array[Int](nGlyphs)
+    charsetOff match {
+      case 0 => var g = 1; while (g < nGlyphs) { sidOf(g) = g; g += 1 }
+      case 1 | 2 => return None
+      case off =>
+        u8(off) match {
+          case 0 =>
+            var g = 1
+            while (g < nGlyphs) { sidOf(g) = u16(off + 1 + 2 * (g - 1)); g += 1 }
+          case f @ (1 | 2) =>
+            var g = 1; var p = off + 1
+            while (g < nGlyphs) {
+              val first = u16(p)
+              val nLeft = if (f == 1) u8(p + 2) else u16(p + 2)
+              p += (if (f == 1) 3 else 4)
+              var k = 0
+              while (k <= nLeft && g < nGlyphs) { sidOf(g) = first + k; g += 1; k += 1 }
+            }
+          case _ => return None
+        }
+    }
+    def sidName(sid: Int): Option[String] =
+      if (sid >= 1 && sid <= 95) Some(AsciiGlyphNames(sid - 1))
+      else if (sid >= 391 && sid - 391 < strIdx.size) {
+        val (s, e) = strIdx(sid - 391)
+        if (s >= 0 && e <= n && s <= e) Some(cff.substring(s, e)) else None
+      } else None // predefined SIDs 96..390: outside the Latin envelope
+    // Encoding: code → gid (offset 0 = Standard, 1 = Expert)
+    val encodingOff = dict.get(16).flatMap(_.headOption).map(_.toInt).getOrElse(0)
+    val map: Map[Int, String] = encodingOff match {
+      case 0 => StandardEncodingText
+      case 1 => return None
+      case off =>
+        val fmt = u8(off)
+        val codeToGid = scala.collection.mutable.Map.empty[Int, Int]
+        var supAt = -1
+        (fmt & 0x7f) match {
+          case 0 =>
+            val nCodes = math.min(u8(off + 1), nGlyphs - 1)
+            var i = 1
+            while (i <= nCodes) { codeToGid(u8(off + 1 + i)) = i; i += 1 }
+            supAt = off + 2 + nCodes
+          case 1 =>
+            val nRanges = u8(off + 1)
+            var gid = 1; var r = 0
+            while (r < nRanges && gid < nGlyphs) {
+              val first = u8(off + 2 + 2 * r); val nLeft = u8(off + 3 + 2 * r)
+              var k = 0
+              while (k <= nLeft && gid < nGlyphs) {
+                codeToGid(first + k) = gid; gid += 1; k += 1
+              }
+              r += 1
+            }
+            supAt = off + 2 + 2 * nRanges
+          case _ => return None
+        }
+        val out = scala.collection.mutable.Map.empty[Int, String]
+        for ((c, g) <- codeToGid; if g < nGlyphs; nm <- sidName(sidOf(g));
+             s <- glyphToUnicode(nm)) out(c) = s
+        if ((fmt & 0x80) != 0 && supAt >= 0) { // supplements: code → SID
+          val nSups = u8(supAt)
+          var k = 0
+          while (k < nSups) {
+            val c = u8(supAt + 1 + 3 * k); val sid = u16(supAt + 2 + 3 * k)
+            for (nm <- sidName(sid); s <- glyphToUnicode(nm)) out(c) = s
+            k += 1
+          }
+        }
+        out.toMap
+    }
+    if (map.isEmpty) None else Some(CidFont(1, map))
+  } catch { case _: Exception => None }
+
+  /** The 1-byte code → text table of an original Type1 font program: the
+    * built-in /Encoding lives in the CLEARTEXT portion (before `eexec`) as
+    * `dup code /name put` entries, or as `/Encoding StandardEncoding def`.
+    * The encrypted charstrings are never needed — names are the text
+    * channel.
+    */
+  private def type1CodeMap(t1: String): Option[CidFont] = try {
+    val eexec = t1.indexOf("eexec")
+    val clear = if (eexec < 0) t1 else t1.substring(0, eexec)
+    if ("/Encoding\\s+StandardEncoding\\s+def".r.findFirstIn(clear).isDefined)
+      Some(CidFont(1, StandardEncodingText))
+    else {
+      val map = "dup\\s+(\\d+)\\s*/([^\\s/]+)\\s+put".r.findAllMatchIn(clear).flatMap { m =>
+        for {
+          code <- scala.util.Try(m.group(1).toInt).toOption
+          if code >= 0 && code <= 255
+          s <- glyphToUnicode(m.group(2))
+        } yield code -> s
+      }.toMap
+      if (map.isEmpty) None else Some(CidFont(1, map))
+    }
+  } catch { case _: Exception => None }
 
   /** Mapping-entry cap: a hostile CMap must not expand into unbounded
     * driver/executor state (64k codes ≫ any real subset font).
@@ -2001,6 +2233,119 @@ object PdfText {
     w("6 0 obj<</Type/FontDescriptor/FontName/GraftTT/Flags 4" +
       "/FontFile2 7 0 R>>endobj\n")
     stream(7, ttf, flate)
+    w("trailer<</Root 1 0 R>>\n%%EOF")
+    out.toByteArray
+  }
+
+  /** A one-page document shown through a Type1-family font whose mapping
+    * lives ONLY inside its embedded font program (r13 fixture for the
+    * FontFile/FontFile3 leg): no ToUnicode, no /Encoding, and every
+    * distinct char shown under a PRIVATE code (0xA0+k) so a reader
+    * without the font program recovers garbage.
+    *
+    *   - `viaCff = true`: a /FontFile3 (Subtype/Type1C) CFF program —
+    *     Encoding format 0 maps code → gid, charset format 0 maps gid →
+    *     SID, and SIDs alternate between the STANDARD strings (1..95) and
+    *     CUSTOM String-INDEX entries, so both name arms are under the
+    *     oracle in one form;
+    *   - `viaCff = false`: an original /FontFile Type1 program — the
+    *     cleartext portion's `dup code /name put` encoding entries are
+    *     the mapping (the eexec-encrypted tail is opaque filler, exactly
+    *     as in a real font: charstrings are never the text channel).
+    */
+  def buildType1Pdf(text0: String, viaCff: Boolean = true,
+                    flate: Boolean = true): Array[Byte] = {
+    val t = text0.map(ch => if (ch >= 32 && ch <= 126) ch else ' ')
+    val chars = t.distinct.sorted
+    val code = chars.zipWithIndex.map { case (ch, i) => ch -> (0xA0 + i) }.toMap
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val fontProgram: Array[Byte] = if (viaCff) {
+      // INDEX with offSize 2 (count, offSize, count+1 offsets, data)
+      def index(items: Seq[Array[Byte]]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(u16(items.length))
+        if (items.nonEmpty) {
+          b.write(2)
+          var off = 1
+          b.write(u16(off))
+          items.foreach { it => off += it.length; b.write(u16(off)) }
+          items.foreach(b.write)
+        }
+        b.toByteArray
+      }
+      val header = Array[Byte](1, 0, 4, 2)
+      val nameIdx = index(Seq("GraftCFF".getBytes(Latin1)))
+      // even-position chars resolve through standard SIDs (ASCII spine:
+      // SID = ascii - 31), odd-position ones through custom strings
+      val customNames = chars.zipWithIndex.collect {
+        case (ch, i) if i % 2 == 1 => AsciiGlyphNames(ch - 32)
+      }
+      def sidFor(i: Int): Int =
+        if (i % 2 == 0) chars(i) - 31 else 391 + i / 2
+      val stringIdx = index(customNames.map(_.getBytes(Latin1)))
+      val globalSubrIdx = index(Seq.empty)
+      // Top DICT: charset(15)/Encoding(16)/CharStrings(17) as fixed-width
+      // 32-bit operands so the payload size is offset-independent
+      def op29(v: Int, op: Int): Array[Byte] =
+        Array(29.toByte, ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte, op.toByte)
+      val topPayloadLen = 18
+      val topIdxLen = 2 + 1 + 2 * 2 + topPayloadLen
+      val charStringsIdx = index((0 to chars.length).map(_ => Array[Byte](14))) // endchar
+      val base = header.length + nameIdx.length + topIdxLen +
+        stringIdx.length + globalSubrIdx.length
+      val charStringsOff = base
+      val charsetOff = charStringsOff + charStringsIdx.length
+      val charset = Array[Byte](0) ++
+        chars.indices.flatMap(i => u16(sidFor(i))).toArray
+      val encodingOff = charsetOff + charset.length
+      val encoding = Array[Byte](0, chars.length.toByte) ++
+        chars.map(ch => code(ch).toByte).toArray
+      val topIdx = index(Seq(op29(charsetOff, 15) ++ op29(encodingOff, 16) ++
+        op29(charStringsOff, 17)))
+      require(topIdx.length == topIdxLen, "CFF top DICT layout drift")
+      header ++ nameIdx ++ topIdx ++ stringIdx ++ globalSubrIdx ++
+        charStringsIdx ++ charset ++ encoding
+    } else {
+      val sb = new StringBuilder
+      sb ++= "%!PS-AdobeFont-1.0: GraftT1\n"
+      sb ++= "/FontName /GraftT1 def\n"
+      sb ++= "/Encoding 256 array\n0 1 255 {1 index exch /.notdef put} for\n"
+      chars.foreach(ch => sb ++= s"dup ${code(ch)} /${AsciiGlyphNames(ch - 32)} put\n")
+      sb ++= "readonly def\ncurrentdict end\ncurrentfile eexec\n"
+      val clear = sb.result().getBytes(Latin1)
+      val opaque = Array.tabulate(64)(i => ((i * 17 + 3) & 0xff).toByte)
+      clear ++ opaque
+    }
+    val content = ("BT /F1 12 Tf <" +
+      t.map(ch => f"${code(ch)}%02X").mkString + "> Tj ET").getBytes(Latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(Latin1))
+    def stream(id: Int, payload: Array[Byte], compress: Boolean, extra: String = ""): Unit = {
+      val body = if (compress) deflate(payload) else payload
+      val filter = if (compress) "/Filter/FlateDecode" else ""
+      w(s"$id 0 obj<</Length ${body.length}$filter$extra>>stream\n")
+      out.write(body)
+      w("\nendstream endobj\n")
+    }
+    w("%PDF-1.4\n")
+    w("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")
+    w("2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n")
+    w("3 0 obj<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>" +
+      "/Contents 4 0 R>>endobj\n")
+    stream(4, content, flate)
+    w("5 0 obj<</Type/Font/Subtype/Type1/BaseFont/GraftT1" +
+      "/FirstChar 160/FontDescriptor 6 0 R>>endobj\n")
+    if (viaCff) {
+      w("6 0 obj<</Type/FontDescriptor/FontName/GraftT1/Flags 4" +
+        "/FontFile3 7 0 R>>endobj\n")
+      stream(7, fontProgram, flate, "/Subtype/Type1C")
+    } else {
+      val clearLen = fontProgram.length - 64
+      w("6 0 obj<</Type/FontDescriptor/FontName/GraftT1/Flags 4" +
+        "/FontFile 7 0 R>>endobj\n")
+      stream(7, fontProgram, flate, s"/Length1 $clearLen/Length2 64/Length3 0")
+    }
     w("trailer<</Root 1 0 R>>\n%%EOF")
     out.toByteArray
   }

@@ -121,11 +121,12 @@ object Multimodal {
           // an id-keyed inner rotation correlates with the outer mod-7
           // pick and can collapse to one branch, silently dropping
           // AES/R6/LZW/Differences from the oracle gate
-          Row(id, if (lean) Math.floorMod(id, 9L).toInt match {
+          Row(id, if (lean) Math.floorMod(id, 11L).toInt match {
             // LEAN (bench-only) rotation: every NON-CRYPTO parser leg —
             // literal/TJ/hex show strings, CID CMap, LZW/RLE filter
-            // chains, /Differences glyph maps, and both embedded-TrueType
-            // legs — so a pure-parsing throughput regression stays
+            // chains, /Differences glyph maps, both embedded-TrueType
+            // legs, and both embedded-Type1 legs (CFF + cleartext) —
+            // so a pure-parsing throughput regression stays
             // visible to the bench and the cross-round drift detector.
             // Only the encrypted forms are excluded: AES-256 R5/R6 key
             // derivation is DELIBERATELY slow hashing (ISO 32000-2
@@ -141,6 +142,8 @@ object Multimodal {
             case 6 => PdfText.buildSimpleFontPdf(text, differences = false)
             case 7 => PdfText.buildTrueTypePdf(text)
             case 8 => PdfText.buildTrueTypePdf(text, viaPost = true)
+            case 9 => PdfText.buildType1Pdf(text)
+            case 10 => PdfText.buildType1Pdf(text, viaCff = false)
             case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
           }
           else Math.floorMod(id, 7L).toInt match {
@@ -166,15 +169,19 @@ object Multimodal {
             case 5 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
               if (Math.floorMod(Math.floorDiv(id, 7L), 2L) == 0L) Seq("LZWDecode")
               else Seq("RunLengthDecode", "FlateDecode"))
-            case 6 => Math.floorMod(Math.floorDiv(id, 7L), 4L).toInt match {
-              // glyph-mapped simple fonts (r12) and EMBEDDED TrueType
-              // programs (r13 — mapping only in the FontFile2 cmap/post
-              // tables; the subset-font class that closed the envelope)
+            case 6 => Math.floorMod(Math.floorDiv(id, 7L), 6L).toInt match {
+              // glyph-mapped simple fonts (r12) and EMBEDDED font
+              // programs (r13 — mapping only inside the FontFile2
+              // cmap/post tables or the FontFile/FontFile3 Type1-family
+              // encoding; the subset-font classes that closed the
+              // envelope)
               case 0 => PdfText.buildSimpleFontPdf(text, differences = true,
                 indirectEncoding = true)
               case 1 => PdfText.buildSimpleFontPdf(text, differences = false)
               case 2 => PdfText.buildTrueTypePdf(text)
-              case _ => PdfText.buildTrueTypePdf(text, viaPost = true)
+              case 3 => PdfText.buildTrueTypePdf(text, viaPost = true)
+              case 4 => PdfText.buildType1Pdf(text)
+              case _ => PdfText.buildType1Pdf(text, viaCff = false)
             }
             case v => PdfText.buildPdf(Seq(PdfText.textPage(text, v)), flate = true)
           })

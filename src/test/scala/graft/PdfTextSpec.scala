@@ -574,7 +574,7 @@ end
       expected.exceptAll(got).count() == 0)
   }
 
-  test("lean bench rotation: same round-trip identity over its 5 non-crypto forms") {
+  test("lean bench rotation: same round-trip identity over its non-crypto forms") {
     // the bench-only subset must stay a REAL end-to-end decode — identical
     // contract to the full rotation, minus the deliberately-slow crypto
     // forms whose cost is the oracle fixture's, not the parser's
@@ -790,6 +790,32 @@ end
     }
   }
 
+  test("embedded Type1/CFF: text recoverable ONLY through the font program") {
+    // r13 — the FontFile/FontFile3 companion to the TrueType leg: no
+    // ToUnicode, no /Encoding; show bytes are private codes (0xA0+k) and
+    // the mapping lives in the embedded Type1-family program
+    val t = "Type1 text via CFF charset+encoding! (42% ~ ok)"
+    // CFF: Encoding fmt0 → gid, charset fmt0 → SID, names alternate
+    // between the standard-strings arm and the String-INDEX arm
+    assert(PdfText.extract(PdfText.buildType1Pdf(t)).get.text == t)
+    // original Type1: cleartext `dup code /name put` entries
+    assert(PdfText.extract(PdfText.buildType1Pdf(t, viaCff = false)).get.text == t)
+    // uncompressed font stream too
+    assert(PdfText.extract(PdfText.buildType1Pdf(t, flate = false)).get.text == t)
+    // precedence: ToUnicode still wins over any embedded program
+    assert(PdfText.extract(PdfText.buildCidPdf("cid text wins")).get.text == "cid text wins")
+    // empty/whitespace text never throws on either leg
+    for (empty <- Seq("", "   "); cff <- Seq(true, false))
+      assert(PdfText.extract(PdfText.buildType1Pdf(empty, viaCff = cff)).get.text == "")
+    // corruption never throws: truncate at every 97th byte on both legs
+    for (cff <- Seq(true, false)) {
+      val doc = PdfText.buildType1Pdf(t, viaCff = cff)
+      (1 until doc.length by 97).foreach { cut =>
+        PdfText.extract(java.util.Arrays.copyOfRange(doc, 0, cut)) // must not throw
+      }
+    }
+  }
+
   test("corruption sweep: every decoder path degrades, never throws") {
     // deterministic fuzz over every fixture family: flip/zero/truncate at
     // a stride of byte positions and assert extract() still answers
@@ -806,6 +832,8 @@ end
         indirectLength = true),
       PdfText.buildCidPdf(t),
       PdfText.buildSimpleFontPdf(t, differences = true, indirectEncoding = true),
+      PdfText.buildType1Pdf(t),
+      PdfText.buildType1Pdf(t, viaCff = false),
       PdfText.buildEncryptedPdf(page, aes = true),
       PdfText.buildEncryptedPdfR6(page),
       PdfText.buildEncryptedPdf(page, aes = false, password = "pw"))
