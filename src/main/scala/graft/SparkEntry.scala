@@ -53,6 +53,11 @@ object SparkEntry {
     // weights aren't SQL-replicable → rows-only; Word2VecEmbedderSpec
     // carries the identity/serving/recall receipts.
     "rag_topk_w2v" -> ((s, dir) => RagSearch.ragTopKW2v(s, dir)),
+    // C1t: the transformer-encoder space (from-scratch forward pass,
+    // seeded deterministic weights — no downloads). Rows-only (a forward
+    // pass isn't SQL); TransformerEmbedderSpec pins determinism,
+    // position-awareness, identity gating, and end-to-end serving.
+    "rag_topk_tx" -> ((s, dir) => RagSearch.ragTopKTx(s, dir)),
     // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
     // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
     "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),
