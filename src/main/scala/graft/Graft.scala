@@ -643,6 +643,44 @@ class Graft(spark: SparkSession, sfDir: String,
     operators.Bm25.ragHybridBatchOver(servingIndex, queries, Graft.clampTopK(topK),
       dim, queryVecs = Some(queries.map(q => embedder.embedText(q))))
 
+  /** MMR-diversified search (SURVEY §2 C1m, r13): exact top-`candDepth`
+    * retrieval from the cached chunk index, then the maximal-marginal-
+    * relevance greedy (Carbonell & Goldstein 1998) reranks the pool so
+    * near-duplicate chunks are demoted behind diverse ones — the rerank
+    * every RAG serving stack bolts onto its retriever when the corpus
+    * carries duplication (and a training-data corpus always does). The
+    * pool rides its relevance RANK as the greedy's synthetic key, so
+    * chunk identity (`doc_id`, `chunk_idx`) joins back losslessly after
+    * selection. Rerank state is one bounded pool per query.
+    */
+  def ragQueryMmr(query: String, topK: Int = 5, lambdaRel: Double = 0.7,
+                  candDepth: Int = 20): DataFrame = {
+    import spark.implicits._
+    val qFrame = Seq((0L, embedder.embedText(query).toSeq)).toDF("query_id", "qv")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc, col("chunk_idx").asc)
+    // the pool is read twice (greedy + identity join-back): checkpoint it
+    // when a releasingPinned scope can reclaim the pin, else recompute —
+    // the bounded pool makes the replayed scan cheap (scopedCheckpoint's
+    // standard trade)
+    val pool = operators.AnnStore.scopedCheckpoint(
+      servingIndex.crossJoin(broadcast(qFrame))
+        .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+          col("emb"), round(VecExprs.cosineSim(col("emb"), col("qv")) + lit(1e-9), 4).as("rel"),
+          substring(col("chunk_text"), 1, 120).as("snippet"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= math.max(candDepth, topK)))
+    val picked = operators.RagSearch.mmrGreedy(
+      pool.select(col("query_id"), col("rn").cast("long").as("vec_id"),
+        col("emb").cast("array<double>").as("embedding"), col("rel")),
+      Graft.clampTopK(topK), lambdaRel)
+    picked.as("m").join(pool.as("p"),
+        col("m.query_id") === col("p.query_id") && col("m.vec_id") === col("p.rn"))
+      .select(col("m.rank"), col("p.doc_id"), col("p.chunk_idx"),
+        col("m.score"), col("p.snippet"))
+      .orderBy("rank")
+  }
+
   /** Token-range read of one document (1-based inclusive, like the
     * reference's line ranges). Driver-side scalar — it's a point lookup.
     */

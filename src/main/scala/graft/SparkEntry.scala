@@ -58,6 +58,9 @@ object SparkEntry {
     // pass isn't SQL); TransformerEmbedderSpec pins determinism,
     // position-awareness, identity gating, and end-to-end serving.
     "rag_topk_tx" -> ((s, dir) => RagSearch.ragTopKTx(s, dir)),
+    // C1m: MMR diversity rerank — greedy quantized to 4 dp each step, so
+    // even this ITERATIVE operator is oracle-replicable (recursive CTE).
+    "rag_topk_mmr" -> ((s, dir) => RagSearch.ragTopKMmr(s, dir)),
     // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
     // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
     "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),
@@ -428,6 +431,42 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc)
          |SELECT query_id, CAST(rn AS BIGINT) AS "rank", vec_id, score
          |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // C1m: the ITERATIVE greedy replayed in SQL — a recursive CTE carries
+    // the selected set; every argmax compares the same 4 dp-quantized
+    // scores the Spark greedy uses, ties on vec_id.
+    "rag_topk_mmr" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |rel AS (SELECT q.query_id, e.vec_id, e.embedding, round(${cosSql("e.embedding", "q.qv")} + 1e-9, 4) AS rel
+         |        FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         |pool AS (SELECT query_id, vec_id, embedding, rel
+         |         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn FROM rel)
+         |         WHERE rn <= 20),
+         |mmr(query_id, step, vec_id, score, sel) AS (
+         |  SELECT query_id, 1 AS step, vec_id, rel AS score, [vec_id] AS sel
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn FROM pool)
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT query_id, step, vec_id, score, list_append(sel, vec_id)
+         |  FROM (
+         |    SELECT m.query_id, m.step + 1 AS step, p.vec_id,
+         |           round(0.7*p.rel - 0.3*(SELECT max(round(${cosSql("p.embedding", "s.embedding")} + 1e-9, 4))
+         |                                  FROM pool s
+         |                                  WHERE s.query_id = m.query_id
+         |                                    AND list_contains(m.sel, s.vec_id)) + 1e-9, 4) AS score,
+         |           m.sel,
+         |           row_number() OVER (PARTITION BY m.query_id
+         |                              ORDER BY round(0.7*p.rel - 0.3*(SELECT max(round(${cosSql("p.embedding", "s2.embedding")} + 1e-9, 4))
+         |                                                              FROM pool s2
+         |                                                              WHERE s2.query_id = m.query_id
+         |                                                                AND list_contains(m.sel, s2.vec_id)) + 1e-9, 4) DESC,
+         |                                       p.vec_id) AS rn
+         |    FROM mmr m JOIN pool p ON p.query_id = m.query_id AND NOT list_contains(m.sel, p.vec_id)
+         |    WHERE m.step < 5)
+         |  WHERE rn = 1
+         |)
+         |SELECT query_id, CAST(step AS BIGINT) AS "rank", vec_id, score
+         |FROM mmr ORDER BY query_id, "rank"""".stripMargin,
     "rag_topk_filtered" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |sc AS (SELECT q.query_id, e.vec_id, e.label, round(${cosSql("e.embedding", "q.qv")}, 4) AS score

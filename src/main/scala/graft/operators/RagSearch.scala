@@ -132,6 +132,130 @@ object RagSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** C1m: MMR diversity reranking (Carbonell & Goldstein 1998 — maximal
+    * marginal relevance, the classic redundancy-vs-relevance rerank every
+    * RAG serving stack bolts onto its retriever): a bounded candidate pool
+    * (top-`candDepth` by cosine per query — the C1 shape; at corpus scale
+    * the ANN stores feed this pool instead) is greedily re-ranked, each
+    * step taking argmax of `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` so
+    * near-duplicate hits are demoted behind diverse ones.
+    *
+    * Scale shape: candidate generation is the retriever's problem (brute
+    * force here as the oracle anchor); the rerank itself shuffles ONE
+    * bounded pool per query (`candDepth` rows) to its group and runs the
+    * O(k·candDepth) greedy driver-free inside `flatMapGroups` — per-query
+    * state never exceeds the pool, the 100 TB serving shape.
+    *
+    * Determinism/oracle: rel, pairwise sims, and the combined score are
+    * quantized to 4 dp (the house `round` semantics) before every argmax,
+    * ties break on vec_id — so the greedy is replicable in ANSI SQL, and
+    * the DuckDB oracle replays it with a recursive CTE carrying the
+    * selected set (fully hash-matched; the first rows-only-free iterative
+    * operator). Step 1's score is the plain relevance; later steps report
+    * the MMR objective.
+    */
+  def ragTopKMmr(spark: SparkSession, sfDir: String,
+                 nQueries: Int = 5, k: Int = 5,
+                 lambdaRel: Double = 0.7, candDepth: Int = 20): DataFrame =
+    ragTopKMmrOver(Tables.embeddings(spark, sfDir), nQueries, k, lambdaRel, candDepth)
+
+  /** [[ragTopKMmr]] over an explicit `(vec_id, embedding)` frame. */
+  def ragTopKMmrOver(e: DataFrame, nQueries: Int, k: Int,
+                     lambdaRel: Double, candDepth: Int): DataFrame = {
+    val spark = e.sparkSession
+    VecExprs.register(spark)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val rel = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        // the house +1e-9 nudge: every rounded value in the MMR path must
+        // land off the .00005 midpoint, or Spark's shortest-decimal
+        // rounding and DuckDB's multiply-based rounding can split a
+        // boundary case (observed once in 620 scores at sf0.1)
+        round(VecExprs.cosineSim(col("embedding"), col("qv")) + lit(1e-9), 4).as("rel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id").asc)
+    val pool = rel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= candDepth)
+      .select(col("query_id"), col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"), col("rel"))
+    mmrGreedy(pool, k, lambdaRel)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The MMR greedy over a BOUNDED per-query candidate pool
+    * `(query_id, vec_id, embedding: array<double>, rel)`: per query,
+    * select k rows by argmax `λ·rel − (1−λ)·max sim-to-selected`, every
+    * compared score quantized to 4 dp and ties broken on vec_id (the
+    * determinism that makes the greedy SQL-replicable). One shuffle by
+    * query_id; per-group state never exceeds the pool. Float→double
+    * column widening is exact, so a float-vector pool scores identically.
+    */
+  private[graft] def mmrGreedy(pool: DataFrame, k: Int, lambdaRel: Double): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    pool.groupByKey(_.getLong(0))
+      .flatMapGroups { (qid, it) =>
+        val cands = it.map(r =>
+            (r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+          .toArray.sortBy(c => (-c._3, c._1))
+        val selIds = new scala.collection.mutable.ArrayBuffer[Long]
+        val selVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
+        val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]
+        var step = 1
+        while (step <= k && selIds.length < cands.length) {
+          var bestIdx = -1; var bestScore = 0.0
+          var i = 0
+          while (i < cands.length) {
+            val c = cands(i)
+            if (!selIds.contains(c._1)) {
+              val score =
+                if (selVecs.isEmpty) c._3
+                else {
+                  var ms = Double.NegativeInfinity
+                  selVecs.foreach(s => ms = math.max(ms, round4(cosineOf(c._2, s))))
+                  round4(lambdaRel * c._3 - (1 - lambdaRel) * ms)
+                }
+              if (bestIdx < 0 || score > bestScore ||
+                  (score == bestScore && c._1 < cands(bestIdx)._1)) {
+                bestIdx = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          val b = cands(bestIdx)
+          selIds += b._1; selVecs += b._2
+          rows += ((qid, step.toLong, b._1, bestScore))
+          step += 1
+        }
+        rows.iterator
+      }
+      .toDF("query_id", "rank", "vec_id", "score")
+  }
+
+  /** Spark `round(_ + 1e-9, 4)` semantics (BigDecimal HALF_UP with the
+    * house midpoint nudge), for greedy steps that must agree bit-for-bit
+    * with the expression path and the oracle.
+    */
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x + 1e-9)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Exactly [[VecExprs.CosineSim]]'s numerics (same accumulation order,
+    * same `+ 1e-10` guard) so pool scores and in-group sims live in one
+    * quantization.
+    */
+  private def cosineOf(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = a(i); val yi = b(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb) + 1e-10)
+  }
+
   /** C2: LSH-bucketed ANN — 6 deterministic hyperplanes → 64 buckets;
     * candidates = same bucket as the query; exact cosine rerank within the
     * bucket. The bucket id is the join key, so at scale this is a

@@ -28,6 +28,31 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("ragQueryMmr: near-duplicate chunk demoted behind the diverse hit; rank 1 matches ragQuery") {
+    import spark.implicits._
+    // doc 2 is a bag-of-words PERMUTATION of doc 1 (identical hash vector
+    // — the realistic shuffled-near-dup); both match the query's FIRST
+    // half, doc 3 its SECOND half with disjoint tokens. Plain relevance
+    // ranks (1, 2) — the dup ties and loses the doc_id break; MMR keeps 1
+    // and swaps the dup for the diverse 3
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "beta alpha beta alpha beta alpha"),
+      (3L, "gamma delta gamma delta gamma delta")
+    ).toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_mmr_facade").toString
+    val gm = Graft.forFrame(spark, docs, work, dim = 64)
+    val query = "alpha beta gamma delta"
+    val plain = gm.ragQuery(query, topK = 2).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(plain == Seq(1L, 2L), s"plain relevance must keep the near-dup: $plain")
+    val mmr = gm.ragQueryMmr(query, topK = 2).collect()
+    assert(mmr.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L),
+      s"MMR must demote the near-dup behind the diverse doc: ${mmr.map(_.getAs[Long]("doc_id")).mkString(",")}")
+    assert(mmr.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+    // rank 1 always equals the plain retriever's top hit (step 1 IS rel)
+    assert(mmr.head.getAs[Long]("doc_id") == plain.head)
+  }
+
   test("ragQuery carries the doc's total token count (the reference's totalLines analog)") {
     val hit = g.ragQuery(g.readFile(7, 1, 12), topK = 1).head()
     assert(hit.getAs[Long]("doc_id") == 7L)
