@@ -86,6 +86,15 @@ final case class HashEmbedder(dim: Int) extends Embedder {
   * batch runs one `embedBatch` call, and the embedding is appended to the
   * otherwise-unchanged row. Narrow and stateless — legal in Structured
   * Streaming, so the streaming twins accept these embedders too.
+  *
+  * Partitioning is the CALLER's contract: inference cost is per-row
+  * compute, so an under-partitioned input (one small parquet file)
+  * serializes the stage through one task — repartition to
+  * `defaultParallelism` first when the input is narrower than the
+  * cluster (`Graft.embedFrom` and `ragTopKTx` do). embedFrame itself
+  * never reshuffles: it cannot know whether the frame is streaming or
+  * already well-partitioned, and a corpus-wide blanket shuffle at 100 TB
+  * is the anti-pattern.
   */
 abstract class BatchEmbedder extends Embedder {
 

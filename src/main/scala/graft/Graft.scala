@@ -59,8 +59,25 @@ class Graft(spark: SparkSession, sfDir: String,
     idx
   }
 
-  private def embedFrom(chunks: DataFrame): DataFrame =
-    embedder.embedFrame(chunks, "chunk_text", "emb")
+  /** Embed a (batch) chunk frame. Session-backed embedders do per-ROW
+    * inference, so their parallelism must come from partitioning, not
+    * file layout: an under-partitioned input (one small parquet file)
+    * would serialize the whole forward-pass stage through one task (the
+    * §4g receipt measured 35 s vs 0.6 s on exactly this). Expression
+    * embedders stay untouched — codegen'd per-row work is scan-cheap and
+    * an unconditional shuffle would cost more than it buys; likewise a
+    * WELL-partitioned input is never reshuffled (at corpus scale the
+    * blanket repartition is the anti-pattern).
+    */
+  private def embedFrom(chunks: DataFrame): DataFrame = {
+    val toEmbed = embedder match {
+      case _: BatchEmbedder =>
+        val p = spark.sparkContext.defaultParallelism
+        if (chunks.rdd.getNumPartitions < p) chunks.repartition(p) else chunks
+      case _ => chunks
+    }
+    embedder.embedFrame(toEmbed, "chunk_text", "emb")
+  }
 
   def meta: IndexStore.Meta =
     IndexStore.Meta(IndexStore.Version, chunkSize, chunkOverlap, modelName)

@@ -114,13 +114,26 @@ object RagSearch {
     */
   def ragTopKTx(spark: SparkSession, sfDir: String,
                 nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import spark.implicits._
     VecExprs.register(spark)
     val docs = Tables.documents(spark, sfDir)
     val tx = graft.TransformerEmbedder.seeded(spark)
-    val e = tx.embedFrame(docs.select("doc_id", "text"), "text", "embedding")
+    // inference cost is per-ROW compute, so parallelism must come from
+    // repartition, not file layout: a small corpus in one parquet file
+    // would otherwise serialize the whole forward-pass stage through one
+    // task (the §4g receipt caught exactly that — 35 s single-threaded
+    // at sf0.1 vs 0.6 s repartitioned)
+    val parts = spark.sparkContext.defaultParallelism
+    val e = tx.embedFrame(
+        docs.select("doc_id", "text").repartition(parts), "text", "embedding")
       .select(col("doc_id").as("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // query vectors via the driver-side seam twin (embedText ≡ embedFrame,
+    // EmbedderSpec's contract) — a bounded query batch, not a second
+    // corpus-wide embed branch
+    val q = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), tx.embedText(if (r.isNullAt(1)) "" else r.getString(1)).toSeq))
+      .toSeq.toDF("query_id", "qv")
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
