@@ -48,8 +48,10 @@ object IndexStream {
     * arrived since — the spec exercises both.
     */
   def runToParquet(spark: SparkSession, sfDir: String, outDir: String,
-                   glob: String = "documents.parquet"): DataFrame =
-    drainToParquet(chunkEmbedStream(spark, sfDir, glob = glob), outDir)
+                   glob: String = "documents.parquet",
+                   embedder: Option[graft.Embedder] = None): DataFrame =
+    drainToParquet(chunkEmbedStream(spark, sfDir, glob = glob,
+      embedder = embedder), outDir)
 
   /** Shared parquet-sink drain for the finite-input streaming twins: append
     * mode, checkpoint beside the sink (exactly-once per source file),

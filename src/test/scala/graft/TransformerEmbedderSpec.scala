@@ -131,6 +131,25 @@ class TransformerEmbedderSpec extends SparkSpecBase {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
       "seeded weights + strict math ⇒ the whole query is run-stable")
   }
+
+  test("(e) session-backed inference runs in STRUCTURED STREAMING: streamed index equals batch") {
+    // the BatchEmbedder doc claims mapPartitions inference is legal under
+    // append mode — this is the claim exercised with a real forward pass:
+    // the streamed chunk index carries bit-identical vectors to the batch
+    // build through the same seam (per-JVM weight materialization and all)
+    val tx = TransformerEmbedder.seeded(spark, dim = 16, seed = 7L)
+    val out = Files.createTempDirectory("graft_tx_stream").toString + "/idx"
+    val streamed = graft.streaming.IndexStream.runToParquet(spark, sf, out,
+      embedder = Some(tx))
+    val batch = tx.embedFrame(
+      operators.Chunker.indexBuild(spark, sf, 100, 20), "chunk_text", "emb")
+    val je = streamed.select(col("doc_id"), col("chunk_idx"), col("emb").as("s_emb"))
+      .join(batch.select(col("doc_id"), col("chunk_idx"), col("emb").as("b_emb")),
+        Seq("doc_id", "chunk_idx"))
+    assert(je.count() == batch.count(), "streamed index must cover every batch chunk")
+    assert(je.filter(col("s_emb") =!= col("b_emb")).count() == 0,
+      "streaming and batch inference must produce bit-identical vectors")
+  }
 }
 
 /** batchSize-override wrapper for the batch-shape invariance receipt. */
