@@ -61,6 +61,9 @@ object SparkEntry {
     // C1m: MMR diversity rerank — greedy quantized to 4 dp each step, so
     // even this ITERATIVE operator is oracle-replicable (recursive CTE).
     "rag_topk_mmr" -> ((s, dir) => RagSearch.ragTopKMmr(s, dir)),
+    // C1x: cross-encoder rerank — joint q‖SEP‖d encode over a bounded
+    // pool (rows-only; CrossEncoderSpec pins the interaction receipts).
+    "rag_rerank_cross" -> ((s, dir) => RagSearch.ragRerankCross(s, dir)),
     // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
     // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
     "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),

@@ -78,7 +78,7 @@ final class TransformerEmbedder private (
       else forwardPooled(toks)
     }
 
-  private def tokenIds(s: String): Array[Int] = {
+  private[graft] def tokenIds(s: String): Array[Int] = {
     val words = s.split(' ')
     val out = new scala.collection.mutable.ArrayBuffer[Int](math.min(words.length, maxLen))
     var i = 0
@@ -91,9 +91,13 @@ final class TransformerEmbedder private (
   }
 
   /** The encoder forward pass over one token sequence; returns the
-    * mean-pooled, L2-normalized sentence vector.
+    * mean-pooled, L2-normalized sentence vector. Package-private so the
+    * [[CrossEncoder]] can run the SAME encoder over a joint
+    * query‖SEP‖doc sequence — the cross-attention between the two
+    * segments is what distinguishes a cross-encoder from two independent
+    * encodes.
     */
-  private def forwardPooled(toks: Array[Int]): Array[Double] = {
+  private[graft] def forwardPooled(toks: Array[Int]): Array[Double] = {
     val d = dim; val L = toks.length; val dh = d / heads; val ffn = 4 * d
     // x = tokenEmbedding + sinusoidal position encoding
     var x = new Array[Float](L * d)

@@ -145,6 +145,80 @@ object RagSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** C1x: cross-encoder reranking (Nogueira & Cho 2019 — the BERT
+    * passage-reranking recipe): stage 1 retrieves a bounded candidate
+    * pool with the BI-encoder (indexable, O(1) per doc at serve time);
+    * stage 2 re-scores each (query, doc) PAIR by encoding the joint
+    * `q ‖ SEP ‖ d` sequence through the same transformer — self-attention
+    * reads the query against the document token-by-token, the
+    * interaction signal no pair of independent encodes can carry — and
+    * ranks by the scalar head's projection.
+    *
+    * Scale shape: the O(L²) joint encode is paid ONLY on
+    * nQueries × candDepth pairs (why two-stage retrieval exists); pair
+    * scoring is batched mapPartitions over the pool join — inference
+    * parallelism from the pool's partitioning, query texts a bounded
+    * driver map. Weights are deterministic-seeded (checkpoint downloads
+    * impossible here) so the query is run-stable; rows-only (a forward
+    * pass is not SQL) with the receipts in CrossEncoderSpec.
+    */
+  def ragRerankCross(spark: SparkSession, sfDir: String,
+                     nQueries: Int = 5, candDepth: Int = 20,
+                     k: Int = 5): DataFrame = {
+    import spark.implicits._
+    VecExprs.register(spark)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val tx = graft.TransformerEmbedder.seeded(spark)
+    val ce = new graft.CrossEncoder(tx)
+    val parts = spark.sparkContext.defaultParallelism
+    // stage 1: bi-encoder pool (the C1t shape — wide inference, bounded
+    // driver-side query batch through the seam's embedText twin)
+    val e = tx.embedFrame(docs.repartition(parts), "text", "embedding")
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val qDocs = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id"), col("text")).collect()
+    val qFrame = qDocs
+      .map(r => (r.getLong(0), tx.embedText(if (r.isNullAt(1)) "" else r.getString(1)).toSeq))
+      .toSeq.toDF("query_id", "qv")
+    val wRel = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id").asc)
+    val pool = e.crossJoin(broadcast(qFrame))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")) + lit(1e-9), 4).as("rel"))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= candDepth)
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: joint-sequence scoring over the bounded pool
+    val qTexts: Map[Long, String] = qDocs
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) "" else r.getString(1))).toMap
+    val withText = pool.join(docs, pool("vec_id") === docs("doc_id"))
+      .select(col("query_id"), col("vec_id"), col("text"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cross", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val scored = withText.mapPartitions { rows =>
+      rows.grouped(32).flatMap { batch =>
+        val pairs = batch.map(r =>
+          (qTexts(r.getLong(0)), if (r.isNullAt(2)) "" else r.getString(2))).toArray
+        val scores = ce.scoreBatch(pairs)
+        batch.iterator.zip(scores.iterator).map { case (r, s) =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), s)
+        }
+      }
+    }
+    val wOut = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.select(col("query_id"), col("vec_id"),
+        round(col("cross") + lit(1e-9), 4).as("score"))
+      .withColumn("rank", row_number().over(wOut).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** C1m: MMR diversity reranking (Carbonell & Goldstein 1998 — maximal
     * marginal relevance, the classic redundancy-vs-relevance rerank every
     * RAG serving stack bolts onto its retriever): a bounded candidate pool
