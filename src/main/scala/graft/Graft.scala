@@ -698,6 +698,56 @@ class Graft(spark: SparkSession, sfDir: String,
       .orderBy("rank")
   }
 
+  /** Cross-encoder-reranked search (SURVEY §2 C1x, r13): exact
+    * top-`candDepth` retrieval from the cached chunk index, then each
+    * (query, chunk) pair re-scored by the joint `q ‖ SEP ‖ d` encode
+    * (Nogueira & Cho 2019) — the interaction-aware second stage, paid
+    * only on the bounded pool. Completes the facade rerank family:
+    * hybrid (RRF), MMR (diversity), cross-encoder (interaction).
+    */
+  def ragQueryCross(query: String, topK: Int = 5, candDepth: Int = 20,
+                    crossEncoder: Option[CrossEncoder] = None): DataFrame = {
+    import spark.implicits._
+    val ce = crossEncoder.getOrElse(new CrossEncoder(
+      TransformerEmbedder.seeded(spark, dim = dim)))
+    val qFrame = Seq((0L, embedder.embedText(query).toSeq)).toDF("query_id", "qv")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc, col("chunk_idx").asc)
+    val pool = servingIndex.crossJoin(broadcast(qFrame))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        round(VecExprs.cosineSim(col("emb"), col("qv")) + lit(1e-9), 4).as("rel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= math.max(candDepth, topK))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_idx", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("snippet", org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("cross", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val q = query
+    val scored = pool.mapPartitions { rows =>
+      rows.grouped(32).flatMap { batch =>
+        val texts = batch.map(r => if (r.isNullAt(2)) "" else r.getString(2))
+        val scores = ce.scoreBatch(texts.map(t => (q, t)).toArray)
+        batch.iterator.zip(scores.iterator).map { case (r, s) =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+            Option(r.getString(2)).map(_.take(120)).orNull, s)
+        }
+      }
+    }
+    scored.select(col("doc_id"), col("chunk_idx"), col("snippet"),
+        round(col("cross") + lit(1e-9), 4).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+          .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc))
+        .cast("long"))
+      .filter(col("rank") <= Graft.clampTopK(topK))
+      .select(col("rank"), col("doc_id"), col("chunk_idx"), col("score"), col("snippet"))
+      .orderBy("rank")
+  }
+
   /** Token-range read of one document (1-based inclusive, like the
     * reference's line ranges). Driver-side scalar — it's a point lookup.
     */

@@ -53,6 +53,24 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(mmr.head.getAs[Long]("doc_id") == plain.head)
   }
 
+  test("ragQueryCross: pool-bounded interaction rerank — shape, determinism, pool containment") {
+    val probe = g.readFile(7, 1, 12)
+    val once = g.ragQueryCross(probe, topK = 3).collect()
+    assert(once.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    assert(once.forall(_.getAs[String]("snippet") != null))
+    // deterministic: seeded encoder + head ⇒ identical rerank every call
+    val again = g.ragQueryCross(probe, topK = 3).collect()
+    assert(once.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // containment: every reranked hit came from the bi-encoder pool
+    // (topK 25 vs the pool's 20 absorbs rounded-vs-raw tie reordering at
+    // the pool boundary)
+    val pool = g.ragQuery(probe, topK = 25).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"))).toSet
+    assert(once.forall(r =>
+      pool((r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")))),
+      "cross rerank must only reorder the retrieved pool, never invent hits")
+  }
+
   test("ragQuery carries the doc's total token count (the reference's totalLines analog)") {
     val hit = g.ragQuery(g.readFile(7, 1, 12), topK = 1).head()
     assert(hit.getAs[Long]("doc_id") == 7L)
