@@ -673,6 +673,10 @@ class Graft(spark: SparkSession, sfDir: String,
   def ragQueryMmr(query: String, topK: Int = 5, lambdaRel: Double = 0.7,
                   candDepth: Int = 20): DataFrame = {
     import spark.implicits._
+    // clamp BEFORE the pool bound: an absurd topK must not widen the
+    // bounded pool the greedy collects per group (the invariant every
+    // facade path enforces before its expensive stage)
+    val kk = Graft.clampTopK(topK)
     val qFrame = Seq((0L, embedder.embedText(query).toSeq)).toDF("query_id", "qv")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("doc_id").asc, col("chunk_idx").asc)
@@ -686,11 +690,11 @@ class Graft(spark: SparkSession, sfDir: String,
           col("emb"), round(VecExprs.cosineSim(col("emb"), col("qv")) + lit(1e-9), 4).as("rel"),
           substring(col("chunk_text"), 1, 120).as("snippet"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= math.max(candDepth, topK)))
+        .filter(col("rn") <= math.max(candDepth, kk)))
     val picked = operators.RagSearch.mmrGreedy(
       pool.select(col("query_id"), col("rn").cast("long").as("vec_id"),
         col("emb").cast("array<double>").as("embedding"), col("rel")),
-      Graft.clampTopK(topK), lambdaRel)
+      kk, lambdaRel)
     picked.as("m").join(pool.as("p"),
         col("m.query_id") === col("p.query_id") && col("m.vec_id") === col("p.rn"))
       .select(col("m.rank"), col("p.doc_id"), col("p.chunk_idx"),
@@ -708,8 +712,13 @@ class Graft(spark: SparkSession, sfDir: String,
   def ragQueryCross(query: String, topK: Int = 5, candDepth: Int = 20,
                     crossEncoder: Option[CrossEncoder] = None): DataFrame = {
     import spark.implicits._
-    val ce = crossEncoder.getOrElse(new CrossEncoder(
-      TransformerEmbedder.seeded(spark, dim = dim)))
+    // clamp BEFORE the pool bound (see ragQueryMmr) — an absurd topK must
+    // not widen the pair set the O(L²) joint encode pays for. The default
+    // rerank encoder uses ITS OWN architecture defaults: the facade `dim`
+    // sizes retrieval vectors, not the cross-encoder (whose score is a
+    // scalar) — tying them would reject dims the encoder can't head-split.
+    val kk = Graft.clampTopK(topK)
+    val ce = crossEncoder.getOrElse(new CrossEncoder(TransformerEmbedder.seeded(spark)))
     val qFrame = Seq((0L, embedder.embedText(query).toSeq)).toDF("query_id", "qv")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("doc_id").asc, col("chunk_idx").asc)
@@ -717,33 +726,19 @@ class Graft(spark: SparkSession, sfDir: String,
       .select(col("query_id"), col("doc_id"), col("chunk_idx"), col("chunk_text"),
         round(VecExprs.cosineSim(col("emb"), col("qv")) + lit(1e-9), 4).as("rel"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= math.max(candDepth, topK))
+      .filter(col("rn") <= math.max(candDepth, kk))
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("chunk_idx", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("snippet", org.apache.spark.sql.types.StringType, nullable = true),
-      org.apache.spark.sql.types.StructField("cross", org.apache.spark.sql.types.DoubleType, nullable = false)))
-    implicit val enc =
-      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val q = query
-    val scored = pool.mapPartitions { rows =>
-      rows.grouped(32).flatMap { batch =>
-        val texts = batch.map(r => if (r.isNullAt(2)) "" else r.getString(2))
-        val scores = ce.scoreBatch(texts.map(t => (q, t)).toArray)
-        batch.iterator.zip(scores.iterator).map { case (r, s) =>
-          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
-            Option(r.getString(2)).map(_.take(120)).orNull, s)
-        }
-      }
-    }
-    scored.select(col("doc_id"), col("chunk_idx"), col("snippet"),
+    val scored = operators.RagSearch.withCrossScores(pool, ce,
+      _ => q, r => if (r.isNullAt(2)) "" else r.getString(2))
+    scored.select(col("doc_id"), col("chunk_idx"),
+        substring(col("chunk_text"), 1, 120).as("snippet"),
         round(col("cross") + lit(1e-9), 4).as("score"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
           .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc))
         .cast("long"))
-      .filter(col("rank") <= Graft.clampTopK(topK))
+      .filter(col("rank") <= kk)
       .select(col("rank"), col("doc_id"), col("chunk_idx"), col("score"), col("snippet"))
       .orderBy("rank")
   }

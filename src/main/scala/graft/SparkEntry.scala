@@ -305,6 +305,34 @@ object SparkEntry {
        |FROM q ORDER BY doc_id""".stripMargin
 
   /** DuckDB cosine over list columns, double precision, reference epsilon. */
+  /** Shared B3 minhash-LSH pipeline CTEs (3-token shingles → 16 minhash
+    * signatures → 8 banded candidate buckets → verified Jaccard), ending
+    * at `j(a_id, b_id, inter, tot)` — interpolated into BOTH the
+    * dedup_minhash_lsh and dedup_clusters oracles so the two can never
+    * silently disagree about the edge set when an LSH constant changes.
+    */
+  private val minhashPairCtes: String =
+    """s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h*31 + c) % 1000000007))) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |        FROM documents) t0),
+      |s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+      |sig AS (SELECT doc_id, sh,
+      |    list_transform(range(0, 16), i ->
+      |      list_min(list_transform(sh, x -> (x*(40503*i + 11) + 19349663*i) % 1000000007))) AS sig
+      |  FROM s2),
+      |bands AS (SELECT doc_id, b AS band_idx,
+      |    CAST(sig[CAST(2*b+1 AS INT)] AS VARCHAR) || ':' || CAST(sig[CAST(2*b+2 AS INT)] AS VARCHAR) AS band_key
+      |  FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS b FROM sig) z),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |j AS (SELECT c.a_id, c.b_id,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+      |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
+      |  FROM cand c JOIN s2 sa ON sa.doc_id = c.a_id JOIN s2 sb ON sb.doc_id = c.b_id)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))) /
        | (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)))) *
@@ -563,64 +591,26 @@ object SparkEntry {
         |FROM p WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash_lsh" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
-        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h*31 + c) % 1000000007))) AS sh
-        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-        |        FROM documents) t0),
-        |s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-        |sig AS (SELECT doc_id, sh,
-        |    list_transform(range(0, 16), i ->
-        |      list_min(list_transform(sh, x -> (x*(40503*i + 11) + 19349663*i) % 1000000007))) AS sig
-        |  FROM s2),
-        |bands AS (SELECT doc_id, b AS band_idx,
-        |    CAST(sig[CAST(2*b+1 AS INT)] AS VARCHAR) || ':' || CAST(sig[CAST(2*b+2 AS INT)] AS VARCHAR) AS band_key
-        |  FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS b FROM sig) z),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |j AS (SELECT c.a_id, c.b_id,
-        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
-        |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
-        |  FROM cand c JOIN s2 sa ON sa.doc_id = c.a_id JOIN s2 sb ON sb.doc_id = c.b_id)
-        |SELECT a_id, b_id, round(inter/(tot-inter)+1e-9, 4) AS jaccard
-        |FROM j WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $minhashPairCtes
+         |SELECT a_id, b_id, round(inter/(tot-inter)+1e-9, 4) AS jaccard
+         |FROM j WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
     // B6: the Spark side is iterative (large-star/small-star), but its
     // FIXPOINT — min-doc_id component labels over the hash-matched B3 edge
     // set — is deterministic, so DuckDB replicates it with a recursive CTE
     // (min-label reachability). Converted rows-only → hash-matched in r13.
     "dedup_clusters" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
-        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h*31 + c) % 1000000007))) AS sh
-        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-        |        FROM documents) t0),
-        |s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-        |sig AS (SELECT doc_id, sh,
-        |    list_transform(range(0, 16), i ->
-        |      list_min(list_transform(sh, x -> (x*(40503*i + 11) + 19349663*i) % 1000000007))) AS sig
-        |  FROM s2),
-        |bands AS (SELECT doc_id, b AS band_idx,
-        |    CAST(sig[CAST(2*b+1 AS INT)] AS VARCHAR) || ':' || CAST(sig[CAST(2*b+2 AS INT)] AS VARCHAR) AS band_key
-        |  FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS b FROM sig) z),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |j AS (SELECT c.a_id, c.b_id,
-        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
-        |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
-        |  FROM cand c JOIN s2 sa ON sa.doc_id = c.a_id JOIN s2 sb ON sb.doc_id = c.b_id),
-        |edges AS (SELECT a_id, b_id FROM j WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.4),
-        |e2 AS (SELECT a_id AS u, b_id AS v FROM edges UNION ALL SELECT b_id, a_id FROM edges),
-        |walk(node, front) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT w.node, e.v FROM walk w JOIN e2 e ON e.u = w.front
-        |)
-        |SELECT node AS doc_id, min(front) AS cluster_id,
-        |       (node = min(front)) AS is_survivor
-        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT a_id, b_id FROM j WHERE round(inter/(tot-inter)+1e-9, 4) >= 0.4),
+         |e2 AS (SELECT a_id AS u, b_id AS v FROM edges UNION ALL SELECT b_id, a_id FROM edges),
+         |walk(node, front) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN e2 e ON e.u = w.front
+         |)
+         |SELECT node AS doc_id, min(front) AS cluster_id,
+         |       (node = min(front)) AS is_survivor
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |           FROM documents),

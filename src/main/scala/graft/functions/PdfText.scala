@@ -1482,7 +1482,12 @@ object PdfText {
         }
     }
     def sidName(sid: Int): Option[String] =
-      if (sid >= 1 && sid <= 95) Some(AsciiGlyphNames(sid - 1))
+      // the standard strings follow StandardEncoding NAMES, not ASCII:
+      // SID 8 is quoteright and SID 65 quoteleft (TN#5176 Appendix A) —
+      // the same two-spot divergence StandardEncodingText handles
+      if (sid == 8) Some("quoteright")
+      else if (sid == 65) Some("quoteleft")
+      else if (sid >= 1 && sid <= 95) Some(AsciiGlyphNames(sid - 1))
       else if (sid >= 391 && sid - 391 < strIdx.size) {
         val (s, e) = strIdx(sid - 391)
         if (s >= 0 && e <= n && s <= e) Some(cff.substring(s, e)) else None
@@ -2276,12 +2281,19 @@ object PdfText {
       val header = Array[Byte](1, 0, 4, 2)
       val nameIdx = index(Seq("GraftCFF".getBytes(Latin1)))
       // even-position chars resolve through standard SIDs (ASCII spine:
-      // SID = ascii - 31), odd-position ones through custom strings
-      val customNames = chars.zipWithIndex.collect {
-        case (ch, i) if i % 2 == 1 => AsciiGlyphNames(ch - 32)
-      }
+      // SID = ascii - 31), odd-position ones through custom strings.
+      // Apostrophe and grave ALWAYS take the custom arm: their ascii-31
+      // standard SIDs (8, 65) are quoteright/quoteleft per TN#5176 — the
+      // two spots where the standard strings diverge from ASCII names —
+      // so routing them through explicit quotesingle/grave strings keeps
+      // the fixture's round trip byte-exact
+      def needsCustom(i: Int): Boolean =
+        i % 2 == 1 || chars(i) == '\'' || chars(i) == '`'
+      val customPos = chars.indices.filter(needsCustom)
+      val customIdx = customPos.zipWithIndex.toMap
+      val customNames = customPos.map(i => AsciiGlyphNames(chars(i) - 32))
       def sidFor(i: Int): Int =
-        if (i % 2 == 0) chars(i) - 31 else 391 + i / 2
+        if (needsCustom(i)) 391 + customIdx(i) else chars(i) - 31
       val stringIdx = index(customNames.map(_.getBytes(Latin1)))
       val globalSubrIdx = index(Seq.empty)
       // Top DICT: charset(15)/Encoding(16)/CharStrings(17) as fixed-width

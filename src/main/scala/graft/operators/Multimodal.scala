@@ -135,7 +135,9 @@ object Multimodal {
             // parser. Verify keeps the full rotation under the oracle.
             case 3 => PdfText.buildCidPdf(text)
             case 4 => PdfText.buildPdf(Seq(PdfText.textPage(text)),
-              if (Math.floorMod(Math.floorDiv(id, 9L), 2L) == 0L) Seq("LZWDecode")
+              // inner parity keys on the OUTER divisor's quotient (11,
+              // not a stale 9) per the decorrelation rule above
+              if (Math.floorMod(Math.floorDiv(id, 11L), 2L) == 0L) Seq("LZWDecode")
               else Seq("RunLengthDecode", "FlateDecode"))
             case 5 => PdfText.buildSimpleFontPdf(text, differences = true,
               indirectEncoding = true)

@@ -193,22 +193,9 @@ object RagSearch {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) "" else r.getString(1))).toMap
     val withText = pool.join(docs, pool("vec_id") === docs("doc_id"))
       .select(col("query_id"), col("vec_id"), col("text"))
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("cross", org.apache.spark.sql.types.DoubleType, nullable = false)))
-    implicit val enc =
-      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val scored = withText.mapPartitions { rows =>
-      rows.grouped(32).flatMap { batch =>
-        val pairs = batch.map(r =>
-          (qTexts(r.getLong(0)), if (r.isNullAt(2)) "" else r.getString(2))).toArray
-        val scores = ce.scoreBatch(pairs)
-        batch.iterator.zip(scores.iterator).map { case (r, s) =>
-          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), s)
-        }
-      }
-    }
+    val scored = withCrossScores(withText, ce,
+      r => qTexts(r.getLong(0)),
+      r => if (r.isNullAt(2)) "" else r.getString(2))
     val wOut = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored.select(col("query_id"), col("vec_id"),
@@ -217,6 +204,29 @@ object RagSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Append `cross` = cross-encoder score of (query, doc) text extracted
+    * per row — the ONE batched mapPartitions scoring loop the driver
+    * query and the facade serve share ([[graft.CrossEncoder.ScoreBatchSize]]
+    * pairs per inference call).
+    */
+  private[graft] def withCrossScores(df: DataFrame, ce: graft.CrossEncoder,
+      queryTextOf: org.apache.spark.sql.Row => String,
+      docTextOf: org.apache.spark.sql.Row => String): DataFrame = {
+    val outSchema = df.schema.add("cross",
+      org.apache.spark.sql.types.DoubleType, nullable = false)
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(graft.CrossEncoder.ScoreBatchSize).flatMap { batch =>
+        val scores = ce.scoreBatch(
+          batch.map(r => (queryTextOf(r), docTextOf(r))).toArray)
+        batch.iterator.zip(scores.iterator).map { case (r, s) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+        }
+      }
+    }
   }
 
   /** C1m: MMR diversity reranking (Carbonell & Goldstein 1998 — maximal

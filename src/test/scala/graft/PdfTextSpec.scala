@@ -794,7 +794,11 @@ end
     // r13 — the FontFile/FontFile3 companion to the TrueType leg: no
     // ToUnicode, no /Encoding; show bytes are private codes (0xA0+k) and
     // the mapping lives in the embedded Type1-family program
-    val t = "Type1 text via CFF charset+encoding! (42% ~ ok)"
+    // apostrophe and backtick included deliberately: their ascii-31
+    // standard SIDs are quoteright/quoteleft (the TN#5176 divergence), so
+    // the builder must route them through explicit String-INDEX names for
+    // the round trip to stay byte-exact
+    val t = "Type1 text via CFF charset+encoding! it's `ok` (42% ~)"
     // CFF: Encoding fmt0 → gid, charset fmt0 → SID, names alternate
     // between the standard-strings arm and the String-INDEX arm
     assert(PdfText.extract(PdfText.buildType1Pdf(t)).get.text == t)
