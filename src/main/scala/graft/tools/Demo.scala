@@ -135,6 +135,19 @@ object Demo {
     println("== CMS heavy hitters (fixed 4x1024 sketch state) ==")
     graft.operators.TextAnalysis.tokensHeavy(spark, sfDir, topK = 8).show()
 
+    println("== MMR-diversified serving (near-dup chunks demoted, r13) ==")
+    g.ragQueryMmr("fast hash join on a big table", topK = 3).show(3, truncate = 60)
+
+    println("== cross-encoder rerank (joint q‖SEP‖d interaction scoring, r13) ==")
+    g.ragQueryCross("fast hash join on a big table", topK = 3).show(3, truncate = 60)
+
+    println("== unigram-LM (SentencePiece) token stats, highest-fertility 5 (r13) ==")
+    g.tokenStatsUnigram(vocabSize = 400, vocabLimit = 2000)
+      .orderBy(org.apache.spark.sql.functions.col("fertility").desc).show(5)
+
+    println("== leakage-safe train/val/test assignment (dup groups move as one, r13) ==")
+    g.assignSplits().groupBy("split").count().orderBy("split").show()
+
     println("== end-to-end: crawl -> curated training shards, with ledger ==")
     val trainDir = java.nio.file.Files.createTempDirectory("graft_demo_train").toString
     g.buildTrainingSet(trainDir).show(truncate = false)
