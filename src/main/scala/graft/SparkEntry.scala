@@ -64,6 +64,9 @@ object SparkEntry {
     // C1x: cross-encoder rerank — joint q‖SEP‖d encode over a bounded
     // pool (rows-only; CrossEncoderSpec pins the interaction receipts).
     "rag_rerank_cross" -> ((s, dir) => RagSearch.ragRerankCross(s, dir)),
+    // C1e: retrieval metrics (recall@k / MRR / nDCG vs label truth) —
+    // deterministic ranking + plain aggregates, fully oracle-matched.
+    "retrieval_eval" -> ((s, dir) => RagSearch.retrievalEval(s, dir)),
     // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
     // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
     "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),
@@ -498,6 +501,25 @@ object SparkEntry {
          |)
          |SELECT query_id, CAST(step AS BIGINT) AS "rank", vec_id, score
          |FROM mmr ORDER BY query_id, "rank"""".stripMargin,
+    // C1e: the metric pipeline in ANSI SQL — double metric columns ride
+    // the gate's 1e-9 float tolerance (sum-order ulps), counts exact.
+    "retrieval_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT q.query_id, e.vec_id, round(${cosSql("e.embedding", "q.qv")} + 1e-9, 4) AS score,
+         |               e.label = q.qlabel AS rel
+         |        FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc),
+         |m AS (SELECT query_id,
+         |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+         |    CAST(sum(CASE WHEN rel AND rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    coalesce(max(CASE WHEN rel AND rn <= 10 THEN CAST(1 AS DOUBLE)/rn END), CAST(0 AS DOUBLE)) AS mrr,
+         |    coalesce(sum(CASE WHEN rel AND rn <= 10 THEN CAST(1 AS DOUBLE)/log2(rn+1) END), CAST(0 AS DOUBLE)) AS dcg
+         |  FROM r GROUP BY query_id)
+         |SELECT query_id, n_relevant,
+         |  CASE WHEN n_relevant > 0 THEN CAST(hits AS DOUBLE)/least(10, n_relevant) ELSE CAST(0 AS DOUBLE) END AS recall_at_k,
+         |  mrr,
+         |  CASE WHEN n_relevant > 0 THEN dcg / list_sum(list_transform(range(1, least(10, n_relevant)+1), x -> CAST(1 AS DOUBLE)/log2(x+1))) ELSE CAST(0 AS DOUBLE) END AS ndcg
+         |FROM m ORDER BY query_id""".stripMargin,
     "rag_topk_filtered" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |sc AS (SELECT q.query_id, e.vec_id, e.label, round(${cosSql("e.embedding", "q.qv")}, 4) AS score

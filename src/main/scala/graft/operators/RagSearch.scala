@@ -206,6 +206,59 @@ object RagSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** C1e: retrieval evaluation — recall@k, MRR, and nDCG@k of the C1
+    * retriever against the embeddings table's LABEL ground truth
+    * (relevant(q, d) ⇔ label(d) = label(q), the standard ANN-benchmark
+    * proxy; self excluded). The harness every retrieval stack needs
+    * before swapping rankers: C1m/C1x/C2..C6 all claim to improve
+    * something — this is the operator that measures it.
+    *
+    * Scale shape: one broadcast-queries scoring pass (the C1 shape), one
+    * rank window, one per-query aggregate — metrics never materialize
+    * more than a row per query. Fully deterministic (4 dp-quantized
+    * ranking scores, vec_id ties) and SQL-expressible end-to-end, so the
+    * whole metric pipeline sits under the DuckDB oracle (metric columns
+    * are doubles — the gate's 1e-9 float tolerance absorbs cross-engine
+    * sum-order ulps).
+    */
+  def retrievalEval(spark: SparkSession, sfDir: String,
+                    nQueries: Int = 10, k: Int = 10): DataFrame =
+    retrievalEvalOver(Tables.embeddings(spark, sfDir), nQueries, k)
+
+  /** [[retrievalEval]] over an explicit `(vec_id, embedding, label)` frame. */
+  def retrievalEvalOver(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    VecExprs.register(spark)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VecExprs.cosineSim(col("embedding"), col("qv")) + lit(1e-9), 4).as("score"),
+        (col("label") === col("qlabel")).as("rel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_relevant"),
+        sum(when(col("rel") && col("rn") <= k, 1L).otherwise(0L)).as("hits"),
+        coalesce(max(when(col("rel") && col("rn") <= k, lit(1.0) / col("rn"))),
+          lit(0.0)).as("mrr"),
+        coalesce(sum(when(col("rel") && col("rn") <= k, lit(1.0) / log2(col("rn") + 1))),
+          lit(0.0)).as("dcg"))
+      .select(col("query_id"), col("n_relevant"),
+        when(col("n_relevant") > 0,
+          col("hits").cast("double") / least(lit(k.toLong), col("n_relevant")))
+          .otherwise(lit(0.0)).as("recall_at_k"),
+        col("mrr"),
+        when(col("n_relevant") > 0,
+          col("dcg") / expr(
+            s"aggregate(sequence(1, int(least($k, n_relevant))), 0D, (a, x) -> a + 1D / log2(double(x) + 1D))"))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** Append `cross` = cross-encoder score of (query, doc) text extracted
     * per row — the ONE batched mapPartitions scoring loop the driver
     * query and the facade serve share ([[graft.CrossEncoder.ScoreBatchSize]]
