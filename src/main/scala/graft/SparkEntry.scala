@@ -505,7 +505,7 @@ object SparkEntry {
     // the gate's 1e-9 float tolerance (sum-order ulps), counts exact.
     "retrieval_eval" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id < 10),
-         |sc AS (SELECT q.query_id, e.vec_id, round(${cosSql("e.embedding", "q.qv")} + 1e-9, 4) AS score,
+         |sc AS (SELECT q.query_id, e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS score,
          |               e.label = q.qlabel AS rel
          |        FROM embeddings e, q WHERE e.vec_id != q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc),

@@ -41,6 +41,28 @@ object RagSearch {
       .limit(k)
   }
 
+  /** The ONE scoring step every brute-force/pool surface shares: cross
+    * the corpus frame (must carry `vec_id`, `embedding`) with a broadcast
+    * query frame (`query_id`, `qv`, + any extra columns), exclude
+    * self-matches, append the 4 dp-quantized cosine as `scoreCol`, drop
+    * `qv`. All other columns of both sides survive.
+    *
+    * `nudged` selects the +1e-9 midpoint-nudge convention — used where
+    * the score feeds FURTHER quantized arithmetic (the MMR greedy and
+    * cross-encoder pools, whose oracle replay once split at an exact
+    * .00005 midpoint); the SERVED C1-family rankings and the evaluation
+    * harness use the bare convention, single-sourced here, so the
+    * harness measures exactly the ranking C1 serves.
+    */
+  private[graft] def withCosineScore(e: DataFrame, q: DataFrame,
+      scoreCol: String, nudged: Boolean): DataFrame = {
+    val cos = VecExprs.cosineSim(col("embedding"), col("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(scoreCol, round(if (nudged) cos + lit(1e-9) else cos, 4))
+      .drop("qv")
+  }
+
   /** C1: brute-force batch ANN — top-5 neighbors for each of the first 10
     * vectors. Rank over rounded scores so ordering is reproducible in the
     * oracle; self-matches excluded.
@@ -51,10 +73,8 @@ object RagSearch {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val scored = withCosineScore(e, q, "score", nudged = false)
+      .select(col("query_id"), col("vec_id"), col("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -89,10 +109,8 @@ object RagSearch {
       .select(col("doc_id").as("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val scored = withCosineScore(e, q, "score", nudged = false)
+      .select(col("query_id"), col("vec_id"), col("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -134,10 +152,8 @@ object RagSearch {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), tx.embedText(if (r.isNullAt(1)) "" else r.getString(1)).toSeq))
       .toSeq.toDF("query_id", "qv")
-    val scored = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val scored = withCosineScore(e, q, "score", nudged = false)
+      .select(col("query_id"), col("vec_id"), col("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -181,10 +197,8 @@ object RagSearch {
       .map(r => (r.getLong(0), tx.embedText(if (r.isNullAt(1)) "" else r.getString(1)).toSeq))
       .toSeq.toDF("query_id", "qv")
     val wRel = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id").asc)
-    val pool = e.crossJoin(broadcast(qFrame))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(VecExprs.cosineSim(col("embedding"), col("qv")) + lit(1e-9), 4).as("rel"))
+    val pool = withCosineScore(e, qFrame, "rel", nudged = true)
+      .select(col("query_id"), col("vec_id"), col("rel"))
       .withColumn("rn", row_number().over(wRel))
       .filter(col("rn") <= candDepth)
       .select(col("query_id"), col("vec_id"))
@@ -232,10 +246,11 @@ object RagSearch {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("qlabel"))
-    val scored = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(VecExprs.cosineSim(col("embedding"), col("qv")) + lit(1e-9), 4).as("score"),
+    // bare (un-nudged) quantization: the harness must rank EXACTLY as the
+    // served C1 family does, or boundary cases would score a retrieval C1
+    // never returns
+    val scored = withCosineScore(e, q, "score", nudged = false)
+      .select(col("query_id"), col("vec_id"), col("score"),
         (col("label") === col("qlabel")).as("rel"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -316,14 +331,12 @@ object RagSearch {
     VecExprs.register(spark)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val rel = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"),
-        // the house +1e-9 nudge: every rounded value in the MMR path must
-        // land off the .00005 midpoint, or Spark's shortest-decimal
-        // rounding and DuckDB's multiply-based rounding can split a
-        // boundary case (observed once in 620 scores at sf0.1)
-        round(VecExprs.cosineSim(col("embedding"), col("qv")) + lit(1e-9), 4).as("rel"))
+    // nudged: every rounded value in the MMR path must land off the
+    // .00005 midpoint, or Spark's shortest-decimal rounding and DuckDB's
+    // multiply-based rounding can split a boundary case (observed once in
+    // 620 scores at sf0.1)
+    val rel = withCosineScore(e, q, "rel", nudged = true)
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("rel"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id").asc)
     val pool = rel.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= candDepth)
@@ -449,11 +462,10 @@ object RagSearch {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = e.filter(col("label") % 4 === 1) // the metadata predicate
-      .crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("label"),
-        round(VecExprs.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+    val scored = withCosineScore(
+        e.filter(col("label") % 4 === 1), // the metadata predicate
+        q, "score", nudged = false)
+      .select(col("query_id"), col("vec_id"), col("label"), col("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
