@@ -64,6 +64,10 @@ object SparkEntry {
     // C1x: cross-encoder rerank — joint q‖SEP‖d encode over a bounded
     // pool (rows-only; CrossEncoderSpec pins the interaction receipts).
     "rag_rerank_cross" -> ((s, dir) => RagSearch.ragRerankCross(s, dir)),
+    // C1l: late-interaction (ColBERT MaxSim) — per-token contextual
+    // vectors, one fused encode+score corpus pass (rows-only;
+    // LateInteractionSpec pins exact self-match and word-level receipts).
+    "rag_topk_late" -> ((s, dir) => RagSearch.ragTopKLate(s, dir)),
     // C1e: retrieval metrics (recall@k / MRR / nDCG vs label truth) —
     // deterministic ranking + plain aggregates, fully oracle-matched.
     "retrieval_eval" -> ((s, dir) => RagSearch.retrievalEval(s, dir)),

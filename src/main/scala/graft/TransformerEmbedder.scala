@@ -98,6 +98,45 @@ final class TransformerEmbedder private (
     * encodes.
     */
   private[graft] def forwardPooled(toks: Array[Int]): Array[Double] = {
+    val d = dim; val L = toks.length
+    val x = encodeAll(toks)
+    // mean-pool over positions, L2-normalize (reference pooling)
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < L * d) { out(i % d) += x(i); i += 1 }
+    var ss = 0.0
+    i = 0
+    while (i < d) { out(i) /= L; ss += out(i) * out(i); i += 1 }
+    val inv = if (ss > 0) 1.0 / StrictMath.sqrt(ss) else 0.0
+    i = 0
+    while (i < d) { out(i) *= inv; i += 1 }
+    out
+  }
+
+  /** Per-TOKEN output vectors, each L2-normalized — the late-interaction
+    * representation (ColBERT's MaxSim operates on these instead of one
+    * pooled vector). Same encoder, no pooling; zero rows stay zero.
+    */
+  private[graft] def forwardTokenVecs(toks: Array[Int]): Array[Array[Double]] = {
+    val d = dim; val L = toks.length
+    val x = encodeAll(toks)
+    Array.tabulate(L) { p =>
+      val v = new Array[Double](d)
+      var ss = 0.0
+      var i = 0
+      while (i < d) { v(i) = x(p * d + i); ss += v(i) * v(i); i += 1 }
+      val inv = if (ss > 0) 1.0 / StrictMath.sqrt(ss) else 0.0
+      i = 0
+      while (i < d) { v(i) *= inv; i += 1 }
+      v
+    }
+  }
+
+  /** The encoder stack over one token sequence — the shared core of the
+    * pooled, per-token, and cross-encoder paths. Returns the final-layer
+    * L×d activations (row-major).
+    */
+  private def encodeAll(toks: Array[Int]): Array[Float] = {
     val d = dim; val L = toks.length; val dh = d / heads; val ffn = 4 * d
     // x = tokenEmbedding + sinusoidal position encoding
     var x = new Array[Float](L * d)
@@ -166,17 +205,7 @@ final class TransformerEmbedder private (
       x = f2
       l += 1
     }
-    // mean-pool over positions, L2-normalize (reference pooling)
-    val out = new Array[Double](d)
-    var i = 0
-    while (i < L * d) { out(i % d) += x(i); i += 1 }
-    var ss = 0.0
-    i = 0
-    while (i < d) { out(i) /= L; ss += out(i) * out(i); i += 1 }
-    val inv = if (ss > 0) 1.0 / StrictMath.sqrt(ss) else 0.0
-    i = 0
-    while (i < d) { out(i) *= inv; i += 1 }
-    out
+    x
   }
 }
 

@@ -220,6 +220,80 @@ object RagSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** C1l: late-interaction retrieval (Khattab & Zaharia 2020, ColBERT,
+    * arXiv:2004.12832) — the THIRD scoring paradigm, completing the
+    * taxonomy: the bi-encoder compares two pooled vectors (indexable,
+    * blurs word-level evidence into one mean), the cross-encoder encodes
+    * the joint pair (exact interaction, pool-bounded cost), and LATE
+    * INTERACTION keeps every TOKEN's contextual vector and scores
+    * `Σ_{q∈Q} max_{d∈D} q·d` (MaxSim) — word-level matching at corpus
+    * scan cost, no joint encode per pair.
+    *
+    * Shape: ONE corpus pass, no crossJoin — each document is encoded once
+    * in `mapPartitions` and scored against ALL broadcast query token
+    * matrices inside the same task (encode and score fused, so per-token
+    * vectors never materialize corpus-wide; a SERVED variant would
+    * persist them like the ANN stores persist pooled vectors, trading
+    * L× index size for scan-free queries — the ColBERT index trade,
+    * declared). Per-row state is one L×d matrix; the query side is a
+    * tiny nQueries×L×d broadcast. Rows-only (forward pass); receipts in
+    * LateInteractionSpec.
+    */
+  def ragTopKLate(spark: SparkSession, sfDir: String,
+                  nQueries: Int = 5, k: Int = 5): DataFrame =
+    ragTopKLateOver(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      graft.TransformerEmbedder.seeded(spark), nQueries, k)
+
+  /** [[ragTopKLate]] over an explicit `(doc_id, text)` frame + encoder. */
+  def ragTopKLateOver(docs: DataFrame, tx: graft.TransformerEmbedder,
+                      nQueries: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val qMats = docs.filter(col("doc_id") < nQueries).collect()
+      .map(r => (r.getLong(0),
+        tx.forwardTokenVecs(tx.tokenIds(if (r.isNullAt(1)) "" else r.getString(1)))))
+    val bc = spark.sparkContext.broadcast(qMats)
+    val parts = spark.sparkContext.defaultParallelism
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("raw", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val scored = docs.repartition(parts).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val dToks = tx.tokenIds(if (r.isNullAt(1)) "" else r.getString(1))
+        val dVecs = if (dToks.isEmpty) Array.empty[Array[Double]]
+          else tx.forwardTokenVecs(dToks)
+        bc.value.iterator.filter(_._1 != id).map { case (qid, qm) =>
+          var s = 0.0
+          var qi = 0
+          while (qi < qm.length) {
+            val qv = qm(qi)
+            var best = Double.NegativeInfinity
+            var di = 0
+            while (di < dVecs.length) {
+              val dv = dVecs(di)
+              var dot = 0.0; var t = 0
+              while (t < qv.length) { dot += qv(t) * dv(t); t += 1 }
+              if (dot > best) best = dot
+              di += 1
+            }
+            if (best != Double.NegativeInfinity) s += best
+            qi += 1
+          }
+          org.apache.spark.sql.Row(qid, id, s)
+        }
+      }
+    }
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.select(col("query_id"), col("vec_id"), round(col("raw"), 4).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** C1e: retrieval evaluation — recall@k, MRR, and nDCG@k of the C1
     * retriever against the embeddings table's LABEL ground truth
     * (relevant(q, d) ⇔ label(d) = label(q), the standard ANN-benchmark
