@@ -62,17 +62,25 @@ object Bench {
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (!coldOnly)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      def sample(): Double = {
+      // a throwing run yields NO sample: its time-to-failure must never
+      // enter the min/median/total maps (it would ship a flattering number
+      // for a broken query and trip spurious drift flags on the next
+      // healthy run) — failures surface only via the failed list + exit 1
+      def sample(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => failedSet += name }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => failedSet += name; None }
       }
-      var samples = (1 to reps).map(_ => sample()).sorted
-      val retried = reps > 1 && spreadOf(samples, medianOf(samples)) > NoisySpread
-      if (retried) samples = (samples :+ sample()).sorted
-      val median = medianOf(samples)
-      (name, samples.head, median, spreadOf(samples, median), retried)
-    }
+      var samples = (1 to reps).flatMap(_ => sample()).sorted
+      val retried = samples.length > 1 &&
+        spreadOf(samples, medianOf(samples)) > NoisySpread
+      if (retried) samples = (samples ++ sample()).sorted
+      if (samples.isEmpty) None
+      else {
+        val median = medianOf(samples)
+        Some((name, samples.head, median, spreadOf(samples, median), retried))
+      }
+    }.flatten
     def obj(f: ((String, Double, Double, Double, Boolean)) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

@@ -25,6 +25,11 @@ package graft
 final class CrossEncoder(tx: TransformerEmbedder,
                          headSeed: Long = 101L) extends Serializable {
 
+  // below 4 the query-first split leaves no query slot at all (qKeep would
+  // floor to 0 and every score would be query-independent)
+  require(tx.maxLen >= 4,
+    s"cross-encoder window must fit query + SEP + doc: maxLen=${tx.maxLen} < 4")
+
   def name: String = s"graft-crossenc-v1-h$headSeed-${tx.name}"
 
   /** SEP between the segments: a fixed pseudo-reserved id derived from a

@@ -81,7 +81,12 @@ object FullScaleBench {
           .toOption.forall(_ != expected)
       if (stale) fs.delete(out, true)
       if (!fs.exists(out)) {
-        val (k64, k32) = keyCols(t)
+        // fail fast, by name: an unmapped table means the synthesis would
+        // silently break the replica-local join topology — better one
+        // explicit error before any query runs than a bare map miss
+        val (k64, k32) = keyCols.getOrElse(t, sys.error(
+          s"FullScaleBench.keyCols has no key-domain entry for table '$t' — " +
+            "add its shifted key columns (or (Nil, Nil) if it has none)"))
         var df = srcDf.withColumn("rep",
           explode(sequence(lit(0), lit(scale - 1))))
         k64.foreach(c => df = df.withColumn(c, col(c) + col("rep") * Int64Stride))

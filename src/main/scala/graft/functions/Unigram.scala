@@ -104,8 +104,12 @@ object Unigram {
 
   /** Driver-local training over a bounded (word, count) table — see the
     * object doc for the EM scheme. `vocabSize` bounds the FINAL piece
-    * count (all observed single code points always survive, so coverage
-    * is total); the seed is `seedFactor`× larger.
+    * count. The prune keeps every single code point still RESIDENT at
+    * prune time, but the hard-EM M-step drops any piece (singles
+    * included) unused by the current Viterbi segmentation — total
+    * coverage is guaranteed by the [[FloorLogp]] single-char fallback in
+    * [[segmentOffs]], not by a vocabulary invariant. The seed is
+    * `seedFactor`× larger.
     */
   def train(words: Array[(String, Long)], vocabSize: Int = 1000,
             maxLen: Int = 8, seedFactor: Int = 4, emIters: Int = 2): Model = {
@@ -239,4 +243,54 @@ object Unigram {
     org.apache.spark.sql.GraftSqlBridge.column(
       UnigramTokens(org.apache.spark.sql.GraftSqlBridge.expression(text),
         model.pieces.toIndexedSeq, model.maxLen))
+
+  /** Content fingerprint of a trained model — the identity gate every
+    * persisted tokenizer artifact carries ([[Bpe.fingerprint]],
+    * Word2Vec/Transformer bundles): models that hash differently segment
+    * differently and must never be silently swapped. Log-probabilities
+    * enter via their exact IEEE bit patterns (a rounded rendering could
+    * collide two genuinely different EM fits).
+    */
+  def fingerprint(model: Model): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    model.pieces.foreach { case (p, lp) =>
+      md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+      buf.clear(); buf.putDouble(lp)
+      md.update(buf.array()); md.update(1.toByte)
+    }
+    buf.clear(); buf.putLong(model.maxLen.toLong)
+    md.update(buf.array())
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Persist a trained model as a tiny (piece, logp) parquet plus a
+    * one-row params table — the EM fit is the most expensive tokenizer
+    * training in the repo, so unlike retrain-per-call it ships once to
+    * every consumer (same contract as [[Bpe.save]]). The LL traces are
+    * training receipts, not model state, and do not persist; a reloaded
+    * model carries empty traces but an identical piece table, so its
+    * [[fingerprint]] and every encode are bit-equal to the trained one.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.pieces.toSeq.toDF("piece", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/pieces")
+    Seq(model.maxLen).toDF("max_len")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/params")
+  }
+
+  /** Load a [[save]]d model. Pieces re-sort by name — [[train]]'s output
+    * order — so parquet task layout can never reorder the table under the
+    * fingerprint. Columns selected by NAME.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val pieces = spark.read.parquet(path + "/pieces")
+      .select("piece", "logp").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    val maxLen = spark.read.parquet(path + "/params")
+      .select("max_len").collect().head.getInt(0)
+    Model(pieces, maxLen, Array.empty, Array.empty)
+  }
 }

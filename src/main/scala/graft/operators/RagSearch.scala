@@ -140,10 +140,11 @@ object RagSearch {
     // repartition, not file layout: a small corpus in one parquet file
     // would otherwise serialize the whole forward-pass stage through one
     // task (the §4g receipt caught exactly that — 35 s single-threaded
-    // at sf0.1 vs 0.6 s repartitioned)
-    val parts = spark.sparkContext.defaultParallelism
+    // at sf0.1 vs 0.6 s repartitioned). Guarded like the facade's
+    // embedFrom: a WELL-partitioned corpus is never reshuffled — the
+    // blanket repartition is the 100 TB anti-pattern.
     val e = tx.embedFrame(
-        docs.select("doc_id", "text").repartition(parts), "text", "embedding")
+        widenForInference(docs.select("doc_id", "text")), "text", "embedding")
       .select(col("doc_id").as("vec_id"), col("embedding"))
     // query vectors via the driver-side seam twin (embedText ≡ embedFrame,
     // EmbedderSpec's contract) — a bounded query batch, not a second
@@ -186,10 +187,11 @@ object RagSearch {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val tx = graft.TransformerEmbedder.seeded(spark)
     val ce = new graft.CrossEncoder(tx)
-    val parts = spark.sparkContext.defaultParallelism
     // stage 1: bi-encoder pool (the C1t shape — wide inference, bounded
-    // driver-side query batch through the seam's embedText twin)
-    val e = tx.embedFrame(docs.repartition(parts), "text", "embedding")
+    // driver-side query batch through the seam's embedText twin); the
+    // repartition is guarded like the facade's embedFrom — an already
+    // wide corpus never reshuffles
+    val e = tx.embedFrame(widenForInference(docs), "text", "embedding")
       .select(col("doc_id").as("vec_id"), col("embedding"))
     val qDocs = docs.filter(col("doc_id") < nQueries)
       .select(col("doc_id"), col("text")).collect()
@@ -474,6 +476,17 @@ object RagSearch {
     * house midpoint nudge), for greedy steps that must agree bit-for-bit
     * with the expression path and the oracle.
     */
+  /** Per-row INFERENCE parallelism must come from partitioning, not file
+    * layout (the §4g single-task forward-pass bug) — but only widen when
+    * the input is narrower than the cluster: at corpus scale a blanket
+    * repartition is the anti-pattern (same guard as the facade's
+    * `embedFrom`, Graft.scala).
+    */
+  private def widenForInference(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private def round4(x: Double): Double =
     java.math.BigDecimal.valueOf(x + 1e-9)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -96,6 +96,40 @@ class UnigramSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("model persistence: save/load round trip, identity fingerprint") {
+    val docs = Tables.documents(spark, sf)
+    val m = model()
+    val dir = java.nio.file.Files.createTempDirectory("graft_unigram").toString + "/model"
+    Unigram.save(spark, m, dir)
+    val loaded = Unigram.load(spark, dir)
+    // the artifact IS the tokenizer: identical piece table (order and
+    // exact log-probs), identical fingerprint, identical encoding — the
+    // EM fit is the most expensive tokenizer training in the repo and
+    // must be reusable across sessions, not retrained per call
+    assert(loaded.maxLen == m.maxLen)
+    assert(loaded.pieces.toSeq == m.pieces.toSeq)
+    assert(Unigram.fingerprint(loaded) == Unigram.fingerprint(m))
+    assert(Unigram.segmentWord("persistence", loaded.table, loaded.maxLen).toSeq ==
+      Unigram.segmentWord("persistence", m.table, m.maxLen).toSeq)
+    assert(TextAnalysis.tokenUnigramOver(docs, loaded)
+      .exceptAll(TextAnalysis.tokenUnigramOver(docs, m))
+      .count() == 0)
+    // a DIFFERENT model fingerprints differently (identity gate
+    // material): one piece fewer, or a different maxLen, must separate
+    // (two vocab budgets can legitimately converge to the SAME pieces
+    // once EM prunes below both — that case SHOULD collide)
+    assert(Unigram.fingerprint(m.copy(pieces = m.pieces.drop(1))) !=
+      Unigram.fingerprint(m))
+    assert(Unigram.fingerprint(m.copy(maxLen = m.maxLen + 1)) !=
+      Unigram.fingerprint(m))
+    // the fingerprint separates log-probs, not just piece names
+    val tweaked = m.copy(pieces = m.pieces.zipWithIndex.map {
+      case ((p, lp), 0) => (p, lp - 1e-9)
+      case ((p, lp), _) => (p, lp)
+    })
+    assert(Unigram.fingerprint(tweaked) != Unigram.fingerprint(m))
+  }
+
   test("encode expression survives with codegen fallback disabled") {
     // the generated-code path must actually compile and run — with
     // fallback off a doGenCode bug fails the query instead of silently
