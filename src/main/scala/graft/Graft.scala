@@ -316,10 +316,25 @@ class Graft(spark: SparkSession, sfDir: String,
             spark, chunkGraphPath, newE, chunkGraphManifest(k, degree, fp)).head()
           (r.getAs[String]("mode"), r.getAs[Long]("n_cells_rewritten"))
       }
+    // the LEXICAL postings index rides the same keep-it-live contract —
+    // dirty chunks rewrite only the term buckets their postings touch
+    val (lexMode, lexCells) =
+      storedChunkLexManifest match {
+        case None => ("absent", -1L)
+        case Some(stored) =>
+          val buckets = chunkLexBuckets(Some(stored))
+          val r = operators.Bm25Store.refreshLexicalIndexOver(
+            spark, chunkLexPath,
+            newE.select(col("doc_id"), col("chunk_idx"), col("chunk_text")),
+            chunkLexManifest(buckets, fp)).head()
+          (r.getAs[String]("mode"), r.getAs[Long]("n_cells_rewritten"))
+      }
     stats.withColumn("ann_mode", lit(annMode))
       .withColumn("ann_cells_rewritten", lit(annCells))
       .withColumn("ann_graph_mode", lit(gMode))
       .withColumn("ann_graph_cells_rewritten", lit(gCells))
+      .withColumn("lex_mode", lit(lexMode))
+      .withColumn("lex_cells_rewritten", lit(lexCells))
   }
 
   /** Dir-keyed location of the facade's chunk-embedding ANN index. */
@@ -327,6 +342,9 @@ class Graft(spark: SparkSession, sfDir: String,
 
   /** Dir-keyed location of the facade's chunk-embedding GRAPH index. */
   def chunkGraphPath: String = operators.AnnStore.defaultPath("chunkgraph", sfDir)
+
+  /** Dir-keyed location of the facade's LEXICAL (BM25 postings) index. */
+  def chunkLexPath: String = operators.AnnStore.defaultPath("chunklex", sfDir)
 
   /** Compact BOTH derived chunk indexes' small files
     * ([[operators.AnnStore.compactIndex]]) — the maintenance pass a long
@@ -341,7 +359,9 @@ class Graft(spark: SparkSession, sfDir: String,
       .withColumn("index", lit("chunk_ann"))
     val graph = operators.AnnGraph.compactGraphIndex(spark, chunkGraphPath, targetBytes)
       .withColumn("index", lit("chunk_graph"))
-    ann.unionByName(graph)
+    val lex = operators.Bm25Store.compactLexIndex(spark, chunkLexPath, targetBytes)
+      .withColumn("index", lit("chunk_lex"))
+    ann.unionByName(graph).unionByName(lex)
       .select(col("index"), col("subdir"), col("n_units_compacted"),
         col("n_files_before"), col("n_files_after"))
   }
@@ -361,6 +381,9 @@ class Graft(spark: SparkSession, sfDir: String,
 
   private def storedChunkGraphManifest: Option[String] =
     storedManifest(chunkGraphPath, Graft.ChunkGraphKind)
+
+  private def storedChunkLexManifest: Option[String] =
+    storedManifest(chunkLexPath, operators.Bm25Store.Kind)
 
   /** The chunk store as an ANN corpus frame: a stable 64-bit vec_id
     * (xxhash64 of (doc_id, chunk_idx) — doc_id is itself a 63-bit path
@@ -430,6 +453,37 @@ class Graft(spark: SparkSession, sfDir: String,
         chunkGraphPath, k, degree, manifest)
     }
     chunkGraphPath
+  }
+
+  /** Lexical-index freshness manifest: bucket count + chunking params +
+    * the documents-table fingerprint. No model identity — the lexical
+    * space is embedder-INDEPENDENT, so an embedder swap must not force a
+    * postings rebuild (only the two chunking params change what tokenizes).
+    */
+  private def chunkLexManifest(buckets: Int, fingerprint: String): String =
+    operators.Bm25Store.manifestFor(buckets,
+      Seq("chunkSize" -> chunkSize, "chunkOverlap" -> chunkOverlap), fingerprint)
+
+  /** Stored-or-default bucket count of the lexical index. */
+  private def chunkLexBuckets(stored: Option[String]): Int = stored match {
+    case Some(m) => operators.AnnStore.manifestInt(m, "buckets")
+      .getOrElse(operators.Bm25Store.DefaultBuckets)
+    case None => operators.Bm25Store.DefaultBuckets
+  }
+
+  /** Build-once gate for the LEXICAL (BM25 postings) index — the chunk
+    * frame comes straight from the chunker (no embedding pass: the
+    * lexical leg never needs vectors). Returns the index path.
+    */
+  def ensureChunkLexIndex(buckets: Int = operators.Bm25Store.DefaultBuckets): String = {
+    val manifest = chunkLexManifest(buckets, docsFingerprint)
+    operators.AnnStore.ensureIndex(spark, chunkLexPath, manifest) {
+      operators.Bm25Store.writeLexicalIndexOver(spark,
+        operators.Chunker.indexBuild(spark, sfDir, chunkSize, chunkOverlap)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_text")),
+        chunkLexPath, buckets, manifest)
+    }
+    chunkLexPath
   }
 
   /** ANN-served semantic search — the sublinear evolution of [[ragQuery]]
@@ -643,22 +697,40 @@ class Graft(spark: SparkSession, sfDir: String,
 
   /** Hybrid lexical+dense search (BM25 ⊕ embedding cosine via reciprocal
     * rank fusion) — the reference's planned hybrid mode
-    * (reference: README.md:32). Serves from the cached chunk index, so
-    * results are chunk-granular like `ragQuery` and no corpus re-scan
-    * happens per call.
+    * (reference: README.md:32). The LEXICAL leg serves from the persisted
+    * postings index ([[operators.Bm25Store]] — built on first use through
+    * the manifest gate, kept live incrementally by [[reindexDirectory]]):
+    * it reads only the query terms' buckets, so the per-call corpus
+    * re-tokenize the in-plan scorer pays is gone — the last serving leg
+    * that still scanned the corpus per query. The cosine leg serves from
+    * the cached chunk index like `ragQuery`. Results are row-identical to
+    * the in-plan hybrid (spec-asserted: same scoring algebra over the
+    * same chunk set).
+    *
+    * Freshness contract: the postings store refreshes with
+    * [[reindexDirectory]] (the documents-table clock) while the cached
+    * [[servingIndex]] predates any reindex by design — the same two-clock
+    * contract [[ragQueryAnn]] documents.
     */
-  def ragQueryHybrid(query: String, topK: Int = 10): DataFrame =
+  def ragQueryHybrid(query: String, topK: Int = 10): DataFrame = {
+    val lexPath = ensureChunkLexIndex()
     operators.Bm25.ragHybridOver(servingIndex, query, Graft.clampTopK(topK), dim,
-      queryVec = Some(embedder.embedText(query)))
+      queryVec = Some(embedder.embedText(query)),
+      bm25From = Some(operators.Bm25Store.scoresFromStore(spark, lexPath, query)))
+  }
 
-  /** The batched twin of [[ragQueryHybrid]] — one index scan (single
-    * tokenize pass, query-independent tf/df) serves the whole batch;
-    * per-query rows identical to the single-query serve (spec-asserted).
-    * Completes the batch family: exact, ANN, graph, and now hybrid.
+  /** The batched twin of [[ragQueryHybrid]] — ONE pruned postings read
+    * (the union of every query's term buckets) serves the whole batch's
+    * lexical leg, one index scan the cosine leg; per-query rows identical
+    * to the single-query serve (spec-asserted). Completes the batch
+    * family: exact, ANN, graph, and now hybrid.
     */
-  def ragQueryHybridBatch(queries: Seq[String], topK: Int = 10): DataFrame =
+  def ragQueryHybridBatch(queries: Seq[String], topK: Int = 10): DataFrame = {
+    val lexPath = ensureChunkLexIndex()
     operators.Bm25.ragHybridBatchOver(servingIndex, queries, Graft.clampTopK(topK),
-      dim, queryVecs = Some(queries.map(q => embedder.embedText(q))))
+      dim, queryVecs = Some(queries.map(q => embedder.embedText(q))),
+      bm25From = Some(operators.Bm25Store.scoresFromStoreBatch(spark, lexPath, queries)))
+  }
 
   /** MMR-diversified search (SURVEY §2 C1m, r13): exact top-`candDepth`
     * retrieval from the cached chunk index, then the maximal-marginal-

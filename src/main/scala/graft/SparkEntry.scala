@@ -142,6 +142,13 @@ object SparkEntry {
     // A. hybrid retrieval (the reference's planned BM25+embedding extension)
     "rag_bm25" -> ((s, dir) => Bm25.ragBm25(s, dir)),
     "rag_hybrid" -> ((s, dir) => Bm25.ragHybrid(s, dir)),
+    // the SERVED lexical twins: BM25 scores from the persisted postings
+    // store (pruned to the query terms' buckets — the index build is paid
+    // once behind the manifest gate, like every *_served entry), value-
+    // identical to the in-plan scorer, so both ride the A10/A11 oracles
+    // unchanged — the store is under the full DuckDB hash gate
+    "rag_bm25_served" -> ((s, dir) => Bm25.ragBm25Served(s, dir)),
+    "rag_hybrid_served" -> ((s, dir) => Bm25.ragHybridServed(s, dir)),
     // D. text analysis
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -387,7 +394,15 @@ object SparkEntry {
     queries + ("pdf_decode_real" ->
       ((s, dir) => Multimodal.pdfRoundTrip(s, dir, lean = true)))
 
-  def oracleSql: Map[String, String] = Map(
+  // the served lexical twins are value-identical to their in-plan
+  // queries by construction (same scoring algebra over the same rows —
+  // only WHERE the statistics come from differs), so they share one
+  // oracle string each: a drift between store and scorer fails the gate
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("rag_bm25_served" -> oracleSqlBase("rag_bm25")) +
+    ("rag_hybrid_served" -> oracleSqlBase("rag_hybrid"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "rag_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT bm.doc_id, round(bm25+1e-9, 4) AS bm25, substring(doc.text, 1, 80) AS snippet

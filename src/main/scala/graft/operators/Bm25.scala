@@ -84,9 +84,28 @@ object Bm25 {
 
   /** A10: BM25 top-10 with snippets. */
   def ragBm25(spark: SparkSession, sfDir: String,
-              query: String = DefaultQuery, topK: Int = 10): DataFrame = {
+              query: String = DefaultQuery, topK: Int = 10): DataFrame =
+    ragBm25From(spark, sfDir, bm25Scores(spark, sfDir, query), topK)
+
+  /** A10s: the SERVED twin — scores come from the persisted postings
+    * store (pruned to the query terms' buckets) instead of the per-call
+    * corpus tokenize; value-identical output, so it rides rag_bm25's
+    * DuckDB oracle unchanged. The build is paid once behind the manifest
+    * gate (like every `*_served` driver entry); the timed serve reads
+    * ~|query terms|/buckets of the postings.
+    */
+  def ragBm25Served(spark: SparkSession, sfDir: String,
+                    query: String = DefaultQuery, topK: Int = 10): DataFrame = {
+    val path = Bm25Store.defaultIndexPath(sfDir)
+    Bm25Store.ensureDocLexIndex(spark, sfDir, path)
+    ragBm25From(spark, sfDir,
+      Bm25Store.scoresFromStore(spark, path, query).drop("chunk_idx"), topK)
+  }
+
+  private def ragBm25From(spark: SparkSession, sfDir: String,
+                          scores: DataFrame, topK: Int): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    bm25Scores(spark, sfDir, query)
+    scores
       .join(d, "doc_id")
       .select(col("doc_id"), round(col("bm25") + lit(1e-9), 4).as("bm25"),
         substring(col("text"), 1, 80).as("snippet"))
@@ -101,10 +120,15 @@ object Bm25 {
     */
   def ragHybridOver(index: DataFrame, query: String,
                     topK: Int = 10, dim: Int = 64, candDepth: Int = 200,
-                    queryVec: Option[Array[Double]] = None): DataFrame = {
+                    queryVec: Option[Array[Double]] = None,
+                    bm25From: Option[DataFrame] = None): DataFrame = {
     // queryVec = the facade's Embedder seam (a swapped model must score the
     // cosine leg in ITS vector space); default stays the hash embed so the
     // driver entry is byte-unchanged
+    // bm25From = a precomputed raw-score (doc_id, chunk_idx, bm25) frame —
+    // the persisted postings store's serve ([[Bm25Store.scoresFromStore]]),
+    // so the lexical leg reads only the query terms' buckets instead of
+    // re-tokenizing the corpus; default stays the in-plan scorer
     val qv = queryVec.getOrElse(HashEmbedAlg.embed(query, dim))
     val qvCol = array(qv.map(lit): _*)
     val keys = Seq("doc_id", "chunk_idx")
@@ -123,7 +147,7 @@ object Bm25 {
       .limit(candDepth)
       .withColumn("cos_rank", row_number().over(
         wPool.orderBy(col("cos").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
-    val bmTop = bm25ScoresOver(index, keys, "chunk_text", query)
+    val bmTop = bm25From.getOrElse(bm25ScoresOver(index, keys, "chunk_text", query))
       .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
       .orderBy(col("bm25").desc, col("doc_id").asc, col("chunk_idx").asc)
       .limit(candDepth)
@@ -153,44 +177,52 @@ object Bm25 {
     */
   def ragHybridBatchOver(index: DataFrame, queries: Seq[String],
                          topK: Int = 10, dim: Int = 64, candDepth: Int = 200,
-                         queryVecs: Option[Seq[Array[Double]]] = None): DataFrame = {
+                         queryVecs: Option[Seq[Array[Double]]] = None,
+                         bm25From: Option[DataFrame] = None): DataFrame = {
     require(queries.nonEmpty, "ragHybridBatchOver: empty query batch")
     val spark = index.sparkSession
     import spark.implicits._
     val keys = Seq("doc_id", "chunk_idx")
     val qvs = queryVecs.getOrElse(queries.map(q => HashEmbedAlg.embed(q, dim)))
     require(qvs.length == queries.length, "one query vector per query")
-    val qTerms = queries.zipWithIndex.flatMap { case (q, i) =>
-      q.split(" ").filter(_.nonEmpty).distinct.map(t => (i.toLong, t))
-    }.toDF("query_id", "term")
-    val termSet = queries.flatMap(_.split(" ").filter(_.nonEmpty)).distinct.toSeq
-    // one tokenize pass shared by every query (the single-query scorer's
-    // checkpoint note applies unchanged)
-    val prepped = index
-      .select(col("doc_id"), col("chunk_idx"), Text.tokens(col("chunk_text")).as("toks"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("toks")).cast("double").as("dl"),
-        filter(col("toks"), t => t.isin(termSet.map(lit): _*)).as("hits"))
-      .localCheckpoint(false)
-    val stats = prepped.agg(
-      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    // per-(chunk, term) tf and per-term df are QUERY-INDEPENDENT — computed
-    // once, expanded to queries by the bounded broadcast join below
-    val tf = prepped
-      .select(col("doc_id"), col("chunk_idx"), col("dl"), explode(col("hits")).as("term"))
-      .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    // bm25From = the postings store's batched serve
+    // ([[Bm25Store.scoresFromStoreBatch]]): raw (query_id, doc_id,
+    // chunk_idx, bm25) — the in-plan corpus tokenize below is skipped
+    // entirely and the lexical leg reads only the query terms' buckets
+    val bmRaw = bm25From.getOrElse {
+      val qTerms = queries.zipWithIndex.flatMap { case (q, i) =>
+        q.split(" ").filter(_.nonEmpty).distinct.map(t => (i.toLong, t))
+      }.toDF("query_id", "term")
+      val termSet = queries.flatMap(_.split(" ").filter(_.nonEmpty)).distinct.toSeq
+      // one tokenize pass shared by every query (the single-query scorer's
+      // checkpoint note applies unchanged)
+      val prepped = index
+        .select(col("doc_id"), col("chunk_idx"), Text.tokens(col("chunk_text")).as("toks"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("toks")).cast("double").as("dl"),
+          filter(col("toks"), t => t.isin(termSet.map(lit): _*)).as("hits"))
+        .localCheckpoint(false)
+      val stats = prepped.agg(
+        count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      // per-(chunk, term) tf and per-term df are QUERY-INDEPENDENT — computed
+      // once, expanded to queries by the bounded broadcast join below
+      val tf = prepped
+        .select(col("doc_id"), col("chunk_idx"), col("dl"), explode(col("hits")).as("term"))
+        .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(qTerms), "term")
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .groupBy(col("query_id") +: keys.map(col): _*)
+        .agg(sum(col("w")).as("bm25"))
+    }
     val wq = Window.partitionBy(col("query_id"))
-    val bmTop = tf.join(broadcast(qTerms), "term")
-      .join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
-      .groupBy(col("query_id") +: keys.map(col): _*)
-      .agg(sum(col("w")).as("bm25raw"))
-      .withColumn("bm25", round(col("bm25raw") + lit(1e-9), 4))
+    val bmTop = bmRaw
+      .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
       .withColumn("bm25_rank", row_number().over(
         wq.orderBy(col("bm25").desc, col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
       .filter(col("bm25_rank") <= candDepth)
@@ -221,7 +253,8 @@ object Bm25 {
     * cosine ranking for the same query string.
     */
   def ragHybrid(spark: SparkSession, sfDir: String,
-                query: String = DefaultQuery, topK: Int = 10, dim: Int = 64): DataFrame = {
+                query: String = DefaultQuery, topK: Int = 10, dim: Int = 64,
+                bm25From: Option[DataFrame] = None): DataFrame = {
     VecExprs.register(spark)
     val qv = HashEmbedAlg.embed(query, dim)
     val qvCol = array(qv.map(lit): _*)
@@ -233,7 +266,7 @@ object Bm25 {
     // decomposes the global row_number into a distinct-score prefix sum plus a
     // per-score tiebreak window (row-for-row equal to the oracle's single
     // row_number — see Ranks scaladoc)
-    val bmScored = bm25Scores(spark, sfDir, query)
+    val bmScored = bm25From.getOrElse(bm25Scores(spark, sfDir, query))
       .withColumn("bm25", round(col("bm25") + lit(1e-9), 4))
     val bmRanked = Ranks.globalRankDesc(bmScored, "bm25", Seq("doc_id"), "bm25_rank",
         materialize = true)
@@ -263,5 +296,21 @@ object Bm25 {
       .select(col("doc_id"), col("rrf"), col("bm25_rank"), col("cos_rank"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(topK)
+  }
+
+  /** A11s: [[ragHybrid]] with the LEXICAL leg served from the persisted
+    * postings store — the BM25 ranking derives from a pruned read of the
+    * query terms' buckets, never a corpus tokenize; value-identical
+    * output, so it rides rag_hybrid's DuckDB oracle unchanged (the cosine
+    * leg's scan is shared by both variants — its served twin is the ANN
+    * index family).
+    */
+  def ragHybridServed(spark: SparkSession, sfDir: String,
+                      query: String = DefaultQuery, topK: Int = 10,
+                      dim: Int = 64): DataFrame = {
+    val path = Bm25Store.defaultIndexPath(sfDir)
+    Bm25Store.ensureDocLexIndex(spark, sfDir, path)
+    ragHybrid(spark, sfDir, query, topK, dim,
+      bm25From = Some(Bm25Store.scoresFromStore(spark, path, query).drop("chunk_idx")))
   }
 }

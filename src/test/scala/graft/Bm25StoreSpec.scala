@@ -1,0 +1,176 @@
+package graft
+
+import graft.operators.{AnnStore, Bm25, Bm25Store, Chunker}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted lexical (BM25) postings index — the round-14 headline:
+  * store-served scoring must be value-identical to the in-plan scorer
+  * (through the hybrid fusion too), serves must be partition-pruned to
+  * the query terms' buckets, and the store must refresh incrementally
+  * under the shared AnnStore dispatch semantics.
+  */
+class Bm25StoreSpec extends SparkSpecBase {
+
+  private val query = Bm25.DefaultQuery
+  private def chunks: DataFrame =
+    Chunker.indexBuild(spark, sf).select("doc_id", "chunk_idx", "chunk_text")
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_lex_$tag").toString + "/idx"
+
+  private def round4(df: DataFrame, keys: Seq[String]): Seq[Seq[Any]] =
+    df.select(keys.map(col) :+ round(col("bm25") + lit(1e-9), 4).as("bm25"): _*)
+      .orderBy(keys.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+
+  test("store-served BM25 equals the in-plan scorer row for row") {
+    val path = freshPath("eq")
+    val m = Bm25Store.manifestFor(16, Seq(), "fp-eq")
+    Bm25Store.writeLexicalIndexOver(spark, chunks, path, 16, m)
+    val keys = Seq("doc_id", "chunk_idx")
+    val served = round4(Bm25Store.scoresFromStore(spark, path, query), keys)
+    val inline = round4(
+      Bm25.bm25ScoresOver(chunks, keys, "chunk_text", query), keys)
+    assert(served.nonEmpty, "query terms must hit the corpus")
+    assert(served == inline,
+      "store-served scores must equal the in-plan scorer (same rows, same 4dp values)")
+    // a query with no corpus hits: schema-correct empty, not an error
+    assert(Bm25Store.scoresFromStore(spark, path, "zzznosuchterm").count() == 0)
+  }
+
+  test("serve is partition-pruned to the query terms' buckets") {
+    val path = freshPath("prune")
+    val buckets = 16
+    val m = Bm25Store.manifestFor(buckets, Seq(), "fp-prune")
+    Bm25Store.writeLexicalIndexOver(spark, chunks, path, buckets, m)
+    val served = Bm25Store.scoresFromStore(spark, path, query)
+    // the bucket filter must reach the scan as a PARTITION filter — the
+    // structural property that makes serve cost scale with the query's
+    // posting lists, not the corpus
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"postings read must be partition-pruned:\n$plan")
+    // the pruned read touches no bucket outside the query terms' set
+    val qBuckets = query.split(" ").filter(_.nonEmpty).distinct
+      .map(Bm25Store.termBucket(_, buckets)).distinct.toSet
+    val touched = spark.read.parquet(path + "/postings")
+      .filter(col("cid").isin(qBuckets.toSeq: _*))
+      .filter(col("term").isin(query.split(" ").toSeq.map(lit): _*))
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.subsetOf(qBuckets))
+    // driver-side bucket twin agrees with the in-plan assignment
+    val inPlan = spark.range(1)
+      .select(query.split(" ").toSeq.map(t =>
+        pmod(xxhash64(lit(t)), lit(buckets.toLong)).cast("int").as(t)): _*)
+      .head()
+    query.split(" ").zipWithIndex.foreach { case (t, i) =>
+      assert(inPlan.getInt(i) == Bm25Store.termBucket(t, buckets),
+        s"driver/in-plan bucket mismatch for '$t'")
+    }
+  }
+
+  test("store-served hybrid is row-identical to the in-plan hybrid (single + batch)") {
+    val path = freshPath("hybrid")
+    val m = Bm25Store.manifestFor(16, Seq(), "fp-hybrid")
+    Bm25Store.writeLexicalIndexOver(spark, chunks, path, 16, m)
+    // the fusion needs the emb column — reuse the facade's cached index
+    val g = new Graft(spark, sf)
+    val idx = g.servingIndex
+    val inline = Bm25.ragHybridOver(idx, query, topK = 10)
+      .collect().map(_.toSeq).toSeq
+    val served = Bm25.ragHybridOver(idx, query, topK = 10,
+        bm25From = Some(Bm25Store.scoresFromStore(spark, path, query)))
+      .collect().map(_.toSeq).toSeq
+    assert(served == inline, "store-served hybrid must equal in-plan hybrid")
+    val queries = Seq(query, "columnar parquet dictionary compression")
+    val inlineB = Bm25.ragHybridBatchOver(idx, queries, topK = 5)
+      .collect().map(_.toSeq).toSeq
+    val servedB = Bm25.ragHybridBatchOver(idx, queries, topK = 5,
+        bm25From = Some(Bm25Store.scoresFromStoreBatch(spark, path, queries)))
+      .collect().map(_.toSeq).toSeq
+    assert(servedB == inlineB, "store-served batch hybrid must equal in-plan")
+  }
+
+  test("refresh dispatch: fresh / restamp / incremental / full_params / full_drift") {
+    val path = freshPath("refresh")
+    val buckets = 16
+    def manifest(fp: String, b: Int = buckets) =
+      Bm25Store.manifestFor(b, Seq(), fp)
+    val v1 = chunks.localCheckpoint()
+    Bm25Store.writeLexicalIndexOver(spark, v1, path, buckets, manifest("fp1"))
+
+    // fresh: same manifest → no work
+    assert(Bm25Store.refreshLexicalIndexOver(spark, path, v1, manifest("fp1"))
+      .head().getString(0) == "fresh")
+    // restamp: same data, moved corpus files → stamp only
+    assert(Bm25Store.refreshLexicalIndexOver(spark, path, v1, manifest("fp2"))
+      .head().getString(0) == "restamp")
+
+    // incremental: one changed, one removed, one added chunk
+    val keys = v1.select("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (cDoc, cIdx) = keys.head
+    val (rDoc, rIdx) = keys.last
+    import spark.implicits._
+    val edited = v1
+      .filter(!(col("doc_id") === rDoc && col("chunk_idx") === rIdx))
+      .withColumn("chunk_text",
+        when(col("doc_id") === cDoc && col("chunk_idx") === cIdx,
+          lit("freshly edited chunk about hash join probes"))
+          .otherwise(col("chunk_text")))
+      .unionByName(Seq((999999L, 0L, "a brand new appended chunk about scan"))
+        .toDF("doc_id", "chunk_idx", "chunk_text"))
+      .localCheckpoint()
+    // snapshot untouched postings partitions to prove they are not rewritten
+    val fs = AnnStore.fileSystem(spark, path)
+    def partFiles(sub: String): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("cid="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+            .sortBy(_._1).toSeq
+        }.toMap
+    }
+    val before = partFiles("postings")
+    val r = Bm25Store.refreshLexicalIndexOver(spark, path, edited,
+      manifest("fp3")).head()
+    assert(r.getString(0) == "incremental", s"mode was ${r.getString(0)}")
+    assert(r.getAs[Long]("n_added") == 1 && r.getAs[Long]("n_changed") == 1 &&
+      r.getAs[Long]("n_removed") == 1)
+    val after = partFiles("postings")
+    val untouched = before.keySet.intersect(after.keySet)
+      .filter(k => before(k) == after(k))
+    assert(untouched.nonEmpty,
+      "a 3-chunk trickle must leave most term buckets byte-identical")
+    // refreshed store serves exactly what a cold rebuild over v2 serves
+    val rebuilt = freshPath("rebuilt")
+    Bm25Store.writeLexicalIndexOver(spark, edited, rebuilt, buckets, manifest("fp3"))
+    val sKeys = Seq("doc_id", "chunk_idx")
+    for (q <- Seq(query, "freshly edited probes", "appended scan")) {
+      assert(round4(Bm25Store.scoresFromStore(spark, path, q), sKeys) ==
+        round4(Bm25Store.scoresFromStore(spark, rebuilt, q), sKeys),
+        s"refreshed store must equal cold rebuild for '$q'")
+    }
+    // full_params: a different bucket count rebuilds
+    assert(Bm25Store.refreshLexicalIndexOver(spark, path, edited,
+      manifest("fp3", b = 8)).head().getString(0) == "full_params")
+    // full_drift: rewriting most of the corpus rebuilds (stale layout
+    // would cost more to patch than to rebuild)
+    val bulk = edited.withColumn("chunk_text",
+      concat(col("chunk_text"), lit(" bulkedit"))).localCheckpoint()
+    assert(Bm25Store.refreshLexicalIndexOver(spark, rebuilt, bulk,
+      manifest("fp4")).head().getString(0) == "full_drift")
+  }
+
+  test("served driver twins equal their in-plan queries row for row") {
+    val bm = Bm25.ragBm25(spark, sf).collect().map(_.toSeq).toSeq
+    val bmS = Bm25.ragBm25Served(spark, sf).collect().map(_.toSeq).toSeq
+    assert(bmS == bm, "rag_bm25_served must equal rag_bm25")
+    val hy = Bm25.ragHybrid(spark, sf).collect().map(_.toSeq).toSeq
+    val hyS = Bm25.ragHybridServed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(hyS == hy, "rag_hybrid_served must equal rag_hybrid")
+  }
+}

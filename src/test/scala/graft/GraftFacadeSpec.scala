@@ -626,6 +626,71 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(meanRecall >= 0.6, s"facade ANN recall=$meanRecall vs brute ragQuery")
   }
 
+  test("ragQueryHybrid: lexical postings index builds once through the gate, reindex keeps it live") {
+    val root = Files.createTempDirectory("graft_lex_live")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    // 12 docs so a small mutation stays under the 30% drift bound
+    val topics = Seq(
+      "a.txt" -> "the quick table scan join merges sorted runs of rows",
+      "b.txt" -> "windowed aggregation with watermarks bounds streaming state",
+      "c.txt" -> "columnar parquet encoding with dictionary compression pages",
+      "d.txt" -> "broadcast hash joins avoid shuffling the large fact table",
+      "e.txt" -> "salting hot keys spreads skewed aggregation work evenly",
+      "f.txt" -> "predicate pushdown prunes row groups before any decode",
+      "g.txt" -> "adaptive query execution replans shuffles at runtime",
+      "h.txt" -> "tungsten codegen fuses operators into tight java loops",
+      "i.txt" -> "catalyst rewrites logical plans with rule based passes",
+      "j.txt" -> "bucketed tables co locate join keys across both sides",
+      "k.txt" -> "zebra stripes migrate south during the winter season",
+      "l.txt" -> "checkpointing truncates long lineage chains for recovery")
+    topics.foreach { case (n, t) => put(n, t) }
+    val work = Files.createTempDirectory("graft_lex_work").toString
+    val store = Files.createTempDirectory("graft_lex_store").toString + "/store"
+    val g2 = Graft.forDirectory(spark, root.toString, work)
+    // cold reindex: no lexical index exists yet → nothing to refresh
+    val cold = g2.reindexDirectory(store).head()
+    assert(cold.getAs[String]("lex_mode") == "absent")
+    // the first hybrid query builds the postings store through the gate
+    // and serves row-identically to the in-plan fusion over the same index
+    val q1 = "broadcast hash joins shuffle"
+    val served = g2.ragQueryHybrid(q1, topK = 5).collect().map(_.toSeq).toSeq
+    val inline = operators.Bm25.ragHybridOver(g2.servingIndex, q1, topK = 5,
+        queryVec = Some(g2.embedder.embedText(q1)))
+      .collect().map(_.toSeq).toSeq
+    assert(served == inline, "store-served facade hybrid must equal in-plan")
+    // live mutations: add one doc, remove one — reindex refreshes the
+    // postings incrementally (a trickle rewrites term buckets, not the store)
+    put("new.txt", "a brand new document about vectorized predicate pushdown")
+    Files.delete(root.resolve("k.txt"))
+    val stats = g2.reindexDirectory(store).head()
+    assert(stats.getAs[String]("lex_mode") == "incremental",
+      s"lex_mode=${stats.getAs[String]("lex_mode")}")
+    assert(stats.getAs[Long]("lex_cells_rewritten") >= 1)
+    // the refreshed manifest satisfies the gate — the next hybrid query
+    // must serve WITHOUT rebuilding, and its lexical leg must already see
+    // the new doc and have forgotten the removed one
+    val manifestPath = new org.apache.hadoop.fs.Path(g2.chunkLexPath,
+      graft.operators.AnnStore.ManifestFile)
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = fs.getFileStatus(manifestPath).getModificationTime
+    val newScores = operators.Bm25Store.scoresFromStore(spark,
+      g2.ensureChunkLexIndex(), "vectorized zebra stripes")
+    val newDocId = Tables.documents(spark, work)
+      .filter(col("text").contains("brand new")).head().getAs[Long]("doc_id")
+    val hitDocs = newScores.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hitDocs.contains(newDocId), "refreshed postings must serve the new doc")
+    val removedId = Tables.documents(spark, work).filter(col("text").contains("zebra"))
+    assert(removedId.count() == 0 && !hitDocs.exists(_ != newDocId),
+      "removed doc's postings must be gone after the incremental refresh")
+    assert(fs.getFileStatus(manifestPath).getModificationTime == stamp,
+      "post-refresh serving must not rebuild the postings store")
+  }
+
   test("ragQueryAnnGraph: graph-served chunk search, batch delegation, reindex keeps it live") {
     val root = Files.createTempDirectory("graft_anng_live")
     def put(rel: String, content: String): Unit = {
