@@ -113,7 +113,13 @@ object Bm25Store {
                                            textCol: String = "chunk_text"): Unit =
     AnnStore.writeStaged(spark, path, manifestStr) { staging =>
       AnnStore.releasingPinned(spark) {
+        // term-SORTED within each bucket: parquet row-group min/max stats
+        // on `term` then let the serve's pushed `term IN (…)` filter skip
+        // every row group holding only other terms — within the pruned
+        // bucket, read cost tracks the query terms' posting lists, not
+        // the bucket's co-tenants (matters once buckets span row groups)
         postingsFrom(units, textCol, buckets)
+          .sortWithinPartitions(col("cid"), col("term"))
           .write.partitionBy("cid").parquet(staging + "/postings")
         val chunks = AnnStore.trackedCheckpoint(chunksFrom(units, textCol, buckets))
         chunks.write.partitionBy("cid").parquet(staging + "/chunks")
@@ -291,7 +297,8 @@ object Bm25Store {
                   .unionByName(chunksFrom(dirtyNew, textCol, buckets)))
               affected.foreach(c => fs.delete(
                 new org.apache.hadoop.fs.Path(s"$path/postings/cid=$c"), true))
-              postRows.write.mode("append").partitionBy("cid")
+              postRows.sortWithinPartitions(col("cid"), col("term"))
+                .write.mode("append").partitionBy("cid")
                 .parquet(path + "/postings")
               chunkAffected.foreach(c => fs.delete(
                 new org.apache.hadoop.fs.Path(s"$path/chunks/cid=$c"), true))
