@@ -68,6 +68,12 @@ object SparkEntry {
     // vectors, one fused encode+score corpus pass (rows-only;
     // LateInteractionSpec pins exact self-match and word-level receipts).
     "rag_topk_late" -> ((s, dir) => RagSearch.ragTopKLate(s, dir)),
+    // C1ls: SERVED late interaction — per-token vectors persist
+    // cid-partitioned under the IVF store contract; MaxSim runs over the
+    // pruned probe read's stored matrices, no corpus re-encode per query
+    // (rows-only; LateInteractionSpec pins exact-at-full-probing equality
+    // with the fused scan, probe recall, and incremental refresh).
+    "rag_topk_late_served" -> ((s, dir) => RagSearch.ragTopKLateServed(s, dir)),
     // C1e: retrieval metrics (recall@k / MRR / nDCG vs label truth) —
     // deterministic ranking + plain aggregates, fully oracle-matched.
     "retrieval_eval" -> ((s, dir) => RagSearch.retrievalEval(s, dir)),

@@ -296,6 +296,177 @@ object RagSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** Routing vector for the late-interaction store: L2-normalized MEAN of
+    * the (already normalized) token vectors — one forward pass yields
+    * both the token matrix and its routing key. This is a ROUTING space
+    * only (cell assignment + probe selection), deliberately not the
+    * bi-encoder's `forwardPooled` (which pools the raw encoder output):
+    * queries and documents pool identically, which is all coarse
+    * quantization needs.
+    */
+  private[graft] def poolTokenVecs(tvs: Array[Array[Double]], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    if (tvs.isEmpty) return out
+    var i = 0
+    while (i < tvs.length) {
+      val v = tvs(i)
+      var j = 0
+      while (j < dim) { out(j) += v(j); j += 1 }
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { out(j) /= tvs.length; ss += out(j) * out(j); j += 1 }
+    val inv = if (ss > 0) 1.0 / StrictMath.sqrt(ss) else 0.0
+    j = 0
+    while (j < dim) { out(j) *= inv; j += 1 }
+    out
+  }
+
+  /** The late-interaction corpus encode: ONE batched forward pass per
+    * document emits `(vec_id, embedding, tokvecs)` — the routing vector
+    * plus the full L×d token matrix (the ColBERT index payload; the L×
+    * storage is the declared trade for scan-free serving).
+    */
+  private[graft] def lateCorpusEncode(docs: DataFrame,
+                                      tx: graft.TransformerEmbedder): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("tokvecs", ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false), nullable = false)))
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    widenForInference(docs).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val toks = tx.tokenIds(if (r.isNullAt(1)) "" else r.getString(1))
+        val tvs = if (toks.isEmpty) Array.empty[Array[Double]]
+          else tx.forwardTokenVecs(toks)
+        org.apache.spark.sql.Row(id, poolTokenVecs(tvs, tx.dim).toSeq,
+          tvs.map(_.toSeq).toSeq)
+      }
+    }
+  }
+
+  private[graft] def lateManifest(kCells: Int, model: String, fp: String): String =
+    AnnStore.manifest("late_ivf", Seq("k" -> kCells, "model" -> model), fp)
+
+  /** Build-once gate for the late-interaction store. The layout IS an IVF
+    * store whose payload carries the token matrices, so build, refresh
+    * ([[AnnIvf.refreshIndexOver]] — affected cells only, pinned
+    * centroids), compaction, and crash heal all ride the shared AnnStore
+    * contract unchanged; the model identity in the manifest gates an
+    * encoder swap into a rebuild.
+    */
+  private[graft] def ensureLateIndex(spark: SparkSession, docs: DataFrame,
+                                     tx: graft.TransformerEmbedder, path: String,
+                                     kCells: Int, fp: String): Unit = {
+    val m = lateManifest(kCells, tx.name, fp)
+    AnnStore.ensureIndex(spark, path, m) {
+      AnnIvf.writeIndexOver(spark, lateCorpusEncode(docs, tx), path, kCells, m): Unit
+    }
+  }
+
+  /** C1ls: SERVED late interaction — the declared ColBERT index trade
+    * ([[ragTopKLateOver]]'s docstring): per-token vectors persist
+    * cid-partitioned (routing vector = coarse-quantizer key), so a serve
+    * encodes only the bounded QUERY batch and computes MaxSim over the
+    * pruned probe read's STORED token matrices — the corpus is never
+    * re-encoded per query (the fused scan pays one forward pass per
+    * document per batch; this path paid it once, at build). Recall vs
+    * the fused exact scan is the IVF probe bound (spec-bounded in
+    * LateInteractionSpec); scores of returned candidates are EXACT MaxSim
+    * (same math over the same vectors, spec-pinned).
+    */
+  def ragTopKLateServed(spark: SparkSession, sfDir: String,
+                        nQueries: Int = 5, k: Int = 5, nprobe: Int = 4,
+                        kCells: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val tx = graft.TransformerEmbedder.seeded(spark)
+    val path = AnnStore.defaultPath("late", sfDir)
+    ensureLateIndex(spark, docs, tx, path, kCells,
+      AnnStore.pathFingerprint(spark,
+        new org.apache.hadoop.fs.Path(sfDir, "documents.parquet").toString))
+    val qs = docs.filter(col("doc_id") < nQueries).collect().map { r =>
+      val toks = tx.tokenIds(if (r.isNullAt(1)) "" else r.getString(1))
+      val qm = if (toks.isEmpty) Array.empty[Array[Double]]
+        else tx.forwardTokenVecs(toks)
+      (r.getLong(0), qm, poolTokenVecs(qm, tx.dim))
+    }
+    ragTopKLateServedOver(spark, path, qs, k, nprobe, excludeSelf = true)
+  }
+
+  /** Serve MaxSim over a persisted late-interaction store for a bounded
+    * driver-side query batch `(query_id, token matrix, routing vector)`.
+    * Shape: probe selection against the k-row centroid table is
+    * driver-local; the candidate read is a PARTITION-PRUNED scan of the
+    * probed cells; scoring is in-task against the broadcast query
+    * matrices (per-task state = one stored matrix row at a time).
+    */
+  private[graft] def ragTopKLateServedOver(spark: SparkSession, indexPath: String,
+                                           queries: Array[(Long, Array[Array[Double]], Array[Double])],
+                                           k: Int, nprobe: Int,
+                                           excludeSelf: Boolean): DataFrame = {
+    AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
+    val centroids = AnnStore.readCentroids(spark, indexPath)
+    val probes: Map[Long, Set[Int]] = queries.map { case (qid, _, pooled) =>
+      qid -> centroids.zipWithIndex.map { case (c, i) => (cosineOf(pooled, c), i) }
+        .sortBy { case (s, i) => (-s, i) }.take(math.max(1, nprobe)).map(_._2).toSet
+    }.toMap
+    val cids = probes.values.flatten.toSeq.distinct.sorted
+    val pruned = AnnIvf.probeCells(spark, indexPath, cids)
+      .select(col("vec_id"), col("cid"), col("tokvecs"))
+    val bcQ = spark.sparkContext.broadcast(
+      queries.map { case (qid, qm, _) => (qid, qm, probes(qid)) })
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("raw",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val scored = pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val cid = r.getInt(1)
+        lazy val dVecs = r.getSeq[scala.collection.Seq[Double]](2)
+          .map(_.toArray).toArray
+        bcQ.value.iterator
+          .filter { case (qid, _, ps) =>
+            ps.contains(cid) && !(excludeSelf && qid == id) }
+          .map { case (qid, qm, _) =>
+            var s = 0.0
+            var qi = 0
+            while (qi < qm.length) {
+              val qv = qm(qi)
+              var best = Double.NegativeInfinity
+              var di = 0
+              while (di < dVecs.length) {
+                val dv = dVecs(di)
+                var dot = 0.0; var t = 0
+                while (t < qv.length) { dot += qv(t) * dv(t); t += 1 }
+                if (dot > best) best = dot
+                di += 1
+              }
+              if (best != Double.NegativeInfinity) s += best
+              qi += 1
+            }
+            org.apache.spark.sql.Row(qid, id, s)
+          }
+      }
+    }
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.select(col("query_id"), col("vec_id"), round(col("raw"), 4).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** C1e: retrieval evaluation — recall@k, MRR, and nDCG@k of the C1
     * retriever against the embeddings table's LABEL ground truth
     * (relevant(q, d) ⇔ label(d) = label(q), the standard ANN-benchmark

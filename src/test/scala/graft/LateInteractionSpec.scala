@@ -53,6 +53,84 @@ class LateInteractionSpec extends SparkSpecBase {
       s"query-containing doc must beat unrelated text: $sA vs $sB")
   }
 
+  test("served store: full probing equals the fused scan; probes prune; refresh keeps it live") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val t = tx
+    val kCells = 8
+    val path = java.nio.file.Files.createTempDirectory("graft_late").toString + "/idx"
+    RagSearch.ensureLateIndex(spark, docs, t, path, kCells, "fp-late-1")
+    def queriesOf(d: org.apache.spark.sql.DataFrame, n: Int) =
+      d.filter(col("doc_id") < n).collect().map { r =>
+        val toks = t.tokenIds(if (r.isNullAt(1)) "" else r.getString(1))
+        val qm = if (toks.isEmpty) Array.empty[Array[Double]]
+          else t.forwardTokenVecs(toks)
+        (r.getLong(0), qm, RagSearch.poolTokenVecs(qm, t.dim))
+      }
+    val qs = queriesOf(docs, 3)
+    // EXACT at full probing: every cell probed → every candidate scored
+    // with the same MaxSim math over the same deterministic token vectors
+    // — row-identical to the fused corpus scan (the strongest equality a
+    // served ANN arm can state; the pruned case then only changes WHICH
+    // candidates are scored, never their scores)
+    val fused = RagSearch.ragTopKLateOver(docs, t, nQueries = 3, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val servedAll = RagSearch.ragTopKLateServedOver(spark, path, qs,
+        k = 5, nprobe = kCells, excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    assert(servedAll == fused,
+      "full-probing served MaxSim must equal the fused scan row for row")
+    // pruned serving: the candidate read must be partition-pruned and
+    // recall vs the fused top-5 stays above the IVF probe bound
+    val servedDf = RagSearch.ragTopKLateServedOver(spark, path, qs,
+      k = 5, nprobe = 3, excludeSelf = true)
+    val served = servedDf.collect()
+    val recall = {
+      val f = fused.groupBy(_.head.asInstanceOf[Long])
+        .map { case (q, rs) => q -> rs.map(_(2).asInstanceOf[Long]).toSet }
+      val s = served.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val per = f.keys.toSeq.map(q =>
+        (f(q) intersect s.getOrElse(q, Set.empty[Long])).size.toDouble / f(q).size)
+      per.sum / per.length
+    }
+    assert(recall >= 0.4, s"served late-interaction recall=$recall vs fused scan")
+    // served scores are EXACT MaxSim: every served (query, vec) pair that
+    // the fused scan also ranked carries the identical score
+    val fusedScores = fused.map(r => (r(0), r(2)) -> r(3)).toMap
+    served.foreach { r =>
+      fusedScores.get((r.getLong(0), r.getLong(2))).foreach { exp =>
+        assert(r.getDouble(3) == exp, s"served score drifted for $r")
+      }
+    }
+    // incremental refresh under the shared IVF dispatch: a 3-doc trickle
+    // rewrites affected cells only, and full-probing serving over the
+    // refreshed store equals the fused scan over the NEW corpus
+    import spark.implicits._
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val docs2 = docs
+      .filter(col("doc_id") =!= ids.last)
+      .withColumn("text", when(col("doc_id") === ids(ids.length / 2),
+        lit("an edited document about late interaction maxsim serving"))
+        .otherwise(col("text")))
+      .unionByName(Seq((ids.max + 1000L, "a brand new late interaction document"))
+        .toDF("doc_id", "text"))
+      .localCheckpoint()
+    val r = graft.operators.AnnIvf.refreshIndexOver(spark, path,
+      RagSearch.lateCorpusEncode(docs2, t),
+      RagSearch.lateManifest(kCells, t.name, "fp-late-2")).head()
+    assert(r.getString(0) == "incremental", s"mode=${r.getString(0)}")
+    assert(r.getAs[Long]("n_cells_rewritten") >= 1 &&
+      r.getAs[Long]("n_cells_rewritten") < kCells)
+    val fused2 = RagSearch.ragTopKLateOver(docs2, t, nQueries = 3, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val served2 = RagSearch.ragTopKLateServedOver(spark, path, queriesOf(docs2, 3),
+        k = 5, nprobe = kCells, excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    assert(served2 == fused2,
+      "refreshed store must serve the new corpus exactly (full probing)")
+  }
+
   test("deterministic and partition-invariant; corpus shape holds") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val once = RagSearch.ragTopKLateOver(docs, tx, nQueries = 3, k = 5).collect()
