@@ -521,6 +521,71 @@ object RagSearch {
       .orderBy("query_id")
   }
 
+  /** Metrics of ANY `(query_id, vec_id, rank, …)` top-k ranking frame
+    * against an explicit `(vec_id, label)` truth — the generic core
+    * behind [[retrievalEvalOver]], so EVERY ranker in the repo (exact,
+    * LSH, IVF, PQ, graph, MMR, learned/transformer/late/cross text
+    * spaces) lands in one comparable table instead of each arm claiming
+    * recall against a different yardstick. relevant(q, d) ⇔
+    * label(d) = label(q) ∧ d ≠ q; a self row in the ranking is dropped
+    * and the remaining order re-ranked, so self-including and
+    * self-excluding rankers compare at equal depth.
+    *
+    * `queries` (optional) pins the evaluation universe: a query the
+    * ranker returned NO rows for scores 0 on every metric instead of
+    * silently vanishing from the mean — the honest accounting for
+    * bucket-miss arms like LSH.
+    */
+  def evalRankingOver(ranked: DataFrame, labels: DataFrame, k: Int,
+                      queries: Option[DataFrame] = None): DataFrame = {
+    val labelCounts = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val qFrame = queries.getOrElse(ranked.select(col("query_id")).distinct())
+    val qInfo = qFrame.select(col("query_id"))
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+        Seq("query_id"))
+      .join(labelCounts.select(col("label").as("qlabel"), col("n_label")), Seq("qlabel"))
+      .select(col("query_id"), col("qlabel"), (col("n_label") - 1).as("n_relevant"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank").asc, col("vec_id").asc)
+    val perQ = ranked.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .join(labels, Seq("vec_id"))
+      .join(qInfo.select(col("query_id"), col("qlabel")), Seq("query_id"))
+      .withColumn("rel", col("label") === col("qlabel"))
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("hits"),
+        coalesce(max(when(col("rel"), lit(1.0) / col("rn"))), lit(0.0)).as("mrr"),
+        coalesce(sum(when(col("rel"), lit(1.0) / log2(col("rn") + 1))), lit(0.0)).as("dcg"))
+    qInfo.join(perQ, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_relevant"),
+        when(col("n_relevant") > 0,
+          coalesce(col("hits"), lit(0L)).cast("double") /
+            least(lit(k.toLong), col("n_relevant")))
+          .otherwise(lit(0.0)).as("recall_at_k"),
+        coalesce(col("mrr"), lit(0.0)).as("mrr"),
+        when(col("n_relevant") > 0,
+          coalesce(col("dcg"), lit(0.0)) / expr(
+            s"aggregate(sequence(1, int(least($k, n_relevant))), 0D, (a, x) -> a + 1D / log2(double(x) + 1D))"))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  /** Mean metrics of one ranker — a single `(ranker, recall_at_k, mrr,
+    * ndcg)` row for the eval MATRIX (the table that makes every arm's
+    * claim comparable; RetrievalEvalSpec builds the full matrix and
+    * SURVEY records it).
+    */
+  def evalMatrixRow(name: String, ranked: DataFrame, labels: DataFrame,
+                    k: Int, queries: Option[DataFrame] = None): DataFrame =
+    evalRankingOver(ranked, labels, k, queries)
+      .agg(round(avg("recall_at_k") + lit(1e-9), 4).as("recall_at_k"),
+        round(avg("mrr") + lit(1e-9), 4).as("mrr"),
+        round(avg("ndcg") + lit(1e-9), 4).as("ndcg"))
+      .withColumn("ranker", lit(name))
+      .select(col("ranker"), col("recall_at_k"), col("mrr"), col("ndcg"))
+
   /** Append `cross` = cross-encoder score of (query, doc) text extracted
     * per row — the ONE batched mapPartitions scoring loop the driver
     * query and the facade serve share ([[graft.CrossEncoder.ScoreBatchSize]]

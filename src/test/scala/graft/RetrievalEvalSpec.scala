@@ -66,6 +66,75 @@ class RetrievalEvalSpec extends SparkSpecBase {
     assert(math.abs(p.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("eval matrix: every ranker family measured on one label truth per space") {
+    import graft.operators.{AnnGraph, AnnIvf, AnnPq}
+    val k = 10; val nQ = 10
+    val e = Tables.embeddings(spark, sf)
+    val labels = e.select(col("vec_id"), col("label").cast("string").as("label"))
+      .localCheckpoint()
+    // ANCHOR: the generic core over C1's actual top-k ranking must
+    // reproduce the oracle-gated harness row for row — the receipt that
+    // the matrix's yardstick IS the hash-matched one
+    val generic = RagSearch.evalRankingOver(
+        RagSearch.annTopKBatch(spark, sf, nQ, k), labels, k)
+      .collect().map(_.toSeq).toSeq
+    val harness = RagSearch.retrievalEvalOver(e, nQ, k)
+      .collect().map(_.toSeq).toSeq
+    assert(generic == harness,
+      "generic eval core must equal the oracle-gated harness on C1's ranking")
+
+    val qf = Some(labels.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id")))
+    // EMBEDDING space: label ground truth, every ANN/rerank arm over the
+    // same queries at the same depth
+    val embArms = Seq(
+      "c1_brute" -> RagSearch.annTopKBatch(spark, sf, nQ, k),
+      "c1m_mmr" -> RagSearch.ragTopKMmr(spark, sf, nQ, k, 0.7, 4 * k),
+      "c2_lsh" -> RagSearch.annLsh(spark, sf, nQ, k),
+      "c3_ivf" -> AnnIvf.annIvf(spark, sf, nQ, k),
+      "c5_pq" -> AnnPq.annPq(spark, sf, nQ, k),
+      "c6_graph" -> AnnGraph.annGraph(spark, sf, nQ, k))
+    val emb = embArms.map { case (n, df) =>
+      RagSearch.evalMatrixRow(n, df, labels, k, qf) }
+      .reduce(_ unionByName _).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // TEXT space: the learned/inference rankers over documents; ground
+    // truth = the document's source (20 sources × 25 docs)
+    val docs = Tables.documents(spark, sf)
+    val dLabels = docs.select(col("doc_id").as("vec_id"),
+      col("source").cast("string").as("label")).localCheckpoint()
+    val nQt = 3; val kt = 5
+    val qft = Some(dLabels.filter(col("vec_id") < nQt)
+      .select(col("vec_id").as("query_id")))
+    val textArms = Seq(
+      "c1w_w2v" -> RagSearch.ragTopKW2v(spark, sf, nQt, kt),
+      "c1t_tx" -> RagSearch.ragTopKTx(spark, sf, nQt, kt),
+      "c1l_late" -> RagSearch.ragTopKLate(spark, sf, nQt, kt),
+      "c1x_cross" -> RagSearch.ragRerankCross(spark, sf, nQt, 4 * kt, kt))
+    val text = textArms.map { case (n, df) =>
+      RagSearch.evalMatrixRow(n, df, dLabels, kt, qft) }
+      .reduce(_ unionByName _).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // structural receipts: every arm produced one finite row in [0,1]
+    val all = emb ++ text
+    assert(all.size == embArms.length + textArms.length)
+    for ((n, (rec, mrr, ndcg)) <- all; v <- Seq(rec, mrr, ndcg))
+      assert(v >= 0.0 && v <= 1.0 + 1e-9, s"$n metric out of range: $v")
+    // the exact brute-force anchor can never lose to an arm that returns
+    // a SUBSET of its candidate rankings (IVF/PQ/graph prune candidates
+    // and keep cosine order; MMR trades relevance for diversity by
+    // construction) on MRR's first-relevant definition... which label
+    // truth does not guarantee — so the matrix asserts only the
+    // anchor's own sanity and RECORDS the comparison (SURVEY table)
+    assert(all("c1_brute")._1 > 0.0, "anchor recall must be nonzero")
+    info("eval matrix (recall@k, mrr, ndcg):")
+    (emb.toSeq.sortBy(_._1) ++ text.toSeq.sortBy(_._1)).foreach { case (n, m) =>
+      info(f"  $n%-10s recall=${m._1}%.4f mrr=${m._2}%.4f ndcg=${m._3}%.4f")
+    }
+  }
+
   test("corpus invariants: one row per query, metrics in [0,1], deterministic") {
     val out = RagSearch.retrievalEval(spark, sf).collect()
     assert(out.map(_.getLong(0)).sorted.toSeq == (0L until 10L).toSeq)
