@@ -228,6 +228,62 @@ object TransformerEmbedder {
     * deployment converts a real checkpoint into. Tiny: the default arch is
     * ~90k floats.
     */
+  /** The CONVERTER CONTRACT — the exact tensor names and float counts a
+    * weight bundle must carry for a `(dim, layers, heads, vocab)`
+    * architecture. This is the schema a real checkpoint export
+    * (safetensors / NumPy dump, float32) must be renamed and flattened
+    * to, making the "pretrained model is a pure artifact swap" claim
+    * executable the day weights are available:
+    *
+    *   - `emb` — token embedding table, `vocab × dim` row-major
+    *     (row t = token id t's vector);
+    *   - `l<i>.wq|wk|wv|wo` — the layer-i attention projections,
+    *     `dim × dim` row-major as consumed by x·W (input index major);
+    *   - `l<i>.w1`/`l<i>.b1` — FFN up-projection `dim × 4dim` + bias;
+    *   - `l<i>.w2`/`l<i>.b2` — FFN down-projection `4dim × dim` + bias;
+    *   - `l<i>.ln1g|ln1b|ln2g|ln2b` — the two layer-norms' scale/shift.
+    *
+    * Sinusoidal position encodings are computed, never stored; a
+    * checkpoint with LEARNED positions folds them in upstream or extends
+    * this schema. The matching trained subword tokenizer pairs via
+    * [[graft.functions.Bpe]]/[[graft.functions.Unigram]] artifacts.
+    */
+  def expectedTensors(dim: Int, layers: Int, heads: Int, vocab: Int): Map[String, Int] = {
+    val ffn = 4 * dim
+    (Seq("emb" -> vocab * dim) ++ (0 until layers).flatMap { l => Seq(
+      s"l$l.wq" -> dim * dim, s"l$l.wk" -> dim * dim,
+      s"l$l.wv" -> dim * dim, s"l$l.wo" -> dim * dim,
+      s"l$l.w1" -> dim * ffn, s"l$l.b1" -> ffn,
+      s"l$l.w2" -> ffn * dim, s"l$l.b2" -> dim,
+      s"l$l.ln1g" -> dim, s"l$l.ln1b" -> dim,
+      s"l$l.ln2g" -> dim, s"l$l.ln2b" -> dim)
+    }).toMap
+  }
+
+  /** The converter entry point: build an embedder from externally-sourced
+    * tensors. Validates the COMPLETE [[expectedTensors]] schema — a
+    * missing, extra, or mis-sized tensor is a named error at convert
+    * time, never silent garbage embeddings at serve time. The returned
+    * embedder carries a content fingerprint, so every store it builds is
+    * identity-gated exactly like the seeded/loaded paths; pair with
+    * [[save]] to persist the converted bundle.
+    */
+  def fromTensors(spark: SparkSession, tensors: Map[String, Array[Float]],
+                  dim: Int, layers: Int, heads: Int, vocab: Int,
+                  maxLen: Int = 64): TransformerEmbedder = {
+    val want = expectedTensors(dim, layers, heads, vocab)
+    val missing = (want.keySet -- tensors.keySet).toSeq.sorted
+    val extra = (tensors.keySet -- want.keySet).toSeq.sorted
+    require(missing.isEmpty && extra.isEmpty,
+      s"fromTensors: bundle schema mismatch for d$dim/L$layers/V$vocab — " +
+        s"missing=[${missing.mkString(",")}] unexpected=[${extra.mkString(",")}]")
+    for ((k, n) <- want.toSeq.sorted)
+      require(tensors(k).length == n,
+        s"fromTensors: tensor '$k' has ${tensors(k).length} floats, expected $n")
+    new TransformerEmbedder(dim, layers, heads, vocab, maxLen,
+      fingerprintOf(tensors), None, Some(spark.sparkContext.broadcast(tensors)))
+  }
+
   def save(spark: SparkSession, e: TransformerEmbedder, path: String): Unit = {
     import spark.implicits._
     (e.weightSnapshot.toSeq.map { case (k, v) => (k, v.toSeq) } :+

@@ -107,6 +107,55 @@ class TransformerEmbedderSpec extends SparkSpecBase {
       "a different weight fingerprint must refuse the warm store")
   }
 
+  test("(c2) checkpoint converter: hand-built non-seeded tensors convert, persist, reload, and serve") {
+    val (dim, layers, heads, vocab) = (16, 2, 4, 512)
+    // a "converted checkpoint": values from an EXTERNAL generator (plain
+    // java.util.Random — nothing the seeded path could produce), standing
+    // in for a real export's renamed+flattened float32 tensors
+    val rnd = new java.util.Random(20260814L)
+    val tensors = TransformerEmbedder.expectedTensors(dim, layers, heads, vocab)
+      .map { case (k, n) =>
+        k -> Array.fill(n)((rnd.nextFloat() - 0.5f) * 0.2f)
+      }
+    // schema validation fails BY NAME at convert time
+    val noEmb = intercept[IllegalArgumentException] {
+      TransformerEmbedder.fromTensors(spark, tensors - "emb", dim, layers, heads, vocab)
+    }
+    assert(noEmb.getMessage.contains("missing=[emb]"))
+    val badLen = intercept[IllegalArgumentException] {
+      TransformerEmbedder.fromTensors(spark,
+        tensors + ("l0.wq" -> new Array[Float](3)), dim, layers, heads, vocab)
+    }
+    assert(badLen.getMessage.contains("l0.wq") && badLen.getMessage.contains("3"))
+    val extra = intercept[IllegalArgumentException] {
+      TransformerEmbedder.fromTensors(spark,
+        tensors + ("pos" -> new Array[Float](4)), dim, layers, heads, vocab)
+    }
+    assert(extra.getMessage.contains("unexpected=[pos]"))
+    // the conversion itself: bundle → save → load carries ONE identity
+    val tx = TransformerEmbedder.fromTensors(spark, tensors, dim, layers, heads, vocab)
+    val path = Files.createTempDirectory("graft_tx_conv").toString + "/model"
+    TransformerEmbedder.save(spark, tx, path)
+    val re = TransformerEmbedder.load(spark, path)
+    assert(re.name == tx.name,
+      "the reloaded converted bundle must carry the converted fingerprint")
+    assert(re.embedText("spark shuffle").toSeq == tx.embedText("spark shuffle").toSeq)
+    // a converted model is a DIFFERENT space than any seeded one — the
+    // identity gate separates them (artifact swap rebuilds, never mixes)
+    val seeded = TransformerEmbedder.seeded(spark, dim = dim, seed = 7L)
+    assert(tx.name != seeded.name)
+    assert(tx.embedText("spark shuffle").toSeq != seeded.embedText("spark shuffle").toSeq)
+    // load → SERVE: the facade runs end-to-end on the converted weights
+    val docs = (0L until 30L).map(i => (i, s"text body $i token${i % 4}")).toDF("doc_id", "text")
+    val g = Graft.forFrame(spark, docs,
+      Files.createTempDirectory("graft_tx_conv_work").toString,
+      dim = dim, embedder = Some(re))
+    val hits = g.ragQuery("text body 3 token3", topK = 3).collect()
+    assert(hits.length == 3)
+    assert(hits.head.getAs[Long]("doc_id") == 3L,
+      "exact text must self-match under the converted weights")
+  }
+
   test("(d) end-to-end: ragQueryAnn serves on the transformer space; driver query shape + determinism") {
     val docs = (0L until 30L).map(i => (i, s"text body $i token${i % 4}")).toDF("doc_id", "text")
     val tx = TransformerEmbedder.seeded(spark, dim = 16, seed = 7L)
