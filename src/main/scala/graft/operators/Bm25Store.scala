@@ -151,6 +151,7 @@ object Bm25Store {
       .getOrElse(throw new IllegalStateException(
         s"no lexical index manifest at $path — build via writeLexicalIndexOver"))
     AnnStore.healCompacted(spark, path, Seq("postings"))
+    healStats(spark, path)
     val qTerms = queries.zipWithIndex.flatMap { case (q, i) =>
       q.split(" ").filter(_.nonEmpty).distinct.map(t => (i.toLong, t))
     }.toDF("query_id", "term")
@@ -251,6 +252,12 @@ object Bm25Store {
             val nA = s.getLong(0); val nC = s.getLong(1); val nR = s.getLong(2)
             val nOld = s.getLong(3)
             if (nA + nC + nR == 0) {
+              // restamp ALSO refreshes the stats table: a crash between a
+              // previous refresh's data rewrite and its stats swap leaves
+              // NEW data under the OLD manifest — this branch is exactly
+              // where that state lands next time, and stamping without
+              // re-deriving stats would serve stale N/avgdl silently
+              swapStats(spark, path)
               AnnStore.writeManifestFile(AnnStore.fileSystem(spark, path),
                 new org.apache.hadoop.fs.Path(path), newManifest)
               stats("restamp", 0, 0, 0, 0)
@@ -304,16 +311,7 @@ object Bm25Store {
                 new org.apache.hadoop.fs.Path(s"$path/chunks/cid=$c"), true))
               chunkRows.write.mode("append").partitionBy("cid")
                 .parquet(path + "/chunks")
-              // corpus scalars from the UPDATED chunk table (narrow, bounded
-              // aggregate); written to a staging file then swapped so a
-              // concurrent serve never reads half a stats dir
-              val newStats = AnnStore.trackedCheckpoint(
-                statsFrom(spark.read.parquet(path + "/chunks")))
-              val statsStaging = new org.apache.hadoop.fs.Path(path + "/.stats.staging")
-              if (fs.exists(statsStaging)) fs.delete(statsStaging, true)
-              newStats.write.parquet(statsStaging.toString)
-              graft.IndexStore.swapDir(fs, statsStaging,
-                new org.apache.hadoop.fs.Path(path + "/stats"))
+              swapStats(spark, path)
               AnnStore.writeManifestFile(fs,
                 new org.apache.hadoop.fs.Path(path), newManifest)
               stats("incremental", nA, nC, nR,
@@ -322,6 +320,37 @@ object Bm25Store {
           }
       }
     }
+
+  /** Recompute the corpus scalars from the CURRENT chunk table (narrow,
+    * bounded aggregate — never a corpus text re-scan) and swap them in
+    * via the backup-rename protocol, so a concurrent serve never reads a
+    * half-written stats dir and a crash mid-swap is healable from the
+    * backup ([[healStats]]).
+    */
+  private def swapStats(spark: SparkSession, path: String): Unit = {
+    val fs = AnnStore.fileSystem(spark, path)
+    val newStats = statsFrom(spark.read.parquet(path + "/chunks"))
+      .localCheckpoint()
+    val staging = new org.apache.hadoop.fs.Path(path + "/.stats.staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    newStats.write.parquet(staging.toString)
+    graft.IndexStore.swapDir(fs, staging,
+      new org.apache.hadoop.fs.Path(path + "/stats"))
+  }
+
+  /** Serve-side heal: a crash between [[swapStats]]' two renames leaves
+    * the stats in `stats.backup` with no live dir — rename it back
+    * (the IndexStore.load self-heal pattern; lost races are fine as long
+    * as SOMEONE restored the dir).
+    */
+  private def healStats(spark: SparkSession, path: String): Unit = {
+    val fs = AnnStore.fileSystem(spark, path)
+    val live = new org.apache.hadoop.fs.Path(path + "/stats")
+    val backup = new org.apache.hadoop.fs.Path(path + "/stats.backup")
+    if (!fs.exists(live) && fs.exists(backup) &&
+        !fs.rename(backup, live) && !fs.exists(live))
+      throw new java.io.IOException(s"healStats: cannot restore $live from backup")
+  }
 
   /** Build-once gate for a DOC-granularity postings index over the
     * documents table (chunk_idx pinned 0) — what the driver's served

@@ -165,6 +165,37 @@ class Bm25StoreSpec extends SparkSpecBase {
       manifest("fp4")).head().getString(0) == "full_drift")
   }
 
+  test("stats crash states: mid-swap heals at serve; restamp re-derives stale stats") {
+    val path = freshPath("stats")
+    val m = Bm25Store.manifestFor(16, Seq(), "fp-s1")
+    val v1 = chunks.localCheckpoint()
+    Bm25Store.writeLexicalIndexOver(spark, v1, path, 16, m)
+    val good = round4(Bm25Store.scoresFromStore(spark, path, query),
+      Seq("doc_id", "chunk_idx"))
+    val fs = AnnStore.fileSystem(spark, path)
+    // crash state A: swapStats died between its two renames — live stats
+    // gone, backup present. The next serve must heal and answer correctly.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path + "/stats"),
+      new org.apache.hadoop.fs.Path(path + "/stats.backup")))
+    assert(round4(Bm25Store.scoresFromStore(spark, path, query),
+      Seq("doc_id", "chunk_idx")) == good, "serve must heal a mid-swap stats crash")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + "/stats")))
+    // crash state B: a refresh rewrote data but died BEFORE its stats
+    // swap — new data, old manifest, stale stats. The next refresh lands
+    // in restamp (diff empty) and must RE-DERIVE stats, not just stamp.
+    import spark.implicits._
+    val staleDir = new org.apache.hadoop.fs.Path(path + "/stats")
+    fs.delete(staleDir, true)
+    Seq((1.0, 1.0)).toDF("n_docs", "avgdl")
+      .coalesce(1).write.parquet(staleDir.toString)
+    val r = Bm25Store.refreshLexicalIndexOver(spark, path, v1,
+      Bm25Store.manifestFor(16, Seq(), "fp-s2")).head()
+    assert(r.getString(0) == "restamp")
+    assert(round4(Bm25Store.scoresFromStore(spark, path, query),
+      Seq("doc_id", "chunk_idx")) == good,
+      "restamp must re-derive corpus stats, never serve the stale table")
+  }
+
   test("served driver twins equal their in-plan queries row for row") {
     val bm = Bm25.ragBm25(spark, sf).collect().map(_.toSeq).toSeq
     val bmS = Bm25.ragBm25Served(spark, sf).collect().map(_.toSeq).toSeq
