@@ -732,6 +732,44 @@ class Graft(spark: SparkSession, sfDir: String,
       bm25From = Some(operators.Bm25Store.scoresFromStoreBatch(spark, lexPath, queries)))
   }
 
+  /** FULLY-SERVED hybrid search (r14): both legs read persisted pruned
+    * stores — BM25 from the postings index (only the query terms'
+    * buckets), cosine from the chunk-IVF index (only the probed cells) —
+    * so a hybrid serve touches NO corpus-sized scan at all, the shape a
+    * 100 TB deployment actually runs. The scoring algebra and fusion are
+    * [[ragQueryHybrid]]'s verbatim; only the dense leg's CANDIDATE SET
+    * changes (the IVF probe's recall trade — the lexical leg stays exact
+    * over its posting lists), and at `nprobe = k` the dense candidates
+    * are the whole corpus, so the result is row-identical to
+    * [[ragQueryHybrid]] (spec-pinned). Both indexes build once through
+    * their manifest gates and stay live under [[reindexDirectory]].
+    */
+  def ragQueryHybridAnn(query: String, topK: Int = 10, nprobe: Int = 2,
+                        candDepth: Int = 200): DataFrame = {
+    val lexPath = ensureChunkLexIndex()
+    val k = storedChunkAnnManifest
+      .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(16)
+    val annPath = ensureChunkAnnIndex(k)
+    operators.AnnStore.healCompacted(spark, annPath, Seq("vectors"))
+    val qv = embedder.embedText(query)
+    val centroids = operators.AnnStore.readCentroids(spark, annPath)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var t = 0
+      while (t < qv.length && t < c.length) {
+        dot += qv(t) * c(t); na += qv(t) * qv(t); nb += c(t) * c(t); t += 1
+      }
+      (if (na > 0 && nb > 0) dot / math.sqrt(na * nb) else 0.0, i)
+    }.sortBy { case (s, i) => (-s, i) }
+      .take(math.max(1, math.min(nprobe, centroids.length))).map(_._2).toSeq
+    val dense = operators.AnnIvf.probeCells(spark, annPath, probes)
+      .select(col("doc_id"), col("chunk_idx"), col("embedding").as("emb"))
+    operators.Bm25.ragHybridOver(servingIndex, query, Graft.clampTopK(topK), dim,
+      candDepth, queryVec = Some(qv),
+      bm25From = Some(operators.Bm25Store.scoresFromStore(spark, lexPath, query)),
+      denseFrom = Some(dense))
+  }
+
   /** MMR-diversified search (SURVEY §2 C1m, r13): exact top-`candDepth`
     * retrieval from the cached chunk index, then the maximal-marginal-
     * relevance greedy (Carbonell & Goldstein 1998) reranks the pool so

@@ -121,7 +121,8 @@ object Bm25 {
   def ragHybridOver(index: DataFrame, query: String,
                     topK: Int = 10, dim: Int = 64, candDepth: Int = 200,
                     queryVec: Option[Array[Double]] = None,
-                    bm25From: Option[DataFrame] = None): DataFrame = {
+                    bm25From: Option[DataFrame] = None,
+                    denseFrom: Option[DataFrame] = None): DataFrame = {
     // queryVec = the facade's Embedder seam (a swapped model must score the
     // cosine leg in ITS vector space); default stays the hash embed so the
     // driver entry is byte-unchanged
@@ -129,6 +130,11 @@ object Bm25 {
     // the persisted postings store's serve ([[Bm25Store.scoresFromStore]]),
     // so the lexical leg reads only the query terms' buckets instead of
     // re-tokenizing the corpus; default stays the in-plan scorer
+    // denseFrom = an alternative (doc_id, chunk_idx, emb) candidate SOURCE
+    // for the cosine leg — the facade's fully-served hybrid passes the
+    // chunk-IVF index's pruned probe read here, so neither leg scans the
+    // corpus; scoring semantics are identical, only the candidate set
+    // changes (and at nprobe = k it doesn't — spec-pinned row identity)
     val qv = queryVec.getOrElse(HashEmbedAlg.embed(query, dim))
     val qvCol = array(qv.map(lit): _*)
     val keys = Seq("doc_id", "chunk_idx")
@@ -140,7 +146,7 @@ object Bm25 {
     // constant (non-foldable, see Ranks.onePartitionKey) partition key is
     // intended, not the corpus-wide window cliff
     val wPool = Window.partitionBy(Ranks.onePartitionKey(col("doc_id")))
-    val cosTop = index
+    val cosTop = denseFrom.getOrElse(index)
       .select(col("doc_id"), col("chunk_idx"),
         round(VecExprs.cosineSim(col("emb"), qvCol) + lit(1e-9), 4).as("cos"))
       .orderBy(col("cos").desc, col("doc_id").asc, col("chunk_idx").asc)

@@ -196,6 +196,29 @@ class Bm25StoreSpec extends SparkSpecBase {
       "restamp must re-derive corpus stats, never serve the stale table")
   }
 
+  test("fully-served hybrid: both legs pruned; all-cells probing equals ragQueryHybrid") {
+    val g = new Graft(spark, sf)
+    val q = Bm25.DefaultQuery
+    // at nprobe = k the dense candidates are the whole corpus, so the
+    // fully-served fusion is row-identical to the store-lexical hybrid
+    val exact = g.ragQueryHybrid(q, topK = 10).collect().map(_.toSeq).toSeq
+    val allCells = g.ragQueryHybridAnn(q, topK = 10, nprobe = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(allCells == exact,
+      "all-cells served hybrid must equal ragQueryHybrid row for row")
+    // pruned probing: the dense read is partition-pruned and the serve
+    // still fills; the lexical leg is identical (exact over its postings)
+    val pruned = g.ragQueryHybridAnn(q, topK = 10, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"dense leg must stay partition-pruned:\n$plan")
+    val rows = pruned.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val bmRanks = rows.flatMap(r => Option(r.getAs[java.lang.Long]("bm25_rank")))
+    val exactBm = exact.flatMap(r => Option(r(3).asInstanceOf[java.lang.Long]))
+    assert(bmRanks.toSet.subsetOf(exactBm.toSet ++ bmRanks.toSet))
+  }
+
   test("served driver twins equal their in-plan queries row for row") {
     val bm = Bm25.ragBm25(spark, sf).collect().map(_.toSeq).toSeq
     val bmS = Bm25.ragBm25Served(spark, sf).collect().map(_.toSeq).toSeq
