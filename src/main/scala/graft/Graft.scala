@@ -764,7 +764,10 @@ class Graft(spark: SparkSession, sfDir: String,
       .take(math.max(1, math.min(nprobe, centroids.length))).map(_._2).toSeq
     val dense = operators.AnnIvf.probeCells(spark, annPath, probes)
       .select(col("doc_id"), col("chunk_idx"), col("embedding").as("emb"))
-    operators.Bm25.ragHybridOver(servingIndex, query, Graft.clampTopK(topK), dim,
+    // the fusion's `index` arg is unused when BOTH legs are overridden —
+    // pass the dense frame, never servingIndex: forcing the cached
+    // in-memory index build is exactly what the fully-served path avoids
+    operators.Bm25.ragHybridOver(dense, query, Graft.clampTopK(topK), dim,
       candDepth, queryVec = Some(qv),
       bm25From = Some(operators.Bm25Store.scoresFromStore(spark, lexPath, query)),
       denseFrom = Some(dense))
