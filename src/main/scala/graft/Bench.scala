@@ -97,46 +97,16 @@ object Bench {
     // Cross-round drift: the bench maintains its own complete history file
     // (the driver's tail capture truncates, so BENCH_r*.json is not a
     // reliable archive — r12's 73-query total line overflowed it and the
-    // round shipped with parsed:null). Each run appends its median map;
-    // the current run is compared against the last appended entry and any
-    // per-query median moving >2× either way (above a 50 ms floor, so
-    // sub-noise blips don't spam) is NAMED on the detail line — noise vs
-    // regression gets adjudicated by the bench itself, not the judge.
-    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST",
-      "/root/repo/bench_history.jsonl")
+    // round shipped with parsed:null). Each run appends its median map
+    // under its sf key and compares against the last same-key entry —
+    // noise vs regression gets adjudicated by the bench itself, not the
+    // judge. Protocol (format, thresholds) single-sourced in BenchHistory,
+    // shared with FullScaleBench's 10× cadence.
     val medNow = results.map(r => r._1 -> r._3).toMap
-    val drift: Map[String, Double] = try {
-      val f = new java.io.File(histPath)
-      if (!f.exists()) Map.empty
-      else {
-        // compare against the last entry at the SAME sf — a local sf0.001
-        // smoke run must not read as a 10× "drift" against the driver's
-        // sf0.1 medians (entries carry their sf; the sf value is a quoted
-        // string, so the numeric pair-scan below can never pick it up)
-        val lines = scala.io.Source.fromFile(f)
-        val last = try lines.getLines()
-          .filter(_.contains(s""""sf":"$sfDir""""))
-          .foldLeft("")((_, l) => l) finally lines.close()
-        // the history line is exactly what THIS code wrote: one flat
-        // medians object — a regex pair-scan is a full parse of it
-        val Pair = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
-        val prev = Pair.findAllMatchIn(last)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        (for {
-          (name, now) <- medNow
-          before <- prev.get(name)
-          if math.max(now, before) > 0.05 && before > 0 &&
-            (now / before > 2.0 || now / before < 0.5)
-        } yield name -> BigDecimal(now / before)
-          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
-    } catch { case _: Throwable => Map.empty }
+    val drift = BenchHistory.driftVs(BenchHistory.lastFor(sfDir), medNow)
     val driftJson = drift.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    try {
-      val w = new java.io.FileWriter(histPath, true)
-      try w.write(s"""{"sf":"$sfDir","medians":$med}""" + "\n") finally w.close()
-    } catch { case _: Throwable => () }
+    BenchHistory.append(sfDir, results.map(r => r._1 -> r._3))
     // Per-query detail FIRST (min map, medians, spread, drift), then the
     // compact driver contract line LAST — the driver tail-captures the
     // final line and its window is finite; at 73 queries an embedded

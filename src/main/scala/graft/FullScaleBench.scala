@@ -131,35 +131,11 @@ object FullScaleBench {
     // drift is now tracked at BOTH scales, not just the driver's sf0.1
     // (the r13 scale cliffs were only visible at 10×). Failed queries
     // never enter the history (their timings are time-to-failure).
-    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST",
-      "/root/repo/bench_history.jsonl")
     val histKey = s"fullscale:${scale}x:$src"
     val okRows = rows.filter(_._5)
-    val drift: Map[String, Double] = try {
-      val f = new java.io.File(histPath)
-      if (!f.exists()) Map.empty
-      else {
-        val lines = scala.io.Source.fromFile(f)
-        val last = try lines.getLines()
-          .filter(_.contains(s""""sf":"$histKey""""))
-          .foldLeft("")((_, l) => l) finally lines.close()
-        val Pair = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
-        val prev = Pair.findAllMatchIn(last)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        (for {
-          (name, _, now, _, _) <- okRows
-          before <- prev.get(name)
-          if math.max(now, before) > 0.05 && before > 0 &&
-            (now / before > 2.0 || now / before < 0.5)
-        } yield name -> r(now / before)).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
-    try {
-      val med = okRows.map(q => "\"" + q._1 + "\":" + r(q._3))
-        .mkString("{", ",", "}")
-      val w = new java.io.FileWriter(histPath, true)
-      try w.write(s"""{"sf":"$histKey","medians":$med}""" + "\n") finally w.close()
-    } catch { case _: Throwable => () }
+    val drift = BenchHistory.driftVs(BenchHistory.lastFor(histKey),
+      okRows.map(q => q._1 -> q._3).toMap)
+    BenchHistory.append(histKey, okRows.map(q => q._1 -> r(q._3)))
     val driftJson = drift.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"full_scale_receipt","scale":$scale,""" +

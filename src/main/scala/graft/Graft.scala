@@ -474,14 +474,20 @@ class Graft(spark: SparkSession, sfDir: String,
   /** Build-once gate for the LEXICAL (BM25 postings) index — the chunk
     * frame comes straight from the chunker (no embedding pass: the
     * lexical leg never needs vectors). Returns the index path.
+    *
+    * `buckets = 0` (the serve paths' call) means "honor an existing
+    * index's own bucket count" — a caller who built at 256 buckets must
+    * not get a silent 64-bucket rebuild from the next hybrid query (the
+    * same stored-params rule as [[ragQueryAnnBatch]]'s k).
     */
-  def ensureChunkLexIndex(buckets: Int = operators.Bm25Store.DefaultBuckets): String = {
-    val manifest = chunkLexManifest(buckets, docsFingerprint)
+  def ensureChunkLexIndex(buckets: Int = 0): String = {
+    val b = if (buckets > 0) buckets else chunkLexBuckets(storedChunkLexManifest)
+    val manifest = chunkLexManifest(b, docsFingerprint)
     operators.AnnStore.ensureIndex(spark, chunkLexPath, manifest) {
       operators.Bm25Store.writeLexicalIndexOver(spark,
         operators.Chunker.indexBuild(spark, sfDir, chunkSize, chunkOverlap)
           .select(col("doc_id"), col("chunk_idx"), col("chunk_text")),
-        chunkLexPath, buckets, manifest)
+        chunkLexPath, b, manifest)
     }
     chunkLexPath
   }
@@ -753,15 +759,7 @@ class Graft(spark: SparkSession, sfDir: String,
     operators.AnnStore.healCompacted(spark, annPath, Seq("vectors"))
     val qv = embedder.embedText(query)
     val centroids = operators.AnnStore.readCentroids(spark, annPath)
-    val probes = centroids.zipWithIndex.map { case (c, i) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var t = 0
-      while (t < qv.length && t < c.length) {
-        dot += qv(t) * c(t); na += qv(t) * qv(t); nb += c(t) * c(t); t += 1
-      }
-      (if (na > 0 && nb > 0) dot / math.sqrt(na * nb) else 0.0, i)
-    }.sortBy { case (s, i) => (-s, i) }
-      .take(math.max(1, math.min(nprobe, centroids.length))).map(_._2).toSeq
+    val probes = operators.RagSearch.probeIdsFor(qv, centroids, nprobe)
     val dense = operators.AnnIvf.probeCells(spark, annPath, probes)
       .select(col("doc_id"), col("chunk_idx"), col("embedding").as("emb"))
     // the fusion's `index` arg is unused when BOTH legs are overridden —

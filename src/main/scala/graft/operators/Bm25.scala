@@ -31,6 +31,17 @@ object Bm25 {
   val RrfC = 60
   val DefaultQuery = "hash join table scan data"
 
+  /** THE BM25 weight of one (tf, df, dl) posting under corpus scalars
+    * (n_docs, avgdl) — single-sourced so the in-plan scorers and the
+    * postings store ([[Bm25Store]]) can never drift apart on the algebra
+    * their value-identity contract rests on. Expects those five columns
+    * in scope.
+    */
+  private[graft] def bm25Weight: org.apache.spark.sql.Column =
+    log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      col("tf") * lit(K1 + 1.0) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+
   /** BM25 scores over any (keyCols..., textCol) frame — used doc-level for
     * the oracle query and chunk-level by the facade's serving path.
     */
@@ -66,9 +77,7 @@ object Bm25 {
       .agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .withColumn("w", bm25Weight)
       .groupBy(key: _*)
       .agg(sum(col("w")).as("bm25"))
   }
@@ -220,9 +229,7 @@ object Bm25 {
       tf.join(broadcast(qTerms), "term")
         .join(broadcast(df), "term")
         .crossJoin(broadcast(stats))
-        .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .withColumn("w", bm25Weight)
         .groupBy(col("query_id") +: keys.map(col): _*)
         .agg(sum(col("w")).as("bm25"))
     }

@@ -172,11 +172,7 @@ object Bm25Store {
     posts.join(broadcast(qTerms), "term")
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("w", col("idf") * col("tf") * lit(Bm25.K1 + 1.0) /
-        (col("tf") + lit(Bm25.K1) *
-          (lit(1.0 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
+      .withColumn("w", Bm25.bm25Weight)
       .groupBy(col("query_id"), col("doc_id"), col("chunk_idx"))
       .agg(sum(col("w")).as("bm25"))
   }
@@ -216,9 +212,24 @@ object Bm25Store {
         .getOrElse(DefaultBuckets)
       def fullBuild(): Unit =
         writeLexicalIndexOver(spark, newUnits, path, buckets, newManifest, textCol)
+      // a crashed incremental refresh is NOT self-healing here, unlike the
+      // ANN stores: their diff authority IS the data table (lost rows
+      // reappear as 'added'), while this store's diff table (chunks/) is
+      // decoupled from the postings it guards — a crash between the
+      // postings deletes and the append would permanently drop survivor
+      // chunks' posting lists and the next diff would see nothing wrong.
+      // The intent marker makes that window DETECTABLE: written before the
+      // first destructive step, removed after the manifest stamp; finding
+      // one means the store may be inconsistent → rebuild, never serve or
+      // patch a silently-wrong index (crash costs a rebuild, the shared
+      // contract's actual guarantee).
+      val intentPath = new org.apache.hadoop.fs.Path(path + "/.refresh.intent")
+      val crashed = AnnStore.fileSystem(spark, path).exists(intentPath)
       AnnStore.readManifest(spark, path) match {
         case None =>
           fullBuild(); stats("full_cold", -1, -1, -1, -1)
+        case Some(_) if crashed =>
+          fullBuild(); stats("full_crash", -1, -1, -1, -1)
         case Some(m) if m == newManifest =>
           stats("fresh", 0, 0, 0, 0)
         case Some(m) if AnnStore.paramsOf(m) != AnnStore.paramsOf(newManifest) =>
@@ -302,6 +313,8 @@ object Bm25Store {
                 oldChunks.filter(col("cid").isin(chunkAffected: _*))
                   .join(dirty.select(keys.map(col): _*), keys, "left_anti")
                   .unionByName(chunksFrom(dirtyNew, textCol, buckets)))
+              // destructive phase begins: marker down first (see dispatch)
+              fs.create(intentPath, true).close()
               affected.foreach(c => fs.delete(
                 new org.apache.hadoop.fs.Path(s"$path/postings/cid=$c"), true))
               postRows.sortWithinPartitions(col("cid"), col("term"))
@@ -314,6 +327,7 @@ object Bm25Store {
               swapStats(spark, path)
               AnnStore.writeManifestFile(fs,
                 new org.apache.hadoop.fs.Path(path), newManifest)
+              fs.delete(intentPath, false)
               stats("incremental", nA, nC, nR,
                 (affected.length + chunkAffected.length).toLong)
             }

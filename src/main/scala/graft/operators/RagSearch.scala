@@ -268,23 +268,7 @@ object RagSearch {
         val dVecs = if (dToks.isEmpty) Array.empty[Array[Double]]
           else tx.forwardTokenVecs(dToks)
         bc.value.iterator.filter(_._1 != id).map { case (qid, qm) =>
-          var s = 0.0
-          var qi = 0
-          while (qi < qm.length) {
-            val qv = qm(qi)
-            var best = Double.NegativeInfinity
-            var di = 0
-            while (di < dVecs.length) {
-              val dv = dVecs(di)
-              var dot = 0.0; var t = 0
-              while (t < qv.length) { dot += qv(t) * dv(t); t += 1 }
-              if (dot > best) best = dot
-              di += 1
-            }
-            if (best != Double.NegativeInfinity) s += best
-            qi += 1
-          }
-          org.apache.spark.sql.Row(qid, id, s)
+          org.apache.spark.sql.Row(qid, id, maxSim(qm, dVecs))
         }
       }
     }
@@ -294,6 +278,33 @@ object RagSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
       .orderBy("query_id", "rank")
+  }
+
+  /** ColBERT MaxSim: `Σ_{q∈Q} max_{d∈D} q·d` — the ONE scoring loop both
+    * the fused scan and the served store use, so their exact-equality
+    * contract is structural, not two hand-copied loops staying in sync
+    * (the single-source rule the cosine convention already follows).
+    * Empty document matrices contribute 0 (no best match per query token).
+    */
+  private[graft] def maxSim(qm: Array[Array[Double]],
+                            dVecs: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var qi = 0
+    while (qi < qm.length) {
+      val qv = qm(qi)
+      var best = Double.NegativeInfinity
+      var di = 0
+      while (di < dVecs.length) {
+        val dv = dVecs(di)
+        var dot = 0.0; var t = 0
+        while (t < qv.length) { dot += qv(t) * dv(t); t += 1 }
+        if (dot > best) best = dot
+        di += 1
+      }
+      if (best != Double.NegativeInfinity) s += best
+      qi += 1
+    }
+    s
   }
 
   /** Routing vector for the late-interaction store: L2-normalized MEAN of
@@ -412,8 +423,7 @@ object RagSearch {
     AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
     val centroids = AnnStore.readCentroids(spark, indexPath)
     val probes: Map[Long, Set[Int]] = queries.map { case (qid, _, pooled) =>
-      qid -> centroids.zipWithIndex.map { case (c, i) => (cosineOf(pooled, c), i) }
-        .sortBy { case (s, i) => (-s, i) }.take(math.max(1, nprobe)).map(_._2).toSet
+      qid -> probeIdsFor(pooled, centroids, nprobe).toSet
     }.toMap
     val cids = probes.values.flatten.toSeq.distinct.sorted
     val pruned = AnnIvf.probeCells(spark, indexPath, cids)
@@ -439,23 +449,7 @@ object RagSearch {
           .filter { case (qid, _, ps) =>
             ps.contains(cid) && !(excludeSelf && qid == id) }
           .map { case (qid, qm, _) =>
-            var s = 0.0
-            var qi = 0
-            while (qi < qm.length) {
-              val qv = qm(qi)
-              var best = Double.NegativeInfinity
-              var di = 0
-              while (di < dVecs.length) {
-                val dv = dVecs(di)
-                var dot = 0.0; var t = 0
-                while (t < qv.length) { dot += qv(t) * dv(t); t += 1 }
-                if (dot > best) best = dot
-                di += 1
-              }
-              if (best != Double.NegativeInfinity) s += best
-              qi += 1
-            }
-            org.apache.spark.sql.Row(qid, id, s)
+            org.apache.spark.sql.Row(qid, id, maxSim(qm, dVecs))
           }
       }
     }
@@ -731,7 +725,20 @@ object RagSearch {
     * same `+ 1e-10` guard) so pool scores and in-group sims live in one
     * quantization.
     */
-  private def cosineOf(a: Array[Double], b: Array[Double]): Double = {
+  /** Driver-side probe selection against a k-row centroid table — the ONE
+    * IVF routing decision every served arm's driver side makes (the late
+    * store's serve, the facade's fully-served hybrid); ties break to the
+    * lower cell id, matching the in-plan assignment convention.
+    */
+  private[graft] def probeIdsFor(pooled: Array[Double],
+                                 centroids: Array[Array[Double]],
+                                 nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) => (cosineOf(pooled, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(math.max(1, math.min(nprobe, centroids.length)))
+      .map(_._2).toSeq
+
+  private[graft] def cosineOf(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {

@@ -196,6 +196,32 @@ class Bm25StoreSpec extends SparkSpecBase {
       "restamp must re-derive corpus stats, never serve the stale table")
   }
 
+  test("a crashed incremental refresh is detected and costs a rebuild, never a patched store") {
+    val path = freshPath("crash")
+    val m1 = Bm25Store.manifestFor(16, Seq(), "fp-c1")
+    val v1 = chunks.localCheckpoint()
+    Bm25Store.writeLexicalIndexOver(spark, v1, path, 16, m1)
+    val good = round4(Bm25Store.scoresFromStore(spark, path, query),
+      Seq("doc_id", "chunk_idx"))
+    // simulate the non-self-healing crash: a refresh died between its
+    // postings deletes and the append — intent marker present, one term
+    // bucket's survivors gone. The chunks/ diff table still says those
+    // chunks are fine, so WITHOUT the marker the next refresh would stamp
+    // a fresh manifest over the silently-corrupted postings.
+    val fs = AnnStore.fileSystem(spark, path)
+    fs.create(new org.apache.hadoop.fs.Path(path + "/.refresh.intent"), true).close()
+    val someBucket = fs.listStatus(new org.apache.hadoop.fs.Path(path + "/postings"))
+      .filter(_.getPath.getName.startsWith("cid=")).head.getPath
+    fs.delete(someBucket, true)
+    val r = Bm25Store.refreshLexicalIndexOver(spark, path, v1,
+      Bm25Store.manifestFor(16, Seq(), "fp-c2")).head()
+    assert(r.getString(0) == "full_crash", s"mode=${r.getString(0)}")
+    // the rebuild restored every posting list and cleared the marker
+    assert(round4(Bm25Store.scoresFromStore(spark, path, query),
+      Seq("doc_id", "chunk_idx")) == good)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "/.refresh.intent")))
+  }
+
   test("fully-served hybrid: both legs pruned; all-cells probing equals ragQueryHybrid") {
     val g = new Graft(spark, sf)
     val q = Bm25.DefaultQuery
