@@ -771,6 +771,40 @@ class Graft(spark: SparkSession, sfDir: String,
       denseFrom = Some(dense))
   }
 
+  /** The batched twin of [[ragQueryHybridAnn]]: ONE pruned postings read
+    * (union of the batch's term buckets) serves every lexical leg and ONE
+    * pruned cell read (union of the batch's probe sets, each query gated
+    * to its own cells by the bounded broadcast probe frame) serves every
+    * dense leg. Per-query rows identical to the single-query serve at the
+    * same nprobe (spec-asserted).
+    */
+  def ragQueryHybridAnnBatch(queries: Seq[String], topK: Int = 10,
+                             nprobe: Int = 2, candDepth: Int = 200): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "ragQueryHybridAnnBatch: empty query batch")
+    val lexPath = ensureChunkLexIndex()
+    val k = storedChunkAnnManifest
+      .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(16)
+    val annPath = ensureChunkAnnIndex(k)
+    operators.AnnStore.healCompacted(spark, annPath, Seq("vectors"))
+    val qvs = queries.map(embedder.embedText)
+    val centroids = operators.AnnStore.readCentroids(spark, annPath)
+    val probeRows = qvs.zipWithIndex.flatMap { case (qv, i) =>
+      operators.RagSearch.probeIdsFor(qv, centroids, nprobe)
+        .map(cid => (i.toLong, cid, qv.toSeq))
+    }
+    val probeFrame = probeRows.toDF("query_id", "probe_cid", "qv")
+    val cids = probeRows.map(_._2).distinct.sorted
+    val dense = operators.AnnIvf.probeCells(spark, annPath, cids)
+      .join(broadcast(probeFrame), col("cid") === col("probe_cid"))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+        col("embedding").as("emb"), col("qv"))
+    operators.Bm25.ragHybridBatchOver(dense, queries, Graft.clampTopK(topK),
+      dim, candDepth = candDepth, queryVecs = Some(qvs),
+      bm25From = Some(operators.Bm25Store.scoresFromStoreBatch(spark, lexPath, queries)),
+      denseFrom = Some(dense))
+  }
+
   /** MMR-diversified search (SURVEY §2 C1m, r13): exact top-`candDepth`
     * retrieval from the cached chunk index, then the maximal-marginal-
     * relevance greedy (Carbonell & Goldstein 1998) reranks the pool so

@@ -193,7 +193,8 @@ object Bm25 {
   def ragHybridBatchOver(index: DataFrame, queries: Seq[String],
                          topK: Int = 10, dim: Int = 64, candDepth: Int = 200,
                          queryVecs: Option[Seq[Array[Double]]] = None,
-                         bm25From: Option[DataFrame] = None): DataFrame = {
+                         bm25From: Option[DataFrame] = None,
+                         denseFrom: Option[DataFrame] = None): DataFrame = {
     require(queries.nonEmpty, "ragHybridBatchOver: empty query batch")
     val spark = index.sparkSession
     import spark.implicits._
@@ -242,7 +243,11 @@ object Bm25 {
       .select(col("query_id") +: keys.map(col) :+ col("bm25_rank"): _*)
     val qvF = qvs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
       .toDF("query_id", "qv")
-    val cosTop = index.crossJoin(broadcast(qvF))
+    // denseFrom = per-query PAIRED candidates (query_id, doc_id,
+    // chunk_idx, emb, qv) — the fully-served batch passes each query's
+    // pruned probe read here so the dense leg never scans the index;
+    // scoring semantics identical, only the candidate pairs change
+    val cosTop = denseFrom.getOrElse(index.crossJoin(broadcast(qvF)))
       .select(col("query_id"), col("doc_id"), col("chunk_idx"),
         round(VecExprs.cosineSim(col("emb"), col("qv")) + lit(1e-9), 4).as("cos"))
       .withColumn("cos_rank", row_number().over(

@@ -243,6 +243,17 @@ class Bm25StoreSpec extends SparkSpecBase {
     val bmRanks = rows.flatMap(r => Option(r.getAs[java.lang.Long]("bm25_rank")))
     val exactBm = exact.flatMap(r => Option(r(3).asInstanceOf[java.lang.Long]))
     assert(bmRanks.toSet.subsetOf(exactBm.toSet ++ bmRanks.toSet))
+    // the BATCH twin: one pruned postings read + one pruned cell read for
+    // the whole batch, per-query rows identical to the single-query serve
+    val queries = Seq(q, "columnar parquet dictionary compression")
+    val batch = g.ragQueryHybridAnnBatch(queries, topK = 5, nprobe = 4).collect()
+    for ((qq, i) <- queries.zipWithIndex) {
+      val single = g.ragQueryHybridAnn(qq, topK = 5, nprobe = 4)
+        .collect().map(_.toSeq).toSeq
+      val slice = batch.filter(_.getAs[Long]("query_id") == i.toLong)
+        .map(_.toSeq.drop(1)).toSeq
+      assert(slice == single, s"batch rows for query $i differ from per-query serve")
+    }
   }
 
   test("served driver twins equal their in-plan queries row for row") {
