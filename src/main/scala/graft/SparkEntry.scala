@@ -210,6 +210,9 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, dir) => Analytics.groupingSetsPricing(s, dir)),
     // E16 funnel: ordered per-user step completion in an anchored window
     "q_funnel" -> ((s, dir) => Analytics.funnel(s, dir)),
+    // E17: cohort retention — first-activity-week cohorts × week offsets,
+    // epoch-week buckets so both engines agree without calendar semantics
+    "q_retention" -> ((s, dir) => Analytics.retention(s, dir)),
     // F. training-data pipeline (curation passes)
     "text_normalize" -> ((s, dir) => Pipeline.textNormalize(s, dir)),
     "pii_redact" -> ((s, dir) => Pipeline.piiRedact(s, dir)),
@@ -907,6 +910,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_retention" ->
+      """WITH w AS (SELECT user_id,
+        |             CAST(floor(epoch_us(ts)/604800000000) AS BIGINT) AS week
+        |           FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

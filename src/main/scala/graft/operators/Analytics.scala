@@ -327,4 +327,32 @@ object Analytics {
           .otherwise(lit(0.0)).as("conversion"))
       .orderBy("step")
   }
+
+  /** E17: cohort RETENTION — the classic growth-analytics companion to
+    * funnel (E16) and sessionization (E5): users cohort by their
+    * FIRST-activity week, and each (cohort, week-offset) cell counts the
+    * distinct cohort members still active that many weeks later. Week
+    * buckets are epoch-week numbers (`floor(epoch_µs / week_µs)`) — no
+    * calendar week-start semantics to disagree on across engines, the
+    * same portability rule every time-bucketed oracle here follows.
+    *
+    * Scale shape: the cohort table is ONE `groupBy(user_id).min` (the
+    * only corpus-wide shuffle); the events→cohort join reuses the same
+    * user_id hash partitioning so it co-locates rather than reshuffling;
+    * the final aggregate's key (cohort_week, week_offset) is
+    * low-cardinality with map-side partials. Fully SQL-expressible →
+    * hash oracle.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / weekUs).as("week"))
+    val cohort = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

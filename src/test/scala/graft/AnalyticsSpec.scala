@@ -138,6 +138,40 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(out.head.getLong(2) == 10L * 1000000L, "anchor must move to the earlier view")
   }
 
+  test("retention: cohorts by first week, offsets count distinct survivors") {
+    import spark.implicits._
+    val wk = 604800L // epoch-week seconds
+    // u1 cohort week 0, active weeks 0/1/3 (twice in week 1 — distinct!)
+    // u2 cohort week 0, week 0 only; u3 cohort week 1, weeks 1 and 2
+    val rows = Seq(
+      (1L, 0L), (1L, wk + 5), (1L, wk + 6), (1L, 3 * wk + 5),
+      (2L, 10L),
+      (3L, wk + 20), (3L, 2 * wk + 20))
+    val dir = java.nio.file.Files.createTempDirectory("graft_retention").toString
+    rows.toDF("user_id", "sec")
+      .select(monotonically_increasing_id().as("event_id"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.parquet(dir + "/events.parquet")
+    val out = Analytics.retention(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)), out.mkString(", "))
+    // corpus invariants: offsets non-negative; by definition every cohort
+    // member is active in their first week, so the offset-0 cell is the
+    // cohort size and no later offset can exceed it
+    val corpus = Analytics.retention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(corpus.forall(_._2 >= 0))
+    for ((cw, cells) <- corpus.groupBy(_._1)) {
+      val base = cells.find(_._2 == 0L)
+      assert(base.isDefined, s"cohort $cw missing its offset-0 cell")
+      assert(cells.forall(_._3 <= base.get._3),
+        s"cohort $cw has an offset cell above its size")
+    }
+  }
+
   test("funnel: strict order + anchored window enforced; corpus counts monotone") {
     import spark.implicits._
     // handcrafted users — ts in seconds for readability:
