@@ -177,6 +177,70 @@ object Bm25Store {
       .agg(sum(col("w")).as("bm25"))
   }
 
+  /** A frozen per-query scoring snapshot — the BATCH artifact the
+    * streaming twin broadcasts (the snapshot-then-stream discipline of
+    * the DSIR/Bloom ingest twins): each query term's document frequency
+    * from the store plus the corpus scalars. It changes when the INDEX
+    * does, not per arrival.
+    */
+  final case class LexSnapshot(query: String, terms: Seq[(String, Double)],
+                               nDocs: Double, avgdl: Double)
+
+  /** Build a [[LexSnapshot]] from a persisted store: one pruned read of
+    * the query terms' buckets for df (≤ |terms| rows collect) plus the
+    * 1-row stats table.
+    */
+  def snapshotFor(spark: SparkSession, path: String, query: String): LexSnapshot = {
+    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val dfMap =
+      if (terms.isEmpty) Map.empty[String, Double]
+      else scoresDfOnly(spark, path, terms)
+    val statRows = { healStats(spark, path); spark.read.parquet(path + "/stats").collect() }
+    val (n, avg) =
+      if (statRows.isEmpty) (0.0, 0.0)
+      else (statRows.head.getDouble(0),
+        if (statRows.head.isNullAt(1)) 0.0 else statRows.head.getDouble(1))
+    LexSnapshot(query, terms.map(t => t -> dfMap.getOrElse(t, 0.0)), n, avg)
+  }
+
+  private def scoresDfOnly(spark: SparkSession, path: String,
+                           terms: Seq[String]): Map[String, Double] = {
+    val buckets = AnnStore.readManifest(spark, path)
+      .flatMap(AnnStore.manifestInt(_, "buckets"))
+      .getOrElse(throw new IllegalStateException(
+        s"no lexical index manifest at $path"))
+    AnnStore.healCompacted(spark, path, Seq("postings"))
+    val bucketSet = terms.map(termBucket(_, buckets)).distinct
+    spark.read.parquet(path + "/postings")
+      .filter(col("cid").isin(bucketSet: _*))
+      .filter(col("term").isin(terms.map(lit): _*))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Stateless scan-side BM25 under a frozen snapshot — a per-row token
+    * fold with the snapshot's statistics riding as LITERALS, so the
+    * arrival-time twin needs no aggregation, no join, and no state; every
+    * row scores (0.0 when no query term hits — arrival routing wants
+    * every arrival scored, unlike the corpus scorer's hits-only rows).
+    * Same idf/w algebra as [[Bm25.bm25Weight]] with df/N/avgdl pinned.
+    */
+  def scoreWithSnapshot(docs: DataFrame, textCol: String,
+                        snap: LexSnapshot): DataFrame = {
+    val toks = Text.tokens(coalesce(col(textCol), lit("")))
+    val dl = size(toks).cast("double")
+    val w =
+      if (snap.avgdl <= 0) lit(0.0) // empty-store snapshot: nothing scores
+      else snap.terms.map { case (t, df) =>
+        val idf = math.log((snap.nDocs - df + 0.5) / (df + 0.5) + 1.0)
+        val tf = size(filter(toks, x => x === lit(t))).cast("double")
+        lit(idf) * tf * lit(Bm25.K1 + 1.0) /
+          (tf + lit(Bm25.K1) *
+            (lit(1.0 - Bm25.B) + lit(Bm25.B) * dl / lit(snap.avgdl)))
+      }.reduceOption(_ + _).getOrElse(lit(0.0))
+    docs.select(col("doc_id"), round(w + lit(1e-9), 4).as("bm25"))
+  }
+
   /** Incremental maintenance — the [[AnnStore.refreshIndex]] contract
     * re-derived for a store whose unit (a chunk) fans out to MANY
     * partitions (one per distinct term): diff the new corpus against the

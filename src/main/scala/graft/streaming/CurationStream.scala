@@ -143,6 +143,38 @@ object CurationStream {
     spark.table(queryName)
   }
 
+  /** Streaming LEXICAL scoring — the postings store's ingest twin (r14):
+    * arrivals score by BM25 against a FROZEN [[graft.operators.Bm25Store.LexSnapshot]]
+    * (each query term's df from the store + the corpus scalars, riding the
+    * plan as literals), the same snapshot-then-stream discipline as the
+    * DSIR and Bloom twins — the alerting/routing shape: "score everything
+    * that arrives against this standing query". Stateless per-row fold,
+    * append mode, no state store; spec-equal row-for-row to the batch
+    * snapshot scorer (ONE shared scoring core).
+    */
+  def lexScored(docs: DataFrame,
+                snap: graft.operators.Bm25Store.LexSnapshot): DataFrame =
+    graft.operators.Bm25Store.scoreWithSnapshot(docs, "text", snap)
+
+  def runLexToCompletion(spark: SparkSession, sfDir: String,
+                         snap: graft.operators.Bm25Store.LexSnapshot,
+                         queryName: String = "lex_stream"): DataFrame = {
+    val q = lexScored(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir),
+      snap)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   def runDsirToCompletion(spark: SparkSession, sfDir: String,
                           snap: graft.operators.Pipeline.DsirSnapshot,
                           targetPred: org.apache.spark.sql.Column,

@@ -256,6 +256,35 @@ class Bm25StoreSpec extends SparkSpecBase {
     }
   }
 
+  test("snapshot scorer + streaming ingest twin: frozen stats, stream equals batch") {
+    val path = freshPath("snap")
+    val docs = Tables.documents(spark, sf)
+    val m = Bm25Store.manifestFor(16, Seq("unit" -> "doc"), "fp-snap")
+    Bm25Store.writeLexicalIndexOver(spark,
+      docs.select(col("doc_id"), lit(0).as("chunk_idx"), col("text")),
+      path, 16, m, textCol = "text")
+    val snap = Bm25Store.snapshotFor(spark, path, query)
+    assert(snap.nDocs > 0 && snap.avgdl > 0 && snap.terms.nonEmpty)
+    // consistency with the store: over the SAME corpus the snapshot
+    // scorer's hit rows equal the store-served scores at 4 dp (identical
+    // stats, identical tf/dl — only float summation order differs)
+    val snapScores = Bm25Store.scoreWithSnapshot(docs, "text", snap)
+      .filter(col("bm25") > 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val stored = Bm25Store.scoresFromStore(spark, path, query)
+      .select(col("doc_id"), round(col("bm25") + lit(1e-9), 4).as("bm25"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(snapScores == stored,
+      "snapshot scorer must reproduce the store-served scores on the store's own corpus")
+    // the ingest twin: streamed arrivals score row-for-row like batch
+    val streamed = graft.streaming.CurationStream
+      .runLexToCompletion(spark, sf, snap, queryName = "lex_stream_spec")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Bm25Store.scoreWithSnapshot(docs, "text", snap)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch, "streamed lexical scoring must equal the batch scorer")
+  }
+
   test("served driver twins equal their in-plan queries row for row") {
     val bm = Bm25.ragBm25(spark, sf).collect().map(_.toSeq).toSeq
     val bmS = Bm25.ragBm25Served(spark, sf).collect().map(_.toSeq).toSeq
