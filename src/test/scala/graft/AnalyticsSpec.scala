@@ -172,6 +172,45 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming retention equals the batch rollup; late earlier weeks re-base cohorts") {
+    import graft.streaming.RetentionStream
+    import spark.implicits._
+    // corpus twin: streamed per-user week sets roll up to the batch rows
+    val streamed = RetentionStream.runToCompletion(spark, sf).cache()
+    val got = RetentionStream.rollup(streamed).collect().map(_.toSeq).toSeq
+    val want = Analytics.retention(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == want, s"streamed rollup differs from batch retention")
+    streamed.unpersist()
+    // cross-batch DISORDER: file 2 delivers an event from an EARLIER week
+    // than anything in file 1 — the user's cohort must move back and every
+    // offset re-base (batch gets this for free; the stream must re-derive)
+    val wk = 604800L
+    def ev(id: Long, u: Long, sec: Long) =
+      (id, new java.sql.Timestamp(sec * 1000L), u, "view", 1.0, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret_ooo").toString
+    val batches = Seq(
+      Seq(ev(1, 1, 5 * wk + 10), ev(2, 1, 6 * wk + 10)), // cohort looks like week 5
+      Seq(ev(3, 1, 2 * wk + 10)))                        // late: true cohort is week 2
+    for ((rows, i) <- batches.zipWithIndex) {
+      val stage = s"$dir/stage_$i"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/in", f"part$i%02d.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val out = RetentionStream.runToCompletion(spark, s"$dir/in",
+      maxFilesPerTrigger = Some(1), glob = None,
+      queryName = "retention_stream_ooo")
+    val cells = RetentionStream.rollup(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cells == Seq((2L, 0L, 1L), (2L, 3L, 1L), (2L, 4L, 1L)),
+      s"late earlier week must re-base the cohort: $cells")
+  }
+
   test("funnel: strict order + anchored window enforced; corpus counts monotone") {
     import spark.implicits._
     // handcrafted users — ts in seconds for readability:

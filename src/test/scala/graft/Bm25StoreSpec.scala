@@ -256,6 +256,36 @@ class Bm25StoreSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction: fragmented term buckets rewrite to sized files, serving identical") {
+    val path = freshPath("compact")
+    val v1 = chunks.localCheckpoint()
+    Bm25Store.writeLexicalIndexOver(spark, v1, path, 8,
+      Bm25Store.manifestFor(8, Seq(), "fp-k1"))
+    // fragment: an incremental refresh rewrites affected buckets from a
+    // multi-partition frame, leaving small part files per bucket
+    val keys = v1.select("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (cDoc, cIdx) = keys.head
+    val edited = v1.withColumn("chunk_text",
+      when(col("doc_id") === cDoc && col("chunk_idx") === cIdx,
+        lit("compaction fragmenting edit about hash scan"))
+        .otherwise(col("chunk_text"))).repartition(4).localCheckpoint()
+    assert(Bm25Store.refreshLexicalIndexOver(spark, path, edited,
+      Bm25Store.manifestFor(8, Seq(), "fp-k2")).head().getString(0) == "incremental")
+    val before = round4(Bm25Store.scoresFromStore(spark, path, query),
+      Seq("doc_id", "chunk_idx"))
+    val stats = Bm25Store.compactLexIndex(spark, path, targetBytes = 1L << 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == Set("postings", "chunks"))
+    // data and serving unchanged; a second pass is a no-op
+    assert(round4(Bm25Store.scoresFromStore(spark, path, query),
+      Seq("doc_id", "chunk_idx")) == before,
+      "compaction must not change served scores")
+    val again = Bm25Store.compactLexIndex(spark, path, targetBytes = 1L << 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again.values.forall(_ == 0L), s"second pass must be a no-op: $again")
+  }
+
   test("snapshot scorer + streaming ingest twin: frozen stats, stream equals batch") {
     val path = freshPath("snap")
     val docs = Tables.documents(spark, sf)
