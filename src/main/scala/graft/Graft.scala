@@ -1104,7 +1104,9 @@ class Graft(spark: SparkSession, sfDir: String,
                        temperature: Double = 2.0,
                        targetFrac: Double = 0.5,
                        binTokens: Int = 512,
-                       numShards: Int = 8): DataFrame = {
+                       numShards: Int = 8,
+                       testPermille: Int = 0,
+                       valPermille: Int = 0): DataFrame = {
     import spark.implicits._
     // every checkpoint this run pins is released on exit — shards,
     // packing, and the ledger are fully materialized before the scope
@@ -1144,11 +1146,35 @@ class Graft(spark: SparkSession, sfDir: String,
       val rates = operators.Pipeline.mixtureRates(s3, temperature, targetFrac)
       val s4 = stage("mixture_sample",
         s3.join(operators.Pipeline.applyMixture(s3, rates).select("doc_id"), "doc_id"))
-      // packing assignments over the FINAL set (provenance for the loader)
-      operators.Pipeline.packSequencesOver(s4, binTokens)
-        .write.mode("overwrite").parquet(outPath + "/packing")
-      val inventory = operators.Pipeline.writeShards(s4, outPath + "/shards", numShards)
-      ledger += (("shard_files", inventory.count(), ledger.last._3))
+      if (testPermille + valPermille <= 0) {
+        // packing assignments over the FINAL set (provenance for the loader)
+        operators.Pipeline.packSequencesOver(s4, binTokens)
+          .write.mode("overwrite").parquet(outPath + "/packing")
+        val inventory = operators.Pipeline.writeShards(s4, outPath + "/shards", numShards)
+        ledger += (("shard_files", inventory.count(), ledger.last._3))
+      } else {
+        // LEAKAGE-SAFE train/val/test emission (F9 — dedup-before-split):
+        // the assignment unit is the exact-dup GROUP over the survivor
+        // set, so duplicates that passed every gate can still never
+        // straddle splits; packing covers the TRAIN split (the set a
+        // loader actually packs), val/test ship as plain shards
+        val s4Tokens = ledger.last._3
+        val splits = operators.Pipeline
+          .splitLeakageSafeOver(s4, testPermille, valPermille)
+          .select(col("doc_id"), col("split"))
+        val labeled = operators.AnnStore.trackedCheckpoint(s4.join(splits, "doc_id"))
+        var shardFiles = 0L
+        for (split <- Seq("train", "val", "test")) {
+          val part = stage(s"split_$split",
+            labeled.filter(col("split") === split).drop("split"))
+          if (split == "train")
+            operators.Pipeline.packSequencesOver(part, binTokens)
+              .write.mode("overwrite").parquet(outPath + "/packing")
+          shardFiles += operators.Pipeline
+            .writeShards(part, outPath + s"/shards_$split", numShards).count()
+        }
+        ledger += (("shard_files", shardFiles, s4Tokens))
+      }
       ledger.toSeq.toDF("stage", "docs", "tokens")
     }
   }

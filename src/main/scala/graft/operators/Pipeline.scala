@@ -602,11 +602,22 @@ object Pipeline {
     */
   def splitLeakageSafe(spark: SparkSession, sfDir: String,
                        testPermille: Int = 100,
-                       valPermille: Int = 100): DataFrame = {
+                       valPermille: Int = 100): DataFrame =
+    splitLeakageSafeOver(Tables.documents(spark, sfDir),
+      testPermille, valPermille)
+
+  /** [[splitLeakageSafe]] over an explicit `(doc_id, text, …)` frame —
+    * what the buildTrainingSet capstone calls on its post-gate survivor
+    * set, so the emitted train/val/test shards can never leak duplicates
+    * across splits.
+    */
+  def splitLeakageSafeOver(docs: DataFrame,
+                           testPermille: Int = 100,
+                           valPermille: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byGroup = Window.partitionBy(col("text_hash"))
     val bucket = Text.mixBucket(col("anchor_id"), 1000L)
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), md5(lower(trim(col("text")))).as("text_hash"))
       .withColumn("anchor_id", min(col("doc_id")).over(byGroup))
       .withColumn("split",

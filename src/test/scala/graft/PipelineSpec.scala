@@ -660,6 +660,39 @@ class PipelineSpec extends SparkSpecBase {
     assert(ledger2 == ledger)
   }
 
+  test("buildTrainingSet with splits: leakage-safe train/val/test shards, packing covers train") {
+    val g = new Graft(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_trainset_split").toString
+    val ledger = g.buildTrainingSet(out, testPermille = 150, valPermille = 150)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the three splits partition the sampled set exactly
+    val splitsSum = ledger("split_train") + ledger("split_val") + ledger("split_test")
+    assert(splitsSum == ledger("mixture_sample"),
+      s"splits must partition the sampled set: $ledger")
+    assert(ledger("split_train") > 0 && ledger("split_test") > 0,
+      s"both ends of the split must be populated at 15%: $ledger")
+    // the written shards agree with the ledger, packing covers TRAIN 1:1
+    val train = spark.read.parquet(out + "/shards_train")
+    val value = spark.read.parquet(out + "/shards_val")
+    val test = spark.read.parquet(out + "/shards_test")
+    assert(train.count() == ledger("split_train"))
+    assert(value.count() == ledger("split_val"))
+    assert(test.count() == ledger("split_test"))
+    val packing = spark.read.parquet(out + "/packing")
+    assert(packing.count() == train.count())
+    assert(packing.join(train.select("doc_id"), "doc_id").count() == packing.count())
+    // the NEVER-STRADDLE invariant on the emitted artifacts themselves:
+    // no normalized text appears in two different split directories
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.select(md5(lower(trim(col("text")))).as("h")).distinct()
+    assert(hashes(train).join(hashes(test), "h").count() == 0,
+      "duplicate text straddles train/test")
+    assert(hashes(train).join(hashes(value), "h").count() == 0,
+      "duplicate text straddles train/val")
+    assert(hashes(value).join(hashes(test), "h").count() == 0,
+      "duplicate text straddles val/test")
+  }
+
   test("facade curation/dedup entry points run and agree with operators") {
     val g = new Graft(spark, sf)
     assert(g.curate().count() == Tables.documents(spark, sf).count())
