@@ -613,18 +613,40 @@ object Pipeline {
     */
   def splitLeakageSafeOver(docs: DataFrame,
                            testPermille: Int = 100,
-                           valPermille: Int = 100): DataFrame = {
+                           valPermille: Int = 100): DataFrame =
+    splitByGroup(
+      docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("text_hash")),
+      col("text_hash"), testPermille, valPermille)
+      .select(col("doc_id"), col("text_hash"), col("anchor_id"), col("split"))
+      .orderBy("doc_id")
+
+  /** F9's NEAR-dup composition, executable: split by any group id — e.g.
+    * B6's connected-component labels — instead of the exact-text hash,
+    * so near-duplicates (not just verbatim copies) can never straddle
+    * train/test. `labeled` = `(doc_id, group_id)`; every member of a
+    * group inherits its anchor's split.
+    */
+  def splitLeakageSafeByGroup(labeled: DataFrame,
+                              testPermille: Int = 100,
+                              valPermille: Int = 100): DataFrame =
+    splitByGroup(labeled.select(col("doc_id"), col("group_id")),
+      col("group_id"), testPermille, valPermille)
+      .select(col("doc_id"), col("group_id"), col("anchor_id"), col("split"))
+      .orderBy("doc_id")
+
+  /** The one split rule both public shapes share: group anchor = min
+    * doc_id, anchor's exact-modular mixBucket decides the whole group.
+    */
+  private def splitByGroup(grouped: DataFrame, groupCol: Column,
+                           testPermille: Int, valPermille: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byGroup = Window.partitionBy(col("text_hash"))
+    val byGroup = Window.partitionBy(groupCol)
     val bucket = Text.mixBucket(col("anchor_id"), 1000L)
-    docs
-      .select(col("doc_id"), md5(lower(trim(col("text")))).as("text_hash"))
+    grouped
       .withColumn("anchor_id", min(col("doc_id")).over(byGroup))
       .withColumn("split",
         when(bucket < testPermille, lit("test"))
           .when(bucket < testPermille + valPermille, lit("val"))
           .otherwise(lit("train")))
-      .select(col("doc_id"), col("text_hash"), col("anchor_id"), col("split"))
-      .orderBy("doc_id")
   }
 }

@@ -660,6 +660,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(ledger2 == ledger)
   }
 
+  test("near-dup-group splits: B6 component ids as the assignment unit — pairs never straddle") {
+    import graft.operators.{Dedup, Pipeline}
+    // the declared F9 composition, executable: components from the
+    // verified near-dup graph become the split groups, so NEAR-duplicates
+    // (not just verbatim copies) can never land on both sides of a split
+    val comps = Dedup.nearDupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id").as("group_id"))
+    val splits = Pipeline.splitLeakageSafeByGroup(comps,
+      testPermille = 200, valPermille = 200).cache()
+    // every doc assigned exactly once
+    assert(splits.count() == Tables.documents(spark, sf).count())
+    assert(splits.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    // the never-straddle invariant at GROUP granularity
+    assert(splits.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() == 0,
+      "a component's members landed in different splits")
+    // and on the raw near-dup PAIRS themselves (the end-to-end statement)
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).select("a_id", "b_id")
+    val s = splits.select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(s.withColumnRenamed("doc_id", "a_id").withColumnRenamed("split", "sa"), "a_id")
+      .join(s.withColumnRenamed("doc_id", "b_id").withColumnRenamed("split", "sb"), "b_id")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() == 0, "a near-dup pair straddles splits")
+    splits.unpersist()
+  }
+
   test("buildTrainingSet with splits: leakage-safe train/val/test shards, packing covers train") {
     val g = new Graft(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_trainset_split").toString
