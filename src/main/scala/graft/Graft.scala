@@ -750,15 +750,23 @@ class Graft(spark: SparkSession, sfDir: String,
     * [[ragQueryHybrid]] (spec-pinned). Both indexes build once through
     * their manifest gates and stay live under [[reindexDirectory]].
     */
-  def ragQueryHybridAnn(query: String, topK: Int = 10, nprobe: Int = 2,
-                        candDepth: Int = 200): DataFrame = {
+  /** The fully-served hybrid's index setup, shared by the single and
+    * batch twins: both ensure gates (stored params honored), the vector
+    * store's crash heal, and the routing centroids.
+    */
+  private def servedHybridSetup(): (String, String, Array[Array[Double]]) = {
     val lexPath = ensureChunkLexIndex()
     val k = storedChunkAnnManifest
       .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(16)
     val annPath = ensureChunkAnnIndex(k)
     operators.AnnStore.healCompacted(spark, annPath, Seq("vectors"))
+    (lexPath, annPath, operators.AnnStore.readCentroids(spark, annPath))
+  }
+
+  def ragQueryHybridAnn(query: String, topK: Int = 10, nprobe: Int = 2,
+                        candDepth: Int = 200): DataFrame = {
+    val (lexPath, annPath, centroids) = servedHybridSetup()
     val qv = embedder.embedText(query)
-    val centroids = operators.AnnStore.readCentroids(spark, annPath)
     val probes = operators.RagSearch.probeIdsFor(qv, centroids, nprobe)
     val dense = operators.AnnIvf.probeCells(spark, annPath, probes)
       .select(col("doc_id"), col("chunk_idx"), col("embedding").as("emb"))
@@ -782,13 +790,8 @@ class Graft(spark: SparkSession, sfDir: String,
                              nprobe: Int = 2, candDepth: Int = 200): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty, "ragQueryHybridAnnBatch: empty query batch")
-    val lexPath = ensureChunkLexIndex()
-    val k = storedChunkAnnManifest
-      .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(16)
-    val annPath = ensureChunkAnnIndex(k)
-    operators.AnnStore.healCompacted(spark, annPath, Seq("vectors"))
+    val (lexPath, annPath, centroids) = servedHybridSetup()
     val qvs = queries.map(embedder.embedText)
-    val centroids = operators.AnnStore.readCentroids(spark, annPath)
     val probeRows = qvs.zipWithIndex.flatMap { case (qv, i) =>
       operators.RagSearch.probeIdsFor(qv, centroids, nprobe)
         .map(cid => (i.toLong, cid, qv.toSeq))
@@ -1108,6 +1111,9 @@ class Graft(spark: SparkSession, sfDir: String,
                        testPermille: Int = 0,
                        valPermille: Int = 0): DataFrame = {
     import spark.implicits._
+    require(testPermille >= 0 && valPermille >= 0 &&
+      testPermille + valPermille < 1000,
+      s"split permilles must satisfy 0 <= test($testPermille) + val($valPermille) < 1000")
     // every checkpoint this run pins is released on exit — shards,
     // packing, and the ledger are fully materialized before the scope
     // closes, so nothing pinned is needed afterwards (the leak class the
@@ -1146,6 +1152,15 @@ class Graft(spark: SparkSession, sfDir: String,
       val rates = operators.Pipeline.mixtureRates(s3, temperature, targetFrac)
       val s4 = stage("mixture_sample",
         s3.join(operators.Pipeline.applyMixture(s3, rates).select("doc_id"), "doc_id"))
+      // a re-run in the OTHER mode must not leave the previous mode's
+      // shard dirs live next to the new ones — one packing table must
+      // never sit beside two inconsistent shard generations
+      val fsOut = new org.apache.hadoop.fs.Path(outPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staleDirs = if (testPermille + valPermille <= 0)
+        Seq("shards_train", "shards_val", "shards_test") else Seq("shards")
+      staleDirs.foreach(d =>
+        fsOut.delete(new org.apache.hadoop.fs.Path(outPath, d), true))
       if (testPermille + valPermille <= 0) {
         // packing assignments over the FINAL set (provenance for the loader)
         operators.Pipeline.packSequencesOver(s4, binTokens)

@@ -146,29 +146,14 @@ object Bm25Store {
                            queries: Seq[String]): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty, "scoresFromStoreBatch: empty query batch")
-    val buckets = AnnStore.readManifest(spark, path)
-      .flatMap(AnnStore.manifestInt(_, "buckets"))
-      .getOrElse(throw new IllegalStateException(
-        s"no lexical index manifest at $path — build via writeLexicalIndexOver"))
-    AnnStore.healCompacted(spark, path, Seq("postings"))
     healStats(spark, path)
     val qTerms = queries.zipWithIndex.flatMap { case (q, i) =>
       q.split(" ").filter(_.nonEmpty).distinct.map(t => (i.toLong, t))
     }.toDF("query_id", "term")
     val termSet = queries.flatMap(_.split(" ").filter(_.nonEmpty)).distinct
-    val bucketSet = termSet.map(termBucket(_, buckets)).distinct
-    val all = spark.read.parquet(path + "/postings")
-    // empty-term batch: schema-correct empty result, zero buckets read
-    val posts =
-      if (termSet.isEmpty) all.filter(lit(false))
-      else all.filter(col("cid").isin(bucketSet: _*))   // partition-pruned
-        .filter(col("term").isin(termSet.map(lit): _*)) // within-bucket
+    val posts = prunedPostings(spark, path, termSet)
     val stats = spark.read.parquet(path + "/stats")
-    // df(term) = its posting-list length — the pruned read holds the
-    // COMPLETE list of every query term (bucket partitioning is by term),
-    // so the count is exact, not an estimate over a sample of partitions
-    val df = posts.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
+    val df = dfOf(posts)
     posts.join(broadcast(qTerms), "term")
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
@@ -194,7 +179,8 @@ object Bm25Store {
     val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
     val dfMap =
       if (terms.isEmpty) Map.empty[String, Double]
-      else scoresDfOnly(spark, path, terms)
+      else dfOf(prunedPostings(spark, path, terms))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val statRows = { healStats(spark, path); spark.read.parquet(path + "/stats").collect() }
     val (n, avg) =
       if (statRows.isEmpty) (0.0, 0.0)
@@ -203,20 +189,32 @@ object Bm25Store {
     LexSnapshot(query, terms.map(t => t -> dfMap.getOrElse(t, 0.0)), n, avg)
   }
 
-  private def scoresDfOnly(spark: SparkSession, path: String,
-                           terms: Seq[String]): Map[String, Double] = {
+  /** THE pruned postings read — manifest bucket count, crash heal, bucket
+    * partition pruning, within-bucket term filter — single-sourced so the
+    * batch scorer and the snapshot builder can never diverge on the
+    * pruning discipline or the df base their value-identity rests on.
+    * Empty `terms` yields a schema-correct empty frame with zero buckets
+    * read.
+    */
+  private def prunedPostings(spark: SparkSession, path: String,
+                             terms: Seq[String]): DataFrame = {
     val buckets = AnnStore.readManifest(spark, path)
       .flatMap(AnnStore.manifestInt(_, "buckets"))
       .getOrElse(throw new IllegalStateException(
-        s"no lexical index manifest at $path"))
+        s"no lexical index manifest at $path — build via writeLexicalIndexOver"))
     AnnStore.healCompacted(spark, path, Seq("postings"))
-    val bucketSet = terms.map(termBucket(_, buckets)).distinct
-    spark.read.parquet(path + "/postings")
-      .filter(col("cid").isin(bucketSet: _*))
+    val all = spark.read.parquet(path + "/postings")
+    if (terms.isEmpty) all.filter(lit(false))
+    else all
+      .filter(col("cid").isin(terms.map(termBucket(_, buckets)).distinct: _*))
       .filter(col("term").isin(terms.map(lit): _*))
-      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
+
+  /** df(term) over a pruned read: exact — the read holds the query
+    * terms' COMPLETE posting lists (bucket partitioning is by term).
+    */
+  private def dfOf(posts: DataFrame): DataFrame =
+    posts.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
 
   /** Stateless scan-side BM25 under a frozen snapshot — a per-row token
     * fold with the snapshot's statistics riding as LITERALS, so the

@@ -639,6 +639,12 @@ object Pipeline {
     */
   private def splitByGroup(grouped: DataFrame, groupCol: Column,
                            testPermille: Int, valPermille: Int): DataFrame = {
+    // >= 1000 would silently assign NO group to train — an empty training
+    // set must be a named error at call time, not a zero-row artifact a
+    // loader discovers in production
+    require(testPermille >= 0 && valPermille >= 0 &&
+      testPermille + valPermille < 1000,
+      s"split permilles must satisfy 0 <= test($testPermille) + val($valPermille) < 1000")
     import org.apache.spark.sql.expressions.Window
     val byGroup = Window.partitionBy(groupCol)
     val bucket = Text.mixBucket(col("anchor_id"), 1000L)
