@@ -165,6 +165,53 @@ class Bm25StoreSpec extends SparkSpecBase {
       manifest("fp4")).head().getString(0) == "full_drift")
   }
 
+  test("refresh equivalence property: random edit sets — refreshed store content equals cold rebuild") {
+    // the strongest receipt the incremental path can have: not one
+    // blessed mutation pattern but random add/remove/edit mixes, and not
+    // score samples but the ENTIRE stored content (postings, chunks,
+    // stats) byte-value-equal to a cold rebuild over the same corpus
+    import spark.implicits._
+    val buckets = 16
+    val v1 = chunks.localCheckpoint()
+    val keys = v1.select("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def tableOf(path: String, sub: String): Seq[Seq[Any]] =
+      spark.read.parquet(s"$path/$sub").collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val shuffled = rnd.shuffle(keys.toSeq)
+      val toRemove = shuffled.take(2).toSet
+      val toEdit = shuffled.slice(2, 5).toSet
+      val added = (1 to 2).map(i =>
+        (900000L + seed * 100 + i, 0L,
+          s"seed $seed addition $i about ${if (i % 2 == 0) "hash join" else "column scan"}"))
+      val v2 = v1
+        .filter(!struct(col("doc_id"), col("chunk_idx"))
+          .isInCollection(toRemove.toSeq.map { case (d, c) => struct(lit(d), lit(c)) }))
+        .withColumn("chunk_text",
+          when(struct(col("doc_id"), col("chunk_idx")).isInCollection(
+            toEdit.toSeq.map { case (d, c) => struct(lit(d), lit(c)) }),
+            concat(col("chunk_text"), lit(s" edited$seed")))
+            .otherwise(col("chunk_text")))
+        .unionByName(added.toDF("doc_id", "chunk_idx", "chunk_text"))
+        .localCheckpoint()
+      val refreshed = freshPath(s"prop_r$seed")
+      Bm25Store.writeLexicalIndexOver(spark, v1, refreshed, buckets,
+        Bm25Store.manifestFor(buckets, Seq(), s"fp-p$seed-1"))
+      val r = Bm25Store.refreshLexicalIndexOver(spark, refreshed, v2,
+        Bm25Store.manifestFor(buckets, Seq(), s"fp-p$seed-2")).head()
+      assert(r.getString(0) == "incremental",
+        s"seed $seed: mode=${r.getString(0)} (edits must stay under drift)")
+      val rebuilt = freshPath(s"prop_b$seed")
+      Bm25Store.writeLexicalIndexOver(spark, v2, rebuilt, buckets,
+        Bm25Store.manifestFor(buckets, Seq(), s"fp-p$seed-2"))
+      for (sub <- Seq("postings", "chunks", "stats"))
+        assert(tableOf(refreshed, sub) == tableOf(rebuilt, sub),
+          s"seed $seed: refreshed $sub differs from cold rebuild")
+    }
+  }
+
   test("stats crash states: mid-swap heals at serve; restamp re-derives stale stats") {
     val path = freshPath("stats")
     val m = Bm25Store.manifestFor(16, Seq(), "fp-s1")
