@@ -103,6 +103,12 @@ object SparkEntry {
     }),
     // C5 likewise rows-only (per-subspace k-means); AnnIvfSpec bounds recall.
     "ann_pq" -> ((s, dir) => AnnPq.annPq(s, dir)),
+    // C5o: OPTIMIZED PQ (Ge et al. 2013) — a learned orthogonal rotation
+    // before the subspace split, trained by monotone alternation (warm
+    // k-means sweep / Procrustes SVD). Rows-only; AnnOpqSpec receipts the
+    // coordinate-descent trace, never-worse-than-PQ error, orthogonality,
+    // determinism, and recall non-inferiority vs plain PQ.
+    "ann_opq" -> ((s, dir) => AnnOpq.annOpq(s, dir)),
     // the SERVING path of C5: ADC over the persisted codes with codebook
     // training amortized into the gated index build. Rows-only; spec
     // asserts row-identity with ann_pq.

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.VecExprs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C5o: OPTIMIZED product quantization (Ge, He, Ke & Sun, CVPR 2013 —
+  * OPQ, the non-parametric alternation). PQ's quantization error depends
+  * on how the dimensions split into subspaces: correlated dimensions
+  * landing in different subspaces quantize badly. OPQ learns an
+  * ORTHOGONAL rotation R so the split quantizes better, alternating
+  *
+  *   (a) one warm-started k-means sweep of the sub-codebooks in the
+  *       rotated space (decreases the shared objective given R — fresh
+  *       re-initialization would forfeit the guarantee, hence
+  *       [[AnnPq.trainAll]]'s warm-start seam), with
+  *   (b) the orthogonal Procrustes rotation update: minimizing
+  *       `Σ ‖R·x − ŷ‖²` over orthogonal R given the reconstructions ŷ is
+  *       maximizing `tr(R·A)` with `A = Σ x·ŷᵀ`, solved by `R = V·Uᵀ`
+  *       from `A = U·S·Vᵀ` (driver-local dim×dim SVD via breeze).
+  *
+  * Each step is non-increasing in the one objective, so the error trace
+  * is MONOTONE (spec-receipted — the coordinate-descent discipline the
+  * unigram trainer set), and round 0 IS plain PQ (R = identity), so the
+  * final error can never exceed plain PQ's under the same budget
+  * (spec-receipted against [[AnnPq]]'s own codebooks).
+  *
+  * Scale shape: the rotation applies scan-side ([[VecExprs.matVec]],
+  * a dim×dim compiled-plan reference object — never a literal matrix);
+  * codebook sweeps are [[AnnPq.trainAll]]'s one-job-per-iteration shape;
+  * the Procrustes statistics are ONE `treeAggregate` of dim×dim
+  * outer-product partials (32 KB of driver state at dim 64 — the
+  * dim-bounded training discipline of quality_classifier); the SVD is a
+  * 64×64 driver-local call. Serving is plain PQ's ADC with queries
+  * rotated first — same serve cost, better codes. Rows-only (k-means +
+  * SVD are not SQL).
+  */
+object AnnOpq {
+
+  final case class OpqModel(rotation: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]],
+                            errTrace: Array[Double])
+
+  private def identity(dim: Int): Array[Array[Double]] =
+    Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** Mean quantization error and the Procrustes statistics in ONE pass:
+    * per row accumulate `‖y − ŷ‖²` and `A += x·ŷᵀ` — both dim-bounded.
+    */
+  private def errAndA(rows: DataFrame, books: Array[Array[Array[Double]]],
+                      dim: Int, sd: Int): (Double, Array[Array[Double]]) = {
+    val m = books.length
+    val spark = rows.sparkSession
+    val bcBooks = spark.sparkContext.broadcast(books)
+    type Acc = (Array[Array[Double]], Double, Long)
+    val zero: Acc = (Array.fill(dim)(new Array[Double](dim)), 0.0, 0L)
+    def seqOp(acc: Acc, r: org.apache.spark.sql.Row): Acc = {
+      val x = r.getSeq[Double](0)
+      val y = r.getSeq[Double](1)
+      val codes = r.getSeq[Int](2)
+      val bk = bcBooks.value
+      val yhat = new Array[Double](dim)
+      var j = 0
+      while (j < m) {
+        val w = bk(j)(codes(j))
+        var t = 0
+        while (t < sd) { yhat(j * sd + t) = w(t); t += 1 }
+        j += 1
+      }
+      var err = 0.0
+      var i = 0
+      while (i < dim) {
+        val d = y(i) - yhat(i)
+        err += d * d
+        val xi = x(i)
+        val row = acc._1(i)
+        var k = 0
+        while (k < dim) { row(k) += xi * yhat(k); k += 1 }
+        i += 1
+      }
+      (acc._1, acc._2 + err, acc._3 + 1)
+    }
+    def combOp(a: Acc, b: Acc): Acc = {
+      var i = 0
+      while (i < dim) {
+        var k = 0
+        while (k < dim) { a._1(i)(k) += b._1(i)(k); k += 1 }
+        i += 1
+      }
+      (a._1, a._2 + b._2, a._3 + b._3)
+    }
+    val (a, err, n) = rows.rdd.treeAggregate(zero)(seqOp, combOp)
+    bcBooks.destroy()
+    (if (n > 0) err / n else 0.0, a)
+  }
+
+  /** `R = V·Uᵀ` maximizing `tr(R·A)` — the orthogonal Procrustes solve. */
+  private def procrustes(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = a.length
+    val bm = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => a(i)(j))
+    val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(bm)
+    val r = vt.t * u.t
+    Array.tabulate(dim, dim)((i, j) => r(i, j))
+  }
+
+  /** The alternation: `rounds` × { sweep codebooks; measure; rotate },
+    * then one final sweep + measure so the returned books match the
+    * returned rotation. Trace length = rounds + 1; entry 0 is plain PQ.
+    */
+  def trainOpq(e: DataFrame, dim: Int, m: Int, ks: Int,
+               innerIters: Int, rounds: Int): OpqModel = {
+    val sd = dim / m
+    var r = identity(dim)
+    var books: Option[Array[Array[Array[Double]]]] = None
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def measure(): (Double, Array[Array[Double]]) = {
+      val rot = r
+      val bk = books.get
+      val y = e.select(col("emb").as("x"),
+        VecExprs.matVec(col("emb"), rot).as("y"))
+      val codeCols = (0 until m).map(j =>
+        VecExprs.centroidAssign(slice(col("y"), j * sd + 1, sd), bk(j),
+          useCosine = false))
+      errAndA(y.select(col("x"), col("y"), array(codeCols: _*).as("codes")),
+        bk, dim, sd)
+    }
+    for (_ <- 0 until rounds) {
+      val rot = r
+      val y = e.select(col("vec_id"), VecExprs.matVec(col("emb"), rot).as("emb"))
+      books = Some(AnnPq.trainAll(y, m, sd, ks, innerIters, init = books))
+      val (err, a) = measure()
+      trace += err
+      r = procrustes(a)
+    }
+    val rotF = r
+    val yF = e.select(col("vec_id"), VecExprs.matVec(col("emb"), rotF).as("emb"))
+    books = Some(AnnPq.trainAll(yF, m, sd, ks, innerIters, init = books))
+    trace += measure()._1
+    OpqModel(r, books.get, trace.toArray)
+  }
+
+  /** Driver query C5o — the [[AnnPq.annPq]] shape with the learned
+    * rotation: rotate scan-side, ADC over the OPQ codes, exact rerank of
+    * the candidate pool (scores in the ORIGINAL space — the rotation is
+    * orthogonal, so cosine is invariant and results compare 1:1 with
+    * every other ANN arm).
+    */
+  def annOpq(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+             topK: Int = 5, m: Int = 8, ks: Int = 16, innerIters: Int = 2,
+             rounds: Int = 2, rerank: Int = 50): DataFrame = {
+    VecExprs.register(spark)
+    val dim = 64
+    val sd = dim / m
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .filter(col("emb").isNotNull)
+    val model = trainOpq(e, dim, m, ks, innerIters, rounds)
+    val books = model.books
+    val rot = model.rotation
+    val rotated = e.select(col("vec_id"), col("emb"),
+      VecExprs.matVec(col("emb"), rot).as("y"))
+    val codeCols = (0 until m).map(j =>
+      VecExprs.centroidAssign(slice(col("y"), j * sd + 1, sd), books(j),
+        useCosine = false).as(s"c$j"))
+    val enc = rotated.select(col("vec_id") +: col("emb") +: codeCols: _*)
+    val tableCols = (0 until m).map { j =>
+      array(books(j).map(c =>
+        VecExprs.dotProd(slice(col("qy"), j * sd + 1, sd), array(c.map(lit): _*))): _*)
+        .as(s"t$j")
+    }
+    val q = rotated.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +: col("emb").as("qv") +:
+        col("y").as("qy") +: tableCols: _*)
+      .drop("qy")
+    val pqScore = (0 until m).map(j =>
+      element_at(col(s"t$j"), col(s"c$j").cast("int") + 1)).reduce(_ + _)
+    val approx = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("pq_score", pqScore)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("vec_id").asc)
+    val cands = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    cands
+      .withColumn("score", round(VecExprs.cosineSim(col("emb"), col("qv")), 4))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"),
+        round(col("pq_score"), 4).as("pq_score"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -44,16 +44,21 @@ object AnnPq {
     * m·ks·(dim/m) matrix crosses to the driver per iteration.
     */
   def trainAll(e: DataFrame, m: Int, sd: Int, ks: Int,
-               iters: Int): Array[Array[Array[Double]]] = {
+               iters: Int,
+               init: Option[Array[Array[Array[Double]]]] = None): Array[Array[Array[Double]]] = {
     val subs = e.select(col("vec_id"),
         posexplode(array((0 until m).map(j =>
           slice(col("emb"), j * sd + 1, sd)): _*)).as(Seq("j", "s")))
       .cache()
-    // deterministic init: subvectors of the first ks vectors
-    val seed = e.filter(col("vec_id") < ks).orderBy("vec_id").collect()
-      .map(_.getSeq[Double](1).toArray)
-    var books: Array[Array[Array[Double]]] =
+    // deterministic init: subvectors of the first ks vectors — unless the
+    // caller WARM-starts (OPQ's alternation: after a rotation update the
+    // previous codebooks are still valid points in the rotated space, and
+    // a fresh init would forfeit the monotone-objective guarantee)
+    var books: Array[Array[Array[Double]]] = init.getOrElse {
+      val seed = e.filter(col("vec_id") < ks).orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1).toArray)
       (0 until m).map(j => seed.map(v => v.slice(j * sd, j * sd + sd))).toArray
+    }
     for (_ <- 0 until iters) {
       val assign = VecExprs.pqAssign(col("s"), col("j"), books)
       // centroid update via the fixed-dim VecMean aggregate (primitive

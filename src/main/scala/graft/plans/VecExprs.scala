@@ -164,6 +164,40 @@ object VecExprs {
   def pqAssignEval(arr: ArrayData, j: Int, books: Array[Array[Array[Double]]]): Int =
     centroidAssignEval(arr, books(j), false)
 
+  /** y = M·x over a double-array column — the learned-rotation primitive
+    * (OPQ's scan-side step). Same reference-object discipline as the
+    * codebooks: a dim×dim matrix as literals would be thousands of nodes
+    * recompiled every alternation round.
+    */
+  def matVecEval(arr: ArrayData, m: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](m.length)
+    var r = 0
+    while (r < m.length) {
+      val row = m(r)
+      val n = math.min(arr.numElements(), row.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += row(i) * arr.getDouble(i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class MatVec(child: Expression, mat: IndexedSeq[IndexedSeq[Double]])
+      extends UnaryExpression {
+    @transient private lazy val matArr: Array[Array[Double]] =
+      mat.map(_.toArray).toArray
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      matVecEval(input.asInstanceOf[ArrayData], matArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("rotMat", matArr, "double[][]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.VecExprs.matVecEval($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** argmax-cosine (or argmin-L2) centroid id over a double-array column.
     * The codebook field is an IndexedSeq (structural equality) so two
     * expressions from content-equal codebooks canonicalize equal —
@@ -259,6 +293,8 @@ object VecExprs {
   def pqAssign(sub: Column, j: Column, books: Array[Array[Array[Double]]]): Column =
     toColumn(PqAssign(toExpr(sub), toExpr(j),
       books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+  def matVec(vec: Column, m: Array[Array[Double]]): Column =
+    toColumn(MatVec(toExpr(vec), m.map(_.toIndexedSeq).toIndexedSeq))
 
   private def toExpr(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)
