@@ -109,6 +109,15 @@ object SparkEntry {
     // coordinate-descent trace, never-worse-than-PQ error, orthogonality,
     // determinism, and recall non-inferiority vs plain PQ.
     "ann_opq" -> ((s, dir) => AnnOpq.annOpq(s, dir)),
+    // the SERVING path of C5o: ADC over persisted OPQ codes with the
+    // stored rotation applied to queries scan-side; training amortized
+    // into the gated build. Rows-only; spec asserts row-identity with
+    // ann_opq and pinned-model code recomputation under refresh.
+    "ann_opq_served" -> ((s, dir) => {
+      val path = AnnOpq.defaultIndexPath(dir)
+      AnnOpq.ensureOpqIndex(s, dir, path)
+      AnnOpq.annOpqServed(s, path)
+    }),
     // the SERVING path of C5: ADC over the persisted codes with codebook
     // training amortized into the gated index build. Rows-only; spec
     // asserts row-identity with ann_pq.

@@ -141,6 +141,176 @@ object AnnOpq {
     OpqModel(r, books.get, trace.toArray)
   }
 
+  private def opqManifest(spark: SparkSession, sfDir: String, m: Int, ks: Int,
+                          innerIters: Int, rounds: Int): String =
+    AnnStore.manifest("opq",
+      Seq("m" -> m, "ks" -> ks, "iters" -> innerIters, "rounds" -> rounds,
+        "dim" -> 64,
+        "buckets" -> AnnPq.bucketCountFor(Tables.embeddings(spark, sfDir).count())),
+      AnnStore.corpusFingerprint(spark, sfDir))
+
+  /** Persist the OPQ index — [[AnnPq]]'s exact layout (hash-bucketed codes
+    * + vectors, books table) plus the learned `rotation/` table. The
+    * vectors table stores ORIGINAL vectors (codes come from the rotated
+    * space): the exact rerank scores in the original space (cosine is
+    * rotation-invariant, so the semantics are identical) AND the
+    * incremental-refresh diff runs natively against the embeddings table.
+    */
+  private def writeOpqIndexWith(spark: SparkSession, sfDir: String, path: String,
+                                m: Int, ks: Int, innerIters: Int, rounds: Int,
+                                manifest: String): Unit = AnnStore.releasingPinned(spark) {
+    import spark.implicits._
+    VecExprs.register(spark)
+    val dim = 64
+    val sd = dim / m
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .filter(col("emb").isNotNull)
+    val buckets = AnnStore.manifestInt(manifest, "buckets")
+      .getOrElse(AnnPq.MinBuckets)
+    val model = trainOpq(e, dim, m, ks, innerIters, rounds)
+    val rot = model.rotation
+    val books = model.books
+    AnnStore.writeStaged(spark, path, manifest) { staging =>
+      val codeCols = (0 until m).map(j =>
+        VecExprs.centroidAssign(
+          slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
+          books(j), useCosine = false).as(s"c$j"))
+      val bucket = pmod(col("vec_id"), lit(buckets)).cast("int")
+      e.select(col("vec_id") +: codeCols :+ bucket.as("cid"): _*)
+        .write.partitionBy("cid").parquet(staging + "/codes")
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+        .withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
+        .write.partitionBy("cid").parquet(staging + "/vectors")
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+      }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
+        .write.parquet(staging + "/books")
+      rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+        .toDF("i", "r").coalesce(1).write.parquet(staging + "/rotation")
+    }
+  }
+
+  def ensureOpqIndex(spark: SparkSession, sfDir: String, path: String,
+                     m: Int = 8, ks: Int = 16, innerIters: Int = 2,
+                     rounds: Int = 2): Unit = {
+    val manifest = opqManifest(spark, sfDir, m, ks, innerIters, rounds)
+    AnnStore.ensureIndex(spark, path, manifest) {
+      writeOpqIndexWith(spark, sfDir, path, m, ks, innerIters, rounds, manifest)
+    }
+  }
+
+  private def readRotation(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path + "/rotation").orderBy("i").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Incremental maintenance — [[AnnPq.refreshPqIndex]]'s shape with the
+    * stored ROTATION pinned alongside the stored books: dirty buckets'
+    * codes recompute as `assign(slice(R·x))`, vectors rewrite as-is. A
+    * param change (incl. the corpus-derived bucket count) or drift past
+    * the bound rebuilds, which RETRAINS the rotation — a stale rotation
+    * degrades codes exactly like stale codebooks.
+    */
+  def refreshOpqIndex(spark: SparkSession, sfDir: String, path: String,
+                      m: Int = 8, ks: Int = 16, innerIters: Int = 2,
+                      rounds: Int = 2, driftBound: Double = 0.3): DataFrame = {
+    VecExprs.register(spark)
+    val manifest = opqManifest(spark, sfDir, m, ks, innerIters, rounds)
+    val buckets = AnnStore.manifestInt(manifest, "buckets")
+      .getOrElse(AnnPq.MinBuckets)
+    AnnStore.refreshIndex(spark, path, manifest,
+      assignNew = () => Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int")),
+      rewrite = (affected, rows) => {
+        val books = AnnPq.readBooks(spark, path)
+        val rot = readRotation(spark, path)
+        val sd = books.head.head.length
+        val codeCols = books.indices.map(j =>
+          VecExprs.centroidAssign(
+            slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
+            books(j), useCosine = false).as(s"c$j"))
+        val enc = rows.withColumn("emb", col("embedding").cast("array<double>"))
+        val fs = AnnStore.fileSystem(spark, path)
+        affected.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cid=$c"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true)
+        }
+        enc.select(col("vec_id") +: codeCols :+ col("cid"): _*)
+          .write.mode("append").partitionBy("cid").parquet(path + "/codes")
+        rows.select(col("vec_id"), col("embedding"), col("cid"))
+          .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+      },
+      fullBuild = () =>
+        writeOpqIndexWith(spark, sfDir, path, m, ks, innerIters, rounds, manifest),
+      driftBound = driftBound)
+  }
+
+  def compactOpqIndex(spark: SparkSession, path: String,
+                      targetBytes: Long = 128L << 20): DataFrame =
+    AnnStore.compactIndex(spark, path, Seq("codes", "vectors"), targetBytes)
+
+  def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("opq", sfDir)
+
+  /** Serving: ADC over the stored OPQ codes with the QUERY rotated by the
+    * stored rotation (scan-side `matVec`), exact rerank in the ORIGINAL
+    * space — row-identical to the in-query [[annOpq]] (spec-asserted).
+    */
+  def annOpqServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
+                   topK: Int = 5, rerank: Int = 50): DataFrame = {
+    val vectors = spark.read.parquet(indexPath + "/vectors")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    annOpqServedOver(spark, indexPath,
+      vectors.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qv")),
+      topK, rerank, excludeSelf = true)
+  }
+
+  def annOpqServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
+                       topK: Int = 5, rerank: Int = 50,
+                       excludeSelf: Boolean = false): DataFrame = {
+    AnnStore.healCompacted(spark, indexPath, Seq("codes", "vectors"))
+    VecExprs.register(spark)
+    val books = AnnPq.readBooks(spark, indexPath)
+    val rot = readRotation(spark, indexPath)
+    val m = books.length
+    val sd = books.head.head.length
+    require(m * sd == rot.length,
+      s"OPQ index at $indexPath: books are $m x $sd but rotation dim ${rot.length}")
+    val codes = spark.read.parquet(indexPath + "/codes")
+    val vectors = spark.read.parquet(indexPath + "/vectors")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val tableCols = (0 until m).map { j =>
+      array(books(j).map(c =>
+        VecExprs.dotProd(slice(col("qy"), j * sd + 1, sd), array(c.map(lit): _*))): _*)
+        .as(s"t$j")
+    }
+    val q = queries
+      .select(col("query_id") +: col("qv") +:
+        VecExprs.matVec(col("qv"), rot).as("qy") +: tableCols: _*)
+      .drop("qy")
+      .localCheckpoint()
+    val pqScore = (0 until m).map(j =>
+      element_at(col(s"t$j"), col(s"c$j").cast("int") + 1)).reduce(_ + _)
+    val joined = codes.crossJoin(broadcast(q))
+    val approx = (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
+      else joined).withColumn("pq_score", pqScore)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("vec_id").asc)
+    val cands = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    vectors.join(broadcast(cands.drop("qv")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+      .withColumn("score", round(VecExprs.cosineSim(col("emb"), col("qv")), 4))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"),
+        round(col("pq_score"), 4).as("pq_score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Driver query C5o — the [[AnnPq.annPq]] shape with the learned
     * rotation: rotate scan-side, ADC over the OPQ codes, exact rerank of
     * the candidate pool (scores in the ORIGINAL space — the rotation is

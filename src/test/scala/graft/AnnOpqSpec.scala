@@ -44,6 +44,66 @@ class AnnOpqSpec extends SparkSpecBase {
     assert(pqBooks.length == 8)
   }
 
+  test("served store: row-identical to the in-query search; refresh keeps it live") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a private corpus copy so the refresh leg can mutate it
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_corpus").toString
+    spark.read.parquet(sf + "/embeddings.parquet")
+      .write.parquet(dir + "/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_opq_idx").toString + "/idx"
+    AnnOpq.ensureOpqIndex(spark, dir, path)
+    val served = AnnOpq.annOpqServed(spark, path).collect().map(_.toSeq).toSeq
+    val inline = AnnOpq.annOpq(spark, dir).collect().map(_.toSeq).toSeq
+    assert(served == inline,
+      "served OPQ must equal the in-query OPQ row for row (same deterministic model)")
+    // live mutation: flip a few vectors → refresh rewrites affected hash
+    // buckets only, with the stored rotation and books PINNED
+    val e = spark.read.parquet(dir + "/embeddings.parquet")
+    val mutIds = Seq(100L, 101L, 102L)
+    val mutated = e.withColumn("embedding",
+      when(col("vec_id").isin(mutIds: _*),
+        reverse(col("embedding"))).otherwise(col("embedding")))
+    val tmp = dir + "/embeddings.parquet.next"
+    mutated.write.parquet(tmp)
+    val target = new Path(dir, "embeddings.parquet")
+    fs.delete(target, true)
+    assert(fs.rename(new Path(tmp), target))
+    val r = AnnOpq.refreshOpqIndex(spark, dir, path).head()
+    assert(r.getString(0) == "incremental", s"mode=${r.getString(0)}")
+    assert(r.getAs[Long]("n_changed") == 3 &&
+      r.getAs[Long]("n_cells_rewritten") >= 1 &&
+      r.getAs[Long]("n_cells_rewritten") <= 3)
+    // the pinned-model receipt: every dirty row's refreshed code equals
+    // an independent re-assignment of its NEW vector under the STORED
+    // rotation + books (computed here from first principles)
+    val books = graft.operators.AnnPq.readBooks(spark, path)
+    val rot = spark.read.parquet(path + "/rotation").orderBy("i").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val sd = books.head.head.length
+    val newVecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .filter(col("vec_id").isin(mutIds: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val storedCodes = spark.read.parquet(path + "/codes")
+      .filter(col("vec_id").isin(mutIds: _*)).collect()
+      .map(r => r.getLong(0) -> books.indices.map(j => r.getAs[Int](s"c$j"))).toMap
+    for (id <- mutIds) {
+      val x = newVecs(id)
+      val y = rot.map(row => row.indices.map(i => row(i) * x(i)).sum)
+      val want = books.indices.map { j =>
+        val sub = y.slice(j * sd, j * sd + sd)
+        books(j).zipWithIndex.maxBy { case (c, i) =>
+          (sub.zip(c).map { case (a, b) => a * b }.sum -
+            c.map(v => v * v).sum / 2.0, -i)
+        }._2
+      }
+      assert(storedCodes(id) == want,
+        s"vec $id: refreshed code ${storedCodes(id)} != pinned-model assignment $want")
+    }
+    assert(AnnOpq.annOpqServed(spark, path).collect().nonEmpty)
+  }
+
   test("driver query: shape, determinism, recall within reach of plain PQ") {
     val out = AnnOpq.annOpq(spark, sf).collect()
     assert(out.map(_.getLong(0)).distinct.sorted.toSeq == (0L until 10L).toSeq)
