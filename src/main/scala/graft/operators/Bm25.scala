@@ -82,6 +82,48 @@ object Bm25 {
       .agg(sum(col("w")).as("bm25"))
   }
 
+  /** WEIGHTED BM25 over a term-weight set — the stage-2 scorer of RM3
+    * pseudo-relevance feedback ([[Rm3]]): identical single-tokenize-pass
+    * shape to [[bm25ScoresOver]], but each term's BM25 contribution is
+    * scaled by its query-model weight before the per-doc sum (Lavrenko &
+    * Croft 2001 §3's weighted query execution). The weight frame is a
+    * bounded driver-side literal (|q| + M rows) broadcast into the tf
+    * join — the same bounded-query-params discipline as the batch
+    * scorer's (query_id, term) frame.
+    */
+  def bm25ScoresWeightedOver(units: DataFrame, keyCols: Seq[String],
+                             textCol: String,
+                             weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "bm25ScoresWeightedOver: empty weight set")
+    val spark = units.sparkSession
+    import spark.implicits._
+    val terms = weights.map(_._1)
+    require(terms.distinct.length == terms.length,
+      "bm25ScoresWeightedOver: duplicate term in weight set")
+    val key = keyCols.map(col)
+    val wF = weights.toDF("term", "qw")
+    val prepped = units
+      .select(key :+ Text.tokens(col(textCol)).as("toks"): _*)
+      .select(key ++ Seq(size(col("toks")).cast("double").as("dl"),
+        filter(col("toks"), t => t.isin(terms.map(lit): _*)).as("hits")): _*)
+      .localCheckpoint(false)
+    val stats = prepped.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = prepped
+      .select(key ++ Seq(col("dl"), explode(col("hits")).as("term")): _*)
+      .groupBy(key ++ Seq(col("dl"), col("term")): _*)
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(wF), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", bm25Weight * col("qw"))
+      .groupBy(key: _*)
+      .agg(sum(col("w")).as("bm25"))
+  }
+
   /** BM25 scores for the documents matching ≥1 query term — the doc-level
     * instance of [[bm25ScoresOver]] (one scoring body, no drift risk; the
     * `df` aggregates are equivalent because the tf frame is already unique

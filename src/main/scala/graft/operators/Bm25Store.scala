@@ -162,6 +162,30 @@ object Bm25Store {
       .agg(sum(col("w")).as("bm25"))
   }
 
+  /** WEIGHTED store serve — the stage-2 read of store-served RM3
+    * ([[Rm3.ragBm25Rm3Served]]): one pruned read of the weighted terms'
+    * buckets, each term's BM25 contribution scaled by its query-model
+    * weight ([[Bm25.bm25ScoresWeightedOver]]'s algebra over stored
+    * postings). Output `(doc_id, chunk_idx, bm25)`; serve cost is the
+    * |q|+M expanded terms' posting lists, never the corpus.
+    */
+  def weightedScoresFromStore(spark: SparkSession, path: String,
+                              weights: Seq[(String, Double)]): DataFrame = {
+    import spark.implicits._
+    require(weights.nonEmpty, "weightedScoresFromStore: empty weight set")
+    healStats(spark, path)
+    val wF = weights.toDF("term", "qw")
+    val posts = prunedPostings(spark, path, weights.map(_._1))
+    val stats = spark.read.parquet(path + "/stats")
+    val df = dfOf(posts)
+    posts.join(broadcast(df), "term")
+      .join(broadcast(wF), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", Bm25.bm25Weight * col("qw"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(sum(col("w")).as("bm25"))
+  }
+
   /** A frozen per-query scoring snapshot — the BATCH artifact the
     * streaming twin broadcasts (the snapshot-then-stream discipline of
     * the DSIR/Bloom ingest twins): each query term's document frequency
