@@ -580,6 +580,83 @@ object RagSearch {
       .withColumn("ranker", lit(name))
       .select(col("ranker"), col("recall_at_k"), col("mrr"), col("ndcg"))
 
+  /** C1ep: PERTURBATION-truth retrieval eval — the discriminative
+    * counterpart of [[retrievalEval]]'s label proxy. Queries are
+    * deterministically corrupted copies of corpus documents (every
+    * `dropEvery`-th token removed — the ANN-benchmark "query = noisy
+    * point" construction); the ground truth is the SOURCE document, so a
+    * working retriever must separate from the random baseline (the label
+    * proxy scores every text ranker at chance because the synthetic
+    * labels are text-independent — the r14 eval-matrix finding this
+    * operator answers).
+    *
+    * The BM25 arm is evaluated here because it is fully SQL-expressible
+    * end-to-end (hash-matched); PerturbEvalSpec runs the same truth over
+    * the dense and hybrid arms with honest floors.
+    *
+    * The query batch is a bounded driver collect (`nQueries` rows — the
+    * k-means-centroid discipline); corpus cost is ONE tokenize pass with
+    * term hits filtered at the scan edge ([[Bm25.bm25ScoresOver]]'s
+    * shape). n_relevant is 1 per query by construction (source doc).
+    */
+  /** The perturbed query batch: `(query_id = -(doc_id+1), kept tokens)`
+    * for the first `nQueries` docs — shared by the driver query and
+    * PerturbEvalSpec's dense/hybrid arms so every arm answers the SAME
+    * corrupted queries. NEGATED ids (not an additive offset) so the query
+    * id space can never collide with a corpus doc_id at any scale — an
+    * offset constant would break silently once ids pass it.
+    */
+  private[graft] def perturbSource(queryId: Long): Long = -queryId - 1L
+  private[graft] def perturbQueries(docs: DataFrame, nQueries: Int,
+                                    dropEvery: Int): Seq[(Long, Seq[String])] =
+    docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id"),
+        filter(graft.functions.Text.tokens(col("text")),
+          (_, i) => i % dropEvery =!= dropEvery - 1).as("ptoks"))
+      .collect()
+      .map(r => (-(r.getLong(0) + 1L), r.getSeq[String](1).toSeq)).toSeq
+
+  def retrievalEvalPerturb(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 10, k: Int = 10,
+                           dropEvery: Int = 4): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val qRows = perturbQueries(docs, nQueries, dropEvery)
+    require(qRows.nonEmpty, s"retrievalEvalPerturb: no docs with doc_id < $nQueries")
+    val qTermPairs = qRows
+      .flatMap { case (qid, toks) => toks.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val termSet = qRows.flatMap(_._2).distinct
+    val prepped = docs
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        filter(col("toks"), t => t.isin(termSet.map(lit): _*)).as("hits"))
+      .localCheckpoint(false)
+    val stats = prepped.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = prepped
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scores = tf.join(broadcast(qTermPairs), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", Bm25.bm25Weight)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("w")) + lit(1e-9), 4).as("score"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val ranked = scores.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
+    val labels = docs.select(col("doc_id").as("vec_id"), col("doc_id").as("label"))
+      .union(qRows.map { case (qid, _) => (qid, perturbSource(qid)) }
+        .toDF("vec_id", "label"))
+    val qIds = qRows.map(_._1).toDF("query_id")
+    evalRankingOver(ranked, labels, k, Some(qIds))
+  }
+
   /** Append `cross` = cross-encoder score of (query, doc) text extracted
     * per row — the ONE batched mapPartitions scoring loop the driver
     * query and the facade serve share ([[graft.CrossEncoder.ScoreBatchSize]]

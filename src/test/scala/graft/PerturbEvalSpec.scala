@@ -1,0 +1,161 @@
+package graft
+
+import graft.operators.{Bm25, RagSearch}
+import graft.plans.VecExprs
+import graft.plans.VecExprs.HashEmbedAlg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Perturbation-truth retrieval eval — the DISCRIMINATIVE matrix: queries
+  * are corrupted copies of corpus docs, truth is the source doc, so a
+  * working ranker must separate from the random baseline (the label-proxy
+  * matrix cannot — its synthetic labels are text-independent, which
+  * scores every text arm at chance). Arms share ONE query batch via
+  * [[RagSearch.perturbQueries]].
+  */
+class PerturbEvalSpec extends SparkSpecBase {
+
+  private val k = 10
+  private val nQ = 10
+  private def docs: DataFrame = Tables.documents(spark, sf)
+  private lazy val qRows = RagSearch.perturbQueries(docs, nQ, 4)
+
+  private lazy val labels: DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("vec_id"), col("doc_id").as("label"))
+      .union(qRows.map { case (qid, _) =>
+        (qid, RagSearch.perturbSource(qid)) }.toDF("vec_id", "label"))
+  }
+  private lazy val qIds: DataFrame = {
+    import spark.implicits._
+    qRows.map(_._1).toDF("query_id")
+  }
+
+  /** Dense arm: hash-embed the corpus TEXT and each perturbed query,
+    * rank by 4dp cosine (the C1 conventions).
+    */
+  private def denseRanked: DataFrame = {
+    import spark.implicits._
+    VecExprs.register(spark)
+    val corpus = graft.HashEmbedder(64).embedFrame(docs, "text", "emb")
+      .select(col("doc_id").as("vec_id"), col("emb"))
+    val qv = qRows.map { case (qid, toks) =>
+      (qid, HashEmbedAlg.embed(toks.mkString(" "), 64).toSeq)
+    }.toDF("query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(qv))
+      .withColumn("score", round(VecExprs.cosineSim(col("emb"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank")
+  }
+
+  /** Lexical arm: the driver query's per-query metric rows re-keyed into
+    * a ranking via the same BM25 batch scorer shape is already covered by
+    * the driver query itself; here we reuse its METRICS directly.
+    */
+  private lazy val bm25Metrics =
+    RagSearch.retrievalEvalPerturb(spark, sf, nQ, k).collect()
+
+  private def meanOf(rows: Array[org.apache.spark.sql.Row],
+                     idx: Int): Double =
+    rows.map(_.getDouble(idx)).sum / rows.length
+
+  test("bm25 arm: near-perfect source recovery on 25%-dropped queries") {
+    assert(bm25Metrics.length == nQ, "one metric row per query")
+    val recall = meanOf(bm25Metrics, 2)
+    val mrr = meanOf(bm25Metrics, 3)
+    assert(recall >= 0.8, s"BM25 must recover the source doc: recall=$recall")
+    // the synthetic corpus reuses a small vocabulary heavily, so longer
+    // docs sharing the query's terms can outrank the true source — the
+    // honest floor is "source in the top few", not "source first"
+    // (measured 0.51 at sf0.001)
+    assert(mrr >= 0.4, s"BM25 must rank the source near the top: mrr=$mrr")
+  }
+
+  test("dense hash-embed arm separates from the random baseline") {
+    val m = RagSearch.evalRankingOver(denseRanked, labels, k, Some(qIds))
+      .collect()
+    assert(m.length == nQ)
+    val recall = meanOf(m, 2)
+    // random recall@10 with 1 relevant in a |corpus| pool is ~10/|corpus|;
+    // a 75%-token-overlap hash embedding must be far above it
+    val nDocs = docs.count().toDouble
+    val random = math.min(1.0, k / nDocs)
+    assert(recall >= math.max(0.5, 3 * random),
+      s"dense arm at chance: recall=$recall random=$random")
+  }
+
+  test("hybrid RRF of the two arms is at least as good as the weaker arm") {
+    val m = RagSearch.evalRankingOver(denseRanked, labels, k, Some(qIds))
+      .collect()
+    val dRecall = meanOf(m, 2)
+    val bRecall = meanOf(bm25Metrics, 2)
+    // RRF over two pools can't do worse than both constituents on a truth
+    // both recover: assert the weaker-arm floor rather than a fragile
+    // dominance claim
+    val hybrid = {
+      import spark.implicits._
+      val bmRanked = {
+        // reuse the operator's scorer by re-running it as a ranking:
+        // score each query's terms over the corpus (same algebra)
+        val qTermPairs = qRows.flatMap { case (qid, toks) =>
+          toks.distinct.map(t => (qid, t)) }.toDF("query_id", "term")
+        val termSet = qRows.flatMap(_._2).distinct
+        val prepped = docs
+          .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+            filter(col("toks"), t => t.isin(termSet.map(lit): _*)).as("hits"))
+        val stats = prepped.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val tf = prepped
+          .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        tf.join(broadcast(qTermPairs), "term")
+          .join(broadcast(dfq), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("w", Bm25.bm25Weight)
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(round(sum(col("w")) + lit(1e-9), 4).as("score"))
+          .withColumn("bm_rank", row_number().over(w))
+          .filter(col("bm_rank") <= k)
+          .select(col("query_id"), col("doc_id").as("vec_id"), col("bm_rank"))
+      }
+      val dr = denseRanked.withColumnRenamed("rank", "cos_rank")
+      val fused = bmRanked.join(dr, Seq("query_id", "vec_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("bm_rank") + Bm25.RrfC), lit(0.0)) +
+            coalesce(lit(1.0) / (col("cos_rank") + Bm25.RrfC), lit(0.0)))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("vec_id").asc)))
+        .filter(col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+      RagSearch.evalRankingOver(fused, labels, k, Some(qIds)).collect()
+    }
+    val hRecall = meanOf(hybrid, 2)
+    assert(hRecall >= math.min(dRecall, bRecall) - 1e-9,
+      s"hybrid recall $hRecall below both arms ($bRecall lexical, $dRecall dense)")
+    assert(hRecall >= 0.5, s"hybrid arm at chance: $hRecall")
+  }
+
+  test("perturb eval is deterministic and metric-bounded") {
+    val a = RagSearch.retrievalEvalPerturb(spark, sf, nQ, k)
+      .collect().map(_.toSeq).toSeq
+    val b = RagSearch.retrievalEvalPerturb(spark, sf, nQ, k)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    a.foreach { r =>
+      assert(r(1) == 1L, s"n_relevant must be 1 by construction: $r")
+      Seq(2, 3, 4).foreach { i =>
+        val v = r(i).asInstanceOf[Double]
+        assert(v >= 0.0 && v <= 1.0 + 1e-9, s"metric out of [0,1]: $r")
+      }
+    }
+  }
+}
