@@ -77,6 +77,11 @@ object SparkEntry {
     // C1e: retrieval metrics (recall@k / MRR / nDCG vs label truth) —
     // deterministic ranking + plain aggregates, fully oracle-matched.
     "retrieval_eval" -> ((s, dir) => RagSearch.retrievalEval(s, dir)),
+    // C1ep: perturbation-truth eval — queries are corrupted copies of
+    // corpus docs, truth = the source doc, so rankers must separate from
+    // chance (the discriminative receipt the label proxy can't give);
+    // BM25 arm fully SQL-replayed, dense/hybrid arms in PerturbEvalSpec.
+    "retrieval_eval_perturb" -> ((s, dir) => RagSearch.retrievalEvalPerturb(s, dir)),
     // C3 has no SQL oracle (k-means training isn't SQL-replicable): the
     // driver records the rows-only check; AnnIvfSpec bounds recall vs C1.
     "ann_ivf" -> ((s, dir) => AnnIvf.annIvf(s, dir)),
@@ -101,6 +106,11 @@ object SparkEntry {
       AnnIvf.ensureIvfIndex(s, dir, path)
       AnnIvf.annIvfServedFiltered(s, path)
     }),
+    // C4q: SQ8 scalar-quantized serving — closed-form encode, so unlike
+    // the trained compression arms this one is fully DuckDB hash-matched
+    // (quantize → dequantize → cosine → rank replayed in SQL); AnnSqSpec
+    // bounds quantization error and recall vs exact C1.
+    "ann_sq8" -> ((s, dir) => AnnSq.annSq8(s, dir)),
     // C5 likewise rows-only (per-subspace k-means); AnnIvfSpec bounds recall.
     "ann_pq" -> ((s, dir) => AnnPq.annPq(s, dir)),
     // C5o: OPTIMIZED PQ (Ge et al. 2013) — a learned orthogonal rotation
@@ -170,6 +180,12 @@ object SparkEntry {
     // unchanged — the store is under the full DuckDB hash gate
     "rag_bm25_served" -> ((s, dir) => Bm25.ragBm25Served(s, dir)),
     "rag_hybrid_served" -> ((s, dir) => Bm25.ragHybridServed(s, dir)),
+    // A10r: RM3 pseudo-relevance feedback — two-stage weighted BM25 with
+    // the full feedback→expansion→interpolation loop replayed in the
+    // oracle (deterministic 4dp selections); the served twin reads the
+    // postings store in BOTH stages and shares the oracle
+    "rag_bm25_rm3" -> ((s, dir) => Rm3.ragBm25Rm3(s, dir)),
+    "rag_bm25_rm3_served" -> ((s, dir) => Rm3.ragBm25Rm3Served(s, dir)),
     // D. text analysis
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -424,7 +440,8 @@ object SparkEntry {
   // oracle string each: a drift between store and scorer fails the gate
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("rag_bm25_served" -> oracleSqlBase("rag_bm25")) +
-    ("rag_hybrid_served" -> oracleSqlBase("rag_hybrid"))
+    ("rag_hybrid_served" -> oracleSqlBase("rag_hybrid")) +
+    ("rag_bm25_rm3_served" -> oracleSqlBase("rag_bm25_rm3"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "rag_bm25" ->
@@ -432,6 +449,39 @@ object SparkEntry {
          |SELECT bm.doc_id, round(bm25+1e-9, 4) AS bm25, substring(doc.text, 1, 80) AS snippet
          |FROM bm JOIN documents doc ON doc.doc_id = bm.doc_id
          |ORDER BY bm25 DESC, bm.doc_id LIMIT 10""".stripMargin,
+    // A10r: the RM3 loop replayed — feedback top-5 and expansion top-8
+    // selections on the SAME 4dp-quantized values the Spark side uses
+    // (ties doc_id / term asc); interpolation constants written as the
+    // identical ieee expressions (0.6/5, (1.0-0.6)*w/tot)
+    "rag_bm25_rm3" ->
+      s"""WITH $bm25Ctes,
+         |fb AS (SELECT doc_id, round(bm25+1e-9, 4) AS s FROM bm ORDER BY s DESC, doc_id LIMIT 5),
+         |fbt AS (SELECT d2.doc_id, fb.s, d2.dl, unnest(d2.toks) AS term
+         |        FROM d2 JOIN fb ON fb.doc_id = d2.doc_id),
+         |ftf AS (SELECT doc_id, s, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |        FROM fbt WHERE term NOT IN ('hash','join','table','scan','data')
+         |        GROUP BY doc_id, s, dl, term),
+         |wexp AS (SELECT term, round(sum(tf/dl*s)+1e-9, 4) AS w FROM ftf GROUP BY term),
+         |top8 AS (SELECT term, w FROM wexp WHERE w > 0 ORDER BY w DESC, term LIMIT 8),
+         |tot AS (SELECT sum(w) AS tot FROM top8),
+         |qw AS (SELECT term, 0.6/5 AS qw
+         |       FROM (VALUES ('hash'),('join'),('table'),('scan'),('data')) t(term)
+         |       UNION ALL
+         |       SELECT t8.term, (1.0-0.6)*t8.w/tot.tot AS qw FROM top8 t8, tot),
+         |tf2 AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d2) u
+         |        WHERE term IN (SELECT term FROM qw)
+         |        GROUP BY doc_id, dl, term),
+         |df2 AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf2 GROUP BY term),
+         |sc AS (SELECT tf2.doc_id,
+         |         sum( qw.qw * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+         |              * tf2.tf * (1.2 + 1.0)
+         |              / (tf2.tf + 1.2*(1.0 - 0.75 + 0.75*tf2.dl/s.avgdl)) ) AS rm3
+         |       FROM tf2 JOIN df2 d ON tf2.term = d.term JOIN qw ON qw.term = tf2.term, stats s
+         |       GROUP BY tf2.doc_id)
+         |SELECT sc.doc_id, round(rm3+1e-9, 4) AS rm3, substring(doc.text, 1, 80) AS snippet
+         |FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id
+         |ORDER BY rm3 DESC, sc.doc_id LIMIT 10""".stripMargin,
     "rag_hybrid" ->
       s"""WITH $bm25Ctes,
          |codes AS (SELECT doc_id,
@@ -508,6 +558,25 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc)
          |SELECT query_id, CAST(rn AS BIGINT) AS "rank", vec_id, score
          |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // C4q: closed-form SQ8 — encode (round(x·127/maxabs)) and decode
+    // (·scale/127 with the 6dp stored scale) replayed exactly, then the
+    // C1 batch rank/tie conventions
+    "ann_sq8" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS maxabs FROM e),
+         |dq AS (SELECT vec_id,
+         |         list_transform(emb, x ->
+         |           (CASE WHEN maxabs > 0 THEN round(x*127.0/maxabs + 1e-9) ELSE 0.0 END)
+         |             * round(maxabs + 1e-9, 6) / 127.0) AS demb
+         |       FROM m),
+         |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT q.query_id, dq.vec_id, round(${cosSql("dq.demb", "q.qv")}, 4) AS score
+         |       FROM dq, q WHERE dq.vec_id != q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", vec_id, score
+         |FROM r WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin,
     // C1m: the ITERATIVE greedy replayed in SQL — a recursive CTE carries
     // the selected set; every argmax compares the same 4 dp-quantized
     // scores the Spark greedy uses, ties on vec_id.
@@ -563,6 +632,48 @@ object SparkEntry {
          |  mrr,
          |  CASE WHEN n_relevant > 0 THEN dcg / list_sum(list_transform(range(1, least(10, n_relevant)+1), x -> CAST(1 AS DOUBLE)/log2(x+1))) ELSE CAST(0 AS DOUBLE) END AS ndcg
          |FROM m ORDER BY query_id""".stripMargin,
+    // C1ep: the perturbation construction + BM25 arm + metric pipeline —
+    // 0-based index drop via range(), 4dp score quantization before the
+    // rank window, generic metric formulas (n_relevant = 1 by design)
+    "retrieval_eval_perturb" ->
+      """WITH qsrc AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |              FROM documents WHERE doc_id < 10),
+        |q AS (SELECT -(doc_id + 1) AS query_id, doc_id AS src,
+        |        list_transform(list_filter(range(0, len(toks)), i -> i % 4 != 3),
+        |                       i -> toks[CAST(i+1 AS INT)]) AS ptoks
+        |      FROM qsrc),
+        |qt AS (SELECT DISTINCT query_id, term
+        |       FROM (SELECT query_id, unnest(ptoks) AS term FROM q) z),
+        |d3 AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl
+        |       FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |             FROM documents) d2),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d3),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d3) u
+        |       WHERE term IN (SELECT term FROM qt)
+        |       GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |         round(sum( ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+        |               * tf.tf * (1.2 + 1.0)
+        |               / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*tf.dl/s.avgdl)) ) + 1e-9, 4) AS score
+        |       FROM tf JOIN dfreq d ON tf.term = d.term JOIN qt ON qt.term = tf.term, stats s
+        |       GROUP BY qt.query_id, tf.doc_id),
+        |r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |      FROM sc),
+        |m AS (SELECT q.query_id,
+        |        CAST(1 AS BIGINT) AS n_relevant,
+        |        CAST(coalesce(sum(CASE WHEN r.doc_id = q.src THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+        |        coalesce(max(CASE WHEN r.doc_id = q.src THEN CAST(1 AS DOUBLE)/r.rn END), CAST(0 AS DOUBLE)) AS mrr,
+        |        coalesce(sum(CASE WHEN r.doc_id = q.src THEN CAST(1 AS DOUBLE)/log2(r.rn+1) END), CAST(0 AS DOUBLE)) AS dcg
+        |      FROM q LEFT JOIN r ON r.query_id = q.query_id AND r.rn <= 10
+        |      GROUP BY q.query_id)
+        |SELECT query_id, n_relevant,
+        |  CAST(hits AS DOUBLE)/least(10, n_relevant) AS recall_at_k,
+        |  mrr,
+        |  dcg / list_sum(list_transform(range(1, least(10, n_relevant)+1), x -> CAST(1 AS DOUBLE)/log2(x+1))) AS ndcg
+        |FROM m ORDER BY query_id""".stripMargin,
     "rag_topk_filtered" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |sc AS (SELECT q.query_id, e.vec_id, e.label, round(${cosSql("e.embedding", "q.qv")}, 4) AS score
