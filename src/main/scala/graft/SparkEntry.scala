@@ -111,6 +111,14 @@ object SparkEntry {
     // (quantize → dequantize → cosine → rank replayed in SQL); AnnSqSpec
     // bounds quantization error and recall vs exact C1.
     "ann_sq8" -> ((s, dir) => AnnSq.annSq8(s, dir)),
+    // C4qs: the SERVING path of C4q — dequantize the persisted int8 store
+    // scan-side; value-identical to ann_sq8 (shares its oracle), making
+    // this the one stored-compression serve under the full hash gate.
+    "ann_sq8_served" -> ((s, dir) => {
+      val path = AnnSq.defaultIndexPath(dir)
+      AnnSq.ensureSqIndex(s, dir, path)
+      AnnSq.annSq8Served(s, dir, path)
+    }),
     // C5 likewise rows-only (per-subspace k-means); AnnIvfSpec bounds recall.
     "ann_pq" -> ((s, dir) => AnnPq.annPq(s, dir)),
     // C5o: OPTIMIZED PQ (Ge et al. 2013) — a learned orthogonal rotation
@@ -441,7 +449,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("rag_bm25_served" -> oracleSqlBase("rag_bm25")) +
     ("rag_hybrid_served" -> oracleSqlBase("rag_hybrid")) +
-    ("rag_bm25_rm3_served" -> oracleSqlBase("rag_bm25_rm3"))
+    ("rag_bm25_rm3_served" -> oracleSqlBase("rag_bm25_rm3")) +
+    ("ann_sq8_served" -> oracleSqlBase("ann_sq8"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "rag_bm25" ->

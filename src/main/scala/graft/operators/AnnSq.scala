@@ -51,7 +51,11 @@ object AnnSq {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
-    val scored = RagSearch.withCosineScore(dequantized(e), q, "score", nudged = false)
+    rankFrom(dequantized(e), q, k)
+  }
+
+  private def rankFrom(corpus: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val scored = RagSearch.withCosineScore(corpus, q, "score", nudged = false)
       .select(col("query_id"), col("vec_id"), col("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -59,5 +63,102 @@ object AnnSq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
       .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- store
+
+  /** The persisted SQ8 store: ONE table `vectors/` holding
+    * `(vec_id, qvals int8[], scale, cid)` — the quantized representation
+    * IS the store (no raw-float table; that 4× cut is SQ8's point), cid
+    * a corpus-derived hash bucket ([[AnnPq.bucketCountFor]], the flat
+    * store's rewrite-unit rule, single-sourced). Because the encode is
+    * closed-form there is NO trained model to pin: incremental refresh is
+    * just re-quantizing the dirty rows, and the diff compares QUANTIZED
+    * payloads — a corpus edit too small to move any int8 code leaves the
+    * store byte-identical and correctly restamps instead of rewriting.
+    */
+  private def quantize(e: DataFrame, buckets: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("maxabs", array_max(transform(col("emb"), x => abs(x))))
+      .select(col("vec_id"),
+        transform(col("emb"), x =>
+          when(col("maxabs") > 0, round(x * 127.0 / col("maxabs") + lit(1e-9)))
+            .otherwise(lit(0.0)).cast("byte")).as("qvals"),
+        round(col("maxabs") + lit(1e-9), 6).as("scale"),
+        pmod(col("vec_id"), lit(buckets)).cast("int").as("cid"))
+
+  private val Dim = 64
+
+  private def sqManifest(spark: SparkSession, sfDir: String): String =
+    AnnStore.manifest("sq8",
+      Seq("dim" -> Dim,
+        "buckets" -> AnnPq.bucketCountFor(Tables.embeddings(spark, sfDir).count())),
+      AnnStore.corpusFingerprint(spark, sfDir))
+
+  private def manifestBuckets(manifest: String): Int =
+    AnnStore.manifestInt(manifest, "buckets").getOrElse(AnnPq.MinBuckets)
+
+  private def writeSqIndexWith(spark: SparkSession, sfDir: String,
+                               path: String, manifestStr: String): Unit =
+    AnnStore.writeStaged(spark, path, manifestStr) { staging =>
+      quantize(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")),
+        manifestBuckets(manifestStr))
+        .write.partitionBy("cid").parquet(staging + "/vectors")
+    }
+
+  /** Freshness-gated build-once for the persisted SQ8 layout. */
+  def ensureSqIndex(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val m = sqManifest(spark, sfDir)
+    AnnStore.ensureIndex(spark, path, m) {
+      writeSqIndexWith(spark, sfDir, path, m)
+    }
+  }
+
+  /** Incremental maintenance under the shared [[AnnStore.refreshIndex]]
+    * dispatch — `assignNew` re-quantizes (closed-form, nothing to pin),
+    * the rewrite unit is the hash bucket.
+    */
+  def refreshSqIndex(spark: SparkSession, sfDir: String, path: String,
+                     driftBound: Double = 0.3): DataFrame =
+    AnnStore.refreshIndex(spark, path, sqManifest(spark, sfDir),
+      assignNew = () => quantize(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+        manifestBuckets(sqManifest(spark, sfDir))),
+      rewrite = (affected, rows) => {
+        val fs = AnnStore.fileSystem(spark, path)
+        affected.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true)
+        }
+        rows.select(col("vec_id"), col("qvals"), col("scale"), col("cid"))
+          .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+      },
+      fullBuild = () => writeSqIndexWith(spark, sfDir, path, sqManifest(spark, sfDir)),
+      driftBound = driftBound)
+
+  def compactSqIndex(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L << 20): DataFrame =
+    AnnStore.compactIndex(spark, path, Seq("vectors"), targetBytes)
+
+  def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("sq8", sfDir)
+
+  /** C4qs: serving from the persisted store — dequantize scan-side
+    * (`qval·scale/127`, the identical ieee expression the in-plan arm
+    * computes), score full-precision queries asymmetrically. Value-
+    * identical to [[annSq8]] by construction, so it rides the same
+    * DuckDB oracle: a store↔scorer drift fails the hash gate.
+    */
+  def annSq8Served(spark: SparkSession, sfDir: String, indexPath: String,
+                   nQueries: Int = 10, k: Int = 5): DataFrame = {
+    VecExprs.register(spark)
+    AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
+    val corpus = spark.read.parquet(indexPath + "/vectors")
+      .select(col("vec_id"),
+        transform(col("qvals"),
+          q => q.cast("double") * col("scale") / 127.0).as("embedding"))
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    rankFrom(corpus, q, k)
   }
 }

@@ -461,6 +461,36 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(fs.getFileStatus(new Path(idx, AnnStore.ManifestFile)).getModificationTime == stamp)
   }
 
+  test("SQ8 refresh: dirty buckets re-quantized in place, serving stays value-identical") {
+    import graft.operators.AnnSq
+    VecExprs.register(spark)
+    val dir = copyCorpus()
+    val idx = Files.createTempDirectory("graft_refr_sq8").toString + "/idx"
+    AnnSq.ensureSqIndex(spark, dir, idx)
+    val before = cellFingerprints(idx, "/vectors")
+    // bucket = pmod(vec_id, 16): remove 7 (bucket 7), scale 23 (bucket 7 —
+    // scale-INVARIANT qvals but the stored scale column doubles, so the
+    // quantized-payload diff still flags it), copy 40 → 1000040 (bucket 8)
+    mutateOneCell(dir, Seq(7L, 23L, 40L))
+    val stats = AnnSq.refreshSqIndex(spark, dir, idx).head()
+    assert(stats.getAs[String]("mode") == "incremental")
+    assert(stats.getAs[Long]("n_added") == 1 && stats.getAs[Long]("n_changed") == 1 &&
+      stats.getAs[Long]("n_removed") == 1)
+    assert(stats.getAs[Long]("n_cells_rewritten") == 2)
+    val after = cellFingerprints(idx, "/vectors")
+    for ((b, fp) <- before if b != 7 && b != 8)
+      assert(after(b) == fp, s"bucket $b rewritten")
+    assert(after(7) != before(7) && after(8) != before(8))
+    // serving from the refreshed store == the in-plan arm on the NEW corpus
+    val served = AnnSq.annSq8Served(spark, dir, idx).collect().map(_.toSeq).toSeq
+    val inPlan = AnnSq.annSq8(spark, dir).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == inPlan)
+    // and the gate agrees the refreshed store is current
+    val stamp = fs.getFileStatus(new Path(idx, AnnStore.ManifestFile)).getModificationTime
+    AnnSq.ensureSqIndex(spark, dir, idx)
+    assert(fs.getFileStatus(new Path(idx, AnnStore.ManifestFile)).getModificationTime == stamp)
+  }
+
   test("flat PQ bucket count derives from corpus size (manifest-recorded, pow2 steps)") {
     import graft.operators.AnnPq
     // small corpora stay at the floor — the r9 layout, so existing stores'

@@ -43,6 +43,30 @@ class AnnSqSpec extends SparkSpecBase {
       s"SQ8 int8 recall@5 vs exact must be near-lossless, got $recall")
   }
 
+  test("store-served SQ8 equals the in-plan arm row for row") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sq8").toString + "/idx"
+    AnnSq.ensureSqIndex(spark, sf, path)
+    // the stored representation is genuinely int8 + one scale per vector
+    val sch = spark.read.parquet(path + "/vectors").schema
+    assert(sch("qvals").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true),
+      s"store must hold int8 codes, got ${sch("qvals").dataType}")
+    val served = AnnSq.annSq8Served(spark, sf, path)
+      .collect().map(_.toSeq).toSeq
+    val inPlan = AnnSq.annSq8(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == inPlan,
+      "served SQ8 must be value-identical to the in-plan arm")
+    // the gate doesn't rebuild a fresh store
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(path, graft.operators.AnnStore.ManifestFile)
+    val stamp = fs.getFileStatus(mPath).getModificationTime
+    AnnSq.ensureSqIndex(spark, sf, path)
+    assert(fs.getFileStatus(mPath).getModificationTime == stamp)
+  }
+
   test("output shape and determinism") {
     val a = AnnSq.annSq8(spark, sf).collect().map(_.toSeq).toSeq
     val b = AnnSq.annSq8(spark, sf).collect().map(_.toSeq).toSeq
