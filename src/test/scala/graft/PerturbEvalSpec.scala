@@ -52,10 +52,52 @@ class PerturbEvalSpec extends SparkSpecBase {
       .select("query_id", "vec_id", "rank")
   }
 
-  /** Lexical arm: the driver query's per-query metric rows re-keyed into
-    * a ranking via the same BM25 batch scorer shape is already covered by
-    * the driver query itself; here we reuse its METRICS directly.
+  /** Lexical arm as a RANKING (the driver query's scorer shape re-run for
+    * fusion and the matrix; the driver query itself emits the metrics).
     */
+  private def bm25Ranked: DataFrame = {
+    import spark.implicits._
+    val qTermPairs = qRows.flatMap { case (qid, toks) =>
+      toks.distinct.map(t => (qid, t)) }.toDF("query_id", "term")
+    val termSet = qRows.flatMap(_._2).distinct
+    val prepped = docs
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        filter(col("toks"), t => t.isin(termSet.map(lit): _*)).as("hits"))
+    val stats = prepped.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = prepped
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(qTermPairs), "term")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", Bm25.bm25Weight)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("w")) + lit(1e-9), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
+  }
+
+  /** Hybrid arm: RRF fusion of the lexical and dense pools. */
+  private def fusedRanked: DataFrame = {
+    val bm = bm25Ranked.withColumnRenamed("rank", "bm_rank")
+    val dr = denseRanked.withColumnRenamed("rank", "cos_rank")
+    bm.join(dr, Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("bm_rank") + Bm25.RrfC), lit(0.0)) +
+          coalesce(lit(1.0) / (col("cos_rank") + Bm25.RrfC), lit(0.0)))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank")
+  }
+
   private lazy val bm25Metrics =
     RagSearch.retrievalEvalPerturb(spark, sf, nQ, k).collect()
 
@@ -73,6 +115,11 @@ class PerturbEvalSpec extends SparkSpecBase {
     // honest floor is "source in the top few", not "source first"
     // (measured 0.51 at sf0.001)
     assert(mrr >= 0.4, s"BM25 must rank the source near the top: mrr=$mrr")
+    // the driver query and the ranking arm agree (one scorer, two shapes)
+    val viaRanking = RagSearch.evalRankingOver(bm25Ranked, labels, k, Some(qIds))
+      .collect()
+    assert(viaRanking.map(_.toSeq).toSeq == bm25Metrics.map(_.toSeq).toSeq,
+      "bm25 ranking arm must reproduce the driver query's metrics")
   }
 
   test("dense hash-embed arm separates from the random baseline") {
@@ -89,59 +136,36 @@ class PerturbEvalSpec extends SparkSpecBase {
   }
 
   test("hybrid RRF of the two arms is at least as good as the weaker arm") {
-    val m = RagSearch.evalRankingOver(denseRanked, labels, k, Some(qIds))
-      .collect()
-    val dRecall = meanOf(m, 2)
+    val d = RagSearch.evalRankingOver(denseRanked, labels, k, Some(qIds)).collect()
+    val h = RagSearch.evalRankingOver(fusedRanked, labels, k, Some(qIds)).collect()
+    val dRecall = meanOf(d, 2)
     val bRecall = meanOf(bm25Metrics, 2)
+    val hRecall = meanOf(h, 2)
     // RRF over two pools can't do worse than both constituents on a truth
     // both recover: assert the weaker-arm floor rather than a fragile
     // dominance claim
-    val hybrid = {
-      import spark.implicits._
-      val bmRanked = {
-        // reuse the operator's scorer by re-running it as a ranking:
-        // score each query's terms over the corpus (same algebra)
-        val qTermPairs = qRows.flatMap { case (qid, toks) =>
-          toks.distinct.map(t => (qid, t)) }.toDF("query_id", "term")
-        val termSet = qRows.flatMap(_._2).distinct
-        val prepped = docs
-          .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-            filter(col("toks"), t => t.isin(termSet.map(lit): _*)).as("hits"))
-        val stats = prepped.agg(count(lit(1)).cast("double").as("n_docs"),
-          avg(col("dl")).as("avgdl"))
-        val tf = prepped
-          .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id").asc)
-        tf.join(broadcast(qTermPairs), "term")
-          .join(broadcast(dfq), "term")
-          .crossJoin(broadcast(stats))
-          .withColumn("w", Bm25.bm25Weight)
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(round(sum(col("w")) + lit(1e-9), 4).as("score"))
-          .withColumn("bm_rank", row_number().over(w))
-          .filter(col("bm_rank") <= k)
-          .select(col("query_id"), col("doc_id").as("vec_id"), col("bm_rank"))
-      }
-      val dr = denseRanked.withColumnRenamed("rank", "cos_rank")
-      val fused = bmRanked.join(dr, Seq("query_id", "vec_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (col("bm_rank") + Bm25.RrfC), lit(0.0)) +
-            coalesce(lit(1.0) / (col("cos_rank") + Bm25.RrfC), lit(0.0)))
-        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("rrf").desc, col("vec_id").asc)))
-        .filter(col("rank") <= k)
-        .select("query_id", "vec_id", "rank")
-      RagSearch.evalRankingOver(fused, labels, k, Some(qIds)).collect()
-    }
-    val hRecall = meanOf(hybrid, 2)
     assert(hRecall >= math.min(dRecall, bRecall) - 1e-9,
       s"hybrid recall $hRecall below both arms ($bRecall lexical, $dRecall dense)")
     assert(hRecall >= 0.5, s"hybrid arm at chance: $hRecall")
+  }
+
+  test("perturbation matrix: every text arm separates from chance") {
+    val arms = Seq(
+      "bm25" -> bm25Ranked,
+      "dense_hash" -> denseRanked,
+      "hybrid_rrf" -> fusedRanked)
+    val matrix = arms.map { case (name, ranked) =>
+      val r = RagSearch.evalMatrixRow(name, ranked, labels, k, Some(qIds))
+        .collect().head
+      (name, r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val random = math.min(1.0, k / docs.count().toDouble)
+    matrix.foreach { case (name, recall, mrr, ndcg) =>
+      info(f"$name%-10s recall@$k=$recall%.3f mrr=$mrr%.3f ndcg=$ndcg%.3f (random=$random%.3f)")
+      assert(recall >= 3 * random,
+        s"$name does not separate from the random baseline: $recall vs $random")
+      assert(ndcg > 0.0 && mrr > 0.0, s"$name produced degenerate metrics")
+    }
   }
 
   test("perturb eval is deterministic and metric-bounded") {
