@@ -32,16 +32,17 @@ class PerturbEvalSpec extends SparkSpecBase {
     qRows.map(_._1).toDF("query_id")
   }
 
-  /** Dense arm: hash-embed the corpus TEXT and each perturbed query,
-    * rank by 4dp cosine (the C1 conventions).
+  /** A dense arm under ANY [[graft.Embedder]]: embed the corpus TEXT and
+    * each perturbed query in that model's space, rank by 4dp cosine (the
+    * C1 conventions).
     */
-  private def denseRanked: DataFrame = {
+  private def rankedFor(emb: graft.Embedder): DataFrame = {
     import spark.implicits._
     VecExprs.register(spark)
-    val corpus = graft.HashEmbedder(64).embedFrame(docs, "text", "emb")
+    val corpus = emb.embedFrame(docs, "text", "emb")
       .select(col("doc_id").as("vec_id"), col("emb"))
     val qv = qRows.map { case (qid, toks) =>
-      (qid, HashEmbedAlg.embed(toks.mkString(" "), 64).toSeq)
+      (qid, emb.embedText(toks.mkString(" ")).toSeq)
     }.toDF("query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -51,6 +52,9 @@ class PerturbEvalSpec extends SparkSpecBase {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "rank")
   }
+
+  /** Hash-embed arm — the C1 space. */
+  private def denseRanked: DataFrame = rankedFor(graft.HashEmbedder(64))
 
   /** Lexical arm as a RANKING (the driver query's scorer shape re-run for
     * fusion and the matrix; the driver query itself emits the metrics).
@@ -153,7 +157,11 @@ class PerturbEvalSpec extends SparkSpecBase {
     val arms = Seq(
       "bm25" -> bm25Ranked,
       "dense_hash" -> denseRanked,
-      "hybrid_rrf" -> fusedRanked)
+      "hybrid_rrf" -> fusedRanked,
+      // the learned/seeded embedding spaces on the same truth — the
+      // cross-ranker wiring the label proxy could not discriminate
+      "w2v" -> rankedFor(graft.Word2VecEmbedder.train(spark, docs)),
+      "tx_seeded" -> rankedFor(graft.TransformerEmbedder.seeded(spark)))
     val matrix = arms.map { case (name, ranked) =>
       val r = RagSearch.evalMatrixRow(name, ranked, labels, k, Some(qIds))
         .collect().head
