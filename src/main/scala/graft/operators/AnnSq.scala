@@ -120,11 +120,12 @@ object AnnSq {
     * the rewrite unit is the hash bucket.
     */
   def refreshSqIndex(spark: SparkSession, sfDir: String, path: String,
-                     driftBound: Double = 0.3): DataFrame =
-    AnnStore.refreshIndex(spark, path, sqManifest(spark, sfDir),
+                     driftBound: Double = 0.3): DataFrame = {
+    val manifest = sqManifest(spark, sfDir)
+    AnnStore.refreshIndex(spark, path, manifest,
       assignNew = () => quantize(
         Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
-        manifestBuckets(sqManifest(spark, sfDir))),
+        manifestBuckets(manifest)),
       rewrite = (affected, rows) => {
         val fs = AnnStore.fileSystem(spark, path)
         affected.foreach { c =>
@@ -133,8 +134,9 @@ object AnnSq {
         rows.select(col("vec_id"), col("qvals"), col("scale"), col("cid"))
           .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
       },
-      fullBuild = () => writeSqIndexWith(spark, sfDir, path, sqManifest(spark, sfDir)),
+      fullBuild = () => writeSqIndexWith(spark, sfDir, path, manifest),
       driftBound = driftBound)
+  }
 
   def compactSqIndex(spark: SparkSession, path: String,
                      targetBytes: Long = 128L << 20): DataFrame =
