@@ -194,6 +194,10 @@ object SparkEntry {
     // postings store in BOTH stages and shares the oracle
     "rag_bm25_rm3" -> ((s, dir) => Rm3.ragBm25Rm3(s, dir)),
     "rag_bm25_rm3_served" -> ((s, dir) => Rm3.ragBm25Rm3Served(s, dir)),
+    // A10rb: the BATCH arm — every selection a per-query window, the
+    // whole loop replayed per query in one SQL body; per-query rows
+    // identical to the single arm (spec-pinned on the shared query)
+    "rag_bm25_rm3_batch" -> ((s, dir) => Rm3.ragBm25Rm3Batch(s, dir)),
     // D. text analysis
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -491,6 +495,70 @@ object SparkEntry {
          |SELECT sc.doc_id, round(rm3+1e-9, 4) AS rm3, substring(doc.text, 1, 80) AS snippet
          |FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id
          |ORDER BY rm3 DESC, sc.doc_id LIMIT 10""".stripMargin,
+    // A10rb: the batch loop — VALUES query table, per-query windows for
+    // every selection, NOT EXISTS for the per-query original-term
+    // exclusion, λ/|q| per query via the qn count
+    "rag_bm25_rm3_batch" ->
+      """WITH qdef AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'hash join table scan data'),
+        |                                    (1, 'sort merge window stream'),
+        |                                    (2, 'filter column vector query')) v(query_id, qtext)),
+        |qt AS (SELECT DISTINCT query_id, term
+        |       FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM qdef) z
+        |       WHERE len(term) > 0),
+        |qn AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS nt FROM qt GROUP BY query_id),
+        |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl
+        |       FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |             FROM documents) d0),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d2),
+        |tf1 AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d2) u
+        |        WHERE term IN (SELECT term FROM qt)
+        |        GROUP BY doc_id, dl, term),
+        |df1 AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf1 GROUP BY term),
+        |s1 AS (SELECT qt.query_id, tf1.doc_id,
+        |         round(sum( ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+        |               * tf1.tf * (1.2 + 1.0)
+        |               / (tf1.tf + 1.2*(1.0 - 0.75 + 0.75*tf1.dl/s.avgdl)) ) + 1e-9, 4) AS s
+        |       FROM tf1 JOIN df1 d ON tf1.term = d.term JOIN qt ON qt.term = tf1.term, stats s
+        |       GROUP BY qt.query_id, tf1.doc_id),
+        |fb AS (SELECT query_id, doc_id, s
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn FROM s1)
+        |       WHERE rn <= 5),
+        |ftf AS (SELECT query_id, doc_id, s, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM (SELECT fb.query_id, fb.doc_id, fb.s, d2.dl, unnest(d2.toks) AS term
+        |              FROM d2 JOIN fb ON fb.doc_id = d2.doc_id) ft
+        |        WHERE NOT EXISTS (SELECT 1 FROM qt x WHERE x.query_id = ft.query_id AND x.term = ft.term)
+        |        GROUP BY query_id, doc_id, s, dl, term),
+        |wexp AS (SELECT query_id, term, round(sum(tf/dl*s)+1e-9, 4) AS w
+        |         FROM ftf GROUP BY query_id, term),
+        |top8 AS (SELECT query_id, term, w
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY w DESC, term) AS rn
+        |               FROM wexp WHERE w > 0)
+        |         WHERE rn <= 8),
+        |tot AS (SELECT query_id, sum(w) AS tot FROM top8 GROUP BY query_id),
+        |qw AS (SELECT qt.query_id, qt.term, 0.6/qn.nt AS qw
+        |       FROM qt JOIN qn ON qn.query_id = qt.query_id
+        |       UNION ALL
+        |       SELECT t8.query_id, t8.term, (1.0-0.6)*t8.w/tot.tot AS qw
+        |       FROM top8 t8 JOIN tot ON tot.query_id = t8.query_id),
+        |tf2 AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d2) u
+        |        WHERE term IN (SELECT DISTINCT term FROM qw)
+        |        GROUP BY doc_id, dl, term),
+        |df2 AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf2 GROUP BY term),
+        |sc AS (SELECT qw.query_id, tf2.doc_id,
+        |         sum( qw.qw * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+        |              * tf2.tf * (1.2 + 1.0)
+        |              / (tf2.tf + 1.2*(1.0 - 0.75 + 0.75*tf2.dl/s.avgdl)) ) AS rm3
+        |       FROM tf2 JOIN df2 d ON tf2.term = d.term JOIN qw ON qw.term = tf2.term, stats s
+        |       GROUP BY qw.query_id, tf2.doc_id),
+        |r AS (SELECT query_id, doc_id, round(rm3+1e-9, 4) AS rm3,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY round(rm3+1e-9, 4) DESC, doc_id) AS rn
+        |      FROM sc)
+        |SELECT r.query_id, r.doc_id, r.rm3, substring(doc.text, 1, 80) AS snippet
+        |FROM r JOIN documents doc ON doc.doc_id = r.doc_id
+        |WHERE r.rn <= 10
+        |ORDER BY r.query_id, r.rm3 DESC, r.doc_id""".stripMargin,
     "rag_hybrid" ->
       s"""WITH $bm25Ctes,
          |codes AS (SELECT doc_id,

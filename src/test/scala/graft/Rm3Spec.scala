@@ -93,6 +93,25 @@ class Rm3Spec extends SparkSpecBase {
       "weighted store serve must be value-identical to the in-plan scorer")
   }
 
+  test("batch RM3: per-query rows identical to the single-query arm") {
+    val batch = Rm3.ragBm25Rm3Batch(spark, sf).collect()
+    assert(batch.nonEmpty)
+    val perQ = batch.groupBy(_.getLong(0))
+    assert(perQ.keySet == Rm3.BatchQueries.indices.map(_.toLong).toSet,
+      "every batch query must produce rows")
+    perQ.values.foreach(rows => assert(rows.length <= 10))
+    // the windowed batch loop must replay the orderBy/limit single loop
+    // exactly — feedback sets, expansion models, interpolation, scores
+    Rm3.BatchQueries.zipWithIndex.foreach { case (q, i) =>
+      val single = Rm3.ragBm25Rm3(spark, sf, q)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      val fromBatch = perQ(i.toLong)
+        .map(r => (r.getLong(1), r.getDouble(2), r.getString(3))).toSeq
+      assert(fromBatch == single,
+        s"batch query $i ('$q') diverged from the single-query arm")
+    }
+  }
+
   test("rm3 determinism: two runs produce identical output") {
     val a = Rm3.ragBm25Rm3(spark, sf).collect().map(_.toSeq).toSeq
     val b = Rm3.ragBm25Rm3(spark, sf).collect().map(_.toSeq).toSeq
