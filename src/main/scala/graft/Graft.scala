@@ -738,6 +738,59 @@ class Graft(spark: SparkSession, sfDir: String,
       bm25From = Some(operators.Bm25Store.scoresFromStoreBatch(spark, lexPath, queries)))
   }
 
+  /** RM3 pseudo-relevance-feedback search (Lavrenko & Croft 2001;
+    * [[operators.Rm3]]) over the CHUNK index — the facade's recall
+    * booster for vocabulary-mismatch queries: stage-1 BM25 from the
+    * postings store picks top-N feedback chunks, their text (a bounded
+    * ≤N-row broadcast join against the cached [[servingIndex]]) yields
+    * the relevance-model expansion terms, and ONE weighted pruned
+    * postings read scores the λ-interpolated query
+    * ([[operators.Bm25Store.weightedScoresFromStore]]). Serve cost is
+    * the |q|+M expanded terms' posting buckets — the corpus is never
+    * scanned. Freshness rides [[ragQueryHybrid]]'s two-clock contract.
+    */
+  def ragQueryRm3(query: String, topK: Int = 10,
+                  fbDocs: Int = operators.Rm3.FbDocs,
+                  fbTerms: Int = operators.Rm3.FbTerms,
+                  lambda: Double = operators.Rm3.Lambda): DataFrame = {
+    val lexPath = ensureChunkLexIndex()
+    val orig = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(orig.nonEmpty, "ragQueryRm3: empty query")
+    val fbF = operators.Bm25Store.scoresFromStore(spark, lexPath, query)
+      .select(col("doc_id"), col("chunk_idx"),
+        round(col("bm25") + lit(1e-9), 4).as("s"))
+      .orderBy(col("s").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(fbDocs)
+    val expTerms = servingIndex.join(broadcast(fbF), Seq("doc_id", "chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), col("s"),
+        functions.Text.tokens(col("chunk_text")).as("toks"))
+      .select(col("doc_id"), col("chunk_idx"), col("s"),
+        size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(!col("term").isin(orig.map(lit): _*))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("s"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .groupBy(col("term"))
+      .agg(round(sum(col("tf") / col("dl") * col("s")) + lit(1e-9), 4).as("w"))
+      .filter(col("w") > 0)
+      .orderBy(col("w").desc, col("term").asc)
+      .limit(fbTerms)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val tot = expTerms.map(_._2).sum
+    val weights = orig.map(t => t -> lambda / orig.length) ++ {
+      if (expTerms.isEmpty || tot <= 0) Nil
+      else expTerms.map { case (t, w) => t -> (1.0 - lambda) * w / tot }
+    }
+    operators.Bm25Store.weightedScoresFromStore(spark, lexPath, weights)
+      .join(servingIndex.select(col("doc_id"), col("chunk_idx"), col("chunk_text")),
+        Seq("doc_id", "chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        round(col("bm25") + lit(1e-9), 4).as("rm3"),
+        substring(col("chunk_text"), 1, 80).as("snippet"))
+      .orderBy(col("rm3").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(Graft.clampTopK(topK))
+  }
+
   /** FULLY-SERVED hybrid search (r14): both legs read persisted pruned
     * stores — BM25 from the postings index (only the query terms'
     * buckets), cosine from the chunk-IVF index (only the probed cells) —
