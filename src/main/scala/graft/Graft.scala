@@ -300,7 +300,7 @@ class Graft(spark: SparkSession, sfDir: String,
       storedChunkAnnManifest match {
         case None => ("absent", -1L)
         case Some(stored) =>
-          val k = operators.AnnStore.manifestInt(stored, "k").getOrElse(16)
+          val k = operators.AnnStore.manifestInt(stored, "k").getOrElse(Graft.DefaultChunkAnnK)
           val r = operators.AnnIvf.refreshIndexOver(
             spark, chunkAnnPath, newE, chunkAnnManifest(k, fp)).head()
           (r.getAs[String]("mode"), r.getAs[Long]("n_cells_rewritten"))
@@ -440,7 +440,7 @@ class Graft(spark: SparkSession, sfDir: String,
     * the graph build defaults live for every consumer of the stored params.
     */
   private def chunkGraphParams(stored: Option[String]): (Int, Int) = stored match {
-    case Some(m) => (operators.AnnStore.manifestInt(m, "k").getOrElse(16),
+    case Some(m) => (operators.AnnStore.manifestInt(m, "k").getOrElse(Graft.DefaultChunkAnnK),
       operators.AnnStore.manifestInt(m, "degree").getOrElse(8))
     case None => (16, 8)
   }
@@ -544,7 +544,7 @@ class Graft(spark: SparkSession, sfDir: String,
     // honor an existing index's own k (like reindexDirectory's refresh) —
     // a caller who built at k=32 must not get a silent k=16 rebuild here
     val k = storedChunkAnnManifest
-      .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(16)
+      .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(Graft.DefaultChunkAnnK)
     val path = ensureChunkAnnIndex(k)
     // embed driver-side with the executors' exact algorithm, ship as a
     // bounded literal frame (nQueries rows) — the corpus side never collects
@@ -810,7 +810,7 @@ class Graft(spark: SparkSession, sfDir: String,
   private def servedHybridSetup(): (String, String, Array[Array[Double]]) = {
     val lexPath = ensureChunkLexIndex()
     val k = storedChunkAnnManifest
-      .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(16)
+      .flatMap(m => operators.AnnStore.manifestInt(m, "k")).getOrElse(Graft.DefaultChunkAnnK)
     val annPath = ensureChunkAnnIndex(k)
     operators.AnnStore.healCompacted(spark, annPath, Seq("vectors"))
     (lexPath, annPath, operators.AnnStore.readCentroids(spark, annPath))
@@ -1275,6 +1275,14 @@ object Graft {
     */
   private[graft] val ChunkIndexKind = "chunk_ivf"
   private[graft] val ChunkGraphKind = "chunk_graph"
+
+  /** Default k of the chunk-ANN index — the ONE place the literal lives:
+    * `ensureChunkAnnIndex`'s default parameter AND every stored-manifest
+    * fallback (`.getOrElse`) read it, so a default change can never leave
+    * the served-hybrid setup gating a different k than the rest of the
+    * facade.
+    */
+  private[graft] val DefaultChunkAnnK = 16
 
   /** Column form of the watch exclusion test, evaluated on the EXECUTORS.
     * A `path` is excluded iff it sits under the watched root AND one of

@@ -230,7 +230,11 @@ object AnnOpq {
           VecExprs.centroidAssign(
             slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
             books(j), useCosine = false).as(s"c$j"))
-        val enc = rows.withColumn("emb", col("embedding").cast("array<double>"))
+        // null embeddings are excluded from codes/ in the full build
+        // ([[writeOpqIndexWith]]'s `emb.isNotNull` filter) — mirror it here
+        // so a refreshed store stays content-identical to a cold rebuild
+        val enc = rows.filter(col("embedding").isNotNull)
+          .withColumn("emb", col("embedding").cast("array<double>"))
         val fs = AnnStore.fileSystem(spark, path)
         affected.foreach { c =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cid=$c"), true)

@@ -173,6 +173,8 @@ object Bm25Store {
                               weights: Seq[(String, Double)]): DataFrame = {
     import spark.implicits._
     require(weights.nonEmpty, "weightedScoresFromStore: empty weight set")
+    require(weights.map(_._1).distinct.length == weights.length,
+      "weightedScoresFromStore: duplicate term in weight set")
     healStats(spark, path)
     val wF = weights.toDF("term", "qw")
     val posts = prunedPostings(spark, path, weights.map(_._1))
