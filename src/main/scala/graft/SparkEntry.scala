@@ -178,6 +178,9 @@ object SparkEntry {
     "pdf_decode" -> ((s, dir) => Multimodal.pdfDecode(s, dir)),
     "pdf_decode_real" -> ((s, dir) => Multimodal.pdfRoundTrip(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.multimodalMeta(s, dir)),
+    "img_decode_real" -> ((s, dir) => Multimodal.imgRoundTrip(s, dir)),
+    "img_frames" -> ((s, dir) => Multimodal.imgFrameSample(s, dir)),
+    "img_resize_real" -> ((s, dir) => Multimodal.imgResize(s, dir)),
     // A. hybrid retrieval (the reference's planned BM25+embedding extension)
     "rag_bm25" -> ((s, dir) => Bm25.ragBm25(s, dir)),
     "rag_hybrid" -> ((s, dir) => Bm25.ragHybrid(s, dir)),
@@ -427,6 +430,15 @@ object SparkEntry {
   /** The default query's hash-embedding as a DuckDB list literal (the same
     * vector the Spark side ships as a Column literal).
     */
+  /** The synthetic-raster sample value at flat index `idx` — the SQL twin
+    * of [[operators.Multimodal.imgPixels]]'s formula (row-major, channels
+    * interleaved: y = idx div row, x = (idx mod row) div ch, c = idx mod
+    * ch). Shared by the img_decode_real and img_frames oracles.
+    */
+  private lazy val imgPixelValSql: String =
+    "(doc_id*31 + (idx // (width*ch))*17 + ((idx % (width*ch)) // ch)*5" +
+      " + (idx % ch)*7) % 256"
+
   private lazy val hybridQueryVecSql: String =
     graft.plans.VecExprs.HashEmbedAlg.embed(operators.Bm25.DefaultQuery, 64)
       .map(_.toString).mkString("[", ", ", "]")
@@ -969,6 +981,97 @@ object SparkEntry {
         |       sha256(text) AS sha256,
         |       lower(hex(CAST(substring(text, 1, 8) AS BLOB))) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the image round trip: the Spark side encodes the closed-form raster as
+    // a real PNG (row filter rotating through all five types), decodes it
+    // with the library-free codec, and reports stats from the DECODED
+    // pixels; the oracle regenerates the same stats straight from the pixel
+    // formula — a hash match proves the codec round-trips byte-exactly
+    "img_decode_real" ->
+      s"""WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+        |         CAST(8 + doc_id % 7 AS INT) AS height,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+        |              ELSE 4 END AS ch
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, width, height, ch, idx, $imgPixelValSql AS val
+        |  FROM (SELECT doc_id, width, height, ch,
+        |               unnest(range(0, CAST(width*height*ch AS BIGINT))) AS idx
+        |        FROM dims) z)
+        |SELECT doc_id, width, height,
+        |       CAST(width*height*ch AS BIGINT) AS n_pixels,
+        |       md5(string_agg(lpad(CAST(val AS VARCHAR), 3, '0'), ''
+        |                      ORDER BY idx)) AS pixel_hash,
+        |       round(avg(val) + 1e-9, 4) AS mean_luma
+        |FROM v GROUP BY doc_id, width, height, ch ORDER BY doc_id""".stripMargin,
+    // frame sampling over the same decoded rasters: frame = row strip,
+    // every 3rd row kept; the oracle groups the formula pixels by row
+    "img_frames" ->
+      s"""WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+        |         CAST(8 + doc_id % 7 AS INT) AS height,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+        |              ELSE 4 END AS ch
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, width, height, ch, idx, $imgPixelValSql AS val
+        |  FROM (SELECT doc_id, width, height, ch,
+        |               unnest(range(0, CAST(width*height*ch AS BIGINT))) AS idx
+        |        FROM dims) z)
+        |SELECT doc_id, idx // (width*ch) AS frame_idx,
+        |       md5(string_agg(lpad(CAST(val AS VARCHAR), 3, '0'), ''
+        |                      ORDER BY idx)) AS frame_hash,
+        |       round(avg(val) + 1e-9, 4) AS frame_mean
+        |FROM v WHERE (idx // (width*ch)) % 3 = 0
+        |GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
+    // bilinear resample replayed closed-form: source pixels from the
+    // generation formula, the IDENTICAL IEEE double expression order as
+    // Png.resizeBilinear (half-pixel centers, edge clamp, floor(v+0.5)
+    // rounding) — doubles are deterministic when the expression tree
+    // matches, so the hash pins the kernel bit-for-bit
+    "img_resize_real" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+        |         CAST(8 + doc_id % 7 AS INT) AS height,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+        |              ELSE 4 END AS ch
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, width, height, ch, oidx,
+        |         oidx // (5*ch) AS oy, (oidx % (5*ch)) // ch AS ox,
+        |         oidx % ch AS c
+        |  FROM (SELECT doc_id, width, height, ch,
+        |               unnest(range(0, CAST(5*9*ch AS BIGINT))) AS oidx
+        |        FROM dims) z),
+        |g AS (
+        |  SELECT doc_id, width, height, oidx, c,
+        |         greatest(0.0, least(width - 1.0,
+        |                             (ox + 0.5) * width / 5 - 0.5)) AS gx,
+        |         greatest(0.0, least(height - 1.0,
+        |                             (oy + 0.5) * height / 9 - 0.5)) AS gy
+        |  FROM o),
+        |q AS (
+        |  SELECT doc_id, oidx, c,
+        |         CAST(floor(gx) AS BIGINT) AS x0,
+        |         least(width - 1, CAST(floor(gx) AS BIGINT) + 1) AS x1,
+        |         gx - CAST(floor(gx) AS BIGINT) AS fx,
+        |         CAST(floor(gy) AS BIGINT) AS y0,
+        |         least(height - 1, CAST(floor(gy) AS BIGINT) + 1) AS y1,
+        |         gy - CAST(floor(gy) AS BIGINT) AS fy
+        |  FROM g),
+        |v AS (
+        |  SELECT doc_id, oidx, CAST(floor(
+        |    (((doc_id*31 + y0*17 + x0*5 + c*7) % 256) * (1 - fx)
+        |     + ((doc_id*31 + y0*17 + x1*5 + c*7) % 256) * fx) * (1 - fy)
+        |    + (((doc_id*31 + y1*17 + x0*5 + c*7) % 256) * (1 - fx)
+        |       + ((doc_id*31 + y1*17 + x1*5 + c*7) % 256) * fx) * fy
+        |    + 0.5) AS BIGINT) AS val
+        |  FROM q)
+        |SELECT doc_id, CAST(5 AS INT) AS out_w, CAST(9 AS INT) AS out_h,
+        |       md5(string_agg(lpad(CAST(val AS VARCHAR), 3, '0'), ''
+        |                      ORDER BY oidx)) AS pixel_hash,
+        |       round(avg(val) + 1e-9, 4) AS mean_val
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lang_id" -> s"WITH $langIdBody",
     "lang_id_cjk" -> s"WITH $cjkDocsCte, $langIdBody",
     "quality_score" -> s"WITH $qualityScoreBody",

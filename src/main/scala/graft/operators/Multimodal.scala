@@ -355,6 +355,188 @@ object Multimodal {
     } catch { case _: Exception => ("unknown", None, None, None, None, None) }
   }
 
+  // ------------------------------------------------------------ real images
+
+  /** Deterministic synthetic raster for a document — the pixel analog of
+    * the sanitized-text envelope [[pdfRoundTrip]] encodes: dimensions and
+    * every sample value are closed-form in (doc_id, y, x, c), so the DuckDB
+    * oracle can regenerate the exact bytes WITHOUT a PNG codec and the
+    * round trip proves the real decode byte-for-byte. Channel count rotates
+    * gray/RGB/RGBA so one corpus exercises every bpp the un-filter loop
+    * supports.
+    */
+  private[graft] def imgPixels(id: Long): graft.functions.Png.Image = {
+    val w = 8 + Math.floorMod(id, 9L).toInt
+    val h = 8 + Math.floorMod(id, 7L).toInt
+    val ch = Math.floorMod(id, 3L).toInt match { case 0 => 1; case 1 => 3; case _ => 4 }
+    val px = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          px((y * w + x) * ch + c) =
+            Math.floorMod(id * 31 + y * 17 + x * 5 + c * 7, 256L).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    graft.functions.Png.Image(w, h, ch, px)
+  }
+
+  /** Canonical pixel string (3-digit zero-padded decimal per sample, row
+    * major) — the form both engines hash: Spark from DECODED pixels, the
+    * oracle from the generation formula via string_agg.
+    */
+  private def pixelCanonical(px: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(px.length * 3)
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sb.append(('0' + v / 100).toChar)
+      sb.append(('0' + v / 10 % 10).toChar)
+      sb.append(('0' + v % 10).toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("ISO-8859-1"))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** 4dp half-up with the repo's 1e-9 nudge — the JVM twin of the oracle's
+    * `round(x + 1e-9, 4)`.
+    */
+  private def round4(v: Double): Double =
+    BigDecimal(v + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Driver query `img_decode_real` — the REAL image decode under the
+    * oracle gate, closing the stubbed half of the multimodal mandate the
+    * same way A9b closed PDF: per document, build the deterministic raster
+    * ([[imgPixels]]), encode it as a genuine PNG with the row filter
+    * rotating through all five types ((doc_id + y) mod 5 — every image
+    * exercises None/Sub/Up/Average/Paeth), then parse the PNG back with the
+    * library-free codec ([[graft.functions.Png.decode]]: chunk walk, CRC32
+    * verification, zlib inflate, row un-filter) and report stats computed
+    * from the DECODED pixels. The oracle regenerates the same stats from
+    * the closed-form pixel formula — a hash match proves the codec
+    * round-trips byte-exactly. Encode and decode pipeline in one narrow
+    * stage; the PNG bytes never leave the task.
+    */
+  def imgRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Png
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("pixel_hash", StringType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = Png.encode(imgPixels(id),
+            filterFor = y => Math.floorMod(id + y, 5L).toInt)
+          // decode() is total on well-formed input; a None here means the
+          // codec broke — surface it as a hard error, not a silent row drop
+          val img = Png.decode(png).getOrElse(
+            throw new IllegalStateException(s"img_decode_real: doc $id"))
+          var sum = 0L
+          img.pixels.foreach(b => sum += (b & 0xff))
+          Row(id, img.width, img.height,
+            img.width.toLong * img.height * img.channels,
+            md5Hex(pixelCanonical(img.pixels)),
+            round4(sum.toDouble / (img.width.toLong * img.height * img.channels)))
+        }
+      }.orderBy("doc_id")
+  }
+
+  /** Driver query `img_frames` — [[frameSample]]'s plumbing fed REAL
+    * pixels: each decoded image's rows are the frames (the row strip is
+    * the video-frame analog), every `stride`-th one kept, hashed and
+    * averaged from actual decoded bytes. Same closed-form oracle story as
+    * [[imgRoundTrip]].
+    */
+  def imgFrameSample(spark: SparkSession, sfDir: String, stride: Int = 3): DataFrame = {
+    import graft.functions.Png
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_hash", StringType, nullable = false),
+      StructField("frame_mean", DoubleType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val png = Png.encode(imgPixels(id),
+            filterFor = y => Math.floorMod(id + y, 5L).toInt)
+          val img = Png.decode(png).getOrElse(
+            throw new IllegalStateException(s"img_frames: doc $id"))
+          val rowLen = img.width * img.channels
+          (0 until img.height by stride).map { y =>
+            val strip = java.util.Arrays.copyOfRange(img.pixels,
+              y * rowLen, (y + 1) * rowLen)
+            var sum = 0L
+            strip.foreach(b => sum += (b & 0xff))
+            Row(id, y.toLong, md5Hex(pixelCanonical(strip)),
+              round4(sum.toDouble / rowLen))
+          }
+        }
+      }.orderBy("doc_id", "frame_idx")
+  }
+
+  /** Driver query `img_resize_real` — [[resizeFeatures]]'s plumbing fed
+    * REAL pixels through the real interpolation kernel: decode the PNG,
+    * bilinear-resample to (tw, th) ([[graft.functions.Png.resizeBilinear]]),
+    * report stats from the RESAMPLED bytes. The oracle replays the bilinear
+    * arithmetic closed-form (source pixels from the generation formula, the
+    * identical IEEE double expression order, floor(v+0.5) rounding) — a
+    * hash match pins the kernel, not just the plumbing. Non-integer scale
+    * both ways (width 8–16 → 5: downscale; height 8–14 → 9: up at h=8,
+    * down otherwise) so both edge-clamp paths run.
+    */
+  def imgResize(spark: SparkSession, sfDir: String,
+                tw: Int = 5, th: Int = 9): DataFrame = {
+    import graft.functions.Png
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("pixel_hash", StringType, nullable = false),
+      StructField("mean_val", DoubleType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = Png.encode(imgPixels(id),
+            filterFor = y => Math.floorMod(id + y, 5L).toInt)
+          val img = Png.decode(png).getOrElse(
+            throw new IllegalStateException(s"img_resize_real: doc $id"))
+          val rs = Png.resizeBilinear(img, tw, th)
+          var sum = 0L
+          rs.pixels.foreach(b => sum += (b & 0xff))
+          Row(id, rs.width, rs.height,
+            md5Hex(pixelCanonical(rs.pixels)),
+            round4(sum.toDouble / rs.pixels.length))
+        }
+      }.orderBy("doc_id")
+  }
+
   /** The real decode plumbing: partition-local batch "decode" over the binary
     * column via mapPartitions on a typed Dataset — the shape a Pandas-UDF /
     * native decoder would plug into. Deterministic fake features (byte
