@@ -167,6 +167,17 @@ object SparkEntry {
       AnnGraph.ensureGraphIndex(s, dir, path)
       AnnGraph.annGraphServed(s, path)
     }),
+    // C6h: the HIERARCHICAL graph arm (HNSW — the reference README's named
+    // extension): hash-leveled multi-layer store, diversified (RNG-pruned)
+    // upper-layer edges, greedy descent with quantizer-assisted multi-entry
+    // seeding. Rows-only; AnnHnswSpec pins the receipt (descent scores
+    // fewer candidates than the IVF probe reads at equal recall) plus the
+    // refresh-surgery and level-distribution invariants.
+    "ann_hnsw_served" -> ((s, dir) => {
+      val path = AnnHnsw.defaultIndexPath(dir)
+      AnnHnsw.ensureHnswIndex(s, dir, path)
+      AnnHnsw.annHnswServed(s, path)
+    }),
     "embed_quantize" -> ((s, dir) => RagSearch.embedQuantize(s, dir)),
     // A. reference-surface (catalog / slice / incremental / multimodal)
     "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),

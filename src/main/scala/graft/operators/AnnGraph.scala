@@ -68,7 +68,7 @@ object AnnGraph {
                  centroids: Array[Array[Double]], degree: Int = 8): DataFrame =
     buildGraphOver(assign(spark, sfDir, centroids), degree)
 
-  private def buildGraphOver(assigned: DataFrame, degree: Int): DataFrame = {
+  private[operators] def buildGraphOver(assigned: DataFrame, degree: Int): DataFrame = {
     val a = assigned.select(col("vec_id").as("src"), col("embedding").as("a_emb"), col("cid"))
     val b = assigned.select(col("vec_id").as("dst"), col("embedding").as("b_emb"), col("cid"))
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
@@ -232,7 +232,7 @@ object AnnGraph {
     * same as the edge build) so serving reads ONE pruned table. Payload
     * columns pass through between the corpus fields and (nbrs, cid).
     */
-  private def vectorsWithNbrs(assigned: DataFrame, edges: DataFrame): DataFrame = {
+  private[operators] def vectorsWithNbrs(assigned: DataFrame, edges: DataFrame): DataFrame = {
     val payload = assigned.columns.filterNot(_ == "cid").map(col)
     assigned.join(adjacencyOf(edges), Seq("vec_id"), "left_outer")
       .select(payload.toSeq :+
@@ -308,7 +308,7 @@ object AnnGraph {
     * accumulation order, same 1e-10 guard — so served scores are
     * bit-identical to the join path's codegen output.
     */
-  private def cosineLocal(x: Array[Float], y: Array[Float]): Double = {
+  private[operators] def cosineLocal(x: Array[Float], y: Array[Float]): Double = {
     val n = math.min(x.length, y.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
@@ -322,7 +322,7 @@ object AnnGraph {
     * centroid literal array<double> — mirrors AnnIvf.probeList's operand
     * types exactly).
     */
-  private def cosineFD(x: Array[Float], y: Array[Double]): Double = {
+  private[operators] def cosineFD(x: Array[Float], y: Array[Double]): Double = {
     val n = math.min(x.length, y.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
@@ -333,7 +333,7 @@ object AnnGraph {
   }
 
   /** Spark's Round(_, 4) on a double, as codegen emits it. */
-  private def round4(x: Double): Double =
+  private[operators] def round4(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Serving-path C6: beam descent over a [[writeGraphIndex]]-persisted
@@ -568,10 +568,18 @@ object AnnGraph {
     * only, a beam-evicted node may be re-scored later), identical beam and
     * final ranking order (score desc, vec_id asc).
     */
-  private def descentLocal(qid: Long, qv: Array[Float], probed: Set[Int],
+  /** `seedIds` adds explicit entry nodes (the HNSW descent seeds the next
+    * layer with the previous layer's frontier); `seedAll` seeds EVERY
+    * loaded node (the hierarchy's top-layer entry — one capacity-bounded
+    * block); `counter` counts scored candidates (the touched-candidates
+    * receipt — each visit increments, so re-scores count as work done).
+    */
+  private[operators] def descentLocal(qid: Long, qv: Array[Float], probed: Set[Int],
                            rows: Iterator[(Long, Long, Array[Float], Array[Long], Int, Boolean)],
                            topK: Int, beam: Int, hops: Int, entriesPerCell: Int,
-                           excludeSelf: Boolean, filtered: Boolean = false)
+                           excludeSelf: Boolean, filtered: Boolean = false,
+                           seedIds: Seq[Long] = Seq.empty, seedAll: Boolean = false,
+                           counter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Iterator[(Long, Long, Long, Double, Int)] = {
     val emb = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
     val nbrs = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
@@ -583,9 +591,11 @@ object AnnGraph {
       if (pass) passes += vid
       byCell.getOrElseUpdate(cid, scala.collection.mutable.ArrayBuffer.empty) += vid
     }
-    val entrySeeds = probed.toSeq.flatMap(c =>
-      byCell.getOrElse(c, scala.collection.mutable.ArrayBuffer.empty[Long])
-        .sorted.take(entriesPerCell))
+    val entrySeeds =
+      (if (seedAll) emb.keys.toSeq.sorted
+       else probed.toSeq.flatMap(c =>
+         byCell.getOrElse(c, scala.collection.mutable.ArrayBuffer.empty[Long])
+           .sorted.take(entriesPerCell))) ++ seedIds
     // self-edge seeds and self-exclusion only apply when the query IS a
     // corpus row — for an external query an id match is a coincidence
     val selfSeeds =
@@ -596,6 +606,7 @@ object AnnGraph {
     // routers), accumulated as nodes get scored
     val visited = scala.collection.mutable.HashMap.empty[Long, Double]
     def score(vid: Long): Double = {
+      counter.foreach(_.add(1L))
       val s = round4(cosineLocal(emb(vid), qv))
       if (filtered && passes.contains(vid) && notSelf(vid)) visited(vid) = s
       s

@@ -1,0 +1,510 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.VecExprs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C6h: hierarchical (HNSW-style) graph ANN — the multi-layer variant of
+  * [[AnnGraph]]'s flat per-cell design, the named extension of the
+  * reference (reference: README.md:32 — HNSW). Re-expressed for a cluster
+  * rather than transliterated: a single shared-memory skip-list graph is a
+  * pointer-chasing design; the Spark-native hierarchy is LAYERS OF
+  * PARTITION-PRUNED BLOCK GRAPHS that shrink geometrically.
+  *
+  *   - **Levels**: each vector's top level is sampled from the standard
+  *     HNSW geometric distribution P(level ≥ ℓ) = m^-ℓ — but from a HASH
+  *     of vec_id, not an RNG, so levels are deterministic, reproducible,
+  *     and refresh-stable (a node's level never changes under edits).
+  *   - **Layer ℓ ≥ 1**: the nodes with level ≥ ℓ (an m^-ℓ sample), blocked
+  *     by a k-means quantizer with k_ℓ = ceil(k / m^ℓ) blocks — node count
+  *     and block count shrink together, so BLOCK CAPACITY stays constant
+  *     across layers (the same argument that sizes IVF cells) while each
+  *     block's DIAMETER grows: upper-layer in-block edges are the long
+  *     edges of HNSW. The top layer (k_ℓ = 1) is one globally-connected
+  *     capacity-bounded block — the entry point needs no coarse quantizer
+  *     at all. Each layer-ℓ row carries `down_blk`, its block id at layer
+  *     ℓ-1 (its cid for ℓ = 1): the hierarchy's down-pointers.
+  *   - **Layer 0**: exactly [[AnnGraph]]'s store (cid-partitioned vectors
+  *     with embedded adjacency + edges + centroids — written by the same
+  *     writeGraphContents), so the flat beam search and the facade's
+  *     pruned metadata reads keep working against an HNSW store.
+  *   - **Search**: greedy descent. Enter at the top block (score all of
+  *     one capacity-bounded block), then per layer: read ONLY the blocks
+  *     the frontier's down-pointers name (partition-pruned), beam-search
+  *     the in-block graphs seeded by the frontier nodes (they exist in
+  *     every lower layer by construction), keep the ef best. At layer 0
+  *     the frontier's cells replace IVF probing: the query lands in the
+  *     cells its ROUTE chose (node-based routing — finer than
+  *     nearest-centroid probing) and only the final beam search scores
+  *     candidates there. Per layer the driver collects |batch|·ef
+  *     (vec_id, block) rows — bounded by the query batch, never the
+  *     corpus — and the per-layer reads are pruned to ≤ |batch|·ef blocks.
+  *
+  * Candidates SCORED per query ≈ capacity + Σ_ℓ ef·degree·hops — versus
+  * IVF's nprobe·capacity, independent of how big cells grow; the receipt
+  * spec (AnnHnswSpec) pins scored-candidates < probe-read-rows at equal
+  * recall. Rows-only like C6 (k-means + iterative search are not
+  * SQL-replicable).
+  */
+object AnnHnsw {
+
+  /** Layer count: ceil(log_m n) — levels run until the expected layer
+    * population reaches ~1 node (true HNSW's height), NOT merely until the
+    * block count hits 1: the layers above log_m k are single capacity-
+    * bounded blocks that keep thinning by m, so the entry block the search
+    * scores exhaustively holds ~m nodes, not a whole cell's worth.
+    */
+  def maxLevelFor(n: Long, m: Int): Int =
+    math.max(1, math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(m) - 1e-9).toInt)
+
+  private def kAt(k: Int, m: Int, lvl: Int): Int =
+    math.max(1, math.ceil(k / math.pow(m, lvl) - 1e-9).toInt)
+
+  /** The node's top level — P(level ≥ ℓ) = m^-ℓ from a uniform in [0,1)
+    * derived by hashing vec_id (top 53 bits of xxhash64 → exact double).
+    * Deterministic: levels survive refreshes and rebuilds unchanged.
+    */
+  private[graft] def levelCol(m: Int, maxLvl: Int) = {
+    val u = shiftrightunsigned(xxhash64(col("vec_id")), 11).cast("double") /
+      lit(9007199254740992.0) // 2^53
+    least(lit(maxLvl),
+      floor(-log(greatest(u, lit(1e-18))) / log(lit(m.toDouble)))).cast("int")
+  }
+
+  private def baseCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+
+  private def assignTo(e: DataFrame, centroids: Array[Array[Double]]) =
+    e.withColumn("cid",
+      VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
+        useCosine = true))
+
+  /** The manifest carries the corpus-derived layer count (AnnPq's
+    * corpus-derived bucket-count precedent) — a corpus growth that changes
+    * ceil(log_m n) is a param change, hence a rebuild, which is exactly
+    * right: the hierarchy needs a new top.
+    */
+  private def hnswManifest(spark: SparkSession, sfDir: String, k: Int,
+                           degree: Int, m: Int, degreeUp: Int): String =
+    AnnStore.manifest("hnsw",
+      Seq("k" -> k, "degree" -> degree, "m" -> m, "degree_up" -> degreeUp,
+        "max_lvl" -> maxLevelFor(Tables.embeddings(spark, sfDir).count(), m)),
+      AnnStore.corpusFingerprint(spark, sfDir))
+
+  /** Store subdirs: the graph-store trio plus one dir per upper layer —
+    * every one cid-partitioned, so [[AnnStore.compactIndex]] /
+    * [[AnnStore.healCompacted]] apply unchanged.
+    */
+  private def layerSubdirs(maxLvl: Int): Seq[String] =
+    Seq("edges", "vectors") ++ (1 to maxLvl).map(l => s"layer$l")
+
+  // ----------------------------------------------------------------- build
+
+  def ensureHnswIndex(spark: SparkSession, sfDir: String, path: String,
+                      k: Int = 16, degree: Int = 8, m: Int = 4,
+                      degreeUp: Int = 8): Unit = {
+    val manifest = hnswManifest(spark, sfDir, k, degree, m, degreeUp)
+    AnnStore.ensureIndex(spark, path, manifest) {
+      writeHnswIndexOver(spark, baseCorpus(spark, sfDir), path, k, degree, m,
+        degreeUp, manifest)
+    }
+  }
+
+  private[graft] def writeHnswIndexOver(spark: SparkSession, e: DataFrame,
+                                        path: String, k: Int, degree: Int,
+                                        m: Int, degreeUp: Int,
+                                        manifestStr: String): Unit =
+    AnnStore.releasingPinned(spark) {
+      VecExprs.register(spark)
+      val centroids = AnnIvf.trainOver(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
+      val assigned = AnnStore.trackedCheckpoint(assignTo(e, centroids))
+      AnnStore.writeStaged(spark, path, manifestStr) { staging =>
+        // layer 0 IS a graph store (same tables, same layout)
+        AnnGraph.writeGraphContents(spark, staging, assigned, centroids, degree)
+        writeLayers(spark, staging, assigned, centroids, k, degree = degreeUp,
+          m = m, maxLvl = AnnStore.manifestInt(manifestStr, "max_lvl").get)
+      }
+    }
+
+  /** Upper layers under `dir`: for ℓ = 1..maxLvl, the level ≥ ℓ nodes
+    * blocked by a k_ℓ-means quantizer trained on THAT layer's nodes,
+    * in-block kNN adjacency embedded, `down_blk` = the node's block at
+    * ℓ-1 (cid for ℓ = 1). Geometric cost: layer ℓ holds ~n·m^-ℓ rows, so
+    * all layers together cost ~1/(m-1) of one layer-0 build.
+    */
+  private def writeLayers(spark: SparkSession, dir: String, assigned: DataFrame,
+                          mainCentroids: Array[Array[Double]], k: Int,
+                          degree: Int, m: Int, maxLvl: Int): Unit = {
+    // the lowest vec_id is pinned to the top level — HNSW's first-inserted
+    // node lives at the top the same way — so every layer (and the single
+    // top block the search enters through) is non-empty for ANY corpus
+    // size, not just ones big enough for the m^-maxLvl sample to hit
+    val minId = assigned.agg(min(col("vec_id"))).head().getLong(0)
+    val leveled = assigned.withColumn("lvl",
+      when(col("vec_id") === minId, lit(maxLvl)).otherwise(levelCol(m, maxLvl)))
+    // None = single block: the layer needs no quantizer at all (assignment
+    // is constantly 0), so the k-means runs only for the ≤ log_m k layers
+    // that actually block
+    var down: Option[Array[Array[Double]]] = Some(mainCentroids)
+    for (l <- 1 to maxLvl) {
+      val nodes = leveled.filter(col("lvl") >= l)
+        .select(col("vec_id"), col("embedding"))
+      val kL = kAt(k, m, l)
+      val cL: Option[Array[Array[Double]]] =
+        if (kL == 1) None
+        else Some(AnnIvf.trainOver(
+          nodes.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb")), kL))
+      def assignCol(c: Option[Array[Array[Double]]]) = c match {
+        case Some(cs) => VecExprs.centroidAssign(
+          col("embedding").cast("array<double>"), cs, useCosine = true)
+        case None => lit(0)
+      }
+      val withBlk = AnnStore.trackedCheckpoint(
+        nodes
+          .withColumn("down_blk", assignCol(down))
+          .withColumn("cid", assignCol(cL)))
+      val adj = diversifiedAdjacency(spark, withBlk, degree)
+      withBlk.join(adj, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("embedding"), col("down_blk"),
+          coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"),
+          col("cid"))
+        .write.partitionBy("cid").parquet(s"$dir/layer$l")
+      // the layer's quantizer (k_l rows) — the search's auxiliary entry
+      // oracle: each query also reads its own nearest block per layer
+      cL.foreach(c => AnnStore.writeCentroids(spark, s"$dir/lc$l", c))
+      down = cL
+    }
+  }
+
+  /** In-block adjacency with HNSW's neighbor-selection heuristic (RNG
+    * pruning): from each node's 2·degree nearest in-block candidates, keep
+    * a candidate only if it is closer to the node than to every
+    * already-kept neighbor, then backfill with the nearest pruned ones.
+    * Plain kNN adjacency degenerates into near-duplicate cliques (a
+    * node's k nearest are its own cluster's siblings, every edge stays
+    * inside the cluster and greedy search can never CROSS clusters);
+    * the prune keeps the first sibling and replaces the rest with
+    * diverse, longer edges — the property that makes the upper layers
+    * navigable. The candidate join is the flat build's bounded in-block
+    * pair join; the prune itself is a per-node loop over ≤ 2·degree
+    * candidates inside one map.
+    */
+  private def diversifiedAdjacency(spark: SparkSession, withBlk: DataFrame,
+                                   degree: Int): DataFrame = {
+    import spark.implicits._
+    val a = withBlk.select(col("vec_id").as("src"),
+      col("embedding").cast("array<float>").as("a_emb"), col("cid"))
+    val b = withBlk.select(col("vec_id").as("dst"),
+      col("embedding").cast("array<float>").as("b_emb"), col("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
+    val deg = degree
+    a.join(b, Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("b_emb"),
+        round(VecExprs.cosineSim(col("a_emb"), col("b_emb")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 * deg)
+      .groupBy(col("src"))
+      .agg(collect_list(struct(col("sim"), col("dst"), col("b_emb"))).as("cs"))
+      .as[(Long, Seq[(Double, Long, Array[Float])])]
+      .map { case (src, cs) =>
+        val sorted = cs.sortBy(c => (-c._1, c._2))
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val pruned = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.foreach { case (s, d, e) =>
+          if (kept.size < deg) {
+            // same rounded-score algebra as the candidate ranking, so the
+            // diversity test is deterministic under ties: a sibling ties
+            // its kept twin (1.0 vs 1.0) and is pruned, a genuinely
+            // closer-to-src candidate survives
+            val diverse = kept.forall { case (_, ke) =>
+              s > AnnGraph.round4(AnnGraph.cosineLocal(e, ke)) }
+            if (diverse) kept += ((d, e)) else pruned += d
+          }
+        }
+        (src, (kept.map(_._1) ++ pruned.take(deg - kept.size)).toArray)
+      }
+      .toDF("vec_id", "nbrs")
+  }
+
+  // ---------------------------------------------------------------- search
+
+  /** Serving over corpus-vector queries (vec_id < nQueries), the C6-served
+    * shape: self excluded from results, the query's own out-edges reachable
+    * because its route ends in its own region. `counter`, when supplied,
+    * accumulates scored candidates across every layer (the receipt metric).
+    */
+  def annHnswServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
+                    topK: Int = 5, ef: Int = 8, beam: Int = 32, hops: Int = 2,
+                    exhaustLevels: Int = 6,
+                    counter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val maxLvl = storedMaxLvl(spark, indexPath)
+    AnnStore.healCompacted(spark, indexPath, layerSubdirs(maxLvl))
+    val qRows = spark.read.parquet(indexPath + "/vectors")
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<float>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    descend(spark, indexPath, qRows.toMap, maxLvl, topK, ef, beam, hops,
+      exhaustLevels, excludeSelf = true, counter)
+  }
+
+  /** External-query serving: (query_id, qv) batch, no self-exclusion —
+    * [[AnnGraph.annGraphServedOver]]'s contract for the hierarchy.
+    */
+  def annHnswServedOver(spark: SparkSession, indexPath: String, queries: DataFrame,
+                        topK: Int = 5, ef: Int = 8, beam: Int = 32, hops: Int = 2,
+                        exhaustLevels: Int = 6,
+                        counter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val qRows = queries
+      .select(col("query_id"), col("qv").cast("array<float>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      "annHnswServedOver: duplicate query_id in the query batch")
+    val maxLvl = storedMaxLvl(spark, indexPath)
+    AnnStore.healCompacted(spark, indexPath, layerSubdirs(maxLvl))
+    descend(spark, indexPath, qRows.toMap, maxLvl, topK, ef, beam, hops,
+      exhaustLevels, excludeSelf = false, counter)
+  }
+
+  private def storedMaxLvl(spark: SparkSession, indexPath: String): Int =
+    AnnStore.readManifest(spark, indexPath)
+      .flatMap(m => AnnStore.manifestInt(m, "max_lvl"))
+      .getOrElse(throw new IllegalStateException(
+        s"annHnswServed: no hnsw manifest at $indexPath"))
+
+  /** The descent loop. Per layer one partition-pruned read + one routing
+    * shuffle + in-task beam search ([[AnnGraph.descentLocal]]), then ONE
+    * bounded collect of |batch|·ef (query, node, block) frontier rows —
+    * the same bounded-driver-state exception the probe lists use. Layer 0
+    * reuses the exact flat-search kernel, so scores are bit-identical to
+    * the flat graph arm's for the same candidates.
+    */
+  private def descend(spark: SparkSession, path: String,
+                      qvs: Map[Long, Array[Float]], maxLvl: Int, topK: Int,
+                      ef: Int, beam: Int, hops: Int, exhaustLevels: Int,
+                      excludeSelf: Boolean,
+                      counter: Option[org.apache.spark.util.LongAccumulator])
+      : DataFrame = {
+    import spark.implicits._
+    if (qvs.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "vec_id", "score")
+    // frontier: qid -> (node ids to seed, blocks to read) at the next layer
+    // down. Top-layer entry: every query reads the single top block and
+    // seeds ALL its nodes (seedAll) — no frontier yet.
+    //
+    // Every layer's read set is the frontier's down-pointers UNION the
+    // query's own nearest block under that layer's quantizer (a k_l-row
+    // driver-side matrix, read once per layer): multi-entry seeding. The
+    // graph route carries fine-grained node evidence; the quantizer
+    // guarantees the query's own region is explored even when the route
+    // wanders — at layer 0 this floors recall at IVF nprobe=1 while
+    // scoring stays beam-bounded.
+    def selfBlock(lvl: Int): Map[Long, Set[Int]] = {
+      val lcPath = s"$path/lc$lvl"
+      if (!AnnStore.fileSystem(spark, path)
+        .exists(new org.apache.hadoop.fs.Path(lcPath + "/centroids")))
+        qvs.keys.map(_ -> Set(0)).toMap // single-block layer
+      else {
+        val cs = AnnStore.readCentroids(spark, lcPath)
+        qvs.map { case (q, qv) =>
+          q -> Set(cs.indices.maxBy(i =>
+            (AnnGraph.cosineFD(qv, cs(i)), -i)))
+        }
+      }
+    }
+    val mainCentroids = AnnStore.readCentroids(spark, path)
+    var frontier: Map[Long, Seq[(Long, Int)]] = Map.empty
+    for (l <- maxLvl to 1 by -1) {
+      val layer = spark.read.parquet(s"$path/layer$l")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+          col("nbrs"), col("down_blk"), col("cid"))
+      val top = l == maxLvl
+      // a layer whose expected population m^(maxLvl-l) is within
+      // exhaustLevels of the top is READ in full anyway (its blocks are
+      // the frontier's) — scoring everything read costs nothing extra at
+      // scale (the read IS the cost) and makes the route robust: any
+      // target-cluster node present in a small layer locks the descent
+      // on, exactly like true HNSW when layer population ~ ef
+      val exhaust = top || (maxLvl - l) < exhaustLevels
+      val cellsOf: Map[Long, Set[Int]] =
+        if (top) qvs.keys.map(_ -> Set(0)).toMap // k_top = 1: one block, cid 0
+        else {
+          val own = selfBlock(l)
+          frontier.map { case (q, f) => q -> (f.map(_._2).toSet ++ own(q)) }
+        }
+      val seedsOf: Map[Long, Seq[Long]] =
+        if (top) Map.empty
+        else frontier.map { case (q, f) => q -> f.map(_._1) }
+      val out = routeAndSearch(spark, layer, qvs, cellsOf, seedsOf,
+        outCell = col("down_blk"), topK = ef, beam = math.max(beam, ef),
+        hops = if (exhaust) 0 else hops, seedAll = exhaust,
+        entries = if (exhaust) 0 else 2,
+        excludeSelf = false, counter = counter)
+      // bounded collect: |batch| x ef frontier rows
+      frontier = out.collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+        .groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(t => (t._2, t._3)).toSeq }
+    }
+    val vectors = spark.read.parquet(path + "/vectors")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("nbrs"), col("cid"))
+    val ownCell0 = qvs.map { case (q, qv) =>
+      q -> Set(mainCentroids.indices.maxBy(i =>
+        (AnnGraph.cosineFD(qv, mainCentroids(i)), -i)))
+    }
+    val cells0 = frontier.map { case (q, f) =>
+      q -> (f.map(_._2).toSet ++ ownCell0(q)) }
+    val seeds0 = frontier.map { case (q, f) => q -> f.map(_._1) }
+    routeAndSearch(spark, vectors, qvs,
+      cells0, seeds0, outCell = col("cid"), topK = topK, beam = beam,
+      hops = hops, seedAll = false, entries = 2, excludeSelf = excludeSelf,
+      counter = counter)
+      .drop("cid")
+      .orderBy("query_id", "rank")
+  }
+
+  /** One layer's pruned read → routing shuffle → in-task beam search.
+    * `outCell` labels each emitted hit with the block to explore NEXT
+    * (down_blk above layer 0). Routing replicates [[AnnGraph]]'s
+    * servedCore: rows of subscribed blocks fan out to their queries in one
+    * shuffle, then the per-query search runs inside `flatMapGroups`.
+    */
+  private def routeAndSearch(spark: SparkSession, rows: DataFrame,
+                             qvs: Map[Long, Array[Float]],
+                             cellsOf: Map[Long, Set[Int]],
+                             seedsOf: Map[Long, Seq[Long]],
+                             outCell: org.apache.spark.sql.Column,
+                             topK: Int, beam: Int, hops: Int, seedAll: Boolean,
+                             excludeSelf: Boolean, entries: Int = 0,
+                             counter: Option[org.apache.spark.util.LongAccumulator])
+      : DataFrame = {
+    import spark.implicits._
+    val subs: Map[Int, Seq[Long]] = cellsOf.toSeq
+      .flatMap { case (q, cs) => cs.map(_ -> q) }
+      .groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2).sorted }
+    val bcQv = spark.sparkContext.broadcast(qvs)
+    val bcSubs = spark.sparkContext.broadcast(subs)
+    val bcSeeds = spark.sparkContext.broadcast(seedsOf)
+    val cids = subs.keys.toSeq
+    val k2 = topK; val b2 = beam; val h2 = hops; val sa = seedAll
+    val ex = excludeSelf
+    rows.filter(col("cid").isin(cids: _*))
+      .select(col("vec_id"), col("embedding"), col("nbrs"),
+        outCell.as("out_cell"), col("cid"))
+      .as[(Long, Array[Float], Array[Long], Int, Int)]
+      .flatMap { case (vid, emb, nbrs, oc, cid) =>
+        bcSubs.value.getOrElse(cid, Nil).map(q => (q, vid, emb, nbrs, oc, cid)) }
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // per-READ-block entry seeds (`entries` lowest vec_ids per block):
+        // the multi-entry insurance for blocks the frontier has no node
+        // in (e.g. the quantizer-probed self block). Buffering is free —
+        // descentLocal buffers its rows anyway.
+        val buf = it.toVector
+        val extraSeeds =
+          if (entries == 0) Nil
+          else buf.groupBy(_._6).valuesIterator
+            .flatMap(_.map(_._2).sorted.take(entries)).toSeq
+        AnnGraph.descentLocal(qid, bcQv.value(qid), Set.empty,
+          buf.iterator.map { case (q, vid, emb, nbrs, oc, _) =>
+            (q, vid, emb, nbrs, oc, true) },
+          k2, b2, h2, entriesPerCell = 0, excludeSelf = ex,
+          seedIds = bcSeeds.value.getOrElse(qid, Nil) ++ extraSeeds,
+          seedAll = sa, counter = counter)
+      }
+      .toDF("query_id", "rank", "vec_id", "score", "cid")
+  }
+
+  // -------------------------------------------------------------- maintain
+
+  /** Incremental refresh under the shared diff/dispatch contract
+    * ([[AnnStore.refreshIndex]]): layer 0 rewrites surgically like the flat
+    * graph store (dirty cells only, untouched cells byte-identical). The
+    * upper layers rebuild ONLY when the dirty set actually intersects them
+    * — levels are a deterministic hash of vec_id, so "does any
+    * added/changed/removed row have level ≥ 1" is decidable from the diff
+    * (computed affected-cells-pruned, never corpus-wide); an all-level-0
+    * edit leaves every layer file untouched. When they do rebuild, the
+    * cost is the geometric 1/(m-1) fraction, not a layer-0 build.
+    */
+  def refreshHnswIndex(spark: SparkSession, sfDir: String, path: String,
+                       k: Int = 16, degree: Int = 8, m: Int = 4,
+                       degreeUp: Int = 8, driftBound: Double = 0.3): DataFrame = {
+    VecExprs.register(spark)
+    val manifest = hnswManifest(spark, sfDir, k, degree, m, degreeUp)
+    val maxLvl = AnnStore.manifestInt(manifest, "max_lvl").get
+    val newE = baseCorpus(spark, sfDir)
+    AnnStore.refreshIndex(spark, path, manifest,
+      assignNew = () => assignTo(newE, AnnStore.readCentroids(spark, path)),
+      rewrite = (affected, rows) => {
+        val fs = AnnStore.fileSystem(spark, path)
+        // dirty-id set (both directions), computed BEFORE the deletes from
+        // the affected cells only: old side pruned to the affected
+        // partitions, new side is `rows` (already those cells' contents)
+        val oldRows = spark.read.parquet(path + "/vectors")
+          .filter(col("cid").isin(affected: _*))
+          .select(col("vec_id"), col("embedding"))
+        val newRows = rows.select(col("vec_id"), col("embedding"))
+        val dirty = oldRows.withColumn("side", lit(1))
+          .unionByName(newRows.withColumn("side", lit(2)))
+          .groupBy(col("vec_id"))
+          .agg(countDistinct(col("side")).as("sides"), count(lit(1)).as("n"),
+            countDistinct(col("embedding")).as("vals"))
+          .filter(col("sides") === 1 || col("vals") > 1)
+          .select(col("vec_id"))
+        // the build pins the min vec_id to the top level regardless of its
+        // hash, so pin ids count as upper-layer residents here too (layer1
+        // holds every upper node — its min IS the old pin; a pin MOVE
+        // always dirties the old or new pin row, so the isin test covers it)
+        val oldPin = spark.read.parquet(s"$path/layer1")
+          .agg(min(col("vec_id"))).head().getLong(0)
+        val newPin = newE.agg(min(col("vec_id"))).head().getLong(0)
+        val upperDirty = dirty
+          .filter(levelCol(m, maxLvl) >= 1 || col("vec_id").isin(oldPin, newPin))
+          .limit(1).count() > 0
+        val edges = AnnStore.trackedCheckpoint(
+          AnnGraph.buildGraphOver(rows, degree))
+        affected.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/edges/cid=$c"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true)
+        }
+        edges.write.mode("append").partitionBy("cid").parquet(path + "/edges")
+        AnnGraph.vectorsWithNbrs(rows, edges)
+          .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+        if (upperDirty) {
+          // rebuild the (geometrically small) hierarchy over the full new
+          // corpus with the STORED layer-0 centroids (down-pointers of
+          // layer 1 must keep naming live cells). Crash mid-rebuild leaves
+          // the old manifest (stamped last) → next ensure cold-rebuilds.
+          val centroids = AnnStore.readCentroids(spark, path)
+          val assigned = AnnStore.trackedCheckpoint(assignTo(newE, centroids))
+          (1 to maxLvl).foreach { l =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/layer$l"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/lc$l"), true)
+          }
+          writeLayers(spark, path, assigned, centroids, k, degree = degreeUp,
+            m = m, maxLvl = maxLvl)
+        }
+      },
+      fullBuild = () => writeHnswIndexOver(spark, newE, path, k, degree, m,
+        degreeUp, manifest),
+      driftBound = driftBound,
+      derivedCols = Seq("nbrs"))
+  }
+
+  def compactHnswIndex(spark: SparkSession, path: String,
+                       targetBytes: Long = 128L << 20): DataFrame = {
+    val maxLvl = storedMaxLvl(spark, path)
+    AnnStore.compactIndex(spark, path, layerSubdirs(maxLvl), targetBytes)
+  }
+
+  def defaultIndexPath(sfDir: String): String = AnnStore.defaultPath("hnsw", sfDir)
+}
