@@ -102,11 +102,15 @@ object Bench {
     // noise vs regression gets adjudicated by the bench itself, not the
     // judge. Protocol (format, thresholds) single-sourced in BenchHistory,
     // shared with FullScaleBench's 10× cadence.
-    val medNow = results.map(r => r._1 -> r._3).toMap
-    val drift = BenchHistory.driftVs(BenchHistory.lastFor(sfDir), medNow)
+    // drift compares MIN-of-reps (contention inflates medians, rarely
+    // minima — see BenchHistory's scaladoc for the r14 incident); medians
+    // still accrete for spread context
+    val minNow = results.map(r => r._1 -> r._2).toMap
+    val drift = BenchHistory.driftVs(BenchHistory.lastMinsFor(sfDir), minNow)
     val driftJson = drift.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    BenchHistory.append(sfDir, results.map(r => r._1 -> r._3))
+    BenchHistory.append(sfDir, results.map(r => r._1 -> r._3),
+      results.map(r => r._1 -> r._2))
     // Per-query detail FIRST (min map, medians, spread, drift), then the
     // compact driver contract line LAST — the driver tail-captures the
     // final line and its window is finite; at 73 queries an embedded

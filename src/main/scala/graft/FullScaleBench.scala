@@ -133,9 +133,13 @@ object FullScaleBench {
     // never enter the history (their timings are time-to-failure).
     val histKey = s"fullscale:${scale}x:$src"
     val okRows = rows.filter(_._5)
-    val drift = BenchHistory.driftVs(BenchHistory.lastFor(histKey),
+    // single timed sample per query here, so the min IS the sample —
+    // written under both fields to keep the history format uniform, and
+    // compared via mins like the per-round bench
+    val drift = BenchHistory.driftVs(BenchHistory.lastMinsFor(histKey),
       okRows.map(q => q._1 -> q._3).toMap)
-    BenchHistory.append(histKey, okRows.map(q => q._1 -> r(q._3)))
+    BenchHistory.append(histKey, okRows.map(q => q._1 -> r(q._3)),
+      okRows.map(q => q._1 -> r(q._3)))
     val driftJson = drift.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"full_scale_receipt","scale":$scale,""" +
