@@ -163,4 +163,20 @@ object AnnSq {
         col("embedding").cast("array<double>").as("qv"))
     rankFrom(corpus, q, k)
   }
+
+  /** External-query serving over the persisted int8 store — the Over
+    * contract the other families expose: `queries` = (query_id, qv),
+    * scan-side dequant, full-precision asymmetric scoring.
+    */
+  def annSq8ServedOver(spark: SparkSession, indexPath: String,
+                       queries: DataFrame, k: Int = 5): DataFrame = {
+    VecExprs.register(spark)
+    AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
+    val corpus = spark.read.parquet(indexPath + "/vectors")
+      .select(col("vec_id"),
+        transform(col("qvals"),
+          q => q.cast("double") * col("scale") / 127.0).as("embedding"))
+    rankFrom(corpus,
+      queries.select(col("query_id"), col("qv").cast("array<double>").as("qv")), k)
+  }
 }
