@@ -114,11 +114,27 @@ object AnnHnsw {
   private[graft] def writeHnswIndexOver(spark: SparkSession, e: DataFrame,
                                         path: String, k: Int, degree: Int,
                                         m: Int, degreeUp: Int,
-                                        manifestStr: String): Unit =
+                                        manifestStr: String): Unit = {
+    VecExprs.register(spark)
+    val centroids = AnnIvf.trainOver(
+      e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
+    writeHnswIndexOverWithCentroids(spark, e, path, centroids, k, degree, m,
+      degreeUp, manifestStr)
+  }
+
+  /** The same staged write with a caller-pinned layer-0 codebook (upper-
+    * layer quantizers retrain deterministically over the given corpus —
+    * exactly what the refresh's upper rebuild does) — the primitive the
+    * refresh-equivalence property is stated against.
+    */
+  private[graft] def writeHnswIndexOverWithCentroids(spark: SparkSession,
+                                                     e: DataFrame, path: String,
+                                                     centroids: Array[Array[Double]],
+                                                     k: Int, degree: Int,
+                                                     m: Int, degreeUp: Int,
+                                                     manifestStr: String): Unit =
     AnnStore.releasingPinned(spark) {
       VecExprs.register(spark)
-      val centroids = AnnIvf.trainOver(
-        e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
       val assigned = AnnStore.trackedCheckpoint(assignTo(e, centroids))
       AnnStore.writeStaged(spark, path, manifestStr) { staging =>
         // layer 0 IS a graph store (same tables, same layout)

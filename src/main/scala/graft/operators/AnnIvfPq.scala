@@ -97,23 +97,63 @@ object AnnIvfPq {
     val books = AnnPq.trainAll(
       withRes.select(col("vec_id"), col("res").as("emb")), m, sd, ks, iters)
     AnnStore.writeStaged(spark, path, manifest) { staging =>
-      val codeCols = (0 until m).map(j =>
-        VecExprs.centroidAssign(slice(col("res"), j * sd + 1, sd), books(j),
-          useCosine = false).as(s"c$j"))
-      withRes.select(col("vec_id") +: codeCols :+ col("cid"): _*)
-        .write.partitionBy("cid").parquet(staging + "/codes")
-      // vectors come from the SAME checkpointed frame as the codes — no
-      // second corpus scan+assignment, and the two tables cannot diverge
-      // on row membership (a null-cid row drops from both)
-      withRes.select(col("vec_id"), col("embedding"), col("cid"))
-        .write.partitionBy("cid").parquet(staging + "/vectors")
-      books.zipWithIndex.flatMap { case (book, j) =>
-        book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-      }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
-        .write.parquet(staging + "/books")
-      AnnStore.writeCentroids(spark, staging, centroids)
+      writeIvfPqContents(spark, staging, withRes, centroids, books, sd)
     }
   }
+
+  /** The store tables given PINNED models — shared by the trained build
+    * and [[writeIvfPqIndexWithModels]]. `withRes` must carry
+    * (vec_id, embedding, cid, res).
+    */
+  private def writeIvfPqContents(spark: SparkSession, dir: String,
+                                 withRes: DataFrame,
+                                 centroids: Array[Array[Double]],
+                                 books: Array[Array[Array[Double]]],
+                                 sd: Int): Unit = {
+    import spark.implicits._
+    val m = books.length
+    val codeCols = (0 until m).map(j =>
+      VecExprs.centroidAssign(slice(col("res"), j * sd + 1, sd), books(j),
+        useCosine = false).as(s"c$j"))
+    withRes.select(col("vec_id") +: codeCols :+ col("cid"): _*)
+      .write.partitionBy("cid").parquet(dir + "/codes")
+    // vectors come from the SAME checkpointed frame as the codes — no
+    // second corpus scan+assignment, and the two tables cannot diverge
+    // on row membership (a null-cid row drops from both)
+    withRes.select(col("vec_id"), col("embedding"), col("cid"))
+      .write.partitionBy("cid").parquet(dir + "/vectors")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
+      .write.parquet(dir + "/books")
+    AnnStore.writeCentroids(spark, dir, centroids)
+  }
+
+  /** Pinned-models full rewrite (stored coarse centroids + residual
+    * books, no training) — the refresh-equivalence property's comparison
+    * primitive for the IVFADC store.
+    */
+  private[graft] def writeIvfPqIndexWithModels(spark: SparkSession, sfDir: String,
+                                               path: String,
+                                               centroids: Array[Array[Double]],
+                                               books: Array[Array[Array[Double]]],
+                                               manifest: String): Unit =
+    AnnStore.releasingPinned(spark) {
+      VecExprs.register(spark)
+      val sd = books.head.head.length
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"),
+          VecExprs.centroidAssign(col("embedding").cast("array<double>"), centroids,
+            useCosine = true).as("cid"))
+      val withRes = AnnStore.trackedCheckpoint(
+        e.join(broadcast(centroidFrame(spark, centroids)), "cid")
+          .withColumn("res",
+            zip_with(col("embedding").cast("array<double>"), col("centroid"),
+              (a, b) => a - b)))
+      AnnStore.writeStaged(spark, path, manifest) { staging =>
+        writeIvfPqContents(spark, staging, withRes, centroids, books, sd)
+      }
+    }
 
   /** Freshness-gated build-once (fingerprint computed once, threaded to the
     * stamp — same contract as the other stores).

@@ -191,6 +191,47 @@ object AnnOpq {
     }
   }
 
+  /** Pinned-model full rewrite (stored rotation + books, no training) —
+    * the refresh-equivalence property's comparison primitive.
+    */
+  private[graft] def writeOpqIndexWithModel(spark: SparkSession, sfDir: String,
+                                            path: String,
+                                            rot: Array[Array[Double]],
+                                            books: Array[Array[Array[Double]]],
+                                            manifest: String): Unit =
+    AnnStore.releasingPinned(spark) {
+      import spark.implicits._
+      VecExprs.register(spark)
+      val m = books.length
+      val sd = books.head.head.length
+      val buckets = AnnStore.manifestInt(manifest, "buckets")
+        .getOrElse(AnnPq.MinBuckets)
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .filter(col("emb").isNotNull)
+      AnnStore.writeStaged(spark, path, manifest) { staging =>
+        val codeCols = (0 until m).map(j =>
+          VecExprs.centroidAssign(
+            slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
+            books(j), useCosine = false).as(s"c$j"))
+        val bucket = pmod(col("vec_id"), lit(buckets)).cast("int")
+        e.select(col("vec_id") +: codeCols :+ bucket.as("cid"): _*)
+          .write.partitionBy("cid").parquet(staging + "/codes")
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+          .withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
+          .write.partitionBy("cid").parquet(staging + "/vectors")
+        books.zipWithIndex.flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+        }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
+          .write.parquet(staging + "/books")
+        rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+          .toDF("i", "r").coalesce(1).write.parquet(staging + "/rotation")
+      }
+    }
+
+  private[graft] def readStoredRotation(spark: SparkSession, path: String)
+      : Array[Array[Double]] = readRotation(spark, path)
+
   def ensureOpqIndex(spark: SparkSession, sfDir: String, path: String,
                      m: Int = 8, ks: Int = 16, innerIters: Int = 2,
                      rounds: Int = 2): Unit = {

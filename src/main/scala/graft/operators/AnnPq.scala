@@ -152,20 +152,52 @@ object AnnPq {
     val buckets = manifestBuckets(manifest)
     val books = trainAll(e, m, sd, ks, iters)
     AnnStore.writeStaged(spark, path, manifest) { staging =>
-      val codeCols = (0 until m).map(j =>
-        l2Assign(slice(col("emb"), j * sd + 1, sd), books(j)).as(s"c$j"))
-      e.select(col("vec_id") +: codeCols :+ bucketCol(buckets).as("cid"): _*)
-        .write.partitionBy("cid").parquet(staging + "/codes")
-      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-        .withColumn("cid", bucketCol(buckets))
-        .write.partitionBy("cid").parquet(staging + "/vectors")
-      books.zipWithIndex.flatMap { case (book, j) =>
-        book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-      }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
-        .write.parquet(staging + "/books")
+      writePqContents(spark, staging, sfDir, e, books, buckets)
     }
     e.unpersist()
   }
+
+  /** The store tables given PINNED books (no training) — shared by the
+    * trained build and [[writePqIndexWithBooks]].
+    */
+  private def writePqContents(spark: SparkSession, dir: String, sfDir: String,
+                              e: DataFrame,
+                              books: Array[Array[Array[Double]]],
+                              buckets: Int): Unit = {
+    import spark.implicits._
+    val m = books.length
+    val sd = books.head.head.length
+    val codeCols = (0 until m).map(j =>
+      l2Assign(slice(col("emb"), j * sd + 1, sd), books(j)).as(s"c$j"))
+    e.select(col("vec_id") +: codeCols :+ bucketCol(buckets).as("cid"): _*)
+      .write.partitionBy("cid").parquet(dir + "/codes")
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .withColumn("cid", bucketCol(buckets))
+      .write.partitionBy("cid").parquet(dir + "/vectors")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
+      .write.parquet(dir + "/books")
+  }
+
+  /** Pinned-books full rewrite — [[AnnIvf.writeIndexOverWithCentroids]]'s
+    * twin: the primitive the refresh-equivalence property is stated
+    * against (an incrementally refreshed store must equal this, given the
+    * stored books).
+    */
+  private[graft] def writePqIndexWithBooks(spark: SparkSession, sfDir: String,
+                                           path: String,
+                                           books: Array[Array[Array[Double]]],
+                                           buckets: Int,
+                                           manifest: String): Unit =
+    AnnStore.releasingPinned(spark) {
+      VecExprs.register(spark)
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      AnnStore.writeStaged(spark, path, manifest) { staging =>
+        writePqContents(spark, staging, sfDir, e, books, buckets)
+      }
+    }
 
   /** Incremental maintenance of the flat PQ store, riding the shared
     * AnnStore.refreshIndex dispatch like the IVF/graph/IVFADC stores
