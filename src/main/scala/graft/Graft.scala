@@ -609,6 +609,144 @@ class Graft(spark: SparkSession, sfDir: String,
     chunkHitResults(path, hits)
   }
 
+  /** The index-kind knob: one facade surface serving a query batch from
+    * ANY persisted chunk-index family, so a caller gets each family's
+    * storage/recall trade without dropping below the facade —
+    *
+    *   - `"ivf"` / `"graph"`: the existing arms (delegated);
+    *   - `"hnsw"`: hierarchical descent ([[operators.AnnHnsw]]);
+    *   - `"pq"` / `"opq"` / `"sq8"`: the compressed tiers — codes scanned,
+    *     exact rerank (pq/opq) or scan-side dequant (sq8), hit cell ids
+    *     recomputed from the bucket rule;
+    *   - `"late"`: token-level MaxSim over the late-interaction store
+    *     (encodes with the seeded transformer — the one arm whose model is
+    *     NOT the facade embedder, because late interaction needs token
+    *     matrices, not pooled vectors).
+    *
+    * Every arm ends in [[chunkHitResults]]' pruned metadata join and
+    * returns the same row shape as [[ragQueryAnnBatch]]. Each store is
+    * manifest-gated at its own kind-keyed path (chunk params + model +
+    * documents fingerprint), built on first use.
+    */
+  def ragQueryAnnKindBatch(queries: Seq[String], indexKind: String = "ivf",
+                           topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "ragQueryAnnKindBatch: empty query batch")
+    val kT = Graft.clampTopK(topK)
+    def qFrame = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, embedder.embedText(q).toSeq) }
+      .toDF("query_id", "qv")
+    indexKind match {
+      case "ivf" => ragQueryAnnBatch(queries, topK, nprobe)
+      case "graph" => ragQueryAnnGraphBatch(queries, topK, nprobe)
+      case "hnsw" => operators.AnnStore.releasingPinned(spark) {
+        val path = ensureChunkKindIndex("hnsw")
+        val hits = operators.AnnHnsw.annHnswServedOverCells(spark, path, qFrame, kT)
+          .select(col("query_id"), col("vec_id"), col("cid"), col("score"))
+          .collect()
+        chunkHitResults(path, hits)
+      }
+      case "pq" | "opq" | "sq8" => operators.AnnStore.releasingPinned(spark) {
+        val path = ensureChunkKindIndex(indexKind)
+        val served = indexKind match {
+          case "pq" => operators.AnnPq.annPqServedOver(spark, path, qFrame, kT)
+          case "opq" => operators.AnnOpq.annOpqServedOver(spark, path, qFrame, kT)
+          case _ => operators.AnnSq.annSq8ServedOver(spark, path, qFrame, kT)
+        }
+        val buckets = operators.AnnStore.readManifest(spark, path)
+          .flatMap(m => operators.AnnStore.manifestInt(m, "buckets"))
+          .getOrElse(operators.AnnPq.MinBuckets)
+        // hash-bucketed stores: each hit's cell is pure arithmetic on its
+        // vec_id — recomputed in-plan, so the metadata read stays pruned
+        val hits = served
+          .withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
+          .select(col("query_id"), col("vec_id"), col("cid"), col("score"))
+          .collect()
+        chunkHitResults(path, hits)
+      }
+      case "late" => operators.AnnStore.releasingPinned(spark) {
+        val path = ensureChunkKindIndex("late")
+        val tx = TransformerEmbedder.seeded(spark)
+        val qArr = queries.zipWithIndex.map { case (q, i) =>
+          val qm = {
+            val toks = tx.tokenIds(q)
+            if (toks.isEmpty) Array.empty[Array[Double]]
+            else tx.forwardTokenVecs(toks)
+          }
+          (i.toLong, qm, operators.RagSearch.poolTokenVecs(qm, tx.dim))
+        }.toArray
+        val hits = operators.RagSearch.ragTopKLateServedOverCells(spark, path,
+          qArr, kT, nprobe, excludeSelf = false)
+          .select(col("query_id"), col("vec_id"), col("cid"), col("score"))
+          .collect()
+        chunkHitResults(path, hits)
+      }
+      case other => throw new IllegalArgumentException(
+        s"ragQueryAnnKindBatch: unknown indexKind '$other' " +
+          "(ivf | graph | hnsw | pq | opq | sq8 | late)")
+    }
+  }
+
+  /** Kind-keyed store path for [[ragQueryAnnKindBatch]]'s families. */
+  def chunkKindPath(kind: String): String =
+    operators.AnnStore.defaultPath("chunk" + kind, sfDir)
+
+  /** Build-once gate for a [[ragQueryAnnKindBatch]] family: manifest =
+    * build params + chunk params + model identity + documents fingerprint,
+    * so corpus edits, chunking changes, and embedder swaps each read as a
+    * mismatch and rebuild. Corpus-derived size params (bucket counts, the
+    * HNSW layer count) derive from the documents-table row count — a cheap
+    * footer read at gate time, and only a sizing heuristic (any value
+    * serves correctly).
+    */
+  private def ensureChunkKindIndex(kind: String): String = {
+    val path = chunkKindPath(kind)
+    val fp = docsFingerprint
+    lazy val nDocs = Tables.documents(spark, sfDir).count()
+    kind match {
+      case "hnsw" =>
+        val maxLvl = operators.AnnHnsw.maxLevelFor(nDocs, 4)
+        val manifest = operators.AnnStore.manifest("chunk_hnsw",
+          Seq("k" -> 16, "degree" -> 8, "m" -> 4, "degree_up" -> 8,
+            "max_lvl" -> maxLvl, "chunkSize" -> chunkSize,
+            "chunkOverlap" -> chunkOverlap, "model" -> modelName), fp)
+        operators.AnnStore.ensureIndex(spark, path, manifest) {
+          operators.AnnHnsw.writeHnswIndexOver(spark, chunkVectors(buildIndex()),
+            path, k = 16, degree = 8, m = 4, degreeUp = 8, manifest)
+        }
+      case "pq" | "opq" | "sq8" =>
+        val buckets = operators.AnnPq.bucketCountFor(nDocs)
+        val manifest = operators.AnnStore.manifest("chunk_" + kind,
+          Seq("m" -> 8, "ks" -> 16, "buckets" -> buckets,
+            "chunkSize" -> chunkSize, "chunkOverlap" -> chunkOverlap,
+            "model" -> modelName), fp)
+        operators.AnnStore.ensureIndex(spark, path, manifest) {
+          kind match {
+            case "pq" => operators.AnnPq.writePqIndexOver(spark,
+              chunkVectors(buildIndex()), path, m = 8, ks = 16, iters = 3, manifest)
+            case "opq" => operators.AnnOpq.writeOpqIndexOver(spark,
+              chunkVectors(buildIndex()), path, m = 8, ks = 16,
+              innerIters = 2, rounds = 2, manifest)
+            case _ => operators.AnnSq.writeSqIndexOver(spark,
+              chunkVectors(buildIndex()), path, manifest)
+          }
+        }
+      case "late" =>
+        val tx = TransformerEmbedder.seeded(spark)
+        // chunk text as the encode input; metadata rides as payload so the
+        // hit join reads it from the pruned cells like every other family
+        operators.RagSearch.ensureLateIndex(spark,
+          chunkVectors(buildIndex()).select(col("vec_id"),
+            col("chunk_text").as("text"), col("doc_id"), col("chunk_idx"),
+            col("chunk_text"), col("token_count"), col("file_size")),
+          tx, path, kCells = 16,
+          fp = s"$fp|cs=$chunkSize|co=$chunkOverlap")
+      case other => throw new IllegalArgumentException(
+        s"ensureChunkKindIndex: unknown kind '$other'")
+    }
+    path
+  }
+
   /** Shared tail of the chunk-ANN serving paths: join the bounded hit list
     * back to its chunks' metadata, read from the SAME pruned cells the
     * search touched — no corpus re-chunk, no full index scan; the

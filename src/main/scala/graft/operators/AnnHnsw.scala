@@ -266,7 +266,7 @@ object AnnHnsw {
       .select(col("vec_id"), col("embedding").cast("array<float>")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     descend(spark, indexPath, qRows.toMap, maxLvl, topK, ef, beam, hops,
-      exhaustLevels, excludeSelf = true, counter)
+      exhaustLevels, excludeSelf = true, counter).drop("cid")
   }
 
   /** External-query serving: (query_id, qv) batch, no self-exclusion —
@@ -276,6 +276,22 @@ object AnnHnsw {
                         topK: Int = 5, ef: Int = 8, beam: Int = 32, hops: Int = 2,
                         exhaustLevels: Int = 6,
                         counter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    annHnswServedOverCells(spark, indexPath, queries, topK, ef, beam, hops,
+      exhaustLevels, counter).drop("cid")
+  }
+
+  /** [[annHnswServedOver]] with each hit's layer-0 cell id riding as a
+    * `cid` column — what a metadata-serving consumer (the facade's
+    * chunk-HNSW arm) needs to prune its follow-up read to the hit cells
+    * (AnnGraph's annGraphServedOverCells twin).
+    */
+  private[graft] def annHnswServedOverCells(spark: SparkSession,
+                                            indexPath: String, queries: DataFrame,
+                                            topK: Int = 5, ef: Int = 8,
+                                            beam: Int = 32, hops: Int = 2,
+                                            exhaustLevels: Int = 6,
+                                            counter: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     val qRows = queries
       .select(col("query_id"), col("qv").cast("array<float>").as("qv"))
@@ -309,8 +325,8 @@ object AnnHnsw {
       : DataFrame = {
     import spark.implicits._
     if (qvs.isEmpty)
-      return spark.emptyDataset[(Long, Long, Long, Double)]
-        .toDF("query_id", "rank", "vec_id", "score")
+      return spark.emptyDataset[(Long, Long, Long, Double, Int)]
+        .toDF("query_id", "rank", "vec_id", "score", "cid")
     // frontier: qid -> (node ids to seed, blocks to read) at the next layer
     // down. Top-layer entry: every query reads the single top block and
     // seeds ALL its nodes (seedAll) — no frontier yet.
@@ -383,7 +399,6 @@ object AnnHnsw {
       cells0, seeds0, outCell = col("cid"), topK = topK, beam = beam,
       hops = hops, seedAll = false, entries = 2, excludeSelf = excludeSelf,
       counter = counter)
-      .drop("cid")
       .orderBy("query_id", "rank")
   }
 

@@ -232,6 +232,47 @@ object AnnOpq {
   private[graft] def readStoredRotation(spark: SparkSession, path: String)
       : Array[Array[Double]] = readRotation(spark, path)
 
+  /** Build over an arbitrary `(vec_id, embedding, payload...)` frame —
+    * the derived-index path: rotation + books trained on the frame,
+    * payload riding the exact-rerank vectors table.
+    */
+  private[graft] def writeOpqIndexOver(spark: SparkSession, e0: DataFrame,
+                                       path: String, m: Int, ks: Int,
+                                       innerIters: Int, rounds: Int,
+                                       manifest: String): Unit =
+    AnnStore.releasingPinned(spark) {
+      import spark.implicits._
+      VecExprs.register(spark)
+      val dim = 64
+      val sd = dim / m
+      val raw = AnnStore.trackedCheckpoint(e0)
+      val e = raw
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .filter(col("emb").isNotNull)
+      val buckets = AnnStore.manifestInt(manifest, "buckets")
+        .getOrElse(AnnPq.MinBuckets)
+      val model = trainOpq(e, dim, m, ks, innerIters, rounds)
+      val rot = model.rotation
+      val books = model.books
+      AnnStore.writeStaged(spark, path, manifest) { staging =>
+        val codeCols = (0 until m).map(j =>
+          VecExprs.centroidAssign(
+            slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
+            books(j), useCosine = false).as(s"c$j"))
+        val bucket = pmod(col("vec_id"), lit(buckets)).cast("int")
+        e.select(col("vec_id") +: codeCols :+ bucket.as("cid"): _*)
+          .write.partitionBy("cid").parquet(staging + "/codes")
+        raw.withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
+          .write.partitionBy("cid").parquet(staging + "/vectors")
+        books.zipWithIndex.flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+        }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
+          .write.parquet(staging + "/books")
+        rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+          .toDF("i", "r").coalesce(1).write.parquet(staging + "/rotation")
+      }
+    }
+
   def ensureOpqIndex(spark: SparkSession, sfDir: String, path: String,
                      m: Int = 8, ks: Int = 16, innerIters: Int = 2,
                      rounds: Int = 2): Unit = {

@@ -152,7 +152,9 @@ object AnnPq {
     val buckets = manifestBuckets(manifest)
     val books = trainAll(e, m, sd, ks, iters)
     AnnStore.writeStaged(spark, path, manifest) { staging =>
-      writePqContents(spark, staging, sfDir, e, books, buckets)
+      writePqContents(spark, staging,
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+        e, books, buckets)
     }
     e.unpersist()
   }
@@ -160,7 +162,7 @@ object AnnPq {
   /** The store tables given PINNED books (no training) — shared by the
     * trained build and [[writePqIndexWithBooks]].
     */
-  private def writePqContents(spark: SparkSession, dir: String, sfDir: String,
+  private def writePqContents(spark: SparkSession, dir: String, raw: DataFrame,
                               e: DataFrame,
                               books: Array[Array[Array[Double]]],
                               buckets: Int): Unit = {
@@ -171,14 +173,36 @@ object AnnPq {
       l2Assign(slice(col("emb"), j * sd + 1, sd), books(j)).as(s"c$j"))
     e.select(col("vec_id") +: codeCols :+ bucketCol(buckets).as("cid"): _*)
       .write.partitionBy("cid").parquet(dir + "/codes")
-    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-      .withColumn("cid", bucketCol(buckets))
+    // the raw frame rides whole — payload columns (a derived chunk
+    // index's metadata) land in the exact-rerank table for free
+    raw.withColumn("cid", bucketCol(buckets))
       .write.partitionBy("cid").parquet(dir + "/vectors")
     books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
     }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
       .write.parquet(dir + "/books")
   }
+
+  /** Build over an arbitrary `(vec_id, embedding, payload...)` frame —
+    * the derived-index path ([[AnnIvf.writeIndexOver]]'s twin): payload
+    * columns ride the vectors table so a facade consumer can serve result
+    * metadata from the pruned bucket read.
+    */
+  private[graft] def writePqIndexOver(spark: SparkSession, e0: DataFrame,
+                                      path: String, m: Int, ks: Int,
+                                      iters: Int, manifest: String): Unit =
+    AnnStore.releasingPinned(spark) {
+      VecExprs.register(spark)
+      val e = AnnStore.trackedCheckpoint(e0)
+      val emb = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val sd = 64 / m
+      val books = trainAll(emb, m, sd, ks, iters)
+      AnnStore.writeStaged(spark, path, manifest) { staging =>
+        writePqContents(spark, staging, e, emb, books,
+          manifestBuckets(manifest))
+      }
+    }
 
   /** Pinned-books full rewrite — [[AnnIvf.writeIndexOverWithCentroids]]'s
     * twin: the primitive the refresh-equivalence property is stated
@@ -195,7 +219,9 @@ object AnnPq {
       val e = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       AnnStore.writeStaged(spark, path, manifest) { staging =>
-        writePqContents(spark, staging, sfDir, e, books, buckets)
+        writePqContents(spark, staging,
+          Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+          e, books, buckets)
       }
     }
 

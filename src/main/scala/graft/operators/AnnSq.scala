@@ -77,15 +77,32 @@ object AnnSq {
     * payloads — a corpus edit too small to move any int8 code leaves the
     * store byte-identical and correctly restamps instead of rewriting.
     */
-  private def quantize(e: DataFrame, buckets: Int): DataFrame =
-    e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+  private def quantize(e: DataFrame, buckets: Int): DataFrame = {
+    // payload columns (a derived chunk index's metadata) pass through —
+    // the int8 cut drops the FLOAT table, not the serving metadata
+    val payload = e.columns
+      .filterNot(c => c == "vec_id" || c == "embedding").map(col)
+    e.withColumn("emb", col("embedding").cast("array<double>"))
       .withColumn("maxabs", array_max(transform(col("emb"), x => abs(x))))
-      .select(col("vec_id"),
+      .select(col("vec_id") +:
         transform(col("emb"), x =>
           when(col("maxabs") > 0, round(x * 127.0 / col("maxabs") + lit(1e-9)))
-            .otherwise(lit(0.0)).cast("byte")).as("qvals"),
-        round(col("maxabs") + lit(1e-9), 6).as("scale"),
-        pmod(col("vec_id"), lit(buckets)).cast("int").as("cid"))
+            .otherwise(lit(0.0)).cast("byte")).as("qvals") +:
+        round(col("maxabs") + lit(1e-9), 6).as("scale") +:
+        payload.toSeq :+
+        pmod(col("vec_id"), lit(buckets)).cast("int").as("cid"): _*)
+  }
+
+  /** Build over an arbitrary `(vec_id, embedding, payload...)` frame —
+    * the derived-index path: quantized vectors plus riding metadata.
+    */
+  private[graft] def writeSqIndexOver(spark: SparkSession, e: DataFrame,
+                                      path: String, manifestStr: String): Unit =
+    AnnStore.writeStaged(spark, path, manifestStr) { staging =>
+      quantize(e, AnnStore.manifestInt(manifestStr, "buckets")
+        .getOrElse(AnnPq.MinBuckets))
+        .write.partitionBy("cid").parquet(staging + "/vectors")
+    }
 
   private val Dim = 64
 

@@ -342,21 +342,27 @@ object RagSearch {
   private[graft] def lateCorpusEncode(docs: DataFrame,
                                       tx: graft.TransformerEmbedder): DataFrame = {
     import org.apache.spark.sql.types._
+    // columns beyond (id, text) pass through — a derived chunk index's
+    // metadata rides the store so the facade can serve it from the
+    // pruned cell read (the AnnIvf.writeIndexOver payload convention)
+    val payloadFields = docs.schema.fields.drop(2)
     val schema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
       StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false),
       StructField("tokvecs", ArrayType(ArrayType(DoubleType, containsNull = false),
-        containsNull = false), nullable = false)))
+        containsNull = false), nullable = false)) ++ payloadFields)
     implicit val enc =
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val nPayload = payloadFields.length
     widenForInference(docs).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val toks = tx.tokenIds(if (r.isNullAt(1)) "" else r.getString(1))
         val tvs = if (toks.isEmpty) Array.empty[Array[Double]]
           else tx.forwardTokenVecs(toks)
-        org.apache.spark.sql.Row(id, poolTokenVecs(tvs, tx.dim).toSeq,
-          tvs.map(_.toSeq).toSeq)
+        org.apache.spark.sql.Row.fromSeq(
+          Seq(id, poolTokenVecs(tvs, tx.dim).toSeq, tvs.map(_.toSeq).toSeq) ++
+            (0 until nPayload).map(i => r.get(i + 2)))
       }
     }
   }
@@ -419,6 +425,16 @@ object RagSearch {
   private[graft] def ragTopKLateServedOver(spark: SparkSession, indexPath: String,
                                            queries: Array[(Long, Array[Array[Double]], Array[Double])],
                                            k: Int, nprobe: Int,
+                                           excludeSelf: Boolean): DataFrame =
+    ragTopKLateServedOverCells(spark, indexPath, queries, k, nprobe,
+      excludeSelf).drop("cid")
+
+  /** [[ragTopKLateServedOver]] with each hit's cell id riding as `cid` —
+    * the facade's pruned-metadata handle (the graph/HNSW Cells twins).
+    */
+  private[graft] def ragTopKLateServedOverCells(spark: SparkSession, indexPath: String,
+                                           queries: Array[(Long, Array[Array[Double]], Array[Double])],
+                                           k: Int, nprobe: Int,
                                            excludeSelf: Boolean): DataFrame = {
     AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
     val centroids = AnnStore.readCentroids(spark, indexPath)
@@ -435,6 +451,8 @@ object RagSearch {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("raw",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     implicit val enc =
@@ -449,15 +467,16 @@ object RagSearch {
           .filter { case (qid, _, ps) =>
             ps.contains(cid) && !(excludeSelf && qid == id) }
           .map { case (qid, qm, _) =>
-            org.apache.spark.sql.Row(qid, id, maxSim(qm, dVecs))
+            org.apache.spark.sql.Row(qid, id, cid, maxSim(qm, dVecs))
           }
       }
     }
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
-    scored.select(col("query_id"), col("vec_id"), round(col("raw"), 4).as("score"))
+    scored.select(col("query_id"), col("vec_id"), col("cid"),
+        round(col("raw"), 4).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"), col("cid"))
       .orderBy("query_id", "rank")
   }
 
