@@ -641,7 +641,13 @@ class Graft(spark: SparkSession, sfDir: String,
       case "graph" => ragQueryAnnGraphBatch(queries, topK, nprobe)
       case "hnsw" => operators.AnnStore.releasingPinned(spark) {
         val path = ensureChunkKindIndex("hnsw")
-        val hits = operators.AnnHnsw.annHnswServedOverCells(spark, path, qFrame, kT)
+        // the hierarchy's width knob is ef, not nprobe — derive both ef
+        // and the beam from (topK, nprobe) so the knob's parameters act
+        // monotonically on every arm and a topK=50 call can actually
+        // fill 50 rows (the beam bounds the layer-0 pool)
+        val ef = math.max(8, math.max(kT, 4 * nprobe))
+        val hits = operators.AnnHnsw.annHnswServedOverCells(spark, path, qFrame,
+          topK = kT, ef = ef, beam = math.max(32, 2 * kT))
           .select(col("query_id"), col("vec_id"), col("cid"), col("score"))
           .collect()
         chunkHitResults(path, hits)

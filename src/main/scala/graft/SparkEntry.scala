@@ -441,6 +441,10 @@ object SparkEntry {
   /** The default query's hash-embedding as a DuckDB list literal (the same
     * vector the Spark side ships as a Column literal).
     */
+  private lazy val hybridQueryVecSql: String =
+    graft.plans.VecExprs.HashEmbedAlg.embed(operators.Bm25.DefaultQuery, 64)
+      .map(_.toString).mkString("[", ", ", "]")
+
   /** The synthetic-raster sample value at flat index `idx` — the SQL twin
     * of [[operators.Multimodal.imgPixels]]'s formula (row-major, channels
     * interleaved: y = idx div row, x = (idx mod row) div ch, c = idx mod
@@ -449,10 +453,6 @@ object SparkEntry {
   private lazy val imgPixelValSql: String =
     "(doc_id*31 + (idx // (width*ch))*17 + ((idx % (width*ch)) // ch)*5" +
       " + (idx % ch)*7) % 256"
-
-  private lazy val hybridQueryVecSql: String =
-    graft.plans.VecExprs.HashEmbedAlg.embed(operators.Bm25.DefaultQuery, 64)
-      .map(_.toString).mkString("[", ", ", "]")
 
   /** The bench's query map: identical to [[queries]] except where an
     * ORACLE-SIDE cost (not the operator under test) dominates the timing.

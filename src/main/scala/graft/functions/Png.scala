@@ -112,7 +112,9 @@ object Png {
     while (!seenIend) {
       if (p + 12 > bytes.length) return None // ragged chunk header/crc
       val len = be32(bytes, p)
-      if (len < 0 || p + 12 + len > bytes.length) return None
+      // bounds in Long: a hostile length near Int.MaxValue must read as
+      // out-of-bounds, not wrap negative and reach the CRC read
+      if (len < 0 || p + 12L + len > bytes.length) return None
       val ctype = new String(bytes, p + 4, 4, "ISO-8859-1")
       val crc = new CRC32()
       crc.update(bytes, p + 4, 4 + len)

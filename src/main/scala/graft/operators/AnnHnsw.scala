@@ -58,8 +58,13 @@ object AnnHnsw {
   def maxLevelFor(n: Long, m: Int): Int =
     math.max(1, math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(m) - 1e-9).toInt)
 
-  private def kAt(k: Int, m: Int, lvl: Int): Int =
-    math.max(1, math.ceil(k / math.pow(m, lvl) - 1e-9).toInt)
+  /** Blocks at layer `lvl`; the TOP layer is forced to ONE block — the
+    * search's entry contract — even when n < k leaves ceil(k/m^maxLvl)
+    * above 1 (tiny corpora: maxLvl derives from n, not k).
+    */
+  private def kAt(k: Int, m: Int, lvl: Int, maxLvl: Int): Int =
+    if (lvl >= maxLvl) 1
+    else math.max(1, math.ceil(k / math.pow(m, lvl) - 1e-9).toInt)
 
   /** The node's top level — P(level ≥ ℓ) = m^-ℓ from a uniform in [0,1)
     * derived by hashing vec_id (top 53 bits of xxhash64 → exact double).
@@ -111,16 +116,21 @@ object AnnHnsw {
     }
   }
 
-  private[graft] def writeHnswIndexOver(spark: SparkSession, e: DataFrame,
+  private[graft] def writeHnswIndexOver(spark: SparkSession, e0: DataFrame,
                                         path: String, k: Int, degree: Int,
                                         m: Int, degreeUp: Int,
-                                        manifestStr: String): Unit = {
-    VecExprs.register(spark)
-    val centroids = AnnIvf.trainOver(
-      e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
-    writeHnswIndexOverWithCentroids(spark, e, path, centroids, k, degree, m,
-      degreeUp, manifestStr)
-  }
+                                        manifestStr: String): Unit =
+    AnnStore.releasingPinned(spark) {
+      VecExprs.register(spark)
+      // materialize BEFORE k-means: a lazy derived frame (the facade's
+      // chunk+embed pipeline) would re-chunk the corpus once per
+      // training iteration (the PQ/OPQ Over-builders' convention)
+      val e = AnnStore.trackedCheckpoint(e0)
+      val centroids = AnnIvf.trainOver(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), k)
+      writeHnswIndexOverWithCentroids(spark, e, path, centroids, k, degree, m,
+        degreeUp, manifestStr)
+    }
 
   /** The same staged write with a caller-pinned layer-0 codebook (upper-
     * layer quantizers retrain deterministically over the given corpus —
@@ -167,7 +177,7 @@ object AnnHnsw {
     for (l <- 1 to maxLvl) {
       val nodes = leveled.filter(col("lvl") >= l)
         .select(col("vec_id"), col("embedding"))
-      val kL = kAt(k, m, l)
+      val kL = kAt(k, m, l, maxLvl)
       val cL: Option[Array[Array[Double]]] =
         if (kL == 1) None
         else Some(AnnIvf.trainOver(
@@ -368,8 +378,12 @@ object AnnHnsw {
       val cellsOf: Map[Long, Set[Int]] =
         if (top) qvs.keys.map(_ -> Set(0)).toMap // k_top = 1: one block, cid 0
         else {
+          // keyed on the QUERY SET, not the frontier: a query whose
+          // frontier emptied (e.g. its blocks held no loaded rows) keeps
+          // its quantizer-probed own block instead of vanishing
           val own = selfBlock(l)
-          frontier.map { case (q, f) => q -> (f.map(_._2).toSet ++ own(q)) }
+          qvs.keys.map(q =>
+            q -> (frontier.getOrElse(q, Nil).map(_._2).toSet ++ own(q))).toMap
         }
       val seedsOf: Map[Long, Seq[Long]] =
         if (top) Map.empty
@@ -392,8 +406,8 @@ object AnnHnsw {
       q -> Set(mainCentroids.indices.maxBy(i =>
         (AnnGraph.cosineFD(qv, mainCentroids(i)), -i)))
     }
-    val cells0 = frontier.map { case (q, f) =>
-      q -> (f.map(_._2).toSet ++ ownCell0(q)) }
+    val cells0 = qvs.keys.map(q =>
+      q -> (frontier.getOrElse(q, Nil).map(_._2).toSet ++ ownCell0(q))).toMap
     val seeds0 = frontier.map { case (q, f) => q -> f.map(_._1) }
     routeAndSearch(spark, vectors, qvs,
       cells0, seeds0, outCell = col("cid"), topK = topK, beam = beam,

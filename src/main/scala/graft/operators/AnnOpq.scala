@@ -159,36 +159,51 @@ object AnnOpq {
   private def writeOpqIndexWith(spark: SparkSession, sfDir: String, path: String,
                                 m: Int, ks: Int, innerIters: Int, rounds: Int,
                                 manifest: String): Unit = AnnStore.releasingPinned(spark) {
-    import spark.implicits._
     VecExprs.register(spark)
-    val dim = 64
-    val sd = dim / m
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .filter(col("emb").isNotNull)
+    val model = trainOpq(e, 64, m, ks, innerIters, rounds)
+    AnnStore.writeStaged(spark, path, manifest) { staging =>
+      writeOpqContents(spark, staging,
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+        e, model.rotation, model.books, manifest)
+    }
+  }
+
+  /** The store tables given a PINNED model — the ONE place the staged
+    * layout lives (codes from the rotated slices, the raw frame riding
+    * whole into the exact-rerank vectors table so derived-index payload
+    * columns serve from the pruned bucket read, books + rotation): shared
+    * by the trained builds and [[writeOpqIndexWithModel]], so the
+    * refresh-equivalence property can never be broken by one copy
+    * drifting.
+    */
+  private def writeOpqContents(spark: SparkSession, dir: String,
+                               raw: DataFrame, e: DataFrame,
+                               rot: Array[Array[Double]],
+                               books: Array[Array[Array[Double]]],
+                               manifest: String): Unit = {
+    import spark.implicits._
+    val m = books.length
+    val sd = books.head.head.length
     val buckets = AnnStore.manifestInt(manifest, "buckets")
       .getOrElse(AnnPq.MinBuckets)
-    val model = trainOpq(e, dim, m, ks, innerIters, rounds)
-    val rot = model.rotation
-    val books = model.books
-    AnnStore.writeStaged(spark, path, manifest) { staging =>
-      val codeCols = (0 until m).map(j =>
-        VecExprs.centroidAssign(
-          slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
-          books(j), useCosine = false).as(s"c$j"))
-      val bucket = pmod(col("vec_id"), lit(buckets)).cast("int")
-      e.select(col("vec_id") +: codeCols :+ bucket.as("cid"): _*)
-        .write.partitionBy("cid").parquet(staging + "/codes")
-      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-        .withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
-        .write.partitionBy("cid").parquet(staging + "/vectors")
-      books.zipWithIndex.flatMap { case (book, j) =>
-        book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-      }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
-        .write.parquet(staging + "/books")
-      rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
-        .toDF("i", "r").coalesce(1).write.parquet(staging + "/rotation")
-    }
+    val codeCols = (0 until m).map(j =>
+      VecExprs.centroidAssign(
+        slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
+        books(j), useCosine = false).as(s"c$j"))
+    val bucket = pmod(col("vec_id"), lit(buckets)).cast("int")
+    e.select(col("vec_id") +: codeCols :+ bucket.as("cid"): _*)
+      .write.partitionBy("cid").parquet(dir + "/codes")
+    raw.withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
+      .write.partitionBy("cid").parquet(dir + "/vectors")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
+      .write.parquet(dir + "/books")
+    rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "r").coalesce(1).write.parquet(dir + "/rotation")
   }
 
   /** Pinned-model full rewrite (stored rotation + books, no training) —
@@ -200,32 +215,14 @@ object AnnOpq {
                                             books: Array[Array[Array[Double]]],
                                             manifest: String): Unit =
     AnnStore.releasingPinned(spark) {
-      import spark.implicits._
       VecExprs.register(spark)
-      val m = books.length
-      val sd = books.head.head.length
-      val buckets = AnnStore.manifestInt(manifest, "buckets")
-        .getOrElse(AnnPq.MinBuckets)
       val e = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .filter(col("emb").isNotNull)
       AnnStore.writeStaged(spark, path, manifest) { staging =>
-        val codeCols = (0 until m).map(j =>
-          VecExprs.centroidAssign(
-            slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
-            books(j), useCosine = false).as(s"c$j"))
-        val bucket = pmod(col("vec_id"), lit(buckets)).cast("int")
-        e.select(col("vec_id") +: codeCols :+ bucket.as("cid"): _*)
-          .write.partitionBy("cid").parquet(staging + "/codes")
-        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-          .withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
-          .write.partitionBy("cid").parquet(staging + "/vectors")
-        books.zipWithIndex.flatMap { case (book, j) =>
-          book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-        }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
-          .write.parquet(staging + "/books")
-        rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
-          .toDF("i", "r").coalesce(1).write.parquet(staging + "/rotation")
+        writeOpqContents(spark, staging,
+          Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+          e, rot, books, manifest)
       }
     }
 
@@ -241,35 +238,15 @@ object AnnOpq {
                                        innerIters: Int, rounds: Int,
                                        manifest: String): Unit =
     AnnStore.releasingPinned(spark) {
-      import spark.implicits._
       VecExprs.register(spark)
-      val dim = 64
-      val sd = dim / m
       val raw = AnnStore.trackedCheckpoint(e0)
       val e = raw
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .filter(col("emb").isNotNull)
-      val buckets = AnnStore.manifestInt(manifest, "buckets")
-        .getOrElse(AnnPq.MinBuckets)
-      val model = trainOpq(e, dim, m, ks, innerIters, rounds)
-      val rot = model.rotation
-      val books = model.books
+      val model = trainOpq(e, 64, m, ks, innerIters, rounds)
       AnnStore.writeStaged(spark, path, manifest) { staging =>
-        val codeCols = (0 until m).map(j =>
-          VecExprs.centroidAssign(
-            slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
-            books(j), useCosine = false).as(s"c$j"))
-        val bucket = pmod(col("vec_id"), lit(buckets)).cast("int")
-        e.select(col("vec_id") +: codeCols :+ bucket.as("cid"): _*)
-          .write.partitionBy("cid").parquet(staging + "/codes")
-        raw.withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
-          .write.partitionBy("cid").parquet(staging + "/vectors")
-        books.zipWithIndex.flatMap { case (book, j) =>
-          book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-        }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
-          .write.parquet(staging + "/books")
-        rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
-          .toDF("i", "r").coalesce(1).write.parquet(staging + "/rotation")
+        writeOpqContents(spark, staging, raw, e, model.rotation, model.books,
+          manifest)
       }
     }
 

@@ -412,11 +412,25 @@ object Multimodal {
     sb.toString
   }
 
-  /** 4dp half-up with the repo's 1e-9 nudge — the JVM twin of the oracle's
-    * `round(x + 1e-9, 4)`.
+  /** 4dp half-up with the repo's 1e-9 nudge — [[RagSearch.round4]], the
+    * JVM twin of the oracle's `round(x + 1e-9, 4)`.
     */
-  private def round4(v: Double): Double =
-    BigDecimal(v + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round4(v: Double): Double = RagSearch.round4(v)
+
+  /** Encode the document's synthetic raster as a real PNG (row filter
+    * rotating through all five types) and decode it back — THE round-trip
+    * every image driver query starts from, shared so the filter rotation
+    * (which the oracle hashes depend on) lives in exactly one place.
+    * decode() is total on well-formed input; a None means the codec
+    * broke — a hard error, never a silent row drop.
+    */
+  private def decodedImage(id: Long, tag: String): graft.functions.Png.Image = {
+    import graft.functions.Png
+    val png = Png.encode(imgPixels(id),
+      filterFor = y => Math.floorMod(id + y, 5L).toInt)
+    Png.decode(png).getOrElse(
+      throw new IllegalStateException(s"$tag: doc $id"))
+  }
 
   /** Driver query `img_decode_real` — the REAL image decode under the
     * oracle gate, closing the stubbed half of the multimodal mandate the
@@ -446,12 +460,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val png = Png.encode(imgPixels(id),
-            filterFor = y => Math.floorMod(id + y, 5L).toInt)
-          // decode() is total on well-formed input; a None here means the
-          // codec broke — surface it as a hard error, not a silent row drop
-          val img = Png.decode(png).getOrElse(
-            throw new IllegalStateException(s"img_decode_real: doc $id"))
+          val img = decodedImage(id, "img_decode_real")
           var sum = 0L
           img.pixels.foreach(b => sum += (b & 0xff))
           Row(id, img.width, img.height,
@@ -481,10 +490,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val png = Png.encode(imgPixels(id),
-            filterFor = y => Math.floorMod(id + y, 5L).toInt)
-          val img = Png.decode(png).getOrElse(
-            throw new IllegalStateException(s"img_frames: doc $id"))
+          val img = decodedImage(id, "img_frames")
           val rowLen = img.width * img.channels
           (0 until img.height by stride).map { y =>
             val strip = java.util.Arrays.copyOfRange(img.pixels,
@@ -523,11 +529,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val png = Png.encode(imgPixels(id),
-            filterFor = y => Math.floorMod(id + y, 5L).toInt)
-          val img = Png.decode(png).getOrElse(
-            throw new IllegalStateException(s"img_resize_real: doc $id"))
-          val rs = Png.resizeBilinear(img, tw, th)
+          val rs = Png.resizeBilinear(decodedImage(id, "img_resize_real"), tw, th)
           var sum = 0L
           rs.pixels.foreach(b => sum += (b & 0xff))
           Row(id, rs.width, rs.height,

@@ -72,6 +72,38 @@ class AnnHnswSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("hnsw on a tiny corpus (n < k): one-block top layer, serving still fills") {
+    // n=6 with default k=16: maxLvl derives from n, so ceil(k/m^maxLvl)
+    // would be > 1 — the top layer must still be forced to ONE block and
+    // every query must keep its quantizer fallback even when the frontier
+    // empties (the r15 review catch)
+    val work = "/tmp/graft_test_hnsw_tiny"
+    val fs = AnnStore.fileSystem(spark, work)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    val corpusDir = work + "/corpus"
+    Tables.embeddings(spark, sf).filter(col("vec_id") < 6)
+      .write.parquet(corpusDir + "/embeddings.parquet")
+    val path = work + "/idx"
+    AnnHnsw.ensureHnswIndex(spark, corpusDir, path)
+    val maxLvl = AnnStore.readManifest(spark, path)
+      .flatMap(AnnStore.manifestInt(_, "max_lvl")).get
+    val topBlocks = spark.read.parquet(s"$path/layer$maxLvl")
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    assert(topBlocks == Set(0), s"top layer must be one block, got $topBlocks")
+    val got = AnnHnsw.annHnswServed(spark, path, nQueries = 3, topK = 3).cache()
+    // 6 points under k=16 means singleton cells with no in-cell edges —
+    // full topK is not reachable by ANY probed arm here; the contract is
+    // that no query VANISHES (pre-fix: an emptied frontier dropped the
+    // query entirely) and nothing over-fills
+    val perQ = got.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 3L).foreach { q =>
+      assert(perQ.getOrElse(q, 0L) >= 1, s"query $q returned nothing")
+      assert(perQ(q) <= 3, s"query $q overfilled")
+    }
+    got.unpersist()
+  }
+
   test("hnsw refresh: level-0-only edits leave every upper layer byte-identical") {
     val work = "/tmp/graft_test_hnsw_refresh"
     val fs = AnnStore.fileSystem(spark, work)

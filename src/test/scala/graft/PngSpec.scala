@@ -62,6 +62,13 @@ class PngSpec extends SparkSpecBase {
     // declared-giant IHDR (allocation bomb) is rejected, not allocated —
     // rebuild a valid-CRC header claiming 2^30 x 2^30
     assert(Png.decode(resizeIhdr(good, 1 << 30, 1 << 30)).isEmpty)
+    // hostile chunk length near Int.MaxValue: the bounds math must not
+    // wrap negative and reach the CRC read (decode returns None, never
+    // throws — the r15 review catch)
+    val hostile = good.clone()
+    hostile(8) = 0x7f.toByte; hostile(9) = 0xff.toByte
+    hostile(10) = 0xff.toByte; hostile(11) = 0xf0.toByte
+    assert(Png.decode(hostile).isEmpty)
     // not PNG at all
     assert(Png.decode("just some text, definitely no raster".getBytes).isEmpty)
     assert(Png.decode(null).isEmpty)
