@@ -708,10 +708,18 @@ class Graft(spark: SparkSession, sfDir: String,
   private def ensureChunkKindIndex(kind: String): String = {
     val path = chunkKindPath(kind)
     val fp = docsFingerprint
-    lazy val nDocs = Tables.documents(spark, sfDir).count()
+    // the index is built over CHUNKS, so corpus-derived size params must
+    // size from the chunk count, not the document count — estimated from
+    // the chunking arithmetic over n_chars (one cheap single-column agg;
+    // a sizing heuristic, so the estimate's rounding is immaterial)
+    lazy val nChunksEst = Tables.documents(spark, sfDir)
+      .agg(sum(greatest(lit(1L),
+        ceil(col("n_chars").cast("double") /
+          math.max(1, chunkSize - chunkOverlap)).cast("long"))))
+      .head().getLong(0)
     kind match {
       case "hnsw" =>
-        val maxLvl = operators.AnnHnsw.maxLevelFor(nDocs, 4)
+        val maxLvl = operators.AnnHnsw.maxLevelFor(nChunksEst, 4)
         val manifest = operators.AnnStore.manifest("chunk_hnsw",
           Seq("k" -> 16, "degree" -> 8, "m" -> 4, "degree_up" -> 8,
             "max_lvl" -> maxLvl, "chunkSize" -> chunkSize,
@@ -721,7 +729,7 @@ class Graft(spark: SparkSession, sfDir: String,
             path, k = 16, degree = 8, m = 4, degreeUp = 8, manifest)
         }
       case "pq" | "opq" | "sq8" =>
-        val buckets = operators.AnnPq.bucketCountFor(nDocs)
+        val buckets = operators.AnnPq.bucketCountFor(nChunksEst)
         val manifest = operators.AnnStore.manifest("chunk_" + kind,
           Seq("m" -> 8, "ks" -> 16, "buckets" -> buckets,
             "chunkSize" -> chunkSize, "chunkOverlap" -> chunkOverlap,

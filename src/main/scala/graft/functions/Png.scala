@@ -143,8 +143,12 @@ object Png {
     }
     if (!seenIhdr) return None
     val rowLen = w * ch
-    val raw = inflate(idat.toByteArray).getOrElse(return None)
-    if (raw.length != h * (rowLen + 1)) return None
+    // the filtered stream's size is EXACTLY h*(rowLen+1) — cap inflate
+    // there (a fixed slack under-caps tall/narrow images whose filter
+    // bytes exceed it, and over-caps everything else)
+    val expected = h.toLong * (rowLen + 1)
+    val raw = inflate(idat.toByteArray, expected).getOrElse(return None)
+    if (raw.length != expected) return None
     unfilter(raw, rowLen, ch).map(Image(w, h, ch, _))
   }
 
@@ -269,7 +273,7 @@ object Png {
     } finally d.end()
   }
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+  private def inflate(data: Array[Byte], maxOut: Long): Option[Array[Byte]] = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
@@ -277,7 +281,7 @@ object Png {
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
-        if (out.size().toLong + n > MaxPixels + (MaxPixels >> 8)) return None
+        if (out.size().toLong + n > maxOut) return None // bomb / oversized
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return None // stalled: truncated
       }

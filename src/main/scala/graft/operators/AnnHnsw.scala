@@ -167,7 +167,11 @@ object AnnHnsw {
     // node lives at the top the same way — so every layer (and the single
     // top block the search enters through) is non-empty for ANY corpus
     // size, not just ones big enough for the m^-maxLvl sample to hit
-    val minId = assigned.agg(min(col("vec_id"))).head().getLong(0)
+    val minRow = assigned.agg(min(col("vec_id"))).head()
+    require(!minRow.isNullAt(0),
+      "hnsw build: empty corpus — nothing to index (the trainOver " +
+        "empty-codebook convention, surfaced as a named error)")
+    val minId = minRow.getLong(0)
     val leveled = assigned.withColumn("lvl",
       when(col("vec_id") === minId, lit(maxLvl)).otherwise(levelCol(m, maxLvl)))
     // None = single block: the layer needs no quantizer at all (assignment
@@ -511,7 +515,11 @@ object AnnHnsw {
         // always dirties the old or new pin row, so the isin test covers it)
         val oldPin = spark.read.parquet(s"$path/layer1")
           .agg(min(col("vec_id"))).head().getLong(0)
-        val newPin = newE.agg(min(col("vec_id"))).head().getLong(0)
+        val newPinRow = newE.agg(min(col("vec_id"))).head()
+        // an emptied corpus can't reach here (100% removal is full_drift),
+        // but fail by name rather than NPE if it ever does
+        require(!newPinRow.isNullAt(0), "hnsw refresh: empty new corpus")
+        val newPin = newPinRow.getLong(0)
         val upperDirty = dirty
           .filter(levelCol(m, maxLvl) >= 1 || col("vec_id").isin(oldPin, newPin))
           .limit(1).count() > 0

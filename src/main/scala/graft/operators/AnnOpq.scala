@@ -348,11 +348,12 @@ object AnnOpq {
         VecExprs.dotProd(slice(col("qy"), j * sd + 1, sd), array(c.map(lit): _*))): _*)
         .as(s"t$j")
     }
-    val q = queries
+    // tracked for the same reason as AnnPq's serve checkpoint (a
+    // releasingPinned facade caller releases it after consuming)
+    val q = AnnStore.trackedCheckpoint(queries
       .select(col("query_id") +: col("qv") +:
         VecExprs.matVec(col("qv"), rot).as("qy") +: tableCols: _*)
-      .drop("qy")
-      .localCheckpoint()
+      .drop("qy"))
     val pqScore = (0 until m).map(j =>
       element_at(col(s"t$j"), col(s"c$j").cast("int") + 1)).reduce(_ + _)
     val joined = codes.crossJoin(broadcast(q))

@@ -367,9 +367,12 @@ object AnnPq {
         .as(s"t$j")
     }
     // checkpointed: bounded (nQueries rows) and used twice (ADC broadcast +
-    // rerank join) with the m×ks table expressions in its lineage
-    val q = queries.select(col("query_id") +: col("qv") +: tableCols: _*)
-      .localCheckpoint()
+    // rerank join) with the m×ks table expressions in its lineage.
+    // TRACKED so a releasingPinned caller (the facade's kind knob, which
+    // consumes before its scope closes) releases it — a raw checkpoint
+    // here pinned one block per serve call for the session's lifetime
+    val q = AnnStore.trackedCheckpoint(
+      queries.select(col("query_id") +: col("qv") +: tableCols: _*))
     val pqScore = (0 until m).map(j =>
       element_at(col(s"t$j"), col(s"c$j").cast("int") + 1)).reduce(_ + _)
     val joined = codes.crossJoin(broadcast(q))

@@ -382,7 +382,13 @@ object RagSearch {
                                      kCells: Int, fp: String): Unit = {
     val m = lateManifest(kCells, tx.name, fp)
     AnnStore.ensureIndex(spark, path, m) {
-      AnnIvf.writeIndexOver(spark, lateCorpusEncode(docs, tx), path, kCells, m): Unit
+      // materialize the transformer encode ONCE: trainOver caches only its
+      // narrow projection, so an uncheckpointed frame re-runs the most
+      // expensive forward pass in the repo for the vectors write
+      AnnStore.releasingPinned(spark) {
+        val enc = AnnStore.trackedCheckpoint(lateCorpusEncode(docs, tx))
+        AnnIvf.writeIndexOver(spark, enc, path, kCells, m): Unit
+      }
     }
   }
 
