@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnnIvf, AnnIvfPq, AnnPq}
+import graft.operators.{AnnHnsw, AnnIvf, AnnIvfPq, AnnPq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -103,6 +103,41 @@ object ScaleReceipt {
       AnnIvf.annIvfServedOverAdaptive(spark, ivfPlainPath, queries(ivfPlainPath),
         topK = 10, nprobe = nprobePlain, filter = Some(col("label") === 1)))
 
+    // r15: the hierarchical arm at the same scale — serve time AND the
+    // scored-candidates count vs the IVF probe's read rows (the
+    // AnnHnswSpec receipt, re-measured at 1M where cells dwarf the beam).
+    // k follows the GRAPH build's capacity rule (~1k vectors/cell), not
+    // the IVF receipt's ~16k: the in-cell kNN pair join costs capacity²
+    // per cell — at 16k capacity its window sort spills ~8 GB per task
+    // and a 32-task wave exceeds local disk (measured: the first r15 run
+    // died on No-space-left). Capacity is the graph family's declared
+    // scale knob; the receipt must respect its own design rule.
+    val hnswPath = work + "/hnsw"
+    val kGraph = math.max(64, (n / 1024L).toInt)
+    val (_, tHnswBuild) = time(AnnHnsw.ensureHnswIndex(spark, dir, hnswPath, k = kGraph))
+    val tHnswServe = serveMin(
+      AnnHnsw.annHnswServedOver(spark, hnswPath, queries(hnswPath), topK = 10))
+    val hnswAcc = spark.sparkContext.longAccumulator("hnsw_scored")
+    AnnHnsw.annHnswServedOver(spark, hnswPath, queries(hnswPath), topK = 10,
+      counter = Some(hnswAcc)).count()
+    val hnswScored = hnswAcc.value
+    // rows the IVF probe READS for the same queries = probed cells' sizes
+    val cellSizes = spark.read.parquet(ivfPlainPath + "/vectors")
+      .groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cents = graft.operators.AnnStore.readCentroids(spark, ivfPlainPath)
+    val probeRead = queries(ivfPlainPath).collect().map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      def cos(y: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < math.min(qv.length, y.length)) {
+          d += qv(i) * y(i); na += qv(i) * qv(i); nb += y(i) * y(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb) + 1e-10)
+      }
+      cents.indices.map(i => (cos(cents(i)), i)).sorted.reverse
+        .take(nprobePlain).map(t => cellSizes.getOrElse(t._2, 0L)).sum
+    }.sum
+
     // refresh receipt: dirty ~1/9973 of the corpus (norm-only change —
     // same cells stay affected), staged swap so the read side never sees a
     // half-written corpus
@@ -146,6 +181,8 @@ object ScaleReceipt {
         s""""ivfpq_refresh_sec":$tIvfRefresh,"ivfpq_refresh_mode":"${stat(rIvf, "mode")}",""" +
         s""""ivfpq_cells_rewritten":${stat(rIvf, "n_cells_rewritten")},""" +
         s""""ivf_refresh_sec":$tIvfPlainRefresh,"ivf_refresh_mode":"${stat(rIvfP, "mode")}",""" +
+        s""""hnsw_build_sec":$tHnswBuild,"hnsw_serve_sec":$tHnswServe,""" +
+        s""""hnsw_scored_candidates":$hnswScored,"ivf_probe_read_rows":$probeRead,""" +
         s""""compact_sec":$tCompact,"compact_units":${compRow.getLong(1)},""" +
         s""""compact_files_before":${compRow.getLong(2)},"compact_files_after":${compRow.getLong(3)}}""")
     spark.stop()

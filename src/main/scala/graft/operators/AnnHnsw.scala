@@ -232,12 +232,21 @@ object AnnHnsw {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
     val deg = degree
-    a.join(b, Seq("cid"))
+    // NARROW window first (src, dst, sim — ~30 B/row like the flat
+    // build's), embeddings joined back for ONLY the kept 2·degree rows:
+    // letting b_emb ride the capacity²-per-cell window sort multiplies
+    // its spill ~18× (measured: the 1M receipt's layer-1 sort went from
+    // 30 GB to disk-filling before this split)
+    val cands = a.join(b.select(col("dst"), col("b_emb"), col("cid")), Seq("cid"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), col("b_emb"),
+      .select(col("src"), col("dst"),
         round(VecExprs.cosineSim(col("a_emb"), col("b_emb")), 4).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2 * deg)
+      .drop("rn")
+    cands
+      .join(withBlk.select(col("vec_id").as("dst"),
+        col("embedding").cast("array<float>").as("b_emb")), "dst")
       .groupBy(col("src"))
       .agg(collect_list(struct(col("sim"), col("dst"), col("b_emb"))).as("cs"))
       .as[(Long, Seq[(Double, Long, Array[Float])])]
