@@ -712,21 +712,32 @@ class Graft(spark: SparkSession, sfDir: String,
     // size from the chunk count, not the document count — estimated from
     // the chunking arithmetic over n_chars (one cheap single-column agg;
     // a sizing heuristic, so the estimate's rounding is immaterial)
-    lazy val nChunksEst = Tables.documents(spark, sfDir)
-      .agg(sum(greatest(lit(1L),
-        ceil(col("n_chars").cast("double") /
-          math.max(1, chunkSize - chunkOverlap)).cast("long"))))
-      .head().getLong(0)
+    lazy val nChunksEst = {
+      val row = Tables.documents(spark, sfDir)
+        .agg(sum(greatest(lit(1L),
+          ceil(col("n_chars").cast("double") /
+            math.max(1, chunkSize - chunkOverlap)).cast("long"))))
+        .head()
+      // sum(...) is NULL over zero rows — fail by name at the gate rather
+      // than NPE before the per-family empty-corpus errors can fire
+      require(!row.isNullAt(0),
+        "ensureChunkKindIndex: empty documents table — nothing to index")
+      row.getLong(0)
+    }
     kind match {
       case "hnsw" =>
         val maxLvl = operators.AnnHnsw.maxLevelFor(nChunksEst, 4)
+        // coarse-cell count sized to ~1k vectors/cell (the ScaleReceipt
+        // capacity rule: the in-cell pair join is capacity², so oversized
+        // cells spill), floored at 16 for tiny corpora
+        val kHnsw = math.max(16L, nChunksEst / 1024L).toInt
         val manifest = operators.AnnStore.manifest("chunk_hnsw",
-          Seq("k" -> 16, "degree" -> 8, "m" -> 4, "degree_up" -> 8,
+          Seq("k" -> kHnsw, "degree" -> 8, "m" -> 4, "degree_up" -> 8,
             "max_lvl" -> maxLvl, "chunkSize" -> chunkSize,
             "chunkOverlap" -> chunkOverlap, "model" -> modelName), fp)
         operators.AnnStore.ensureIndex(spark, path, manifest) {
           operators.AnnHnsw.writeHnswIndexOver(spark, chunkVectors(buildIndex()),
-            path, k = 16, degree = 8, m = 4, degreeUp = 8, manifest)
+            path, k = kHnsw, degree = 8, m = 4, degreeUp = 8, manifest)
         }
       case "pq" | "opq" | "sq8" =>
         val buckets = operators.AnnPq.bucketCountFor(nChunksEst)
@@ -1171,6 +1182,30 @@ class Graft(spark: SparkSession, sfDir: String,
       val e = math.min(lines.length, endLine.getOrElse(lines.length))
       if (s >= e) "" else lines.slice(s, e).mkString("\n")
     }
+  }
+
+  /** Decoded image stats for the facade's tree — "what are the dimensions
+    * of the images in this repo": (path, byte_size, decoded_ok, width,
+    * height, channels, n_pixels, pixel_hash, mean_luma), one row per
+    * discovered image file INCLUDING the ones the codec rejects
+    * (decoded_ok=false — corrupt/out-of-scope files are visible here even
+    * though they never land in the documents corpus). Served from the
+    * SAME decode-once cache discovery maintains, so after a build or
+    * reindex this is a pure parquet read — no file re-opened, nothing
+    * re-decoded (and a call on a never-indexed tree populates the cache
+    * discovery will then reuse).
+    */
+  def imageStats(): DataFrame = {
+    val (root, exts, excluded) = dirSource match {
+      case Some(Graft.DirSource(r, allowed, ex)) =>
+        val img = allowed.filter(e =>
+          sources.ImageCorpus.ImageExts.contains(e.toLowerCase))
+        (r, if (img.nonEmpty) img else Seq("png"), ex)
+      case _ => throw new IllegalStateException(
+        "imageStats requires a facade built by Graft.forDirectory (a real tree to read)")
+    }
+    sources.ImageCorpus.readImageStats(spark, root, excluded, exts,
+      cachePath = Some(Graft.imageCachePath(sfDir)))
   }
 
   /** Catalog listing (dirs = sources), reference ordering contract with the
@@ -1695,7 +1730,9 @@ object Graft {
                                        allowedExt: Seq[String],
                                        excludedFolders: Seq[String],
                                        workDir: String): DataFrame = {
-    val (pdfExts, textExts) = allowedExt.partition(_.equalsIgnoreCase("pdf"))
+    val (imgExts, rest) =
+      allowedExt.partition(e => sources.ImageCorpus.ImageExts.contains(e.toLowerCase))
+    val (pdfExts, textExts) = rest.partition(_.equalsIgnoreCase("pdf"))
     val legs =
       (if (textExts.nonEmpty)
         Seq(sources.TextCorpus.read(spark, root, textExts, excludedFolders)) else Nil) ++
@@ -1704,10 +1741,25 @@ object Graft {
         // is case-sensitive; this one must not differ); the extraction
         // cache lands beside the documents table
         Seq(sources.TextCorpus.readPdfAsText(spark, root, excludedFolders,
-          exts = pdfExts, cachePath = Some(workDir + "/pdf_text_cache"))) else Nil)
+          exts = pdfExts, cachePath = Some(workDir + "/pdf_text_cache"))) else Nil) ++
+      (if (imgExts.nonEmpty)
+        // real image files through the real codec: decoded ONCE (stats
+        // cache keyed (relPath, byte_size), beside the PDF text cache),
+        // landing as metadata documents whose content carries the pixel
+        // hash — so a same-size pixel edit still reads as CHANGED in the
+        // hash diff
+        Seq(sources.ImageCorpus.readImagesAsText(spark, root, excludedFolders,
+          exts = imgExts, cachePath = Some(imageCachePath(workDir)))) else Nil)
     require(legs.nonEmpty, "allowedExt must not be empty")
     sources.TextCorpus.asDocuments(legs.reduce(_ unionByName _))
   }
+
+  /** One spelling for the image stats cache location — discovery and the
+    * [[Graft.imageStats]] surface must read the SAME cache or the surface
+    * would re-decode what discovery already paid for.
+    */
+  private[graft] def imageCachePath(workDir: String): String =
+    workDir + "/img_stats_cache"
 }
 
 /** Persistence — the reference's versioned JSON index store re-expressed as

@@ -126,17 +126,13 @@ object ScaleReceipt {
       .groupBy("cid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val cents = graft.operators.AnnStore.readCentroids(spark, ivfPlainPath)
-    val probeRead = queries(ivfPlainPath).collect().map { r =>
-      val qv = r.getSeq[Double](1).toArray
-      def cos(y: Array[Double]): Double = {
-        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < math.min(qv.length, y.length)) {
-          d += qv(i) * y(i); na += qv(i) * qv(i); nb += y(i) * y(i); i += 1 }
-        d / (math.sqrt(na) * math.sqrt(nb) + 1e-10)
-      }
-      cents.indices.map(i => (cos(cents(i)), i)).sorted.reverse
-        .take(nprobePlain).map(t => cellSizes.getOrElse(t._2, 0L)).sum
-    }.sum
+    // the REAL probe rule (AnnIvf.probeListOver — the exact expression and
+    // tie order annIvfServedOver executes), not a re-implementation whose
+    // float/tie drift could count different cells on exact score ties;
+    // bounded collect: 16 queries × nprobe cell ids
+    val probeRead = AnnIvf.probeListOver(queries(ivfPlainPath), cents, nprobePlain)
+      .select(col("probe_cid")).collect()
+      .map(r => cellSizes.getOrElse(r.getInt(0), 0L)).sum
 
     // refresh receipt: dirty ~1/9973 of the corpus (norm-only change —
     // same cells stay affected), staged swap so the read side never sees a

@@ -548,12 +548,25 @@ object AnnHnsw {
           // the old manifest (stamped last) → next ensure cold-rebuilds.
           val centroids = AnnStore.readCentroids(spark, path)
           val assigned = AnnStore.trackedCheckpoint(assignTo(newE, centroids))
-          (1 to maxLvl).foreach { l =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/layer$l"), true)
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/lc$l"), true)
-          }
-          writeLayers(spark, path, assigned, centroids, k, degree = degreeUp,
+          // STAGED rewrite: compute every replacement layer fully before
+          // touching the live dirs, then swap each dir with a delete+rename
+          // pair — a crash can at worst lose one dir (next ensure heals),
+          // never leave the store mid-recompute with ALL layers deleted
+          val staging = s"$path/.layers_staging"
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+          writeLayers(spark, staging, assigned, centroids, k, degree = degreeUp,
             m = m, maxLvl = maxLvl)
+          (1 to maxLvl).foreach { l =>
+            Seq(s"layer$l", s"lc$l").foreach { sub =>
+              val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+              val next = new org.apache.hadoop.fs.Path(s"$staging/$sub")
+              fs.delete(live, true)
+              // lc$l is absent for single-block layers (kL == 1) — absence
+              // is the correct live state then, so only rename what exists
+              if (fs.exists(next)) fs.rename(next, live)
+            }
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
         }
       },
       fullBuild = () => writeHnswIndexOver(spark, newE, path, k, degree, m,

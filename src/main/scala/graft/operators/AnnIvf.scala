@@ -353,8 +353,8 @@ object AnnIvf {
     * query twin of [[probeList]], same tie order (score desc, ties by higher
     * centroid id — array_sort asc then reverse).
     */
-  private[operators] def probeListOver(q: DataFrame, centroids: Array[Array[Double]],
-                                       nprobe: Int): DataFrame = {
+  private[graft] def probeListOver(q: DataFrame, centroids: Array[Array[Double]],
+                                   nprobe: Int): DataFrame = {
     val probeScores = centroids.indices.map { i =>
       struct(VecExprs.cosineSim(col("qv"), array(centroids(i).map(lit): _*)).as("s"),
         lit(i).as("i"))

@@ -148,8 +148,10 @@ object AnnSq {
         affected.foreach { c =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cid=$c"), true)
         }
-        rows.select(col("vec_id"), col("qvals"), col("scale"), col("cid"))
-          .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+        // write ALL columns (not a hardcoded list): quantize passes payload
+        // columns through, and a hardcoded select would silently drop a
+        // payload-carrying store's metadata on refresh
+        rows.write.mode("append").partitionBy("cid").parquet(path + "/vectors")
       },
       fullBuild = () => writeSqIndexWith(spark, sfDir, path, manifest),
       driftBound = driftBound)

@@ -819,7 +819,7 @@ object RagSearch {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  private[operators] def round4(x: Double): Double =
+  private[graft] def round4(x: Double): Double =
     java.math.BigDecimal.valueOf(x + 1e-9)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 

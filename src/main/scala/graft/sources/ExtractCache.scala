@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The decode-once extraction cache (reference: src/pdf-extractor.ts —
+  * extract once, key by (relPath, fileSize)), factored out of the PDF leg
+  * so the image leg (and any future binary modality) rides the IDENTICAL
+  * protocol instead of a re-implementation that could drift:
+  *
+  *  - discovery is a METADATA-ONLY listing (no file opened);
+  *  - the listing full-outer-joins the cache on (path, byte_size):
+  *    new/changed files surface as misses, removed/changed cache rows as
+  *    stale;
+  *  - ONLY the misses are opened and extracted, partition-locally;
+  *  - the merged cache (current files only) is rewritten via staged write +
+  *    backup-rename swap — and a NO-CHANGE round rewrites nothing at all;
+  *  - the returned frame reads FROM the cache, so downstream actions
+  *    re-read cheap parquet instead of re-decoding binaries.
+  */
+private[graft] object ExtractCache {
+
+  /** Run `extract` through the cache at `cachePath`.
+    *
+    * `meta`: the metadata-only listing, (abs_path, path, byte_size) — one
+    * narrow row per file. Checkpointed HERE (bounded) so the hits and
+    * misses subtrees share one evaluation: an unpinned plan would re-list
+    * the tree per subtree, and a file whose byte size changed between the
+    * two evaluations would land as BOTH a hit (old size) and a miss (new
+    * size) — duplicate path rows in the cache and duplicate doc_ids
+    * downstream. The checkpoint's pin is released once the cache write has
+    * consumed it (the returned frame reads parquet only).
+    *
+    * `extract`: (abs_path, path, byte_size) → (path, byte_size,
+    * valueCols...), opening each input row's file inside the task. Must
+    * degrade per-file (never throw): a broken/oversized file lands as its
+    * leg's empty/failed value and is CACHED so it is not re-parsed every
+    * round.
+    *
+    * `valueCols`: the cached value columns, in cache-schema order.
+    */
+  def through(spark: SparkSession, cachePath: String, meta: DataFrame,
+              extract: DataFrame => DataFrame,
+              valueCols: Seq[String]): DataFrame =
+    graft.operators.AnnStore.releasingPinned(spark) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val cpPath = new org.apache.hadoop.fs.Path(cachePath)
+      val fs = cpPath.getFileSystem(hconf)
+      val metaCk = graft.operators.AnnStore.trackedCheckpoint(
+        meta.select(col("abs_path"), col("path"), col("byte_size")))
+      // FULL outer: a cache row with no current file (removed, or its byte
+      // size changed) surfaces as abs_path IS NULL — so one aggregation
+      // prices the whole round (misses AND stale rows) and the cache is
+      // read exactly once. Presence is marked with an explicit flag column
+      // (not a value column's null-ness — a leg's value may be legitimately
+      // null).
+      val joined =
+        if (fs.exists(cpPath)) {
+          val cache = spark.read.parquet(cachePath)
+            .select(col("path") +: col("byte_size") +: valueCols.map(col): _*)
+            .withColumn("__cached", lit(true))
+          metaCk.join(cache, Seq("path", "byte_size"), "full_outer")
+        } else {
+          valueCols.foldLeft(metaCk)((d, c) => d.withColumn(c, lit(null)))
+            .withColumn("__cached", lit(null).cast("boolean"))
+        }
+      val c = joined.agg(
+        sum(when(col("__cached").isNull && col("abs_path").isNotNull, 1L))
+          .as("n_miss"),
+        sum(when(col("abs_path").isNull, 1L)).as("n_stale")).head()
+      val nMiss = Option(c.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val nStale = Option(c.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      // no misses and no stale rows means the merged result would be
+      // byte-for-byte the existing cache, so a NO-CHANGE round rewrites
+      // nothing (at corpus scale the rewrite is a corpus-proportional
+      // write + object-store rename churn, paid every reindex of a
+      // stable tree)
+      val unchanged = nMiss == 0 && nStale == 0 && fs.exists(cpPath)
+      if (!unchanged) {
+        val outCols = Seq("path", "byte_size") ++ valueCols
+        val hits = joined
+          .filter(col("__cached").isNotNull && col("abs_path").isNotNull)
+          .select(outCols.map(col): _*)
+        // misses open THEIR files only, partition-local; stale cache-only
+        // rows (abs_path null) drop here — current files only
+        val misses = extract(
+          joined.filter(col("__cached").isNull && col("abs_path").isNotNull)
+            .select(col("abs_path"), col("path"), col("byte_size")))
+          .select(outCols.map(col): _*)
+        val merged = hits.unionByName(misses)
+        // staged write + backup-rename swap (the store contract's protocol —
+        // the hits frame lazily READS the old cache, so never overwrite the
+        // input in place; delete-then-rename would strand everything in
+        // .staging on a crash between the two, and swapDir also surfaces a
+        // failed rename as a diagnostic instead of a downstream read error)
+        val staging = new org.apache.hadoop.fs.Path(cachePath + ".staging")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        merged.write.parquet(staging.toString)
+        graft.IndexStore.swapDir(fs, staging, cpPath)
+      }
+      // serve FROM the cache: downstream actions re-read parquet, not files
+      spark.read.parquet(cachePath)
+        .select((Seq("path", "byte_size") ++ valueCols).map(col): _*)
+    }
+}

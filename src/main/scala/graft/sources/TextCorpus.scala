@@ -56,7 +56,7 @@ object TextCorpus {
   /** Root-relative path from an UNESCAPED path string (binaryFile's `path`
     * column): strip the scheme and the root prefix, decode nothing.
     */
-  private def relPathRaw(p: org.apache.spark.sql.Column, rootNorm: String)
+  private[sources] def relPathRaw(p: org.apache.spark.sql.Column, rootNorm: String)
       : org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(p, "^file:/+", "/"),
@@ -144,67 +144,14 @@ object TextCorpus {
         // open degrades an oversized file to empty text like a broken PDF
         extractFromPaths(scan()
           .select(col("abs_path"), col("path"), col("byte_size")), maxFileBytes)
-      case Some(cp) => graft.operators.AnnStore.releasingPinned(spark) {
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val cpPath = new org.apache.hadoop.fs.Path(cp)
-        val fs = cpPath.getFileSystem(hconf)
-        // metadata-only listing (content pruned, no PDF opened), checkpointed
-        // so the hits and misses subtrees below share ONE evaluation — an
-        // unpinned plan would re-list the tree per subtree, and a file whose
-        // byte size changed between the two evaluations would land as BOTH a
-        // hit (old size) and a miss (new size): duplicate path rows in the
-        // cache and duplicate doc_ids downstream. Bounded: one narrow row
-        // per PDF file. The scope releases the pin once the cache write
-        // below has consumed it; the returned frame reads parquet only.
-        val meta = graft.operators.AnnStore.trackedCheckpoint(
-          scan().select(col("abs_path"), col("path"), col("byte_size")))
-        // FULL outer: a cache row with no current file (removed, or its byte
-        // size changed) surfaces as abs_path IS NULL — so the single
-        // aggregation below prices the whole round (misses AND stale rows)
-        // and the cache is read exactly once (the old shape re-opened its
-        // footers a second time just to count rows for the removal check)
-        val joined =
-          if (fs.exists(cpPath)) {
-            val cache = spark.read.parquet(cp)
-              .select(col("path"), col("byte_size"), col("text").as("cached_text"))
-            meta.join(cache, Seq("path", "byte_size"), "full_outer")
-          } else meta.withColumn("cached_text", lit(null).cast("string"))
-        // one aggregation over the joined listing prices the round: nMiss
-        // new/changed files to extract, nStale cache rows with no current
-        // file (removals / size changes)
-        val c = joined.agg(
-          sum(when(col("cached_text").isNull && col("abs_path").isNotNull, 1L))
-            .as("n_miss"),
-          sum(when(col("abs_path").isNull, 1L)).as("n_stale")).head()
-        val nMiss = Option(c.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-        val nStale = Option(c.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-        // no misses and no stale rows means the merged result would be
-        // byte-for-byte the existing cache, so a NO-CHANGE round rewrites
-        // nothing (at corpus scale the rewrite is a corpus-proportional
-        // write + object-store rename churn, paid every reindex of a
-        // stable tree)
-        val unchanged = nMiss == 0 && nStale == 0 && fs.exists(cpPath)
-        if (!unchanged) {
-          val hits = joined.filter(col("cached_text").isNotNull && col("abs_path").isNotNull)
-            .select(col("path"), col("byte_size"), col("cached_text").as("text"))
-          // misses open THEIR files only, partition-local; stale cache-only
-          // rows (abs_path null) drop here — current files only
-          val misses = extractFromPaths(joined.filter(col("cached_text").isNull && col("abs_path").isNotNull)
-            .select(col("abs_path"), col("path"), col("byte_size")), maxFileBytes)
-          val merged = hits.unionByName(misses)
-          // staged write + backup-rename swap (the store contract's protocol —
-          // the hits frame lazily READS the old cache, so never overwrite the
-          // input in place; delete-then-rename would strand everything in
-          // .staging on a crash between the two, and swapDir also surfaces a
-          // failed rename as a diagnostic instead of a downstream read error)
-          val staging = new org.apache.hadoop.fs.Path(cp + ".staging")
-          if (fs.exists(staging)) fs.delete(staging, true)
-          merged.write.parquet(staging.toString)
-          graft.IndexStore.swapDir(fs, staging, cpPath)
-        }
-        // serve FROM the cache: downstream actions re-read parquet, not PDFs
-        spark.read.parquet(cp).select(col("path"), col("byte_size"), col("text"))
-      }
+      // the shared decode-once protocol ([[ExtractCache.through]]): the
+      // metadata-only listing joins the cache on (path, byte_size), only
+      // misses open files, the merged cache swaps in staged, a no-change
+      // round rewrites nothing, and the frame serves FROM the cache
+      case Some(cp) => ExtractCache.through(spark, cp,
+        scan().select(col("abs_path"), col("path"), col("byte_size")),
+        misses => extractFromPaths(misses, maxFileBytes),
+        Seq("text"))
     }
     extracted
       .filter(length(col("text")) > 0)
