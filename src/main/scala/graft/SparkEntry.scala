@@ -192,6 +192,7 @@ object SparkEntry {
     "img_decode_real" -> ((s, dir) => Multimodal.imgRoundTrip(s, dir)),
     "img_frames" -> ((s, dir) => Multimodal.imgFrameSample(s, dir)),
     "img_resize_real" -> ((s, dir) => Multimodal.imgResize(s, dir)),
+    "jpg_decode_real" -> ((s, dir) => Multimodal.jpgRoundTrip(s, dir)),
     // A. hybrid retrieval (the reference's planned BM25+embedding extension)
     "rag_bm25" -> ((s, dir) => Bm25.ragBm25(s, dir)),
     "rag_hybrid" -> ((s, dir) => Bm25.ragHybrid(s, dir)),
@@ -1083,6 +1084,23 @@ object SparkEntry {
         |                      ORDER BY oidx)) AS pixel_hash,
         |       round(avg(val) + 1e-9, 4) AS mean_val
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // baseline JPEG: lossy, so there is no round-trip identity to replay in
+    // SQL — the oracle pins the codec's decoded stats for the six fixture
+    // forms as FROZEN literals (generated by Test/runMain graft.JpgOracleGen,
+    // cross-validated against javax.imageio in JpegSpec). A codec regression
+    // moves the Spark side only and fails the hash.
+    "jpg_decode_real" ->
+      """WITH f(form, width, height, channels, pixel_hash, mean_luma) AS (VALUES
+        |  (0, 16, 10, 3, '0141c11841896068362b84f4dc59d5ed', 117.5),
+        |  (1, 17, 9, 3, '67b0eed8b6919288693d30f695b6bd9e', 123.8889),
+        |  (2, 12, 12, 1, 'd31616cd314e78a777cbb71238bf9207', 126.0417),
+        |  (3, 16, 16, 3, '9d0cd233e248f231d2d45e1813c36fc7', 136.3711),
+        |  (4, 9, 7, 3, '20eae6a4938e64fd35073087fe1cabb0', 141.0265),
+        |  (5, 23, 5, 1, 'c004b6e93d23ea0936d201f14d8c2412', 143.8261))
+        |SELECT d.doc_id, f.form, f.width, f.height, f.channels,
+        |       f.pixel_hash, f.mean_luma
+        |FROM documents d JOIN f ON CAST(d.doc_id % 6 AS INT) = f.form
+        |ORDER BY d.doc_id""".stripMargin,
     "lang_id" -> s"WITH $langIdBody",
     "lang_id_cjk" -> s"WITH $cjkDocsCte, $langIdBody",
     "quality_score" -> s"WITH $qualityScoreBody",

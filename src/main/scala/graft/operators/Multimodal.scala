@@ -566,4 +566,99 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------------------------ JPEG
+
+  /** The six `jpg_decode_real` fixture forms, rotated by doc_id — together
+    * they cover 4:4:4 / 4:2:0 / grayscale, three quality tiers, restart
+    * intervals, and odd (partial-MCU) dimensions:
+    * (width, height, channels, quality, subsample420, restartInterval).
+    */
+  private[graft] val JpgForms: IndexedSeq[(Int, Int, Int, Int, Boolean, Int)] =
+    IndexedSeq(
+      (16, 10, 3, 90, false, 0),
+      (17, 9, 3, 75, true, 0),
+      (12, 12, 1, 85, false, 0),
+      (16, 16, 3, 50, false, 2),
+      (9, 7, 3, 90, true, 1),
+      (23, 5, 1, 60, false, 0))
+
+  /** The form's source raster — a smooth closed-form gradient (JPEG is
+    * lossy: low-frequency content keeps quantization error small and the
+    * decoded stats meaningful). Pure function of the FORM, so the whole
+    * corpus decodes to six distinct stat rows — the shape a VALUES-CTE
+    * oracle can pin.
+    */
+  private[graft] def jpgFormRaster(form: Int): graft.functions.Png.Image = {
+    val (w, h, ch, _, _, _) = JpgForms(form)
+    val px = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          val v = ((x * 255) / math.max(1, w - 1) +
+            (y * 200) / math.max(1, h - 1) + form * 13 + c * 9) / 2
+          px((y * w + x) * ch + c) = (v & 0xff).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    graft.functions.Png.Image(w, h, ch, px)
+  }
+
+  /** The decoded stats for one form — encode the fixture raster as a real
+    * baseline JPEG ([[graft.functions.Jpeg.encode]]) and decode it back
+    * with the real parser, stats from the DECODED pixels. Deterministic
+    * end-to-end (StrictMath tables, integer entropy coding), so these six
+    * rows are frozen as LITERALS in the driver oracle: unlike PNG there is
+    * no lossless round-trip to replay in SQL, so the gate pins the codec's
+    * verified output (cross-validated against javax.imageio in JpegSpec) —
+    * a codec regression moves the Spark side and fails the hash.
+    */
+  private[graft] def jpgFormStats(form: Int): (Int, Int, Int, String, Double) = {
+    import graft.functions.Jpeg
+    val (_, _, _, q, sub, rst) = JpgForms(form)
+    val dec = Jpeg.decode(Jpeg.encode(jpgFormRaster(form), q, sub, rst))
+      .getOrElse(throw new IllegalStateException(s"jpg form $form"))
+    var sum = 0L
+    dec.pixels.foreach(b => sum += (b & 0xff))
+    (dec.width, dec.height, dec.channels,
+      md5Hex(pixelCanonical(dec.pixels)),
+      round4(sum.toDouble / dec.pixels.length))
+  }
+
+  /** Driver query `jpg_decode_real` — the REAL baseline-JPEG decode under
+    * the oracle gate, the A9c pattern for the lossy format: per document,
+    * pick the (doc_id mod 6) fixture form, encode it as a genuine baseline
+    * JPEG and decode it back with the library-free parser (huffman → dequant
+    * → IDCT → upsample → YCbCr), stats from the DECODED pixels. One narrow
+    * mapPartitions stage; the JPEG bytes never leave the task. The oracle
+    * joins documents against the six frozen stat literals on doc_id % 6.
+    */
+  def jpgRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("form", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("pixel_hash", StringType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false)))
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val nForms = JpgForms.length
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val form = Math.floorMod(id, nForms.toLong).toInt
+          val (w, h, ch, hash, luma) = jpgFormStats(form)
+          Row(id, form, w, h, ch, hash, luma)
+        }
+      }.orderBy("doc_id")
+  }
 }

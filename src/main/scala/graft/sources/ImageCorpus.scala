@@ -63,6 +63,8 @@ object ImageCorpus {
   private[graft] def decodeImage(bytes: Array[Byte]): Option[graft.functions.Png.Image] =
     if (bytes == null || bytes.length < 3) None
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P') graft.functions.Png.decode(bytes)
+    else if (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte)
+      graft.functions.Jpeg.decode(bytes)
     else None
 
   /** The stats row for one file's bytes — decode through [[decodeImage]],
