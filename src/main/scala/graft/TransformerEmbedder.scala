@@ -284,6 +284,49 @@ object TransformerEmbedder {
       fingerprintOf(tensors), None, Some(spark.sparkContext.broadcast(tensors)))
   }
 
+  /** The one environment-unblocked move against the trained-weights gap
+    * (checkpoint downloads are unavailable here): a weight bundle whose
+    * TOKEN-EMBEDDING table comes from a corpus-trained Word2Vec model,
+    * built through the exact [[fromTensors]] converter seam a real
+    * checkpoint export would use — the attention/FFN stack stays the
+    * seeded init. Each learned word's vector (L2-normalized, the scale
+    * its own space pools at) lands at its FNV-1a-mod-V token id — the
+    * SAME tokenization the encoder applies at inference, so a vocabulary
+    * word reads its learned vector; words colliding on a token id
+    * average (deterministically, sorted-word order); untouched rows keep
+    * the seeded init as the OOV backoff. Identity is the content
+    * fingerprint, so every store gates on both the w2v content and the
+    * seed, like any other converted bundle.
+    */
+  def word2vecInitialized(spark: SparkSession, w2v: Word2VecEmbedder,
+                          layers: Int = 2, heads: Int = 4, vocab: Int = 2048,
+                          maxLen: Int = 48, seed: Long = 42L): TransformerEmbedder = {
+    val dim = w2v.dim
+    val tensors = seededWeights(dim, layers, heads, vocab, seed)
+    val emb = tensors("emb").clone()
+    val counts = new Array[Int](vocab)
+    val sums = new Array[Float](vocab * dim)
+    for ((word, vec) <- w2v.tableSnapshot.toSeq.sortBy(_._1)) {
+      val id = java.lang.Math.floorMod(fnv1a(word), vocab)
+      var ss = 0.0
+      var i = 0
+      while (i < dim) { ss += vec(i).toDouble * vec(i); i += 1 }
+      val inv = if (ss > 0) 1.0 / StrictMath.sqrt(ss) else 0.0
+      i = 0
+      while (i < dim) { sums(id * dim + i) += (vec(i) * inv).toFloat; i += 1 }
+      counts(id) += 1
+    }
+    var t = 0
+    while (t < vocab) {
+      if (counts(t) > 0) {
+        var i = 0
+        while (i < dim) { emb(t * dim + i) = sums(t * dim + i) / counts(t); i += 1 }
+      }
+      t += 1
+    }
+    fromTensors(spark, tensors.updated("emb", emb), dim, layers, heads, vocab, maxLen)
+  }
+
   def save(spark: SparkSession, e: TransformerEmbedder, path: String): Unit = {
     import spark.implicits._
     (e.weightSnapshot.toSeq.map { case (k, v) => (k, v.toSeq) } :+

@@ -92,6 +92,39 @@ class PerturbEvalAllArmsSpec extends SparkSpecBase {
     assert(mrr > 0.0)
   }
 
+  test("late interaction with w2v-initialized token embeddings: the converter-seam receipt on the MaxSim row") {
+    val qDocs = qRows.map { case (qid, toks) => (qid, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val docsPlus = docs.select(col("doc_id"), col("text")).unionByName(qDocs)
+    def lateRanked(tx: graft.TransformerEmbedder): DataFrame = {
+      val raw = RagSearch.ragTopKLateOver(docsPlus, tx, nQueries = 0, k = k + nQ)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+      raw.filter(col("vec_id") >= 0)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    }
+    val w2v = graft.Word2VecEmbedder.train(spark, docs, dim = 32,
+      minCount = 2, maxIter = 1, numPartitions = 1)
+    val (rS, mS, _) = metricsOf("late_seeded",
+      lateRanked(graft.TransformerEmbedder.seeded(spark)), textLabels, textQIds)
+    val (rW, mW, _) = metricsOf("late_w2v_init",
+      lateRanked(graft.TransformerEmbedder.word2vecInitialized(spark, w2v)),
+      textLabels, textQIds)
+    assert(rW >= 3 * random, s"late w2v-init arm at chance: $rW vs $random")
+    assert(rS >= 3 * random && mS > 0.0 && mW > 0.0)
+    // the MEASURED receipt, recorded as found: w2v init moves the POOLED
+    // row up (0.183→0.225 MRR, PerturbEvalSpec) but the MaxSim row DOWN
+    // (0.170→0.100 here) — a near-orthogonal random table is itself a
+    // strong token-IDENTITY code (each id ≈ a basis vector, so max_d q·d
+    // spikes exactly on surviving tokens), while w2v clusters related
+    // tokens and trades that exact-identity signal for semantic smoothness
+    // this synthetic exact-recovery truth cannot reward. Pin the direction
+    // so a future "improvement" that silently flips it gets reviewed.
+    assert(mW < mS,
+      s"measured direction changed — re-derive this receipt: w2v $mW vs seeded $mS")
+  }
+
   test("cross-encoder rerank: pool-preserving recall, measured head quality") {
     val pool = densePool(k).cache()
     val tx = graft.TransformerEmbedder.seeded(spark)

@@ -153,15 +153,21 @@ class PerturbEvalSpec extends SparkSpecBase {
     assert(hRecall >= 0.5, s"hybrid arm at chance: $hRecall")
   }
 
-  test("perturbation matrix: every text arm separates from chance") {
+  test("perturbation matrix: every text arm separates from chance; w2v-init moves the tx row") {
+    val w2v = graft.Word2VecEmbedder.train(spark, docs)
     val arms = Seq(
       "bm25" -> bm25Ranked,
       "dense_hash" -> denseRanked,
       "hybrid_rrf" -> fusedRanked,
       // the learned/seeded embedding spaces on the same truth — the
       // cross-ranker wiring the label proxy could not discriminate
-      "w2v" -> rankedFor(graft.Word2VecEmbedder.train(spark, docs)),
-      "tx_seeded" -> rankedFor(graft.TransformerEmbedder.seeded(spark)))
+      "w2v" -> rankedFor(w2v),
+      "tx_seeded" -> rankedFor(graft.TransformerEmbedder.seeded(spark)),
+      // r16: the converter-seam receipt — the SAME encoder stack with its
+      // token-embedding table initialized from the corpus-trained Word2Vec
+      // vectors (the one unblocked move against the trained-weights gap)
+      "tx_w2v_init" -> rankedFor(
+        graft.TransformerEmbedder.word2vecInitialized(spark, w2v)))
     val matrix = arms.map { case (name, ranked) =>
       val r = RagSearch.evalMatrixRow(name, ranked, labels, k, Some(qIds))
         .collect().head
@@ -169,11 +175,17 @@ class PerturbEvalSpec extends SparkSpecBase {
     }
     val random = math.min(1.0, k / docs.count().toDouble)
     matrix.foreach { case (name, recall, mrr, ndcg) =>
-      info(f"$name%-10s recall@$k=$recall%.3f mrr=$mrr%.3f ndcg=$ndcg%.3f (random=$random%.3f)")
+      info(f"$name%-12s recall@$k=$recall%.3f mrr=$mrr%.3f ndcg=$ndcg%.3f (random=$random%.3f)")
       assert(recall >= 3 * random,
         s"$name does not separate from the random baseline: $recall vs $random")
       assert(ndcg > 0.0 && mrr > 0.0, s"$name produced degenerate metrics")
     }
+    // the receipt the r15 verdict asked for: learned token embeddings
+    // through the converter seam must beat the seeded table on corrupted
+    // queries — input meaning survives the (still-seeded) attention stack
+    val mrrOf = matrix.map(m => m._1 -> m._3).toMap
+    assert(mrrOf("tx_w2v_init") > mrrOf("tx_seeded"),
+      s"w2v-initialized tx must beat seeded tx: ${mrrOf("tx_w2v_init")} vs ${mrrOf("tx_seeded")}")
   }
 
   test("perturb eval is deterministic and metric-bounded") {

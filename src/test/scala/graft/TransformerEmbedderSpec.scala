@@ -156,6 +156,42 @@ class TransformerEmbedderSpec extends SparkSpecBase {
       "exact text must self-match under the converted weights")
   }
 
+  test("(c3) word2vec-initialized bundle: convert -> save -> load -> facade-serve, identity gates on the w2v content") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha$i beta${i % 5} gamma${i % 3} shared corpus tokens")).toDF("doc_id", "text")
+    // bit-stable training (numPartitions=1) so identity claims are exact
+    val w2v = Word2VecEmbedder.train(spark, docs, dim = 16,
+      minCount = 1, maxIter = 1, numPartitions = 1)
+    val tx = TransformerEmbedder.word2vecInitialized(spark, w2v, vocab = 512)
+    val tx2 = TransformerEmbedder.word2vecInitialized(spark, w2v, vocab = 512)
+    // deterministic conversion: same w2v content -> same fingerprint
+    assert(tx.name == tx2.name)
+    // a DIFFERENT space than the bare seeded stack (the emb table moved)
+    val seeded = TransformerEmbedder.seeded(spark, dim = 16, vocab = 512)
+    assert(tx.name != seeded.name)
+    assert(tx.embedText("shared corpus tokens").toSeq !=
+      seeded.embedText("shared corpus tokens").toSeq)
+    // a RETRAINED w2v (different corpus) is a different identity — stores
+    // gate on the w2v content through the converted fingerprint
+    val w2vB = Word2VecEmbedder.train(spark,
+      docs.withColumn("text", concat(col("text"), lit(" extra"))),
+      dim = 16, minCount = 1, maxIter = 1, numPartitions = 1)
+    assert(TransformerEmbedder.word2vecInitialized(spark, w2vB, vocab = 512).name != tx.name)
+    // persist/reload carries the identity; the facade serves end-to-end
+    val path = Files.createTempDirectory("graft_tx_w2v").toString + "/model"
+    TransformerEmbedder.save(spark, tx, path)
+    val re = TransformerEmbedder.load(spark, path)
+    assert(re.name == tx.name)
+    assert(re.embedText("alpha7 beta2").toSeq == tx.embedText("alpha7 beta2").toSeq)
+    val g = Graft.forFrame(spark, docs,
+      Files.createTempDirectory("graft_tx_w2v_work").toString,
+      dim = 16, embedder = Some(re))
+    val hits = g.ragQuery("alpha3 beta3 gamma0 shared corpus tokens", topK = 3).collect()
+    assert(hits.length == 3)
+    assert(hits.head.getAs[Long]("doc_id") == 3L,
+      "exact text must self-match under the w2v-initialized weights")
+  }
+
   test("(d) end-to-end: ragQueryAnn serves on the transformer space; driver query shape + determinism") {
     val docs = (0L until 30L).map(i => (i, s"text body $i token${i % 4}")).toDF("doc_id", "text")
     val tx = TransformerEmbedder.seeded(spark, dim = 16, seed = 7L)
