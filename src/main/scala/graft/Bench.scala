@@ -59,7 +59,11 @@ object Bench {
     // sample ships a flattering number for a broken query (the defect
     // class the r13 10× receipt hardening caught)
     val failedSet = scala.collection.mutable.SortedSet.empty[String]
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // component rows (name contains '.') ride every detail map and the
+    // history, but NOT the headline total: their cost is already inside
+    // the corresponding full query — summing both would double-count
+    val results = (SparkEntry.benchQueries ++ SparkEntry.benchComponents)
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       if (!coldOnly)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // a throwing run yields NO sample: its time-to-failure must never
@@ -93,7 +97,7 @@ object Bench {
     // line so a cross-round median comparison knows the sample count moved
     val retriedNames = results.filter(_._5).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.filterNot(_._1.contains(".")).map(_._2).sum
     // Cross-round drift: the bench maintains its own complete history file
     // (the driver's tail capture truncates, so BENCH_r*.json is not a
     // reliable archive — r12's 73-query total line overflowed it and the

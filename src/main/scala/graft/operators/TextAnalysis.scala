@@ -248,7 +248,16 @@ object TextAnalysis {
     */
   def qualityClassifier(spark: SparkSession, sfDir: String,
                         dim: Int = 4096, maxIter: Int = 15,
-                        threshold: Double = 0.72): DataFrame = {
+                        threshold: Double = 0.72): DataFrame =
+    qualityClassifierOver(qualityClassifierInput(spark, sfDir, threshold),
+      col("is_target"), dim, maxIter)
+
+  /** D8's weak-labeled training/scoring input — documents with the
+    * heuristic-distilled `is_target` column (one definition, shared by the
+    * driver query and the bench's build/serve component timings).
+    */
+  def qualityClassifierInput(spark: SparkSession, sfDir: String,
+                             threshold: Double = 0.72): DataFrame = {
     // null text normalizes to "" BEFORE labeling: qualityScoreOver scores
     // null text as null, and a null label crashes LogisticRegression.fit
     // if the row lands in the training split
@@ -256,27 +265,53 @@ object TextAnalysis {
       .withColumn("text", coalesce(col("text"), lit("")))
     val labels = qualityScoreOver(docs)
       .select(col("doc_id"), (col("score") >= threshold).as("is_target"))
-    qualityClassifierOver(docs.join(labels, "doc_id"), col("is_target"),
-      dim, maxIter)
+    docs.join(labels, "doc_id")
   }
 
   def qualityClassifierOver(docs: DataFrame, targetPred: Column,
-                            dim: Int = 4096, maxIter: Int = 15): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegression
+                            dim: Int = 4096, maxIter: Int = 15): DataFrame =
+    qualityClassifierScoreWith(
+      qualityClassifierFit(docs, targetPred, dim, maxIter),
+      docs, targetPred, dim)
+
+  /** Hashed-unigram feature frame shared by fit and score — one
+    * definition, so the two halves can never featurize differently.
+    */
+  private def qcFeatures(docs: DataFrame, targetPred: Column, dim: Int): DataFrame = {
     import org.apache.spark.ml.feature.HashingTF
-    import org.apache.spark.ml.functions.vector_to_array
     val toks = docs.select(col("doc_id"), col("lang"),
       targetPred.cast("double").as("label"),
       Text.tokens(coalesce(col("text"), lit(""))).as("toks"))
-    val feat = new HashingTF().setInputCol("toks").setOutputCol("features")
+    new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(dim).transform(toks)
+  }
+
+  /** The TRAINING half of D8 (fit on the deterministic 70% doc_id-hash
+    * split) — split out so the bench can time build and serve separately
+    * (a serve regression must not hide inside L-BFGS time) and so a
+    * deployment can fit once and score many corpora.
+    */
+  def qualityClassifierFit(docs: DataFrame, targetPred: Column,
+                           dim: Int = 4096, maxIter: Int = 15)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
+    import org.apache.spark.ml.classification.LogisticRegression
     // the F4 multiplicative hash again: reproducible split, no RNG state
     // (modular-safe — the plain product ANSI-throws at large ids)
     val mix = Text.mixBucket(col("doc_id"), 1000L)
-    val model = new LogisticRegression()
+    new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(0.01).setLabelCol("label")
-      .fit(feat.filter(mix < 700))
-    model.transform(feat)
+      .fit(qcFeatures(docs, targetPred, dim).filter(mix < 700))
+  }
+
+  /** The SCORING half of D8: broadcast-coefficient transform over the
+    * shared feature frame, held-out rows marked.
+    */
+  def qualityClassifierScoreWith(
+      model: org.apache.spark.ml.classification.LogisticRegressionModel,
+      docs: DataFrame, targetPred: Column, dim: Int = 4096): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val mix = Text.mixBucket(col("doc_id"), 1000L)
+    model.transform(qcFeatures(docs, targetPred, dim))
       .select(col("doc_id"), col("lang"),
         (col("label") > 0.5).as("is_target"),
         (mix >= 700).as("held_out"),
