@@ -153,6 +153,29 @@ object ImageCorpus {
     }
   }
 
+  /** Stats over an in-memory (path, byte_size, content) frame — the
+    * STREAMING leg's decode body (the file stream materializes content;
+    * the batch leg keeps its own gated task-side open). Same degrade
+    * envelope and stats arithmetic as [[readImageStats]], shared through
+    * [[decodeImage]]/[[statsOf]] so batch ≡ stream by construction.
+    */
+  private[graft] def statsFromBytes(frame: DataFrame,
+                                    maxFileBytes: Long = DefaultMaxImageBytes): DataFrame = {
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(StatsSchema)
+    frame.select(col("path"), col("byte_size"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val size = r.getLong(1)
+          val img =
+            if (size > maxFileBytes) None
+            else decodeImage(r.getAs[Array[Byte]](2))
+          val (ok, w, h, ch, n, hash, luma) = statsOf(img)
+          Row(r.getString(0), size, ok, w, h, ch, n, hash, luma)
+        }
+      }
+  }
+
   /** The image leg in [[TextCorpus.read]]'s corpus shape — (path, content,
     * size, line_count) — so [[TextCorpus.asDocuments]] lands image files in
     * the documents table beside text and PDF docs. `content` is the

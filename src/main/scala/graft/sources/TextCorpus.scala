@@ -56,7 +56,7 @@ object TextCorpus {
   /** Root-relative path from an UNESCAPED path string (binaryFile's `path`
     * column): strip the scheme and the root prefix, decode nothing.
     */
-  private[sources] def relPathRaw(p: org.apache.spark.sql.Column, rootNorm: String)
+  private[graft] def relPathRaw(p: org.apache.spark.sql.Column, rootNorm: String)
       : org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(p, "^file:/+", "/"),

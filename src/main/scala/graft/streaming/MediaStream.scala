@@ -79,4 +79,42 @@ object MediaStream {
   def runToParquet(spark: SparkSession, sfDir: String, outDir: String,
                    glob: String = "documents.parquet"): DataFrame =
     IndexStream.drainToParquet(pdfRoundTripStream(spark, sfDir, glob), outDir)
+
+  /** The IMAGE leg of watch mode (r16 — completing multimodal symmetry:
+    * the PDF leg has pdfRoundTripStream, this is the arriving-.png/.jpg
+    * twin of [[graft.sources.ImageCorpus.readImageStats]]): new image
+    * files landing under `root` decode ONCE through the same codec
+    * dispatch and stats arithmetic as the batch leg
+    * ([[graft.sources.ImageCorpus.statsFromBytes]] — shared body, so
+    * batch ≡ stream by construction) and emit their stats row exactly
+    * once (file-stream checkpoint). Paths are root-relative, the batch
+    * frame's join key. Stateless narrow transform: no watermark, no
+    * state store; throughput is decode-bound.
+    */
+  def imageStatsStream(spark: SparkSession, root: String,
+                       glob: String = "*.{png,jpg,jpeg}"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val rootNorm = if (root.endsWith("/")) root else root + "/"
+    val src = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(graft.sources.TextCorpus.relPathRaw(col("path"), rootNorm).as("path"),
+        col("length").as("byte_size"), col("content"))
+    graft.sources.ImageCorpus.statsFromBytes(src)
+  }
+
+  /** Drain [[imageStatsStream]] over a finite directory into a parquet
+    * sink (memory sinks cannot recover a checkpoint, and recovery is the
+    * point: re-draining with the same `outDir` reprocesses NOTHING —
+    * exactly-once per arrival across watch-mode ticks). Returns the
+    * accumulated frame.
+    */
+  def runImageStatsToCompletion(spark: SparkSession, root: String,
+                                outDir: String): DataFrame =
+    IndexStream.drainToParquet(imageStatsStream(spark, root), outDir)
 }

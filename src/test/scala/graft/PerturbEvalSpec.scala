@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bm25, RagSearch}
+import graft.operators.{Bm25, RagSearch, Rm3}
 import graft.plans.VecExprs
 import graft.plans.VecExprs.HashEmbedAlg
 import org.apache.spark.sql.DataFrame
@@ -88,6 +88,30 @@ class PerturbEvalSpec extends SparkSpecBase {
       .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
   }
 
+  /** RM3 arm (r16 — the one retrieval family the matrix lacked, and the
+    * one whose MECHANISM the perturbation construction directly tests:
+    * expansion terms from feedback docs can recover exactly the
+    * vocabulary the corruption dropped): the batch RM3 loop over the
+    * shared perturbed queries, query ids remapped from batch index back
+    * to the negative perturbation ids.
+    */
+  private def rm3Ranked(lambda: Double = Rm3.Lambda): DataFrame = {
+    import spark.implicits._
+    val ordered = qRows.sortBy(_._1)
+    val idMap = ordered.map(_._1).zipWithIndex
+      .map { case (qid, i) => (i.toLong, qid) }.toDF("query_id", "qid")
+    val scores = Rm3.rm3ScoresBatchOver(docs, "text",
+      ordered.map(_._2.mkString(" ")), lambda = lambda)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scores.join(broadcast(idMap), "query_id")
+      .select(col("qid").as("query_id"), col("doc_id").as("vec_id"),
+        round(col("bm25") + lit(1e-9), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank")
+  }
+
   /** Hybrid arm: RRF fusion of the lexical and dense pools. */
   private def fusedRanked: DataFrame = {
     val bm = bm25Ranked.withColumnRenamed("rank", "bm_rank")
@@ -154,13 +178,17 @@ class PerturbEvalSpec extends SparkSpecBase {
   }
 
   test("perturbation matrix: every text arm separates from chance; w2v-init moves the tx row") {
-    val w2v = graft.Word2VecEmbedder.train(spark, docs)
+    // numPartitions=1: bit-stable weights, so the tx_w2v_init vs tx_seeded
+    // comparison below is deterministic (parallel training's run-dependent
+    // float merges moved the row by ±0.05 MRR between runs)
+    val w2v = graft.Word2VecEmbedder.train(spark, docs, numPartitions = 1)
     val arms = Seq(
       "bm25" -> bm25Ranked,
       "dense_hash" -> denseRanked,
       "hybrid_rrf" -> fusedRanked,
       // the learned/seeded embedding spaces on the same truth — the
       // cross-ranker wiring the label proxy could not discriminate
+      "rm3" -> rm3Ranked(),
       "w2v" -> rankedFor(w2v),
       "tx_seeded" -> rankedFor(graft.TransformerEmbedder.seeded(spark)),
       // r16: the converter-seam receipt — the SAME encoder stack with its
@@ -186,6 +214,38 @@ class PerturbEvalSpec extends SparkSpecBase {
     val mrrOf = matrix.map(m => m._1 -> m._3).toMap
     assert(mrrOf("tx_w2v_init") > mrrOf("tx_seeded"),
       s"w2v-initialized tx must beat seeded tx: ${mrrOf("tx_w2v_init")} vs ${mrrOf("tx_seeded")}")
+  }
+
+  test("rm3 perturbation row: expansion HURTS on a reused-vocabulary corpus, monotonically in (1-lambda)") {
+    // The r15 verdict asked whether expansion beats plain BM25's 0.512 MRR
+    // on corrupted queries. Measured answer on THIS corpus: it does not —
+    // it collapses (lambda=0.6: recall 0.100, mrr 0.025) — and the sweep
+    // shows the MECHANISM. The synthetic corpus reuses a tiny vocabulary,
+    // so the feedback docs' expansion terms are corpus-UNIVERSAL; BM25's
+    // idf ln((N-df+0.5)/(df+0.5)) is NEGATIVE for df > N/2, so expansion
+    // mass actively penalizes docs containing those terms and scrambles
+    // the ranking, monotonically in the expansion share (1-lambda). RM3's
+    // premise — feedback docs share DISTINCTIVE vocabulary with the
+    // answer — simply doesn't hold on a reused-vocabulary corpus; on real
+    // corpora (Zipf vocabularies, df << N/2 for content terms) the
+    // premise does, which is why the driver query keeps lambda=0.6.
+    def metricsAt(lambda: Double): (Double, Double) = {
+      val m = RagSearch.evalRankingOver(rm3Ranked(lambda), labels, k, Some(qIds))
+        .collect()
+      (meanOf(m, 2), meanOf(m, 3))
+    }
+    val (r10, m10) = metricsAt(1.0)
+    val (r09, m09) = metricsAt(0.9)
+    val (r06, m06) = metricsAt(0.6)
+    // lambda=1 is EXACTLY plain BM25 (per-query uniform scaling preserves
+    // order) — the degeneration anchor that proves the arm wiring
+    assert(r10 == meanOf(bm25Metrics, 2) && m10 == meanOf(bm25Metrics, 3),
+      s"lambda=1 must reproduce the bm25 arm: ($r10,$m10)")
+    // the measured monotone degradation — pinned so a corpus or scorer
+    // change that flips the direction gets re-derived, not assumed
+    assert(m10 > m09 && m09 > m06,
+      s"expansion-hurt direction changed — re-derive this receipt: $m10, $m09, $m06")
+    assert(r06 >= k / docs.count().toDouble, s"rm3 fully degenerate: $r06")
   }
 
   test("perturb eval is deterministic and metric-bounded") {
