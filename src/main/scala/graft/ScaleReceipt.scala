@@ -113,6 +113,12 @@ object ScaleReceipt {
     // died on No-space-left). Capacity is the graph family's declared
     // scale knob; the receipt must respect its own design rule.
     val hnswPath = work + "/hnsw"
+    // ~1k vectors/cell (the graph family's standing capacity rule). r16
+    // history note: the former window-based in-cell kNN materialized
+    // n·capacity pair rows into shuffle+sort spill (~90 GB at 1M×1024 —
+    // two disk-full deaths on this host's ~94 GB budget) before
+    // buildGraphOver became the per-cell in-MEMORY top-k, which writes
+    // only n·degree edge rows; capacity now prices compute, not disk.
     val kGraph = math.max(64, (n / 1024L).toInt)
     val (_, tHnswBuild) = time(AnnHnsw.ensureHnswIndex(spark, dir, hnswPath, k = kGraph))
     val tHnswServe = serveMin(
@@ -125,6 +131,40 @@ object ScaleReceipt {
     val cellSizes = spark.read.parquet(ivfPlainPath + "/vectors")
       .groupBy("cid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // r16: the ef-sweep — recall (vs the exact scan, the only honest
+    // anchor) against scored candidates as the beam budget grows, at THIS
+    // corpus size. One brute-force pass anchors all sweep points; per-point
+    // state is 16 queries × topK rows.
+    graft.plans.VecExprs.register(spark)
+    val bruteTop = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+      spark.read.parquet(hnswPath + "/vectors")
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(queries(hnswPath)))
+        .withColumn("score", round(graft.plans.VecExprs.cosineSim(
+          col("embedding").cast("array<double>"), col("qv")), 4))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    val efSweep = Seq(2, 4, 8, 16, 32).map { ef =>
+      val acc = spark.sparkContext.longAccumulator(s"hnsw_scored_ef$ef")
+      val got = AnnHnsw.annHnswServedOver(spark, hnswPath, queries(hnswPath),
+        topK = 10, ef = ef, counter = Some(acc))
+        .select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recall = bruteTop.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty[Long]).count(truth) / truth.size.toDouble
+      }.sum / bruteTop.size
+      (ef, acc.value, recall)
+    }
+    val efSweepJson = efSweep.map { case (ef, scored, rec) =>
+      s"""{"ef":$ef,"scored":$scored,"recall":${BigDecimal(rec)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP)}}"""
+    }.mkString("[", ",", "]")
+
     val cents = graft.operators.AnnStore.readCentroids(spark, ivfPlainPath)
     // the REAL probe rule (AnnIvf.probeListOver — the exact expression and
     // tie order annIvfServedOver executes), not a re-implementation whose
@@ -179,6 +219,7 @@ object ScaleReceipt {
         s""""ivf_refresh_sec":$tIvfPlainRefresh,"ivf_refresh_mode":"${stat(rIvfP, "mode")}",""" +
         s""""hnsw_build_sec":$tHnswBuild,"hnsw_serve_sec":$tHnswServe,""" +
         s""""hnsw_scored_candidates":$hnswScored,"ivf_probe_read_rows":$probeRead,""" +
+        s""""hnsw_ef_sweep":$efSweepJson,""" +
         s""""compact_sec":$tCompact,"compact_units":${compRow.getLong(1)},""" +
         s""""compact_files_before":${compRow.getLong(2)},"compact_files_after":${compRow.getLong(3)}}""")
     spark.stop()

@@ -68,17 +68,100 @@ object AnnGraph {
                  centroids: Array[Array[Double]], degree: Int = 8): DataFrame =
     buildGraphOver(assign(spark, sfDir, centroids), degree)
 
-  private[operators] def buildGraphOver(assigned: DataFrame, degree: Int): DataFrame = {
-    val a = assigned.select(col("vec_id").as("src"), col("embedding").as("a_emb"), col("cid"))
-    val b = assigned.select(col("vec_id").as("dst"), col("embedding").as("b_emb"), col("cid"))
-    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
-    a.join(b, Seq("cid"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("cid"), col("src"), col("dst"),
-        round(VecExprs.cosineSim(col("a_emb"), col("b_emb")), 4).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= degree)
-      .drop("rn")
+  private[graft] def buildGraphOver(assigned: DataFrame, degree: Int): DataFrame = {
+    // Per-cell in-MEMORY kNN (r16): the former shape — an in-cell pair
+    // equi-join through a row_number window — materializes n·capacity pair
+    // rows into shuffle+sort files (O(n·capacity) DISK, ~90 GB at
+    // 1M×512/cell: the ScaleReceipt disk-full incident, twice). The kNN of
+    // a cell depends on nothing outside the cell and a cell fits executor
+    // memory by the build's own capacity rule (512 rows × 64 floats ≈
+    // 0.14 MB; even the 16k worst case is ~4 MB), so the pairs are a
+    // COMPUTE loop inside one flatMapGroups — capacity² multiplies, but
+    // only capacity·degree rows ever exist. Disk drops from O(n·capacity)
+    // to O(n·degree); parallelism is by cell, as before.
+    //
+    // Value-identical to the old plan by construction: the same cosine
+    // arithmetic as VecExprs.CosineSim.nullSafeEval (double accumulation
+    // over per-element reads, float elements widened per element,
+    // dot/(√na·√nb + 1e-10)), the same Round(HALF_UP, 4) Spark applies to
+    // doubles (BigDecimal.setScale), the same (sim desc, dst asc) top-
+    // degree selection — order-independent, so group iteration order
+    // cannot leak into the result.
+    val spark = assigned.sparkSession
+    val floatElems = assigned.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    implicit val rowEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaInt
+    val deg = degree
+    assigned.select(col("cid"), col("vec_id"), col("embedding"))
+      .groupByKey((r: org.apache.spark.sql.Row) => r.getInt(0))
+      .flatMapGroups { (cid: Int, it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map { r =>
+          val emb: Array[Double] =
+            if (floatElems) r.getSeq[Float](2).iterator.map(_.toDouble).toArray
+            else r.getSeq[Double](2).toArray
+          (r.getLong(1), emb)
+        }.toArray
+        val n = rows.length
+        // per-row norms hoisted once per cell (the fused loop recomputed
+        // both on every pair — capacity× redundant work)
+        val norms = rows.map { case (_, e) =>
+          var s = 0.0; var i = 0
+          while (i < e.length) { s += e(i) * e(i); i += 1 }
+          math.sqrt(s)
+        }
+        def round4(v: Double): Double =
+          BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        rows.iterator.zipWithIndex.flatMap { case ((src, a), ai) =>
+          // top-degree by (ROUNDED sim desc, dst asc) in a primitive
+          // insertion buffer — deterministic for any input order. The
+          // expensive exact round runs only for CONTENDERS: half-up
+          // rounding is monotone, so raw < worst − 0.5e-4 (with float
+          // slack) can neither exceed the worst rounded sim nor tie it.
+          val bSim = new Array[Double](deg)
+          val bDst = new Array[Long](deg)
+          var size = 0
+          var j = 0
+          while (j < n) {
+            val (dst, b) = rows(j)
+            if (dst != src) {
+              var dot = 0.0
+              var i = 0
+              val m = math.min(a.length, b.length)
+              while (i < m) { dot += a(i) * b(i); i += 1 }
+              val raw = dot / (norms(ai) * norms(j) + 1e-10)
+              if (size < deg || raw >= bSim(size - 1) - 0.0000501) {
+                val sim = round4(raw)
+                // does (sim, dst) beat the current worst?
+                if (size < deg || sim > bSim(size - 1) ||
+                  (sim == bSim(size - 1) && dst < bDst(size - 1))) {
+                  var p = if (size < deg) size else size - 1
+                  while (p > 0 && (sim > bSim(p - 1) ||
+                    (sim == bSim(p - 1) && dst < bDst(p - 1)))) {
+                    bSim(p) = bSim(p - 1); bDst(p) = bDst(p - 1); p -= 1
+                  }
+                  bSim(p) = sim; bDst(p) = dst
+                  if (size < deg) size += 1
+                }
+              }
+            }
+            j += 1
+          }
+          (0 until size).iterator.map(p =>
+            org.apache.spark.sql.Row(cid, src, bDst(p), bSim(p)))
+        }
+      }.toDF("cid", "src", "dst", "sim")
   }
 
   /** C6 search: beam descent over the per-cell graphs (index built in-query;
