@@ -178,6 +178,18 @@ object SparkEntry {
       AnnHnsw.ensureHnswIndex(s, dir, path)
       AnnHnsw.annHnswServed(s, path)
     }),
+    // C6hf: FILTERED hierarchical serving — the predicate gates result
+    // eligibility at layer 0 only (navigation unfiltered, AnnGraph's r12
+    // filtered-descent rule), and under-filled queries re-serve through the
+    // flat adaptive arm on the SAME store (layer 0 is a graph store), whose
+    // terminal round is the exact filtered scan. Rows-only (k-means +
+    // iterative descent); AnnHnswSpec pins predicate purity, the fill
+    // guarantee, and exactness at the terminal fallback.
+    "ann_hnsw_filtered" -> ((s, dir) => {
+      val path = AnnHnsw.defaultIndexPath(dir)
+      AnnHnsw.ensureHnswIndex(s, dir, path)
+      AnnHnsw.annHnswServedFiltered(s, path)
+    }),
     "embed_quantize" -> ((s, dir) => RagSearch.embedQuantize(s, dir)),
     // A. reference-surface (catalog / slice / incremental / multimodal)
     "doc_slice" -> ((s, dir) => TextAnalysis.docSlice(s, dir)),

@@ -39,8 +39,13 @@ object AnnGraph {
     * Derived indexes that DO serve metadata (the facade's chunk-graph)
     * pass their own pre-projected payload frame to the Over builders.
     */
+  /** Every embeddings-table column rides into the store (the IVF layout's
+    * convention, r17): metadata predicates (the FILTERED serving arms) and
+    * pruned metadata reads need the payload IN the partitioned vectors
+    * table — a store without it can only filter on vec_id.
+    */
   private def baseCorpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Tables.embeddings(spark, sfDir)
 
   private def assign(spark: SparkSession, sfDir: String,
                      centroids: Array[Array[Double]]): DataFrame = {
@@ -377,10 +382,15 @@ object AnnGraph {
       .select(col("src").as("vec_id"),
         transform(array_sort(col("raw")), s => s.getField("dst")).as("nbrs"))
 
-  /** The graph index's freshness manifest: build params + corpus fingerprint. */
+  /** The graph index's freshness manifest: build params + corpus
+    * fingerprint. `layout` versions the STORE SCHEMA (2 = payload columns
+    * ride the vectors table, r17) so a store persisted under an older
+    * layout rebuilds at the gate instead of serving without the columns
+    * the filtered arms need.
+    */
   private def graphManifest(spark: SparkSession, sfDir: String,
                             k: Int, degree: Int): String =
-    AnnStore.manifest("graph", Seq("k" -> k, "degree" -> degree),
+    AnnStore.manifest("graph", Seq("k" -> k, "degree" -> degree, "layout" -> 2),
       AnnStore.corpusFingerprint(spark, sfDir))
 
   private def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] =

@@ -77,8 +77,13 @@ object AnnHnsw {
       floor(-log(greatest(u, lit(1e-18))) / log(lit(m.toDouble)))).cast("int")
   }
 
+  /** Full embeddings-table rows (AnnGraph.baseCorpus's r17 convention):
+    * payload columns ride into layer 0 — the ranking layer — so metadata
+    * predicates can gate result eligibility; upper layers stay
+    * navigation-only (vec_id + embedding) and never carry payload.
+    */
   private def baseCorpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Tables.embeddings(spark, sfDir)
 
   private def assignTo(e: DataFrame, centroids: Array[Array[Double]]) =
     e.withColumn("cid",
@@ -94,7 +99,10 @@ object AnnHnsw {
                            degree: Int, m: Int, degreeUp: Int): String =
     AnnStore.manifest("hnsw",
       Seq("k" -> k, "degree" -> degree, "m" -> m, "degree_up" -> degreeUp,
-        "max_lvl" -> maxLevelFor(Tables.embeddings(spark, sfDir).count(), m)),
+        "max_lvl" -> maxLevelFor(Tables.embeddings(spark, sfDir).count(), m),
+        // layout 2 (r17): payload columns ride layer 0 — older stores
+        // rebuild at the gate rather than serve without them
+        "layout" -> 2),
       AnnStore.corpusFingerprint(spark, sfDir))
 
   /** Store subdirs: the graph-store trio plus one dir per upper layer —
@@ -224,50 +232,92 @@ object AnnHnsw {
     */
   private def diversifiedAdjacency(spark: SparkSession, withBlk: DataFrame,
                                    degree: Int): DataFrame = {
-    import spark.implicits._
-    val a = withBlk.select(col("vec_id").as("src"),
-      col("embedding").cast("array<float>").as("a_emb"), col("cid"))
-    val b = withBlk.select(col("vec_id").as("dst"),
-      col("embedding").cast("array<float>").as("b_emb"), col("cid"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
+    // Per-block in-MEMORY candidates + prune (r17): the former shape — an
+    // in-block pair equi-join through a row_number window, then an
+    // embeddings join back and a collect_list prune — was the same
+    // O(n·capacity) shuffle+sort disk shape the r16 builder rewrite evicted
+    // from layer 0, still alive in the upper layers; the r17 build profile
+    // (tools/AnnBuildProfile, SURVEY §4k) measured the upper-layer loop at
+    // 268 s of the 328 s 240k build, dwarfing the quantizer (11 s) the r16
+    // narrative blamed. A block fits task memory by the same capacity rule
+    // as a layer-0 cell, so candidates + prune run in ONE flatMapGroups:
+    // capacity² stays compute, only capacity·degree rows ever exist.
+    //
+    // Value-identical to the old plan by construction: the same
+    // cosineLocal float arithmetic (the CosineSim eval replica), the same
+    // Round(HALF_UP, 4), the same (sim desc, dst asc) top-2·degree
+    // selection (buildGraphOver's contender-gated insertion buffer — the
+    // exact-round cost paid only near the current worst), and the prune
+    // loop is the old code VERBATIM over the buffer's order (which equals
+    // the old sortBy(-sim, dst) of the collected candidates).
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nbrs",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    implicit val rowEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaInt
     val deg = degree
-    // NARROW window first (src, dst, sim — ~30 B/row like the flat
-    // build's), embeddings joined back for ONLY the kept 2·degree rows:
-    // letting b_emb ride the capacity²-per-cell window sort multiplies
-    // its spill ~18× (measured: the 1M receipt's layer-1 sort went from
-    // 30 GB to disk-filling before this split)
-    val cands = a.join(b.select(col("dst"), col("b_emb"), col("cid")), Seq("cid"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(VecExprs.cosineSim(col("a_emb"), col("b_emb")), 4).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2 * deg)
-      .drop("rn")
-    cands
-      .join(withBlk.select(col("vec_id").as("dst"),
-        col("embedding").cast("array<float>").as("b_emb")), "dst")
-      .groupBy(col("src"))
-      .agg(collect_list(struct(col("sim"), col("dst"), col("b_emb"))).as("cs"))
-      .as[(Long, Seq[(Double, Long, Array[Float])])]
-      .map { case (src, cs) =>
-        val sorted = cs.sortBy(c => (-c._1, c._2))
-        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-        val pruned = scala.collection.mutable.ArrayBuffer.empty[Long]
-        sorted.foreach { case (s, d, e) =>
-          if (kept.size < deg) {
-            // same rounded-score algebra as the candidate ranking, so the
-            // diversity test is deterministic under ties: a sibling ties
-            // its kept twin (1.0 vs 1.0) and is pruned, a genuinely
-            // closer-to-src candidate survives
-            val diverse = kept.forall { case (_, ke) =>
-              s > AnnGraph.round4(AnnGraph.cosineLocal(e, ke)) }
-            if (diverse) kept += ((d, e)) else pruned += d
+    withBlk.select(col("cid"), col("vec_id"),
+      col("embedding").cast("array<float>").as("emb"))
+      .groupByKey((r: org.apache.spark.sql.Row) => r.getInt(0))
+      .flatMapGroups { (_: Int, it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map(r => (r.getLong(1), r.getSeq[Float](2).toArray)).toArray
+        val n = rows.length
+        val cap = 2 * deg
+        rows.iterator.zipWithIndex.map { case ((src, a), ai) =>
+          // top-2·degree by (ROUNDED sim desc, dst asc); exact round only
+          // for CONTENDERS (half-up rounding is monotone, so raw below
+          // worst − 0.5e-4 with float slack can neither beat nor tie it)
+          val bSim = new Array[Double](cap)
+          val bDst = new Array[Long](cap)
+          val bIdx = new Array[Int](cap)
+          var size = 0
+          var j = 0
+          while (j < n) {
+            if (j != ai) {
+              val raw = AnnGraph.cosineLocal(a, rows(j)._2)
+              if (size < cap || raw >= bSim(size - 1) - 0.0000501) {
+                val sim = AnnGraph.round4(raw)
+                val dst = rows(j)._1
+                if (size < cap || sim > bSim(size - 1) ||
+                  (sim == bSim(size - 1) && dst < bDst(size - 1))) {
+                  var p = if (size < cap) size else size - 1
+                  while (p > 0 && (sim > bSim(p - 1) ||
+                    (sim == bSim(p - 1) && dst < bDst(p - 1)))) {
+                    bSim(p) = bSim(p - 1); bDst(p) = bDst(p - 1)
+                    bIdx(p) = bIdx(p - 1); p -= 1
+                  }
+                  bSim(p) = sim; bDst(p) = dst; bIdx(p) = j
+                  if (size < cap) size += 1
+                }
+              }
+            }
+            j += 1
           }
+          val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+          val pruned = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 0
+          while (i < size) {
+            if (kept.size < deg) {
+              val s = bSim(i); val d = bDst(i); val e = rows(bIdx(i))._2
+              // same rounded-score algebra as the candidate ranking, so the
+              // diversity test is deterministic under ties: a sibling ties
+              // its kept twin (1.0 vs 1.0) and is pruned, a genuinely
+              // closer-to-src candidate survives
+              val diverse = kept.forall { case (_, ke) =>
+                s > AnnGraph.round4(AnnGraph.cosineLocal(e, ke)) }
+              if (diverse) kept += ((d, e)) else pruned += d
+            }
+            i += 1
+          }
+          org.apache.spark.sql.Row(src,
+            (kept.map(_._1) ++ pruned.take(deg - kept.size)).toArray)
         }
-        (src, (kept.map(_._1) ++ pruned.take(deg - kept.size)).toArray)
-      }
-      .toDF("vec_id", "nbrs")
+      }.toDF("vec_id", "nbrs")
   }
 
   // ---------------------------------------------------------------- search
@@ -327,6 +377,91 @@ object AnnHnsw {
       exhaustLevels, excludeSelf = false, counter)
   }
 
+  /** FILTERED hierarchical serving (the C3f/C6-filtered twin for C6h): the
+    * metadata predicate gates RESULT ELIGIBILITY at layer 0 only — the
+    * descent routes through every loaded node (upper layers carry no
+    * predicate at all), and ranked hits come from every VISITED passing
+    * node (AnnGraph's filtered-descent pool rule, shared via descentLocal).
+    *
+    * Fill contract: a query the filtered descent under-fills re-serves
+    * through the flat graph family's ADAPTIVE arm — legal verbatim because
+    * an HNSW store's layer 0 IS a graph store (same vectors/edges/centroids
+    * layout) — which widens nprobe and terminally falls back to an exact
+    * scored scan of the passing rows. So: every query returns min(topK,
+    * passing-row-count) rows, provably, while the common case stays one
+    * hierarchical descent.
+    *
+    * Caller contract when the refill triggers: the adaptive rounds are
+    * tracked checkpoints, so consume the returned frame inside an
+    * [[AnnStore.releasingPinned]] scope (what [[annHnswServedFiltered]] and
+    * the facade's filtered batch do) or the pinned blocks outlive the call.
+    */
+  def annHnswServedOverFiltered(spark: SparkSession, indexPath: String,
+                                queries: DataFrame, topK: Int = 5, ef: Int = 8,
+                                beam: Int = 32, hops: Int = 2,
+                                exhaustLevels: Int = 6,
+                                filter: Option[org.apache.spark.sql.Column] = None,
+                                counter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val qRows = queries
+      .select(col("query_id"), col("qv").cast("array<float>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      "annHnswServedOverFiltered: duplicate query_id in the query batch")
+    val maxLvl = storedMaxLvl(spark, indexPath)
+    AnnStore.healCompacted(spark, indexPath, layerSubdirs(maxLvl))
+    val out = descend(spark, indexPath, qRows.toMap, maxLvl, topK, ef, beam,
+      hops, exhaustLevels, excludeSelf = false, counter, filter).drop("cid")
+    if (filter.isEmpty || qRows.isEmpty) return out
+    // `out`'s lazy tail (descend's layer collects already ran eagerly; only
+    // the final layer-0 search re-executes) is deliberately NOT checkpointed:
+    // the count below plus a possible union re-run cost one pruned-read job,
+    // while a tracked checkpoint would make every returned frame depend on
+    // the caller's release scope (the graph adaptive's contract) — wrong
+    // default for a public serve that usually fills on the first pass
+    val counts = out.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unfilled = qRows.filter(q => counts.getOrElse(q._1, 0L) < topK)
+    if (unfilled.isEmpty) out
+    else {
+      val filledIds = qRows.map(_._1).toSet -- unfilled.map(_._1).toSet
+      val kept =
+        if (filledIds.isEmpty) Seq.empty[DataFrame]
+        else Seq(out.filter(col("query_id").isin(filledIds.toSeq: _*)))
+      val refill = AnnGraph.annGraphServedOverCellsAdaptive(spark, indexPath,
+        unfilled, topK, nprobe = 2, beam = beam, hops = hops,
+        entriesPerCell = 3, filter = filter).drop("cid")
+      (kept :+ refill).reduce(_ unionByName _).orderBy("query_id", "rank")
+    }
+  }
+
+  /** The driver-entry filtered arm (annIvfServedFiltered's contract shape):
+    * corpus vectors as the query batch under the standing `label % 4 === 1`
+    * predicate. External-query semantics (no self-exclusion): a corpus
+    * query's own row is a legitimate filtered hit when it passes.
+    */
+  def annHnswServedFiltered(spark: SparkSession, indexPath: String,
+                            nQueries: Int = 10, topK: Int = 5,
+                            ef: Int = 8): DataFrame = {
+    import spark.implicits._
+    // the adaptive refill's rounds are tracked checkpoints that must be
+    // consumed before the release scope closes — so this driver-entry
+    // wrapper materializes its BOUNDED result (≤ nQueries×topK rows)
+    // inside the scope and returns a literal frame
+    val rows = AnnStore.releasingPinned(spark) {
+      val queries = spark.read.parquet(indexPath + "/vectors")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      annHnswServedOverFiltered(spark, indexPath, queries, topK, ef,
+        filter = Some(col("label") % 4 === 1))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    }
+    rows.toDF("query_id", "rank", "vec_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
   private def storedMaxLvl(spark: SparkSession, indexPath: String): Int =
     AnnStore.readManifest(spark, indexPath)
       .flatMap(m => AnnStore.manifestInt(m, "max_lvl"))
@@ -344,7 +479,8 @@ object AnnHnsw {
                       qvs: Map[Long, Array[Float]], maxLvl: Int, topK: Int,
                       ef: Int, beam: Int, hops: Int, exhaustLevels: Int,
                       excludeSelf: Boolean,
-                      counter: Option[org.apache.spark.util.LongAccumulator])
+                      counter: Option[org.apache.spark.util.LongAccumulator],
+                      filter: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
     import spark.implicits._
     if (qvs.isEmpty)
@@ -412,9 +548,11 @@ object AnnHnsw {
         .groupBy(_._1)
         .map { case (q, rs) => q -> rs.map(t => (t._2, t._3)).toSeq }
     }
+    // the FULL payload row reaches routeAndSearch (narrowing happens there
+    // AFTER the result-eligibility predicate evaluates) — layer 0 is where
+    // hits rank, so it is the one read metadata filters must see
     val vectors = spark.read.parquet(path + "/vectors")
-      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
-        col("nbrs"), col("cid"))
+      .withColumn("embedding", col("embedding").cast("array<float>"))
     val ownCell0 = qvs.map { case (q, qv) =>
       q -> Set(mainCentroids.indices.maxBy(i =>
         (AnnGraph.cosineFD(qv, mainCentroids(i)), -i)))
@@ -422,10 +560,13 @@ object AnnHnsw {
     val cells0 = qvs.keys.map(q =>
       q -> (frontier.getOrElse(q, Nil).map(_._2).toSet ++ ownCell0(q))).toMap
     val seeds0 = frontier.map { case (q, f) => q -> f.map(_._1) }
+    // the predicate applies ONLY at layer 0 (where hits rank): filtering
+    // upper-layer NAVIGATION would strand the route exactly the way
+    // AnnGraph's filtered arm avoids (a filtered-out node still routes)
     routeAndSearch(spark, vectors, qvs,
       cells0, seeds0, outCell = col("cid"), topK = topK, beam = beam,
       hops = hops, seedAll = false, entries = 2, excludeSelf = excludeSelf,
-      counter = counter)
+      filter = filter, counter = counter)
       .orderBy("query_id", "rank")
   }
 
@@ -442,6 +583,7 @@ object AnnHnsw {
                              outCell: org.apache.spark.sql.Column,
                              topK: Int, beam: Int, hops: Int, seedAll: Boolean,
                              excludeSelf: Boolean, entries: Int = 0,
+                             filter: Option[org.apache.spark.sql.Column] = None,
                              counter: Option[org.apache.spark.util.LongAccumulator])
       : DataFrame = {
     import spark.implicits._
@@ -454,12 +596,17 @@ object AnnHnsw {
     val cids = subs.keys.toSeq
     val k2 = topK; val b2 = beam; val h2 = hops; val sa = seedAll
     val ex = excludeSelf
+    val filtered = filter.isDefined
     rows.filter(col("cid").isin(cids: _*))
+      // result eligibility evaluates scan-side on the FULL payload row
+      // (AnnGraph.servedCore's convention), BEFORE the narrowing select —
+      // navigation stays unfiltered, the flag only gates which nodes RANK
+      .withColumn("pass", filter.getOrElse(lit(true)))
       .select(col("vec_id"), col("embedding"), col("nbrs"),
-        outCell.as("out_cell"), col("cid"))
-      .as[(Long, Array[Float], Array[Long], Int, Int)]
-      .flatMap { case (vid, emb, nbrs, oc, cid) =>
-        bcSubs.value.getOrElse(cid, Nil).map(q => (q, vid, emb, nbrs, oc, cid)) }
+        outCell.as("out_cell"), col("cid"), col("pass"))
+      .as[(Long, Array[Float], Array[Long], Int, Int, Boolean)]
+      .flatMap { case (vid, emb, nbrs, oc, cid, pass) =>
+        bcSubs.value.getOrElse(cid, Nil).map(q => (q, vid, emb, nbrs, oc, cid, pass)) }
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         // per-READ-block entry seeds (`entries` lowest vec_ids per block):
@@ -472,9 +619,10 @@ object AnnHnsw {
           else buf.groupBy(_._6).valuesIterator
             .flatMap(_.map(_._2).sorted.take(entries)).toSeq
         AnnGraph.descentLocal(qid, bcQv.value(qid), Set.empty,
-          buf.iterator.map { case (q, vid, emb, nbrs, oc, _) =>
-            (q, vid, emb, nbrs, oc, true) },
+          buf.iterator.map { case (q, vid, emb, nbrs, oc, _, pass) =>
+            (q, vid, emb, nbrs, oc, pass) },
           k2, b2, h2, entriesPerCell = 0, excludeSelf = ex,
+          filtered = filtered,
           seedIds = bcSeeds.value.getOrElse(qid, Nil) ++ extraSeeds,
           seedAll = sa, counter = counter)
       }

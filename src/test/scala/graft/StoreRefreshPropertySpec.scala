@@ -96,15 +96,17 @@ class StoreRefreshPropertySpec extends SparkSpecBase {
     Family("graph", _ => Seq("vectors", "edges", "centroids"),
       (dir, p) => AnnGraph.ensureGraphIndex(spark, dir, p),
       (dir, p) => AnnGraph.refreshGraphIndex(spark, dir, p).head(),
+      // full rows, matching ensureGraphIndex's baseCorpus (r17: payload
+      // rides the store for the filtered arms)
       (dir, live, out) => AnnGraph.writeGraphIndexOverWithCentroids(spark,
-        Tables.embeddings(spark, dir).select("vec_id", "embedding"), out,
+        Tables.embeddings(spark, dir), out,
         AnnStore.readCentroids(spark, live), degree = 8,
         manifestStr = AnnStore.readManifest(spark, live).get)),
     Family("hnsw", hnswTables,
       (dir, p) => AnnHnsw.ensureHnswIndex(spark, dir, p),
       (dir, p) => AnnHnsw.refreshHnswIndex(spark, dir, p).head(),
       (dir, live, out) => AnnHnsw.writeHnswIndexOverWithCentroids(spark,
-        Tables.embeddings(spark, dir).select("vec_id", "embedding"), out,
+        Tables.embeddings(spark, dir), out,
         AnnStore.readCentroids(spark, live), k = 16, degree = 8, m = 4,
         degreeUp = 8, manifestStr = AnnStore.readManifest(spark, live).get)),
     Family("pq", _ => Seq("codes", "vectors", "books"),
