@@ -126,8 +126,10 @@ object AnnGraph {
           while (i < e.length) { s += e(i) * e(i); i += 1 }
           math.sqrt(s)
         }
-        def round4(v: Double): Double =
-          BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // rounding via the shared guarded round4 (AnnGraph.round4): the
+        // replica-heavy corpora that matter at scale tie EVERY pair at the
+        // buffer's worst, so the contender gate stops filtering and the
+        // round runs per pair — the fast path makes that affordable
         rows.iterator.zipWithIndex.flatMap { case ((src, a), ai) =>
           // top-degree by (ROUNDED sim desc, dst asc) in a primitive
           // insertion buffer — deterministic for any input order. The
@@ -425,9 +427,33 @@ object AnnGraph {
     dot / (math.sqrt(na) * math.sqrt(nb) + 1e-10)
   }
 
-  /** Spark's Round(_, 4) on a double, as codegen emits it. */
-  private[operators] def round4(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  /** Spark's Round(_, 4) on a double, as codegen emits it
+    * (BigDecimal.valueOf → HALF_UP at 4 dp) — with a provably-identical
+    * fast path. valueOf routes through Double.toString (~1 µs of string
+    * work), and the graph builds round EVERY contender pair: on the
+    * ScaleReceipt replica corpus (cosine-identical replicas, so everything
+    * ties at the insertion buffer's worst and the contender gate never
+    * filters) that BigDecimal call dominated the 1M build. Fast path: when
+    * x·1e4 sits farther than 1e-9 from every half-integer boundary —
+    * vastly beyond the ≤ ~4e-12 combined error of the scaling multiply
+    * and valueOf's shortest-decimal conversion — the cheap floor/ceil
+    * round lands on the same side of every boundary as the exact decimal,
+    * and m/1e4 is the same correctly-rounded double BigDecimal.toDouble
+    * returns for the same m; inside the band (exact .5 ties, pathological
+    * near-ties) fall back to the BigDecimal arithmetic itself.
+    */
+  private[operators] def round4(x: Double): Double = {
+    val t = x * 10000.0
+    val distToHalf = math.abs(t - (math.floor(t) + 0.5))
+    if (math.abs(t) < 1e12 && distToHalf > 1e-9) {
+      val r = (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)) / 10000.0
+      // BigDecimal has no signed zero — a tiny negative rounds to +0.0
+      // there, while ceil gives -0.0 here; normalize so the fast path is
+      // BIT-identical (parquet bytes, hash gates), not just ==-equal
+      if (r == 0.0) 0.0 else r
+    } else
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
 
   /** Serving-path C6: beam descent over a [[writeGraphIndex]]-persisted
     * index, row-identical to the in-query [[annGraph]] (spec-asserted).

@@ -511,8 +511,24 @@ object AnnHnsw {
       }
     }
     val mainCentroids = AnnStore.readCentroids(spark, path)
+    // Skip the contiguous TOP RUN of single-block exhaust layers (r17):
+    // each such layer is read whole (one block — its lc quantizer dir is
+    // absent) and scored whole (seedAll, hops 0), so its output is the
+    // top-ef of its OWN rows — the frontier from above is never consulted
+    // and every run member's output except the lowest one's is discarded.
+    // Starting at the run's bottom is therefore RESULT-IDENTICAL (spec:
+    // AnnHnswSpec/AnnHnswFilterSpec row contracts) while cutting the
+    // sequential driver rounds from maxLvl+1 to ~log_m(k)+1 — at 1M
+    // vectors (maxLvl 10) layers 10..5 fold away: 5 fewer round trips
+    // per batch, and fewer (honestly uncounted) scored candidates.
+    val fsP = AnnStore.fileSystem(spark, path)
+    def singleBlockExhaust(l: Int): Boolean =
+      (maxLvl - l) < exhaustLevels &&
+        !fsP.exists(new org.apache.hadoop.fs.Path(s"$path/lc$l/centroids"))
+    var startLvl = maxLvl
+    while (startLvl > 1 && singleBlockExhaust(startLvl - 1)) startLvl -= 1
     var frontier: Map[Long, Seq[(Long, Int)]] = Map.empty
-    for (l <- maxLvl to 1 by -1) {
+    for (l <- startLvl to 1 by -1) {
       val layer = spark.read.parquet(s"$path/layer$l")
         .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
           col("nbrs"), col("down_blk"), col("cid"))

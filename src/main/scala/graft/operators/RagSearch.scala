@@ -820,8 +820,8 @@ object RagSearch {
   }
 
   private[graft] def round4(x: Double): Double =
-    java.math.BigDecimal.valueOf(x + 1e-9)
-      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    AnnGraph.round4(x + 1e-9) // same double nudge, then the shared guarded
+                              // HALF_UP-at-4dp (see AnnGraph.round4)
 
   /** Exactly [[VecExprs.CosineSim]]'s numerics (same accumulation order,
     * same `+ 1e-10` guard) so pool scores and in-group sims live in one

@@ -283,9 +283,10 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(stats.getAs[Long]("n_cells_rewritten") == 1)
     // invariant: both tables equal a pinned-codebook full rewrite
     val expected = root + "/expected"
-    // expected rewrite projects like the base-store build: (vec_id, embedding)
+    // expected rewrite projects like the base-store build: full rows
+    // (layout 2 — payload rides the vectors table)
     AnnGraph.writeGraphIndexOverWithCentroids(spark,
-      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      Tables.embeddings(spark, dir),
       expected, centroids, degree = 8,
       manifestStr = AnnStore.readManifest(spark, idx).get)
     for (sub <- Seq("/vectors", "/edges")) {
@@ -400,7 +401,7 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(gStats.getAs[Long]("n_cells_rewritten") > 1, "graph churn must span cells")
     val gExpected = root + "/gexpected"
     AnnGraph.writeGraphIndexOverWithCentroids(spark,
-      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      Tables.embeddings(spark, dir),
       gExpected, gCentroids, degree = 8,
       manifestStr = AnnStore.readManifest(spark, gidx).get)
     for (sub <- Seq("/vectors", "/edges")) {
@@ -600,19 +601,22 @@ class AnnRefreshSpec extends SparkSpecBase {
     assert(spark.read.parquet(idx + "/vectors").columns.contains("label"),
       "rebuild must land the current payload schema")
     assert(AnnIvf.refreshIvfIndex(spark, dir, idx).head().getAs[String]("mode") == "fresh")
-    // the other direction: a graph store persisted WITH a payload column
-    // the current build no longer carries (label) must also rebuild — an
-    // incremental rewrite would append narrow files into a wide table
+    // the graph family's version of the same hazard: a store persisted by
+    // the PRE-layout-2 builder (no payload columns) must full-rebuild into
+    // the payload-carrying layout, never append wide rows into narrow
+    // files (same manifest params, so the schema check — not the param
+    // gate — is what must catch it)
     val gidx = Files.createTempDirectory("graft_refr_schema_g").toString + "/gidx"
-    val ge = Tables.embeddings(spark, dir) // label included — the old layout
+    val ge = Tables.embeddings(spark, dir).select("vec_id", "embedding") // old layout
     val gCentroids = AnnIvf.trainOver(
       ge.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), 16)
     AnnGraph.writeGraphIndexOverWithCentroids(spark, ge, gidx, gCentroids, degree = 8,
-      manifestStr = AnnStore.manifest("graph", Seq("k" -> 16, "degree" -> 8), "stale"))
+      manifestStr = AnnStore.manifest("graph",
+        Seq("k" -> 16, "degree" -> 8, "layout" -> 2), "stale"))
     val gStats = AnnGraph.refreshGraphIndex(spark, dir, gidx).head()
     assert(gStats.getAs[String]("mode") == "full_schema")
-    assert(!spark.read.parquet(gidx + "/vectors").columns.contains("label"),
-      "rebuild must land the narrow base-store schema")
+    assert(spark.read.parquet(gidx + "/vectors").columns.contains("label"),
+      "rebuild must land the payload-carrying layout-2 schema")
   }
 
   test("crash mid-refresh (pre-stamp) costs a rebuild, never a stale serve") {
