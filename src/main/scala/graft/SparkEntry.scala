@@ -205,6 +205,9 @@ object SparkEntry {
     "img_frames" -> ((s, dir) => Multimodal.imgFrameSample(s, dir)),
     "img_resize_real" -> ((s, dir) => Multimodal.imgResize(s, dir)),
     "jpg_decode_real" -> ((s, dir) => Multimodal.jpgRoundTrip(s, dir)),
+    // A12: real image-FILE ingest through the decode-once ExtractCache,
+    // poison-receipted (pass 2 serves cached stats over garbage bytes)
+    "img_files_real" -> ((s, dir) => Multimodal.imgFilesReal(s, dir)),
     // A. hybrid retrieval (the reference's planned BM25+embedding extension)
     "rag_bm25" -> ((s, dir) => Bm25.ragBm25(s, dir)),
     "rag_hybrid" -> ((s, dir) => Bm25.ragHybrid(s, dir)),
@@ -1165,6 +1168,47 @@ object SparkEntry {
         |       f.pixel_hash, f.mean_luma
         |FROM documents d JOIN f ON CAST(d.doc_id % 6 AS INT) = f.form
         |ORDER BY d.doc_id""".stripMargin,
+    // A12 gate: the PNG arm replays the closed-form raster stats (the
+    // img_decode_real CTEs restricted to the fixture ids); the JPEG arm
+    // joins the jpg_decode_real frozen literals (lossy — no SQL replay).
+    // The Spark side served these rows from the ExtractCache over POISONED
+    // files, so a hash match proves the decode-once cache contract live.
+    "img_files_real" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+        |dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+        |         CAST(8 + doc_id % 7 AS INT) AS height,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+        |              ELSE 4 END AS ch
+        |  FROM ids),
+        |v AS (
+        |  SELECT doc_id, width, height, ch, idx, $imgPixelValSql AS val
+        |  FROM (SELECT doc_id, width, height, ch,
+        |               unnest(range(0, CAST(width*height*ch AS BIGINT))) AS idx
+        |        FROM dims) z),
+        |png AS (
+        |  SELECT doc_id, 'png' AS kind, true AS decoded_ok, width, height,
+        |         CAST(ch AS INT) AS channels,
+        |         CAST(width*height*ch AS BIGINT) AS n_pixels,
+        |         md5(string_agg(lpad(CAST(val AS VARCHAR), 3, '0'), ''
+        |                        ORDER BY idx)) AS pixel_hash,
+        |         round(avg(val) + 1e-9, 4) AS mean_luma
+        |  FROM v GROUP BY doc_id, width, height, ch),
+        |jf(form, width, height, channels, pixel_hash, mean_luma) AS (VALUES
+        |  (0, 16, 10, 3, '0141c11841896068362b84f4dc59d5ed', 117.5),
+        |  (1, 17, 9, 3, '67b0eed8b6919288693d30f695b6bd9e', 123.8889),
+        |  (2, 12, 12, 1, 'd31616cd314e78a777cbb71238bf9207', 126.0417),
+        |  (3, 16, 16, 3, '9d0cd233e248f231d2d45e1813c36fc7', 136.3711),
+        |  (4, 9, 7, 3, '20eae6a4938e64fd35073087fe1cabb0', 141.0265),
+        |  (5, 23, 5, 1, 'c004b6e93d23ea0936d201f14d8c2412', 143.8261)),
+        |jpg AS (
+        |  SELECT i.doc_id, 'jpg' AS kind, true AS decoded_ok, jf.width,
+        |         jf.height, jf.channels,
+        |         CAST(jf.width*jf.height*jf.channels AS BIGINT) AS n_pixels,
+        |         jf.pixel_hash, jf.mean_luma
+        |  FROM ids i JOIN jf ON CAST(i.doc_id % 6 AS INT) = jf.form)
+        |SELECT * FROM png UNION ALL SELECT * FROM jpg
+        |ORDER BY doc_id, kind""".stripMargin,
     "lang_id" -> s"WITH $langIdBody",
     "lang_id_cjk" -> s"WITH $cjkDocsCte, $langIdBody",
     "quality_score" -> s"WITH $qualityScoreBody",

@@ -441,11 +441,20 @@ object AnnGraph {
     * and m/1e4 is the same correctly-rounded double BigDecimal.toDouble
     * returns for the same m; inside the band (exact .5 ties, pathological
     * near-ties) fall back to the BigDecimal arithmetic itself.
+    *
+    * The band must DOMINATE t's own representation error, which grows with
+    * magnitude: half an ulp of t exceeds a fixed 1e-9 once |t| passes ~2^23
+    * (the r17 advisor's counterexample: round4(5207.90695) took the fast
+    * path against a boundary its ulp had already crossed). The guard is
+    * therefore magnitude-aware — 4·ulp(t) covers the scaling multiply's
+    * ≤ 0.5 ulp, valueOf's shortest-decimal ≤ 0.5 ulp (of x, ≤ ~1 ulp of t),
+    * and slack; + 1e-12 keeps a floor for tiny t where ulp underflows the
+    * decimal gap.
     */
   private[operators] def round4(x: Double): Double = {
     val t = x * 10000.0
     val distToHalf = math.abs(t - (math.floor(t) + 0.5))
-    if (math.abs(t) < 1e12 && distToHalf > 1e-9) {
+    if (math.abs(t) < 1e12 && distToHalf > Math.ulp(t) * 4 + 1e-12) {
       val r = (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)) / 10000.0
       // BigDecimal has no signed zero — a tiny negative rounds to +0.0
       // there, while ceil gives -0.0 here; normalize so the fast path is

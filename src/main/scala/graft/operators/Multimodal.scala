@@ -391,7 +391,7 @@ object Multimodal {
     * major) — the form both engines hash: Spark from DECODED pixels, the
     * oracle from the generation formula via string_agg.
     */
-  private def pixelCanonical(px: Array[Byte]): String = {
+  private[graft] def pixelCanonical(px: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(px.length * 3)
     var i = 0
     while (i < px.length) {
@@ -404,7 +404,7 @@ object Multimodal {
     sb.toString
   }
 
-  private def md5Hex(s: String): String = {
+  private[graft] def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("ISO-8859-1"))
     val sb = new java.lang.StringBuilder(32)
@@ -639,6 +639,76 @@ object Multimodal {
     * mapPartitions stage; the JPEG bytes never leave the task. The oracle
     * joins documents against the six frozen stat literals on doc_id % 6.
     */
+  /** Driver query `img_files_real` — A12 (real image-FILE ingest) under the
+    * DuckDB gate, the one §2 row the r17 verdict flagged as spec-only: the
+    * query materializes a REAL temp tree of PNG + JPEG files (one of each
+    * per gated doc_id: the PNG from the closed-form [[imgPixels]] raster,
+    * the JPEG from the (doc_id mod 6) [[jpgFormRaster]] fixture), ingests
+    * it TWICE through [[graft.sources.ImageCorpus.readImageStats]] over a
+    * real [[graft.sources.ExtractCache]], and — between the passes —
+    * POISONS every file on disk with same-length garbage. Pass 2 therefore
+    * proves the decode-once cache live inside the gate: byte sizes are
+    * unchanged so every row must serve from the cache (decoded_ok=true,
+    * original stats); a broken cache re-decodes garbage and flips
+    * decoded_ok/hash, failing the oracle. The oracle regenerates the PNG
+    * stats closed-form (the img_decode_real CTEs, gated to the fixture
+    * ids) and joins the JPEG stats as the jpg_decode_real frozen literals
+    * (ONE pixel-hash canonical repo-wide since r18). Reference:
+    * pdf-extractor.ts:33-221 — the cache contract being gated.
+    *
+    * Fixture writes/poisons are distributed (foreachPartition through the
+    * Hadoop FS API — DFS-portable); ids are gated to doc_id % 25 = 0 so
+    * the tree stays a fixture (2 files/gated doc) while all six JPEG forms
+    * and every PNG dims/channel variant still cycle (gcd(25, 6·7·9·3)=1).
+    */
+  def imgFilesReal(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{Jpeg, Png}
+    val base = "/tmp/graft_imgfiles/" + md5Hex(sfDir)
+    val treeRoot = base + "/tree"
+    val cachePath = base + "/cache"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(hconf).delete(basePath, true)
+    val confBc = spark.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(hconf))
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .where(col("doc_id") % 25 === 0)
+    // the task closure references only captured serializable locals plus
+    // ImgFixtures' static module — a nested def here would lift onto
+    // Multimodal$ (not serializable) and capture `this`
+    def writeTree(poison: Boolean): Unit =
+      ids.foreachPartition { rows: Iterator[Row] =>
+        val conf = confBc.value.value
+        rows.foreach { r =>
+          ImgFixtures.fileBytes(r.getLong(0)).foreach { case (name, bytes) =>
+            val p = new org.apache.hadoop.fs.Path(treeRoot, name)
+            val out = p.getFileSystem(conf).create(p, true)
+            // poison: same LENGTH (the cache key is (relPath, byte_size)),
+            // unreadable content — a re-decode cannot reproduce the stats
+            try out.write(
+              if (poison) Array.fill[Byte](bytes.length)('X') else bytes)
+            finally out.close()
+          }
+        }
+      }
+    writeTree(poison = false)
+    // pass 1: misses decode through the real cache (materialize it)
+    graft.sources.ImageCorpus.readImageStats(spark, treeRoot, exts = Seq("png", "jpg"),
+      cachePath = Some(cachePath)).count()
+    writeTree(poison = true)
+    // pass 2: unchanged byte sizes — every row MUST come from the cache
+    val pass2 = graft.sources.ImageCorpus.readImageStats(spark, treeRoot,
+      exts = Seq("png", "jpg"), cachePath = Some(cachePath))
+    pass2
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "img_(\\d+)\\.", 1).cast("long"))
+      .withColumn("kind", regexp_extract(col("path"), "\\.([a-z]+)$", 1))
+      .select(col("doc_id"), col("kind"), col("decoded_ok"), col("width"),
+        col("height"), col("channels"), col("n_pixels"), col("pixel_hash"),
+        col("mean_luma"))
+      .orderBy("doc_id", "kind")
+  }
+
   def jpgRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -660,5 +730,21 @@ object Multimodal {
           Row(id, form, w, h, ch, hash, luma)
         }
       }.orderBy("doc_id")
+  }
+}
+
+/** The img_files_real fixture encodes, on their own top-level object so the
+  * distributed write closure reaches them through a STATIC module access
+  * (no `Multimodal$` capture — the object is not serializable by design).
+  */
+private[operators] object ImgFixtures {
+  def fileBytes(id: Long): Seq[(String, Array[Byte])] = {
+    val form = Math.floorMod(id, Multimodal.JpgForms.length.toLong).toInt
+    val (_, _, _, q, sub, rst) = Multimodal.JpgForms(form)
+    Seq(
+      s"img_$id.png" -> graft.functions.Png.encode(Multimodal.imgPixels(id),
+        filterFor = y => Math.floorMod(id + y, 5L).toInt),
+      s"img_$id.jpg" -> graft.functions.Jpeg.encode(
+        Multimodal.jpgFormRaster(form), q, sub, rst))
   }
 }

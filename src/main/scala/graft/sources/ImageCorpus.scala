@@ -77,10 +77,13 @@ object ImageCorpus {
       val n = im.width.toLong * im.height * im.channels
       var sum = 0L
       im.pixels.foreach(b => sum += (b & 0xff))
-      val d = java.security.MessageDigest.getInstance("MD5").digest(im.pixels)
-      val sb = new java.lang.StringBuilder(32)
-      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-      (true, im.width, im.height, im.channels, n, sb.toString,
+      // ONE pixel-hash canonical repo-wide (3-digit decimal per sample,
+      // Multimodal.pixelCanonical): the same hash a closed-form SQL oracle
+      // can regenerate via string_agg(lpad(...)), which is what lets
+      // img_files_real gate THIS leg's output against DuckDB (r18)
+      (true, im.width, im.height, im.channels, n,
+        graft.operators.Multimodal.md5Hex(
+          graft.operators.Multimodal.pixelCanonical(im.pixels)),
         graft.operators.RagSearch.round4(sum.toDouble / n))
     case None => (false, 0, 0, 0, 0L, "", 0.0)
   }

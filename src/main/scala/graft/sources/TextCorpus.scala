@@ -401,7 +401,7 @@ object TextCorpus {
   * both must see the SESSION's conf (credentials/endpoints), not a fresh
   * executor-side `new Configuration()`.
   */
-private[sources] class SerializableHadoopConf(
+private[graft] class SerializableHadoopConf(
     @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()

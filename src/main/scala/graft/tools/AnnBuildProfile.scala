@@ -34,7 +34,10 @@ object AnnBuildProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = work + "/corpus"
+    // corpus dir keyed on scale: a rerun with a different `scale` against
+    // the same workDir must rebuild, not silently profile the old corpus
+    // (r17 advisor finding)
+    val dir = work + s"/corpus_x$scale"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val embPath = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet")
@@ -43,8 +46,12 @@ object AnnBuildProfile {
         .withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
         .select(
           (col("vec_id") * scale + col("rep")).as("vec_id"),
+          // cast back to array<float>: transform() promotes to double, but
+          // the receipt corpus (and every real store) is float-typed — a
+          // double-width profiled corpus would skew read-cost attribution
           transform(col("embedding"),
-            x => x * (lit(1.0) + (col("rep") % 97) / lit(1000.0))).as("embedding"),
+            x => (x * (lit(1.0) + (col("rep") % 97) / lit(1000.0)))
+              .cast("float")).as("embedding"),
           col("label"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(embPath.toString)

@@ -45,6 +45,26 @@ class Round4Spec extends graft.SparkSpecBase {
       assert(bitEqual(AnnGraph.round4(x), reference(x)), s"x=$x")
   }
 
+  test("round4 equals the reference at large magnitudes hugging .5 boundaries") {
+    // the r17 advisor's counterexample class: |t| large enough that
+    // ulp(t) > 1e-9, with t engineered to sit just off a half-integer
+    // boundary — the old fixed-1e-9 band took the fast path here and
+    // disagreed with the reference (round4(5207.90695) → 5207.9069 vs
+    // 5207.907). Randomized boundary hunt over magnitudes 1e3..1e8.
+    assert(bitEqual(AnnGraph.round4(5207.90695), reference(5207.90695)))
+    val rnd = new scala.util.Random(47)
+    var i = 0
+    while (i < 200000) {
+      val mag = math.pow(10.0, 3 + rnd.nextDouble() * 5) // 1e3..1e8
+      val intPart = math.floor(mag * 1e4)
+      val eps = (rnd.nextInt(9) - 4) * Math.ulp(intPart) // within ±4 ulp of the boundary
+      val t = intPart + 0.5 + eps
+      val x = (if (rnd.nextBoolean()) t else -t) / 1e4
+      assert(bitEqual(AnnGraph.round4(x), reference(x)), s"x=$x")
+      i += 1
+    }
+  }
+
   test("round4 equals the reference on float-derived sims (the call sites' shape)") {
     val rnd = new scala.util.Random(43)
     var i = 0
