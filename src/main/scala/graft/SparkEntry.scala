@@ -178,6 +178,16 @@ object SparkEntry {
       AnnHnsw.ensureHnswIndex(s, dir, path)
       AnnHnsw.annHnswServed(s, path)
     }),
+    // C6hc (r18): CERTIFIED hierarchical serving — descent for a kth-score
+    // lower bound, then an exact scan of only the cells whose triangle-
+    // inequality upper bound (cellstats angular radii) clears it. Provably
+    // the exact top-k, so the FIRST graph-family query under the DuckDB
+    // hash gate (oracle = C1's brute-force SQL verbatim).
+    "ann_hnsw_certified" -> ((s, dir) => {
+      val path = AnnHnsw.defaultIndexPath(dir)
+      AnnHnsw.ensureHnswIndex(s, dir, path)
+      AnnHnsw.annHnswServedCertified(s, path)
+    }),
     // C6hf: FILTERED hierarchical serving — the predicate gates result
     // eligibility at layer 0 only (navigation unfiltered, AnnGraph's r12
     // filtered-descent rule), and under-filled queries re-serve through the
@@ -545,7 +555,12 @@ object SparkEntry {
     ("rag_bm25_served" -> oracleSqlBase("rag_bm25")) +
     ("rag_hybrid_served" -> oracleSqlBase("rag_hybrid")) +
     ("rag_bm25_rm3_served" -> oracleSqlBase("rag_bm25_rm3")) +
-    ("ann_sq8_served" -> oracleSqlBase("ann_sq8"))
+    ("ann_sq8_served" -> oracleSqlBase("ann_sq8")) +
+    // C6hc: the certified serve is PROVABLY the exact top-k (descent lower
+    // bound + cellstats triangle-inequality upper bound ⇒ every cell that
+    // could hold a contender is exact-scanned), so it shares C1's
+    // brute-force oracle — the graph family's first hash-gated row
+    ("ann_hnsw_certified" -> oracleSqlBase("ann_topk_batch"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "rag_bm25" ->

@@ -316,6 +316,46 @@ object AnnGraph {
     vectorsWithNbrs(assigned, edges)
       .write.partitionBy("cid").parquet(dir + "/vectors")
     AnnStore.writeCentroids(spark, dir, centroids)
+    // per-cell angular radii (r18, layout 3): one map-side-combined
+    // aggregate over rows the build already scans — the certification
+    // bound's input (AnnStore.writeCellStats scaladoc)
+    AnnStore.writeCellStats(spark, dir, cellStatsOf(assigned, centroids))
+  }
+
+  /** `(cid, n_rows, min_cos)` over an assigned corpus frame: each row's
+    * cosine to ITS OWN centroid via a broadcast of the k-row centroid
+    * matrix, then one aggregate — no shuffle beyond the k-bounded combine.
+    */
+  private[operators] def cellStatsOf(assigned: DataFrame,
+                                     centroids: Array[Array[Double]]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+    assigned.select(col("vec_id"), col("embedding"), col("cid"))
+      .join(broadcast(cdf), Seq("cid"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1L)).as("n_rows"),
+        min(VecExprs.cosineSim(col("embedding").cast("array<double>"),
+          col("centroid"))).as("min_cos"))
+  }
+
+  /** Refresh-side cellstats maintenance: recompute the affected cells'
+    * rows' stats, keep the untouched cells' stored rows, rewrite the
+    * (k-bounded) sidecar. Bounded collects — the sidecar is ≤ k rows by
+    * construction. A store predating the sidecar never reaches here (the
+    * layout-3 manifest forces its rebuild at the gate).
+    */
+  private[operators] def refreshCellStats(spark: SparkSession, path: String,
+                                          affected: Seq[Int], rows: DataFrame,
+                                          centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    val kept = AnnStore.readCellStats(spark, path).getOrElse(Array.empty)
+      .filterNot(s => affected.contains(s._1))
+    val recomputed = cellStatsOf(rows, centroids).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    AnnStore.writeCellStats(spark, path,
+      (kept ++ recomputed).sortBy(_._1).toSeq.toDF("cid", "n_rows", "min_cos"))
   }
 
   /** Adjacency embedded in the vector row (rank order: sim desc, dst asc —
@@ -359,6 +399,8 @@ object AnnGraph {
         edges.write.mode("append").partitionBy("cid").parquet(path + "/edges")
         vectorsWithNbrs(rows, edges)
           .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+        refreshCellStats(spark, path, affected, rows,
+          AnnStore.readCentroids(spark, path))
       },
       fullBuild = () => writeGraphIndexOver(spark, newE, path, k, degree, newManifest),
       driftBound = driftBound,
@@ -386,13 +428,14 @@ object AnnGraph {
 
   /** The graph index's freshness manifest: build params + corpus
     * fingerprint. `layout` versions the STORE SCHEMA (2 = payload columns
-    * ride the vectors table, r17) so a store persisted under an older
-    * layout rebuilds at the gate instead of serving without the columns
-    * the filtered arms need.
+    * ride the vectors table, r17; 3 = the per-cell cellstats sidecar the
+    * certified serve's bounds need, r18) so a store persisted under an
+    * older layout rebuilds at the gate instead of serving without the
+    * columns/sidecars the newer arms need.
     */
   private def graphManifest(spark: SparkSession, sfDir: String,
                             k: Int, degree: Int): String =
-    AnnStore.manifest("graph", Seq("k" -> k, "degree" -> degree, "layout" -> 2),
+    AnnStore.manifest("graph", Seq("k" -> k, "degree" -> degree, "layout" -> 3),
       AnnStore.corpusFingerprint(spark, sfDir))
 
   private def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] =

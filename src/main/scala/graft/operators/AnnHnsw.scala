@@ -100,9 +100,10 @@ object AnnHnsw {
     AnnStore.manifest("hnsw",
       Seq("k" -> k, "degree" -> degree, "m" -> m, "degree_up" -> degreeUp,
         "max_lvl" -> maxLevelFor(Tables.embeddings(spark, sfDir).count(), m),
-        // layout 2 (r17): payload columns ride layer 0 — older stores
+        // layout 3 (r18): layer 0 carries the cellstats sidecar (certified
+        // serve bounds); 2 (r17): payload columns ride layer 0 — older stores
         // rebuild at the gate rather than serve without them
-        "layout" -> 2),
+        "layout" -> 3),
       AnnStore.corpusFingerprint(spark, sfDir))
 
   /** Store subdirs: the graph-store trio plus one dir per upper layer —
@@ -330,7 +331,8 @@ object AnnHnsw {
   def annHnswServed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
                     topK: Int = 5, ef: Int = 8, beam: Int = 32, hops: Int = 2,
                     exhaustLevels: Int = 6,
-                    counter: Option[org.apache.spark.util.LongAccumulator] = None)
+                    counter: Option[org.apache.spark.util.LongAccumulator] = None,
+                    upperCacheRows: Int = DefaultUpperCacheRows)
       : DataFrame = {
     val maxLvl = storedMaxLvl(spark, indexPath)
     AnnStore.healCompacted(spark, indexPath, layerSubdirs(maxLvl))
@@ -339,7 +341,111 @@ object AnnHnsw {
       .select(col("vec_id"), col("embedding").cast("array<float>")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     descend(spark, indexPath, qRows.toMap, maxLvl, topK, ef, beam, hops,
-      exhaustLevels, excludeSelf = true, counter).drop("cid")
+      exhaustLevels, excludeSelf = true, counter,
+      upperCacheRows = upperCacheRows).drop("cid")
+  }
+
+  /** C6hc: CERTIFIED hierarchical serving — exact top-k with an ANN-grade
+    * read bound, closing the r17 verdict's recall-plateau item (the plain
+    * descent's nprobe=1-like layer-0 seeding capped recall at 0.875 with
+    * no knob that recovered it). Two phases:
+    *
+    *  1. the ordinary hierarchical descent produces k candidates — their
+    *     kth ROUNDED score s_k is a certified lower bound on the true kth
+    *     (candidates are real corpus rows, so true-kth ≥ raw-kth ≥
+    *     s_k − 5e-5);
+    *  2. the store's per-cell angular radii (cellstats, layout 3) give a
+    *     TRUE upper bound on any member of cell i: by the spherical
+    *     triangle inequality θ(q,v) ≥ θ(q,c_i) − δ_i, so
+    *     cos(q,v) ≤ cos(max(0, θ(q,c_i) − δ_i)). Every cell whose bound
+    *     clears s_k − 2e-4 is exact-scanned (partition-pruned, one job,
+    *     broadcast-routed to its subscribing queries) and the top-k over
+    *     that pool IS the exact answer:
+    *
+    * any vector outside the scanned cells has raw cos < s_k − 2e-4, hence
+    * rounded score < s_k − 1.5e-4, strictly below the true kth's rounded
+    * score (≥ s_k − 1e-4) — it cannot enter the exact top-k or tie its
+    * boundary. The 2e-4 margin covers both round4 quantizations; the δ
+    * inflation (1e-6 rad) covers acos/cos numerics and the float-vs-double
+    * accumulation drift between the bound's JVM cosine and the scan's
+    * codegen cosine. AnnHnswCertifiedSpec pins row-identity with the
+    * brute-force scan, including under a deliberately starved descent.
+    *
+    * Cost shape at scale: the descent is the usual beam-bounded route;
+    * the certification scan reads the few cells geometry cannot rule out
+    * (tight clusters ⇒ small δ ⇒ few cells — the receipt records rows
+    * read). Worst case (flat geometry) it degrades to an IVF-exact scan —
+    * the price of an exactness PROOF, paid only where geometry is
+    * genuinely uninformative. `counter` accrues descent-scored candidates
+    * plus certification-scanned rows.
+    */
+  def annHnswServedCertified(spark: SparkSession, indexPath: String,
+                             nQueries: Int = 10, topK: Int = 5, ef: Int = 8,
+                             beam: Int = 32, hops: Int = 2,
+                             exhaustLevels: Int = 6,
+                             counter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    import spark.implicits._
+    val maxLvl = storedMaxLvl(spark, indexPath)
+    AnnStore.healCompacted(spark, indexPath, layerSubdirs(maxLvl))
+    val vectors = spark.read.parquet(indexPath + "/vectors")
+    val qRows = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<float>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    if (qRows.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "vec_id", "score")
+    // phase 1: the plain descent — only its kth scores are consumed
+    val pass1 = descend(spark, indexPath, qRows.toMap, maxLvl, topK, ef, beam,
+      hops, exhaustLevels, excludeSelf = true, counter)
+      .select(col("query_id"), col("score")).collect() // bounded: |q|·topK
+      .groupBy(_.getLong(0))
+    val sk: Map[Long, Double] = qRows.map { case (q, _) =>
+      val hits = pass1.getOrElse(q, Array.empty)
+      // an under-filled descent (corpus < topK, starved params) certifies
+      // nothing — bound −2 passes every cell: the scan is the exact answer
+      q -> (if (hits.length >= topK) hits.map(_.getDouble(1)).min else -2.0)
+    }.toMap
+    val centroids = AnnStore.readCentroids(spark, indexPath)
+    val stats = AnnStore.readCellStats(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"annHnswServedCertified: no cellstats at $indexPath — the store " +
+          "predates layout 3; rebuild via ensureHnswIndex"))
+    def clamp(x: Double) = math.min(1.0, math.max(-1.0, x))
+    val delta: Map[Int, Double] =
+      stats.map(s => s._1 -> (StrictMath.acos(clamp(s._3)) + 1e-6)).toMap
+    val margin = 2e-4
+    // (query, cell) pairs geometry cannot rule out — bounded driver state
+    // (≤ |q|·k, the probe-list convention); empty cells have no stats row
+    // and nothing to scan
+    val pairs = for {
+      (q, qv) <- qRows.toSeq
+      i <- centroids.indices
+      if delta.contains(i)
+      theta = StrictMath.acos(clamp(AnnGraph.cosineFD(qv, centroids(i))))
+      if StrictMath.cos(math.max(0.0, theta - delta(i))) >= sk(q) - margin
+    } yield (q, i)
+    counter.foreach(_.add( // certification read volume (self rows included)
+      pairs.map(p => stats.find(_._1 == p._2).map(_._2).getOrElse(0L)).sum))
+    val probe = pairs.toDF("query_id", "cid")
+    val qDf = qRows.toSeq.map { case (q, v) => (q, v.toSeq) }.toDF("query_id", "qv")
+    val cids = pairs.map(_._2).distinct
+    // one partition-pruned job: rows of certification cells fan out to
+    // their subscribing queries via the broadcast pair frame, scored with
+    // C1's exact algebra (same cosine expression, same round, same ties)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    vectors.filter(col("cid").isin(cids: _*))
+      .join(broadcast(probe), Seq("cid"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(VecExprs.cosineSim(col("embedding").cast("array<float>"),
+          col("qv").cast("array<float>")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
   }
 
   /** External-query serving: (query_id, qv) batch, no self-exclusion —
@@ -468,19 +574,85 @@ object AnnHnsw {
       .getOrElse(throw new IllegalStateException(
         s"annHnswServed: no hnsw manifest at $indexPath"))
 
+  /** Per-session upper-layer cache (r18, the r17 verdict's serve-latency
+    * item): the 1M serve was DRIVER-ROUND-bound — every layer above 0 cost
+    * a sequential pruned-read job even though the layers above layer 1
+    * together hold ~n/(m·(m−1)) rows. Layers whose row count fits
+    * [[DefaultUpperCacheRows]] are collected ONCE per (indexPath, manifest
+    * stamp) into driver arrays and their beam searches run in-driver
+    * through the SAME [[AnnGraph.descentLocal]] kernel with the same
+    * seeds/entries arguments — bit-identical results (spec-pinned), zero
+    * jobs for the cached layers. Layers over the cap (layer 1 at billions
+    * of rows) keep the distributed rounds — per-layer granularity, so the
+    * optimization never costs unbounded driver memory. The manifest stamp
+    * (mtime, length) invalidates on refresh/rebuild; compaction rewrites
+    * data files without changing row CONTENT, so a stale-stamp-free cache
+    * stays correct across it.
+    */
+  private[operators] val DefaultUpperCacheRows: Int = 1 << 21
+
+  private case class CachedLayer(
+      rows: Array[(Long, Array[Float], Array[Long], Int, Int)],
+      byCell: Map[Int, Array[Int]],
+      lcCentroids: Option[Array[Array[Double]]])
+  private case class ServeCache(stamp: (Long, Long),
+                                mainCentroids: Array[Array[Double]],
+                                layers: Map[Int, CachedLayer])
+  private val serveCaches =
+    scala.collection.concurrent.TrieMap.empty[String, ServeCache]
+
+  private def manifestStamp(spark: SparkSession, path: String): (Long, Long) = {
+    val st = AnnStore.fileSystem(spark, path).getFileStatus(
+      new org.apache.hadoop.fs.Path(path, AnnStore.ManifestFile))
+    (st.getModificationTime, st.getLen)
+  }
+
+  private def serveCacheFor(spark: SparkSession, path: String, startLvl: Int,
+                            cap: Int): ServeCache = {
+    val stamp = manifestStamp(spark, path)
+    serveCaches.get(path).filter(_.stamp == stamp).getOrElse {
+      val main = AnnStore.readCentroids(spark, path)
+      val fs = AnnStore.fileSystem(spark, path)
+      val layers = (1 to startLvl).flatMap { l =>
+        val df = spark.read.parquet(s"$path/layer$l")
+        if (df.count() > cap) None // metadata-only count; layer stays distributed
+        else {
+          val rows = df.select(col("vec_id"),
+            col("embedding").cast("array<float>"), col("nbrs"),
+            col("down_blk"), col("cid")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+              r.getSeq[Long](2).toArray, r.getInt(3), r.getInt(4)))
+          val byCell = rows.indices.groupBy(i => rows(i)._5)
+            .map { case (c, is) => c -> is.toArray }
+          val lc =
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/lc$l/centroids")))
+              Some(AnnStore.readCentroids(spark, s"$path/lc$l"))
+            else None
+          Some(l -> CachedLayer(rows, byCell, lc))
+        }
+      }.toMap
+      val c = ServeCache(stamp, main, layers)
+      if (serveCaches.size > 8) serveCaches.clear() // bounded session state
+      serveCaches.put(path, c)
+      c
+    }
+  }
+
   /** The descent loop. Per layer one partition-pruned read + one routing
     * shuffle + in-task beam search ([[AnnGraph.descentLocal]]), then ONE
     * bounded collect of |batch|·ef (query, node, block) frontier rows —
     * the same bounded-driver-state exception the probe lists use. Layer 0
     * reuses the exact flat-search kernel, so scores are bit-identical to
-    * the flat graph arm's for the same candidates.
+    * the flat graph arm's for the same candidates. Layers resident in the
+    * serve cache skip their job entirely (same kernel in-driver).
     */
   private def descend(spark: SparkSession, path: String,
                       qvs: Map[Long, Array[Float]], maxLvl: Int, topK: Int,
                       ef: Int, beam: Int, hops: Int, exhaustLevels: Int,
                       excludeSelf: Boolean,
                       counter: Option[org.apache.spark.util.LongAccumulator],
-                      filter: Option[org.apache.spark.sql.Column] = None)
+                      filter: Option[org.apache.spark.sql.Column] = None,
+                      upperCacheRows: Int = DefaultUpperCacheRows)
       : DataFrame = {
     import spark.implicits._
     if (qvs.isEmpty)
@@ -497,20 +669,25 @@ object AnnHnsw {
     // guarantees the query's own region is explored even when the route
     // wanders — at layer 0 this floors recall at IVF nprobe=1 while
     // scoring stays beam-bounded.
+    // the cache decision wants startLvl, computed below — resolve lazily
+    var cacheOpt: Option[ServeCache] = None
     def selfBlock(lvl: Int): Map[Long, Set[Int]] = {
-      val lcPath = s"$path/lc$lvl"
-      if (!AnnStore.fileSystem(spark, path)
-        .exists(new org.apache.hadoop.fs.Path(lcPath + "/centroids")))
-        qvs.keys.map(_ -> Set(0)).toMap // single-block layer
-      else {
-        val cs = AnnStore.readCentroids(spark, lcPath)
-        qvs.map { case (q, qv) =>
-          q -> Set(cs.indices.maxBy(i =>
-            (AnnGraph.cosineFD(qv, cs(i)), -i)))
-        }
+      val cachedLc = cacheOpt.flatMap(_.layers.get(lvl)).map(_.lcCentroids)
+      val cs: Option[Array[Array[Double]]] = cachedLc.getOrElse {
+        val lcPath = s"$path/lc$lvl"
+        if (!AnnStore.fileSystem(spark, path)
+          .exists(new org.apache.hadoop.fs.Path(lcPath + "/centroids"))) None
+        else Some(AnnStore.readCentroids(spark, lcPath))
+      }
+      cs match {
+        case None => qvs.keys.map(_ -> Set(0)).toMap // single-block layer
+        case Some(m) =>
+          qvs.map { case (q, qv) =>
+            q -> Set(m.indices.maxBy(i =>
+              (AnnGraph.cosineFD(qv, m(i)), -i)))
+          }
       }
     }
-    val mainCentroids = AnnStore.readCentroids(spark, path)
     // Skip the contiguous TOP RUN of single-block exhaust layers (r17):
     // each such layer is read whole (one block — its lc quantizer dir is
     // absent) and scored whole (seedAll, hops 0), so its output is the
@@ -527,11 +704,12 @@ object AnnHnsw {
         !fsP.exists(new org.apache.hadoop.fs.Path(s"$path/lc$l/centroids"))
     var startLvl = maxLvl
     while (startLvl > 1 && singleBlockExhaust(startLvl - 1)) startLvl -= 1
+    if (upperCacheRows > 0)
+      cacheOpt = Some(serveCacheFor(spark, path, startLvl, upperCacheRows))
+    val mainCentroids = cacheOpt.map(_.mainCentroids)
+      .getOrElse(AnnStore.readCentroids(spark, path))
     var frontier: Map[Long, Seq[(Long, Int)]] = Map.empty
     for (l <- startLvl to 1 by -1) {
-      val layer = spark.read.parquet(s"$path/layer$l")
-        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
-          col("nbrs"), col("down_blk"), col("cid"))
       val top = l == maxLvl
       // a layer whose expected population m^(maxLvl-l) is within
       // exhaustLevels of the top is READ in full anyway (its blocks are
@@ -553,16 +731,47 @@ object AnnHnsw {
       val seedsOf: Map[Long, Seq[Long]] =
         if (top) Map.empty
         else frontier.map { case (q, f) => q -> f.map(_._1) }
-      val out = routeAndSearch(spark, layer, qvs, cellsOf, seedsOf,
-        outCell = col("down_blk"), topK = ef, beam = math.max(beam, ef),
-        hops = if (exhaust) 0 else hops, seedAll = exhaust,
-        entries = if (exhaust) 0 else 2,
-        excludeSelf = false, counter = counter)
-      // bounded collect: |batch| x ef frontier rows
-      frontier = out.collect()
-        .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
-        .groupBy(_._1)
-        .map { case (q, rs) => q -> rs.map(t => (t._2, t._3)).toSeq }
+      val hops2 = if (exhaust) 0 else hops
+      val entries2 = if (exhaust) 0 else 2
+      frontier = cacheOpt.flatMap(_.layers.get(l)) match {
+        case Some(cl) =>
+          // in-driver twin of routeAndSearch: same kernel, same seeds and
+          // per-read-block entry arguments — bit-identical rows, no job
+          val outRows = qvs.keys.toSeq.sorted.flatMap { q =>
+            val cells = cellsOf(q)
+            val idxs = cells.toSeq.flatMap(c =>
+              cl.byCell.getOrElse(c, Array.empty[Int]).toSeq)
+            val extraSeeds =
+              if (entries2 == 0) Nil
+              else cells.toSeq.flatMap(c =>
+                cl.byCell.getOrElse(c, Array.empty[Int])
+                  .map(i => cl.rows(i)._1).sorted.take(entries2).toSeq)
+            AnnGraph.descentLocal(q, qvs(q), Set.empty,
+              idxs.iterator.map { i =>
+                val t = cl.rows(i); (q, t._1, t._2, t._3, t._4, true)
+              },
+              ef, math.max(beam, ef), hops2, entriesPerCell = 0,
+              excludeSelf = false, filtered = false,
+              seedIds = seedsOf.getOrElse(q, Nil) ++ extraSeeds,
+              seedAll = exhaust, counter = counter).toSeq
+          }
+          outRows.groupBy(_._1)
+            .map { case (q, rs) => q -> rs.map(t => (t._3, t._5)) }
+        case None =>
+          val layer = spark.read.parquet(s"$path/layer$l")
+            .select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding"),
+              col("nbrs"), col("down_blk"), col("cid"))
+          val out = routeAndSearch(spark, layer, qvs, cellsOf, seedsOf,
+            outCell = col("down_blk"), topK = ef, beam = math.max(beam, ef),
+            hops = hops2, seedAll = exhaust, entries = entries2,
+            excludeSelf = false, counter = counter)
+          // bounded collect: |batch| x ef frontier rows
+          out.collect()
+            .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+            .groupBy(_._1)
+            .map { case (q, rs) => q -> rs.map(t => (t._2, t._3)).toSeq }
+      }
     }
     // the FULL payload row reaches routeAndSearch (narrowing happens there
     // AFTER the result-eligibility predicate evaluates) — layer 0 is where
@@ -705,6 +914,8 @@ object AnnHnsw {
         edges.write.mode("append").partitionBy("cid").parquet(path + "/edges")
         AnnGraph.vectorsWithNbrs(rows, edges)
           .write.mode("append").partitionBy("cid").parquet(path + "/vectors")
+        AnnGraph.refreshCellStats(spark, path, affected, rows,
+          AnnStore.readCentroids(spark, path))
         if (upperDirty) {
           // rebuild the (geometrically small) hierarchy over the full new
           // corpus with the STORED layer-0 centroids (down-pointers of

@@ -3,6 +3,7 @@ package graft.operators
 import graft.IndexStore
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Shared persistence plumbing for the served ANN indexes (C3 IVF, C5 PQ,
   * C6 graph) — the same contract the chunk store's `IndexStore` enforces
@@ -572,6 +573,32 @@ private[graft] object AnnStore {
   def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
     spark.read.parquet(path + "/centroids").orderBy("cid").collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Per-cell geometry sidecar (r18, graph/hnsw layout 3): one row per
+    * NON-EMPTY cell, `(cid, n_rows, min_cos)` where `min_cos` is the
+    * minimum cosine between a member and its own centroid. acos(min_cos)
+    * is the cell's max angular radius δ — the triangle inequality on the
+    * sphere then upper-bounds every member's similarity to a query q by
+    * cos(max(0, θ(q, centroid) − δ)), which is what lets a serve CERTIFY
+    * a top-k result exact by exhausting only the cells whose bound clears
+    * the kth score (AnnHnsw.annHnswServedCertified). k rows, one file —
+    * the centroid matrix's bounded-driver-state convention.
+    */
+  def writeCellStats(spark: SparkSession, dir: String, stats: DataFrame): Unit =
+    stats.select(col("cid").cast("int"), col("n_rows").cast("long"),
+      col("min_cos").cast("double"))
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/cellstats")
+
+  /** (cid, n_rows, min_cos) rows, or None when the store predates the
+    * sidecar (layout < 3 — the ensure gate rebuilds those).
+    */
+  def readCellStats(spark: SparkSession, path: String)
+      : Option[Array[(Int, Long, Double)]] = {
+    val p = new Path(path + "/cellstats")
+    if (!fileSystem(spark, path).exists(p)) None
+    else Some(spark.read.parquet(p.toString).orderBy("cid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))))
+  }
 
   /** Dir-keyed default location for a persisted index — the bench/driver
     * entries serve from here; freshness rides the manifest, not the path.

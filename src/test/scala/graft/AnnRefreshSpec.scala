@@ -610,9 +610,12 @@ class AnnRefreshSpec extends SparkSpecBase {
     val ge = Tables.embeddings(spark, dir).select("vec_id", "embedding") // old layout
     val gCentroids = AnnIvf.trainOver(
       ge.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), 16)
+    // layout pinned to the CURRENT value (3 since r18): the fixture
+    // simulates a payload-less store whose params all match, so the
+    // schema check — not the param gate — must be what catches it
     AnnGraph.writeGraphIndexOverWithCentroids(spark, ge, gidx, gCentroids, degree = 8,
       manifestStr = AnnStore.manifest("graph",
-        Seq("k" -> 16, "degree" -> 8, "layout" -> 2), "stale"))
+        Seq("k" -> 16, "degree" -> 8, "layout" -> 3), "stale"))
     val gStats = AnnGraph.refreshGraphIndex(spark, dir, gidx).head()
     assert(gStats.getAs[String]("mode") == "full_schema")
     assert(spark.read.parquet(gidx + "/vectors").columns.contains("label"),
