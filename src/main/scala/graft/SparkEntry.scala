@@ -492,8 +492,16 @@ object SparkEntry {
     * rotation under the oracle gate, so correctness coverage is untouched.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries + ("pdf_decode_real" ->
-      ((s, dir) => Multimodal.pdfRoundTrip(s, dir, lean = true)))
+    queries +
+      ("pdf_decode_real" ->
+        ((s, dir) => Multimodal.pdfRoundTrip(s, dir, lean = true))) +
+      // img_files_real's cost is the FIXTURE (two tree materializations +
+      // a poison pass — ~8 jobs over hundreds of tiny files); the bench
+      // times the same end-to-end cache pipeline over a sparser gate so
+      // an ingest regression stays visible without timing file churn.
+      // Verify keeps the dense gate under the oracle.
+      ("img_files_real" ->
+        ((s, dir) => Multimodal.imgFilesReal(s, dir, stride = 200)))
 
   /** Build/serve COMPONENT timings for the arms whose driver query folds
     * model training into the timed run (ann_graph, ann_opq,
@@ -1178,10 +1186,12 @@ object SparkEntry {
         |  (2, 12, 12, 1, 'd31616cd314e78a777cbb71238bf9207', 126.0417),
         |  (3, 16, 16, 3, '9d0cd233e248f231d2d45e1813c36fc7', 136.3711),
         |  (4, 9, 7, 3, '20eae6a4938e64fd35073087fe1cabb0', 141.0265),
-        |  (5, 23, 5, 1, 'c004b6e93d23ea0936d201f14d8c2412', 143.8261))
+        |  (5, 23, 5, 1, 'c004b6e93d23ea0936d201f14d8c2412', 143.8261),
+        |  (6, 20, 14, 3, 'f1b7e4a6cc3064482bd52be37d5214f7', 151.8345),
+        |  (7, 11, 17, 1, '71677ac379fd0eedbfa3818f7e6d444f', 153.4225))
         |SELECT d.doc_id, f.form, f.width, f.height, f.channels,
         |       f.pixel_hash, f.mean_luma
-        |FROM documents d JOIN f ON CAST(d.doc_id % 6 AS INT) = f.form
+        |FROM documents d JOIN f ON CAST(d.doc_id % 8 AS INT) = f.form
         |ORDER BY d.doc_id""".stripMargin,
     // A12 gate: the PNG arm replays the closed-form raster stats (the
     // img_decode_real CTEs restricted to the fixture ids); the JPEG arm
@@ -1215,13 +1225,15 @@ object SparkEntry {
         |  (2, 12, 12, 1, 'd31616cd314e78a777cbb71238bf9207', 126.0417),
         |  (3, 16, 16, 3, '9d0cd233e248f231d2d45e1813c36fc7', 136.3711),
         |  (4, 9, 7, 3, '20eae6a4938e64fd35073087fe1cabb0', 141.0265),
-        |  (5, 23, 5, 1, 'c004b6e93d23ea0936d201f14d8c2412', 143.8261)),
+        |  (5, 23, 5, 1, 'c004b6e93d23ea0936d201f14d8c2412', 143.8261),
+        |  (6, 20, 14, 3, 'f1b7e4a6cc3064482bd52be37d5214f7', 151.8345),
+        |  (7, 11, 17, 1, '71677ac379fd0eedbfa3818f7e6d444f', 153.4225)),
         |jpg AS (
         |  SELECT i.doc_id, 'jpg' AS kind, true AS decoded_ok, jf.width,
         |         jf.height, jf.channels,
         |         CAST(jf.width*jf.height*jf.channels AS BIGINT) AS n_pixels,
         |         jf.pixel_hash, jf.mean_luma
-        |  FROM ids i JOIN jf ON CAST(i.doc_id % 6 AS INT) = jf.form)
+        |  FROM ids i JOIN jf ON CAST(i.doc_id % 8 AS INT) = jf.form)
         |SELECT * FROM png UNION ALL SELECT * FROM jpg
         |ORDER BY doc_id, kind""".stripMargin,
     "lang_id" -> s"WITH $langIdBody",

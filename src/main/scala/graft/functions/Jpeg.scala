@@ -148,6 +148,7 @@ object Jpeg {
     var w = 0; var h = 0
     var restartInterval = 0
     var adobeTransform = -1 // APP14: 0 = components are straight RGB
+    var prog: ProgState = null // non-null after SOF2
     def be16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
 
     while (p < bytes.length) {
@@ -158,7 +159,10 @@ object Jpeg {
       val marker = bytes(p + 1) & 0xff
       p += 2
       marker match {
-        case 0xd9 => return None // EOI before any scan decoded
+        case 0xd9 => // EOI: progressive reconstructs here; baseline = nothing decoded
+          return if (prog != null && prog.complete)
+            reconstructProgressive(prog, qt, adobeTransform)
+          else None
         case 0x01 => () // TEM, standalone
         case m if m >= 0xd0 && m <= 0xd7 => () // stray RST, standalone
         case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
@@ -183,9 +187,32 @@ object Jpeg {
           if (comps.exists(c => !Set(1, 2, 4).contains(c.h) ||
             !Set(1, 2, 4).contains(c.v) || c.tq > 3)) return None
           p += len
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc2 => // SOF2 progressive (r18) — multi-scan coefficient build
+          if (p + 2 > bytes.length) return None
+          val len = be16(p)
+          if (p + len > bytes.length || len < 8) return None
+          val prec = bytes(p + 2) & 0xff
+          h = be16(p + 3); w = be16(p + 5)
+          val nf = bytes(p + 7) & 0xff
+          if (prec != 8 || w <= 0 || h <= 0) return None
+          if (nf != 1 && nf != 3) return None
+          // tighter allocation bomb guard than baseline: progressive holds
+          // EVERY coefficient as an Int until EOI (4 bytes/sample)
+          if (w.toLong * h * nf > MaxPixels / 8) return None
+          if (len != 8 + 3 * nf) return None
+          comps = Array.tabulate(nf) { i =>
+            val o = p + 8 + 3 * i
+            val hv = bytes(o + 1) & 0xff
+            Component(bytes(o) & 0xff, hv >> 4, hv & 15, bytes(o + 2) & 0xff)
+          }
+          if (nf == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+          if (comps.exists(c => !Set(1, 2, 4).contains(c.h) ||
+            !Set(1, 2, 4).contains(c.v) || c.tq > 3)) return None
+          prog = new ProgState(comps, w, h)
+          p += len
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
-          return None // progressive / lossless / arithmetic: out of scope
+          return None // lossless / arithmetic / hierarchical: out of scope
         case 0xdb => // DQT
           if (p + 2 > bytes.length) return None
           val len = be16(p); val end = p + len
@@ -232,6 +259,11 @@ object Jpeg {
           if (len >= 14 && new String(bytes, p + 2, 5, "ISO-8859-1") == "Adobe")
             adobeTransform = bytes(p + len - 1) & 0xff
           p += len
+        case 0xda if prog != null => // progressive SOS: one scan, keep walking
+          decodeProgScan(bytes, p, prog, dcTbl, acTbl, restartInterval) match {
+            case Some(next) => p = next
+            case None => return None
+          }
         case 0xda => // SOS — decode the scan and finish
           if (comps == null) return None
           if (p + 2 > bytes.length) return None
@@ -263,6 +295,346 @@ object Jpeg {
       }
     }
     None // no SOS reached
+  }
+
+  // ------------------------------------------------------- progressive (r18)
+
+  /** Whole-image coefficient state across a progressive stream's scans
+    * (ITU-T T.81 G.1.2): one Int per coefficient, ZIGZAG-index order per
+    * block, blocks on the PADDED interleaved grid (non-interleaved scans
+    * walk the component's own ceil grid — a prefix of the padded one).
+    */
+  private final class ProgState(val comps: Array[Component], val w: Int, val h: Int) {
+    val hmax: Int = comps.map(_.h).max
+    val vmax: Int = comps.map(_.v).max
+    val mcusX: Int = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY: Int = (h + 8 * vmax - 1) / (8 * vmax)
+    val bw: Array[Int] = comps.map(c => mcusX * c.h)
+    val bh: Array[Int] = comps.map(c => mcusY * c.v)
+    // non-interleaved grid (T.81 A.2.2): blocks of ceil(comp dims / 8)
+    val bwN: Array[Int] = comps.map(c => ((w * c.h + hmax - 1) / hmax + 7) / 8)
+    val bhN: Array[Int] = comps.map(c => ((h * c.v + vmax - 1) / vmax + 7) / 8)
+    val coefs: Array[Array[Int]] =
+      comps.indices.map(i => new Array[Int](bw(i) * bh(i) * 64)).toArray
+    // a renderable stream needs at least the DC first pass of every
+    // component; AC-less components reconstruct flat (valid partial scans)
+    val dcSeen: Array[Boolean] = new Array[Boolean](comps.length)
+    def complete: Boolean = dcSeen.forall(identity)
+  }
+
+  /** One progressive scan: parses the SOS header at `p` (length field
+    * first), mutates `st.coefs`, and returns the position of the next
+    * marker's 0xFF. None = malformed/starved (whole decode degrades).
+    */
+  private def decodeProgScan(bytes: Array[Byte], p: Int, st: ProgState,
+                             dcTbl: Array[HuffTable], acTbl: Array[HuffTable],
+                             restartInterval: Int): Option[Int] = {
+    def be16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    if (p + 2 > bytes.length) return None
+    val len = be16(p)
+    if (p + len > bytes.length || len < 6) return None
+    val ns = bytes(p + 2) & 0xff
+    if (ns < 1 || ns > st.comps.length || len != 6 + 2 * ns) return None
+    val sel = new Array[Int](ns) // component indices in scan order
+    var i = 0
+    while (i < ns) {
+      val cid = bytes(p + 3 + 2 * i) & 0xff
+      val ciIdx = st.comps.indexWhere(_.id == cid)
+      if (ciIdx < 0) return None
+      val tt = bytes(p + 4 + 2 * i) & 0xff
+      st.comps(ciIdx).td = tt >> 4; st.comps(ciIdx).ta = tt & 15
+      if (st.comps(ciIdx).td > 3 || st.comps(ciIdx).ta > 3) return None
+      sel(i) = ciIdx
+      i += 1
+    }
+    val so = p + 3 + 2 * ns
+    val ss = bytes(so) & 0xff
+    val se = bytes(so + 1) & 0xff
+    val ahAl = bytes(so + 2) & 0xff
+    val ah = ahAl >> 4; val al = ahAl & 15
+    val dcScan = ss == 0
+    if (dcScan && se != 0) return None // DC and AC never share a scan
+    if (!dcScan && (se < ss || se > 63 || ns != 1)) return None // AC: single comp
+    if (al > 13 || ah > 13) return None
+    val refine = ah != 0
+    val br = new BitReader(bytes, p + len)
+    val dcPred = new Array[Int](st.comps.length)
+    var eobrun = 0
+    val p1 = 1 << al
+
+    // ---- per-data-unit decoders (T.81 G.1.2.1 / G.1.2.2 / G.1.2.3)
+    def dcUnit(ci: Int, off: Int): Boolean = {
+      if (!refine) {
+        val t = decodeHuff(br, dcTbl(st.comps(ci).td))
+        if (t < 0 || t > 15) return false
+        val diffBits = if (t == 0) 0 else br.receive(t)
+        if (diffBits == Int.MinValue) return false
+        dcPred(ci) += extend(diffBits, t)
+        st.coefs(ci)(off) = dcPred(ci) << al
+      } else {
+        val b = br.bit(); if (b < 0) return false
+        if (b == 1) st.coefs(ci)(off) |= p1
+      }
+      true
+    }
+    def acFirstUnit(ci: Int, off: Int): Boolean = {
+      val coefs = st.coefs(ci)
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = decodeHuff(br, acTbl(st.comps(ci).ta))
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val eb = br.receive(r); if (eb == Int.MinValue) return false
+              eobrun += eb
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          val vb = br.receive(s); if (vb == Int.MinValue) return false
+          coefs(off + k) = extend(vb, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefineUnit(ci: Int, off: Int): Boolean = {
+      val coefs = st.coefs(ci)
+      var k = ss
+      if (eobrun == 0) {
+        var brk = false
+        while (k <= se && !brk) {
+          val rs = decodeHuff(br, acTbl(st.comps(ci).ta))
+          if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 15
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) { // EOBn: corrections continue below, then run starts
+              eobrun = 1 << r
+              if (r > 0) {
+                val eb = br.receive(r); if (eb == Int.MinValue) return false
+                eobrun += eb
+              }
+              brk = true
+            } // r == 15: ZRL — sixteen zero-history positions to pass
+          } else {
+            if (s != 1) return false
+            val b = br.bit(); if (b < 0) return false
+            newval = if (b == 1) p1 else -p1
+          }
+          if (!brk) {
+            // advance over r zero-history coefficients, emitting correction
+            // bits for every nonzero-history one passed (G.1.2.3)
+            var done = false
+            while (!done) {
+              if (k > se) return false
+              val c = coefs(off + k)
+              if (c != 0) {
+                val b = br.bit(); if (b < 0) return false
+                if (b == 1 && (c & p1) == 0)
+                  coefs(off + k) = c + (if (c >= 0) p1 else -p1)
+              } else {
+                if (r == 0) { if (s != 0) coefs(off + k) = newval; done = true }
+                else r -= 1
+              }
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // the EOB run's correction tail: remaining nonzero-history coeffs
+        while (k <= se) {
+          val c = coefs(off + k)
+          if (c != 0) {
+            val b = br.bit(); if (b < 0) return false
+            if (b == 1 && (c & p1) == 0)
+              coefs(off + k) = c + (if (c >= 0) p1 else -p1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def unit(ci: Int, off: Int): Boolean =
+      if (dcScan) dcUnit(ci, off)
+      else if (!refine) acFirstUnit(ci, off)
+      else acRefineUnit(ci, off)
+
+    // table presence: DC first needs its DC table; AC scans their AC table;
+    // DC refinement is raw bits (no table — T.81 G.1.2.1)
+    if (dcScan && !refine && sel.exists(ci => dcTbl(st.comps(ci).td) == null))
+      return None
+    if (!dcScan && acTbl(st.comps(sel(0)).ta) == null) return None
+
+    var rstIdx = 0
+    var units = 0
+    def restartBoundary(): Boolean = {
+      if (restartInterval > 0 && units > 0 && units % restartInterval == 0) {
+        if (!br.consumeRestart(0xd0 + rstIdx)) return false
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+      true
+    }
+    if (dcScan && ns > 1) {
+      // interleaved MCU walk (DC scans only may interleave)
+      var mcu = 0
+      val nMcus = st.mcusX * st.mcusY
+      while (mcu < nMcus) {
+        if (!restartBoundary()) return None
+        val my = mcu / st.mcusX; val mx = mcu % st.mcusX
+        var si = 0
+        while (si < ns) {
+          val ci = sel(si); val c = st.comps(ci)
+          var bv = 0
+          while (bv < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val blk = (my * c.v + bv) * st.bw(ci) + (mx * c.h + bx)
+              if (!unit(ci, blk * 64)) return None
+              bx += 1
+            }
+            bv += 1
+          }
+          si += 1
+        }
+        units += 1
+        mcu += 1
+      }
+    } else {
+      // single-component walk over the component's OWN grid
+      val ci = sel(0)
+      var by = 0
+      while (by < st.bhN(ci)) {
+        var bx = 0
+        while (bx < st.bwN(ci)) {
+          if (!restartBoundary()) return None
+          if (!unit(ci, (by * st.bw(ci) + bx) * 64)) return None
+          units += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    if (dcScan && !refine) sel.foreach(ci => st.dcSeen(ci) = true)
+    // resynchronize on the next marker: pos sits at the 0xFF when the
+    // reader already hit one, else scan past any padding bits/bytes
+    var np = br.pos
+    if (br.markerHit < 0) {
+      while (np + 1 < bytes.length &&
+        !((bytes(np) & 0xff) == 0xff && (bytes(np + 1) & 0xff) != 0)) np += 1
+      if (np + 1 >= bytes.length) return None
+    }
+    Some(np)
+  }
+
+  /** Dequantize + IDCT + upsample + color-convert the accumulated
+    * progressive coefficients — the same arithmetic as the baseline scan
+    * (kept textually separate so the gated baseline path stays untouched).
+    */
+  private def reconstructProgressive(st: ProgState, qt: Array[Array[Int]],
+                                     adobeTransform: Int): Option[Image] = {
+    val comps = st.comps
+    if (comps.exists(c => qt(c.tq) == null)) return None
+    val planeW = st.bw.map(_ * 8)
+    val planes = comps.indices.map(i =>
+      new Array[Byte](planeW(i) * st.bh(i) * 8)).toArray
+    val block = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = qt(comps(ci).tq)
+      val coefs = st.coefs(ci)
+      var blk = 0
+      val nBlk = st.bw(ci) * st.bh(ci)
+      while (blk < nBlk) {
+        val off = blk * 64
+        var k = 0
+        while (k < 64) {
+          val nat = Zigzag(k)
+          block(nat) = coefs(off + k).toDouble * q(nat)
+          k += 1
+        }
+        var x = 0
+        while (x < 8) {
+          var vv = 0
+          while (vv < 8) {
+            var s0 = 0.0; var u = 0
+            while (u < 8) { s0 += Cos(u)(x) * block(vv * 8 + u); u += 1 }
+            tmp(vv * 8 + x) = s0
+            vv += 1
+          }
+          x += 1
+        }
+        val pw = planeW(ci)
+        val px0 = (blk % st.bw(ci)) * 8
+        val py0 = (blk / st.bw(ci)) * 8
+        var y = 0
+        while (y < 8) {
+          var x2 = 0
+          while (x2 < 8) {
+            var s1 = 0.0; var vv2 = 0
+            while (vv2 < 8) { s1 += Cos(vv2)(y) * tmp(vv2 * 8 + x2); vv2 += 1 }
+            val sample = StrictMath.round(s1 + 128.0).toInt
+            planes(ci)((py0 + y) * pw + px0 + x2) =
+              (if (sample < 0) 0 else if (sample > 255) 255 else sample).toByte
+            x2 += 1
+          }
+          y += 1
+        }
+        blk += 1
+      }
+      ci += 1
+    }
+    val w = st.w; val h = st.h
+    val nc = comps.length
+    val outCh = if (nc == 1) 1 else 3
+    val out = new Array[Byte](w * h * outCh)
+    val toRgb = nc == 3 && adobeTransform != 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (nc == 1) {
+          out(y * w + x) = planes(0)(y * planeW(0) + x)
+        } else {
+          def samp(cj: Int): Int = {
+            val c = comps(cj)
+            val sy = y * c.v / st.vmax; val sx = x * c.h / st.hmax
+            planes(cj)(sy * planeW(cj) + sx) & 0xff
+          }
+          val o = (y * w + x) * 3
+          if (toRgb) {
+            val yy = samp(0).toDouble
+            val cb = samp(1) - 128.0
+            val cr = samp(2) - 128.0
+            def cl(v: Double): Byte = {
+              val r = StrictMath.round(v).toInt
+              (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+            }
+            out(o) = cl(yy + 1.402 * cr)
+            out(o + 1) = cl(yy - 0.344136 * cb - 0.714136 * cr)
+            out(o + 2) = cl(yy + 1.772 * cb)
+          } else {
+            out(o) = samp(0).toByte; out(o + 1) = samp(1).toByte
+            out(o + 2) = samp(2).toByte
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(w, h, outCh, out))
   }
 
   private def decodeScan(bytes: Array[Byte], scanStart: Int,
@@ -676,6 +1048,233 @@ object Jpeg {
     }
     bw.flush()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Progressive (SOF2) encoder — deterministic, minimal-script: one
+    * interleaved DC first pass at Al=1, per-component spectral-selection
+    * AC passes (bands [1..5] and [6..63], Al=0, per-block EOB — a run of
+    * one is a legal EOB run), then a DC refinement pass emitting the
+    * held-back bit. Exercises the decoder's interleaved-DC, successive-
+    * approximation-DC, non-interleaved-band and EOB-run machinery with
+    * reproducible bytes (the driver-gate fixture source); the AC
+    * successive-approximation legs are cross-validated against
+    * javax.imageio's progressive writer in JpegSpec instead (its standard
+    * script emits them).
+    */
+  def encodeProgressive(img: Image, quality: Int = 75,
+                        subsample420: Boolean = false): Array[Byte] = {
+    val Image(w, h, ch, px) = img
+    require(ch == 1 || ch == 3, s"jpeg encodeProgressive: channels=$ch")
+    require(w > 0 && h > 0 && px.length == w * h * ch,
+      s"jpeg encodeProgressive: ${px.length} bytes for ${w}x${h}x$ch")
+    val qLum = scaleQ(QLum, quality)
+    val qChrom = scaleQ(QChrom, quality)
+    val sub = subsample420 && ch == 3
+    val hs = if (sub) 2 else 1
+    val nc = ch
+    val compW = Array.tabulate(nc)(i => if (i == 0) w else (w + hs - 1) / hs)
+    val compH = Array.tabulate(nc)(i => if (i == 0) h else (h + hs - 1) / hs)
+    val planes = Array.tabulate(nc) { i =>
+      val cw = compW(i); val chh = compH(i)
+      val pl = new Array[Int](cw * chh)
+      var y = 0
+      while (y < chh) {
+        var x = 0
+        while (x < cw) {
+          pl(y * cw + x) =
+            if (ch == 1) px(y * w + x) & 0xff
+            else if (!sub || i == 0) ycc(px,
+              (math.min(y, h - 1) * w + math.min(x, w - 1)) * 3, i)
+            else {
+              var s = 0; var n = 0
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 2) {
+                  val sy = math.min(2 * y + dy, h - 1)
+                  val sx = math.min(2 * x + dx, w - 1)
+                  s += ycc(px, (sy * w + sx) * 3, i); n += 1
+                  dx += 1
+                }
+                dy += 1
+              }
+              (s + n / 2) / n
+            }
+          x += 1
+        }
+        y += 1
+      }
+      pl
+    }
+    // ---- quantized coefficients, full padded grid, zigzag order
+    val hmax = if (sub) 2 else 1
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * hmax - 1) / (8 * hmax)
+    val bwF = Array.tabulate(nc)(i => if (i == 0) mcusX * hmax else mcusX)
+    val bhF = Array.tabulate(nc)(i => if (i == 0) mcusY * hmax else mcusY)
+    val bwN = Array.tabulate(nc)(i => (compW(i) + 7) / 8)
+    val bhN = Array.tabulate(nc)(i => (compH(i) + 7) / 8)
+    val coefs = Array.tabulate(nc)(i => new Array[Int](bwF(i) * bhF(i) * 64))
+    val freq = new Array[Double](64)
+    var ci = 0
+    while (ci < nc) {
+      val q = if (ci == 0) qLum else qChrom
+      var by = 0
+      while (by < bhF(ci)) {
+        var bx = 0
+        while (bx < bwF(ci)) {
+          fdct(planes(ci), compW(ci), compH(ci), bx * 8, by * 8, freq)
+          val off = (by * bwF(ci) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            val nat = Zigzag(k)
+            coefs(ci)(off + k) = StrictMath.round(freq(nat) / q(nat)).toInt
+            k += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    // ---- headers
+    val out = new java.io.ByteArrayOutputStream(1024 + px.length / 4)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xe0); u16(16)
+    out.write("JFIF".getBytes("ISO-8859-1")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(2 + 65 * (if (ch == 3) 2 else 1))
+    u8(0x00); Zigzag.foreach(i => u8(qLum(i)))
+    if (ch == 3) { u8(0x01); Zigzag.foreach(i => u8(qChrom(i))) }
+    marker(0xc2); u16(8 + 3 * nc) // SOF2
+    u8(8); u16(h); u16(w); u8(nc)
+    ci = 0
+    while (ci < nc) {
+      u8(ci + 1)
+      u8(if (ci == 0) (hs << 4) | hs else 0x11)
+      u8(if (ci == 0) 0 else 1)
+      ci += 1
+    }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 17 + vals.length)
+      u8((tc << 4) | th); bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    if (ch == 3) {
+      dht(0, 1, DcChromBits, DcChromVals); dht(1, 1, AcChromBits, AcChromVals)
+    }
+    val dcEnc = Array(encodeTable(DcLumBits, DcLumVals),
+      encodeTable(DcChromBits, DcChromVals))
+    val acEnc = Array(encodeTable(AcLumBits, AcLumVals),
+      encodeTable(AcChromBits, AcChromVals))
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); u16(6 + 2 * comps.length)
+      u8(comps.length)
+      comps.foreach { i =>
+        u8(i + 1); u8(if (i == 0) 0x00 else 0x11)
+      }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    // scan 1: interleaved DC first pass, Al = 1 (point transform >> 1)
+    sos(0 until nc, 0, 0, 0, 1)
+    locally {
+      val bw2 = new BitWriter(out)
+      val dcPred = new Array[Int](nc)
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        val my = mcu / mcusX; val mx = mcu % mcusX
+        var cj = 0
+        while (cj < nc) {
+          val (bh0, bv0) = if (cj == 0) (hmax, hmax) else (1, 1)
+          val tsel = if (cj == 0) 0 else 1
+          var bv = 0
+          while (bv < bv0) {
+            var bx = 0
+            while (bx < bh0) {
+              val blk = (my * bv0 + bv) * bwF(cj) + (mx * bh0 + bx)
+              val dc = coefs(cj)(blk * 64) >> 1 // arithmetic: T.81 A.4
+              val diff = dc - dcPred(cj)
+              dcPred(cj) = dc
+              val t = magBits(diff)
+              val (dcode, dlen) = dcEnc(tsel)(t)
+              bw2.put(dcode, dlen)
+              if (t > 0) bw2.put(ampBits(diff, t), t)
+              bx += 1
+            }
+            bv += 1
+          }
+          cj += 1
+        }
+        mcu += 1
+      }
+      bw2.flush()
+    }
+    // scans 2..: per-component AC bands [1..5], then [6..63], Al = 0
+    for (band <- Seq((1, 5), (6, 63)); cj <- 0 until nc) {
+      val (ss, se) = band
+      sos(Seq(cj), ss, se, 0, 0)
+      val bw2 = new BitWriter(out)
+      val tsel = if (cj == 0) 0 else 1
+      var by = 0
+      while (by < bhN(cj)) {
+        var bx = 0
+        while (bx < bwN(cj)) {
+          val off = (by * bwF(cj) + bx) * 64
+          var run = 0
+          var k = ss
+          while (k <= se) {
+            val v = coefs(cj)(off + k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = acEnc(tsel)(0xf0); bw2.put(zc, zl); run -= 16
+              }
+              val s = magBits(v)
+              val (ac, alen) = acEnc(tsel)((run << 4) | s)
+              bw2.put(ac, alen)
+              bw2.put(ampBits(v, s), s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (ec, el) = acEnc(tsel)(0x00); bw2.put(ec, el) }
+          bx += 1
+        }
+        by += 1
+      }
+      bw2.flush()
+    }
+    // final scan: interleaved DC refinement (Ah=1, Al=0) — the held bit
+    sos(0 until nc, 0, 0, 1, 0)
+    locally {
+      val bw2 = new BitWriter(out)
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        val my = mcu / mcusX; val mx = mcu % mcusX
+        var cj = 0
+        while (cj < nc) {
+          val (bh0, bv0) = if (cj == 0) (hmax, hmax) else (1, 1)
+          var bv = 0
+          while (bv < bv0) {
+            var bx = 0
+            while (bx < bh0) {
+              val blk = (my * bv0 + bv) * bwF(cj) + (mx * bh0 + bx)
+              bw2.put(coefs(cj)(blk * 64) & 1, 1)
+              bx += 1
+            }
+            bv += 1
+          }
+          cj += 1
+        }
+        mcu += 1
+      }
+      bw2.flush()
+    }
+    marker(0xd9)
     out.toByteArray
   }
 

@@ -569,10 +569,13 @@ object Multimodal {
 
   // ------------------------------------------------------------------ JPEG
 
-  /** The six `jpg_decode_real` fixture forms, rotated by doc_id — together
+  /** The `jpg_decode_real` fixture forms, rotated by doc_id — together
     * they cover 4:4:4 / 4:2:0 / grayscale, three quality tiers, restart
-    * intervals, and odd (partial-MCU) dimensions:
-    * (width, height, channels, quality, subsample420, restartInterval).
+    * intervals, odd (partial-MCU) dimensions, and (r18) PROGRESSIVE
+    * streams in color-subsampled and grayscale flavors:
+    * (width, height, channels, quality, subsample420, restartInterval);
+    * restartInterval == -1 selects the SOF2 progressive encoder (its
+    * multi-scan script has no restart markers).
     */
   private[graft] val JpgForms: IndexedSeq[(Int, Int, Int, Int, Boolean, Int)] =
     IndexedSeq(
@@ -581,7 +584,9 @@ object Multimodal {
       (12, 12, 1, 85, false, 0),
       (16, 16, 3, 50, false, 2),
       (9, 7, 3, 90, true, 1),
-      (23, 5, 1, 60, false, 0))
+      (23, 5, 1, 60, false, 0),
+      (20, 14, 3, 80, true, -1), // progressive, 4:2:0 color
+      (11, 17, 1, 70, false, -1)) // progressive, grayscale
 
   /** The form's source raster — a smooth closed-form gradient (JPEG is
     * lossy: low-frequency content keeps quantization error small and the
@@ -622,7 +627,10 @@ object Multimodal {
   private[graft] def jpgFormStats(form: Int): (Int, Int, Int, String, Double) = {
     import graft.functions.Jpeg
     val (_, _, _, q, sub, rst) = JpgForms(form)
-    val dec = Jpeg.decode(Jpeg.encode(jpgFormRaster(form), q, sub, rst))
+    val bytes =
+      if (rst < 0) Jpeg.encodeProgressive(jpgFormRaster(form), q, sub)
+      else Jpeg.encode(jpgFormRaster(form), q, sub, rst)
+    val dec = Jpeg.decode(bytes)
       .getOrElse(throw new IllegalStateException(s"jpg form $form"))
     var sum = 0L
     dec.pixels.foreach(b => sum += (b & 0xff))
@@ -633,17 +641,17 @@ object Multimodal {
 
   /** Driver query `jpg_decode_real` — the REAL baseline-JPEG decode under
     * the oracle gate, the A9c pattern for the lossy format: per document,
-    * pick the (doc_id mod 6) fixture form, encode it as a genuine baseline
+    * pick the (doc_id mod 8) fixture form, encode it as a genuine baseline
     * JPEG and decode it back with the library-free parser (huffman → dequant
     * → IDCT → upsample → YCbCr), stats from the DECODED pixels. One narrow
     * mapPartitions stage; the JPEG bytes never leave the task. The oracle
-    * joins documents against the six frozen stat literals on doc_id % 6.
+    * joins documents against the eight frozen stat literals on doc_id % 8.
     */
   /** Driver query `img_files_real` — A12 (real image-FILE ingest) under the
     * DuckDB gate, the one §2 row the r17 verdict flagged as spec-only: the
     * query materializes a REAL temp tree of PNG + JPEG files (one of each
     * per gated doc_id: the PNG from the closed-form [[imgPixels]] raster,
-    * the JPEG from the (doc_id mod 6) [[jpgFormRaster]] fixture), ingests
+    * the JPEG from the (doc_id mod 8) [[jpgFormRaster]] fixture), ingests
     * it TWICE through [[graft.sources.ImageCorpus.readImageStats]] over a
     * real [[graft.sources.ExtractCache]], and — between the passes —
     * POISONS every file on disk with same-length garbage. Pass 2 therefore
@@ -658,12 +666,13 @@ object Multimodal {
     *
     * Fixture writes/poisons are distributed (foreachPartition through the
     * Hadoop FS API — DFS-portable); ids are gated to doc_id % 25 = 0 so
-    * the tree stays a fixture (2 files/gated doc) while all six JPEG forms
-    * and every PNG dims/channel variant still cycle (gcd(25, 6·7·9·3)=1).
+    * the tree stays a fixture (2 files/gated doc) while all eight JPEG forms
+    * and every PNG dims/channel variant still cycle (gcd(25, 8)=gcd(25, 7·9·3)=1).
     */
-  def imgFilesReal(spark: SparkSession, sfDir: String): DataFrame = {
+  def imgFilesReal(spark: SparkSession, sfDir: String,
+                   stride: Int = 25): DataFrame = {
     import graft.functions.{Jpeg, Png}
-    val base = "/tmp/graft_imgfiles/" + md5Hex(sfDir)
+    val base = "/tmp/graft_imgfiles/" + md5Hex(sfDir + s"_$stride")
     val treeRoot = base + "/tree"
     val cachePath = base + "/cache"
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -672,7 +681,7 @@ object Multimodal {
     val confBc = spark.sparkContext.broadcast(
       new graft.sources.SerializableHadoopConf(hconf))
     val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
-      .where(col("doc_id") % 25 === 0)
+      .where(col("doc_id") % stride === 0)
     // the task closure references only captured serializable locals plus
     // ImgFixtures' static module — a nested def here would lift onto
     // Multimodal$ (not serializable) and capture `this`
@@ -744,7 +753,10 @@ private[operators] object ImgFixtures {
     Seq(
       s"img_$id.png" -> graft.functions.Png.encode(Multimodal.imgPixels(id),
         filterFor = y => Math.floorMod(id + y, 5L).toInt),
-      s"img_$id.jpg" -> graft.functions.Jpeg.encode(
-        Multimodal.jpgFormRaster(form), q, sub, rst))
+      s"img_$id.jpg" ->
+        (if (rst < 0) graft.functions.Jpeg.encodeProgressive(
+          Multimodal.jpgFormRaster(form), q, sub)
+        else graft.functions.Jpeg.encode(
+          Multimodal.jpgFormRaster(form), q, sub, rst)))
   }
 }

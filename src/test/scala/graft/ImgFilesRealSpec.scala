@@ -33,7 +33,7 @@ class ImgFilesRealSpec extends SparkSpecBase {
         p.getAs[Int]("channels") == ch && p.getAs[Long]("n_pixels") == n &&
         p.getAs[String]("pixel_hash") == hash &&
         p.getAs[Double]("mean_luma") == luma, s"png doc $id")
-      // JPEG arm: the (doc_id mod 6) fixture form's frozen stats
+      // JPEG arm: the (doc_id mod 8) fixture form's frozen stats
       val form = Math.floorMod(id, Multimodal.JpgForms.length.toLong).toInt
       val (jw, jh, jch, jhash, jluma) = Multimodal.jpgFormStats(form)
       val j = byKey((id, "jpg"))

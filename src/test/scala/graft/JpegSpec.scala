@@ -146,7 +146,10 @@ class JpegSpec extends AnyFunSuite {
     // find SOF0 marker offset
     val sof = (0 until good.length - 1)
       .find(i => (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
-    assert(Jpeg.decode(patched(b => b(sof + 1) = 0xc2.toByte)).isEmpty, "progressive")
+    // SOF2 is IN scope since r18 — this stream still degrades because its
+    // baseline SOS (Ss=0, Se=63) is not a legal progressive scan header
+    assert(Jpeg.decode(patched(b => b(sof + 1) = 0xc2.toByte)).isEmpty,
+      "relabeled-progressive with baseline scan params")
     assert(Jpeg.decode(patched(b => b(sof + 1) = 0xc9.toByte)).isEmpty, "arithmetic")
     assert(Jpeg.decode(patched(b => b(sof + 1) = 0xc3.toByte)).isEmpty, "lossless")
     assert(Jpeg.decode(patched(b => b(sof + 4) = 12.toByte)).isEmpty, "12-bit")
@@ -164,6 +167,80 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(null).isEmpty)
     // the original still decodes (the clones never mutated it)
     assert(Jpeg.decode(good).isDefined)
+  }
+
+  test("progressive: decode equals the baseline decode of the same raster " +
+    "bit-for-bit (same quantized coefficients, split across scans)") {
+    // the progressive script (DC Al=1 + band-split AC + DC refinement)
+    // carries EXACTLY the quantized coefficients the baseline scan does,
+    // so reconstruction must agree byte-for-byte — a much stronger receipt
+    // than a slack comparison
+    for ((w, h, ch, q, sub) <- Seq((24, 24, 3, 90, false), (17, 9, 3, 75, true),
+      (12, 12, 1, 85, false), (23, 5, 1, 60, false), (16, 10, 3, 50, true))) {
+      val img = gradient(w, h, ch)
+      val base = Jpeg.decode(Jpeg.encode(img, q, sub)).get
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(img, q, sub))
+      assert(prog.isDefined, s"progressive decode failed for ${w}x${h}x$ch q$q")
+      assert(prog.get.width == w && prog.get.height == h)
+      assert(java.util.Arrays.equals(prog.get.pixels, base.pixels),
+        s"progressive != baseline for ${w}x${h}x$ch q$q sub=$sub " +
+          s"(maxDiff ${maxDiff(prog.get.pixels, base.pixels)})")
+    }
+  }
+
+  test("progressive cross-encoder: our decoder reads javax.imageio's " +
+    "PROGRESSIVE files (standard script incl. AC successive approximation)") {
+    val img = gradient(40, 28, 3)
+    val bi = new java.awt.image.BufferedImage(40, 28,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 28; x <- 0 until 40) {
+      val o = (y * 40 + x) * 3
+      bi.setRGB(x, y, ((img.pixels(o) & 0xff) << 16) |
+        ((img.pixels(o + 1) & 0xff) << 8) | (img.pixels(o + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // really progressive: the stream must carry an SOF2 marker
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+      "imageio did not emit SOF2 — fixture invalid")
+    val ours = Jpeg.decode(bytes)
+    assert(ours.isDefined, "must decode a stock imageio PROGRESSIVE JPEG")
+    assert(ours.get.width == 40 && ours.get.height == 28 && ours.get.channels == 3)
+    val theirs = imageIoDecode(bytes)
+    // same slack argument as the baseline cross-encoder test (their fancy
+    // upsample vs our replication), now through the multi-scan + AC
+    // successive-approximation path
+    assert(meanDiff(ours.get.pixels, theirs.pixels) <= 2.5,
+      s"mean disagreement: ${meanDiff(ours.get.pixels, theirs.pixels)}")
+    assert(maxDiff(ours.get.pixels, theirs.pixels) <= 32)
+  }
+
+  test("progressive degrade envelope: truncations and malformed scans " +
+    "return None, never throw") {
+    val good = Jpeg.encodeProgressive(gradient(16, 16, 3), quality = 80)
+    assert(Jpeg.decode(good).isDefined)
+    for (n <- Seq(1, 2, 4, 20, good.length / 4, good.length / 2,
+      good.length * 3 / 4, good.length - 3))
+      assert(Jpeg.decode(good.take(n)).isEmpty, s"truncated at $n")
+    // a progressive stream missing its EOI (no reconstruction point)
+    assert(Jpeg.decode(good.take(good.length - 2)).isEmpty, "missing EOI")
+    // DC-refinement-only stream (no DC first pass) must not render
+    val gray = Jpeg.encodeProgressive(gradient(8, 8, 1), quality = 80)
+    // find the first SOS and flip its Ah/Al byte from first-pass to refine
+    val sos = (0 until gray.length - 1).find(i =>
+      (gray(i) & 0xff) == 0xff && (gray(i + 1) & 0xff) == 0xda).get
+    val ns = gray(sos + 4) & 0xff
+    val mutated = gray.clone()
+    mutated(sos + 7 + 2 * ns) = 0x10.toByte // AhAl byte → Ah=1: refine-only
+    assert(Jpeg.decode(mutated).isEmpty, "refinement before any DC first pass")
   }
 
   test("magic dispatch: ImageCorpus.decodeImage routes JPEG bytes to the JPEG codec") {
