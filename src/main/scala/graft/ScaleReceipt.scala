@@ -165,6 +165,28 @@ object ScaleReceipt {
         .setScale(3, BigDecimal.RoundingMode.HALF_UP)}}"""
     }.mkString("[", ",", "]")
 
+    // r18: the CERTIFIED serve at the same scale — the r17 verdict's
+    // recall-plateau item closed with a proof instead of a knob: descent
+    // lower bound + cellstats triangle-inequality upper bound ⇒ exact
+    // top-k. Receipts: serve latency (now ~one layer-0 job thanks to the
+    // upper-layer cache), total scored work (descent + certification scan,
+    // via the counter), and recall vs the exact scan, which must be 1.0 —
+    // asserted, not just reported.
+    val tCertServe = serveMin(
+      AnnHnsw.annHnswServedCertifiedOver(spark, hnswPath, queries(hnswPath),
+        topK = 10))
+    val certAcc = spark.sparkContext.longAccumulator("cert_scored")
+    val gotCert = AnnHnsw.annHnswServedCertifiedOver(spark, hnswPath,
+      queries(hnswPath), topK = 10, counter = Some(certAcc))
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val certRecall = bruteTop.map { case (q, truth) =>
+      gotCert.getOrElse(q, Set.empty[Long]).count(truth) / truth.size.toDouble
+    }.sum / bruteTop.size
+    require(certRecall == 1.0,
+      s"certified serve must be exact — measured recall $certRecall")
+    val certScored = certAcc.value
+
     val cents = graft.operators.AnnStore.readCentroids(spark, ivfPlainPath)
     // the REAL probe rule (AnnIvf.probeListOver — the exact expression and
     // tie order annIvfServedOver executes), not a re-implementation whose
@@ -220,6 +242,9 @@ object ScaleReceipt {
         s""""hnsw_build_sec":$tHnswBuild,"hnsw_serve_sec":$tHnswServe,""" +
         s""""hnsw_scored_candidates":$hnswScored,"ivf_probe_read_rows":$probeRead,""" +
         s""""hnsw_ef_sweep":$efSweepJson,""" +
+        s""""hnsw_certified_serve_sec":$tCertServe,""" +
+        s""""hnsw_certified_scored":$certScored,""" +
+        s""""hnsw_certified_recall":$certRecall,""" +
         s""""compact_sec":$tCompact,"compact_units":${compRow.getLong(1)},""" +
         s""""compact_files_before":${compRow.getLong(2)},"compact_files_after":${compRow.getLong(3)}}""")
     spark.stop()

@@ -385,19 +385,48 @@ object AnnHnsw {
                              exhaustLevels: Int = 6,
                              counter: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
+    val qRows = spark.read.parquet(indexPath + "/vectors")
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<float>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    certifiedCore(spark, indexPath, qRows, topK, ef, beam, hops,
+      exhaustLevels, excludeSelf = true, counter)
+  }
+
+  /** External-query certified serving — [[annHnswServedOver]]'s contract
+    * (no self-exclusion) with [[annHnswServedCertified]]'s exactness proof.
+    */
+  def annHnswServedCertifiedOver(spark: SparkSession, indexPath: String,
+                                 queries: DataFrame, topK: Int = 5,
+                                 ef: Int = 8, beam: Int = 32, hops: Int = 2,
+                                 exhaustLevels: Int = 6,
+                                 counter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val qRows = queries
+      .select(col("query_id"), col("qv").cast("array<float>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      "annHnswServedCertifiedOver: duplicate query_id in the query batch")
+    certifiedCore(spark, indexPath, qRows, topK, ef, beam, hops,
+      exhaustLevels, excludeSelf = false, counter)
+  }
+
+  private def certifiedCore(spark: SparkSession, indexPath: String,
+                            qRows: Array[(Long, Array[Float])], topK: Int,
+                            ef: Int, beam: Int, hops: Int, exhaustLevels: Int,
+                            excludeSelf: Boolean,
+                            counter: Option[org.apache.spark.util.LongAccumulator])
+      : DataFrame = {
     import spark.implicits._
     val maxLvl = storedMaxLvl(spark, indexPath)
     AnnStore.healCompacted(spark, indexPath, layerSubdirs(maxLvl))
     val vectors = spark.read.parquet(indexPath + "/vectors")
-    val qRows = vectors.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding").cast("array<float>")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     if (qRows.isEmpty)
       return spark.emptyDataset[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "vec_id", "score")
     // phase 1: the plain descent — only its kth scores are consumed
     val pass1 = descend(spark, indexPath, qRows.toMap, maxLvl, topK, ef, beam,
-      hops, exhaustLevels, excludeSelf = true, counter)
+      hops, exhaustLevels, excludeSelf = excludeSelf, counter)
       .select(col("query_id"), col("score")).collect() // bounded: |q|·topK
       .groupBy(_.getLong(0))
     val sk: Map[Long, Double] = qRows.map { case (q, _) =>
@@ -438,7 +467,7 @@ object AnnHnsw {
     vectors.filter(col("cid").isin(cids: _*))
       .join(broadcast(probe), Seq("cid"))
       .join(broadcast(qDf), Seq("query_id"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("score",
         round(VecExprs.cosineSim(col("embedding").cast("array<float>"),
           col("qv").cast("array<float>")), 4))
