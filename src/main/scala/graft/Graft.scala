@@ -615,6 +615,9 @@ class Graft(spark: SparkSession, sfDir: String,
     *
     *   - `"ivf"` / `"graph"`: the existing arms (delegated);
     *   - `"hnsw"`: hierarchical descent ([[operators.AnnHnsw]]);
+    *   - `"hnsw_exact"` (r18): the CERTIFIED serve over the same hnsw
+    *     store — provably exact top-k (descent bound + per-cell angular
+    *     radii), for callers that need ground truth at ANN cost;
     *   - `"pq"` / `"opq"` / `"sq8"`: the compressed tiers — codes scanned,
     *     exact rerank (pq/opq) or scan-side dequant (sq8), hit cell ids
     *     recomputed from the bucket rule;
@@ -648,6 +651,22 @@ class Graft(spark: SparkSession, sfDir: String,
         val ef = math.max(8, math.max(kT, 4 * nprobe))
         val hits = operators.AnnHnsw.annHnswServedOverCells(spark, path, qFrame,
           topK = kT, ef = ef, beam = math.max(32, 2 * kT))
+          .select(col("query_id"), col("vec_id"), col("cid"), col("score"))
+          .collect()
+        chunkHitResults(path, hits)
+      }
+      // r18: EXACT results at ANN cost over the same hnsw store — the
+      // certified serve (descent lower bound + cellstats triangle-
+      // inequality upper bound ⇒ provably the exact top-k; AnnHnsw
+      // scaladoc). The knob's strongest-recall setting, for callers who
+      // need ground truth (eval harnesses, contamination checks) without
+      // a corpus scan per query.
+      case "hnsw_exact" => operators.AnnStore.releasingPinned(spark) {
+        val path = ensureChunkKindIndex("hnsw")
+        val ef = math.max(8, math.max(kT, 4 * nprobe))
+        val hits = operators.AnnHnsw.annHnswServedCertifiedOverCells(
+          spark, path, qFrame, topK = kT, ef = ef,
+          beam = math.max(32, 2 * kT))
           .select(col("query_id"), col("vec_id"), col("cid"), col("score"))
           .collect()
         chunkHitResults(path, hits)
@@ -689,7 +708,7 @@ class Graft(spark: SparkSession, sfDir: String,
       }
       case other => throw new IllegalArgumentException(
         s"ragQueryAnnKindBatch: unknown indexKind '$other' " +
-          "(ivf | graph | hnsw | pq | opq | sq8 | late)")
+          "(ivf | graph | hnsw | hnsw_exact | pq | opq | sq8 | late)")
     }
   }
 
@@ -734,7 +753,10 @@ class Graft(spark: SparkSession, sfDir: String,
         val manifest = operators.AnnStore.manifest("chunk_hnsw",
           Seq("k" -> kHnsw, "degree" -> 8, "m" -> 4, "degree_up" -> 8,
             "max_lvl" -> maxLvl, "chunkSize" -> chunkSize,
-            "chunkOverlap" -> chunkOverlap, "model" -> modelName), fp)
+            "chunkOverlap" -> chunkOverlap, "model" -> modelName,
+            // layout 3 (r18): cellstats sidecar — the certified arm's
+            // bounds; pre-r18 chunk stores rebuild at the gate
+            "layout" -> 3), fp)
         operators.AnnStore.ensureIndex(spark, path, manifest) {
           operators.AnnHnsw.writeHnswIndexOver(spark, chunkVectors(buildIndex()),
             path, k = kHnsw, degree = 8, m = 4, degreeUp = 8, manifest)

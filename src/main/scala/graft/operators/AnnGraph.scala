@@ -350,12 +350,19 @@ object AnnGraph {
                                           affected: Seq[Int], rows: DataFrame,
                                           centroids: Array[Array[Double]]): Unit = {
     import spark.implicits._
-    val kept = AnnStore.readCellStats(spark, path).getOrElse(Array.empty)
-      .filterNot(s => affected.contains(s._1))
-    val recomputed = cellStatsOf(rows, centroids).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
-    AnnStore.writeCellStats(spark, path,
-      (kept ++ recomputed).sortBy(_._1).toSeq.toDF("cid", "n_rows", "min_cos"))
+    AnnStore.readCellStats(spark, path) match {
+      case None => () // store predates the sidecar (a pre-layout-3 store
+      // whose manifest params still match): writing only the affected
+      // cells would leave a PARTIAL sidecar that the certified serve
+      // would silently trust — keep it absent so that serve fails by
+      // name instead
+      case Some(old) =>
+        val kept = old.filterNot(s => affected.contains(s._1))
+        val recomputed = cellStatsOf(rows, centroids).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        AnnStore.writeCellStats(spark, path,
+          (kept ++ recomputed).sortBy(_._1).toSeq.toDF("cid", "n_rows", "min_cos"))
+    }
   }
 
   /** Adjacency embedded in the vector row (rank order: sim desc, dst asc —

@@ -390,7 +390,7 @@ object AnnHnsw {
       .select(col("vec_id"), col("embedding").cast("array<float>")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     certifiedCore(spark, indexPath, qRows, topK, ef, beam, hops,
-      exhaustLevels, excludeSelf = true, counter)
+      exhaustLevels, excludeSelf = true, counter).drop("cid")
   }
 
   /** External-query certified serving — [[annHnswServedOver]]'s contract
@@ -401,6 +401,21 @@ object AnnHnsw {
                                  ef: Int = 8, beam: Int = 32, hops: Int = 2,
                                  exhaustLevels: Int = 6,
                                  counter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    annHnswServedCertifiedOverCells(spark, indexPath, queries, topK, ef,
+      beam, hops, exhaustLevels, counter).drop("cid")
+
+  /** [[annHnswServedCertifiedOver]] with each hit's layer-0 cell riding as
+    * `cid` — the facade's pruned-metadata-join contract (the
+    * annHnswServedOverCells twin).
+    */
+  private[graft] def annHnswServedCertifiedOverCells(spark: SparkSession,
+                                                     indexPath: String,
+                                                     queries: DataFrame,
+                                                     topK: Int = 5, ef: Int = 8,
+                                                     beam: Int = 32, hops: Int = 2,
+                                                     exhaustLevels: Int = 6,
+                                                     counter: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     val qRows = queries
       .select(col("query_id"), col("qv").cast("array<float>").as("qv"))
@@ -418,12 +433,15 @@ object AnnHnsw {
                             counter: Option[org.apache.spark.util.LongAccumulator])
       : DataFrame = {
     import spark.implicits._
+    // the certification scan's scoring expression — a serve must not
+    // depend on a prior caller (e.g. its own cold build) registering
+    VecExprs.register(spark)
     val maxLvl = storedMaxLvl(spark, indexPath)
     AnnStore.healCompacted(spark, indexPath, layerSubdirs(maxLvl))
     val vectors = spark.read.parquet(indexPath + "/vectors")
     if (qRows.isEmpty)
-      return spark.emptyDataset[(Long, Long, Long, Double)]
-        .toDF("query_id", "rank", "vec_id", "score")
+      return spark.emptyDataset[(Long, Long, Long, Double, Int)]
+        .toDF("query_id", "rank", "vec_id", "score", "cid")
     // phase 1: the plain descent — only its kth scores are consumed
     val pass1 = descend(spark, indexPath, qRows.toMap, maxLvl, topK, ef, beam,
       hops, exhaustLevels, excludeSelf = excludeSelf, counter)
@@ -473,7 +491,8 @@ object AnnHnsw {
           col("qv").cast("array<float>")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"),
+        col("cid"))
       .orderBy("query_id", "rank")
   }
 

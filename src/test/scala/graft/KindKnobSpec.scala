@@ -36,7 +36,7 @@ class KindKnobSpec extends SparkSpecBase {
   }
 
   test("one batch, every index kind: uniform shape, recall ordered as declared") {
-    val kinds = Seq("ivf", "graph", "hnsw", "pq", "opq", "sq8")
+    val kinds = Seq("ivf", "graph", "hnsw", "hnsw_exact", "pq", "opq", "sq8")
     val results = kinds.map { kind =>
       val df = g.ragQueryAnnKindBatch(queries, kind, topK)
       // uniform row contract across families
@@ -72,6 +72,9 @@ class KindKnobSpec extends SparkSpecBase {
     assert(results("ivf") >= 0.5 && results("hnsw") >= 0.5,
       s"probed floors: ivf=${results("ivf")} hnsw=${results("hnsw")}")
     assert(results("graph") >= 0.3, s"graph floor: ${results("graph")}")
+    // the certified arm is not a recall trade at all: provably EXACT
+    assert(results("hnsw_exact") == 1.0,
+      s"hnsw_exact must equal the exact scan: ${results("hnsw_exact")}")
   }
 
   test("late kind: token-level MaxSim serves chunk metadata; verbatim chunk self-retrieves") {
