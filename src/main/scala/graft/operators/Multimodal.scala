@@ -669,10 +669,18 @@ object Multimodal {
     * the tree stays a fixture (2 files/gated doc) while all eight JPEG forms
     * and every PNG dims/channel variant still cycle (gcd(25, 8)=gcd(25, 7·9·3)=1).
     */
+  /** The img_files_real scratch root for one (sfDir, stride) arm — ONE
+    * definition shared with ImgFilesRealSpec's poison receipt, which reads
+    * the tree the query left behind (the spec drifted once when the stride
+    * suffix landed only here).
+    */
+  private[graft] def imgFilesBase(sfDir: String, stride: Int): String =
+    "/tmp/graft_imgfiles/" + md5Hex(sfDir + s"_$stride")
+
   def imgFilesReal(spark: SparkSession, sfDir: String,
                    stride: Int = 25): DataFrame = {
     import graft.functions.{Jpeg, Png}
-    val base = "/tmp/graft_imgfiles/" + md5Hex(sfDir + s"_$stride")
+    val base = imgFilesBase(sfDir, stride)
     val treeRoot = base + "/tree"
     val cachePath = base + "/cache"
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -51,7 +51,7 @@ class ImgFilesRealSpec extends SparkSpecBase {
     // the query left the tree POISONED (same byte sizes, 'X' content). A
     // fresh cache forces a re-decode of those bytes: every row degrades —
     // proof the query's decoded_ok=true rows were cache-served, not re-read
-    val base = "/tmp/graft_imgfiles/" + Multimodal.md5Hex(sfDir)
+    val base = Multimodal.imgFilesBase(sfDir, stride = 25)
     val fresh = ImageCorpus.readImageStats(spark, base + "/tree",
       exts = Seq("png", "jpg"),
       cachePath = Some(base + "/cache_fresh_receipt")).collect()
