@@ -178,74 +178,27 @@ object AnnGraph {
                k: Int = 16, nprobe: Int = 2, degree: Int = 8, beam: Int = 32,
                hops: Int = 2, entriesPerCell: Int = 3): DataFrame = {
     val centroids = AnnIvf.train(spark, sfDir, k)
-    // one assignment pass serves the graph build, the entry points, and
-    // every hop's scoring join (the beam loop materializes eagerly, so an
-    // un-checkpointed plan would re-scan and re-assign per round)
+    // one assignment pass serves the graph build, the query collect, and
+    // the descent's cell read (buildGraphOver + vectorsWithNbrs each
+    // execute it — un-checkpointed, every consumer would re-scan+re-assign)
     val e = assign(spark, sfDir, centroids).localCheckpoint()
-    val edges = buildGraphOver(e, degree)
-      .select(col("src"), col("dst")).localCheckpoint()
-    // probe list per query: nprobe nearest centroids (C3's rule, shared).
-    // No checkpoint: q derives from the already-checkpointed `e` via a
-    // bounded nQueries-row filter — recomputing it per hop is cheaper than
-    // another eager materialization job.
-    val q = AnnIvf.probeList(e, centroids, nQueries, nprobe)
-    searchOver(e, edges, q, topK, beam, hops, entriesPerCell)
-  }
-
-  /** The beam descent itself, shared by the in-query path and the persisted
-    * serving path. `e` = (vec_id, embedding, cid) candidate vectors (may be
-    * pruned to the probed cells), `edges` = (src, dst), `q` = (query_id, qv,
-    * probe_cid) per-probe query rows.
-    */
-  private def searchOver(e: DataFrame, edges: DataFrame, q: DataFrame,
-                         topK: Int, beam: Int, hops: Int, entriesPerCell: Int): DataFrame = {
-    // deterministic entry points: the lowest vec_ids of each probed cell
-    val wCell = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
-    val entries = e.withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= entriesPerCell)
-      .select(col("cid"), col("vec_id"))
-    val scoreOf = round(VecExprs.cosineSim(col("embedding"), col("qv")), 4)
-    // queries are corpus vectors: drop the query itself HERE, not only in the
-    // final ranking — a self-candidate scores cosine 1.0, tops the beam every
-    // hop, and permanently wastes one beam/entry slot per query. But the
-    // query node's own out-edges are its exact in-cell kNN — the strongest
-    // candidate source — so they are unioned into the FIRST expansion below
-    // (self stays expandable without ever occupying a beam slot, the
-    // HNSW-search invariant).
-    def scored(cands: DataFrame): DataFrame = cands
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(q.select(col("query_id"), col("qv")).distinct(), "query_id")
-      .select(col("query_id"), col("vec_id"), scoreOf.as("score"))
-    val wBeam = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
-    val selfEdges = q.select(col("query_id")).distinct()
-      .join(edges, col("query_id") === col("src"))
-      .select(col("query_id"), col("dst").as("vec_id"))
-    var frontier = scored(
-      q.join(entries, col("probe_cid") === col("cid"))
-        .select(col("query_id"), col("vec_id"))
-        .unionAll(selfEdges)
-        .distinct())
-      .localCheckpoint()
-    for (_ <- 0 until hops) {
-      val expanded = frontier.select(col("query_id"), col("vec_id"))
-        .join(edges, col("vec_id") === col("src"))
-        .select(col("query_id"), col("dst").as("vec_id")).distinct()
-        // only score neighbors not already in the frontier
-        .join(frontier.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"),
-          "left_anti")
-      frontier = frontier.unionByName(scored(expanded))
-        .withColumn("rn", row_number().over(wBeam))
-        .filter(col("rn") <= beam)
-        .drop("rn")
-        .localCheckpoint()
-    }
-    // no self-filter needed: scored() already excluded the query vector
-    frontier
-      .withColumn("rank", row_number().over(wBeam).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
-      .orderBy("query_id", "rank")
+    // in-query search = the SAME in-task descent kernel the served arm
+    // runs (descentLocal implements the same beam-descent contract, and
+    // AnnGraphSpec pins annGraph ≡ annGraphServed row identity) — over the
+    // freshly built frames instead of a persisted store. One descent job
+    // replaces the old hop loop's join+window+localCheckpoint round per
+    // hop (r18; at sf0.1 the loop was ~1.5 s of driver rounds over a
+    // 2,000-row corpus).
+    val vecs = vectorsWithNbrs(e, buildGraphOver(e, degree))
+    // bounded collect: the nQueries corpus query rows (the served arm's
+    // exact contract and float precision)
+    val qRows = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    servedCoreOver(spark, centroids, vecs,
+      qRows.map { case (qid, qv, _) => qid -> qv }.toMap,
+      ownCells = qRows.map { case (qid, _, own) => qid -> own }.toMap,
+      topK, nprobe, beam, hops, entriesPerCell, excludeSelf = true).drop("cid")
   }
 
   /** Persist the graph index next to the data — the offline build the
@@ -691,13 +644,30 @@ object AnnGraph {
                          topK: Int, nprobe: Int, beam: Int, hops: Int,
                          entriesPerCell: Int, excludeSelf: Boolean,
                          filter: Option[Column] = None): DataFrame = {
-    import spark.implicits._
     // every graph serve path funnels through here — heal BEFORE any read
     // so a crashed compaction's moved-aside cell can never silently
     // vanish from descent or the facade's pruned metadata read
     AnnStore.healCompacted(spark, indexPath, Seq("edges", "vectors"))
-    val centroids = readCentroids(spark, indexPath)
-    val vectors = spark.read.parquet(indexPath + "/vectors")
+    servedCoreOver(spark, readCentroids(spark, indexPath),
+      spark.read.parquet(indexPath + "/vectors"),
+      qvs, ownCells, topK, nprobe, beam, hops, entriesPerCell, excludeSelf,
+      filter)
+  }
+
+  /** [[servedCore]] over caller-supplied centroids and a (vec_id, embedding,
+    * payload..., nbrs, cid) vectors frame — the persisted-store read stays
+    * at the call sites, so the in-query [[annGraph]] build can run the SAME
+    * one-job descent over its freshly built in-memory frames (r18: the old
+    * in-query search was a per-hop loop of join+window+localCheckpoint jobs
+    * — pure driver-round latency at any scale, guide §2.4/§1.2).
+    */
+  private def servedCoreOver(spark: SparkSession, centroids: Array[Array[Double]],
+                             vectors: DataFrame,
+                             qvs: Map[Long, Array[Float]], ownCells: Map[Long, Int],
+                             topK: Int, nprobe: Int, beam: Int, hops: Int,
+                             entriesPerCell: Int, excludeSelf: Boolean,
+                             filter: Option[Column] = None): DataFrame = {
+    import spark.implicits._
     // probe selection replicates AnnIvf.probeList's tie order exactly:
     // array_sort asc by (s, i) then reverse → desc by s, ties desc by i
     val probeSet: Map[Long, Set[Int]] = qvs.map { case (qid, qv) =>
@@ -740,11 +710,12 @@ object AnnGraph {
       .orderBy("query_id", "rank")
   }
 
-  /** The in-memory twin of [[searchOver]] for one query's candidate cells —
-    * identical seeding (probed-cell entry points ∪ the query's out-edges,
-    * self excluded), identical per-hop expansion (current-frontier exclusion
-    * only, a beam-evicted node may be re-scored later), identical beam and
-    * final ranking order (score desc, vec_id asc).
+  /** The beam descent for one query's candidate cells, run in-task (the
+    * r18-retired distributed hop loop's exact contract): seeding = probed-
+    * cell entry points ∪ the query's out-edges with self excluded, per-hop
+    * expansion excludes only the CURRENT frontier (a beam-evicted node may
+    * be re-scored later), beam and final ranking order (score desc, vec_id
+    * asc).
     */
   /** `seedIds` adds explicit entry nodes (the HNSW descent seeds the next
     * layer with the previous layer's frontier); `seedAll` seeds EVERY
