@@ -558,19 +558,22 @@ object Dedup {
     val toks = d
       .select(col("doc_id"), Text.tokens(col("text")).as("l"))
       .filter(size(col("l")) >= w)
-    // LAZY checkpoint: the window frame feeds BOTH the repeated-hash
-    // aggregate and the join back — unmaterialized, the tokenize + window
-    // build would execute twice (the same single-pass rule as
-    // Bm25.bm25ScoresOver; blocks released by the ContextCleaner)
     val wins = toks.select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(l)-$w), " +
           s"i -> struct(i as off, array_join(slice(l, i+1, $w), ' ') as wtext))")).as("x"))
       .select(col("doc_id"), col("x.off").cast("long").as("off"),
         md5(col("x.wtext")).as("h"))
-      .localCheckpoint(false)
-    val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select(col("h"))
-    val flagged = wins.join(rep, "h")
+    // repeated windows = count>1 over a window PARTITIONED BY the hash:
+    // one shuffle of the window frame and no rejoin (r18 — the former
+    // groupBy(h) + join-back shape paid a second full pass plus a
+    // localCheckpoint materialization of every window row just to share
+    // the tokenize; guide §2.4's "two operations keyed the same way can
+    // share one exchange", here collapsed into one operation)
+    val wh = Window.partitionBy(col("h"))
+    val flagged = wins
+      .withColumn("c", count(lit(1)).over(wh))
+      .filter(col("c") > 1)
+      .drop("c")
     // merge OVERLAPPING repeated windows (offset gap < w), not just
     // consecutive ones: two repeated windows 2..w-1 apart share tokens,
     // and separate islands would emit token-overlapping spans — a

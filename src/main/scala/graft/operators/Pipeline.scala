@@ -315,7 +315,9 @@ object Pipeline {
     // stats side materializes once into dsirStatsFrom's bounded local
     // relation, the scored side is this plan's own feats evaluation — the
     // eager materialization severs exchange sharing, which is the accepted
-    // trade for not replaying feats once per stats READER
+    // trade for not replaying feats once per stats READER. (r18 re-tried a
+    // lazy localCheckpoint here to share the pass; PipelineSpec's
+    // pin-nothing receipt rejects it by design — left as-is.)
     val scored = feats.filter(!col("is_target"))
       .join(broadcast(dsirStatsFrom(feats, buckets)), "f")
       .groupBy(col("doc_id"))

@@ -298,20 +298,14 @@ object TextAnalysis {
     // the F4 multiplicative hash again: reproducible split, no RNG state
     // (modular-safe — the plain product ANSI-throws at large ids)
     val mix = Text.mixBucket(col("doc_id"), 1000L)
-    val train = qcFeatures(docs, targetPred, dim).filter(mix < 700)
-    // L-BFGS runs ~maxIter treeAggregate jobs over the persisted training
-    // RDD — with the upstream shuffle's partition count, each job is a
-    // fan-out of near-empty tasks and the fit is scheduling-bound (r18,
-    // guide §2.2 "fewer, larger partitions"). Size partitions from the
-    // TRAINING ROW COUNT (~64k hashed-feature rows per task), never a
-    // constant, so a corpus-scale fit keeps its parallelism. coalesce
-    // (not repartition): no extra shuffle, and the merge order stays the
-    // deterministic partition order so the fit is reproducible.
-    val target = math.max(1L, train.count() / 65536L)
-    val parts = math.min(train.rdd.getNumPartitions.toLong, target).toInt
+    // measured r18: coalescing the training input to count-derived few
+    // partitions made the fit SLOWER (3.0 → 4.2 s at sf0.1) — the L-BFGS
+    // gradient over 4096-dim hashed rows is compute-bound, not
+    // scheduling-bound, so the upstream partitioning's parallelism is the
+    // right shape. Left as-is deliberately.
     new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(0.01).setLabelCol("label")
-      .fit(train.coalesce(parts))
+      .fit(qcFeatures(docs, targetPred, dim).filter(mix < 700))
   }
 
   /** The SCORING half of D8: broadcast-coefficient transform over the

@@ -46,6 +46,34 @@ private[graft] object ExtractCache {
       val hconf = spark.sparkContext.hadoopConfiguration
       val cpPath = new org.apache.hadoop.fs.Path(cachePath)
       val fs = cpPath.getFileSystem(hconf)
+      // COLD START (no cache yet): every listed file is a miss by
+      // definition — extract straight off the listing and write the cache,
+      // skipping the checkpoint (one consumer, no double-evaluation risk),
+      // the full-outer join, and the miss/stale pricing aggregate (r18:
+      // three jobs per cold round that computed a foregone conclusion).
+      // The warm path below is untouched.
+      if (!fs.exists(cpPath)) {
+        val outCols = Seq("path", "byte_size") ++ valueCols
+        val merged = extract(
+          meta.select(col("abs_path"), col("path"), col("byte_size")))
+          .select(outCols.map(col): _*)
+        val staging = new org.apache.hadoop.fs.Path(cachePath + ".staging")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        merged.write.parquet(staging.toString)
+        graft.IndexStore.swapDir(fs, staging, cpPath)
+        spark.read.parquet(cachePath).select(outCols.map(col): _*)
+      } else warmRound(spark, cachePath, meta, extract, valueCols, fs, cpPath)
+    }
+
+  /** The warm round: full-outer join against the existing cache, misses
+    * and stale rows priced in one aggregate, no-change rounds rewrite
+    * nothing. (Split out of [[through]] when the cold round got its
+    * fast path.)
+    */
+  private def warmRound(spark: SparkSession, cachePath: String, meta: DataFrame,
+                        extract: DataFrame => DataFrame, valueCols: Seq[String],
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        cpPath: org.apache.hadoop.fs.Path): DataFrame = {
       val metaCk = graft.operators.AnnStore.trackedCheckpoint(
         meta.select(col("abs_path"), col("path"), col("byte_size")))
       // FULL outer: a cache row with no current file (removed, or its byte
@@ -54,16 +82,10 @@ private[graft] object ExtractCache {
       // read exactly once. Presence is marked with an explicit flag column
       // (not a value column's null-ness — a leg's value may be legitimately
       // null).
-      val joined =
-        if (fs.exists(cpPath)) {
-          val cache = spark.read.parquet(cachePath)
-            .select(col("path") +: col("byte_size") +: valueCols.map(col): _*)
-            .withColumn("__cached", lit(true))
-          metaCk.join(cache, Seq("path", "byte_size"), "full_outer")
-        } else {
-          valueCols.foldLeft(metaCk)((d, c) => d.withColumn(c, lit(null)))
-            .withColumn("__cached", lit(null).cast("boolean"))
-        }
+      val cache = spark.read.parquet(cachePath)
+        .select(col("path") +: col("byte_size") +: valueCols.map(col): _*)
+        .withColumn("__cached", lit(true))
+      val joined = metaCk.join(cache, Seq("path", "byte_size"), "full_outer")
       val c = joined.agg(
         sum(when(col("__cached").isNull && col("abs_path").isNotNull, 1L))
           .as("n_miss"),
@@ -75,7 +97,7 @@ private[graft] object ExtractCache {
       // nothing (at corpus scale the rewrite is a corpus-proportional
       // write + object-store rename churn, paid every reindex of a
       // stable tree)
-      val unchanged = nMiss == 0 && nStale == 0 && fs.exists(cpPath)
+      val unchanged = nMiss == 0 && nStale == 0
       if (!unchanged) {
         val outCols = Seq("path", "byte_size") ++ valueCols
         val hits = joined
