@@ -725,9 +725,12 @@ object Multimodal {
         }
       }
     writeTree()
-    // pass 1: misses decode through the real cache (materialize it)
+    // pass 1: misses decode through the real cache. ExtractCache.through
+    // WRITES the cache eagerly inside the call (merged.write is an
+    // action), so constructing the frame materializes it — no extra
+    // count() job needed (r18).
     graft.sources.ImageCorpus.readImageStats(spark, treeRoot, exts = Seq("png", "jpg"),
-      cachePath = Some(cachePath)).count()
+      cachePath = Some(cachePath))
     poisonTree()
     // pass 2: unchanged byte sizes — every row MUST come from the cache
     val pass2 = graft.sources.ImageCorpus.readImageStats(spark, treeRoot,

@@ -252,12 +252,15 @@ object Rm3 {
         }
     val wF = weights.toDF("query_id", "term", "qw")
 
-    // stage 2: ONE weighted batch pass over the expanded union term set
+    // stage 2: ONE weighted batch pass over the expanded union term set.
+    // Corpus scalars are REUSED from stage 1 — n_docs and avgdl derive
+    // from the full token counts, not the term filter, so stage 2's own
+    // aggregate would recompute the identical values (r18, guide §1.2).
     val termSet2 = weights.map(_._2).distinct
-    val (tf2, df2, stats2) = tfOver(termSet2)
+    val (tf2, df2, _) = tfOver(termSet2)
     tf2.join(broadcast(wF), "term")
       .join(broadcast(df2), "term")
-      .crossJoin(broadcast(stats2))
+      .crossJoin(broadcast(stats1))
       .withColumn("w", Bm25.bm25Weight * col("qw"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("bm25"))

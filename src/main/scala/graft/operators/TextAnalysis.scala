@@ -353,6 +353,9 @@ object TextAnalysis {
     def bucket(x: Column, i: Column): Column =
       ((x * (lit(40503L) * i + 11L) + lit(19349663L) * i) % Text.FpMod) % width
     // the sketch: ≤ depth×width rows, map-side combined — bounded state
+    // (r18 tried deriving sketch+candidates from one per-(tok,x,mix)
+    // aggregate; the branches prune different columns, so AQE cannot reuse
+    // the shared stage and the variant only added exchanges — reverted)
     val cms = codes
       .select(explode(sequence(lit(0L), lit(depth - 1L))).as("i"), col("x"))
       .select(col("i"), bucket(col("x"), col("i")).as("b"))
@@ -389,6 +392,14 @@ object TextAnalysis {
   def tfidfTerms(spark: SparkSession, sfDir: String, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, sfDir)
+    // r18 tried deriving tf and df from one shared per-(term,lang,doc_id)
+    // aggregate so AQE stage reuse would run the tokenize once; the two
+    // consumer branches prune/canonicalize the shared exchange differently
+    // (verified in the executed plan: two separate 1.16e5-row
+    // ShuffleQueryStages), so the variant only ADDED an exchange per
+    // branch — reverted to the two-pass shape. A pinned materialization is
+    // the alternative and is rejected by the repo's pin-nothing
+    // discipline.
     val toks = d.select(col("doc_id"), col("lang"),
       explode(Text.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))

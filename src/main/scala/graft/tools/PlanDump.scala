@@ -34,6 +34,12 @@ object PlanDump {
     names.foreach { n =>
       try {
         val df = SparkEntry.benchQueries(n)(spark, sfDir)
+        // GRAFT_PLAN_EXECUTED=1: run the query first so the dump shows the
+        // FINAL adaptive plan (AQE stage reuse / coalesced reads are
+        // invisible in the initial explain)
+        // collect(), not count(): count() wraps the frame in a NEW query
+        // execution, leaving df's own plan unexecuted (isFinalPlan=false)
+        if (sys.env.get("GRAFT_PLAN_EXECUTED").contains("1")) df.collect()
         val s = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         val w = new java.io.PrintWriter(s"$outDir/${n}_$tag.txt")
         try w.write(s) finally w.close()
