@@ -171,6 +171,29 @@ class AnnIvfSpec extends SparkSpecBase {
     assert(edges.groupBy("src").count().filter(col("count") > 8).count() == 0)
   }
 
+  test("graph ANN: saturated descent (all cells probed, beam >= corpus) is exactly brute force") {
+    // focused receipt for the r18 in-query search rewrite (the distributed
+    // hop loop was replaced by the served arm's in-task descent kernel over
+    // in-memory frames): when every cell is probed, every node is an entry
+    // seed, and the beam holds the whole corpus, the descent must explore
+    // everything — so its top-k equals the brute-force scan minus the
+    // excluded self row, rank for rank, score for score.
+    import graft.operators.AnnGraph
+    val topK = 5
+    val g = AnnGraph.annGraph(spark, sf, nQueries = 5, topK = topK,
+      nprobe = 16, beam = 1000, hops = 0, entriesPerCell = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = RagSearch.annTopKBatch(spark, sf, nQueries = 5, k = topK + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (q, _, v, _) => v != q }            // annGraph excludes self
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>     // re-rank after the drop
+        rows.sortBy(_._2).take(topK).zipWithIndex
+          .map { case ((q, _, v, s), i) => (q, (i + 1).toLong, v, s) }
+      }
+    assert(g.sorted.toSeq == brute.sorted.toSeq,
+      "saturated graph descent must equal brute force row for row")
+  }
+
   test("graph ANN serving: persisted index reproduces the in-query search and prunes partitions") {
     import graft.operators.AnnGraph
     val path = java.nio.file.Files.createTempDirectory("graft_gidx").toString + "/idx"
