@@ -122,6 +122,17 @@ object Bench {
     // line carries only scalars + the normally-empty noisy/drift names.
     val failed = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"detail","reps":$reps,"retried":$retriedNames,"failed":$failed,"drift":$driftJson,"queries":$qs,"queries_median":$med,"queries_spread":$spr,"sf":"$sfDir"}""")
+    // Driver-parsable per-query line: the detail line above (3 maps × 101
+    // queries) overflows the driver's finite tail capture, which is why
+    // PERF_r17/r18 ended with per_query:{} and n_common:0. This line carries
+    // ONLY the min map, rounded to 4 decimals (~2 KB at 101 queries), printed
+    // immediately before the total line so the tail window always contains it
+    // whole. The detail line stays for humans/history.
+    val minsCompact = results.map { r =>
+      "\"" + r._1 + "\":" +
+        BigDecimal(r._2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"per_query","mins":$minsCompact,"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"noisy":$noisy,"drift":$driftJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failedSet.nonEmpty) {

@@ -398,9 +398,6 @@ object AnnGraph {
     AnnStore.manifest("graph", Seq("k" -> k, "degree" -> degree, "layout" -> 3),
       AnnStore.corpusFingerprint(spark, sfDir))
 
-  private def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
-    AnnStore.readCentroids(spark, path)
-
   /** Exact replica of CosineSim's evaluation loop (VecExprs.scala:46-58) for
     * the in-task descent — float elements widened per element, same
     * accumulation order, same 1e-10 guard — so served scores are
@@ -574,7 +571,7 @@ object AnnGraph {
                                                      topK: Int, nprobe: Int, beam: Int,
                                                      hops: Int, entriesPerCell: Int,
                                                      filter: Option[Column]): DataFrame = {
-    val kCells = readCentroids(spark, indexPath).length
+    val kCells = AnnStore.servedCentroids(spark, indexPath).length
     if (qRows.isEmpty)
       return annGraphServedOverCells(spark, indexPath, qRows, topK, nprobe, beam,
         hops, entriesPerCell, filter)
@@ -648,7 +645,7 @@ object AnnGraph {
     // so a crashed compaction's moved-aside cell can never silently
     // vanish from descent or the facade's pruned metadata read
     AnnStore.healCompacted(spark, indexPath, Seq("edges", "vectors"))
-    servedCoreOver(spark, readCentroids(spark, indexPath),
+    servedCoreOver(spark, AnnStore.servedCentroids(spark, indexPath),
       spark.read.parquet(indexPath + "/vectors"),
       qvs, ownCells, topK, nprobe, beam, hops, entriesPerCell, excludeSelf,
       filter)

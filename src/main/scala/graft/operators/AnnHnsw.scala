@@ -453,8 +453,9 @@ object AnnHnsw {
       // nothing — bound −2 passes every cell: the scan is the exact answer
       q -> (if (hits.length >= topK) hits.map(_.getDouble(1)).min else -2.0)
     }.toMap
-    val centroids = AnnStore.readCentroids(spark, indexPath)
-    val stats = AnnStore.readCellStats(spark, indexPath).getOrElse(
+    val centroids = AnnStore.servedCentroids(spark, indexPath)
+    val stats = AnnStore.memoizedRead(spark, indexPath, "cellstats")(
+      AnnStore.readCellStats(spark, indexPath)).getOrElse(
       throw new IllegalStateException(
         s"annHnswServedCertified: no cellstats at $indexPath — the store " +
           "predates layout 3; rebuild via ensureHnswIndex"))

@@ -271,7 +271,7 @@ object AnnIvf {
     // below may itself scan the vectors table (corpus-vector queries)
     AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
     VecExprs.register(spark)
-    val centroids = AnnStore.readCentroids(spark, indexPath)
+    val centroids = AnnStore.servedCentroids(spark, indexPath)
     // checkpointed: bounded (nQueries × nprobe) and executed twice (cid
     // collect + broadcast build) with k-literal scoring in its lineage.
     // Tracked: a caller that fully consumes the result inside a
@@ -308,7 +308,7 @@ object AnnIvf {
                                topK: Int = 5, nprobe: Int = 2,
                                excludeSelf: Boolean = false,
                                filter: Option[Column] = None): DataFrame = {
-    val kCells = AnnStore.readCentroids(spark, indexPath).length
+    val kCells = AnnStore.servedCentroids(spark, indexPath).length
     val allIds = queries.select("query_id").distinct().collect().map(_.getLong(0)).toSet
     if (allIds.isEmpty) // empty batch: one plain serve carries the schema
       return annIvfServedOver(spark, indexPath, queries, topK, nprobe, excludeSelf, filter)

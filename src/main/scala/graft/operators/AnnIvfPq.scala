@@ -229,8 +229,9 @@ object AnnIvfPq {
                          excludeSelf: Boolean = false): DataFrame = {
     AnnStore.healCompacted(spark, indexPath, Seq("codes", "vectors"))
     VecExprs.register(spark)
-    val centroids = AnnStore.readCentroids(spark, indexPath)
-    val books = AnnPq.readBooks(spark, indexPath)
+    val centroids = AnnStore.servedCentroids(spark, indexPath)
+    val books = AnnStore.memoizedRead(spark, indexPath, "books")(
+      AnnPq.readBooks(spark, indexPath))
     val m = books.length
     val sd = books.head.head.length
     for (manifest <- AnnStore.readManifest(spark, indexPath);

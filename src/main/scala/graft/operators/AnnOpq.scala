@@ -334,8 +334,10 @@ object AnnOpq {
                        excludeSelf: Boolean = false): DataFrame = {
     AnnStore.healCompacted(spark, indexPath, Seq("codes", "vectors"))
     VecExprs.register(spark)
-    val books = AnnPq.readBooks(spark, indexPath)
-    val rot = readRotation(spark, indexPath)
+    val books = AnnStore.memoizedRead(spark, indexPath, "books")(
+      AnnPq.readBooks(spark, indexPath))
+    val rot = AnnStore.memoizedRead(spark, indexPath, "rotation")(
+      readRotation(spark, indexPath))
     val m = books.length
     val sd = books.head.head.length
     require(m * sd == rot.length,

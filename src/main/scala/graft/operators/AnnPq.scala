@@ -351,7 +351,8 @@ object AnnPq {
                       excludeSelf: Boolean = false): DataFrame = {
     AnnStore.healCompacted(spark, indexPath, Seq("codes", "vectors"))
     VecExprs.register(spark)
-    val books = readBooks(spark, indexPath)
+    val books = AnnStore.memoizedRead(spark, indexPath, "books")(
+      readBooks(spark, indexPath))
     val m = books.length
     val sd = books.head.head.length
     for (manifest <- AnnStore.readManifest(spark, indexPath);

@@ -139,6 +139,46 @@ private[graft] object AnnStore {
   def paramsOf(manifest: String): String =
     manifest.replaceAll(""""fingerprint":"[^"]*"""", """"fingerprint":""")
 
+  /** Driver-side memo for the serve paths' small sidecar reads — centroids,
+    * PQ codebooks, OPQ rotation, cellstats (r19; the HNSW upper-layer cache
+    * at AnnHnsw.serveCacheFor is the in-repo precedent): every `*ServedOver`
+    * call was re-reading its k-row sidecars with 1–2 tiny Spark jobs each —
+    * pure driver-round latency that multiplies with serve QPS (guide §1.2,
+    * §5 "the driver should do almost no data work"). Keyed on (storeRoot,
+    * tag, LIVE MANIFEST STRING): strictly safer than the HNSW (mtime, len)
+    * stamp — the manifest embeds the corpus fingerprint and build params,
+    * builds are deterministic given both, and rebuild/refresh/restamp all
+    * rewrite the manifest, so any content change rotates the key. Compaction
+    * rewrites data FILES without changing row content or the manifest, so a
+    * memo surviving it is correct by the same argument the HNSW cache makes.
+    * Stores without a live manifest are never cached (nothing to invalidate
+    * on). Serve paths only — build/refresh keep direct reads.
+    */
+  private val serveReadMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), AnyRef]
+
+  private[graft] def memoizedRead[T <: AnyRef](spark: SparkSession,
+      storeRoot: String, tag: String)(load: => T): T =
+    readManifest(spark, storeRoot) match {
+      case None => load
+      case Some(m) =>
+        val key = (storeRoot, tag, m)
+        serveReadMemo.get(key) match {
+          case Some(v) => v.asInstanceOf[T]
+          case None =>
+            val v = load
+            if (serveReadMemo.size > 64) serveReadMemo.clear() // bounded session state
+            serveReadMemo.put(key, v)
+            v
+        }
+    }
+
+  /** [[readCentroids]] through the serve memo — the shared probe-selection
+    * read every coarse-quantized serve arm starts with.
+    */
+  private[graft] def servedCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    memoizedRead(spark, path, "centroids")(readCentroids(spark, path))
+
   /** The release scope for [[trackedCheckpoint]] pins, per thread — a
     * context-wide getPersistentRDDs diff would also sweep up pins a
     * CONCURRENT reader created inside the window (a serving call's

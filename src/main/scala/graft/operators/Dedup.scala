@@ -539,11 +539,19 @@ object Dedup {
     * passages — repeated at the SUBSTRING level that doc- and
     * chunk-granular dedup miss). Windows are built scan-side (a transform
     * over the token array exploded to (offset, window-hash) — no
-    * shuffle), repeated windows are one map-side-combined hash aggregate
-    * with the window hash as the shuffle key (AQE splits a hot
-    * boilerplate hash), and the per-doc merge of overlapping repeated
-    * windows into maximal spans is a gaps-and-islands window PARTITIONED
-    * BY doc (bounded per-doc state). Emits 1-based inclusive token spans.
+    * shuffle), repeated windows are `count(*) over (partition by h) > 1`
+    * — ONE shuffle of the window rows, no second pass and no join-back
+    * (r18; the former groupBy(h)+join shape measured slower) — and the
+    * per-doc merge of overlapping repeated windows into maximal spans is
+    * a gaps-and-islands window PARTITIONED BY doc (bounded per-doc
+    * state). Skew trade-off, accepted deliberately: a window partition
+    * has no partial aggregation and AQE cannot split it, so ONE window
+    * hash repeated across a large fraction of the corpus (pathological
+    * boilerplate) serializes its rows into one task — where the groupBy
+    * shape would map-side-combine it. At that skew the right fix is the
+    * two-level count by (h, doc_id) first; below it the one-shuffle
+    * window wins, and sf receipts showed exactly that.
+    * Emits 1-based inclusive token spans.
     * Fully oracle-checked — deterministic hashing plus the same islands
     * logic in SQL.
     */

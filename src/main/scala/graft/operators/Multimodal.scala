@@ -731,6 +731,13 @@ object Multimodal {
     // count() job needed (r18).
     graft.sources.ImageCorpus.readImageStats(spark, treeRoot, exts = Seq("png", "jpg"),
       cachePath = Some(cachePath))
+    // eagerness receipt (r18 ADVICE): the poison pass below rewrites the
+    // tree, so pass 1's cache MUST be fully on disk here — through()'s
+    // documented contract, asserted cheaply so a future lazy refactor of
+    // ExtractCache fails loudly instead of silently caching garbage stats
+    require(basePath.getFileSystem(hconf)
+      .exists(new org.apache.hadoop.fs.Path(cachePath)),
+      s"imgFilesReal: pass 1 did not materialize the cache at $cachePath")
     poisonTree()
     // pass 2: unchanged byte sizes — every row MUST come from the cache
     val pass2 = graft.sources.ImageCorpus.readImageStats(spark, treeRoot,

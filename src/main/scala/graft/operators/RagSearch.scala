@@ -443,7 +443,7 @@ object RagSearch {
                                            k: Int, nprobe: Int,
                                            excludeSelf: Boolean): DataFrame = {
     AnnStore.healCompacted(spark, indexPath, Seq("vectors"))
-    val centroids = AnnStore.readCentroids(spark, indexPath)
+    val centroids = AnnStore.servedCentroids(spark, indexPath)
     val probes: Map[Long, Set[Int]] = queries.map { case (qid, _, pooled) =>
       qid -> probeIdsFor(pooled, centroids, nprobe).toSet
     }.toMap

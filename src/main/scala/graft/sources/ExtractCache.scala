@@ -20,6 +20,77 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object ExtractCache {
 
+  /** Listing-fingerprint sidecar (r19): `_graft_listing_fp` inside the live
+    * cache dir holds (row count, bit_xor of two salted xxhash64(path,
+    * byte_size) hashes) over the exact listing the cache contents were
+    * merged from. A warm round whose CURRENT listing fingerprints equal the
+    * sidecar has, by multiset equality on the cache key (path, byte_size),
+    * zero misses and zero stale rows — so it returns the cache read
+    * directly, skipping the listing checkpoint, the cache full-outer join
+    * and the pricing aggregate (guide §2.4/§6: at corpus scale that join is
+    * a corpus-proportional shuffle paid on every reindex of a stable tree).
+    * The fingerprint sees exactly what the join's key sees — no new blind
+    * spot (a same-size content edit was already invisible to the protocol,
+    * by the reference's (relPath, fileSize) contract).
+    *
+    * Crash safety: the sidecar rides INSIDE the swapped dir (underscore
+    * prefix — invisible to parquet readers), written into staging from the
+    * write job's own observed metrics, so sidecar and data flip atomically;
+    * a stale sidecar cannot survive a cache rewrite because the swap
+    * replaces the whole directory. A cache replaced by other means (the
+    * poison receipts' raw dir swap) simply lacks a sidecar — the next full
+    * round serves correctly and heals it.
+    */
+  private val FpFile = "_graft_listing_fp"
+
+  /** (n, xor1, xor2) over (path, byte_size).
+    * bit_xor (not sum): order-independent and overflow-free under ANSI.
+    */
+  private def fpExprs = Seq(
+    count(lit(1)).as("fp_n"),
+    coalesce(expr("bit_xor(xxhash64(path, byte_size))"), lit(0L)).as("fp_x1"),
+    coalesce(expr("bit_xor(xxhash64(byte_size, path, 'graft_fp2'))"), lit(0L))
+      .as("fp_x2"))
+
+  /** Fingerprint via ONE dedicated (metadata-only) job — the comparison
+    * side, where there is no write action to ride.
+    */
+  private def listingFp(listing: DataFrame): String = {
+    val r = listing.agg(fpExprs.head, fpExprs.tail: _*).head()
+    s"v1:${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}"
+  }
+
+  /** Fingerprint riding a cache WRITE as observed metrics — zero extra
+    * jobs, and computed over exactly the rows the write landed.
+    */
+  private def observedFp(merged: DataFrame): (DataFrame, () => String) = {
+    val obs = org.apache.spark.sql.Observation()
+    (merged.observe(obs, fpExprs.head, fpExprs.tail: _*),
+      () => {
+        val m = obs.get
+        s"v1:${m("fp_n")}:${m("fp_x1")}:${m("fp_x2")}"
+      })
+  }
+
+  private def readFp(fs: org.apache.hadoop.fs.FileSystem,
+                     cpPath: org.apache.hadoop.fs.Path): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(cpPath, FpFile)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def writeFp(fs: org.apache.hadoop.fs.FileSystem,
+                      dir: org.apache.hadoop.fs.Path, fp: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, FpFile), true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Run `extract` through the cache at `cachePath`.
     *
     * `meta`: the metadata-only listing, (abs_path, path, byte_size) — one
@@ -38,6 +109,14 @@ private[graft] object ExtractCache {
     * round.
     *
     * `valueCols`: the cached value columns, in cache-schema order.
+    *
+    * EAGERNESS CONTRACT: when this returns, the cache at `cachePath` exists
+    * and holds one row per currently listed file — the cold path and the
+    * changed warm path run their cache write as an action inside the call,
+    * and the no-change paths prove the existing cache current (fingerprint
+    * or join) before returning. Callers rely on this ordering (the
+    * img_files_real poison receipt mutates the tree between two `through`
+    * rounds and requires round 1's cache to be fully on disk).
     */
   def through(spark: SparkSession, cachePath: String, meta: DataFrame,
               extract: DataFrame => DataFrame,
@@ -59,7 +138,16 @@ private[graft] object ExtractCache {
           .select(outCols.map(col): _*)
         val staging = new org.apache.hadoop.fs.Path(cachePath + ".staging")
         if (fs.exists(staging)) fs.delete(staging, true)
-        merged.write.parquet(staging.toString)
+        // sidecar fingerprint rides the write job as observed metrics (zero
+        // extra jobs) — computed from the CACHE rows themselves, not a
+        // re-evaluated listing (the cold path is deliberately
+        // un-checkpointed, and a file appearing between two listing
+        // evaluations must not leave a sidecar that vouches for rows the
+        // cache doesn't hold) — and lands in staging BEFORE the swap, so
+        // sidecar and data flip atomically
+        val (obsMerged, fp) = observedFp(merged)
+        obsMerged.write.parquet(staging.toString)
+        writeFp(fs, staging, fp())
         graft.IndexStore.swapDir(fs, staging, cpPath)
         spark.read.parquet(cachePath).select(outCols.map(col): _*)
       } else warmRound(spark, cachePath, meta, extract, valueCols, fs, cpPath)
@@ -74,6 +162,19 @@ private[graft] object ExtractCache {
                         extract: DataFrame => DataFrame, valueCols: Seq[String],
                         fs: org.apache.hadoop.fs.FileSystem,
                         cpPath: org.apache.hadoop.fs.Path): DataFrame = {
+      // short-circuit (r19): listing fingerprint equal to the sidecar the
+      // cache was written under ⟹ zero misses, zero stale ⟹ the merged
+      // result would be byte-for-byte the existing cache — return it after
+      // ONE metadata-only aggregate, skipping checkpoint + full-outer join
+      // + pricing. Absent/mismatched sidecar falls through to the full
+      // round, which rewrites the sidecar (self-healing after a crash
+      // between cache swap and sidecar write).
+      val storedFp = readFp(fs, cpPath)
+      if (storedFp.isDefined &&
+          storedFp.contains(listingFp(
+            meta.select(col("path"), col("byte_size")))))
+        return spark.read.parquet(cachePath)
+          .select((Seq("path", "byte_size") ++ valueCols).map(col): _*)
       val metaCk = graft.operators.AnnStore.trackedCheckpoint(
         meta.select(col("abs_path"), col("path"), col("byte_size")))
       // FULL outer: a cache row with no current file (removed, or its byte
@@ -117,9 +218,20 @@ private[graft] object ExtractCache {
         // failed rename as a diagnostic instead of a downstream read error)
         val staging = new org.apache.hadoop.fs.Path(cachePath + ".staging")
         if (fs.exists(staging)) fs.delete(staging, true)
-        merged.write.parquet(staging.toString)
+        // next round's short-circuit sidecar: fingerprint of the merged
+        // rows (current files only), observed on the write job itself and
+        // landed in staging — atomic with the data under the swap
+        val (obsMerged, fp) = observedFp(merged)
+        obsMerged.write.parquet(staging.toString)
+        writeFp(fs, staging, fp())
         graft.IndexStore.swapDir(fs, staging, cpPath)
-      }
+      } else
+        // unchanged round reached only when the sidecar was absent or
+        // mismatched (else the short-circuit returned above): the join just
+        // proved cache ≡ metaCk, so heal the live dir's sidecar from the
+        // checkpointed listing (one tiny agg over a materialized frame)
+        writeFp(fs, cpPath,
+          listingFp(metaCk.select(col("path"), col("byte_size"))))
       // serve FROM the cache: downstream actions re-read parquet, not files
       spark.read.parquet(cachePath)
         .select((Seq("path", "byte_size") ++ valueCols).map(col): _*)
