@@ -265,14 +265,19 @@ object AnnGraph {
                                             centroids: Array[Array[Double]],
                                             degree: Int): Unit = {
     val edges = AnnStore.trackedCheckpoint(buildGraphOver(assigned, degree))
-    edges.write.partitionBy("cid").parquet(dir + "/edges")
-    vectorsWithNbrs(assigned, edges)
-      .write.partitionBy("cid").parquet(dir + "/vectors")
-    AnnStore.writeCentroids(spark, dir, centroids)
-    // per-cell angular radii (r18, layout 3): one map-side-combined
-    // aggregate over rows the build already scans — the certification
-    // bound's input (AnnStore.writeCellStats scaladoc)
-    AnnStore.writeCellStats(spark, dir, cellStatsOf(assigned, centroids))
+    // once the edge frame is checkpointed, the four tables are independent
+    // (edges/vectors read pinned blocks, centroids/cellstats come from the
+    // k-row matrix + the assigned checkpoint) and land in distinct staging
+    // subdirs — overlap their driver rounds (r19, guide §2.6); content is
+    // byte-identical to the former sequential writes. cellstats is the
+    // per-cell angular radii sidecar (r18, layout 3): one map-side-combined
+    // aggregate over rows the build already scans (AnnStore.writeCellStats)
+    AnnStore.inParallel(Seq(
+      () => edges.write.partitionBy("cid").parquet(dir + "/edges"),
+      () => vectorsWithNbrs(assigned, edges)
+        .write.partitionBy("cid").parquet(dir + "/vectors"),
+      () => AnnStore.writeCentroids(spark, dir, centroids),
+      () => AnnStore.writeCellStats(spark, dir, cellStatsOf(assigned, centroids))))
   }
 
   /** `(cid, n_rows, min_cos)` over an assigned corpus frame: each row's

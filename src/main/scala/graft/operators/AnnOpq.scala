@@ -194,16 +194,21 @@ object AnnOpq {
         slice(VecExprs.matVec(col("emb"), rot), j * sd + 1, sd),
         books(j), useCosine = false).as(s"c$j"))
     val bucket = pmod(col("vec_id"), lit(buckets)).cast("int")
-    e.select(col("vec_id") +: codeCols :+ bucket.as("cid"): _*)
-      .write.partitionBy("cid").parquet(dir + "/codes")
-    raw.withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
-      .write.partitionBy("cid").parquet(dir + "/vectors")
-    books.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-    }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
-      .write.parquet(dir + "/books")
-    rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
-      .toDF("i", "r").coalesce(1).write.parquet(dir + "/rotation")
+    // the four tables are independent (codes/vectors from their own scans,
+    // books/rotation from driver arrays) and land in distinct staging
+    // subdirs — overlap their driver rounds (r19, guide §2.6); content is
+    // byte-identical to the former sequential writes
+    AnnStore.inParallel(Seq(
+      () => e.select(col("vec_id") +: codeCols :+ bucket.as("cid"): _*)
+        .write.partitionBy("cid").parquet(dir + "/codes"),
+      () => raw.withColumn("cid", pmod(col("vec_id"), lit(buckets)).cast("int"))
+        .write.partitionBy("cid").parquet(dir + "/vectors"),
+      () => books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+      }.toSeq.toDF("j", "cid", "centroid").coalesce(1)
+        .write.parquet(dir + "/books"),
+      () => rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+        .toDF("i", "r").coalesce(1).write.parquet(dir + "/rotation")))
   }
 
   /** Pinned-model full rewrite (stored rotation + books, no training) —

@@ -599,6 +599,26 @@ private[graft] object AnnStore {
     results.toDF("subdir", "n_units_compacted", "n_files_before", "n_files_after")
   }
 
+  /** Run independent store-table writes concurrently (guide §2.6 "overlap
+    * independent jobs": actions are only sequential because the driver
+    * calls them sequentially — a build's tail of small sidecar writes
+    * otherwise serializes one driver round each behind the big table
+    * writes). Callers pass tasks with NO data dependencies between them,
+    * writing to DISTINCT staging subdirectories; content is byte-identical
+    * to the sequential order. Tasks must not create tracked checkpoints
+    * (the pin scope is thread-local by design). First failure rethrows
+    * after every thread finishes, so a crashed build never leaves a
+    * half-written task running behind the raised error.
+    */
+  private[graft] def inParallel(tasks: Seq[() => Unit]): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = tasks.map(t => new Thread(() =>
+      try t() catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** The k-row centroid matrix as a tiny one-file frame — the shared layout
     * for every coarse-quantized index's query-side probe selection.
     */

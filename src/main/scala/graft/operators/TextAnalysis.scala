@@ -95,32 +95,49 @@ object TextAnalysis {
     * CJK rows the synthetic corpus lacks.
     */
   def qualityScoreOver(docs: DataFrame): DataFrame = {
-    val cjk = Text.CjkClass
-    val toks = Text.tokens(regexp_replace(col("text"), cjk, " "))
-    val nCjk = Text.codepointCount(col("text"), cjk)
+    val s = qualityStatExprs(col("text"))
     docs
-      .select(col("doc_id"),
-        (size(toks).cast("long") + nCjk).as("n_tokens"),
-        (length(col("text")) - length(regexp_replace(col("text"),
-          s"[^A-Za-z0-9 ${Text.HanRange}${Text.KanaRange}${Text.HangulRange}]", "")))
-          .cast("long").as("n_punct"),
-        (hits(toks, StopTokens) +
-          Text.codepointCount(col("text"), s"[$CjkStopChars]")).as("n_stop"),
-        length(col("text")).cast("long").as("n_chars_m"),
-        (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-          + nCjk).as("tok_chars"))
-      .withColumn("mean_tok_len",
-        when(col("n_tokens") > 0,
-          col("tok_chars").cast("double") / col("n_tokens"))
-          .otherwise(lit(0.0)))
-      .withColumn("score", round(lit(1e-9) +
-        lit(0.3) * least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / greatest(col("n_chars_m"), lit(1L)).cast("double")) +
-          lit(0.2) * (col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double")) +
-          lit(0.2) * least(col("mean_tok_len") / 8.0, lit(1.0)), 4))
-      .select(col("doc_id"), col("n_tokens"), col("n_punct"), col("n_stop"),
-        round(col("mean_tok_len") + lit(1e-9), 4).as("mean_tok_len"), col("score"))
+      .select(col("doc_id"), s.nTokens.as("n_tokens"), s.nPunct.as("n_punct"),
+        s.nStop.as("n_stop"),
+        round(s.meanTokLen + lit(1e-9), 4).as("mean_tok_len"),
+        s.score.as("score"))
       .orderBy("doc_id")
+  }
+
+  /** D2's per-row stat/score EXPRESSIONS over a text column — one
+    * definition shared by the D2 query projection above and D8's in-scan
+    * labeling ([[qualityClassifierInput]]), so the distilled target can
+    * never drift from the heuristic it distills. `meanTokLen` is the
+    * UNROUNDED mean (the score consumes it unrounded; only the D2
+    * projection rounds it for display) — value-identical to the former
+    * named-column formulation, which computed the same trees through
+    * intermediate columns.
+    */
+  private case class QualityStats(nTokens: Column, nPunct: Column,
+                                  nStop: Column, meanTokLen: Column,
+                                  score: Column)
+
+  private def qualityStatExprs(text: Column): QualityStats = {
+    val cjk = Text.CjkClass
+    val toks = Text.tokens(regexp_replace(text, cjk, " "))
+    val nCjk = Text.codepointCount(text, cjk)
+    val nTokens = size(toks).cast("long") + nCjk
+    val nPunct = (length(text) - length(regexp_replace(text,
+      s"[^A-Za-z0-9 ${Text.HanRange}${Text.KanaRange}${Text.HangulRange}]", "")))
+      .cast("long")
+    val nStop = hits(toks, StopTokens) +
+      Text.codepointCount(text, s"[$CjkStopChars]")
+    val nCharsM = length(text).cast("long")
+    val tokChars = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x) + nCjk
+    val meanTokLen = when(nTokens > 0, tokChars.cast("double") / nTokens)
+      .otherwise(lit(0.0))
+    val score = round(lit(1e-9) +
+      lit(0.3) * least(nTokens.cast("double") / 50.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - nPunct.cast("double") / greatest(nCharsM, lit(1L)).cast("double")) +
+        lit(0.2) * (nStop.cast("double") / greatest(nTokens, lit(1L)).cast("double")) +
+        lit(0.2) * least(meanTokLen / 8.0, lit(1.0)), 4)
+    QualityStats(nTokens, nPunct, nStop, meanTokLen, score)
   }
 
   /** D3: token counting — whitespace tokens plus BPE-ish regex subtokens
@@ -258,15 +275,28 @@ object TextAnalysis {
     */
   def qualityClassifierInput(spark: SparkSession, sfDir: String,
                              threshold: Double = 0.72): DataFrame = {
-    // null text normalizes to "" BEFORE labeling: qualityScoreOver scores
-    // null text as null, and a null label crashes LogisticRegression.fit
-    // if the row lands in the training split
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("text", coalesce(col("text"), lit("")))
-    val labels = qualityScoreOver(docs)
-      .select(col("doc_id"), (col("score") >= threshold).as("is_target"))
-    docs.join(labels, "doc_id")
+    // null text normalizes to "" BEFORE labeling: the D2 score of null
+    // text is null, and a null label crashes LogisticRegression.fit if
+    // the row lands in the training split.
+    // The label is a PER-ROW expression (qualityScoreOver is select-only),
+    // so it rides the scan directly (r19, guide §2.4 "remove shuffles
+    // outright"): the former docs ⋈ qualityScoreOver(docs) self-join
+    // re-shuffled the whole corpus — twice per featurize evaluation at
+    // any scale where the label side stops broadcasting — to attach a
+    // value each row can compute from its own text. Label values are
+    // identical by construction (same expression tree, same coalesced
+    // input); only partitioning/lineage changed, which the D8 contract
+    // declares stable (QualityClassifierSpec's 1e-3 partition-invariance
+    // pin — L-BFGS float sums wiggle at machine precision by design).
+    qcInputOver(Tables.documents(spark, sfDir), threshold)
   }
+
+  /** [[qualityClassifierInput]] over an arbitrary documents frame. */
+  private[graft] def qcInputOver(docs: DataFrame,
+                                 threshold: Double = 0.72): DataFrame =
+    docs
+      .withColumn("text", coalesce(col("text"), lit("")))
+      .withColumn("is_target", qualityStatExprs(col("text")).score >= threshold)
 
   def qualityClassifierOver(docs: DataFrame, targetPred: Column,
                             dim: Int = 4096, maxIter: Int = 15): DataFrame =
