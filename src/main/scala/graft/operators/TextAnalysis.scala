@@ -344,14 +344,30 @@ object TextAnalysis {
   def qualityClassifierScoreWith(
       model: org.apache.spark.ml.classification.LogisticRegressionModel,
       docs: DataFrame, targetPred: Column, dim: Int = 4096): DataFrame = {
-    import org.apache.spark.ml.functions.vector_to_array
     val mix = Text.mixBucket(col("doc_id"), 1000L)
-    model.transform(qcFeatures(docs, targetPred, dim))
+    // score from the EXTRACTED coefficient vector, not model.transform
+    // (r19): the transform UDF captures the whole model, whose
+    // trainingSummary drags the SparkSession (and its non-serializable
+    // ObservationManager) into any task closure that samples through the
+    // UDF — with the label join gone, the output sort's range sketch does
+    // exactly that, plan-shape-dependently. This closure carries only the
+    // dim-sized array + intercept (what the scaladoc always claimed), and
+    // the margin replicates BLAS.dot's sparse accumulation order exactly:
+    // sum over stored entries in index order, then + intercept, then the
+    // binary sigmoid — p_target is bit-identical to the transform path
+    // (receipt: rows diffed 0 at sf0.01 and sf0.1).
+    val coef = model.coefficients.toArray
+    val b = model.intercept
+    val pUdf = udf((v: org.apache.spark.ml.linalg.Vector) => {
+      var s = 0.0
+      v.foreachActive((i, x) => s += x * coef(i))
+      1.0 / (1.0 + math.exp(-(s + b)))
+    })
+    qcFeatures(docs, targetPred, dim)
       .select(col("doc_id"), col("lang"),
         (col("label") > 0.5).as("is_target"),
         (mix >= 700).as("held_out"),
-        round(element_at(vector_to_array(col("probability")), 2) + lit(1e-9), 4)
-          .as("p_target"))
+        round(pUdf(col("features")) + lit(1e-9), 4).as("p_target"))
       .orderBy("doc_id")
   }
 
