@@ -28,8 +28,26 @@ object Tables {
     "customer" -> Seq("c_custkey", "c_mktsegment"),
     "part" -> Seq("p_partkey", "p_brand", "p_retailprice"))
 
+  /** Per-path schema memo (r19): `spark.read.parquet` runs a footer-reading
+    * schema-inference JOB on every call — one to three such jobs rode every
+    * query invocation (BenchOne's verbose job listing shows them as
+    * `parquet at Tables.scala` lines), pure driver-round latency at any
+    * scale (guide §1.2, §6). A table path's schema is a stable property
+    * within a session — testdata is immutable, synthesized receipt corpora
+    * are written once behind exists-gates, and content refreshes preserve
+    * schemas — so it is inferred once per path per JVM and passed
+    * explicitly afterwards. The events table's vintage-dependent `ts` type
+    * is part of the inferred schema and memoizes per path like everything
+    * else (its callers set the nanos conf before the first load, exactly
+    * as before).
+    */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    val path = s"$sfDir/$table.parquet"
+    val schema = schemaMemo.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     requiredCols.get(table).foreach { cols =>
       val missing = cols.filterNot(df.columns.contains)
       require(missing.isEmpty,
