@@ -125,14 +125,21 @@ object Bench {
     // Driver-parsable per-query line: the detail line above (3 maps × 101
     // queries) overflows the driver's finite tail capture, which is why
     // PERF_r17/r18 ended with per_query:{} and n_common:0. This line carries
-    // ONLY the min map, rounded to 4 decimals (~2 KB at 101 queries), printed
-    // immediately before the total line so the tail window always contains it
-    // whole. The detail line stays for humans/history.
-    val minsCompact = results.map { r =>
-      "\"" + r._1 + "\":" +
-        BigDecimal(r._2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"per_query","mins":$minsCompact,"unit":"sec","sf":"$sfDir"}""")
+    // ONLY the QUERY min map (components stay on the detail line and in
+    // history — the driver's per-query table never tracked them), values at
+    // 4 significant figures, no other fields — every byte counts against
+    // the tail window (BENCH_r18's stored tail was 2000 bytes) — printed
+    // immediately before the total line so the window's end contains it.
+    def sig4(v: Double): String =
+      if (v == 0.0) "0"
+      else {
+        val scale = 3 - math.floor(math.log10(math.abs(v))).toInt
+        BigDecimal(v).setScale(scale.max(0), BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.stripTrailingZeros.toPlainString
+      }
+    val minsCompact = results.filterNot(_._1.contains("."))
+      .map(r => "\"" + r._1 + "\":" + sig4(r._2)).mkString("{", ",", "}")
+    println(s"""{"metric":"per_query","mins":$minsCompact}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"noisy":$noisy,"drift":$driftJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failedSet.nonEmpty) {
